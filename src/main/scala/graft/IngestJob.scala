@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.operators._
+
+/**
+ * Orchestration (SURVEY §2 O1–O9, §3 E1): the reference's `main`
+ * (FB:98–417) re-expressed over Spark actions. Per table: access probe →
+ * schema discovery → order-by resolution → watermark freeze → frozen
+ * source COUNT → DDL (append/replace) → watermark-bounded (resumable)
+ * scan → 11-column lineage enrichment with canonical hashes →
+ * month-partitioned zstd parquet write → count + dual-hash consistency
+ * check with drill-down.
+ *
+ * The reference batches ≤N tables per Flink job graph and rebuilds the
+ * whole environment between batches (FB:177–413) purely to bound DAG size
+ * and isolate failures; Spark submits one action per table from a
+ * long-lived session, so "batching" degenerates to a loop with per-table
+ * failure isolation — the 60-line env-rebuild block (FB:302–352) has no
+ * Spark analogue and is intentionally absent.
+ */
+object IngestJob {
+
+  /** O2: source-table → sink-table mapping (`TableMapping` FB:471–484).
+    * MIS semantics: case-preserving, no `$`→`_` mangling (MIS:437–468). */
+  final case class TableMapping(source: String, sink: String)
+
+  object TableMapping {
+    /** Parse `--tables A,B,SRC:dst` (FB:438–466 / MIS:437–468). */
+    def parse(spec: String): Seq[TableMapping] =
+      spec.split(",").filter(_.nonEmpty).toSeq.map { t =>
+        t.split(":") match {
+          case Array(s, d) => TableMapping(s.trim, d.trim)
+          case Array(s)    => TableMapping(s.trim, s.trim)
+          case _ => throw new IllegalArgumentException(s"bad table spec: $t")
+        }
+      }
+  }
+
+  final case class IngestConfig(
+      sourceDir: String,                       // parquet dir standing in for the JDBC source
+      warehouseDir: String,                    // sink root
+      tables: Seq[TableMapping],
+      orderByOverride: Map[String, String] = Map.empty, // --order-by per table
+      replace: Boolean = false,                // O4 append/replace
+      failOnConsistencyError: Boolean = true,  // FB:112–114
+      offsetRows: Map[String, Long] = Map.empty, // S2 resume offsets
+      lineage: Enrich.Lineage = Enrich.Lineage())
+
+  final case class TableResult(
+      mapping: TableMapping,
+      skipped: Boolean,
+      report: Option[ConsistencyCheck.ConsistencyReport],
+      error: Option[String])
+
+  /** S5 order-by resolution chain (FB:224–235): explicit `--order-by` →
+    * primary key → first column. Parquet sources carry no PK metadata, so
+    * the conventional `<prefix>key` column stands in for PK detection. */
+  def resolveOrderBy(mapping: TableMapping, schema: Seq[String],
+      overrides: Map[String, String]): String =
+    overrides.get(mapping.source)
+      .orElse(schema.find(_.toLowerCase.endsWith("key")))
+      .getOrElse(schema.head)
+
+  def sourcePath(cfg: IngestConfig, m: TableMapping): String =
+    s"${cfg.sourceDir}/${m.source}.parquet"
+
+  def sinkPath(cfg: IngestConfig, m: TableMapping): String =
+    s"${cfg.warehouseDir}/${m.sink}"
+
+  /** Ingest + verify one table; returns a structured result instead of
+    * failing the whole run (per-table failure isolation, FB:302–352). */
+  def ingestTable(spark: SparkSession, cfg: IngestConfig, m: TableMapping): TableResult = {
+    try {
+      // S3: access probe — skip gracefully (FB:494–525)
+      if (!SnapshotScan.probeAccess(spark.read.parquet(sourcePath(cfg, m))))
+        return TableResult(m, skipped = true, None, None)
+
+      val src = spark.read.parquet(sourcePath(cfg, m))
+      val metas = ColumnMeta.fromSchema(src.schema)
+      val orderBy = resolveOrderBy(m, src.columns.toSeq, cfg.orderByOverride)
+
+      // F2/A3: freeze the snapshot bound before anything else (FB:237–246)
+      val wm = SnapshotScan.freezeWatermark(src, orderBy)
+      val bounded = SnapshotScan.bounded(src, orderBy, wm)
+
+      // A1: frozen source baseline count (FB:244–246)
+      val srcCount = ConsistencyCheck.sourceCount(bounded)
+
+      // S1/S2/K1/K2: resumable scan (ordered only when resuming)
+      val offset = cfg.offsetRows.getOrElse(m.source, 0L)
+      val scanned: DataFrame =
+        if (offset > 0) SnapshotScan.resumableScan(src, orderBy, wm, offset)
+        else bounded
+
+      // F1 + F5–F13: lineage envelope + canonical hashes
+      val enriched = Enrich.enrich(scanned, metas, cfg.lineage)
+
+      // O3/O4 + S6: partitioned write
+      val mode = if (cfg.replace) SaveMode.Overwrite else SaveMode.Append
+      Ddl.writePartitioned(enriched, sinkPath(cfg, m), mode)
+
+      // A2 + O7: read back, count + dual-hash check (FB:1261–1328)
+      val sink = Ddl.readTable(spark, sinkPath(cfg, m))
+      val metrics = ConsistencyCheck.sinkMetrics(sink)
+      val expected = srcCount - offset
+      val report = ConsistencyCheck.check(m.sink, expected, metrics,
+        cfg.failOnConsistencyError)
+      TableResult(m, skipped = false, Some(report), None)
+    } catch {
+      case e: ConsistencyCheck.ConsistencyCheckException => throw e
+      case e: Exception =>
+        TableResult(m, skipped = false, None, Some(e.getMessage))
+    }
+  }
+
+  /** O5: the multi-table loop. */
+  def run(spark: SparkSession, cfg: IngestConfig): Seq[TableResult] =
+    cfg.tables.map(ingestTable(spark, cfg, _))
+}

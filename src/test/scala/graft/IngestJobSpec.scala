@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.IngestJob._
+import graft.operators._
+
+/** End-to-end minimum slice (SURVEY §7): snapshot-ingest with enrichment +
+  * self-verification — count equality and zero dual-hash mismatches. */
+class IngestJobSpec extends SparkSpec {
+
+  private def cfg(tables: String, replace: Boolean = true) = IngestConfig(
+    sourceDir = sf(),
+    warehouseDir = Files.createTempDirectory("graft-wh").toString,
+    tables = TableMapping.parse(tables),
+    replace = replace)
+
+  test("lineitem ingest: count + dual-hash consistency check passes") {
+    val results = IngestJob.run(spark, cfg("lineitem"))
+    assert(results.size === 1)
+    val r = results.head
+    assert(r.error.isEmpty, r.error)
+    assert(!r.skipped)
+    assert(r.report.get.ok, r.report)
+    assert(r.report.get.sourceCount === 6000L)
+  }
+
+  test("multi-table batch with graceful skip of missing table") {
+    val results = IngestJob.run(spark, cfg("region,nation,does_not_exist"))
+    assert(results.map(_.skipped) === Seq(false, false, true))
+    assert(results.take(2).forall(_.report.exists(_.ok)))
+  }
+
+  test("source:sink mapping renames the sink table") {
+    val c = cfg("region:region_renamed")
+    IngestJob.run(spark, c)
+    val sink = Ddl.readTable(spark, s"${c.warehouseDir}/region_renamed")
+    assert(sink.count() === 5)
+    // 2 source cols + 11 tech cols
+    assert(sink.columns.length === 2 + Enrich.TechColsCount)
+  }
+
+  test("resume offset skips the already-ingested prefix deterministically") {
+    val c = cfg("nation", replace = true).copy(offsetRows = Map("nation" -> 20L))
+    val results = IngestJob.run(spark, c)
+    val r = results.head
+    assert(r.report.get.ok, r.report)
+    assert(r.report.get.sinkCount === 5L) // 25 nations - 20 offset
+  }
+
+  test("empty source → NULL watermark → empty-set predicate (FB:645–657)") {
+    import spark.implicits._
+    val empty = spark.createDataFrame(Seq.empty[(Int, String)]).toDF("k", "v")
+    val wm = SnapshotScan.freezeWatermark(empty, "k")
+    assert(wm.isEmpty)
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    assert(SnapshotScan.bounded(li, "l_orderkey", wm).count() === 0L)
+  }
+
+  test("tech-column name collision gets __ prefix (FB:862–879)") {
+    val resolved = Enrich.resolveTechColumnNames(Seq("id", "OP", "row_hash"))
+    assert(resolved.contains("__op"))
+    assert(resolved.contains("__row_hash"))
+    assert(resolved.contains("load_dttm"))
+  }
+}
