@@ -67,10 +67,15 @@ object CanonicalHash {
       case BooleanType => c.cast(StringType) // "true"/"false"
       case ShortType | IntegerType | LongType => c.cast(StringType)
       case FloatType | DoubleType =>
-        // F9: kill binary-arithmetic noise (FB:1675–1683). NaN/Inf cast to
-        // decimal as NULL → <NULL>, mirrored in tokenOf.
-        round(c.cast(DoubleType), FloatScale)
-          .cast(DecimalType(38, FloatScale)).cast(StringType)
+        // F9: kill binary-arithmetic noise (FB:1675–1683). NaN/Inf → NULL
+        // → <NULL> explicitly (mirrored in tokenOf and the DuckDB oracle's
+        // TRY_CAST) — under Spark 4's default ANSI mode a bare decimal
+        // cast of NaN/Inf would throw instead.
+        val cd = c.cast(DoubleType)
+        when(isnan(cd) || cd === Double.PositiveInfinity
+             || cd === Double.NegativeInfinity, lit(null).cast(StringType))
+          .otherwise(round(cd, FloatScale)
+            .cast(DecimalType(38, FloatScale)).cast(StringType))
       case _: DecimalType =>
         // F10: Spark's decimal→string is already plain, dot-separated —
         // the comma→dot REPLACE of MIS:1779–1785 is a no-op here.

@@ -36,9 +36,11 @@ object Enrich {
   def techColumnNames(uppercase: Boolean): Seq[String] =
     if (uppercase) TechColsLower.map(_.toUpperCase) else TechColsLower
 
+  // NTZ (naive) timestamps: matches the source tables' parquet encoding
+  // (isAdjustedToUTC=false) and the reference's LocalDateTime semantics.
   def techColumnTypes: Seq[DataType] = Seq(
-    TimestampType, TimestampType, LongType, StringType, LongType, LongType,
-    StringType, TimestampType, TimestampType, StringType, StringType)
+    TimestampNTZType, TimestampNTZType, LongType, StringType, LongType, LongType,
+    StringType, TimestampNTZType, TimestampNTZType, StringType, StringType)
 
   /** Constant lineage values for a load. `loadDttm` defaults to a fixed
     * instant so query results stay deterministic for the differential
@@ -76,15 +78,15 @@ object Enrich {
     val names = resolveTechColumnNames(df.columns.toSeq, uppercase)
     val hash: Column = CanonicalHash.rowHashExpr(metas)
     val values: Seq[Column] = Seq(
-      lit(lineage.loadDttm),
-      lit(null).cast(TimestampType),
+      lit(lineage.loadDttm).cast(TimestampNTZType),
+      lit(null).cast(TimestampNTZType),
       lineage.loadId.map(lit(_).cast(LongType)).getOrElse(lit(null).cast(LongType)),
       lit(lineage.op),
       lit(null).cast(LongType),
       lit(null).cast(LongType),
       lit(lineage.srcSystemCode),
-      lit(null).cast(TimestampType),
-      lit(null).cast(TimestampType),
+      lit(null).cast(TimestampNTZType),
+      lit(null).cast(TimestampNTZType),
       hash,  // row_hash: "source-side"
       hash)  // row_hash_iceberg: "sink-side" (FB:928; NULL at source, filled by sink SQL)
     val src = df.columns.map(col).toSeq
