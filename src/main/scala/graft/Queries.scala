@@ -364,6 +364,146 @@ object Queries {
     },
     oracle = None) // golden string checked in ScalaTest; not SQL-expressible
 
+  // ---------------------------------------------------------------------
+  // Training-data dedup family (documents / embeddings tables)
+  // ---------------------------------------------------------------------
+
+  /** Shared DuckDB CTEs: whitespace tokens + distinct 3-gram shingles. */
+  private val duckToksSh =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |      THEN list_distinct([array_to_string(list_slice(t, i+1, i+3), ' ') for i in range(len(t)-2)])
+      |      ELSE [] END AS s
+      |  FROM toks
+      |)""".stripMargin
+
+  val t1_exact_dedup: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.exactDedup(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id"),
+    oracle = Some(
+      """SELECT md5(text) AS text_md5, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),
+    bench = true)
+
+  private val JaccardThreshold = 0.5
+
+  val t2_ngram_jaccard_pairs: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val withSh = docs.select(col("doc_id"),
+        TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s"))
+      TextDedup.jaccardPairs(withSh, "doc_id", "s", JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(
+      s"""WITH $duckToksSh,
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ida AS id_a, idb AS id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin),
+    bench = true)
+
+  private val MinhashK = 16
+  private val BandSize = 4
+  private val NumBands = 4
+
+  val t3_minhash_lsh_pairs: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val withSh = docs.select(col("doc_id"),
+          TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s"))
+        .filter(size(col("s")) > 0)
+      val withBands = withSh.withColumn("sig",
+          TextDedup.minhashSignature(col("s"), MinhashK))
+        .withColumn("bands", TextDedup.bandHashes(col("sig"), BandSize, NumBands))
+      val cand = TextDedup.candidatePairs(
+        withBands.select(col("doc_id"), col("bands")), "doc_id", "bands")
+      val sets = withSh.select(col("doc_id"), col("s"))
+      cand
+        .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextDedup.jaccard(col("s_a"), col("s_b")).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = {
+      val sigElems = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(", ")
+      val bandElems = (0 until NumBands).map(b =>
+        s"md5(array_to_string(list_slice(sig, ${b * BandSize + 1}, ${(b + 1) * BandSize}), ','))")
+        .mkString(", ")
+      Some(
+        s"""WITH $duckToksSh,
+           |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+           |sig AS (SELECT doc_id, s, [$sigElems] AS sig FROM shf),
+           |bands AS (SELECT doc_id, [$bandElems] AS bands FROM sig),
+           |ex AS (
+           |  SELECT doc_id, r.range AS band_idx, bands[r.range + 1] AS bh
+           |  FROM bands CROSS JOIN range($NumBands) r),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ex a JOIN ex b
+           |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  len(list_intersect(sa.s, sb.s)) * 1.0
+           |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+           |FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+           |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+           |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $JaccardThreshold
+           |ORDER BY id_a, id_b""".stripMargin)
+    },
+    bench = true)
+
+  private val SimhashBits = 32
+
+  val t4_simhash: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      docs.select(col("doc_id"),
+          TextDedup.simhash(TextDedup.tokens(col("text")), SimhashBits).as("simhash"))
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val terms = (0 until SimhashBits).map { b =>
+        s"(CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |hs AS (SELECT doc_id, list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS h FROM toks)
+           |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM hs ORDER BY doc_id""".stripMargin)
+    })
+
+  private val CosineThreshold = 0.45
+
+  val t5_cosine_neardup: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.cosineNearDupPairs(
+          t(spark, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $CosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin))
+
   /** The reference-surface inventory. */
   def referenceQueries: Map[String, Q] = Map(
     "s1_resumable_scan" -> s1_resumable_scan,
@@ -381,5 +521,13 @@ object Queries {
     "j1_hash_diff" -> j1_hash_diff,
     "o3_create_table_ddl" -> o3_create_table_ddl)
 
-  def all: Map[String, Q] = referenceQueries
+  /** Training-data pipeline extensions. */
+  def pipelineQueries: Map[String, Q] = Map(
+    "t1_exact_dedup" -> t1_exact_dedup,
+    "t2_ngram_jaccard_pairs" -> t2_ngram_jaccard_pairs,
+    "t3_minhash_lsh_pairs" -> t3_minhash_lsh_pairs,
+    "t4_simhash" -> t4_simhash,
+    "t5_cosine_neardup" -> t5_cosine_neardup)
+
+  def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

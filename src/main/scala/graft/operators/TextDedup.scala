@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Training-data deduplication operators (builder-prompt extension surface;
+ * not present in the reference, which ingests RDBMS rows — these are the
+ * operators a 100 TB document pipeline needs on top of it).
+ *
+ * All builders are pure Column-expression trees (codegen'd, no UDFs):
+ *   - exact dedup: hash-groupBy on md5(text)
+ *   - MinHash+LSH: shingle → k md5-minhashes → banded bucket join.
+ *     The minhash uses the LEXICOGRAPHIC MIN of seeded md5 hex strings —
+ *     same uniform-min property as numeric minhash, but portable
+ *     bit-for-bit across engines (the DuckDB oracle computes the
+ *     identical strings).
+ *   - SimHash: per-bit majority over 60-bit token hashes
+ *   - n-gram Jaccard: exploded shingle equi-join (NOT a cross join)
+ *
+ * Scale notes (100 TB):
+ *   - Exact dedup shuffles digests only (32-byte keys), not documents.
+ *   - LSH candidate generation shuffles (band_idx, band_hash) pairs; the
+ *     quadratic jaccard verification runs only within buckets. Hot
+ *     buckets (boilerplate shingles) are the skew hazard — AQE skew-join
+ *     handles moderate skew; degenerate shingles should be stopworded
+ *     upstream.
+ *   - SimHash is embarrassingly parallel (map-only, no shuffle).
+ */
+object TextDedup {
+
+  /** Whitespace tokens of lowercased trimmed text; empty tokens dropped
+    * (split produces them at string edges in both Spark and DuckDB). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), x => x =!= lit(""))
+
+  /** Distinct word n-gram shingles. Guarded so docs shorter than n tokens
+    * yield an empty set (Spark's `sequence` would otherwise count DOWN for
+    * a negative span and throw under ANSI). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Exact dedup: keep the lowest id per identical text digest. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5"), col(idCol))
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** k-element MinHash signature: element i = min over shingles of
+    * md5("<i>:" ++ shingle), as hex string. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))): _*)
+
+  /** LSH band digests: md5 over each contiguous band of the signature. */
+  def bandHashes(sig: Column, bandSize: Int, numBands: Int): Column =
+    array((0 until numBands).map(b =>
+      md5(concat_ws(",", slice(sig, b * bandSize + 1, bandSize)))): _*)
+
+  /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
+    * Input: (idCol, bandsCol: array<string>). The join key is
+    * (band index, band hash) — shuffle carries only ids and digests. */
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over two distinct-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    (inter * lit(1.0)) / (size(a) + size(b) - inter)
+  }
+
+  /** All-pairs n-gram Jaccard ≥ threshold via exploded shingle equi-join
+    * (the scalable formulation: inter-counts from a shuffle on shingle,
+    * sizes from a map-side projection — no cross join anywhere). */
+  def jaccardPairs(df: DataFrame, idCol: String, shCol: String,
+      threshold: Double): DataFrame = {
+    val sized = df.select(col(idCol).as("id"), col(shCol).as("s"))
+      .withColumn("n", size(col("s")))
+    val ex = sized.select(col("id"), col("n"), explode(col("s")).as("shingle"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("i"))
+    inter.select(col("id_a"), col("id_b"),
+        (col("i") * lit(1.0) / (col("n_a") + col("n_b") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
+    * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
+
+  /** SimHash over the low `bits` bits of the 60-bit token hashes: bit b is
+    * set iff the majority of tokens have bit b set (ties → unset). */
+  def simhash(toks: Column, bits: Int = 32): Column = {
+    val hs = transform(toks, tokenHash60(_))
+    val bitCols = (0 until bits).map { b =>
+      val contrib = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextDedup, VectorOps}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+
+  test("LSH candidates achieve full recall on high-jaccard pairs") {
+    val truth = Queries.t2_ngram_jaccard_pairs.run(spark, sf("sf0.01"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Queries.t3_minhash_lsh_pairs.run(spark, sf("sf0.01"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(truth === lsh) // 16 hashes / 4 bands catches jaccard ≳ 0.7 w.h.p.
+  }
+
+  test("near-duplicate pairs have small simhash hamming distance") {
+    val sim = Queries.t4_simhash.run(spark, sf("sf0.01"))
+    val pairs = Queries.t2_ngram_jaccard_pairs.run(spark, sf("sf0.01"))
+    val joined = pairs
+      .join(sim.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
+      .join(sim.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
+      .select(TextDedup.hamming(col("h_a"), col("h_b")).as("d"))
+    val dists = joined.collect().map(_.getInt(0))
+    // SimHash of ~99%-similar docs should collide on nearly every bit
+    assert(dists.forall(_ <= 6), s"distances: ${dists.mkString(",")}")
+  }
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("dup_count")).head.getLong(0) === docs.count())
+  }
+
+  test("brute-force top-k is self-consistent and k-bounded") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val topk = VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+    val counts = topk.groupBy("query_id").count().collect()
+    assert(counts.length === 5)
+    assert(counts.forall(_.getLong(1) === 3L))
+    // rank 1 must have the max cosine per query
+    val r = topk.filter(col("rank") === 1)
+      .join(topk.groupBy("query_id").agg(max("cos").as("m")), Seq("query_id"))
+      .filter(col("cos") =!= col("m")).count()
+    assert(r === 0L)
+  }
+
+  test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding", k = 5, bits = 4)
+    assert(ann.count() > 0)
+    // every reported neighbor shares the 4-bit sign bucket by construction
+    val p = VectorOps.prepared(emb, "vec_id", "embedding")
+      .withColumn("bkt", VectorOps.signBucket(col("v"), 4))
+      .select(col("id"), col("bkt"))
+    val bad = ann
+      .join(p.select(col("id").as("query_id"), col("bkt").as("qb")), Seq("query_id"))
+      .join(p.select(col("id").as("neighbor_id"), col("bkt").as("nb")), Seq("neighbor_id"))
+      .filter(col("qb") =!= col("nb")).count()
+    assert(bad === 0L)
+  }
+}
