@@ -504,6 +504,164 @@ object Queries {
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $CosineThreshold
          |ORDER BY id_a, id_b""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Similarity search / text analysis / multimodal
+  // ---------------------------------------------------------------------
+
+  private val duckVecPrep =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  val t6_ann_topk: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH $duckVecPrep,
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    bench = true)
+
+  val t7_ann_bucketed: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.bucketedTopK(t(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, bits = 8)
+        .orderBy("query_id", "rank"),
+    oracle = {
+      val bkt = (0 until 8).map(i =>
+        s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      Some(
+        s"""WITH $duckVecPrep,
+           |b AS (SELECT vec_id, e, nrm, $bkt AS bkt FROM n),
+           |scored AS (
+           |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    list_dot_product(a.e, c.e) / (a.nrm * c.nrm) AS cos
+           |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
+           |ranked AS (SELECT *, row_number() OVER
+           |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+           |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    })
+
+  private val duckToks =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private def duckMarkerScore(markers: Seq[String]): String =
+    s"CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> x IN (" +
+      markers.map(m => s"'$m'").mkString(", ") + s"))) * 1.0 / len(t) ELSE 0.0 END"
+
+  val t8_langid: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val toks = TextDedup.tokens(col("text"))
+      val scores = TextAnalysis.langScores(toks)
+      docs.select(Seq(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("detected_lang")) ++
+          scores.map { case (l, c) => c.as(s"s_$l") }: _*)
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val langs = TextAnalysis.LangMarkers
+      val scoreCols = langs.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
+      val m = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $m AND s_$l > 0 THEN '$l'" }.mkString(" ")
+      Some(
+        s"""WITH $duckToks,
+           |sc AS (SELECT doc_id, text, ${scoreCols.mkString(",\n  ")} FROM toks)
+           |SELECT doc_id,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       $pick ELSE 'und' END AS detected_lang,
+           |  ${langs.map("s_" + _._1).mkString(", ")}
+           |FROM sc ORDER BY doc_id""".stripMargin)
+    })
+
+  val t9_quality_score: Q = Q(
+    run = (spark, dir) => {
+      val comps = TextAnalysis.qualityComponents(col("text"))
+      t(spark, dir, "documents").select(col("doc_id") +:
+          comps.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val allMarkers = TextAnalysis.LangMarkers.flatMap(_._2)
+      Some(
+        s"""WITH $duckToks,
+           |c AS (SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+           |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
+           |FROM toks)
+           |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |FROM c ORDER BY doc_id""".stripMargin)
+    },
+    bench = true)
+
+  val t10_token_counts: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val t11_fingerprint: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id,
+        |  CASE WHEN length(lower(trim(text))) >= 5 THEN
+        |    array_to_string(list_slice(list_sort(
+        |      [md5(substr(lower(trim(text)), i+1, 5)) for i in range(length(lower(trim(text))) - 4)]
+        |    ), 1, 4), '')
+        |  ELSE NULL END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val m1_multimodal_features: Q = Q(
+    run = (spark, dir) =>
+      Multimodal.features(spark, t(spark, dir, "documents")).orderBy("asset_id"),
+    oracle = {
+      val fs = (0 until 4).map(k =>
+        s"CAST('0x' || substr(md5(text), ${k * 8 + 1}, 8) AS BIGINT) / 4294967296.0 AS f$k")
+      Some(
+        s"""SELECT doc_id AS asset_id,
+           |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  substr(lower(hex(encode(text))), 1, 8) AS magic,
+           |  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+           |  CAST(64 + (doc_id % 6) * 16 AS INT) AS height,
+           |  ${fs.mkString(",\n  ")}
+           |FROM documents ORDER BY asset_id""".stripMargin)
+    })
+
   /** The reference-surface inventory. */
   def referenceQueries: Map[String, Q] = Map(
     "s1_resumable_scan" -> s1_resumable_scan,
@@ -527,7 +685,14 @@ object Queries {
     "t2_ngram_jaccard_pairs" -> t2_ngram_jaccard_pairs,
     "t3_minhash_lsh_pairs" -> t3_minhash_lsh_pairs,
     "t4_simhash" -> t4_simhash,
-    "t5_cosine_neardup" -> t5_cosine_neardup)
+    "t5_cosine_neardup" -> t5_cosine_neardup,
+    "t6_ann_topk" -> t6_ann_topk,
+    "t7_ann_bucketed" -> t7_ann_bucketed,
+    "t8_langid" -> t8_langid,
+    "t9_quality_score" -> t9_quality_score,
+    "t10_token_counts" -> t10_token_counts,
+    "t11_fingerprint" -> t11_fingerprint,
+    "m1_multimodal_features" -> m1_multimodal_features)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, document fingerprinting. All pure
+ * Column-expression trees (map-side only — no shuffle at any scale).
+ */
+object TextAnalysis {
+
+  /** Marker stopword sets for the n-gram/stopword language heuristic.
+    * Deliberately tiny: the operator contract is deterministic scoring,
+    * not model-grade accuracy. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, x => x.isin(markers.map(lit): _*)))
+
+  /** Per-language marker ratio columns: score = markers / tokens. */
+  def langScores(toks: Column): Seq[(String, Column)] = {
+    val n = size(toks)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> when(n > 0, markerCount(toks, markers) * lit(1.0) / n).otherwise(lit(0.0))
+    }
+  }
+
+  /** Detected language: argmax of marker ratios with declaration-order
+    * tie-break; all-zero → "und". CJK codepoints short-circuit to "zh". */
+  def langId(text: Column): Column = {
+    val toks = TextDedup.tokens(text)
+    val scores = langScores(toks)
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && s > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Quality components + composite score: length band, mean token
+    * length band, punctuation ratio, stopword presence. Each component
+    * contributes 0.25. */
+  def qualityComponents(text: Column): Seq[(String, Column)] = {
+    val toks = TextDedup.tokens(text)
+    val nTok = size(toks)
+    val nChars = length(text)
+    val meanTokLen = when(nTok > 0,
+      aggregate(toks, lit(0), (acc, x) => acc + length(x)) * lit(1.0) / nTok)
+      .otherwise(lit(0.0))
+    val punct = when(nChars > 0,
+      length(regexp_replace(text, "[^.,;:!?]", "")) * lit(1.0) / nChars)
+      .otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      markerCount(toks, LangMarkers.flatMap(_._2)) * lit(1.0) / nTok)
+      .otherwise(lit(0.0))
+    Seq("n_tokens" -> nTok.cast("bigint"), "mean_token_len" -> meanTokLen,
+      "punct_ratio" -> punct, "stopword_ratio" -> stopRatio)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val c = qualityComponents(text).toMap
+    val b = (p: Column) => when(p, lit(0.25)).otherwise(lit(0.0))
+    b(c("n_tokens") >= 10 && c("n_tokens") <= 1000) +
+      b(c("mean_token_len") >= 3.0 && c("mean_token_len") <= 12.0) +
+      b(c("punct_ratio") < 0.1) +
+      b(c("stopword_ratio") > 0.01)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(TextDedup.tokens(text)).cast("bigint")
+
+  /** BPE-ish subword unit count: alpha runs, digit runs, single
+    * non-alnum marks. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("bigint")
+
+  /** Min-k document fingerprint (winnowing-lite): the k lexicographically
+    * smallest md5s of character 5-grams, concatenated. Robust to local
+    * edits; portable across engines. */
+  def fingerprint(text: Column, gram: Int = 5, k: Int = 4): Column = {
+    val norm = lower(trim(text))
+    val grams = transform(sequence(lit(0), length(norm) - gram),
+      i => norm.substr(i + lit(1), lit(gram)))
+    val hashes = array_sort(transform(grams, g => md5(g)))
+    when(length(norm) >= gram, array_join(slice(hashes, 1, k), ""))
+      .otherwise(lit(null).cast("string"))
+  }
+}
