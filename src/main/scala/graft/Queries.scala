@@ -662,6 +662,65 @@ object Queries {
            |FROM documents ORDER BY asset_id""".stripMargin)
     })
 
+  // ---------------------------------------------------------------------
+  // Event-stream analytics (batch equivalents of the streaming surface;
+  // streaming execution itself is exercised in StreamingSpec)
+  // ---------------------------------------------------------------------
+
+  val w1_windowed_agg: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"), col("min_value"), col("max_value"))
+        .orderBy("window_start", "event_type")
+    },
+    oracle = Some(
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    bench = true)
+
+  val w2_sessionization: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+        .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      ev.withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("us") - col("prev") > graft.streaming.StreamingIngest.SessionGapMicros, 1L)
+            .otherwise(0L))
+        .groupBy("user_id").agg(sum("new_s").as("n_sessions"))
+        .orderBy("user_id")
+    },
+    oracle = Some(
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |g AS (SELECT user_id,
+         |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS d FROM e)
+         |SELECT user_id,
+         |  CAST(SUM(CASE WHEN d IS NULL OR d > ${graft.streaming.StreamingIngest.SessionGapMicros} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val w3_distinct_users: Q = Q(
+    run = (spark, dir) =>
+      eventsWithTs(spark, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("distinct_users"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    oracle = Some(
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** The reference-surface inventory. */
   def referenceQueries: Map[String, Q] = Map(
     "s1_resumable_scan" -> s1_resumable_scan,
@@ -692,7 +751,10 @@ object Queries {
     "t9_quality_score" -> t9_quality_score,
     "t10_token_counts" -> t10_token_counts,
     "t11_fingerprint" -> t11_fingerprint,
-    "m1_multimodal_features" -> m1_multimodal_features)
+    "m1_multimodal_features" -> m1_multimodal_features,
+    "w1_windowed_agg" -> w1_windowed_agg,
+    "w2_sessionization" -> w2_sessionization,
+    "w3_distinct_users" -> w3_distinct_users)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.StreamingIngest
+
+/** Runnable streaming demo: exactly-once ingest of the events stream, a
+  * complete-mode windowed aggregation, and stateful sessionization.
+  * Usage: runMain graft.StreamDemo [sfDir]  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sink = Files.createTempDirectory("stream-sink").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt").toString
+    val q = StreamingIngest.ingestStream(spark, dir, sink, ckpt)
+    q.awaitTermination()
+    val n = spark.read.parquet(sink).count()
+    println(s"[stream-demo] ingested $n events exactly-once into $sink")
+
+    val agg = StreamingIngest.windowedAgg(StreamingIngest.readEvents(spark, dir))
+    val mq = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("windows").start()
+    mq.processAllAvailable(); mq.stop()
+    val w = spark.table("windows")
+    println(s"[stream-demo] windowed-agg groups: ${w.count()}")
+    w.orderBy("window_start", "event_type").show(5, truncate = false)
+
+    val sq = StreamingIngest.sessionize(spark, StreamingIngest.readEvents(spark, dir))
+      .writeStream.outputMode("update").format("memory").queryName("sessions").start()
+    sq.processAllAvailable(); sq.stop()
+    println(s"[stream-demo] users sessionized: ${spark.table("sessions").count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ColumnMeta
+import graft.operators.Enrich
+
+/**
+ * Structured-Streaming surface (SURVEY §2 "Streaming semantics" + north-
+ * star extensions).
+ *
+ * The reference is a batch job on a streaming runtime whose only true
+ * streaming feature is the exactly-once checkpointed source offset
+ * (`ListState<Long>`, FB:1014–1047, emit+increment under the checkpoint
+ * lock FB:1089). Spark-natively that is the Structured Streaming offset
+ * log: `readStream` + `checkpointLocation` + a file sink gives
+ * end-to-end exactly-once for free — [[ingestStream]] reproduces the
+ * reference's ingest (lineage envelope + canonical hashes) as a stream.
+ *
+ * On top (capabilities the reference lacks, driver north-star):
+ * watermarked tumbling-window aggregation and arbitrary-stateful
+ * sessionization via `flatMapGroupsWithState` — the Flink
+ * keyed-state/timer analogue.
+ */
+object StreamingIngest {
+
+  /** events.parquet carries TIMESTAMP(NANOS): streamed as raw nanos
+    * (LongType) and converted to TimestampType (µs truncation) — pinned
+    * UTC session makes this wall-clock-stable. */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source requires a directory: stream the corpus dir
+    // filtered down to the events table
+    spark.readStream.schema(EventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+  }
+
+  /** S1/S2 streaming analogue: enrich each event with the 11-column
+    * lineage envelope and write exactly-once to a parquet sink. Resume =
+    * restart with the same checkpointLocation (the offset log replaces
+    * the reference's ListState + SKIP-offset machinery). */
+  def ingestStream(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointPath: String): StreamingQuery = {
+    val events = readEvents(spark, dir)
+    val metas = EventsRawSchema.fields.toSeq.map {
+      case f if f.name == "ts" => ColumnMeta.fromField(StructField("ts", TimestampType))
+      case f => ColumnMeta.fromField(f)
+    }
+    Enrich.enrich(events, metas)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation (event-time). Decimal sums
+    * keep results exactly comparable across engines. */
+  def windowedAgg(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  // -------------------------------------------------------------------
+  // Arbitrary stateful processing: gap-based sessionization
+  // -------------------------------------------------------------------
+
+  final case class EventRow(event_id: Long, user_id: Long, tsMicros: Long)
+  final case class SessionState(lastTsMicros: Long, sessions: Long)
+  final case class SessionCount(user_id: Long, n_sessions: Long)
+
+  val SessionGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 minutes
+
+  /** flatMapGroupsWithState update function: counts gap-delimited
+    * sessions per user. Emits the running per-user session count on
+    * every batch (Update mode). */
+  def updateSessions(
+      userId: Long,
+      events: Iterator[EventRow],
+      state: GroupState[SessionState]): Iterator[SessionCount] = {
+    var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+    events.toSeq.sortBy(_.tsMicros).foreach { e =>
+      if (s.lastTsMicros == Long.MinValue || e.tsMicros - s.lastTsMicros > SessionGapMicros)
+        s = SessionState(e.tsMicros, s.sessions + 1)
+      else s = SessionState(e.tsMicros, s.sessions)
+    }
+    state.update(s)
+    Iterator(SessionCount(userId, s.sessions))
+  }
+
+  /** Streaming sessionization over the events stream. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionCount] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateSessions)
+  }
+}
