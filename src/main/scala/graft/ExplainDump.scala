@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for selected queries — the
+  * plan-review loop (pushdown, codegen spans, join strategies).
+  * Usage: runMain graft.ExplainDump [sfDir] [query ...] */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("s1_resumable_scan", "f1_enrich_lineitem", "a2_consistency_metrics",
+        "t3_minhash_lsh_pairs", "t6_ann_topk", "w1_windowed_agg")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      Queries.all(n).run(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -396,8 +396,10 @@ object Queries {
   val t2_ngram_jaccard_pairs: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
+      // persist: the exploded self-join would otherwise rebuild the
+      // shingle pipeline on both sides
       val withSh = docs.select(col("doc_id"),
-        TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s"))
+        TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s")).persist()
       TextDedup.jaccardPairs(withSh, "doc_id", "s", JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
@@ -420,25 +422,11 @@ object Queries {
   private val NumBands = 4
 
   val t3_minhash_lsh_pairs: Q = Q(
-    run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
-      val withSh = docs.select(col("doc_id"),
-          TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s"))
-        .filter(size(col("s")) > 0)
-      val withBands = withSh.withColumn("sig",
-          TextDedup.minhashSignature(col("s"), MinhashK))
-        .withColumn("bands", TextDedup.bandHashes(col("sig"), BandSize, NumBands))
-      val cand = TextDedup.candidatePairs(
-        withBands.select(col("doc_id"), col("bands")), "doc_id", "bands")
-      val sets = withSh.select(col("doc_id"), col("s"))
-      cand
-        .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          TextDedup.jaccard(col("s_a"), col("s_b")).as("jaccard"))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .orderBy("id_a", "id_b")
-    },
+    run = (spark, dir) =>
+      TextDedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .orderBy("id_a", "id_b"),
     oracle = {
       val sigElems = (0 until MinhashK).map(i =>
         s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(", ")

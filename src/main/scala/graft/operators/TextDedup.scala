@@ -98,6 +98,36 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Composite MinHash+LSH near-dup pipeline: shingle → signature → band
+   * buckets → candidate join → exact-Jaccard verification.
+   *
+   * The shingle and band stages are PERSISTED deliberately: without a
+   * materialization barrier, Catalyst's projection collapse inlines the
+   * full shingle pipeline into each of the k minhash elements and both
+   * sides of the self-join — a ~64× recompute observed as 142 s → ~4 s
+   * at sf0.1. At cluster scale the same staging applies (cache or
+   * checkpoint the signature table; it is tiny relative to the corpus —
+   * k hashes + band digests per doc, not the documents themselves).
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bandSize: Int, numBands: Int,
+      threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+        shingles(tokens(col(textCol)), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist()
+    val withBands = withSh.select(col("id"),
+        bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands"))
+      .persist()
+    val cand = candidatePairs(withBands, "id", "bands")
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
   def tokenHash60(tok: Column): Column =
