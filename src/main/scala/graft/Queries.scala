@@ -709,6 +709,36 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** E2E: the full ingest pipeline (probe → snapshot scan → enrich →
+    * partitioned write → read-back → count+dual-hash verify) as a query —
+    * the oracle asserts the pipeline invariant itself: rows_written =
+    * rows_read and zero hash mismatches, per table. */
+  val e2e_ingest_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val cfg = IngestJob.IngestConfig(dir, wh,
+        IngestJob.TableMapping.parse("region,nation,supplier"), replace = true)
+      IngestJob.run(spark, cfg)
+        .flatMap(r => r.report.map(rep =>
+          (r.mapping.sink, rep.sourceCount, rep.sinkCount, rep.hashMismatches)))
+        .toDF("table_name", "rows_read", "rows_written", "hash_mismatches")
+        .orderBy("table_name")
+    },
+    oracle = Some(
+      """SELECT * FROM (
+        |  SELECT 'region' AS table_name,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS rows_read,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS rows_written,
+        |    CAST(0 AS BIGINT) AS hash_mismatches
+        |  UNION ALL SELECT 'nation',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation), CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'supplier',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier), CAST(0 AS BIGINT)
+        |) ORDER BY table_name""".stripMargin))
+
   /** The reference-surface inventory. */
   def referenceQueries: Map[String, Q] = Map(
     "s1_resumable_scan" -> s1_resumable_scan,
@@ -724,7 +754,8 @@ object Queries {
     "k4_first_row" -> k4_first_row,
     "o9_first_column_diff" -> o9_first_column_diff,
     "j1_hash_diff" -> j1_hash_diff,
-    "o3_create_table_ddl" -> o3_create_table_ddl)
+    "o3_create_table_ddl" -> o3_create_table_ddl,
+    "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(
