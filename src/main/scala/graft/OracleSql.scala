@@ -12,6 +12,16 @@ import org.apache.spark.sql.types._
  * [[graft.functions.CanonicalHash.tokenExpr]]; every rule below was
  * validated empirically against DuckDB (decimal rendering "17.000000",
  * strftime %f truncation to 4 digits, concat_ws/md5 parity).
+ *
+ * Known parity domain for DOUBLE tokens: DuckDB's double→decimal cast
+ * follows the exact binary expansion while Spark/Java use the shortest
+ * decimal representation, so tokens diverge for doubles needing > ~15
+ * significant digits at scale 6 (|x| ≳ 1e10 with full fractional
+ * precision). The ENGINE's two implementations (Catalyst ⟷ Scala) agree
+ * for ALL doubles — this caveat is about the external test oracle only.
+ * It is the same cross-engine float-rendering hazard that made the
+ * reference move row hashing entirely into one engine (comment
+ * MIS:1595–1597).
  */
 object OracleSql {
   import graft.functions.CanonicalHash.{NullToken, Separator, TokenMaxLen, FloatScale}
@@ -28,9 +38,9 @@ object OracleSql {
       case StringType => c
       case BooleanType | ShortType | IntegerType | LongType => s"CAST($c AS VARCHAR)"
       case FloatType | DoubleType =>
-        // NaN/Inf → NULL explicitly (DuckDB refuses the decimal cast even
-        // under TRY_CAST), matching tokenExpr's ANSI-safe guard.
-        s"CASE WHEN isnan(CAST($c AS DOUBLE)) OR isinf(CAST($c AS DOUBLE)) THEN NULL " +
+        // NaN/Inf/overflow → NULL explicitly (DuckDB refuses the decimal
+        // cast even under TRY_CAST), matching tokenExpr's ANSI-safe guard.
+        s"CASE WHEN isnan(CAST($c AS DOUBLE)) OR abs(CAST($c AS DOUBLE)) >= ${graft.functions.CanonicalHash.DoubleTokenMax} THEN NULL " +
         s"ELSE CAST(CAST(ROUND(CAST($c AS DOUBLE), $FloatScale) AS DECIMAL(38,$FloatScale)) AS VARCHAR) END"
       case _: DecimalType => s"CAST($c AS VARCHAR)"
       case DateType => s"CAST($c AS VARCHAR)"

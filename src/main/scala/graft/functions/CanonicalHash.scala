@@ -46,6 +46,9 @@ object CanonicalHash {
   val NullToken = "<NULL>"
   val TokenMaxLen = 1000
   val FloatScale = 6
+  /** DECIMAL(38,6) integer-digit capacity: doubles at or beyond this
+    * magnitude (and ±Inf, which compares ≥) render as NULL tokens. */
+  val DoubleTokenMax = 1e32
   val TimestampPattern = "yyyy-MM-dd HH:mm:ss.SSSS"
 
   // ---------------------------------------------------------------------
@@ -67,13 +70,12 @@ object CanonicalHash {
       case BooleanType => c.cast(StringType) // "true"/"false"
       case ShortType | IntegerType | LongType => c.cast(StringType)
       case FloatType | DoubleType =>
-        // F9: kill binary-arithmetic noise (FB:1675–1683). NaN/Inf → NULL
-        // → <NULL> explicitly (mirrored in tokenOf and the DuckDB oracle's
-        // TRY_CAST) — under Spark 4's default ANSI mode a bare decimal
-        // cast of NaN/Inf would throw instead.
+        // F9: kill binary-arithmetic noise (FB:1675–1683). NaN/Inf and
+        // values beyond DECIMAL(38,6) range (|x| ≥ 1e32) → NULL → <NULL>
+        // explicitly (mirrored in tokenOf and the DuckDB oracle) — under
+        // Spark 4's default ANSI mode the bare decimal cast would throw.
         val cd = c.cast(DoubleType)
-        when(isnan(cd) || cd === Double.PositiveInfinity
-             || cd === Double.NegativeInfinity, lit(null).cast(StringType))
+        when(isnan(cd) || abs(cd) >= lit(DoubleTokenMax), lit(null).cast(StringType))
           .otherwise(round(cd, FloatScale)
             .cast(DecimalType(38, FloatScale)).cast(StringType))
       case _: DecimalType =>
@@ -143,16 +145,21 @@ object CanonicalHash {
       case b: Array[Byte] => bytesToHexLower(b)
       case other => other.toString
     }
-    if (rendered == null) NullToken
-    else if (rendered.length > TokenMaxLen) rendered.substring(0, TokenMaxLen)
-    else rendered
+    if (rendered == null) NullToken else truncateToken(rendered)
   }
+
+  /** F13 truncation counts CODEPOINTS, not UTF-16 units — Spark's
+    * `substring` (and DuckDB's) are codepoint-based, so astral-plane
+    * characters must not be split or double-counted. */
+  private def truncateToken(s: String): String =
+    if (s.codePointCount(0, s.length) <= TokenMaxLen) s
+    else s.substring(0, s.offsetByCodePoints(0, TokenMaxLen))
 
   /** F9 Java side (MIS:1645–1654): BigDecimal HALF_UP at scale 6, plain
     * string. NaN/Inf → null token, matching the expression side where
     * CAST(NaN AS DECIMAL) yields NULL. */
   private def doubleToken(d: Double): String =
-    if (d.isNaN || d.isInfinite) null
+    if (d.isNaN || d.isInfinite || math.abs(d) >= DoubleTokenMax) null
     else JBigDecimal.valueOf(d).setScale(FloatScale, RoundingMode.HALF_UP).toPlainString
 
   /** Port of `computeRowHashJava` (MIS:1598–1613): MD5 of the UTF-8
