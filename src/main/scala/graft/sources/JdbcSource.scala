@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, Types}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.{Try, Using}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ColumnMeta
+import graft.operators.SqlLiteral
+
+/**
+ * JDBC source discovery + scan (SURVEY §2 S1, S3–S5) over a real
+ * database connection — the reference's Firebird path, re-expressed:
+ * `DatabaseMetaData.getColumns` schema discovery (FB:530–586),
+ * `getPrimaryKeys` order-key detection (FB:598–626), `SELECT 1 … FETCH
+ * FIRST 1 ROWS ONLY` access probe with no-access classification
+ * (FB:494–525), frozen `MAX(k)` watermark (FB:628–643), and the bounded
+ * ordered offset scan SQL (FB:1072–1084) pushed down through
+ * `spark.read.jdbc`'s dbtable subquery.
+ *
+ * Scale note: like the reference's source (single-threaded per table,
+ * FB:262–275), the default scan is one JDBC partition; for large tables
+ * pass `numPartitions`+bounds so Spark issues range-parallel reads —
+ * the watermark predicate keeps every partition on the same frozen
+ * snapshot.
+ */
+object JdbcSource {
+
+  private def withConnection[A](url: String)(f: Connection => A): A =
+    Using.resource(DriverManager.getConnection(url))(f)
+
+  /** S4: schema discovery; BLOB/CLOB columns are skipped entirely
+    * (FB:552–555), unknown types fall back to STRING with a warning
+    * (FB:568–579). */
+  def readTableMetadata(url: String, table: String): Seq[ColumnMeta] =
+    withConnection(url) { conn =>
+      val out = ArrayBuffer.empty[ColumnMeta]
+      val rs = conn.getMetaData.getColumns(null, null, table, null)
+      while (rs.next()) {
+        val name = rs.getString("COLUMN_NAME")
+        val jdbcType = rs.getInt("DATA_TYPE")
+        val typeName = rs.getString("TYPE_NAME")
+        val precision = rs.getInt("COLUMN_SIZE")
+        val scale = rs.getInt("DECIMAL_DIGITS")
+        val nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls
+        jdbcType match {
+          case Types.BLOB | Types.CLOB | Types.NCLOB |
+               Types.LONGVARCHAR | Types.LONGNVARCHAR =>
+            System.err.println(s"[jdbc] skipping LOB column $table.$name ($typeName)")
+          case _ =>
+            out += ColumnMeta(name, jdbcType, typeName, precision, scale, nullable)
+        }
+      }
+      out.toSeq
+    }
+
+  /** S5: primary-key detection — lowest KEY_SEQ wins (FB:598–626). */
+  def detectPrimaryKeyColumn(url: String, table: String): Option[String] =
+    withConnection(url) { conn =>
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+      var best: Option[(Short, String)] = None
+      while (rs.next()) {
+        val seq = rs.getShort("KEY_SEQ")
+        val col = rs.getString("COLUMN_NAME")
+        if (best.forall(_._1 > seq)) best = Some((seq, col))
+      }
+      best.map(_._2)
+    }
+
+  /** S3: access probe — false on permission/absence instead of failing
+    * (FB:494–525). */
+  def checkTableAccess(url: String, table: String): Boolean =
+    Try(withConnection(url) { conn =>
+      Using.resource(conn.createStatement()) { st =>
+        st.executeQuery(
+          s"SELECT 1 FROM ${SqlLiteral.escapeSourceIdentifier(table)} " +
+          "FETCH FIRST 1 ROWS ONLY").close()
+      }
+    }).isSuccess
+
+  /** A3: frozen watermark — `SELECT MAX(k) FROM t` (FB:628–643). */
+  def readWatermarkValue(url: String, table: String, orderBy: String): Option[Any] =
+    withConnection(url) { conn =>
+      Using.resource(conn.createStatement()) { st =>
+        val rs = st.executeQuery(
+          s"SELECT MAX(${SqlLiteral.escapeSourceIdentifier(orderBy)}) " +
+          s"FROM ${SqlLiteral.escapeSourceIdentifier(table)}")
+        if (rs.next()) Option(rs.getObject(1)) else None
+      }
+    }
+
+  /** S1: the bounded ordered (resumable) scan SQL, pushed down whole —
+    * standard-SQL rendering of the reference's Firebird query
+    * (FB:1072–1084: `SELECT [SKIP n] cols FROM t WHERE k <= wm ORDER BY
+    * k`). NULL watermark → empty-set predicate `1 = 0` (FB:648). */
+  def buildScanSql(table: String, metas: Seq[ColumnMeta], orderBy: String,
+      watermark: Option[Any], offsetRows: Long = 0): String = {
+    val cols = metas.map(m => SqlLiteral.escapeSourceIdentifier(m.name)).mkString(", ")
+    val q = SqlLiteral.escapeSourceIdentifier _
+    val where = watermark
+      .map(w => s"${q(orderBy)} <= ${SqlLiteral.toSqlLiteral(w)}")
+      .getOrElse("1 = 0")
+    val offset = if (offsetRows > 0) s" OFFSET $offsetRows ROWS" else ""
+    s"SELECT $cols FROM ${q(table)} WHERE $where ORDER BY ${q(orderBy)}$offset"
+  }
+
+  /** Spark scan over the pushed-down snapshot SQL. */
+  def scan(spark: SparkSession, url: String, table: String,
+      metas: Seq[ColumnMeta], orderBy: String, watermark: Option[Any],
+      offsetRows: Long = 0): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable",
+        s"(${buildScanSql(table, metas, orderBy, watermark, offsetRows)}) s")
+      .load()
+}

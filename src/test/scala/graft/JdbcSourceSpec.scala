@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.{DriverManager, Types}
+
+import graft.functions.CanonicalHash
+import graft.operators.Enrich
+import graft.sources.JdbcSource
+
+/** The real-JDBC discovery/scan path against an embedded Derby database,
+  * seeded with the reference's own smoke fixture
+  * (verify-pipeline.sh:72–77: TEST(ID INT, NAME VARCHAR(100)) with row
+  * (1, 'row1')). */
+class JdbcSourceSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private lazy val seeded: Unit = {
+    // idempotent: a failed first evaluation of a lazy val retries, so
+    // ignore already-exists on re-entry
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    def run(sql: String): Unit =
+      try st.execute(sql)
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    run("CREATE TABLE TEST (ID INT PRIMARY KEY, NAME VARCHAR(100))")
+    run("INSERT INTO TEST VALUES (1, 'row1')")
+    run("INSERT INTO TEST VALUES (2, 'row2')")
+    run("INSERT INTO TEST VALUES (3, NULL)")
+    run("""CREATE TABLE TYPED (
+      K BIGINT PRIMARY KEY, D DOUBLE, DC DECIMAL(12,3), C CHAR(8),
+      TS TIMESTAMP, B BLOB)""")
+    run("INSERT INTO TYPED VALUES (10, 1.0000005, 12.345, 'ab', " +
+      "TIMESTAMP('2024-02-29 23:59:59.123'), NULL)")
+    st.close(); conn.close()
+  }
+
+  test("S4: metadata discovery skips BLOBs and maps the closed type set") {
+    seeded
+    val metas = JdbcSource.readTableMetadata(url, "TYPED")
+    assert(metas.map(_.name) === Seq("K", "D", "DC", "C", "TS")) // no BLOB
+    assert(metas.find(_.name == "DC").get.precision === 12)
+    assert(metas.find(_.name == "DC").get.scale === 3)
+    assert(metas.find(_.name == "C").get.isFixedChar)
+  }
+
+  test("S5: primary-key detection picks the PK column") {
+    seeded
+    assert(JdbcSource.detectPrimaryKeyColumn(url, "TEST") === Some("ID"))
+    assert(JdbcSource.detectPrimaryKeyColumn(url, "TYPED") === Some("K"))
+  }
+
+  test("S3: access probe true for readable, false for absent table") {
+    seeded
+    assert(JdbcSource.checkTableAccess(url, "TEST"))
+    assert(!JdbcSource.checkTableAccess(url, "NO_SUCH_TABLE"))
+  }
+
+  test("S1+A3: frozen watermark bounds the ordered scan; offset resumes") {
+    seeded
+    val metas = JdbcSource.readTableMetadata(url, "TEST")
+    val wm = JdbcSource.readWatermarkValue(url, "TEST", "ID")
+    assert(wm === Some(3))
+    val all = JdbcSource.scan(spark, url, "TEST", metas, "ID", wm)
+    assert(all.count() === 3)
+    val resumed = JdbcSource.scan(spark, url, "TEST", metas, "ID", wm, offsetRows = 2)
+    assert(resumed.collect().map(_.getInt(0)).toSeq === Seq(3))
+    // frozen lower watermark excludes later rows (snapshot immunity)
+    val bounded = JdbcSource.scan(spark, url, "TEST", metas, "ID", Some(1))
+    assert(bounded.count() === 1)
+    // NULL watermark → empty set (FB:648)
+    assert(JdbcSource.scan(spark, url, "TEST", metas, "ID", None).count() === 0)
+  }
+
+  test("golden: the reference fixture row ingested over JDBC hashes md5('1|row1')") {
+    seeded
+    val metas = JdbcSource.readTableMetadata(url, "TEST")
+    val wm = JdbcSource.readWatermarkValue(url, "TEST", "ID")
+    val df = JdbcSource.scan(spark, url, "TEST", metas, "ID", wm)
+    val enriched = Enrich.enrich(df, metas)
+    val hashes = enriched.select("id", "row_hash")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hashes(1) === CanonicalHash.md5Hex("1|row1"))
+    assert(hashes(2) === CanonicalHash.md5Hex("2|row2"))
+    assert(hashes(3) === CanonicalHash.md5Hex("3|<NULL>"))
+  }
+
+  test("typed row over JDBC: canonical tokens honor DECIMAL/CHAR/TIMESTAMP metadata") {
+    seeded
+    val metas = JdbcSource.readTableMetadata(url, "TYPED")
+    val df = JdbcSource.scan(spark, url, "TYPED", metas, "K",
+      JdbcSource.readWatermarkValue(url, "TYPED", "K"))
+    val h = Enrich.enrich(df, metas).select("row_hash").head.getString(0)
+    // 1.0000005 → HALF_UP 1.000001; 12.345 decimal plain; CHAR(8) padded;
+    // timestamp .1230
+    assert(h === CanonicalHash.md5Hex(
+      "10|1.000001|12.345|ab      |2024-02-29 23:59:59.1230"))
+  }
+}
