@@ -395,12 +395,11 @@ object Queries {
 
   val t2_ngram_jaccard_pairs: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
-      // persist: the exploded self-join would otherwise rebuild the
-      // shingle pipeline on both sides
-      val withSh = docs.select(col("doc_id"),
-        TextDedup.shingles(TextDedup.tokens(col("text")), 3).as("s")).persist()
-      TextDedup.jaccardPairs(withSh, "doc_id", "s", JaccardThreshold)
+      // staged+persisted: see TextDedup.shingleSets (quadratic-lambda and
+      // self-join-recompute hazards)
+      val withSh = TextDedup.shingleSets(
+        t(spark, dir, "documents"), "doc_id", "text", 3).persist()
+      TextDedup.jaccardPairs(withSh, "id", "s", JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
     oracle = Some(
@@ -460,8 +459,14 @@ object Queries {
   val t4_simhash: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
-      docs.select(col("doc_id"),
-          TextDedup.simhash(TextDedup.tokens(col("text")), SimhashBits).as("simhash"))
+      // stage the 60-bit token-hash array: the 32 per-bit aggregates each
+      // reference it, and without a barrier every one re-runs the
+      // tokenize+md5 pipeline
+      val withHs = docs.select(col("doc_id"),
+        transform(TextDedup.tokens(col("text")), TextDedup.tokenHash60(_)).as("hs"))
+        .persist()
+      withHs.select(col("doc_id"),
+          TextDedup.simhashFromHashes(col("hs"), SimhashBits).as("simhash"))
         .orderBy("doc_id")
     },
     oracle = {

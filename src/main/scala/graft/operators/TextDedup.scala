@@ -37,12 +37,33 @@ object TextDedup {
 
   /** Distinct word n-gram shingles. Guarded so docs shorter than n tokens
     * yield an empty set (Spark's `sequence` would otherwise count DOWN for
-    * a negative span and throw under ANSI). */
+    * a negative span and throw under ANSI).
+    *
+    * PASS A MATERIALIZED ATTRIBUTE, not an expression: the lambda
+    * references `toks` from outside `transform`, and Catalyst re-evaluates
+    * an outer EXPRESSION per element — feeding `tokens(col)` directly
+    * makes the column quadratic in the tokenizer (measured 8–18 s for the
+    * shingle stage at sf0.1 vs 1–2 s with a staged token column).
+    * [[minhashLshPairs]] / the t2 query stage tokens for this reason.
+    * Uses O(1) `element_at` accesses rather than per-position `slice`
+    * copies. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Staged (id, shingle-set) table: tokens are MATERIALIZED (persist)
+    * before the shingle projection — a plain select gets merged by
+    * CollapseProject, re-inlining the tokenizer into the shingle lambda,
+    * which Catalyst then re-evaluates per element (quadratic; measured
+    * 8–18 s → 3.4 s for token+shingle stages at sf0.1). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withToks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .persist()
+    withToks.select(col("id"), shingles(col("t"), n).as("s"))
+      .filter(size(col("s")) > 0)
+  }
 
   /** Exact dedup: keep the lowest id per identical text digest. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -113,10 +134,7 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bandSize: Int, numBands: Int,
       threshold: Double): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-        shingles(tokens(col(textCol)), n).as("s"))
-      .filter(size(col("s")) > 0)
-      .persist()
+    val withSh = shingleSets(df, idCol, textCol, n).persist()
     val withBands = withSh.select(col("id"),
         bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands"))
       .persist()
@@ -134,9 +152,15 @@ object TextDedup {
     conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType)
 
   /** SimHash over the low `bits` bits of the 60-bit token hashes: bit b is
-    * set iff the majority of tokens have bit b set (ties → unset). */
-  def simhash(toks: Column, bits: Int = 32): Column = {
-    val hs = transform(toks, tokenHash60(_))
+    * set iff the majority of tokens have bit b set (ties → unset).
+    * Prefer [[simhashFromHashes]] over a MATERIALIZED hash column — this
+    * convenience form re-evaluates the token-hash pipeline in each of the
+    * `bits` per-bit aggregates. */
+  def simhash(toks: Column, bits: Int = 32): Column =
+    simhashFromHashes(transform(toks, tokenHash60(_)), bits)
+
+  /** SimHash from a (materialized) array<long> token-hash column. */
+  def simhashFromHashes(hs: Column, bits: Int = 32): Column = {
     val bitCols = (0 until bits).map { b =>
       val contrib = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
