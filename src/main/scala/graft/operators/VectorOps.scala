@@ -27,8 +27,15 @@ object VectorOps {
   /** float[] → double[] (exact widening; keeps FP folds deterministic). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Ordered-fold dot product over two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product over two double arrays — the native fused-loop
+    * expression ([[graft.functions.DotProduct]]); bit-identical to the
+    * composed fold it replaced (kept below for the equivalence test). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** The composed-built-ins formulation (`aggregate ∘ zip_with`):
+    * allocates an intermediate product array per row — retained as the
+    * semantic baseline the native expression is property-tested against. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⟷ Expression bridge. Spark 4 moved the classic `Column.expr`
+  * accessor behind `private[sql]` (`org.apache.spark.sql.classic.
+  * ExpressionUtils`, columnNodeSupport.scala); extensions conventionally
+  * bridge from inside the package. This is the only file outside the
+  * `graft` namespace. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

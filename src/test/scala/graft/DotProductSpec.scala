@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.functions.DotProduct
+import graft.operators.VectorOps
+
+class DotProductSpec extends SparkSpec {
+
+  test("native graft_dot is bit-identical to the composed fold on random vectors") {
+    import spark.implicits._
+    val g = for {
+      n <- Gen.chooseNum(0, 128)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
+    } yield (a, b)
+    val samples = Gen.listOfN(300, g).pureApply(Gen.Parameters.default, rng.Seed(7L))
+    val df = samples.toDF("a", "b")
+    val bad = df.select(
+        VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotComposed(col("a"), col("b")).as("composed"))
+      .filter(col("native") =!= col("composed") ||
+        (col("native").isNull =!= col("composed").isNull))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("length mismatch: native truncates to shorter (zip_with pads with null → composed null)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val r = df.select(VectorOps.dot(col("a"), col("b"))).head
+    assert(r.getDouble(0) === 14.0) // 1*4 + 2*5, documented truncation contract
+  }
+
+  test("null input → null out") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(VectorOps.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq((Seq(1.5, -2.5, 3.25), Seq(0.5, 4.0, -1.0))).toDF("a", "b")
+    val expected = 1.5 * 0.5 + -2.5 * 4.0 + 3.25 * -1.0
+    // whole-stage codegen on
+    assert(df.select(VectorOps.dot(col("a"), col("b"))).head.getDouble(0) === expected)
+    // force interpreted path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(VectorOps.dot(col("a"), col("b"))).head.getDouble(0) === expected)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration: SELECT graft_dot(...) resolves and computes") {
+    // getOrCreate() reuses the suite session, so install the same
+    // builder GraftExtensions wires, via the registry
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head
+    assert(r.getDouble(0) === 11.0)
+    // type check surfaces through analysis
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_dot(array('x'), array(1.0D))").collect())
+    assert(err.getMessage.contains("graft_dot"))
+  }
+
+  test("GraftExtensions injects the function into a fresh extensions set") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts) // must not throw; builder wired
+  }
+}
