@@ -35,7 +35,7 @@ object Bench {
     val headline = Queries.all.filter(_._2.bench).toSeq.sortBy(_._1)
     val results = headline.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.runForBench(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

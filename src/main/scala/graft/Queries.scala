@@ -23,7 +23,13 @@ object Queries {
   final case class Q(
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false)
+      bench: Boolean = false,
+      // bench-time variant WITHOUT comparison-only plumbing (e.g. the
+      // final ORDER BY added purely for oracle row-stability); defaults
+      // to `run`. Operator semantics must be identical.
+      benchRun: Option[(SparkSession, String) => DataFrame] = None) {
+    def runForBench: (SparkSession, String) => DataFrame = benchRun.getOrElse(run)
+  }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
@@ -130,6 +136,12 @@ object Queries {
       Enrich.enrich(li, ColumnMeta.fromSchema(li.schema))
         .orderBy("l_orderkey", "l_linenumber")
     },
+    benchRun = Some((spark, dir) => {
+      // production ingest writes unordered (the ORDER BY above exists
+      // only for oracle row-stability) — bench the operator, not the sort
+      val li = t(spark, dir, "lineitem")
+      Enrich.enrich(li, ColumnMeta.fromSchema(li.schema))
+    }),
     oracle = {
       val h = OracleSql.rowHash(LineitemMetas)
       Some(
