@@ -43,8 +43,11 @@ object Queries {
     * (microsecond truncation — same as DuckDB's TIMESTAMP_NS→TIMESTAMP
     * cast). */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
+    // integer DIV, not `/`: long/int goes through DOUBLE and ~1.7e18 ns
+    // exceeds 2^53 — the float detour silently shifts some timestamps
+    // by a microsecond
     t(spark, dir, "events").withColumn("ts",
-      timestamp_micros(floor(col("ts") / 1000L).cast(LongType)).cast(TimestampNTZType))
+      timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
 
   // Static schema mirrors of the driver corpus (FIXTURES.md §2) — used to
   // generate oracle SQL at class-init time, where no SparkSession exists.
@@ -715,6 +718,26 @@ object Queries {
          |  CAST(SUM(CASE WHEN d IS NULL OR d > ${graft.streaming.StreamingIngest.SessionGapMicros} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  val w4_session_window: Q = Q(
+    run = (spark, dir) =>
+      graft.streaming.StreamingIngest
+        .sessionWindowAgg(eventsWithTs(spark, dir), "30 minutes")
+        .orderBy("user_id", "session_start"),
+    oracle = Some(
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |g AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |            > ${graft.streaming.StreamingIngest.SessionGapMicros}
+         |       THEN 1 ELSE 0 END AS new_s FROM e),
+         |s AS (SELECT user_id, ts,
+         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
+
   val w3_distinct_users: Q = Q(
     run = (spark, dir) =>
       eventsWithTs(spark, dir)
@@ -790,7 +813,8 @@ object Queries {
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
-    "w3_distinct_users" -> w3_distinct_users)
+    "w3_distinct_users" -> w3_distinct_users,
+    "w4_session_window" -> w4_session_window)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

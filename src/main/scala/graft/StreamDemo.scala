@@ -40,6 +40,18 @@ object StreamDemo {
       .writeStream.outputMode("update").format("memory").queryName("sessions").start()
     sq.processAllAvailable(); sq.stop()
     println(s"[stream-demo] users sessionized: ${spark.table("sessions").count()}")
+
+    val dq = StreamingIngest.streamingDedup(StreamingIngest.readEvents(spark, dir),
+        Seq("event_id", "user_id", "event_type"), watermark = "10 days")
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    dq.processAllAvailable(); dq.stop()
+    println(s"[stream-demo] deduped stream rows: ${spark.table("deduped").count()}")
+
+    val wq = StreamingIngest.sessionWindowAgg(
+        StreamingIngest.readEvents(spark, dir).withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete").format("memory").queryName("sessions_w").start()
+    wq.processAllAvailable(); wq.stop()
+    println(s"[stream-demo] session windows: ${spark.table("sessions_w").count()}")
     spark.stop()
   }
 }

@@ -108,9 +108,14 @@ object TextDedup {
       threshold: Double): DataFrame = {
     val sized = df.select(col(idCol).as("id"), col(shCol).as("s"))
       .withColumn("n", size(col("s")))
-    val ex = sized.select(col("id"), col("n"), explode(col("s")).as("shingle"))
+    // join on 64-bit shingle hashes, not the strings: same intersection
+    // counts modulo a ~2⁻⁶⁴ birthday collision (shingles are distinct
+    // per doc), and the shuffle carries 8-byte keys instead of ~20-byte
+    // UTF-8 — at 100 TB the join key width IS the shuffle volume
+    val ex = sized.select(col("id"), col("n"),
+      explode(transform(col("s"), x => xxhash64(x))).as("sh"))
     val inter = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("i"))

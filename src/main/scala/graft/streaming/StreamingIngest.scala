@@ -45,7 +45,8 @@ object StreamingIngest {
     spark.readStream.schema(EventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      // integer DIV: a double detour loses microseconds at ns magnitudes
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** S1/S2 streaming analogue: enrich each event with the 11-column
@@ -84,6 +85,32 @@ object StreamingIngest {
         max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Streaming exact deduplication — the dedup family's streaming twin:
+    * drops rows whose digest was already seen, with state expired by the
+    * watermark (`dropDuplicatesWithinWatermark`), so the dedup table
+    * never grows unboundedly. At 100 TB-of-stream this is the only
+    * viable exact-dedup shape: state holds one digest per UNIQUE key
+    * within the watermark horizon. */
+  def streamingDedup(events: DataFrame, byCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("dedup_key",
+        md5(concat_ws("|", byCols.map(col): _*)))
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+
+  /** True session-window aggregation (gap-merged event-time windows) —
+    * works identically over a stream or a batch frame. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 
   // -------------------------------------------------------------------
   // Arbitrary stateful processing: gap-based sessionization

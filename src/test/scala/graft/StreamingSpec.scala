@@ -47,6 +47,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming exact dedup drops cross-microbatch duplicates with bounded state") {
+    // stage a source dir with the SAME events file twice → every row is
+    // duplicated across two files; one file per trigger forces the
+    // duplicate to arrive in a LATER micro-batch, exercising state
+    val src = tmp("dedup-src")
+    Files.copy(java.nio.file.Paths.get(sf() + "/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events1.parquet"))
+    Files.copy(java.nio.file.Paths.get(sf() + "/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events2.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(StreamingIngest.EventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = StreamingIngest.streamingDedup(stream,
+      Seq("event_id", "user_id", "event_type"), watermark = "10 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val n = spark.table("dedup_stream").count()
+    val distinct = spark.read.parquet(sf() + "/events.parquet").count()
+    assert(n === distinct) // 2N in, N out
+  }
+
+  test("session-window agg (stream, complete mode) equals the batch w4 query") {
+    val events = StreamingIngest.readEvents(spark, sf())
+    val agg = StreamingIngest.sessionWindowAgg(
+      events.withWatermark("ts", "1 hour"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("w4_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("w4_stream")
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+      .withColumn("session_end", col("session_end").cast("timestamp_ntz"))
+    val batch = Queries.w4_session_window.run(spark, sf())
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch lag/cumsum query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val sess = StreamingIngest.sessionize(spark, events)
