@@ -77,6 +77,7 @@ object Enrich {
       uppercase: Boolean = false): DataFrame = {
     val names = resolveTechColumnNames(df.columns.toSeq, uppercase)
     val hash: Column = CanonicalHash.rowHashExpr(metas)
+    val hashName = names(TechColsLower.indexOf("row_hash"))
     val values: Seq[Column] = Seq(
       lit(lineage.loadDttm).cast(TimestampNTZType),
       lit(null).cast(TimestampNTZType),
@@ -87,9 +88,12 @@ object Enrich {
       lit(lineage.srcSystemCode),
       lit(null).cast(TimestampNTZType),
       lit(null).cast(TimestampNTZType),
-      hash,  // row_hash: "source-side"
-      hash)  // row_hash_iceberg: "sink-side" (FB:928; NULL at source, filled by sink SQL)
+      hash)  // row_hash: "source-side"
     val src = df.columns.map(col).toSeq
-    df.select(src ++ names.zip(values).map { case (n, c) => c.as(n) }: _*)
+    val withHash =
+      df.select(src ++ names.dropRight(1).zip(values).map { case (n, c) => c.as(n) }: _*)
+    // row_hash_iceberg ("sink-side", FB:928) references the already-
+    // computed row_hash column — one md5 evaluation per row, not two
+    withHash.withColumn(names.last, col(hashName))
   }
 }
