@@ -411,7 +411,9 @@ object Queries {
   val t2_ngram_jaccard_pairs: Q = Q(
     run = (spark, dir) => {
       // staged+persisted: see TextDedup.shingleSets (quadratic-lambda and
-      // self-join-recompute hazards)
+      // self-join-recompute hazards). Direct exploded join: measured
+      // faster than jaccardPairsPrefix on this corpus (flat shingle DF —
+      // no heavy tail for the prefix filter to cut; see scaladoc there)
       val withSh = TextDedup.shingleSets(
         t(spark, dir, "documents"), "doc_id", "text", 3).persist()
       TextDedup.jaccardPairs(withSh, "id", "s", JaccardThreshold)

@@ -125,6 +125,54 @@ object TextDedup {
   }
 
   /**
+   * EXACT all-pairs Jaccard ≥ t via PREFIX FILTERING (PPJoin family):
+   * order each document's shingles by a global canonical order (document
+   * frequency asc, then hash) and join only on each document's first
+   * `n - ⌈t·n⌉ + 1` shingles. Theorem: two sets with Jaccard ≥ t MUST
+   * share at least one element within these prefixes, so candidate
+   * generation is lossless; candidates are then verified exactly on the
+   * full sets. Unlike the naive exploded join this (a) shrinks the join
+   * input ~2× at t=0.5 and (b) excludes precisely the highest-frequency
+   * shingles — the skewed join keys — from the join.
+   *
+   * Measured trade-off: on the synthetic corpus (small vocabulary → FLAT
+   * shingle document-frequency, no heavy tail) the extra df-ranking
+   * shuffles cost more than the candidate reduction saves (11 s vs 6 s
+   * at sf0.1), so [[jaccardPairs]] backs the gated query; on a natural
+   * heavy-tailed corpus — the 100 TB case — the quadratic blowup of hot
+   * shingles is exactly what this variant removes. Result-equality with
+   * [[jaccardPairs]] is asserted in DedupSpec.
+   *
+   * Input: (id, s) with DISTINCT shingles, persisted by the caller.
+   */
+  def jaccardPairsPrefix(withSh: DataFrame, threshold: Double): DataFrame = {
+    val ex = withSh.select(col("id"), explode(col("s")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted by (df, hash): rare-first canonical order;
+    // prefix length n - ⌈t·n⌉ + 1 (≥ the |A|-α+1 the lemma needs for
+    // α = ⌈t·max(|A|,|B|)⌉, so lossless)
+    val prefixes = ex.join(dfreq, "sh")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("sh")).as("h"))))
+        .as("ordered"))
+      .join(withSh.select(col("id"), size(col("s")).as("n")), "id")
+      .select(col("id"), col("n"),
+        explode(slice(col("ordered"), lit(1),
+          greatest((col("n") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))))
+          .as("p"))
+      .select(col("id"), col("p.h").as("sh"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * Composite MinHash+LSH near-dup pipeline: shingle → signature → band
    * buckets → candidate join → exact-Jaccard verification.
    *

@@ -29,6 +29,17 @@ class DedupSpec extends SparkSpec {
     assert(dists.forall(_ <= 6), s"distances: ${dists.mkString(",")}")
   }
 
+  test("prefix-filtered jaccard equals the direct exploded join (lossless candidates)") {
+    val withSh = TextDedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val direct = TextDedup.jaccardPairs(withSh, "id", "s", 0.5)
+      .select("id_a", "id_b", "jaccard")
+    val prefix = TextDedup.jaccardPairsPrefix(withSh, 0.5)
+      .select("id_a", "id_b", "jaccard")
+    assert(direct.count() > 0)
+    assert(direct.except(prefix).count() === 0L)
+    assert(prefix.except(direct).count() === 0L)
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
