@@ -43,7 +43,7 @@ object JdbcDemo {
     val df = JdbcSource.scan(spark, url, "TEST", metas, pk.get, wm)
     val enriched = Enrich.enrich(df, metas)
     enriched.select("id", "name", "row_hash").show(truncate = false)
-    val h1 = enriched.filter("id = 1").select("row_hash").head.getString(0)
+    val h1 = enriched.filter("id = 1").select("row_hash").head().getString(0)
     val golden = CanonicalHash.md5Hex("1|row1")
     println(s"[jdbc-demo] fixture hash=$h1 golden=$golden match=${h1 == golden}")
     spark.stop()

@@ -368,7 +368,10 @@ object Queries {
            |) ORDER BY l_orderkey, l_linenumber""".stripMargin)
     })
 
-  /** O3: generated CREATE TABLE DDL for the enriched lineitem schema. */
+  /** O3: generated CREATE TABLE DDL for the enriched lineitem schema.
+    * Oracle: the DDL built from the STATIC schema mirror — checks that
+    * runtime schema inference + enrichment produce exactly the declared
+    * layout. */
   val o3_create_table_ddl: Q = Q(
     run = (spark, dir) => {
       import spark.implicits._
@@ -377,7 +380,16 @@ object Queries {
       Seq(Ddl.buildCreateTableSql("lineitem_sink", enriched.schema))
         .toDF("create_table_sql")
     },
-    oracle = None) // golden string checked in ScalaTest; not SQL-expressible
+    oracle = {
+      val srcFields = LineitemMetas.map(m => StructField(m.name,
+        if (m.name == "l_shipdate") TimestampNTZType else m.dataType))
+      val techFields = Enrich.TechColsLower.lazyZip(Enrich.techColumnTypes)
+        .lazyZip(Enrich.techColumnNullable)
+        .map { case (n, dt, nn) => StructField(n, dt, nullable = nn) }
+      val expected = Ddl.buildCreateTableSql("lineitem_sink",
+        StructType(srcFields ++ techFields))
+      Some(s"SELECT '${expected.replace("'", "''")}' AS create_table_sql")
+    })
 
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)

@@ -48,7 +48,7 @@ object ConsistencyCheck {
       coalesce(sum(
         when(lower(col(h1).cast("string")) === lower(col(h2).cast("string")), 0L)
           .otherwise(1L)), lit(0L)).as("mismatches")
-    ).head
+    ).head()
     SnapshotMetrics(row.getLong(0), row.getLong(1))
   }
 

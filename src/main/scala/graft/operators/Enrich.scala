@@ -42,6 +42,12 @@ object Enrich {
     TimestampNTZType, TimestampNTZType, LongType, StringType, LongType, LongType,
     StringType, TimestampNTZType, TimestampNTZType, StringType, StringType)
 
+  /** Nullability of the envelope on initial load: constant lineage values
+    * and the hashes are NOT NULL (load_dttm NOT NULL per FB:894); the
+    * reserved CDC fields are nullable. */
+  def techColumnNullable: Seq[Boolean] = Seq(
+    false, true, true, false, true, true, false, true, true, false, false)
+
   /** Constant lineage values for a load. `loadDttm` defaults to a fixed
     * instant so query results stay deterministic for the differential
     * oracle; production ingest passes wall-clock. */

@@ -28,7 +28,7 @@ object SnapshotScan {
 
   /** A3: freeze the watermark — `SELECT MAX(k) FROM t` (FB:628–643). */
   def freezeWatermark(df: DataFrame, orderBy: String): Option[Any] =
-    Option(df.agg(max(col(orderBy))).head.get(0))
+    Option(df.agg(max(col(orderBy))).head().get(0))
 
   /** F2: the frozen bounded-snapshot predicate; NULL watermark → `1=0`. */
   def watermarkPredicate(orderBy: String, watermark: Option[Any]): Column =

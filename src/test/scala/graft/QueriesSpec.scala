@@ -12,11 +12,11 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("oracleSql declared for all value-checkable queries") {
+  test("oracleSql declared for every query") {
     val missing = Queries.all.collect {
       case (n, q) if q.oracle.isEmpty => n
     }.toSet
-    assert(missing === Set("o3_create_table_ddl"))
+    assert(missing === Set.empty)
   }
 
   test("o3 golden DDL contains the reference's physical-layout choices") {
