@@ -575,6 +575,36 @@ object Queries {
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     })
 
+  val t12_ivf_ann: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          "label", col("vec_id") < 10, k = 5)
+        .orderBy("query_id", "rank"),
+    oracle = Some(
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |ex AS (SELECT label, t.pos, e[t.pos + 1] AS val
+        |       FROM v, unnest(range(len(e))) AS t(pos)),
+        |sums AS (SELECT label, pos, SUM(CAST(val AS DECIMAL(27,12))) AS s, COUNT(*) AS n
+        |         FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, array_agg(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
+        |         FROM sums GROUP BY label),
+        |centn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM cent),
+        |p AS (SELECT vec_id, label AS cell, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qnrm FROM p WHERE vec_id < 10),
+        |qc AS (SELECT query_id, qv, qnrm, label,
+        |         list_dot_product(qv, c) / (qnrm * cnrm) AS cs
+        |       FROM q CROSS JOIN centn),
+        |assigned AS (SELECT query_id, qv, qnrm, label AS cell FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, label) AS rn
+        |  FROM qc) WHERE rn = 1),
+        |scored AS (SELECT a.query_id, p.vec_id AS neighbor_id,
+        |         list_dot_product(a.qv, p.e) / (a.qnrm * p.nrm) AS cos
+        |       FROM assigned a JOIN p ON p.cell = a.cell AND p.vec_id <> a.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   private val duckToks =
     """toks AS (
       |  SELECT doc_id, text,
@@ -820,6 +850,7 @@ object Queries {
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
+    "t12_ivf_ann" -> t12_ivf_ann,
     "t8_langid" -> t8_langid,
     "t9_quality_score" -> t9_quality_score,
     "t10_token_counts" -> t10_token_counts,

@@ -78,6 +78,55 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * IVF coarse quantizer: one centroid per `labelCol` cell, computed with
+   * EXACT decimal per-dimension sums (a double-sum groupBy is
+   * order-nondeterministic; decimal sums are associative, and the final
+   * decimal→double cast + division is deterministic — so centroids are
+   * bit-identical across engines and runs). In an unsupervised setting
+   * the label is replaced by a k-means assignment; the index structure
+   * (centroid table → cell assignment → probe) is identical.
+   */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val ex = df.select(col(labelCol).as("label"),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    ex.groupBy("label", "pos")
+      .agg(sum(col("v").cast("decimal(27,12)")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("s").cast("double") / col("n")).as("cv"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x("cv")).as("c"))
+  }
+
+  /** IVF ANN: assign each query to its nearest centroid (cosine,
+    * label-ascending tie-break), then exact top-k within that single
+    * cell (nprobe = 1). Scale shape: the centroid table is broadcast;
+    * the corpus is partitioned by cell; a probe touches one partition. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val cent = labelCentroids(df, vecCol, labelCol)
+      .withColumn("cnrm", norm(col("c")))
+    val p = df.select(col(idCol).as("id"), col(labelCol).as("cell"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = p.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scoredCent = q.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("label"),
+        cosine(col("qv"), col("c"), col("qnrm"), col("cnrm")).as("cs"))
+    val wq = Window.partitionBy("query_id").orderBy(col("cs").desc, col("label").asc)
+    val assigned = scoredCent.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("label").as("cell"))
+    val scored = assigned.join(p, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH signature: bit i = sign of dimension i (first `bits` dims).
     * Deterministic and oracle-portable (no random hyperplanes). */
   def signBucket(v: Column, bits: Int = 8): Column =

@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpec {
     assert(r === 0L)
   }
 
+  test("IVF ANN: neighbors come from the query's assigned cell; k-bounded per query") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val ivf = VectorOps.ivfTopK(emb, "vec_id", "embedding", "label",
+      col("vec_id") < 10, k = 5)
+    val counts = ivf.groupBy("query_id").count().collect()
+    assert(counts.length === 10)
+    assert(counts.forall(_.getLong(1) === 5L))
+    // every neighbor shares the label cell chosen for the query — and the
+    // centroid table has one row per label
+    val cent = VectorOps.labelCentroids(emb, "embedding", "label")
+    assert(cent.count() === emb.select("label").distinct().count())
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    val cells = ivf.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id").agg(countDistinct("label").as("cells")).collect()
+    assert(cells.forall(_.getLong(1) === 1L))
+  }
+
   test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding", k = 5, bits = 4)
