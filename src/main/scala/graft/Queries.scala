@@ -605,6 +605,35 @@ object Queries {
         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** ANN quality monitoring: recall@5 of the IVF index against the
+    * brute-force truth, per query. Production ANN pipelines run exactly
+    * this as a canary; here it also quantifies the nprobe=1 trade-off. */
+  val t13_ann_recall: Q = Q(
+    run = (spark, dir) => {
+      val truth = t6_ann_topk.run(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = t12_ivf_ann.run(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(truth.groupBy("query_id").agg(count(lit(1)).as("k")), Seq("query_id"), "right")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k")).as("recall"))
+        .orderBy("query_id")
+    },
+    oracle = Some(
+      s"""WITH truth AS (SELECT query_id, neighbor_id FROM (${t6_ann_topk.oracle.get})),
+         |ivf AS (SELECT query_id, neighbor_id FROM (${t12_ivf_ann.oracle.get})),
+         |hits AS (
+         |  SELECT t.query_id, count(*) AS h
+         |  FROM truth t JOIN ivf i
+         |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id),
+         |ks AS (SELECT query_id, count(*) AS k FROM truth GROUP BY query_id)
+         |SELECT ks.query_id, COALESCE(h, 0) * 1.0 / k AS recall
+         |FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin))
+
   private val duckToks =
     """toks AS (
       |  SELECT doc_id, text,
@@ -851,6 +880,7 @@ object Queries {
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,
+    "t13_ann_recall" -> t13_ann_recall,
     "t8_langid" -> t8_langid,
     "t9_quality_score" -> t9_quality_score,
     "t10_token_counts" -> t10_token_counts,
