@@ -512,19 +512,41 @@ object Queries {
 
   private val CosineThreshold = 0.45
 
+  private val NearDupBits = 4
+  private val NearDupBands = 16
+
+  /** Gated on the scale-safe plan: banded sign-LSH candidates → exact
+    * cosine verify. The quadratic all-pairs form
+    * ([[VectorOps.cosineNearDupPairs]]) is the test-only recall baseline
+    * (DedupSpec). */
   val t5_cosine_neardup: Q = Q(
     run = (spark, dir) =>
-      VectorOps.cosineNearDupPairs(
-          t(spark, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+      VectorOps.bucketedNearDupPairs(
+          t(spark, dir, "embeddings"), "vec_id", "embedding", CosineThreshold,
+          bits = NearDupBits, bands = NearDupBands)
         .orderBy("id_a", "id_b"),
-    oracle = Some(
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $CosineThreshold
-         |ORDER BY id_a, id_b""".stripMargin))
+    oracle = {
+      val bandSelects = (0 until NearDupBands).map { j =>
+        val bkt = (0 until NearDupBits).map(i =>
+          s"(CASE WHEN e[${j * NearDupBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT vec_id, $j AS band, $bkt AS bkt FROM n"
+      }.mkString("\n  UNION ALL ")
+      Some(
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b,
+           |  list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS cos
+           |FROM cand JOIN n x ON x.vec_id = id_a JOIN n y ON y.vec_id = id_b
+           |WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= $CosineThreshold
+           |ORDER BY id_a, id_b""".stripMargin)
+    })
 
   // ---------------------------------------------------------------------
   // Similarity search / text analysis / multimodal
@@ -754,7 +776,7 @@ object Queries {
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 6))).as("sum_value"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
@@ -764,7 +786,7 @@ object Queries {
     oracle = Some(
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
         |  MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     bench = true)

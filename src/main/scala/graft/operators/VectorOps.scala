@@ -49,8 +49,10 @@ object VectorOps {
       .withColumn("nrm", norm(col("v")))
 
   /** All pairs (id_a < id_b) with cosine ≥ threshold — near-duplicate
-    * detection by embedding. Quadratic: route through [[signBuckets]]
-    * candidates at scale; exact form kept as the oracle baseline. */
+    * detection by embedding. QUADRATIC (corpus×corpus nested loop):
+    * test-only oracle baseline. The gated, scale-safe form is
+    * [[bucketedNearDupPairs]] (banded sign-LSH candidates → exact
+    * verify); DedupSpec asserts the two agree on the planted pairs. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val p = prepared(df, idCol, vecCol)
@@ -127,12 +129,50 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Sign-LSH signature: bit i = sign of dimension i (first `bits` dims).
-    * Deterministic and oracle-portable (no random hyperplanes). */
-  def signBucket(v: Column, bits: Int = 8): Column =
+  /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
+    * of dimension offset+i. Deterministic and oracle-portable (no random
+    * hyperplanes). */
+  def signBucketAt(v: Column, offset: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(element_at(v, offset + i + 1) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Sign-LSH signature: bit i = sign of dimension i (first `bits` dims). */
+  def signBucket(v: Column, bits: Int = 8): Column = signBucketAt(v, 0, bits)
+
+  /** Candidate-based cosine near-dup: banded sign-LSH candidate
+    * generation (OR-amplification over `bands` disjoint dimension
+    * ranges) → distinct pairs → exact cosine verification. The
+    * scale-safe gated form of [[cosineNearDupPairs]]: candidates come
+    * from a bucket equi-join over an (id, band, bkt) relation — three
+    * narrow columns, never corpus×corpus — and only the surviving pairs
+    * rejoin the vectors. Recall is tuned by `bands`/`bits`: per-band
+    * collision probability is (1-θ/π)^bits, total 1-(1-p)^bands; at
+    * production near-dup thresholds (cos ≥ 0.85, p_bit ≥ 0.93) bits=8+
+    * prunes orders of magnitude while keeping recall ≈ 1. The defaults
+    * (4 bits × 16 bands) are sized for the adversarially low fixture
+    * threshold (0.45, sign agreement ~62 %) where LSH theory says full
+    * recall costs near-quadratic candidates — the PLAN stays an
+    * equi-join either way; only the bucket occupancy changes. */
+  def bucketedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 4, bands: Int = 16): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val banded = p.select(col("id"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"), signBucketAt(col("v"), j * bits, bits).as("bkt"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(p.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   /** Bucketed ANN: candidates share the sign bucket; exact cosine + top-k
     * within bucket. Trades recall for a shuffle-light equi-join. */

@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     assert(cells.forall(_.getLong(1) === 1L))
   }
 
+  test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val truth = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+    val banded = VectorOps.bucketedNearDupPairs(emb, "vec_id", "embedding", 0.45)
+    val nTruth = truth.count(); val nBanded = banded.count()
+    assert(nBanded > 0)
+    // identical cosine values for every pair found (same fold order both paths)
+    assert(banded.except(truth).count() === 0L)
+    // planted near-dups are sign-stable across the first 16 dims → full recall
+    assert(nBanded === nTruth, s"recall ${nBanded.toDouble / nTruth}")
+  }
+
   test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding", k = 5, bits = 4)
