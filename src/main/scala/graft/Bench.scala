@@ -33,18 +33,27 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val headline = Queries.all.filter(_._2.bench).toSeq.sortBy(_._1)
+    var failed = List.empty[String]
     val results = headline.map { case (name, q) =>
       val t0 = System.nanoTime()
       try q.runForBench(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed ::= name
       }
+      // barrier release is CHARGED to the query (unpersist is part of its
+      // real cost); non-blocking so it's bookkeeping, not a wait
+      finally graft.operators.Staging.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be VISIBLE (in the JSON) and FATAL (non-zero
+    // exit) — otherwise a broken headline silently shrinks the total.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -97,15 +97,21 @@ object IngestJob {
       // F1 + F5–F13: lineage envelope + canonical hashes
       val enriched = Enrich.enrich(scanned, metas, cfg.lineage)
 
-      // O3/O4 + S6: partitioned write
-      val mode = if (cfg.replace) SaveMode.Overwrite else SaveMode.Append
+      // O3/O4 + S6: partitioned write. A resume (offset > 0) ALWAYS
+      // appends — the first `offset` rows are already in the sink, and an
+      // overwrite would silently drop them (the reference's SKIP-n resume
+      // appends the suffix, FB:1220–1258).
+      val mode =
+        if (offset > 0 || !cfg.replace) SaveMode.Append else SaveMode.Overwrite
       Ddl.writePartitioned(enriched, sinkPath(cfg, m), mode)
 
-      // A2 + O7: read back, count + dual-hash check (FB:1261–1328)
+      // A2 + O7: read back, count + dual-hash check (FB:1261–1328).
+      // The expectation is always the FULL frozen source count: on resume
+      // the sink holds prefix + suffix = srcCount (reference's SKIP-n +
+      // full-count verification).
       val sink = Ddl.readTable(spark, sinkPath(cfg, m))
       val metrics = ConsistencyCheck.sinkMetrics(sink)
-      val expected = srcCount - offset
-      val report = ConsistencyCheck.check(m.sink, expected, metrics,
+      val report = ConsistencyCheck.check(m.sink, srcCount, metrics,
         cfg.failOnConsistencyError)
       TableResult(m, skipped = false, Some(report), None)
     } catch {

@@ -426,8 +426,8 @@ object Queries {
       // self-join-recompute hazards). Direct exploded join: measured
       // faster than jaccardPairsPrefix on this corpus (flat shingle DF —
       // no heavy tail for the prefix filter to cut; see scaladoc there)
-      val withSh = TextDedup.shingleSets(
-        t(spark, dir, "documents"), "doc_id", "text", 3).persist()
+      val withSh = Staging.barrier(TextDedup.shingleSets(
+        t(spark, dir, "documents"), "doc_id", "text", 3))
       TextDedup.jaccardPairs(withSh, "id", "s", JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
@@ -491,9 +491,8 @@ object Queries {
       // stage the 60-bit token-hash array: the 32 per-bit aggregates each
       // reference it, and without a barrier every one re-runs the
       // tokenize+md5 pipeline
-      val withHs = docs.select(col("doc_id"),
-        transform(TextDedup.tokens(col("text")), TextDedup.tokenHash60(_)).as("hs"))
-        .persist()
+      val withHs = Staging.barrier(docs.select(col("doc_id"),
+        transform(TextDedup.tokens(col("text")), TextDedup.tokenHash60(_)).as("hs")))
       withHs.select(col("doc_id"),
           TextDedup.simhashFromHashes(col("hs"), SimhashBits).as("simhash"))
         .orderBy("doc_id")

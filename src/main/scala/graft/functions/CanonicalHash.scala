@@ -127,8 +127,12 @@ object CanonicalHash {
       case s: String if meta.isTime =>
         if (s.contains(".")) s else s + ".0000"
       case s: String if meta.isFixedChar && meta.precision > 0 =>
-        if (s.length >= meta.precision) s.substring(0, meta.precision)
-        else s + (" " * (meta.precision - s.length))
+        // Codepoint-counted like the Catalyst side: Spark's rpad counts
+        // codepoints (UTF8String.numChars), so astral-plane chars must not
+        // be split or double-counted here either (mirrors truncateToken).
+        val cps = s.codePointCount(0, s.length)
+        if (cps >= meta.precision) s.substring(0, s.offsetByCodePoints(0, meta.precision))
+        else s + (" " * (meta.precision - cps))
       case s: String => s
       case b: Boolean => String.valueOf(b)
       case n @ (_: Short | _: Int | _: Long | _: Byte) => n.toString

@@ -23,13 +23,23 @@ object Skew {
    * distinct-per-row column, e.g. the row id), not from rand().
    */
   def saltedAgg(df: DataFrame, key: Column, saltBy: Column, buckets: Int,
-      partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(xxhash64(saltBy), lit(buckets)))
-      .groupBy(key.as("__key"), col("__salt"))
+      partialAggs: Seq[Column], mergeAggs: Seq[Column],
+      keyName: String = "key"): DataFrame = {
+    // Temp names must not collide with input columns (or with an agg
+    // output that happens to be named "key") — uniquify against both.
+    val taken = df.columns.toSet + keyName
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!taken.contains(_)).get
+    val saltCol = fresh("__salt")
+    val keyCol = fresh("__key")
+    df.withColumn(saltCol, pmod(xxhash64(saltBy), lit(buckets)))
+      .groupBy(key.as(keyCol), col(saltCol))
       .agg(partialAggs.head, partialAggs.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col(keyCol))
       .agg(mergeAggs.head, mergeAggs.tail: _*)
-      .withColumnRenamed("__key", "key")
+      .withColumnRenamed(keyCol, keyName)
+  }
 
   /**
    * Salted join: big (skewed) side gets a deterministic salt in

@@ -59,8 +59,8 @@ object TextDedup {
     * which Catalyst then re-evaluates per element (quadratic; measured
     * 8–18 s → 3.4 s for token+shingle stages at sf0.1). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val withToks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-      .persist()
+    val withToks = Staging.barrier(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
     withToks.select(col("id"), shingles(col("t"), n).as("s"))
       .filter(size(col("s")) > 0)
   }
@@ -187,10 +187,9 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bandSize: Int, numBands: Int,
       threshold: Double): DataFrame = {
-    val withSh = shingleSets(df, idCol, textCol, n).persist()
-    val withBands = withSh.select(col("id"),
-        bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands"))
-      .persist()
+    val withSh = Staging.barrier(shingleSets(df, idCol, textCol, n))
+    val withBands = Staging.barrier(withSh.select(col("id"),
+        bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands")))
     val cand = candidatePairs(withBands, "id", "bands")
     cand
       .join(withSh.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))

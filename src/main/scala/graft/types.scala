@@ -86,7 +86,10 @@ object TypeMapping {
       case Types.NUMERIC | Types.DECIMAL =>
         val p = if (precision > 0) precision else DefaultDecimalPrecision
         val s = if (scale >= 0) scale else DefaultDecimalScale
-        DecimalType(math.min(p, DecimalType.MAX_PRECISION), math.min(s, p))
+        // Clamp scale to the CLAMPED precision: NUMERIC(45,40) must yield
+        // DECIMAL(38,38), not the invalid DECIMAL(38,40).
+        val p2 = math.min(p, DecimalType.MAX_PRECISION)
+        DecimalType(p2, math.min(s, p2))
       case Types.DATE                             => DateType
       // Spark has no TIME type: canonical HH:mm:ss.SSSS string (SURVEY §1).
       case Types.TIME                             => StringType

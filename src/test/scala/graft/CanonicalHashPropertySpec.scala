@@ -100,8 +100,13 @@ class CanonicalHashPropertySpec extends SparkSpec {
 
   test("property: CHAR padding agrees for all lengths around the precision") {
     val m = ColumnMeta("v", Types.CHAR, "CHAR", 10, 0, nullable = true)
+    // Astral chars included: pad/truncate must count CODEPOINTS (Spark's
+    // rpad does) — a surrogate pair is ONE char for padding purposes.
+    val astral = Gen.chooseNum(0x10000, 0x10FFFF).map(cp =>
+      new String(Character.toChars(cp)))
+    val ch = Gen.frequency(8 -> Gen.alphaChar.map(_.toString), 2 -> astral)
     val g: Gen[Any] = Gen.frequency(
-      9 -> Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)),
+      9 -> Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, ch).map(_.mkString)),
       1 -> Gen.const(null))
     checkColumn(StringType, m, sample(g))
   }

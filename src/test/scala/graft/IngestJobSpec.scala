@@ -40,12 +40,25 @@ class IngestJobSpec extends SparkSpec {
     assert(sink.columns.length === 2 + Enrich.TechColsCount)
   }
 
-  test("resume offset skips the already-ingested prefix deterministically") {
+  test("resume offset appends the suffix to an existing prefix; full-count verify") {
+    import org.apache.spark.sql.SaveMode
+    // Simulate a run that died after 20 rows: write the enriched prefix
+    // under the same total order the resume path uses.
     val c = cfg("nation", replace = true).copy(offsetRows = Map("nation" -> 20L))
-    val results = IngestJob.run(spark, c)
-    val r = results.head
+    val src = spark.read.parquet(sf() + "/nation.parquet")
+    val metas = ColumnMeta.fromSchema(src.schema)
+    val wm = SnapshotScan.freezeWatermark(src, "n_nationkey")
+    val prefix = SnapshotScan.resumableScan(src, "n_nationkey", wm).limit(20)
+    Ddl.writePartitioned(Enrich.enrich(prefix, metas, c.lineage),
+      s"${c.warehouseDir}/nation", SaveMode.Append)
+
+    // Resume: must APPEND (even with replace=true) and verify the FULL
+    // frozen source count against the full sink.
+    val r = IngestJob.run(spark, c).head
+    assert(r.error.isEmpty, r.error)
     assert(r.report.get.ok, r.report)
-    assert(r.report.get.sinkCount === 5L) // 25 nations - 20 offset
+    assert(r.report.get.sourceCount === 25L)
+    assert(r.report.get.sinkCount === 25L) // prefix(20) + suffix(5)
   }
 
   test("empty source → NULL watermark → empty-set predicate (FB:645–657)") {

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.{Staging, TextDedup}
+
+/** Barrier lifecycle: staged tables are registered while a dedup query
+  * runs and fully released (no retained RDD blocks) afterwards. */
+class StagingSpec extends SparkSpec {
+
+  test("minhashLshPairs barriers register and releaseAll drops every block") {
+    Staging.releaseAll() // isolate from earlier suites
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 8, bandSize = 4, numBands = 2, threshold = 0.5)
+    pairs.count() // consuming action: barriers materialize here
+    assert(Staging.registered === 3) // tokens, shingles, bands
+    Staging.releaseAll()
+    assert(Staging.registered === 0)
+    // non-blocking unpersist: poll briefly for the blocks to drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty
+        && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("scoped releases barriers even when the block throws") {
+    Staging.releaseAll()
+    intercept[RuntimeException] {
+      Staging.scoped {
+        val docs = spark.read.parquet(sf() + "/documents.parquet")
+        TextDedup.shingleSets(docs, "doc_id", "text", 3).count()
+        assert(Staging.registered === 1)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(Staging.registered === 0)
+  }
+}
