@@ -47,20 +47,55 @@ object Ddl {
        |)""".stripMargin
   }
 
+  /** Measure compressed bytes/row on a bounded sample (written as real
+    * zstd parquet, so the measurement includes encoding + compression) and
+    * derive the `maxRecordsPerFile` cap that yields ~`target`-sized files.
+    * Returns None when the sample is empty. The probe costs one bounded
+    * job (`limit(sampleRows)`) — O(1) relative to the table. */
+  def estimateRecordsPerFile(df: DataFrame, target: Long = TargetFileSizeBytes,
+      sampleRows: Int = 10000): Option[Long] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-width-probe")
+    try {
+      df.limit(sampleRows).write.mode(SaveMode.Overwrite)
+        .option("compression", ParquetCompression).parquet(dir.toString)
+      val bytes = dir.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val rows = df.sparkSession.read.parquet(dir.toString).count()
+      if (rows == 0 || bytes == 0) None
+      else Some(math.max(1L, target * rows / bytes))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   /** S6 + O4: write the enriched frame as month-partitioned zstd parquet.
     * `replace` drops-and-recreates (SaveMode.Overwrite); `append` is
-    * create-if-not-exists (FB:254–259). */
+    * create-if-not-exists (FB:254–259).
+    *
+    * File-size targeting (FB:80 / FB:904's 512 MB): `maxRecordsPerFile`
+    * derived from a measured sample caps files at ~`targetFileSizeBytes`.
+    * The cap bounds the LARGE side only — small files from fine-grained
+    * shuffle output are AQE's `coalescePartitions` job (enabled in the
+    * session config), the Spark analogue of Iceberg's bin-packing. */
   def writePartitioned(
       df: DataFrame,
       path: String,
       mode: SaveMode = SaveMode.Append,
-      loadDttmCol: String = "load_dttm"): Unit = {
-    df.withColumn(PartitionColumn, date_format(col(loadDttmCol), "yyyy-MM"))
-      .write
+      loadDttmCol: String = "load_dttm",
+      targetFileSizeBytes: Option[Long] = Some(TargetFileSizeBytes)): Unit = {
+    val partitioned =
+      df.withColumn(PartitionColumn, date_format(col(loadDttmCol), "yyyy-MM"))
+    val writer = partitioned.write
       .mode(mode)
       .option("compression", ParquetCompression)
       .partitionBy(PartitionColumn)
-      .parquet(path)
+    val sized = targetFileSizeBytes
+      .flatMap(t => estimateRecordsPerFile(partitioned.drop(PartitionColumn), t))
+      .map(n => writer.option("maxRecordsPerFile", n))
+      .getOrElse(writer)
+    sized.parquet(path)
   }
 
   /** Read back a table written by [[writePartitioned]]. */

@@ -38,13 +38,37 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /**
+   * O6 checkpoint/trigger knob surface — the Spark analogues of the
+   * reference's checkpoint config block (FB:144–153):
+   *
+   *   - checkpointing INTERVAL + min-pause → `trigger`: each micro-batch
+   *     commits the offset log once, so the trigger cadence IS the
+   *     checkpoint cadence (`Trigger.ProcessingTime(interval)` for a
+   *     continuous job, `Trigger.AvailableNow` for catch-up-and-stop);
+   *   - checkpoint TIMEOUT → no per-commit timeout exists in Structured
+   *     Streaming (commits are synchronous with the batch); the batch
+   *     itself is bounded via `maxFilesPerTrigger` rate limiting;
+   *   - TOLERABLE checkpoint failures → [[runResilient]]: a failed query
+   *     is restarted from the last committed offsets up to `maxRestarts`
+   *     times (exactly-once holds across restarts — the offset log +
+   *     file-sink transaction log replay deterministically).
+   */
+  final case class StreamConfig(
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None,
+      queryName: Option[String] = None,
+      maxRestarts: Int = 0)
+
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a directory: stream the corpus dir
     // filtered down to the events table
-    spark.readStream.schema(EventsRawSchema)
+    val reader = spark.readStream.schema(EventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       // integer DIV: a double detour loses microseconds at ns magnitudes
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
@@ -54,20 +78,38 @@ object StreamingIngest {
     * restart with the same checkpointLocation (the offset log replaces
     * the reference's ListState + SKIP-offset machinery). */
   def ingestStream(spark: SparkSession, dir: String, sinkPath: String,
-      checkpointPath: String): StreamingQuery = {
-    val events = readEvents(spark, dir)
+      checkpointPath: String,
+      cfg: StreamConfig = StreamConfig()): StreamingQuery = {
+    val events = readEvents(spark, dir, cfg.maxFilesPerTrigger)
     val metas = EventsRawSchema.fields.toSeq.map {
       case f if f.name == "ts" => ColumnMeta.fromField(StructField("ts", TimestampType))
       case f => ColumnMeta.fromField(f)
     }
-    Enrich.enrich(events, metas)
+    val writer = Enrich.enrich(events, metas)
       .writeStream
       .format("parquet")
       .option("path", sinkPath)
       .option("checkpointLocation", checkpointPath)
       .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
+      .trigger(cfg.trigger)
+    cfg.queryName.foreach(writer.queryName)
+    writer.start()
+  }
+
+  /** Tolerated-failure loop (FB:151–153's tolerableCheckpointFailures):
+    * run `start` to termination, restarting after a failure up to
+    * `maxRestarts` times. Restarts resume from the last committed offset
+    * (exactly-once preserved); the final failure propagates. */
+  def runResilient(maxRestarts: Int)(start: () => StreamingQuery): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { start().awaitTermination(); done = true }
+      catch { case e: Exception =>
+        if (attempt >= maxRestarts) throw e
+        attempt += 1
+      }
+    }
   }
 
   /** Watermarked tumbling-window aggregation (event-time). Decimal sums

@@ -47,6 +47,34 @@ class DdlSpec extends SparkSpec {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("file-size targeting: maxRecordsPerFile derived from measured row width") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val metas = ColumnMeta.fromSchema(li.schema)
+    val enriched = Enrich.enrich(li, metas)
+
+    // the probe measures real compressed bytes/row on a sample
+    val est = Ddl.estimateRecordsPerFile(enriched, target = 20 * 1024).get
+    assert(est > 0 && est < 6000, s"estimate $est should force splits on 6000 rows")
+
+    // a tiny target forces the writer to split within the partition
+    val path = Files.createTempDirectory("ddl-size").toString
+    Ddl.writePartitioned(enriched, path, targetFileSizeBytes = Some(20 * 1024))
+    val dataFiles = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length > 1, "target below table size must yield multiple files")
+    // every file respects the cap (within parquet metadata slack): no
+    // file should exceed ~2x the target
+    val maxBytes = dataFiles.map(_.length()).max
+    assert(maxBytes < 2L * 20 * 1024 + 8192,
+      s"largest file $maxBytes exceeds the 20KB target envelope")
+    // and nothing was lost
+    assert(spark.read.parquet(path).count() === 6000)
+
+    // empty input → no estimate, write still succeeds
+    assert(Ddl.estimateRecordsPerFile(enriched.limit(0)).isEmpty)
+  }
+
   test("uppercase tech-column mode (MIS naming, MIS:89–90)") {
     val li = spark.read.parquet(sf() + "/region.parquet")
     val metas = ColumnMeta.fromSchema(li.schema)

@@ -32,6 +32,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === batchCount)
   }
 
+  test("continuous-trigger ingest (ProcessingTime + rate limit) is exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = tmp("stream-pt-sink")
+    val ckpt = tmp("stream-pt-ckpt")
+    val cfg = StreamingIngest.StreamConfig(
+      trigger = Trigger.ProcessingTime("50 milliseconds"),
+      maxFilesPerTrigger = Some(1),
+      queryName = Some("pt_ingest"))
+    val q = StreamingIngest.ingestStream(spark, sf(), sink, ckpt, cfg)
+    q.processAllAvailable(); q.stop()
+
+    val batchCount = spark.read.parquet(sf() + "/events.parquet").count()
+    assert(spark.read.parquet(sink).count() === batchCount)
+
+    // restart with the same checkpoint under the continuous trigger:
+    // no new input → no duplicate output
+    val q2 = StreamingIngest.ingestStream(spark, sf(), sink, ckpt, cfg)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(sink).count() === batchCount)
+  }
+
+  test("runResilient restarts a failed query up to maxRestarts and then succeeds") {
+    val sink = tmp("stream-res-sink")
+    val ckpt = tmp("stream-res-ckpt")
+    var calls = 0
+    StreamingIngest.runResilient(maxRestarts = 2) { () =>
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("simulated start failure")
+      StreamingIngest.ingestStream(spark, sf(), sink, ckpt)
+    }
+    assert(calls === 3)
+    val batchCount = spark.read.parquet(sf() + "/events.parquet").count()
+    assert(spark.read.parquet(sink).count() === batchCount)
+  }
+
   test("streaming windowed agg (complete mode) equals the batch window query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val agg = StreamingIngest.windowedAgg(events)
