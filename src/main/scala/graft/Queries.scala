@@ -423,12 +423,13 @@ object Queries {
   val t2_ngram_jaccard_pairs: Q = Q(
     run = (spark, dir) => {
       // staged+persisted: see TextDedup.shingleSets (quadratic-lambda and
-      // self-join-recompute hazards). Direct exploded join: measured
-      // faster than jaccardPairsPrefix on this corpus (flat shingle DF —
-      // no heavy tail for the prefix filter to cut; see scaladoc there)
+      // self-join-recompute hazards). Skew-adaptive: a sampled df probe
+      // routes flat corpora (like this synthetic one) to the direct
+      // exploded join and heavy-tailed corpora to the prefix-filtered
+      // variant — see TextDedup.jaccardPairsAdaptive
       val withSh = Staging.barrier(TextDedup.shingleSets(
         t(spark, dir, "documents"), "doc_id", "text", 3))
-      TextDedup.jaccardPairs(withSh, "id", "s", JaccardThreshold)
+      TextDedup.jaccardPairsAdaptive(withSh, JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
     oracle = Some(
@@ -596,35 +597,64 @@ object Queries {
            |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     })
 
+  private val IvfClusters = 10
+  private val IvfIters = 5
+  private val IvfNprobe = 2
+
+  /** DuckDB replica of [[VectorOps.kmeansCentroids]] + multi-probe IVF:
+    * the Lloyd loop unrolls into chained CTEs (c0 → a1/c1 → … → c_iters),
+    * possible because every step is engine-portable — md5-ordered seeds,
+    * bit-identical cosine scoring, exact decimal means. */
+  private def kmeansIvfOracleSql: String = {
+    val iterCtes = (1 to IvfIters).map { i =>
+      s"""s$i AS (SELECT n.vec_id, n.e, c.label,
+         |  list_dot_product(n.e, c.c) / (n.nrm * sqrt(list_dot_product(c.c, c.c))) AS cs
+         |  FROM n CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, e, label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
+         |  FROM s$i) WHERE rn = 1),
+         |ex$i AS (SELECT label, t.pos, e[t.pos + 1] AS val
+         |  FROM a$i, unnest(range(len(e))) AS t(pos)),
+         |c$i AS (SELECT label, array_agg(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c FROM (
+         |  SELECT label, pos, SUM(CAST(val AS DECIMAL(27,12))) AS s, COUNT(*) AS cnt
+         |  FROM ex$i GROUP BY 1, 2) GROUP BY label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |c0 AS (SELECT label, c FROM (
+       |  SELECT e AS c,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
+       |  FROM n) WHERE label < $IvfClusters),
+       |$iterCtes,
+       |cf AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM c$IvfIters),
+       |sfin AS (SELECT n.vec_id, n.e, n.nrm, c.label,
+       |  list_dot_product(n.e, c.c) / (n.nrm * c.cnrm) AS cs
+       |  FROM n CROSS JOIN cf c),
+       |corpus AS (SELECT vec_id, e, nrm, label AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
+       |  FROM sfin) WHERE rn = 1),
+       |probed AS (SELECT vec_id AS query_id, e AS qv, nrm AS qnrm, label AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
+       |  FROM sfin WHERE vec_id < 10) WHERE rn <= $IvfNprobe),
+       |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  list_dot_product(p.qv, c.e) / (p.qnrm * c.nrm) AS cos
+       |  FROM probed p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF over TRAINED (k-means) centroids with multi-probe — the honest
+    * unsupervised index (the label-quantizer variant remains as
+    * [[VectorOps.ivfTopK]], exercised by DedupSpec). */
   val t12_ivf_ann: Q = Q(
     run = (spark, dir) =>
-      VectorOps.ivfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
-          "label", col("vec_id") < 10, k = 5)
+      VectorOps.kmeansIvfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, kClusters = IvfClusters, iters = IvfIters,
+          nprobe = IvfNprobe)
         .orderBy("query_id", "rank"),
-    oracle = Some(
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |ex AS (SELECT label, t.pos, e[t.pos + 1] AS val
-        |       FROM v, unnest(range(len(e))) AS t(pos)),
-        |sums AS (SELECT label, pos, SUM(CAST(val AS DECIMAL(27,12))) AS s, COUNT(*) AS n
-        |         FROM ex GROUP BY 1, 2),
-        |cent AS (SELECT label, array_agg(CAST(s AS DOUBLE) / n ORDER BY pos) AS c
-        |         FROM sums GROUP BY label),
-        |centn AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM cent),
-        |p AS (SELECT vec_id, label AS cell, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-        |q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qnrm FROM p WHERE vec_id < 10),
-        |qc AS (SELECT query_id, qv, qnrm, label,
-        |         list_dot_product(qv, c) / (qnrm * cnrm) AS cs
-        |       FROM q CROSS JOIN centn),
-        |assigned AS (SELECT query_id, qv, qnrm, label AS cell FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, label) AS rn
-        |  FROM qc) WHERE rn = 1),
-        |scored AS (SELECT a.query_id, p.vec_id AS neighbor_id,
-        |         list_dot_product(a.qv, p.e) / (a.qnrm * p.nrm) AS cos
-        |       FROM assigned a JOIN p ON p.cell = a.cell AND p.vec_id <> a.query_id),
-        |ranked AS (SELECT *, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
-        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+    oracle = Some(kmeansIvfOracleSql))
 
   /** ANN quality monitoring: recall@5 of the IVF index against the
     * brute-force truth, per query. Production ANN pipelines run exactly

@@ -173,6 +173,41 @@ object TextDedup {
   }
 
   /**
+   * Skew-adaptive exact Jaccard: route between [[jaccardPairs]] (direct
+   * exploded join — cheapest on a FLAT shingle document-frequency, where
+   * the prefix machinery's extra shuffles outweigh its candidate
+   * reduction; measured 6 s vs 11 s at sf0.1 on the synthetic corpus) and
+   * [[jaccardPairsPrefix]] (prefix-filtered — removes the hot-shingle
+   * quadratic blowup a natural heavy-tailed corpus produces).
+   *
+   * The route is decided by the hottest shingle frequency observed in a
+   * SAMPLE of the exploded (id, shingle) pairs — a hot shingle (df ≫
+   * cap) is exactly the thing a uniform sample cannot miss: its sampled
+   * count concentrates around df·fraction. A full df computation would
+   * cost the same shuffle the direct path is trying to avoid, so at
+   * 100 TB the sample IS the affordable probe. Fixed seed: the route (and
+   * thus the plan) is deterministic; both routes produce identical
+   * results (DedupSpec asserts equality), so correctness never depends on
+   * the routing decision.
+   */
+  def jaccardPairsAdaptive(withSh: DataFrame, threshold: Double,
+      dfCap: Long = 1000L, sampleFraction: Double = 0.1): DataFrame = {
+    // probe on 64-bit shingle hashes: the sample agg shuffles 8-byte keys,
+    // not ~25-byte strings (a hash collision merges two shingles' counts —
+    // it can only OVERstate the hottest df, nudging toward the skew-safe
+    // route, never hide a hot shingle)
+    val ex = withSh.select(explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+    val sampled =
+      if (sampleFraction >= 1.0) ex else ex.sample(sampleFraction, seed = 42L)
+    val hottestSampled = Option(
+      sampled.groupBy("sh").count().agg(max("count")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val estHottest = (hottestSampled / math.min(sampleFraction, 1.0)).toLong
+    if (estHottest > dfCap) jaccardPairsPrefix(withSh, threshold)
+    else jaccardPairs(withSh, "id", "s", threshold)
+  }
+
+  /**
    * Composite MinHash+LSH near-dup pipeline: shingle → signature → band
    * buckets → candidate join → exact-Jaccard verification.
    *

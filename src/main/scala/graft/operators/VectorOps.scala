@@ -129,6 +129,104 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // Trained coarse quantizer: deterministic k-means (Lloyd)
+  // -------------------------------------------------------------------
+
+  /** Per-vector scores against a LITERAL centroid table, as an array of
+    * struct(negcs, label) — negated cosine so an ASCENDING struct sort
+    * (and `least`) yields "cos desc, label asc", matching the oracle's
+    * `ORDER BY cs DESC, label`. Centroids are literals, so this is
+    * map-side: ZERO shuffle for assignment/probing, the property that
+    * makes the index usable at corpus scale. */
+  private def centScores(v: Column, nrm: Column,
+      cent: Seq[(Int, Array[Double])]): Column =
+    array(cent.map { case (label, c) =>
+      val cl = typedLit(c.toSeq)
+      struct((-(dot(v, cl) / (nrm * norm(cl)))).as("negcs"),
+        lit(label).as("label"))
+    }: _*)
+
+  /** The `nprobe` nearest cells for a vector (cos desc, label asc). */
+  def probeCells(v: Column, nrm: Column, cent: Seq[(Int, Array[Double])],
+      nprobe: Int): Column =
+    transform(slice(sort_array(centScores(v, nrm, cent)), 1, nprobe),
+      x => x("label"))
+
+  /** Nearest-cell assignment (argmax cosine, ties → lowest label). */
+  def assignCell(v: Column, nrm: Column,
+      cent: Seq[(Int, Array[Double])]): Column =
+    element_at(probeCells(v, nrm, cent, 1), 1)
+
+  /**
+   * Deterministic k-means (Lloyd) coarse quantizer, expressed as
+   * DataFrame jobs:
+   *
+   *   - SEEDS: the k vectors with the smallest `(md5(id), id)` — a
+   *     pseudo-random but engine-portable draw (the DuckDB oracle
+   *     replicates it exactly; xxhash64 would not port);
+   *   - ASSIGN: map-side argmax cosine against literal centroids (no
+   *     shuffle — see [[centScores]]);
+   *   - UPDATE: per-dimension mean from EXACT decimal sums (double sums
+   *     are order-nondeterministic; decimal sums are associative), so
+   *     iterated centroids are bit-identical across runs AND engines;
+   *   - empty clusters drop out (both engines compute "group-by of the
+   *     assignment", so the policy ports by construction).
+   *
+   * The centroid table is collected per iteration: it is k·dim doubles of
+   * index METADATA (the thing every IVF implementation broadcasts), not
+   * data — the corpus is never collected. Each iteration costs one scan +
+   * one (label, pos)-keyed aggregation, the minimal Lloyd step.
+   */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    val p = prepared(df, idCol, vecCol)
+    var cent: Seq[(Int, Array[Double])] = p
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+      .select("v").collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    for (_ <- 0 until iters) {
+      val assigned = p.withColumn("label", assignCell(col("v"), col("nrm"), cent))
+      cent = assigned
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(col("x").cast("decimal(27,12)")).as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("s").cast("double") / col("n")).as("cv"))
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("label"), transform(col("pc"), x => x("cv")).as("c"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+    }
+    cent
+  }
+
+  /** IVF ANN over TRAINED centroids with multi-probe: each query scans
+    * its `nprobe` nearest cells (recall knob), candidates come from a
+    * cell equi-join, and the exact top-k is taken over the union. A
+    * neighbor lives in exactly one cell, so multi-probe never duplicates
+    * a (query, neighbor) pair. Scale shape: centroids broadcast as
+    * literals (map-side assign/probe), corpus partitioned by cell. */
+  def kmeansIvfTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, kClusters: Int = 8, iters: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
+    val corpus = prepared(df, idCol, vecCol)
+      .withColumn("cell", assignCell(col("v"), col("nrm"), cent))
+    val probed = corpus.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(probeCells(col("v"), col("nrm"), cent, nprobe)).as("cell"))
+    val scored = probed.join(corpus, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random
     * hyperplanes). */

@@ -40,6 +40,20 @@ class DedupSpec extends SparkSpec {
     assert(prefix.except(direct).count() === 0L)
   }
 
+  test("adaptive jaccard routes both ways and both routes equal the direct join") {
+    val withSh = TextDedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val direct = TextDedup.jaccardPairs(withSh, "id", "s", 0.5)
+      .select("id_a", "id_b", "jaccard")
+    // high cap → sampled probe stays under it → direct route
+    val flat = TextDedup.jaccardPairsAdaptive(withSh, 0.5, dfCap = Long.MaxValue)
+    // cap 0 → any observed shingle exceeds it → prefix route
+    val skewed = TextDedup.jaccardPairsAdaptive(withSh, 0.5, dfCap = 0L)
+    for (routed <- Seq(flat, skewed)) {
+      assert(routed.except(direct).count() === 0L)
+      assert(direct.except(routed.select("id_a", "id_b", "jaccard")).count() === 0L)
+    }
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
@@ -75,6 +89,29 @@ class DedupSpec extends SparkSpec {
     val cells = ivf.join(labels, Seq("neighbor_id"))
       .groupBy("query_id").agg(countDistinct("label").as("cells")).collect()
     assert(cells.forall(_.getLong(1) === 1L))
+  }
+
+  test("k-means IVF: deterministic centroids, cell-partitioned corpus, multi-probe recall ≥ single-probe") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val c1 = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 5)
+    val c2 = VectorOps.kmeansCentroids(emb, "vec_id", "embedding", k = 10, iters = 5)
+    // bit-identical across runs (decimal sums + deterministic seeds)
+    assert(c1.map(_._1) === c2.map(_._1))
+    assert(c1.zip(c2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(c1.size <= 10 && c1.nonEmpty)
+
+    val truth = VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    def recall(nprobe: Int): Double = {
+      val ivf = VectorOps.kmeansIvfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, kClusters = 10, iters = 5, nprobe = nprobe)
+        .select("query_id", "neighbor_id")
+      truth.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count().toDouble /
+        truth.count()
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"multi-probe recall $r2 < single-probe $r1")
+    assert(r2 > 0.5, s"recall@5 with nprobe=2 unexpectedly low: $r2")
   }
 
   test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
