@@ -36,6 +36,31 @@ object IngestJob {
           case _ => throw new IllegalArgumentException(s"bad table spec: $t")
         }
       }
+
+    /** Iceberg rejects `$` in table names (Firebird system/legacy tables
+      * carry it): `sanitizeIcebergName` FB:427–429. */
+    def sanitizeSinkName(name: String): String = name.replace("$", "_")
+
+    /** FB-variant normalization (FB:438–466): the SOURCE name is
+      * uppercased (Firebird stores unquoted identifiers uppercase), the
+      * SINK name lowercased — auto-derived sinks additionally get
+      * `$`→`_`; an EXPLICIT `src:dst` sink is lowercased but not
+      * sanitized, exactly as the reference does it. */
+    def parseFb(spec: String): Seq[TableMapping] =
+      spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+        t.split(":", 2) match {
+          case Array(s, d) => TableMapping(s.trim.toUpperCase, d.trim.toLowerCase)
+          case Array(s) =>
+            TableMapping(s.trim.toUpperCase, sanitizeSinkName(s.trim.toLowerCase))
+          case _ => throw new IllegalArgumentException(s"bad table spec: $t")
+        }
+      }
+
+    /** Mode dispatch: `fb` → [[parseFb]], anything else → MIS
+      * case-preserving [[parse]]. */
+    def parse(spec: String, namingMode: String): Seq[TableMapping] =
+      if (namingMode != null && namingMode.equalsIgnoreCase("fb")) parseFb(spec)
+      else parse(spec)
   }
 
   final case class IngestConfig(

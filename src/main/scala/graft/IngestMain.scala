@@ -40,6 +40,9 @@ object IngestMain {
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     val tables = getArg(args, "tables", "region,nation")
     val mode = getArg(args, "mode", "append")
+    // --naming fb: FB-variant identifier normalization (uppercase source,
+    // lowercase + $-sanitized sink); default preserves case (MIS)
+    val naming = getArg(args, "naming", "mis")
     val failOnErr = getArg(args, "fail-on-consistency-error", "true").toBoolean
     val orderBy = parseOverrides(getArg(args, "order-by", ""))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,7 +60,7 @@ object IngestMain {
     val cfg = IngestJob.IngestConfig(
       sourceDir = sourceDir,
       warehouseDir = warehouse,
-      tables = IngestJob.TableMapping.parse(tables),
+      tables = IngestJob.TableMapping.parse(tables, naming),
       orderByOverride = orderBy,
       replace = mode == "replace",
       failOnConsistencyError = failOnErr,

@@ -391,6 +391,24 @@ object Queries {
       Some(s"SELECT '${expected.replace("'", "''")}' AS create_table_sql")
     })
 
+  /** O2 FB-variant: identifier normalization through the real parser —
+    * uppercase Firebird source, lowercase `$`-sanitized Iceberg sink
+    * (FB:427–429, FB:438–466). Explicit `src:dst` sinks lowercase WITHOUT
+    * sanitization, mirroring the reference exactly. */
+  val o10_fb_table_mapping: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      IngestJob.TableMapping
+        .parseFb("MIS$DOC, ref$pat:Patients ,Orders,SYS$AUDIT:audit$log")
+        .map(m => (m.source, m.sink)).toDF("source_name", "sink_name")
+        .orderBy("source_name")
+    },
+    oracle = Some(
+      """SELECT * FROM (VALUES
+        |  ('MIS$DOC','mis_doc'), ('ORDERS','orders'),
+        |  ('REF$PAT','patients'), ('SYS$AUDIT','audit$log')
+        |) AS t(source_name, sink_name) ORDER BY source_name""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -919,6 +937,7 @@ object Queries {
     "o9_first_column_diff" -> o9_first_column_diff,
     "j1_hash_diff" -> j1_hash_diff,
     "o3_create_table_ddl" -> o3_create_table_ddl,
+    "o10_fb_table_mapping" -> o10_fb_table_mapping,
     "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip)
 
   /** Training-data pipeline extensions. */

@@ -70,6 +70,16 @@ class IngestJobSpec extends SparkSpec {
     assert(SnapshotScan.bounded(li, "l_orderkey", wm).count() === 0L)
   }
 
+  test("FB naming mode: uppercase source, lowercase $-sanitized sink (FB:427–466)") {
+    assert(TableMapping.parseFb("MIS$DOC, ref$pat:Patients ,Orders") === Seq(
+      TableMapping("MIS$DOC", "mis_doc"),   // auto sink: lower + $→_
+      TableMapping("REF$PAT", "patients"),  // explicit sink: lower, NOT sanitized
+      TableMapping("ORDERS", "orders")))
+    // mode dispatch: "fb" routes to parseFb, default preserves case
+    assert(TableMapping.parse("A$x:B", "fb") === Seq(TableMapping("A$X", "b")))
+    assert(TableMapping.parse("A$x:B", "mis") === Seq(TableMapping("A$x", "B")))
+  }
+
   test("tech-column name collision gets __ prefix (FB:862–879)") {
     val resolved = Enrich.resolveTechColumnNames(Seq("id", "OP", "row_hash"))
     assert(resolved.contains("__op"))
