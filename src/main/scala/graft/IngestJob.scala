@@ -133,9 +133,9 @@ object IngestJob {
       // A2 + O7: read back, count + dual-hash check (FB:1261–1328).
       // The expectation is always the FULL frozen source count: on resume
       // the sink holds prefix + suffix = srcCount (reference's SKIP-n +
-      // full-count verification).
-      val sink = Ddl.readTable(spark, sinkPath(cfg, m))
-      val metrics = ConsistencyCheck.sinkMetrics(sink)
+      // full-count verification). The verify read runs ISOLATED —
+      // vectorization off, parallelism 1 (FB:1330–1341).
+      val metrics = ConsistencyCheck.isolatedSinkMetrics(spark, sinkPath(cfg, m))
       val report = ConsistencyCheck.check(m.sink, srcCount, metrics,
         cfg.failOnConsistencyError)
       TableResult(m, skipped = false, Some(report), None)

@@ -52,6 +52,33 @@ object ConsistencyCheck {
     SnapshotMetrics(row.getLong(0), row.getLong(1))
   }
 
+  /** The reference pins its verify pass to parallelism 1
+    * (CONSISTENCY_CHECK_PARALLELISM, FB:81). */
+  val VerifyParallelism = 1
+
+  /**
+   * O7 verification-read isolation (FB:1330–1341 + the
+   * `read.parquet.vectorization.enabled=false` hint FB:1394): the verify
+   * pass re-reads the sink with the VECTORIZED parquet reader disabled
+   * (row-by-row decode — predictable memory on large/wide row groups, the
+   * reference's stated motivation) and the aggregation coalesced to a
+   * fixed low parallelism so the check has a bounded footprint next to
+   * the main job. The session conf is scoped to this call and restored —
+   * safe because [[sinkMetrics]] executes its action eagerly.
+   */
+  def isolatedSinkMetrics(spark: org.apache.spark.sql.SparkSession, path: String,
+      h1: String = "row_hash", h2: String = "row_hash_iceberg",
+      parallelism: Int = VerifyParallelism): SnapshotMetrics = {
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try sinkMetrics(spark.read.parquet(path).coalesce(parallelism), h1, h2)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** K3/O8: first-N hash mismatches ordered by key, for diagnostics
     * (FB:1410–1458: `… WHERE LOWER(h1) <> LOWER(h2) ORDER BY k FETCH
     * FIRST n ROWS ONLY`). Plans as TakeOrderedAndProject — no global sort. */

@@ -70,6 +70,19 @@ class IngestJobSpec extends SparkSpec {
     assert(SnapshotScan.bounded(li, "l_orderkey", wm).count() === 0L)
   }
 
+  test("isolated verify read (vectorization off, parallelism 1) matches plain metrics; conf restored") {
+    val c = cfg("region")
+    IngestJob.run(spark, c)
+    val path = s"${c.warehouseDir}/region"
+    val key = "spark.sql.parquet.enableVectorizedReader"
+    val before = spark.conf.getOption(key)
+    val iso = ConsistencyCheck.isolatedSinkMetrics(spark, path)
+    val plain = ConsistencyCheck.sinkMetrics(Ddl.readTable(spark, path))
+    assert(iso === plain)
+    assert(iso.rowCount === 5L)
+    assert(spark.conf.getOption(key) === before)
+  }
+
   test("FB naming mode: uppercase source, lowercase $-sanitized sink (FB:427–466)") {
     assert(TableMapping.parseFb("MIS$DOC, ref$pat:Patients ,Orders") === Seq(
       TableMapping("MIS$DOC", "mis_doc"),   // auto sink: lower + $→_
