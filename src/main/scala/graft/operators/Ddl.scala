@@ -101,4 +101,24 @@ object Ddl {
   /** Read back a table written by [[writePartitioned]]. */
   def readTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(PartitionColumn)
+
+  /**
+   * Bucketed catalog table: pre-shuffle the data ONCE at write time so
+   * every later equi-join/aggregation on `key` is exchange-free — the
+   * 100 TB technique for a table joined repeatedly on the same key (the
+   * dedup pair tables, the enriched sink joined back by order key). Both
+   * sides bucketed by the same key and count → `SortMergeJoin` with NO
+   * Exchange on either side (asserted in DdlSpec). Spark bucketing
+   * requires the session catalog, hence `saveAsTable` rather than a bare
+   * path write.
+   */
+  def writeBucketedTable(df: DataFrame, table: String, key: String,
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .option("compression", ParquetCompression)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

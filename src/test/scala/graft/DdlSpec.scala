@@ -75,6 +75,32 @@ class DdlSpec extends SparkSpec {
     assert(Ddl.estimateRecordsPerFile(enriched.limit(0)).isEmpty)
   }
 
+  test("bucketed tables join exchange-free (co-located sort-merge join)") {
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    // force the sort-merge path: the fixture tables are broadcast-sized,
+    // and a BroadcastExchange would mask the co-location being tested
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThreshold = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      Ddl.writeBucketedTable(orders, "graft_b_orders", "o_orderkey", 4)
+      Ddl.writeBucketedTable(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "graft_b_lineitem",
+        "o_orderkey", 4)
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set(thresholdKey, prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
   test("uppercase tech-column mode (MIS naming, MIS:89–90)") {
     val li = spark.read.parquet(sf() + "/region.parquet")
     val metas = ColumnMeta.fromSchema(li.schema)
