@@ -891,6 +891,76 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** CDC-style latest-state compaction: one row per key, the row with
+    * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
+    * struct max — map-side partial aggregation, no per-key window sort:
+    * at 100 TB this shuffles one partially-combined struct per (key ×
+    * map task), where the row_number() formulation would range-sort the
+    * whole corpus. The reference reserves CDC envelope columns
+    * (op/ts_ms, FB:82–85) without implementing compaction; this is that
+    * missing half. */
+  val w5_latest_state: Q = Q(
+    run = (spark, dir) =>
+      eventsWithTs(spark, dir)
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("last_ts"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          col("m.value").as("last_value"))
+        .orderBy("user_id"),
+    oracle = Some(
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+        |  event_id AS last_event_id, event_type AS last_event_type,
+        |  value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin))
+
+  private val Sq8Candidates = 20
+
+  /** SQ8 scalar-quantized ANN: 8-bit codes for candidate generation
+    * (integer dot product — exactly portable), exact cosine re-rank of
+    * the top candidates. */
+  val t14_sq8_ann: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.sq8TopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank"),
+    oracle = Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |ex AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
+         |  FROM v, unnest(range(len(e))) AS t(pos)),
+         |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex GROUP BY pos),
+         |qvs AS (SELECT ex.vec_id, ex.pos, st.lo, st.hi,
+         |    CASE WHEN st.hi = st.lo THEN 0
+         |         ELSE greatest(0, least(255,
+         |           CAST(floor((ex.val - st.lo) / (st.hi - st.lo) * 255) AS INTEGER))) END AS qv
+         |  FROM ex JOIN st ON st.pos = ex.pos),
+         |dec AS (SELECT vec_id,
+         |    array_agg(lo + qv * ((hi - lo) / 255.0) ORDER BY pos) AS d
+         |  FROM qvs GROUP BY vec_id),
+         |q AS (SELECT dec.vec_id AS query_id, dec.d AS qd, n.nrm AS qnrm
+         |  FROM dec JOIN n ON n.vec_id = dec.vec_id WHERE dec.vec_id < 10),
+         |qs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(c.d, q.qd) / (n2.nrm * q.qnrm) AS qscore
+         |  FROM q JOIN dec c ON c.vec_id <> q.query_id
+         |         JOIN n n2 ON n2.vec_id = c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qscore DESC, neighbor_id) AS rn FROM qs) WHERE rn <= $Sq8Candidates),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+         |             JOIN n b ON b.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** E2E: the full ingest pipeline (probe → snapshot scan → enrich →
     * partitioned write → read-back → count+dual-hash verify) as a query —
     * the oracle asserts the pipeline invariant itself: rows_written =
@@ -959,7 +1029,9 @@ object Queries {
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
     "w3_distinct_users" -> w3_distinct_users,
-    "w4_session_window" -> w4_session_window)
+    "w4_session_window" -> w4_session_window,
+    "w5_latest_state" -> w5_latest_state,
+    "t14_sq8_ann" -> t14_sq8_ann)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

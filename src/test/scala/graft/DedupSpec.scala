@@ -114,6 +114,20 @@ class DedupSpec extends SparkSpec {
     assert(r2 > 0.5, s"recall@5 with nprobe=2 unexpectedly low: $r2")
   }
 
+  test("SQ8 ANN: 8-bit candidates + exact re-rank recall nearly all brute-force neighbors") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val truth = VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    val sq8 = VectorOps.sq8TopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, candidates = 20)
+    val counts = sq8.groupBy("query_id").count().collect()
+    assert(counts.length === 10 && counts.forall(_.getLong(1) === 5L))
+    val hits = truth.join(sq8.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hits.toDouble / truth.count()
+    assert(recall >= 0.8, s"SQ8 recall@5 too low: $recall")
+  }
+
   test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val truth = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
