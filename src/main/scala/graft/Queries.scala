@@ -919,6 +919,28 @@ object Queries {
         |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin))
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate it — the event-pipeline staple Spark
+    * runs as `get_json_object` inside whole-stage codegen (no UDF, no
+    * schema inference pass; at 100 TB the JSON never leaves the scan
+    * projection). */
+  val j2_json_extract: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("k"), lit(0L)).as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+    oracle = Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(CAST(props ->> 'k' AS BIGINT)), 0) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   private val Sq8Candidates = 20
 
   /** SQ8 scalar-quantized ANN: 8-bit codes for candidate generation
@@ -1031,7 +1053,8 @@ object Queries {
     "w3_distinct_users" -> w3_distinct_users,
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
-    "t14_sq8_ann" -> t14_sq8_ann)
+    "t14_sq8_ann" -> t14_sq8_ann,
+    "j2_json_extract" -> j2_json_extract)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

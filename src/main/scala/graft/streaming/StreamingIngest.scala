@@ -85,9 +85,14 @@ object StreamingIngest {
       case f if f.name == "ts" => ColumnMeta.fromField(StructField("ts", TimestampType))
       case f => ColumnMeta.fromField(f)
     }
+    // month-partitioned like the batch sink (Ddl.writePartitioned) — the
+    // streaming and batch paths share one on-disk contract
     val writer = Enrich.enrich(events, metas)
+      .withColumn(graft.operators.Ddl.PartitionColumn,
+        date_format(col("load_dttm"), "yyyy-MM"))
       .writeStream
       .format("parquet")
+      .partitionBy(graft.operators.Ddl.PartitionColumn)
       .option("path", sinkPath)
       .option("checkpointLocation", checkpointPath)
       .outputMode(OutputMode.Append)

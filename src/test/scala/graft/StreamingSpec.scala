@@ -25,6 +25,10 @@ class StreamingSpec extends SparkSpec {
     // full lineage envelope present, hashes populated
     assert(out.columns.contains("row_hash"))
     assert(out.filter(col("row_hash").isNull).count() === 0L)
+    // streaming sink shares the batch sink's month-partitioned layout
+    assert(new java.io.File(sink).listFiles()
+      .exists(_.getName.startsWith("load_month=")),
+      "streaming sink should be load_month-partitioned")
 
     // restart with same checkpoint: no new input → no duplicates
     val q2 = StreamingIngest.ingestStream(spark, sf(), sink, ckpt)
