@@ -891,6 +891,96 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Classic analytical shapes over the TPC-H-ish tables
+  // ---------------------------------------------------------------------
+
+  private val Dec6 = DecimalType(18, 6)
+  private def dec6(c: Column): Column = c.cast(Dec6)
+
+  /** `price·(1−disc)` with every step pinned to DECIMAL(18,6). The money
+    * columns are exact 2-decimal values, so each product (scale ≤ 6) is
+    * EXACT — no rounding anywhere, which is what makes the cross-engine
+    * comparison exact. (A double product cast to decimal at the end
+    * would diverge: Spark rounds the shortest-repr string, DuckDB the
+    * exact binary expansion.) */
+  private def discPrice: Column =
+    dec6(dec6(col("l_extendedprice")) * (lit(1).cast(Dec6) - dec6(col("l_discount"))))
+  private val duckDiscPrice =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))"
+
+  /** TPC-H Q1 shape: pricing summary report. Map-side partial hash
+    * aggregation over 6 states × 2 group keys — the canonical "wide agg,
+    * tiny result" scan; every sum is exact decimal, averages are pinned
+    * `CAST(sum AS DOUBLE)/n` on both sides. */
+  val q1_pricing_summary: Q = Q(
+    run = (spark, dir) => {
+      val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+      val charge = dec6(discPrice * (lit(1).cast(Dec6) + dec6(col("l_tax"))))
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(cutoff).cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec6(col("l_quantity"))).cast(DecimalType(38, 6)).as("sum_qty"),
+          sum(dec6(col("l_extendedprice"))).cast(DecimalType(38, 6)).as("sum_base_price"),
+          sum(discPrice).cast(DecimalType(38, 6)).as("sum_disc_price"),
+          sum(charge).cast(DecimalType(38, 6)).as("sum_charge"),
+          (sum(dec6(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(dec6(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          (sum(dec6(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    oracle = Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+         |  CAST(SUM($duckDiscPrice) AS DECIMAL(38,6)) AS sum_disc_price,
+         |  CAST(SUM(CAST($duckDiscPrice * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** TPC-H Q3 shape: three-table join (customer ⋈ orders ⋈ lineitem)
+    * with selective dimension filter + top-10 by revenue. Plan shape at
+    * scale: the filtered customer side broadcasts, orders⋈lineitem
+    * shuffles on the order key, final top-10 is TakeOrdered (no global
+    * sort). */
+  val q3_shipping_priority: Q = Q(
+    run = (spark, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+        .cast(TimestampNTZType)
+      val cust = t(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), discPrice.as("dp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("dp")).cast(DecimalType(38, 6)).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some(
+      s"""SELECT l_orderkey, CAST(SUM($duckDiscPrice) AS DECIMAL(38,6)) AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -1054,7 +1144,9 @@ object Queries {
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
     "t14_sq8_ann" -> t14_sq8_ann,
-    "j2_json_extract" -> j2_json_extract)
+    "j2_json_extract" -> j2_json_extract,
+    "q1_pricing_summary" -> q1_pricing_summary,
+    "q3_shipping_priority" -> q3_shipping_priority)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
