@@ -981,6 +981,63 @@ object Queries {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin))
 
+  /** TPC-H Q5 shape: six-table join (region → nation → supplier, customer
+    * → orders → lineitem, co-nation constraint) — the dimension chain
+    * broadcasts end-to-end, the fact table shuffles once on the order
+    * key; at scale AQE re-plans the orders⋈lineitem side to SMJ. */
+  val q5_local_supplier_volume: Q = Q(
+    run = (spark, dir) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")).cast(TimestampNTZType)
+      val hi = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")).cast(TimestampNTZType)
+      val nat = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(spark, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = t(spark, dir, "supplier").join(nat,
+        col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), discPrice.as("dp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("dp")).cast(DecimalType(38, 6)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    oracle = Some(
+      s"""SELECT n_name, CAST(SUM($duckDiscPrice) AS DECIMAL(38,6)) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** ROLLUP aggregation (subtotal + grand-total rows) — the grouping-sets
+    * family, absent from the reference; planned as a single Expand +
+    * hash aggregate, NOT one scan per grouping set. NULL-first ordering
+    * pinned on both sides (DuckDB defaults NULLS LAST). */
+  val q6_rollup_orders: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("o_totalprice"))).cast(DecimalType(38, 6)).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    oracle = Some(
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -1146,7 +1203,9 @@ object Queries {
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "q1_pricing_summary" -> q1_pricing_summary,
-    "q3_shipping_priority" -> q3_shipping_priority)
+    "q3_shipping_priority" -> q3_shipping_priority,
+    "q5_local_supplier_volume" -> q5_local_supplier_volume,
+    "q6_rollup_orders" -> q6_rollup_orders)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
