@@ -113,10 +113,16 @@ object IngestJob {
       // A1: frozen source baseline count (FB:244–246)
       val srcCount = ConsistencyCheck.sourceCount(bounded)
 
-      // S1/S2/K1/K2: resumable scan (ordered only when resuming)
+      // S1/S2/K1/K2: resumable scan (ordered only when resuming). The
+      // remaining columns serve as tie-breakers, making the resume order
+      // TOTAL even when the order key has duplicates — the reference
+      // leaves this nondeterministic (FB:1084, its documented latent
+      // flaw); sorting by the full row costs nothing extra on the happy
+      // path (no resume → no sort at all).
       val offset = cfg.offsetRows.getOrElse(m.source, 0L)
       val scanned: DataFrame =
-        if (offset > 0) SnapshotScan.resumableScan(src, orderBy, wm, offset)
+        if (offset > 0) SnapshotScan.resumableScan(src, orderBy, wm, offset,
+          tieBreakers = src.columns.toSeq.filterNot(_ == orderBy))
         else bounded
 
       // F1 + F5–F13: lineage envelope + canonical hashes

@@ -1038,6 +1038,32 @@ object Queries {
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
+  /** Running total per customer — the window-FRAME family (`ROWS
+    * UNBOUNDED PRECEDING`), distinct from w1's bucketed groupBy: one
+    * hash-partition shuffle on the key, per-partition sort, single pass.
+    * Frame sums in exact decimal so every prefix is cross-engine
+    * comparable. */
+  val q7_running_total: Q = Q(
+    run = (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          dec6(col("o_totalprice")).as("p"))
+        .withColumn("running_spend",
+          sum(col("p")).over(w).cast(DecimalType(38, 6)))
+        .drop("p")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -1205,7 +1231,8 @@ object Queries {
     "q1_pricing_summary" -> q1_pricing_summary,
     "q3_shipping_priority" -> q3_shipping_priority,
     "q5_local_supplier_volume" -> q5_local_supplier_volume,
-    "q6_rollup_orders" -> q6_rollup_orders)
+    "q6_rollup_orders" -> q6_rollup_orders,
+    "q7_running_total" -> q7_running_total)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

@@ -61,6 +61,19 @@ class IngestJobSpec extends SparkSpec {
     assert(r.report.get.sinkCount === 25L) // prefix(20) + suffix(5)
   }
 
+  test("resume order is TOTAL with duplicate order keys (tie-breaker columns)") {
+    import spark.implicits._
+    val df = Seq((1, "b"), (1, "a"), (2, "c"), (2, "a"), (3, "z")).toDF("k", "v")
+    val wm = SnapshotScan.freezeWatermark(df, "k")
+    val full = SnapshotScan.resumableScan(df, "k", wm, 0, Seq("v")).collect().toSeq
+    // duplicate k values: tie-breaker v pins the order; the reference
+    // leaves this nondeterministic (FB:1084)
+    assert(full.map(r => (r.getInt(0), r.getString(1))) ===
+      Seq((1, "a"), (1, "b"), (2, "a"), (2, "c"), (3, "z")))
+    val resumed = SnapshotScan.resumableScan(df, "k", wm, 2, Seq("v")).collect().toSeq
+    assert(resumed === full.drop(2))
+  }
+
   test("empty source → NULL watermark → empty-set predicate (FB:645–657)") {
     import spark.implicits._
     val empty = spark.createDataFrame(Seq.empty[(Int, String)]).toDF("k", "v")
