@@ -1038,6 +1038,54 @@ object Queries {
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
 
+  /** LEFT ANTI join — customers with no orders since a cutoff. Plans as
+    * BroadcastHashJoin LeftAnti over the filtered (pushed-down) orders
+    * projection: the probe side carries only the join key. */
+  val q8_inactive_customers: Q = Q(
+    run = (spark, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))
+        .cast(TimestampNTZType)
+      val recent = t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= cut).select("o_custkey")
+      t(spark, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    oracle = Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back to
+    * the fact tables (large-volume orders). The aggregate runs FIRST and
+    * shrinks to the rare qualifying keys; the joins then touch only
+    * those. */
+  val q18_large_orders: Q = Q(
+    run = (spark, dir) => {
+      val big = t(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(dec6(col("l_quantity"))).cast(DecimalType(38, 6)).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(spark, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin))
+
   /** Running total per customer — the window-FRAME family (`ROWS
     * UNBOUNDED PRECEDING`), distinct from w1's bucketed groupBy: one
     * hash-partition shuffle on the key, per-partition sort, single pass.
@@ -1232,7 +1280,9 @@ object Queries {
     "q3_shipping_priority" -> q3_shipping_priority,
     "q5_local_supplier_volume" -> q5_local_supplier_volume,
     "q6_rollup_orders" -> q6_rollup_orders,
-    "q7_running_total" -> q7_running_total)
+    "q7_running_total" -> q7_running_total,
+    "q8_inactive_customers" -> q8_inactive_customers,
+    "q18_large_orders" -> q18_large_orders)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
