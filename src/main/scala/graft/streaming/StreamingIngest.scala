@@ -160,6 +160,43 @@ object StreamingIngest {
         col("n_events"))
 
   // -------------------------------------------------------------------
+  // Streaming latest-state compaction (the w5 batch query's twin)
+  // -------------------------------------------------------------------
+
+  final case class LatestState(tsMicros: Long, eventId: Long,
+      eventType: String, value: Double)
+
+  /** Streaming CDC-style latest-state: per key, keep the row with the
+    * greatest (ts, event_id); emits the current latest on every batch
+    * (Update mode). State is ONE row per key — the minimal possible for
+    * this semantics. */
+  def latestState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+        state: GroupState[LatestState]): (Long, LatestState) = {
+      var cur = state.getOption.orNull
+      rows.foreach { case (_, eventId, tsMicros, eventType, value) =>
+        if (cur == null || tsMicros > cur.tsMicros ||
+            (tsMicros == cur.tsMicros && eventId > cur.eventId))
+          cur = LatestState(tsMicros, eventId, eventType, value)
+      }
+      state.update(cur)
+      (userId, cur)
+    }
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "latest")
+      .select(col("user_id"), timestamp_micros(col("latest.tsMicros")).as("last_ts"),
+        col("latest.eventId").as("last_event_id"),
+        col("latest.eventType").as("last_event_type"),
+        col("latest.value").as("last_value"))
+  }
+
+  // -------------------------------------------------------------------
   // Arbitrary stateful processing: gap-based sessionization
   // -------------------------------------------------------------------
 

@@ -106,6 +106,15 @@ class IngestJobSpec extends SparkSpec {
     assert(TableMapping.parse("A$x:B", "mis") === Seq(TableMapping("A$x", "B")))
   }
 
+  test("consistency failure throws when failOnError, reports when not (FB:112–114)") {
+    val bad = ConsistencyCheck.SnapshotMetrics(rowCount = 9L, hashMismatchCount = 1L)
+    intercept[ConsistencyCheck.ConsistencyCheckException] {
+      ConsistencyCheck.check("t", srcCount = 10L, bad, failOnError = true)
+    }
+    val rep = ConsistencyCheck.check("t", srcCount = 10L, bad, failOnError = false)
+    assert(!rep.ok && rep.sinkCount === 9L && rep.hashMismatches === 1L)
+  }
+
   test("tech-column name collision gets __ prefix (FB:862–879)") {
     val resolved = Enrich.resolveTechColumnNames(Seq("id", "OP", "row_hash"))
     assert(resolved.contains("__op"))

@@ -127,6 +127,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0L)
   }
 
+  test("streaming latest-state (mapGroupsWithState) equals the batch w5 query") {
+    val events = StreamingIngest.readEvents(spark, sf())
+    val latest = StreamingIngest.latestState(spark, events)
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("w5_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per user is the final latest row
+    val streamed = spark.table("w5_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("last_ts"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_ts").cast("timestamp_ntz").as("last_ts"),
+        col("m.last_event_id").as("last_event_id"),
+        col("m.last_event_type").as("last_event_type"),
+        col("m.last_value").as("last_value"))
+    val batch = Queries.w5_latest_state.run(spark, sf())
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch lag/cumsum query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val sess = StreamingIngest.sessionize(spark, events)
