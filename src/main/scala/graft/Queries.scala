@@ -618,12 +618,18 @@ object Queries {
   private val IvfClusters = 10
   private val IvfIters = 5
   private val IvfNprobe = 2
+  // declared here (before every use site) — a forward reference to an
+  // uninitialized val would silently bake 0 into the oracle SQL
+  private val Sq8Candidates = 20
 
-  /** DuckDB replica of [[VectorOps.kmeansCentroids]] + multi-probe IVF:
-    * the Lloyd loop unrolls into chained CTEs (c0 → a1/c1 → … → c_iters),
-    * possible because every step is engine-portable — md5-ordered seeds,
-    * bit-identical cosine scoring, exact decimal means. */
-  private def kmeansIvfOracleSql: String = {
+  /** Shared CTE prefix replicating [[VectorOps.kmeansCentroids]] plus
+    * cell assignment and the query-side probe list: the Lloyd loop
+    * unrolls into chained CTEs (c0 → s1/a1/c1 → … → c_iters), possible
+    * because every step is engine-portable — md5-ordered seeds,
+    * bit-identical cosine scoring, exact decimal means. Yields CTEs
+    * `corpus` (vec_id, e, nrm, cell) and `probed` (query_id, qv, qnrm,
+    * cell ≤ nprobe). */
+  private def kmeansCtePrefix: String = {
     val iterCtes = (1 to IvfIters).map { i =>
       s"""s$i AS (SELECT n.vec_id, n.e, c.label,
          |  list_dot_product(n.e, c.c) / (n.nrm * sqrt(list_dot_product(c.c, c.c))) AS cs
@@ -653,7 +659,11 @@ object Queries {
        |  FROM sfin) WHERE rn = 1),
        |probed AS (SELECT vec_id AS query_id, e AS qv, nrm AS qnrm, label AS cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
-       |  FROM sfin WHERE vec_id < 10) WHERE rn <= $IvfNprobe),
+       |  FROM sfin WHERE vec_id < 10) WHERE rn <= $IvfNprobe)""".stripMargin
+  }
+
+  private def kmeansIvfOracleSql: String =
+    s"""$kmeansCtePrefix,
        |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
        |  list_dot_product(p.qv, c.e) / (p.qnrm * c.nrm) AS cos
        |  FROM probed p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id),
@@ -661,7 +671,6 @@ object Queries {
        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** IVF over TRAINED (k-means) centroids with multi-probe — the honest
     * unsupervised index (the label-quantizer variant remains as
@@ -890,6 +899,48 @@ object Queries {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Composed IVF+SQ8 index: trained cells bound WHICH vectors a query
+    * touches, 8-bit codes bound the BYTES per touched vector, exact
+    * re-rank bounds the error. The oracle is the kmeans CTE prefix
+    * composed with the SQ8 quantize/decode CTEs — both replicas already
+    * proven exact independently (t12, t14). */
+  val t15_ivf_sq8_ann: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.ivfSq8TopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, kClusters = IvfClusters, iters = IvfIters,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank"),
+    oracle = Some(
+      s"""$kmeansCtePrefix,
+         |ex0 AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
+         |  FROM v, unnest(range(len(e))) AS t(pos)),
+         |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0 GROUP BY pos),
+         |qvs AS (SELECT ex0.vec_id, ex0.pos, st.lo, st.hi,
+         |    CASE WHEN st.hi = st.lo THEN 0
+         |         ELSE greatest(0, least(255,
+         |           CAST(floor((ex0.val - st.lo) / (st.hi - st.lo) * 255) AS INTEGER))) END AS qv
+         |  FROM ex0 JOIN st ON st.pos = ex0.pos),
+         |dec AS (SELECT vec_id,
+         |    array_agg(lo + qv * ((hi - lo) / 255.0) ORDER BY pos) AS d
+         |  FROM qvs GROUP BY vec_id),
+         |qsq AS (SELECT p.query_id, p.qnrm, p.cell, d.d AS qd
+         |  FROM probed p JOIN dec d ON d.vec_id = p.query_id),
+         |cscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(cd.d, q.qd) / (c.nrm * q.qnrm) AS qscore
+         |  FROM qsq q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
+         |  JOIN dec cd ON cd.vec_id = c.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qscore DESC, neighbor_id) AS rn FROM cscored) WHERE rn <= $Sq8Candidates),
+         |rescored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+         |             JOIN n b ON b.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rescored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
@@ -1162,8 +1213,6 @@ object Queries {
         |  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
-  private val Sq8Candidates = 20
-
   /** SQ8 scalar-quantized ANN: 8-bit codes for candidate generation
     * (integer dot product — exactly portable), exact cosine re-rank of
     * the top candidates. */
@@ -1282,7 +1331,8 @@ object Queries {
     "q6_rollup_orders" -> q6_rollup_orders,
     "q7_running_total" -> q7_running_total,
     "q8_inactive_customers" -> q8_inactive_customers,
-    "q18_large_orders" -> q18_large_orders)
+    "q18_large_orders" -> q18_large_orders,
+    "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

@@ -303,6 +303,48 @@ object VectorOps {
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Composed IVF+SQ8 index — the production ANN shape: trained k-means
+   * cells bound WHICH vectors a query touches (multi-probe), 8-bit codes
+   * bound HOW MUCH is read per touched vector (dequantized-cosine
+   * scoring), and only the top `candidates` get exact re-ranking against
+   * full vectors. Per indexed vector the scan state is (cell, code,
+   * norm) ≈ dim+12 bytes; full vectors live cold until re-rank.
+   */
+  def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, kClusters: Int = 8, iters: Int = 3,
+      nprobe: Int = 2, candidates: Int = 20): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
+    val (lo, hi) = sq8Stats(p)
+    val indexed = p.select(col("id"), col("nrm"),
+      assignCell(col("v"), col("nrm"), cent).as("cell"),
+      sq8Code(col("v"), lo, hi).as("code"))
+    val qSide = p.filter(queryPred).select(col("id").as("query_id"),
+      col("nrm").as("qnrm"), sq8Code(col("v"), lo, hi).as("qcode"),
+      explode(probeCells(col("v"), col("nrm"), cent, nprobe)).as("cell"))
+    val qscored = indexed.join(broadcast(qSide), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(sq8Decode(col("code"), lo, hi), sq8Decode(col("qcode"), lo, hi))
+          / (col("nrm") * col("qnrm"))).as("qscore"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cand = qscored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = cand
+      .join(p.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(p.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random
     * hyperplanes). */

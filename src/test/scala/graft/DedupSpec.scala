@@ -128,6 +128,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall@5 too low: $recall")
   }
 
+  test("IVF+SQ8 composed index: k-bounded, recall within reach of its IVF ceiling") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val truth = VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      truth.join(df.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / truth.count()
+    val composed = VectorOps.ivfSq8TopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, kClusters = 10, iters = 5, nprobe = 2)
+    val counts = composed.groupBy("query_id").count().collect()
+    assert(counts.length === 10 && counts.forall(_.getLong(1) === 5L))
+    val ivfOnly = VectorOps.kmeansIvfTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, kClusters = 10, iters = 5, nprobe = 2)
+    // quantization can only lose candidates relative to exact scoring
+    // within the same probed cells — but not much
+    assert(recallOf(composed) >= recallOf(ivfOnly) - 0.1,
+      s"composed ${recallOf(composed)} vs ivf ${recallOf(ivfOnly)}")
+    assert(recallOf(composed) > 0.5)
+  }
+
   test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val truth = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
