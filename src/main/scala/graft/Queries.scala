@@ -1163,6 +1163,59 @@ object Queries {
         |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
 
+  /** PIVOT — long→wide aggregation with an explicit (plannable, no
+    * distinct-values pre-pass) column list; each cell is a conditional
+    * count, one scan, map-side combine. */
+  val q9_pivot_events: Q = Q(
+    run = (spark, dir) =>
+      eventsWithTs(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+    oracle = Some(
+      """SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Deterministic dispersion statistics from EXACT decimal moments:
+    * Σx and Σx² are exact, so mean/variance are reproducible across
+    * runs, partitionings, and engines — `var_samp`'s floating sum is
+    * order-dependent and would flap the hash gate (and any 100 TB
+    * regression baseline). Final arithmetic pinned to double on both
+    * sides. */
+  val q10_value_moments: Q = Q(
+    run = (spark, dir) =>
+      eventsWithTs(spark, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("value"))).as("s1"),
+          // Σx² is pinned to scale 6 BEFORE the double cast: the scale-12
+          // sum has ~19 significant digits, where decimal→double rounding
+          // diverges between engines (Spark via BigDecimal string, DuckDB
+          // via exact binary); at ≤15 digits both round identically
+          sum(dec6(col("value")) * dec6(col("value")))
+            .cast(DecimalType(38, 6)).as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1").cast(DoubleType) / col("n")).as("mean_value"),
+          ((col("s2").cast(DoubleType)
+            - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n"))
+            / (col("n") - lit(1))).as("var_value"))
+        .orderBy("event_type"),
+    oracle = Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
+        |  (CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |    - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1) AS var_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -1332,7 +1385,9 @@ object Queries {
     "q7_running_total" -> q7_running_total,
     "q8_inactive_customers" -> q8_inactive_customers,
     "q18_large_orders" -> q18_large_orders,
-    "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann)
+    "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann,
+    "q9_pivot_events" -> q9_pivot_events,
+    "q10_value_moments" -> q10_value_moments)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
