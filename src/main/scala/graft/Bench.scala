@@ -36,14 +36,16 @@ object Bench {
     var failed = List.empty[String]
     val results = headline.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try q.runForBench(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed ::= name
+      // scoped frame per query: barrier release is CHARGED to the query
+      // (unpersist is part of its real cost; non-blocking bookkeeping)
+      // and isolated from every other query's barriers
+      graft.operators.Staging.scoped {
+        try q.runForBench(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed ::= name
+        }
       }
-      // barrier release is CHARGED to the query (unpersist is part of its
-      // real cost); non-blocking so it's bookkeeping, not a wait
-      finally graft.operators.Staging.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

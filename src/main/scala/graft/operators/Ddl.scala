@@ -47,26 +47,67 @@ object Ddl {
        |)""".stripMargin
   }
 
+  /** Probe results keyed by (schema, target): one bounded probe job per
+    * distinct row layout, not per write — bytes/row is a property of the
+    * schema + encoding, so multi-table batches and append streams reuse
+    * the measurement instead of re-executing their upstream plan. */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[(StructType, Long), Long]
+
+  /** Number of probe JOBS actually executed (test observability for the
+    * cache: a second write of the same schema must not re-probe). */
+  @volatile private[graft] var probesRun: Int = 0
+
+  private[graft] def clearProbeCache(): Unit = { probeCache.clear(); probesRun = 0 }
+
   /** Measure compressed bytes/row on a bounded sample (written as real
     * zstd parquet, so the measurement includes encoding + compression) and
     * derive the `maxRecordsPerFile` cap that yields ~`target`-sized files.
     * Returns None when the sample is empty. The probe costs one bounded
-    * job (`limit(sampleRows)`) — O(1) relative to the table. */
-  def estimateRecordsPerFile(df: DataFrame, target: Long = TargetFileSizeBytes,
-      sampleRows: Int = 10000): Option[Long] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-width-probe")
-    try {
-      df.limit(sampleRows).write.mode(SaveMode.Overwrite)
-        .option("compression", ParquetCompression).parquet(dir.toString)
-      val bytes = dir.toFile.listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-      val rows = df.sparkSession.read.parquet(dir.toString).count()
-      if (rows == 0 || bytes == 0) None
-      else Some(math.max(1L, target * rows / bytes))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    * job (`limit(sampleRows)`) — O(1) relative to the table — and is
+    * cached per (schema, target).
+    *
+    * The sample is written UNDER THE DESTINATION (`dest/_width_probe`)
+    * through its Hadoop FileSystem, NOT to a driver-local temp dir: on a
+    * real cluster executors write to the shared destination FS, so the
+    * driver's listing sees the files it must measure. (A `java.nio` temp
+    * dir — the round-1..3 implementation — silently self-disabled off
+    * `local[*]`: executors wrote their own local disks, the driver listed
+    * an empty dir, file targeting turned off, and sample files leaked on
+    * executors.) The `_`-prefix keeps the probe dir invisible to Spark/
+    * Hive readers of `dest` even if cleanup is interrupted; cleanup runs
+    * through the same FileSystem API. A listing that contradicts the
+    * written sample (rows > 0 but zero parquet bytes visible) fails
+    * loudly instead of silently disabling the advertised 512 MB
+    * targeting. */
+  def estimateRecordsPerFile(df: DataFrame, dest: String,
+      target: Long = TargetFileSizeBytes, sampleRows: Int = 10000): Option[Long] = {
+    val key = (df.schema, target)
+    probeCache.get(key).orElse {
+      probesRun += 1
+      val probePath = new org.apache.hadoop.fs.Path(dest, "_width_probe")
+      val fs = probePath.getFileSystem(
+        df.sparkSession.sessionState.newHadoopConf())
+      val measured =
+        try {
+          df.limit(sampleRows).write.mode(SaveMode.Overwrite)
+            .option("compression", ParquetCompression).parquet(probePath.toString)
+          val bytes = fs.listStatus(probePath)
+            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+          val rows = df.sparkSession.read.parquet(probePath.toString).count()
+          if (rows == 0) None
+          else if (bytes == 0)
+            throw new IllegalStateException(
+              s"width probe wrote $rows rows under $probePath but the " +
+                "destination FileSystem lists zero parquet bytes — file-size " +
+                "targeting would silently disable; refusing")
+          else Some(math.max(1L, target * rows / bytes))
+        } finally fs.delete(probePath, true)
+      // an empty sample is NOT cached: the width of a schema whose first
+      // write happened to be empty should be measured on the next
+      // non-empty write, not disabled forever
+      measured.foreach(v => probeCache.put(key, v))
+      measured
     }
   }
 
@@ -92,7 +133,7 @@ object Ddl {
       .option("compression", ParquetCompression)
       .partitionBy(PartitionColumn)
     val sized = targetFileSizeBytes
-      .flatMap(t => estimateRecordsPerFile(partitioned.drop(PartitionColumn), t))
+      .flatMap(t => estimateRecordsPerFile(partitioned.drop(PartitionColumn), path, t))
       .map(n => writer.option("maxRecordsPerFile", n))
       .getOrElse(writer)
     sized.parquet(path)

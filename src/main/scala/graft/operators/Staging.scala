@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -12,36 +14,63 @@ import org.apache.spark.sql.DataFrame
  * shingle/band/token caches pile up, and at 100 TB a persisted shingle
  * table is corpus-scale storage. Operators therefore register every
  * barrier here, and the DRIVER of the consuming action (Verify, Bench, a
- * user application) calls [[releaseAll]] once the action completes.
+ * user application) releases them once the action completes —
+ * preferably by building AND executing the query inside [[scoped]].
  *
  * Release must happen strictly AFTER the consuming action: unpersisting
  * early is still correct (Spark recomputes) but silently reintroduces the
  * quadratic re-evaluation the barrier exists to prevent.
+ *
+ * SCOPING: the registry is a THREAD-LOCAL STACK of frames. [[barrier]]
+ * registers into the current thread's innermost frame; [[releaseAll]]
+ * releases ONLY that frame; [[scoped]] pushes a fresh frame for its block
+ * and releases it on exit. Two driver threads (or two interleaved
+ * [[scoped]] blocks on one thread — build A, run-and-release B, execute
+ * A) therefore can never drop each other's barriers, which a global
+ * registry silently did: results stayed correct (Spark recomputes) but
+ * the re-evaluation trap came back. The one contract this imposes is that
+ * a query's plan must be BUILT and EXECUTED on the thread (and in the
+ * frame) that will release it — true of every call site (Verify, Bench,
+ * the specs), and the natural shape of a driver program.
  */
 object Staging {
-  private val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val frames = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
+    override def initialValue(): List[ArrayBuffer[DataFrame]] =
+      List(ArrayBuffer.empty)
+  }
 
-  /** Persist `df` as a staging barrier and register it for release. */
-  def barrier(df: DataFrame): DataFrame = synchronized {
+  /** Persist `df` as a staging barrier and register it for release in the
+    * current thread's innermost frame. */
+  def barrier(df: DataFrame): DataFrame = {
     val p = df.persist()
-    staged += p
+    frames.get().head += p
     p
   }
 
-  /** Unpersist every registered barrier (non-blocking) and clear the
-    * registry. Call after the consuming action of the query that created
-    * the barriers. */
-  def releaseAll(): Unit = synchronized {
-    staged.foreach(_.unpersist(blocking = false))
-    staged.clear()
+  /** Unpersist every barrier of the CURRENT frame (non-blocking) and
+    * clear it. Call after the consuming action of the query that created
+    * the barriers — or use [[scoped]], which does this on block exit. */
+  def releaseAll(): Unit = {
+    val cur = frames.get().head
+    cur.foreach(_.unpersist(blocking = false))
+    cur.clear()
   }
 
-  /** Number of currently-registered (not yet released) barriers. */
-  def registered: Int = synchronized(staged.size)
+  /** Number of currently-registered (not yet released) barriers in the
+    * current frame. */
+  def registered: Int = frames.get().head.size
 
-  /** Run an action-producing block and release all barriers it staged.
-    * `f` must EXECUTE its actions (write/collect/count), not merely build
-    * a lazy plan — release happens when the block returns. */
-  def scoped[T](f: => T): T =
-    try f finally releaseAll()
+  /** Run an action-producing block in a FRESH barrier frame and release
+    * exactly the barriers it staged — other frames (outer scopes, other
+    * threads) are untouched. `f` must EXECUTE its actions
+    * (write/collect/count), not merely build a lazy plan — release
+    * happens when the block returns. */
+  def scoped[T](f: => T): T = {
+    frames.set(ArrayBuffer.empty[DataFrame] :: frames.get())
+    try f
+    finally {
+      releaseAll()
+      frames.set(frames.get().tail)
+    }
+  }
 }

@@ -48,12 +48,14 @@ class DdlSpec extends SparkSpec {
   }
 
   test("file-size targeting: maxRecordsPerFile derived from measured row width") {
+    Ddl.clearProbeCache()
     val li = spark.read.parquet(sf() + "/lineitem.parquet")
     val metas = ColumnMeta.fromSchema(li.schema)
     val enriched = Enrich.enrich(li, metas)
+    val probeDest = Files.createTempDirectory("ddl-probe").toString
 
     // the probe measures real compressed bytes/row on a sample
-    val est = Ddl.estimateRecordsPerFile(enriched, target = 20 * 1024).get
+    val est = Ddl.estimateRecordsPerFile(enriched, probeDest, target = 20 * 1024).get
     assert(est > 0 && est < 6000, s"estimate $est should force splits on 6000 rows")
 
     // a tiny target forces the writer to split within the partition
@@ -71,8 +73,34 @@ class DdlSpec extends SparkSpec {
     // and nothing was lost
     assert(spark.read.parquet(path).count() === 6000)
 
-    // empty input → no estimate, write still succeeds
-    assert(Ddl.estimateRecordsPerFile(enriched.limit(0)).isEmpty)
+    // empty input → no estimate (and NOT cached as a permanent disable:
+    // the same schema still measures on the next non-empty call)
+    val emptyDest = Files.createTempDirectory("ddl-empty").toString
+    assert(Ddl.estimateRecordsPerFile(enriched.limit(0), emptyDest).isEmpty)
+    assert(Ddl.estimateRecordsPerFile(enriched, emptyDest).isDefined)
+  }
+
+  test("width probe goes through the destination FS, once per schema, and leaves no residue") {
+    Ddl.clearProbeCache()
+    val li = spark.read.parquet(sf() + "/lineitem.parquet").limit(200)
+    val enriched = Enrich.enrich(li, ColumnMeta.fromSchema(li.schema))
+    val path = Files.createTempDirectory("ddl-cache").toString
+
+    Ddl.writePartitioned(enriched, path)
+    assert(Ddl.probesRun === 1, "first write must run exactly one probe job")
+    // second write, same schema: the cached width is reused — the
+    // upstream plan is NOT re-executed by a second probe
+    Ddl.writePartitioned(enriched, path)
+    assert(Ddl.probesRun === 1, "same-schema write re-ran the width probe")
+    // a different target is a different measurement
+    Ddl.writePartitioned(enriched, path, targetFileSizeBytes = Some(64 * 1024))
+    assert(Ddl.probesRun === 2)
+
+    // the probe dir is removed via the destination FileSystem, and its
+    // `_`-prefix keeps it invisible to readers even mid-probe
+    assert(!new java.io.File(path, "_width_probe").exists,
+      "probe residue left under the destination")
+    assert(spark.read.parquet(path).count() === 600)
   }
 
   test("bucketed tables join exchange-free (co-located sort-merge join)") {

@@ -22,6 +22,41 @@ class StagingSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("interleaved scopes are isolated: releasing one never drops another's barriers") {
+    Staging.releaseAll()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    Staging.scoped {
+      val outer = Staging.barrier(docs.select("doc_id"))
+      outer.count()
+      assert(Staging.registered === 1)
+      // inner scope: builds, runs, and releases its own barrier — the
+      // outer frame must be untouched (the round-3 hazard was exactly
+      // this interleaving dropping the outer barrier)
+      Staging.scoped {
+        assert(Staging.registered === 0) // fresh frame
+        Staging.barrier(docs.select("text")).count()
+        assert(Staging.registered === 1)
+      }
+      assert(Staging.registered === 1) // outer barrier survived
+      assert(outer.storageLevel.useMemory, "outer barrier was unpersisted by inner scope")
+    }
+    assert(Staging.registered === 0)
+  }
+
+  test("frames are per-thread: another thread's releaseAll cannot drop this thread's barrier") {
+    Staging.releaseAll()
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val mine = Staging.barrier(docs.select("doc_id"))
+    mine.count()
+    assert(Staging.registered === 1)
+    val t = new Thread(() => Staging.releaseAll())
+    t.start(); t.join()
+    assert(Staging.registered === 1)
+    assert(mine.storageLevel.useMemory, "cross-thread releaseAll dropped the barrier")
+    Staging.releaseAll()
+    assert(Staging.registered === 0)
+  }
+
   test("scoped releases barriers even when the block throws") {
     Staging.releaseAll()
     intercept[RuntimeException] {
