@@ -566,6 +566,36 @@ object Queries {
            |ORDER BY id_a, id_b""".stripMargin)
     })
 
+  /** Near-dup clustering: t3's LSH pairs → connected components → one
+    * survivor per cluster (the min-id member; `doc_id = cluster_id`).
+    * The pair operators find EDGES; an actual corpus dedup keeps one doc
+    * per transitive cluster — this is that resolution step. Oracle:
+    * DuckDB `WITH RECURSIVE` min-label closure over the same pairs. */
+  val t16_dedup_clusters: Q = Q(
+    run = (spark, dir) => {
+      val pairs = TextDedup.minhashLshPairs(t(spark, dir, "documents"),
+          "doc_id", "text", n = 3, k = MinhashK, bandSize = BandSize,
+          numBands = NumBands, threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      TextDedup.connectedComponents(pairs).orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT comp.id AS doc_id, comp.cluster_id,
+         |  CAST(cs.cluster_size AS BIGINT) AS cluster_size
+         |FROM comp JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity search / text analysis / multimodal
   // ---------------------------------------------------------------------
@@ -1379,6 +1409,7 @@ object Queries {
     "t3_minhash_lsh_pairs" -> t3_minhash_lsh_pairs,
     "t4_simhash" -> t4_simhash,
     "t5_cosine_neardup" -> t5_cosine_neardup,
+    "t16_dedup_clusters" -> t16_dedup_clusters,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,

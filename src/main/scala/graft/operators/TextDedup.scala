@@ -233,6 +233,70 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Connected components over near-dup pair edges: every document in a
+   * pair gets the MINIMUM id reachable through pairs as its `cluster_id`
+   * — the transitive closure a corpus dedup needs on top of t2/t3/t5's
+   * PAIR lists to pick one survivor per duplicate cluster (the doc whose
+   * id equals the cluster id). Docs in no pair are singleton clusters by
+   * definition and are not emitted.
+   *
+   * Algorithm: min-label propagation with a POINTER-DOUBLING shortcut,
+   * driver-iterated like [[VectorOps.kmeansCentroids]] — per iteration
+   * (a) every node takes the min of its own and its neighbors' labels
+   * (one equi-join + min-aggregation on the edge list), then (b) labels
+   * shortcut through themselves (`lbl := lbl(lbl)`, one self-join), which
+   * contracts label chains geometrically: convergence in O(log diameter)
+   * iterations instead of O(diameter). All per-iteration state is the
+   * (id, lbl) relation — two longs per paired doc, metadata-scale next to
+   * the corpus — and the convergence probe is a changed-row count. Each
+   * iteration's labels are persisted (joined twice: propagation +
+   * convergence count) and explicitly unpersisted when superseded; the
+   * final label table stays registered in the [[Staging]] frame for
+   * release after the consuming action.
+   *
+   * Determinism: min() over label longs is associative and the iteration
+   * count only affects WHEN the fixpoint is reached, not its value — the
+   * fixpoint (min reachable id) is what the DuckDB `WITH RECURSIVE`
+   * oracle computes directly, so results are engine-exact. Throws if
+   * `maxIters` (default 25 ⇒ diameter ~2²⁵) did not converge rather than
+   * returning partial labels.
+   */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = Staging.barrier(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var cur = Staging.barrier(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(cur.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
+        .groupBy("src").agg(min("dlbl").as("nlbl"))
+      val prop = cur
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer doubling: follow the label one hop (labels are node ids,
+      // so lbl(lbl) is defined whenever the label is itself paired)
+      val next = Staging.barrier(prop.as("x")
+        .join(prop.select(col("id").as("lid"), col("lbl").as("llbl")),
+          col("x.lbl") === col("lid"), "left")
+        .select(col("x.id").as("id"), coalesce(col("llbl"), col("x.lbl")).as("lbl")))
+      changed = next
+        .join(cur.select(col("id"), col("lbl").as("plbl")), Seq("id"))
+        .filter(col("lbl") =!= col("plbl")).count()
+      cur.unpersist(blocking = false) // superseded; Staging re-release is a no-op
+      cur = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxIters iterations")
+    val sizes = cur.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    cur.join(sizes, Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
   def tokenHash60(tok: Column): Column =

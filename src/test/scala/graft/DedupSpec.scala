@@ -54,6 +54,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: a planted A~B~C chain collapses to one survivor") {
+    import spark.implicits._
+    // A~B and B~C but NOT A~C, plus a disjoint pair and a long chain
+    // (exercises the pointer-doubling shortcut past one-hop propagation)
+    val chain = (20L until 29L).map(i => (i, i + 1)) // 20~21~…~29
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("id_a", "id_b")
+    val out = graft.operators.Staging.scoped {
+      val cc = TextDedup.connectedComponents(pairs)
+      cc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val byDoc = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // one cluster {1,2,3} with survivor 1 — A and C joined transitively
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)).toSet === Set((1L, 3L)))
+    assert(byDoc(10L) === ((10L, 2L)) && byDoc(11L) === ((10L, 2L)))
+    // the 10-node chain collapses to min id 20
+    assert((20L to 29L).map(byDoc(_)).toSet === Set((20L, 10L)))
+    // exactly one survivor (doc_id == cluster_id) per cluster
+    val survivors = out.filter(t => t._1 == t._2).map(_._1).toSet
+    assert(survivors === Set(1L, 10L, 20L))
+    assert(out.length === 15)
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
