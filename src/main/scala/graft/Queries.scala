@@ -596,6 +596,39 @@ object Queries {
          |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Containment threshold for the decontamination gate — tuned to the
+    * synthetic fixture (one fully-contained doc at 1.0 plus single-
+    * shingle brushes at ~0.07–0.13); production pipelines run ~0.8 on
+    * longer shingles, which only changes the constant. */
+  private val DecontThreshold = 0.1
+  private val EvalModulus = 37
+
+  /** Train/eval decontamination: shingle containment of each pseudo-eval
+    * doc (`doc_id % 37 = 0` stands in for a benchmark table) within every
+    * train doc — the corpus-hygiene operator an LLM pipeline runs before
+    * training. Bipartite hashed-shingle equi-join; see
+    * [[TextDedup.decontaminate]]. */
+  val t17_decontaminate: Q = Q(
+    run = (spark, dir) => {
+      val withSh = Staging.barrier(TextDedup.shingleSets(
+        t(spark, dir, "documents"), "doc_id", "text", 3))
+      TextDedup.decontaminate(withSh, col("id") % EvalModulus === 0, DecontThreshold)
+        .orderBy("train_id", "eval_id")
+    },
+    oracle = Some(
+      s"""WITH $duckToksSh,
+         |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |ev AS (SELECT doc_id AS eval_id, len(s) AS n_e, unnest(s) AS shingle
+         |  FROM shf WHERE doc_id % $EvalModulus = 0),
+         |tr AS (SELECT doc_id AS train_id, unnest(s) AS shingle
+         |  FROM shf WHERE doc_id % $EvalModulus <> 0),
+         |ov AS (SELECT train_id, eval_id, n_e, count(*) AS overlap
+         |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2, 3)
+         |SELECT train_id, eval_id, CAST(overlap AS BIGINT) AS overlap,
+         |  overlap * 1.0 / n_e AS containment
+         |FROM ov WHERE overlap * 1.0 / n_e >= $DecontThreshold
+         |ORDER BY train_id, eval_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity search / text analysis / multimodal
   // ---------------------------------------------------------------------
@@ -624,10 +657,17 @@ object Queries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     bench = true)
 
+  private val BucketedQueryBound = 100
+
+  /** Sign-bucket ANN recall baseline with a BOUNDED query set (the
+    * corpus-as-queries form is O(n²/2^bits) — quadratic in corpus size —
+    * and lives on only as a small-corpus benchmark; the scale answers
+    * are t12/t15). */
   val t7_ann_bucketed: Q = Q(
     run = (spark, dir) =>
       VectorOps.bucketedTopK(t(spark, dir, "embeddings"),
-          "vec_id", "embedding", k = 5, bits = 8)
+          "vec_id", "embedding", col("vec_id") < BucketedQueryBound,
+          k = 5, bits = 8)
         .orderBy("query_id", "rank"),
     oracle = {
       val bkt = (0 until 8).map(i =>
@@ -638,7 +678,8 @@ object Queries {
            |scored AS (
            |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
            |    list_dot_product(a.e, c.e) / (a.nrm * c.nrm) AS cos
-           |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id),
+           |  FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id <> c.vec_id
+           |  WHERE a.vec_id < $BucketedQueryBound),
            |ranked AS (SELECT *, row_number() OVER
            |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
            |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
@@ -833,6 +874,87 @@ object Queries {
         |    ), 1, 4), '')
         |  ELSE NULL END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /**
+   * Stratified deterministic downsampling — the selection half of a data
+   * pipeline: per-language median quality threshold → (lang, high/low)
+   * strata → per-stratum keep rates decided by an md5 hash of the doc id.
+   *
+   * The threshold is the DETERMINISTIC percentile (the value at row
+   * ⌈n/2⌉ in (quality, doc_id) order — percentile_disc with a total
+   * tie-break), which is engine-exact and therefore oracle-able where
+   * `approx_percentile`'s sketch is not; at 100 TB swap in
+   * `approx_percentile(quality, 0.5)` for the threshold subplan (the
+   * per-lang sort is the only part that doesn't scale) and keep the
+   * hash-mod sampling, which is map-side, seedless, and reproducible
+   * across engines, runs, AND retries — the property `sample()` lacks.
+   */
+  val t18_stratified_sample: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      // one row per doc with its stratum keys; staged because it feeds
+      // the rank window, the threshold lookup, and the final sample
+      val scored = Staging.barrier(docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality")))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("quality", "doc_id")
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val thr = scored
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wN))
+        .filter(col("rn") === ceil(col("n") * 0.5))
+        .select(col("lang"), col("quality").as("thr"))
+      val hm = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast(LongType) % 100
+      scored.join(broadcast(thr), Seq("lang"))
+        .withColumn("bucket",
+          when(col("quality") >= col("thr"), "high").otherwise("low"))
+        .filter((col("bucket") === "high" && hm < 50) ||
+          (col("bucket") === "low" && hm < 20))
+        .select("doc_id", "lang", "quality", "bucket")
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val langs = TextAnalysis.LangMarkers
+      val scoreCols = langs.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
+      val m = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $m AND s_$l > 0 THEN '$l'" }.mkString(" ")
+      val allMarkers = langs.flatMap(_._2)
+      Some(
+        s"""WITH $duckToks,
+           |sc AS (SELECT doc_id, text, ${scoreCols.mkString(",\n  ")} FROM toks),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       $pick ELSE 'und' END AS lang
+           |FROM sc),
+           |c AS (SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+           |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
+           |FROM toks),
+           |q AS (SELECT doc_id,
+           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |FROM c),
+           |lq AS (SELECT lang.doc_id, lang.lang, q.quality
+           |  FROM lang JOIN q ON q.doc_id = lang.doc_id),
+           |ranked AS (SELECT *,
+           |  row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS n FROM lq),
+           |thr AS (SELECT lang, quality AS thr FROM ranked WHERE rn = CEIL(n * 0.5)),
+           |b AS (SELECT lq.doc_id, lq.lang, lq.quality,
+           |  CASE WHEN lq.quality >= thr.thr THEN 'high' ELSE 'low' END AS bucket,
+           |  CAST('0x' || substr(md5(CAST(lq.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS hm
+           |FROM lq JOIN thr ON thr.lang = lq.lang)
+           |SELECT doc_id, lang, quality, bucket FROM b
+           |WHERE (bucket = 'high' AND hm < 50) OR (bucket = 'low' AND hm < 20)
+           |ORDER BY doc_id""".stripMargin)
+    })
 
   val m1_multimodal_features: Q = Q(
     run = (spark, dir) =>
@@ -1410,6 +1532,8 @@ object Queries {
     "t4_simhash" -> t4_simhash,
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
+    "t17_decontaminate" -> t17_decontaminate,
+    "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,

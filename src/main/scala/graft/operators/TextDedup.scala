@@ -234,6 +234,41 @@ object TextDedup {
   }
 
   /**
+   * Train/eval DECONTAMINATION: for every (train doc, eval doc) pair,
+   * the shingle CONTAINMENT |S_train ∩ S_eval| / |S_eval| — the standard
+   * LLM-pipeline hygiene check that a training corpus does not contain an
+   * evaluation benchmark (asymmetric on purpose: a long train doc fully
+   * containing a short eval doc is contamination even though Jaccard is
+   * tiny). Emits pairs at/above `threshold`; dropping the flagged
+   * `train_id`s is the caller's one-line filter.
+   *
+   * Shape: the same hashed-shingle equi-join as [[jaccardPairs]], but
+   * BIPARTITE — the join is train-side × eval-side only, so the shuffle
+   * is |corpus shingles| + |eval shingles| with the candidate space
+   * bounded by the (small) eval set, never corpus². At 100 TB the eval
+   * side is broadcast-scale and the join is effectively a semi-join probe
+   * of the corpus shingle stream.
+   *
+   * Input: the staged (id, s) shingle-set table ([[shingleSets]]);
+   * `evalPred` splits it (rows failing the predicate are the train side).
+   */
+  def decontaminate(withSh: DataFrame, evalPred: Column,
+      threshold: Double): DataFrame = {
+    val evalSide = withSh.filter(evalPred)
+      .select(col("id").as("eval_id"), size(col("s")).as("n_e"),
+        explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+    val trainSide = withSh.filter(!evalPred)
+      .select(col("id").as("train_id"),
+        explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+    trainSide.join(evalSide, Seq("sh"))
+      .groupBy("train_id", "eval_id", "n_e")
+      .agg(count(lit(1)).as("overlap"))
+      .select(col("train_id"), col("eval_id"), col("overlap"),
+        (col("overlap") * lit(1.0) / col("n_e")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /**
    * Connected components over near-dup pair edges: every document in a
    * pair gets the MINIMUM id reachable through pairs as its `cluster_id`
    * — the transitive closure a corpus dedup needs on top of t2/t3/t5's

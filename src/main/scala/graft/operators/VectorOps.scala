@@ -373,6 +373,15 @@ object VectorOps {
   def bucketedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 4, bands: Int = 16): DataFrame = {
     val p = prepared(df, idCol, vecCol)
+    // every band must read a DISTINCT dimension range: with dim <
+    // bits×bands the tail bands would index past the vector (NULL signs →
+    // degenerate buckets) and recall silently collapses. O(1) first-row
+    // probe at build time (embedding columns are fixed-dim).
+    p.select(size(col("v"))).head(1).headOption.foreach { r =>
+      require(r.getInt(0) >= bits * bands,
+        s"embedding dim ${r.getInt(0)} < bits*bands = ${bits * bands}: " +
+          "banded sign-LSH would read past the vector; lower bits or bands")
+    }
     val banded = p.select(col("id"),
         explode(array((0 until bands).map { j =>
           struct(lit(j).as("band"), signBucketAt(col("v"), j * bits, bits).as("bkt"))
@@ -391,11 +400,19 @@ object VectorOps {
   }
 
   /** Bucketed ANN: candidates share the sign bucket; exact cosine + top-k
-    * within bucket. Trades recall for a shuffle-light equi-join. */
+    * within bucket. Trades recall for a shuffle-light equi-join.
+    *
+    * RECALL BASELINE ONLY — superseded at scale by [[kmeansIvfTopK]] /
+    * [[ivfSq8TopK]]: the bucket space is fixed (2^bits), so with the
+    * whole corpus as the query set the within-bucket join is O(n²/2^bits)
+    * — still quadratic in corpus size. `queryPred` therefore BOUNDS the
+    * query side (the gated query uses an id range, like t6/t12); an
+    * unbounded corpus-as-queries run is a deliberate small-corpus
+    * benchmark choice, not a production plan. */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int = 8): DataFrame = {
+      queryPred: Column, k: Int, bits: Int = 8): DataFrame = {
     val p = prepared(df, idCol, vecCol).withColumn("bkt", signBucket(col("v"), bits))
-    val a = p.as("a"); val b = p.as("b")
+    val a = p.filter(queryPred).as("a"); val b = p.as("b")
     val scored = a.join(b, col("a.bkt") === col("b.bkt") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
         cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))

@@ -172,6 +172,17 @@ class DedupSpec extends SparkSpec {
 
   test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    // the gate's banding must actually cover distinct dimension ranges:
+    // if the fixture dim ever shrank below bits×bands the bands would
+    // silently degenerate — the operator refuses, and this asserts the
+    // fixture keeps the gate meaningful
+    val dim = VectorOps.prepared(emb, "vec_id", "embedding")
+      .select(size(col("v"))).head.getInt(0)
+    assert(dim >= 4 * 16, s"fixture dim $dim < bits*bands of the t5 gate")
+    intercept[IllegalArgumentException] {
+      VectorOps.bucketedNearDupPairs(emb, "vec_id", "embedding", 0.45,
+        bits = 8, bands = dim) // bits*bands > dim must refuse at build
+    }
     val truth = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
     val banded = VectorOps.bucketedNearDupPairs(emb, "vec_id", "embedding", 0.45)
     val nTruth = truth.count(); val nBanded = banded.count()
@@ -184,7 +195,8 @@ class DedupSpec extends SparkSpec {
 
   test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
-    val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding", k = 5, bits = 4)
+    val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 100, k = 5, bits = 4)
     assert(ann.count() > 0)
     // every reported neighbor shares the 4-bit sign bucket by construction
     val p = VectorOps.prepared(emb, "vec_id", "embedding")

@@ -4,6 +4,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 echo "=== sbt test"
 sbt -batch test 2>&1 | tail -3
+echo "=== t5 recall guard (mandatory): banded near-dup vs quadratic baseline"
+# the t5 ORACLE mirrors the implementation's banding, so this equality
+# test against the quadratic baseline is the ONLY recall gate — it must
+# demonstrably RUN (grep the test name) and pass, every CI run
+T5LOG=$(sbt -batch 'testOnly graft.DedupSpec -- -z "quadratic baseline"' 2>&1)
+echo "$T5LOG" | grep -q "banded near-dup is a lossless subset of the quadratic baseline" \
+  || { echo "FATAL: t5 quadratic-baseline equality test did not run (renamed or filtered out)"; exit 1; }
+echo "$T5LOG" | grep -q "All tests passed" \
+  || { echo "FATAL: t5 quadratic-baseline equality test failed"; echo "$T5LOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
