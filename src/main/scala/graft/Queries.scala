@@ -1111,7 +1111,17 @@ object Queries {
     * exact decimal; only the emitted column changes. After rounding the
     * value carries ≤13 significant digits — well inside the ≤15-digit
     * band where decimal→double conversion is bit-identical across
-    * Spark and DuckDB (measured, round 2). Oracle twin: [[OracleSql.money]]. */
+    * Spark and DuckDB (measured, round 2). Oracle twin: [[OracleSql.money]].
+    *
+    * SCALE-FACTOR ASSUMPTION, not a law: the ≤13-digit bound holds for
+    * the test corpora (sums ≤ ~1e8 dollars). A 100 TB corpus can push a
+    * cent-rounded sum past ~15 significant digits (2^53 cents ≈ $9e13),
+    * where Spark's BigDecimal-string and DuckDB's exact-binary
+    * decimal→double conversions diverge by 1 ulp — the q10 s2 hazard.
+    * QueriesSpec ("money magnitudes stay inside the double-exact band")
+    * asserts the bound against the corpus so a larger corpus fails
+    * loudly instead of hashing differently; past the bound, emit the
+    * DECIMAL itself and give the driver a decimal-aware comparator. */
   private def money(c: Column): Column = round(c, 2).cast(DoubleType)
   /** DuckDB twin of [[money]]; both engines round decimals HALF_UP
     * (away from zero — all these sums are positive). */

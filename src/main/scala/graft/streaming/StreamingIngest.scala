@@ -118,7 +118,11 @@ object StreamingIngest {
   }
 
   /** Watermarked tumbling-window aggregation (event-time). Decimal sums
-    * keep results exactly comparable across engines. */
+    * keep results exactly comparable across engines; the emitted
+    * `sum_value` uses the SAME cents-rounded DOUBLE rendering as the
+    * batch twin (Queries.money), so the twin-equality test compares
+    * identical types and values rather than leaning on set-op type
+    * widening plus cent-exact corpus luck. */
   def windowedAgg(events: DataFrame, window: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     events
@@ -127,7 +131,8 @@ object StreamingIngest {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast(DoubleType).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
