@@ -752,7 +752,8 @@ object Queries {
           col("vec_id") < 10, k = 5, kClusters = IvfClusters, iters = IvfIters,
           nprobe = IvfNprobe)
         .orderBy("query_id", "rank"),
-    oracle = Some(kmeansIvfOracleSql))
+    oracle = Some(kmeansIvfOracleSql),
+    bench = true)
 
   /** ANN quality monitoring: recall@5 of the IVF index against the
     * brute-force truth, per query. Production ANN pipelines run exactly
@@ -1092,7 +1093,8 @@ object Queries {
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rescored)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
@@ -1173,7 +1175,8 @@ object Queries {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    bench = true)
 
   /** TPC-H Q3 shape: three-table join (customer ⋈ orders ⋈ lineitem)
     * with selective dimension filter + top-10 by revenue. Plan shape at
@@ -1247,7 +1250,8 @@ object Queries {
          |  AND r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+    bench = true)
 
   /** ROLLUP aggregation (subtotal + grand-total rows) — the grouping-sets
     * family, absent from the reference; planned as a single Expand +
@@ -1421,7 +1425,8 @@ object Queries {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id
         |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin),
+    bench = true)
 
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate it — the event-pipeline staple Spark
