@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -70,6 +70,21 @@ object TextAnalysis {
       b(c("punct_ratio") < 0.1) +
       b(c("stopword_ratio") > 0.01)
   }
+
+  /** Per-group quantile threshold, SKETCH-based (`approx_percentile`):
+    * the at-scale form of the t18 stratification threshold — one
+    * map-side-combined aggregation, no per-group sort. Returns an actual
+    * data value (like percentile_disc), so with `accuracy` ≥ the group
+    * cardinality it is EXACT and equals the deterministic row_number
+    * formulation (asserted in TextAnalysisSpec); at 100 TB group sizes
+    * drop accuracy to the memory budget and accept the ±1/accuracy rank
+    * error. Not oracle-gated: the sketch's merge order is not part of
+    * any cross-engine contract — the gated t18 uses the deterministic
+    * twin. */
+  def approxQuantileThresholds(df: DataFrame, groupCol: String,
+      valueCol: String, prob: Double, accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCol).agg(
+      percentile_approx(col(valueCol), lit(prob), lit(accuracy)).as("thr"))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(TextDedup.tokens(text)).cast("bigint")

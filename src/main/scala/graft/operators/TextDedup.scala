@@ -298,9 +298,14 @@ object TextDedup {
    * returning partial labels.
    */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // cached PRE-PARTITIONED on the join key: every iteration's neighbor
+    // join reads the edge list hash-partitioned by dst straight from
+    // cache, so only the (small, changing) label side shuffles per
+    // iteration — the edge list, the big side at scale, shuffles once
     val edges = Staging.barrier(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .repartition(col("dst")))
     var cur = Staging.barrier(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
     var changed = 1L

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +65,37 @@ class TextAnalysisSpec extends SparkSpec {
       val expect = r.getString(1).getBytes("UTF-8").take(4)
         .map(b => f"${b & 0xff}%02x").mkString
       assert(r.getString(0) === expect)
+    }
+  }
+
+  test("approx quantile thresholds sit in the valid median band of the deterministic twin") {
+    // the at-scale (sketch) form of t18's threshold subplan must pick a
+    // REAL data value in the median band; the deterministic row_number
+    // formulation (the gated twin) picks the ceil(n/2) rank — conventions
+    // may differ by at most one rank at even group sizes
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val approx = TextAnalysis.approxQuantileThresholds(scored, "lang", "quality", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("quality", "doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    val byLang = scored.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getDouble(2)).sorted)
+    approx.foreach { case (lang, a) =>
+      val qs = byLang(lang)
+      assert(qs.contains(a), s"$lang: approx threshold $a is not a data value")
+      val below = qs.count(_ < a).toDouble
+      val atOrBelow = qs.count(_ <= a).toDouble
+      // a valid median element, with one rank of convention slack
+      assert(below <= qs.length * 0.5 && atOrBelow >= qs.length * 0.5 - 1,
+        s"$lang: approx $a outside the median band (exact ${exact(lang)})")
     }
   }
 }
