@@ -596,6 +596,32 @@ object Queries {
          |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** The composed corpus-dedup PIPELINE as one gated query: documents →
+    * LSH pairs → connected components → survivors-only corpus (each
+    * duplicate cluster contributes exactly its min-id doc; singletons
+    * pass through). This is the end-to-end shape a user actually runs —
+    * t3/t16 prove the stages, this proves the composition. Output is the
+    * kept doc ids with token counts (a downstream-visible projection). */
+  val t19_dedup_apply: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      TextDedup.keepSurvivors(docs, "doc_id", TextDedup.connectedComponents(pairs))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH clusters AS (SELECT * FROM (${t16_dedup_clusters.oracle.get}))
+         |SELECT d.doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+         |  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
+         |ORDER BY d.doc_id""".stripMargin))
+
   /** Containment threshold for the decontamination gate — tuned to the
     * synthetic fixture (one fully-contained doc at 1.0 plus single-
     * shingle brushes at ~0.07–0.13); production pipelines run ~0.8 on
@@ -1548,6 +1574,7 @@ object Queries {
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
     "t17_decontaminate" -> t17_decontaminate,
+    "t19_dedup_apply" -> t19_dedup_apply,
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,

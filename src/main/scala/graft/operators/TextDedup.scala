@@ -337,6 +337,18 @@ object TextDedup {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Apply a clustering to the corpus: keep every doc that is NOT a
+    * non-survivor — i.e. docs outside any cluster (singletons) plus each
+    * cluster's `doc_id == cluster_id` member. LEFT ANTI against the
+    * (small) non-survivor id list, so the corpus streams through one
+    * broadcast-able join; composes [[connectedComponents]] into an actual
+    * corpus dedup (`keepSurvivors(corpus, id, connectedComponents(pairs))`). */
+  def keepSurvivors(corpus: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    corpus.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("drop_id")),
+      corpus(idCol) === col("drop_id"), "left_anti")
+
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
   def tokenHash60(tok: Column): Column =

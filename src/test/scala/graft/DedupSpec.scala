@@ -76,6 +76,19 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 15)
   }
 
+  test("keepSurvivors drops exactly the non-survivor cluster members") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Staging.scoped {
+      TextDedup.keepSurvivors(corpus, "doc_id",
+        TextDedup.connectedComponents(pairs))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // dropped: 2,3 (cluster 1) and 11 (cluster 10); singletons untouched
+    assert(kept === (1L to 30L).toSet -- Set(2L, 3L, 11L))
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
