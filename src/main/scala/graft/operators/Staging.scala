@@ -34,8 +34,8 @@ import org.apache.spark.sql.DataFrame
  * the specs), and the natural shape of a driver program.
  */
 object Staging {
-  private val frames = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
-    override def initialValue(): List[ArrayBuffer[DataFrame]] =
+  private val frames = new ThreadLocal[List[ArrayBuffer[() => Unit]]] {
+    override def initialValue(): List[ArrayBuffer[() => Unit]] =
       List(ArrayBuffer.empty)
   }
 
@@ -43,8 +43,22 @@ object Staging {
     * current thread's innermost frame. */
   def barrier(df: DataFrame): DataFrame = {
     val p = df.persist()
-    frames.get().head += p
+    frames.get().head += (() => p.unpersist(blocking = false))
     p
+  }
+
+  /** Register an ALREADY-materialized frame (a `localCheckpoint`, an
+    * externally persisted table) for release with the current frame,
+    * without re-persisting it. Checkpointed Datasets also release their
+    * underlying RDD blocks, which `Dataset.unpersist` alone leaves to
+    * GC-driven cleanup. */
+  def adopt(df: DataFrame): DataFrame = {
+    val ckptRdd = org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
+    frames.get().head += { () =>
+      df.unpersist(blocking = false)
+      ckptRdd.foreach(_.unpersist(blocking = false))
+    }
+    df
   }
 
   /** Unpersist every barrier of the CURRENT frame (non-blocking) and
@@ -52,7 +66,7 @@ object Staging {
     * the barriers — or use [[scoped]], which does this on block exit. */
   def releaseAll(): Unit = {
     val cur = frames.get().head
-    cur.foreach(_.unpersist(blocking = false))
+    cur.foreach(release => release())
     cur.clear()
   }
 
@@ -66,7 +80,7 @@ object Staging {
     * (write/collect/count), not merely build a lazy plan — release
     * happens when the block returns. */
   def scoped[T](f: => T): T = {
-    frames.set(ArrayBuffer.empty[DataFrame] :: frames.get())
+    frames.set(ArrayBuffer.empty[() => Unit] :: frames.get())
     try f
     finally {
       releaseAll()

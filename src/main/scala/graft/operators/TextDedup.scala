@@ -284,11 +284,19 @@ object TextDedup {
    * contracts label chains geometrically: convergence in O(log diameter)
    * iterations instead of O(diameter). All per-iteration state is the
    * (id, lbl) relation — two longs per paired doc, metadata-scale next to
-   * the corpus — and the convergence probe is a changed-row count. Each
-   * iteration's labels are persisted (joined twice: propagation +
-   * convergence count) and explicitly unpersisted when superseded; the
-   * final label table stays registered in the [[Staging]] frame for
-   * release after the consuming action.
+   * the corpus — and the convergence probe is a changed-row count.
+   *
+   * Each iteration's labels are `localCheckpoint`ed, not merely
+   * persisted: the shortcut self-join embeds the previous iteration's
+   * plan TWICE, so without lineage truncation the logical plan doubles
+   * per iteration and Catalyst analysis time grows exponentially
+   * (measured: 3.3 s → 6.0 s for two iterations over 477 nodes with
+   * persist-only; sub-second with checkpointing). Superseded label
+   * tables are unpersisted in-loop; the final one is adopted into the
+   * [[Staging]] frame for release after the consuming action. On a
+   * cluster where executor loss during the loop matters, swap
+   * `localCheckpoint` for reliable `checkpoint` (same truncation, HDFS
+   * durability) — the loop structure is unchanged.
    *
    * Determinism: min() over label longs is associative and the iteration
    * count only affects WHEN the fixpoint is reached, not its value — the
@@ -318,20 +326,28 @@ object TextDedup {
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer doubling: follow the label one hop (labels are node ids,
-      // so lbl(lbl) is defined whenever the label is itself paired)
-      val next = Staging.barrier(prop.as("x")
+      // so lbl(lbl) is defined whenever the label is itself paired).
+      // localCheckpoint (eager) materializes AND truncates lineage —
+      // see the scaladoc on exponential plan growth
+      val next = prop.as("x")
         .join(prop.select(col("id").as("lid"), col("lbl").as("llbl")),
           col("x.lbl") === col("lid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("llbl"), col("x.lbl")).as("lbl")))
+        .select(col("x.id").as("id"), coalesce(col("llbl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint(eager = true)
       changed = next
         .join(cur.select(col("id"), col("lbl").as("plbl")), Seq("id"))
         .filter(col("lbl") =!= col("plbl")).count()
-      cur.unpersist(blocking = false) // superseded; Staging re-release is a no-op
+      // superseded: drop both the Dataset cache entry and (for
+      // checkpointed iterations) the underlying checkpoint RDD blocks
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(cur)
+        .foreach(_.unpersist(blocking = false))
+      cur.unpersist(blocking = false)
       cur = next
       it += 1
     }
     require(changed == 0,
       s"connected components did not converge in $maxIters iterations")
+    Staging.adopt(cur) // checkpointed blocks release with the query's frame
     val sizes = cur.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     cur.join(sizes, Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"))

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The persisted RDD under a `localCheckpoint`ed / `checkpoint`ed
+    * Dataset. `Dataset.unpersist` releases only CacheManager entries, so
+    * checkpoint blocks otherwise linger until GC (ContextCleaner) — this
+    * exposes the handle for deterministic release. */
+  def checkpointedRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
 }
