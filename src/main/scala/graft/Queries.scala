@@ -620,7 +620,8 @@ object Queries {
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM clusters c
          |  WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)
-         |ORDER BY d.doc_id""".stripMargin))
+         |ORDER BY d.doc_id""".stripMargin),
+    bench = true)
 
   /** Containment threshold for the decontamination gate — tuned to the
     * synthetic fixture (one fully-contained doc at 1.0 plus single-
