@@ -984,6 +984,130 @@ object Queries {
            |ORDER BY doc_id""".stripMargin)
     })
 
+  /**
+   * The WHOLE training-corpus prep pipeline as one gated query — what a
+   * user of this library actually runs before training: exact-dedup
+   * survivors ∩ near-dup cluster survivors (LSH → connected components)
+   * ∩ not-contaminated (shingle containment vs the eval split) ∩ not an
+   * eval doc ∩ stratified-sample keeps (per-lang median quality strata,
+   * md5-mod rates). Every stage is independently gated (t1, t16, t17,
+   * t18); this query gates their COMPOSITION. All predicates evaluate
+   * against the full corpus (thresholds are corpus-wide, then filters
+   * intersect), so stage order cannot change the result.
+   */
+  val p1_corpus_prep: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      // near-dup clusters over the full corpus
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      val clusters = TextDedup.connectedComponents(pairs)
+      // exact-dup survivors (one keep_id per identical text)
+      val exactKeep = TextDedup.exactDedup(docs, "doc_id", "text")
+        .select(col("keep_id"))
+      // contaminated train docs (shingle containment vs the eval split)
+      val withSh = Staging.barrier(TextDedup.shingleSets(docs, "doc_id", "text", 3))
+      val contaminated = TextDedup
+        .decontaminate(withSh, col("id") % EvalModulus === 0, DecontThreshold)
+        .select(col("train_id")).distinct()
+      // stratum assignment on corpus-wide thresholds (the t18 subplan)
+      val scored = Staging.barrier(docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality")))
+      val thr = scored
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+          .Window.partitionBy("lang").orderBy("quality", "doc_id")))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .filter(col("rn") === ceil(col("n") * 0.5))
+        .select(col("lang"), col("quality").as("thr"))
+      val hm = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast(LongType) % 100
+      scored.join(broadcast(thr), Seq("lang"))
+        .withColumn("bucket",
+          when(col("quality") >= col("thr"), "high").otherwise("low"))
+        .filter((col("bucket") === "high" && hm < 50) ||
+          (col("bucket") === "low" && hm < 20))
+        .filter(col("doc_id") % EvalModulus =!= 0)
+        .join(exactKeep, col("doc_id") === col("keep_id"), "left_semi")
+        .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("nd_drop")),
+          col("doc_id") === col("nd_drop"), "left_anti")
+        .join(contaminated, col("doc_id") === col("train_id"), "left_anti")
+        .select("doc_id", "lang", "quality", "bucket")
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val langs = TextAnalysis.LangMarkers
+      val scoreCols = langs.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
+      val m = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $m AND s_$l > 0 THEN '$l'" }.mkString(" ")
+      val allMarkers = langs.flatMap(_._2)
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT id, id AS lbl FROM nodes
+           |  UNION
+           |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |exact_keep AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+           |$duckToksSh,
+           |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+           |ev AS (SELECT doc_id AS eval_id, len(s) AS n_e, unnest(s) AS shingle
+           |  FROM shf WHERE doc_id % $EvalModulus = 0),
+           |tr AS (SELECT doc_id AS train_id, unnest(s) AS shingle
+           |  FROM shf WHERE doc_id % $EvalModulus <> 0),
+           |contaminated AS (SELECT DISTINCT train_id FROM (
+           |  SELECT train_id, eval_id, n_e, count(*) AS overlap
+           |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2, 3)
+           |  WHERE overlap * 1.0 / n_e >= $DecontThreshold),
+           |toksq AS (
+           |  SELECT doc_id, text, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |sc AS (SELECT doc_id, text, ${scoreCols.mkString(",\n  ")} FROM toksq),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       $pick ELSE 'und' END AS lang
+           |FROM sc),
+           |c AS (SELECT doc_id,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CASE WHEN len(t) > 0 THEN list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) ELSE 0.0 END AS mean_token_len,
+           |  CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+           |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
+           |FROM toksq),
+           |q AS (SELECT doc_id,
+           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |FROM c),
+           |lq AS (SELECT lang.doc_id, lang.lang, q.quality
+           |  FROM lang JOIN q ON q.doc_id = lang.doc_id),
+           |ranked AS (SELECT *,
+           |  row_number() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS n FROM lq),
+           |thr AS (SELECT lang, quality AS thr FROM ranked WHERE rn = CEIL(n * 0.5)),
+           |b AS (SELECT lq.doc_id, lq.lang, lq.quality,
+           |  CASE WHEN lq.quality >= thr.thr THEN 'high' ELSE 'low' END AS bucket,
+           |  CAST('0x' || substr(md5(CAST(lq.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS hm
+           |FROM lq JOIN thr ON thr.lang = lq.lang)
+           |SELECT doc_id, lang, quality, bucket FROM b
+           |WHERE ((bucket = 'high' AND hm < 50) OR (bucket = 'low' AND hm < 20))
+           |  AND doc_id % $EvalModulus <> 0
+           |  AND doc_id IN (SELECT keep_id FROM exact_keep)
+           |  AND NOT EXISTS (SELECT 1 FROM comp WHERE comp.id = b.doc_id
+           |    AND comp.id <> comp.cluster_id)
+           |  AND NOT EXISTS (SELECT 1 FROM contaminated t WHERE t.train_id = b.doc_id)
+           |ORDER BY doc_id""".stripMargin)
+    })
+
   val m1_multimodal_features: Q = Q(
     run = (spark, dir) =>
       Multimodal.features(spark, t(spark, dir, "documents")).orderBy("asset_id"),
@@ -1576,6 +1700,7 @@ object Queries {
     "t16_dedup_clusters" -> t16_dedup_clusters,
     "t17_decontaminate" -> t17_decontaminate,
     "t19_dedup_apply" -> t19_dedup_apply,
+    "p1_corpus_prep" -> p1_corpus_prep,
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
