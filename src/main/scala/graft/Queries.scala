@@ -656,6 +656,35 @@ object Queries {
          |FROM ov WHERE overlap * 1.0 / n_e >= $DecontThreshold
          |ORDER BY train_id, eval_id""".stripMargin))
 
+  /** Embedding-side near-dup clustering: the same connected-components
+    * resolution over t5's cosine pairs — the clustering operator is
+    * modality-agnostic (any (id_a, id_b) edge list), so text (t16) and
+    * embedding corpora share one code path. */
+  val t20_embedding_clusters: Q = Q(
+    run = (spark, dir) => {
+      val pairs = VectorOps.bucketedNearDupPairs(
+          t(spark, dir, "embeddings"), "vec_id", "embedding", CosineThreshold,
+          bits = NearDupBits, bands = NearDupBands)
+        .select("id_a", "id_b")
+      TextDedup.connectedComponents(pairs).orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t5_cosine_neardup.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT comp.id AS doc_id, comp.cluster_id,
+         |  CAST(cs.cluster_size AS BIGINT) AS cluster_size
+         |FROM comp JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity search / text analysis / multimodal
   // ---------------------------------------------------------------------
@@ -1701,6 +1730,7 @@ object Queries {
     "t17_decontaminate" -> t17_decontaminate,
     "t19_dedup_apply" -> t19_dedup_apply,
     "p1_corpus_prep" -> p1_corpus_prep,
+    "t20_embedding_clusters" -> t20_embedding_clusters,
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
     "t7_ann_bucketed" -> t7_ann_bucketed,
