@@ -685,6 +685,40 @@ object Queries {
          |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Embedding-side corpus prep as one gated query: t5's banded cosine
+    * pairs → t20's connected components → survivors-only embedding corpus
+    * — the embedding mirror of t19 (the same one-line [[TextDedup
+    * .keepSurvivors]] composition), so BOTH modalities have an
+    * end-to-end pipeline gate, not just their stage gates. Output is the
+    * kept vec_ids with the vector dimension (a downstream-visible
+    * projection that proves the corpus row survived intact). */
+  val p2_embedding_prep: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val pairs = VectorOps.bucketedNearDupPairs(emb, "vec_id", "embedding",
+          CosineThreshold, bits = NearDupBits, bands = NearDupBands)
+        .select("id_a", "id_b")
+      TextDedup.keepSurvivors(emb, "vec_id", TextDedup.connectedComponents(pairs))
+        .select(col("vec_id"), size(col("embedding")).as("dim"))
+        .orderBy("vec_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t5_cosine_neardup.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT emb.vec_id, CAST(len(emb.embedding) AS INT) AS dim
+         |FROM embeddings emb
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |  WHERE c.id = emb.vec_id AND c.id <> c.cluster_id)
+         |ORDER BY emb.vec_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity search / text analysis / multimodal
   // ---------------------------------------------------------------------
@@ -918,11 +952,22 @@ object Queries {
          |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeishPattern}')) AS BIGINT) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** The normalized text is STAGED behind a barrier before the gram
+    * transform (the shingleSets pattern): feeding `lower(trim(text))`
+    * straight into [[TextAnalysis.fingerprintFromNorm]]'s lambda makes
+    * Catalyst re-evaluate the normalization per character 5-gram —
+    * O(L²) per document (see the fingerprintFromNorm scaladoc). */
+  private def fingerprintFrame(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Staging.barrier(t(spark, dir, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm")))
+    staged.select(col("doc_id"),
+      TextAnalysis.fingerprintFromNorm(col("norm")).as("fingerprint"))
+  }
+
   val t11_fingerprint: Q = Q(
-    run = (spark, dir) =>
-      t(spark, dir, "documents").select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy("doc_id"),
+    run = (spark, dir) => fingerprintFrame(spark, dir).orderBy("doc_id"),
+    benchRun = Some((spark, dir) => fingerprintFrame(spark, dir)),
+    bench = true,
     oracle = Some(
       """SELECT doc_id,
         |  CASE WHEN length(lower(trim(text))) >= 5 THEN
@@ -1730,6 +1775,7 @@ object Queries {
     "t17_decontaminate" -> t17_decontaminate,
     "t19_dedup_apply" -> t19_dedup_apply,
     "p1_corpus_prep" -> p1_corpus_prep,
+    "p2_embedding_prep" -> p2_embedding_prep,
     "t20_embedding_clusters" -> t20_embedding_clusters,
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,

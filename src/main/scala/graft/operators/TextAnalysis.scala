@@ -97,13 +97,28 @@ object TextAnalysis {
 
   /** Min-k document fingerprint (winnowing-lite): the k lexicographically
     * smallest md5s of character 5-grams, concatenated. Robust to local
-    * edits; portable across engines. */
-  def fingerprint(text: Column, gram: Int = 5, k: Int = 4): Column = {
-    val norm = lower(trim(text))
+    * edits; portable across engines.
+    *
+    * PASS A MATERIALIZED ATTRIBUTE (the [[TextDedup.shingles]] rule): the
+    * gram lambda references `norm` from OUTSIDE `transform`, and Catalyst
+    * re-evaluates an outer EXPRESSION per element — so a `lower(trim(
+    * text))` expression fed here costs O(chars) per character gram,
+    * O(L²) per document. Stage `(id, lower(trim(text)))` behind a
+    * [[Staging.barrier]] first (the t11 call site in Queries does), or
+    * use [[fingerprint]] only on columns that are already plain
+    * attributes of normalized text. */
+  def fingerprintFromNorm(norm: Column, gram: Int = 5, k: Int = 4): Column = {
     val grams = transform(sequence(lit(0), length(norm) - gram),
       i => norm.substr(i + lit(1), lit(gram)))
     val hashes = array_sort(transform(grams, g => md5(g)))
     when(length(norm) >= gram, array_join(slice(hashes, 1, k), ""))
       .otherwise(lit(null).cast("string"))
   }
+
+  /** Convenience form over raw text. Prefer [[fingerprintFromNorm]] over
+    * a MATERIALIZED normalized column — this inlines `lower(trim(text))`
+    * into the gram lambda, which Catalyst re-evaluates per element
+    * (quadratic in document length; see [[fingerprintFromNorm]]). */
+  def fingerprint(text: Column, gram: Int = 5, k: Int = 4): Column =
+    fingerprintFromNorm(lower(trim(text)), gram, k)
 }

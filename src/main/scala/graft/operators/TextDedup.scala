@@ -28,6 +28,25 @@ import org.apache.spark.sql.types._
  *     upstream.
  *   - SimHash is embarrassingly parallel (map-only, no shuffle).
  */
+/** Lineage-truncation medium for driver-iterated loops
+  * ([[TextDedup.connectedComponents]]): both variants produce identical
+  * results (the checkpoint only truncates the plan); they differ in where
+  * the materialized iteration state lives. */
+sealed trait CheckpointStrategy
+object CheckpointStrategy {
+  /** `Dataset.localCheckpoint` — blocks on executor local storage. The
+    * fast in-process default; an executor lost mid-loop loses its blocks
+    * (unrecomputable — lineage was truncated) and fails the job, which
+    * must then re-run. */
+  case object Local extends CheckpointStrategy
+  /** `Dataset.checkpoint` into `dir` (sets the context checkpoint
+    * directory) — survives executor loss, the right medium for long
+    * loops on a real cluster. Checkpoint FILES are not removed by
+    * unpersist; they live under `dir` until the application cleans it
+    * (or `spark.cleaner.referenceTracking.cleanCheckpoints=true`). */
+  final case class Reliable(dir: String) extends CheckpointStrategy
+}
+
 object TextDedup {
 
   /** Whitespace tokens of lowercased trimmed text; empty tokens dropped
@@ -286,17 +305,21 @@ object TextDedup {
    * (id, lbl) relation — two longs per paired doc, metadata-scale next to
    * the corpus — and the convergence probe is a changed-row count.
    *
-   * Each iteration's labels are `localCheckpoint`ed, not merely
-   * persisted: the shortcut self-join embeds the previous iteration's
-   * plan TWICE, so without lineage truncation the logical plan doubles
-   * per iteration and Catalyst analysis time grows exponentially
-   * (measured: 3.3 s → 6.0 s for two iterations over 477 nodes with
-   * persist-only; sub-second with checkpointing). Superseded label
-   * tables are unpersisted in-loop; the final one is adopted into the
-   * [[Staging]] frame for release after the consuming action. On a
-   * cluster where executor loss during the loop matters, swap
-   * `localCheckpoint` for reliable `checkpoint` (same truncation, HDFS
-   * durability) — the loop structure is unchanged.
+   * Each iteration's labels are CHECKPOINTED, not merely persisted: the
+   * shortcut self-join embeds the previous iteration's plan TWICE, so
+   * without lineage truncation the logical plan doubles per iteration
+   * and Catalyst analysis time grows exponentially (measured: 3.3 s →
+   * 6.0 s for two iterations over 477 nodes with persist-only;
+   * sub-second with checkpointing). Superseded label tables are
+   * unpersisted in-loop; the final one is adopted into the [[Staging]]
+   * frame for release after the consuming action. The checkpoint medium
+   * is injectable ([[CheckpointStrategy]]): the default
+   * [[CheckpointStrategy.Local]] keeps blocks on executors (fastest; a
+   * lost executor mid-loop fails the job, which then simply re-runs) —
+   * on a cluster where a multi-hour loop must survive executor loss,
+   * pass [[CheckpointStrategy.Reliable]] with a durable (HDFS-grade)
+   * directory: same truncation, same results (DedupSpec asserts
+   * equality), recomputation-free recovery.
    *
    * Determinism: min() over label longs is associative and the iteration
    * count only affects WHEN the fixpoint is reached, not its value — the
@@ -305,7 +328,15 @@ object TextDedup {
    * `maxIters` (default 25 ⇒ diameter ~2²⁵) did not converge rather than
    * returning partial labels.
    */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      checkpointer: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointer match {
+      case CheckpointStrategy.Local =>
+        df => df.localCheckpoint(eager = true)
+      case CheckpointStrategy.Reliable(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+    }
     // cached PRE-PARTITIONED on the join key: every iteration's neighbor
     // join reads the edge list hash-partitioned by dst straight from
     // cache, so only the (small, changing) label side shuffles per
@@ -327,13 +358,12 @@ object TextDedup {
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // pointer doubling: follow the label one hop (labels are node ids,
       // so lbl(lbl) is defined whenever the label is itself paired).
-      // localCheckpoint (eager) materializes AND truncates lineage —
+      // the eager checkpoint materializes AND truncates lineage —
       // see the scaladoc on exponential plan growth
-      val next = prop.as("x")
+      val next = ckpt(prop.as("x")
         .join(prop.select(col("id").as("lid"), col("lbl").as("llbl")),
           col("x.lbl") === col("lid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("llbl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint(eager = true)
+        .select(col("x.id").as("id"), coalesce(col("llbl"), col("x.lbl")).as("lbl")))
       changed = next
         .join(cur.select(col("id"), col("lbl").as("plbl")), Seq("id"))
         .filter(col("lbl") =!= col("plbl")).count()

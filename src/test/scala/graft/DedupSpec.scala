@@ -76,6 +76,32 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 15)
   }
 
+  test("connected components: reliable checkpoint path equals the local default") {
+    import spark.implicits._
+    import graft.operators.CheckpointStrategy
+    val chain = (20L until 29L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("id_a", "id_b")
+    def run(s: CheckpointStrategy): Set[(Long, Long, Long)] =
+      graft.operators.Staging.scoped {
+        TextDedup.connectedComponents(pairs, checkpointer = s)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val local = run(CheckpointStrategy.Local)
+      val reliable = run(CheckpointStrategy.Reliable(ckptDir.toString))
+      assert(local.nonEmpty)
+      assert(reliable === local)
+      // the reliable path actually wrote checkpoint state to the dir
+      val wrote = java.nio.file.Files.walk(ckptDir).count() > 1
+      assert(wrote, "reliable checkpoint left no files under its dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("keepSurvivors drops exactly the non-survivor cluster members") {
     import spark.implicits._
     val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -13,6 +13,15 @@ echo "$T5LOG" | grep -q "banded near-dup is a lossless subset of the quadratic b
   || { echo "FATAL: t5 quadratic-baseline equality test did not run (renamed or filtered out)"; exit 1; }
 echo "$T5LOG" | grep -q "All tests passed" \
   || { echo "FATAL: t5 quadratic-baseline equality test failed"; echo "$T5LOG" | tail -20; exit 1; }
+echo "=== t18 threshold guard (mandatory): approx_percentile vs deterministic twin"
+# t18's documented at-scale swap (approxQuantileThresholds) is honest only
+# while the sketch provably lands in the deterministic twin's valid median
+# band — this equality test is that guard and must demonstrably RUN
+T18LOG=$(sbt -batch 'testOnly graft.TextAnalysisSpec -- -z "valid median band"' 2>&1)
+echo "$T18LOG" | grep -q "approx quantile thresholds sit in the valid median band" \
+  || { echo "FATAL: t18 approx-vs-exact threshold test did not run (renamed or filtered out)"; exit 1; }
+echo "$T18LOG" | grep -q "All tests passed" \
+  || { echo "FATAL: t18 approx-vs-exact threshold test failed"; echo "$T18LOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
