@@ -52,6 +52,24 @@ object StreamDemo {
       .writeStream.outputMode("complete").format("memory").queryName("sessions_w").start()
     wq.processAllAvailable(); wq.stop()
     println(s"[stream-demo] session windows: ${spark.table("sessions_w").count()}")
+
+    // streaming NEAR-dup: documents streamed once, LSH bucket claims
+    // deduped within the watermark, survivors = docs that kept all claims
+    val docsStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType))))
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp"))
+    val nq = StreamingIngest.streamingNearDupClaims(docsStream, "doc_id", "text",
+        "ts", n = 3, k = 16, bandSize = 4, numBands = 4, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    nq.processAllAvailable(); nq.stop()
+    val survivors = StreamingIngest.nearDupSurvivors(spark.table("neardup"), "doc_id").count()
+    println(s"[stream-demo] near-dup survivors: $survivors")
     spark.stop()
   }
 }

@@ -54,6 +54,22 @@ object TextDedup {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), x => x =!= lit(""))
 
+  /** let-binding for a single expression: evaluates `value` ONCE per row
+    * and hands the result to `body` as a bound lambda variable.
+    *
+    * This is the expression-level twin of [[Staging.barrier]], for places
+    * a persist() barrier cannot go — streaming plans and single-Column
+    * APIs. The repo's documented lambda-closure trap is that a lambda
+    * body referencing an outer EXPRESSION makes Catalyst re-evaluate that
+    * expression per element (no CSE inside lambdas — quadratic when the
+    * expression itself scans the row's text). A `NamedLambdaVariable`,
+    * by contrast, is a slot holding an already-computed value, so lambdas
+    * in `body` that close over the bound variable read it for free.
+    * `transform` over the 1-element array is that binder: `array(value)`
+    * evaluates `value` once; `element_at(.., 1)` unwraps the result. */
+  def bound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   /** Distinct word n-gram shingles. Guarded so docs shorter than n tokens
     * yield an empty set (Spark's `sequence` would otherwise count DOWN for
     * a negative span and throw under ANSI).
@@ -100,6 +116,34 @@ object TextDedup {
   def bandHashes(sig: Column, bandSize: Int, numBands: Int): Column =
     array((0 until numBands).map(b =>
       md5(concat_ws(",", slice(sig, b * bandSize + 1, bandSize)))): _*)
+
+  /** The full text → LSH band-digest pipeline as ONE scalar Column —
+    * byte-identical to the staged batch pipeline ([[shingleSets]] +
+    * [[minhashSignature]] + [[bandHashes]]; DedupSpec asserts equality),
+    * but with every intermediate [[bound]] as a lambda variable instead
+    * of persisted behind a [[Staging.barrier]]. That makes it legal where
+    * persist() is not: STREAMING plans (the `dropDuplicatesWithinWatermark`
+    * near-dup twin, [[graft.streaming.StreamingIngest.streamingNearDupClaims]])
+    * and any single-Column call site. Each stage (tokens, shingles,
+    * signature) is evaluated once per row; without the binding, Catalyst
+    * re-evaluates closed-over expressions per lambda element (tokens
+    * inside the shingle lambda = quadratic in document length, signature
+    * inside each band slice = ×numBands).
+    *
+    * NULL (not an empty array) for docs shorter than `n` tokens — the
+    * caller decides the policy for un-bandable docs (the streaming twin
+    * passes them through unconditionally, mirroring how the batch LSH
+    * path never pairs them). */
+  def bandedDigests(text: Column, n: Int, k: Int, bandSize: Int,
+      numBands: Int): Column =
+    bound(tokens(text)) { t =>
+      bound(shingles(t, n)) { s =>
+        when(size(s) > 0,
+          bound(minhashSignature(s, k)) { sig =>
+            bandHashes(sig, bandSize, numBands)
+          })
+      }
+    }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
     * Input: (idCol, bandsCol: array<string>). The join key is

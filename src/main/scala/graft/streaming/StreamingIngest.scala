@@ -153,6 +153,59 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("dedup_key")
       .drop("dedup_key")
 
+  /** Streaming NEAR-dup deduplication (the t3/t16/t19 family's streaming
+    * twin): a doc's MinHash/LSH band digests become
+    * `dropDuplicatesWithinWatermark` keys, so state is k digests per
+    * unique doc within the watermark horizon — the only viable near-dup
+    * shape on an unbounded stream (the batch pair→cluster resolution
+    * needs the full pair graph; a stream gets first-claimant-wins
+    * semantics instead).
+    *
+    * Emits the per-(band_idx, digest) CLAIM rows that survived the dedup:
+    * a doc that claimed ALL of its bands collided with nobody inside the
+    * horizon and is a survivor; any lost claim means an earlier doc
+    * already held that LSH bucket. Because bucket claims persist even for
+    * docs that were themselves dropped, chains resolve transitively
+    * exactly like the batch connected components when docs arrive in id
+    * order (a→b via one bucket, b→c via another ⇒ b and c both drop).
+    * Un-bandable docs (< n tokens) claim a single sentinel bucket keyed
+    * by their own id — always kept, mirroring the batch LSH path which
+    * never pairs them. Reduce per-doc rows with [[nearDupSurvivors]]
+    * (inside `foreachBatch`, or over the whole sink — a doc's claims all
+    * land in its own micro-batch).
+    *
+    * The band digests are computed with [[TextDedup.bandedDigests]] —
+    * the let-bound form of the batch pipeline (persist barriers are
+    * illegal on streams; lambda-variable binding gives the same
+    * evaluate-once guarantee per row). */
+  def streamingNearDupClaims(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, n: Int, k: Int, bandSize: Int, numBands: Int,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("bands",
+        graft.operators.TextDedup.bandedDigests(col(textCol), n, k, bandSize, numBands))
+      .select(col(idCol), col(tsCol),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "bh")))
+      // expected claim count rides along so the survivor reduction needs
+      // no side channel: banded docs must win numBands buckets, short
+      // docs exactly their one sentinel bucket
+      .withColumn("expected_claims",
+        when(col("bh").isNull, lit(1)).otherwise(lit(numBands)))
+      .withColumn("band_idx", coalesce(col("band_idx"), lit(-1)))
+      .withColumn("bh",
+        coalesce(col("bh"), concat(lit("unbanded:"), col(idCol).cast(StringType))))
+      .dropDuplicatesWithinWatermark("band_idx", "bh")
+
+  /** Batch-side reduction of [[streamingNearDupClaims]] output to
+    * surviving doc ids: kept ⇔ every band claim survived. */
+  def nearDupSurvivors(claims: DataFrame, idCol: String): DataFrame =
+    claims.groupBy(col(idCol))
+      .agg(count(lit(1)).as("claimed"),
+        first(col("expected_claims")).as("expected"))
+      .filter(col("claimed") === col("expected"))
+      .select(col(idCol))
+
   /** True session-window aggregation (gap-merged event-time windows) —
     * works identically over a stream or a batch frame. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -102,6 +102,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("let-bound bandedDigests equals the staged batch band pipeline") {
+    import graft.operators.Staging
+    val (n, k, bandSize, numBands) = (3, 16, 4, 4)
+    val bound = docs.select(col("doc_id"),
+        TextDedup.bandedDigests(col("text"), n, k, bandSize, numBands).as("bands"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    val staged = Staging.scoped {
+      TextDedup.shingleSets(docs, "doc_id", "text", n)
+        .select(col("id"), TextDedup.bandHashes(
+          TextDedup.minhashSignature(col("s"), k), bandSize, numBands).as("bands"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    }
+    assert(staged.nonEmpty)
+    // every bandable doc: identical digests; shorter-than-n docs: NULL
+    staged.foreach { case (id, bands) => assert(bound(id) === Some(bands)) }
+    (bound.keySet -- staged.keySet).foreach(id => assert(bound(id).isEmpty))
+  }
+
   test("keepSurvivors drops exactly the non-survivor cluster members") {
     import spark.implicits._
     val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -112,6 +112,78 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinct) // 2N in, N out
   }
 
+  test("streaming near-dup (LSH bucket claims) equals the batch t3-pipeline survivors") {
+    import org.apache.spark.sql.types._
+    import graft.operators.{Staging, TextDedup}
+    val (n, k, bandSize, numBands) = (3, 16, 2, 8)
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles slowly cross the wide sunny river delta alpha"
+    val clusterB = "completely different corpus about distributed query engines " +
+      "optimizing shuffle partitions broadcast joins adaptive execution plans " +
+      "cost models vectorized readers and columnar caching layers zeta"
+    val docs = Seq(
+      1L -> base,
+      2L -> (base.dropRight(5) + "omega"),             // last token changed
+      3L -> (base.dropRight(5) + "sigma"),             // last token changed
+      10L -> clusterB,
+      11L -> clusterB.replace("zeta", "theta"),        // last token changed
+      20L -> "unrelated short poem about mountains snow peaks and quiet winter mornings in the high valleys",
+      21L -> "grocery list bananas apples twelve eggs oat milk dark chocolate espresso beans and rye bread for sunday",
+      30L -> "tiny")                                   // < n tokens: un-bandable
+    // one file per arrival wave (oldest mod-time first ⇒ batch order):
+    // cluster minima arrive before their near-duplicates
+    val waves = Seq(Seq(1L, 10L, 20L, 30L), Seq(2L, 11L, 21L), Seq(3L))
+    val src = tmp("neardup-src")
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      val rows = docs.filter(d => ids.contains(d._1)).map { case (id, text) =>
+        org.apache.spark.sql.Row(id, text,
+          java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:00"))
+      }
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType)))
+      val staging = tmp(s"neardup-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val claims = StreamingIngest.streamingNearDupClaims(stream, "doc_id", "text",
+      "ts", n, k, bandSize, numBands, watermark = "10 days")
+    val q = claims.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream").start()
+    q.processAllAvailable(); q.stop()
+    // a doc's claims all land in its own micro-batch, so reducing the
+    // whole sink equals the per-batch (foreachBatch) reduction
+    val streamed = StreamingIngest.nearDupSurvivors(
+      spark.table("neardup_stream"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // batch twin on the same fixture: verified LSH pairs → connected
+    // components → min-id survivors
+    import spark.implicits._
+    val batchDocs = docs.toDF("doc_id", "text")
+    val batchSurvivors = Staging.scoped {
+      val pairs = TextDedup.minhashLshPairs(batchDocs, "doc_id", "text",
+          n, k, bandSize, numBands, threshold = 0.5)
+        .select("id_a", "id_b")
+      TextDedup.keepSurvivors(batchDocs, "doc_id",
+          TextDedup.connectedComponents(pairs))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(batchSurvivors.size < docs.size, "fixture must contain near-dups")
+    assert(streamed === batchSurvivors)
+    assert(streamed === Set(1L, 10L, 20L, 21L, 30L))
+  }
+
   test("session-window agg (stream, complete mode) equals the batch w4 query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val agg = StreamingIngest.sessionWindowAgg(
