@@ -1745,6 +1745,96 @@ object Queries {
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier), CAST(0 AS BIGINT)
         |) ORDER BY table_name""".stripMargin))
 
+  /** Fixture setup for [[e2e_jdbc_roundtrip]]: seed an embedded Derby
+    * database from the parquet corpus (REGION/NATION — int + varchar
+    * columns, so canonical tokens are identical across the JDBC and
+    * parquet type paths; the typed-token JDBC coverage lives in
+    * JdbcSourceSpec). Seeding is setup, not the operator: the gate runs
+    * the real [[graft.sources.JdbcIngest]] path over a live connection. */
+  private def seedDerbyFromParquet(spark: SparkSession, dir: String, url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE REGION (R_REGIONKEY INTEGER NOT NULL PRIMARY KEY, " +
+        "R_NAME VARCHAR(200))")
+      st.execute("CREATE TABLE NATION (N_NATIONKEY INTEGER NOT NULL PRIMARY KEY, " +
+        "N_NAME VARCHAR(200), N_REGIONKEY INTEGER)")
+      st.close()
+      val rIns = conn.prepareStatement("INSERT INTO REGION VALUES (?, ?)")
+      t(spark, dir, "region").collect().foreach { r =>
+        rIns.setInt(1, r.getInt(0)); rIns.setString(2, r.getString(1)); rIns.addBatch()
+      }
+      rIns.executeBatch(); rIns.close()
+      val nIns = conn.prepareStatement("INSERT INTO NATION VALUES (?, ?, ?)")
+      t(spark, dir, "nation").collect().foreach { r =>
+        nIns.setInt(1, r.getInt(0)); nIns.setString(2, r.getString(1))
+        nIns.setInt(3, r.getInt(2)); nIns.addBatch()
+      }
+      nIns.executeBatch(); nIns.close()
+    } finally conn.close()
+  }
+
+  /** S1/S3–S5/A1/A3 over a LIVE JDBC connection, gated: probe → metadata
+    * discovery → PK order key → frozen watermark → pushed-down COUNT →
+    * pushed-down bounded ordered scan → enrich → partitioned write →
+    * isolated count/dual-hash verify ([[graft.sources.JdbcIngest]], the
+    * reference's actual deployment shape). The oracle recomputes counts
+    * AND the min/max canonical row hash from the parquet tables — the
+    * sink hashes match only if the JDBC scan delivered every row
+    * byte-identically to the parquet path. */
+  val e2e_jdbc_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      val db = "graftjdbc" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      try {
+        seedDerbyFromParquet(spark, dir, url)
+        val wh = java.nio.file.Files.createTempDirectory("graft-jdbc-e2e").toString
+        val cfg = sources.JdbcIngest.JdbcConfig(url, wh,
+          IngestJob.TableMapping.parseFb("REGION,NATION"), replace = true)
+        sources.JdbcIngest.run(spark, cfg)
+          .flatMap { r => r.report.map { rep =>
+            val mm = spark.read.parquet(s"$wh/${r.mapping.sink}")
+              .agg(min(col("row_hash")), max(col("row_hash"))).head()
+            (r.mapping.sink, rep.sourceCount, rep.sinkCount, rep.hashMismatches,
+              mm.getString(0), mm.getString(1))
+          }}
+          .toDF("table_name", "rows_read", "rows_written", "hash_mismatches",
+            "min_row_hash", "max_row_hash")
+          .orderBy("table_name")
+      } finally {
+        // in-memory Derby holds the db until dropped; drop= signals
+        // success via SQLException 08006
+        try { java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true"); () }
+        catch { case _: java.sql.SQLException => () }
+      }
+    },
+    oracle = {
+      def metasOf(fields: (String, DataType)*): Seq[ColumnMeta] =
+        ColumnMeta.fromSchema(StructType(fields.map { case (n, dt) =>
+          StructField(n, dt) }))
+      val rHash = OracleSql.rowHash(metasOf(
+        "r_regionkey" -> IntegerType, "r_name" -> StringType))
+      val nHash = OracleSql.rowHash(metasOf(
+        "n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType))
+      Some(
+        s"""SELECT * FROM (
+           |  SELECT 'nation' AS table_name,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS rows_read,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS rows_written,
+           |    CAST(0 AS BIGINT) AS hash_mismatches,
+           |    (SELECT MIN($nHash) FROM nation) AS min_row_hash,
+           |    (SELECT MAX($nHash) FROM nation) AS max_row_hash
+           |  UNION ALL SELECT 'region',
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM region),
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM region),
+           |    CAST(0 AS BIGINT),
+           |    (SELECT MIN($rHash) FROM region),
+           |    (SELECT MAX($rHash) FROM region)
+           |) ORDER BY table_name""".stripMargin)
+    })
+
   /** The reference-surface inventory. */
   def referenceQueries: Map[String, Q] = Map(
     "s1_resumable_scan" -> s1_resumable_scan,
@@ -1762,7 +1852,8 @@ object Queries {
     "j1_hash_diff" -> j1_hash_diff,
     "o3_create_table_ddl" -> o3_create_table_ddl,
     "o10_fb_table_mapping" -> o10_fb_table_mapping,
-    "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip)
+    "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip,
+    "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -91,6 +91,23 @@ object JdbcSource {
       }
     }
 
+  /** A1 at the source: the frozen baseline COUNT over the same watermark
+    * predicate as the scan, pushed down whole (FB:1359–1380: `SELECT
+    * COUNT(1) FROM t WHERE k <= wm`). NULL watermark → 0 (empty-set
+    * predicate, FB:648). */
+  def readBoundedCount(url: String, table: String, orderBy: String,
+      watermark: Option[Any]): Long =
+    withConnection(url) { conn =>
+      val q = SqlLiteral.escapeSourceIdentifier _
+      val where = watermark
+        .map(w => s"${q(orderBy)} <= ${SqlLiteral.toSqlLiteral(w)}")
+        .getOrElse("1 = 0")
+      Using.resource(conn.createStatement()) { st =>
+        val rs = st.executeQuery(s"SELECT COUNT(*) FROM ${q(table)} WHERE $where")
+        rs.next(); rs.getLong(1)
+      }
+    }
+
   /** S1: the bounded ordered (resumable) scan SQL, pushed down whole —
     * standard-SQL rendering of the reference's Firebird query
     * (FB:1072–1084: `SELECT [SKIP n] cols FROM t WHERE k <= wm ORDER BY

@@ -84,6 +84,45 @@ class JdbcSourceSpec extends SparkSpec {
     assert(hashes(3) === CanonicalHash.md5Hex("3|<NULL>"))
   }
 
+  test("JdbcIngest: live-connection roundtrip verifies counts and hashes; bad table isolated") {
+    seeded
+    val wh = java.nio.file.Files.createTempDirectory("jdbc-ingest").toString
+    val cfg = graft.sources.JdbcIngest.JdbcConfig(url, wh,
+      graft.IngestJob.TableMapping.parse("TEST:test,NO_SUCH_TABLE:nope"),
+      replace = true)
+    val results = graft.sources.JdbcIngest.run(spark, cfg)
+    val ok = results.find(_.mapping.source == "TEST").get
+    assert(!ok.skipped && ok.report.get.ok)
+    assert(ok.report.get.sourceCount === 3)
+    // inaccessible table: probe-skip, not failure (FB:494-525)
+    assert(results.find(_.mapping.source == "NO_SUCH_TABLE").get.skipped)
+    val sink = spark.read.parquet(s"$wh/test")
+    assert(sink.count() === 3)
+    assert(sink.columns.contains("row_hash"))
+  }
+
+  test("JdbcIngest: offset resume appends exactly the suffix") {
+    seeded
+    val wh = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
+    // first (interrupted) attempt: rows 1..2 of TEST via a bounded scan
+    val metas = JdbcSource.readTableMetadata(url, "TEST")
+    val wm = JdbcSource.readWatermarkValue(url, "TEST", "ID")
+    val prefix = JdbcSource.scan(spark, url, "TEST", metas, "ID", wm)
+      .filter("ID <= 2")
+    graft.operators.Ddl.writePartitioned(Enrich.enrich(prefix, metas),
+      s"$wh/test", org.apache.spark.sql.SaveMode.Overwrite)
+    // resume at offset 2: suffix appended, full-count verify passes
+    val cfg = graft.sources.JdbcIngest.JdbcConfig(url, wh,
+      graft.IngestJob.TableMapping.parse("TEST:test"),
+      offsetRows = Map("TEST" -> 2L), replace = true) // resume forces append
+    val res = graft.sources.JdbcIngest.run(spark, cfg).head
+    assert(res.report.get.ok)
+    assert(res.report.get.sinkCount === 3)
+    val ids = spark.read.parquet(s"$wh/test")
+      .select("ID").collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids === Seq(1, 2, 3))
+  }
+
   test("typed row over JDBC: canonical tokens honor DECIMAL/CHAR/TIMESTAMP metadata") {
     seeded
     val metas = JdbcSource.readTableMetadata(url, "TYPED")
