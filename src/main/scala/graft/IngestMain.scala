@@ -12,6 +12,11 @@ import graft.operators.Enrich
  *     --mode replace --order-by lineitem=l_orderkey \
  *     --fail-on-consistency-error true
  *
+ * `--jdbc-url <url>` switches the source from the parquet stand-in to a
+ * live database connection ([[graft.sources.JdbcIngest]] — the
+ * reference's actual deployment shape); `--offset table=n` resumes a
+ * table at row offset n (S2, resume always appends).
+ *
  * Prints a per-table report plus the aggregate batch counters
  * (rows_read / rows_written / delta, FB:1283–1327) and exits non-zero on
  * failure when --fail-on-consistency-error is set.
@@ -57,20 +62,37 @@ object IngestMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val cfg = IngestJob.IngestConfig(
-      sourceDir = sourceDir,
-      warehouseDir = warehouse,
-      tables = IngestJob.TableMapping.parse(tables, naming),
-      orderByOverride = orderBy,
-      replace = mode == "replace",
-      failOnConsistencyError = failOnErr,
-      lineage = Enrich.Lineage(
-        loadDttm = new java.sql.Timestamp(System.currentTimeMillis())))
+    val jdbcUrl = getArg(args, "jdbc-url", null)
+    val offsets = parseOverrides(getArg(args, "offset", ""))
+      .map { case (t, n) => t -> n.toLong }
+    val mappings = IngestJob.TableMapping.parse(tables, naming)
+    val lineage = Enrich.Lineage(
+      loadDttm = new java.sql.Timestamp(System.currentTimeMillis()))
 
     val t0 = System.nanoTime()
     val results =
-      try IngestJob.run(spark, cfg)
-      catch {
+      try {
+        if (jdbcUrl != null)
+          sources.JdbcIngest.run(spark, sources.JdbcIngest.JdbcConfig(
+            url = jdbcUrl,
+            warehouseDir = warehouse,
+            tables = mappings,
+            orderByOverride = orderBy,
+            replace = mode == "replace",
+            failOnConsistencyError = failOnErr,
+            offsetRows = offsets,
+            lineage = lineage))
+        else
+          IngestJob.run(spark, IngestJob.IngestConfig(
+            sourceDir = sourceDir,
+            warehouseDir = warehouse,
+            tables = mappings,
+            orderByOverride = orderBy,
+            replace = mode == "replace",
+            failOnConsistencyError = failOnErr,
+            offsetRows = offsets,
+            lineage = lineage))
+      } catch {
         case e: graft.operators.ConsistencyCheck.ConsistencyCheckException =>
           System.err.println(s"[ingest] ABORT: ${e.getMessage}")
           spark.stop(); sys.exit(2)

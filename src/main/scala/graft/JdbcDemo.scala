@@ -46,7 +46,21 @@ object JdbcDemo {
     val h1 = enriched.filter("id = 1").select("row_hash").head().getString(0)
     val golden = CanonicalHash.md5Hex("1|row1")
     println(s"[jdbc-demo] fixture hash=$h1 golden=$golden match=${h1 == golden}")
-    spark.stop()
-    if (h1 != golden) sys.exit(1)
+    if (h1 != golden) { spark.stop(); sys.exit(1) }
+
+    // the full CLI path over a live connection (--jdbc-url routing):
+    // IngestMain exits non-zero itself if the consistency check fails
+    val cliUrl = "jdbc:derby:memory:jdbcdemo_cli;create=true"
+    val c2 = DriverManager.getConnection(cliUrl)
+    val s2 = c2.createStatement()
+    s2.execute("CREATE TABLE TEST (ID INT PRIMARY KEY, NAME VARCHAR(100))")
+    s2.execute("INSERT INTO TEST VALUES (1, 'row1')")
+    s2.execute("INSERT INTO TEST VALUES (2, 'row2')")
+    s2.execute("INSERT INTO TEST VALUES (3, NULL)")
+    s2.close(); c2.close()
+    val wh = java.nio.file.Files.createTempDirectory("jdbc-demo-wh").toString
+    IngestMain.main(Array("--jdbc-url", cliUrl, "--tables", "TEST:test",
+      "--warehouse", wh, "--mode", "replace"))
+    println(s"[jdbc-demo] CLI --jdbc-url ingest verified into $wh/test")
   }
 }
