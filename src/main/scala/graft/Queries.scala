@@ -1069,12 +1069,17 @@ object Queries {
    * against the full corpus (thresholds are corpus-wide, then filters
    * intersect), so stage order cannot change the result.
    */
-  val p1_corpus_prep: Q = Q(
-    run = (spark, dir) => {
+  /** The composed corpus-prep pipeline (exact-dedup ∩ near-dup-cluster
+    * survivors ∩ not-contaminated ∩ stratified keeps) — shared by the
+    * gated query (+ oracle-stability ORDER BY) and the bench (without). */
+  private def p1Frame(spark: SparkSession, dir: String): DataFrame = {
       val docs = t(spark, dir, "documents")
+      // ONE corpus shingle pass, shared by near-dup LSH and
+      // decontamination (both are 3-gram consumers)
+      val withSh = Staging.barrier(TextDedup.shingleSets(docs, "doc_id", "text", 3))
       // near-dup clusters over the full corpus
-      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
-          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+      val pairs = TextDedup.minhashLshPairsFromShingles(withSh,
+          k = MinhashK, bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
         .select("id_a", "id_b")
       val clusters = TextDedup.connectedComponents(pairs)
@@ -1082,7 +1087,6 @@ object Queries {
       val exactKeep = TextDedup.exactDedup(docs, "doc_id", "text")
         .select(col("keep_id"))
       // contaminated train docs (shingle containment vs the eval split)
-      val withSh = Staging.barrier(TextDedup.shingleSets(docs, "doc_id", "text", 3))
       val contaminated = TextDedup
         .decontaminate(withSh, col("id") % EvalModulus === 0, DecontThreshold)
         .select(col("train_id")).distinct()
@@ -1111,8 +1115,12 @@ object Queries {
           col("doc_id") === col("nd_drop"), "left_anti")
         .join(contaminated, col("doc_id") === col("train_id"), "left_anti")
         .select("doc_id", "lang", "quality", "bucket")
-        .orderBy("doc_id")
-    },
+  }
+
+  val p1_corpus_prep: Q = Q(
+    run = (spark, dir) => p1Frame(spark, dir).orderBy("doc_id"),
+    benchRun = Some((spark, dir) => p1Frame(spark, dir)),
+    bench = true,
     oracle = {
       val langs = TextAnalysis.LangMarkers
       val scoreCols = langs.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }

@@ -284,8 +284,18 @@ object TextDedup {
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bandSize: Int, numBands: Int,
-      threshold: Double): DataFrame = {
-    val withSh = Staging.barrier(shingleSets(df, idCol, textCol, n))
+      threshold: Double): DataFrame =
+    minhashLshPairsFromShingles(
+      Staging.barrier(shingleSets(df, idCol, textCol, n)),
+      k, bandSize, numBands, threshold)
+
+  /** [[minhashLshPairs]] over an ALREADY-STAGED `(id, s)` shingle table —
+    * for pipelines that reuse the shingle stage across operators (p1
+    * shares it with [[decontaminate]]: one corpus shingle pass, not two;
+    * at 100 TB the shingle projection is a full corpus scan, so sharing
+    * it is a whole-stage saving, not a micro-optimization). */
+  def minhashLshPairsFromShingles(withSh: DataFrame, k: Int, bandSize: Int,
+      numBands: Int, threshold: Double): DataFrame = {
     val withBands = Staging.barrier(withSh.select(col("id"),
         bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands")))
     val cand = candidatePairs(withBands, "id", "bands")

@@ -206,6 +206,43 @@ object StreamingIngest {
       .filter(col("claimed") === col("expected"))
       .select(col(idCol))
 
+  /** Streaming train/eval DECONTAMINATION — the third member of the
+    * streaming corpus-prep trio (exact dedup, near-dup, decontamination).
+    * Unlike the other two this needs NO cross-batch state: each incoming
+    * train doc is judged only against the STATIC eval corpus, so the
+    * Spark-native shape is a stream-static composition via
+    * `foreachBatch` — every micro-batch runs the exact BATCH operator
+    * ([[graft.operators.TextDedup.decontaminate]], shingle-containment
+    * bipartite join) against the once-staged eval shingle table. At
+    * scale the eval side is broadcast-sized by definition; the per-batch
+    * join is a semi-join probe of the arriving docs' shingle stream.
+    *
+    * `evalSh` is the staged `(id, s)` eval shingle table
+    * ([[graft.operators.TextDedup.shingleSets]]; persist it — it is
+    * reused every batch). `onFlagged` receives each batch's flagged
+    * (train_id, eval_id, overlap, containment) frame and must consume it
+    * EAGERLY (write/collect) — the batch's staging frame is released
+    * when the callback returns. */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      evalSh: DataFrame, n: Int, threshold: Double,
+      trigger: Trigger = Trigger.AvailableNow())(
+      onFlagged: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Staging.scoped {
+          val batchSh = graft.operators.TextDedup
+            .shingleSets(batch, idCol, textCol, n)
+          val withSh = batchSh.withColumn("is_eval", lit(false))
+            .unionByName(evalSh.select(col("id"), col("s"))
+              .withColumn("is_eval", lit(true)))
+          onFlagged(graft.operators.TextDedup
+            .decontaminate(withSh, col("is_eval"), threshold))
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** True session-window aggregation (gap-merged event-time windows) —
     * works identically over a stream or a batch frame. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =

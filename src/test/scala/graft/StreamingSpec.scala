@@ -184,6 +184,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set(1L, 10L, 20L, 21L, 30L))
   }
 
+  test("streaming decontamination (stream-static foreachBatch) equals the batch operator") {
+    import org.apache.spark.sql.types._
+    import graft.operators.{Staging, TextDedup}
+    val (n, modulus, threshold) = (3, 37, 0.1)
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    // static eval side, staged once and reused by every micro-batch
+    val evalSh = TextDedup.shingleSets(
+      docs.filter(col("doc_id") % modulus === 0), "doc_id", "text", n).persist()
+    // train docs arrive as a stream in two waves (split by parity —
+    // per-doc verdicts are independent, so wave layout must not matter)
+    val src = tmp("decont-src")
+    Seq(0, 1).foreach { parity =>
+      val staging = tmp(s"decont-wave$parity")
+      docs.filter(col("doc_id") % modulus =!= 0)
+        .filter(col("doc_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$parity.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + parity * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = StreamingIngest.streamingDecontaminate(stream, "doc_id", "text",
+        evalSh, n, threshold) { df =>
+      flagged ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    q.awaitTermination()
+
+    val batch = Staging.scoped {
+      val withSh = Staging.barrier(TextDedup.shingleSets(docs, "doc_id", "text", n))
+      TextDedup.decontaminate(withSh, col("id") % modulus === 0, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    evalSh.unpersist()
+    assert(batch.nonEmpty, "fixture must contain contamination")
+    assert(flagged.toSet === batch)
+  }
+
   test("session-window agg (stream, complete mode) equals the batch w4 query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val agg = StreamingIngest.sessionWindowAgg(
