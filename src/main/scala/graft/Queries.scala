@@ -964,6 +964,96 @@ object Queries {
       TextAnalysis.fingerprintFromNorm(col("norm")).as("fingerprint"))
   }
 
+  /** Gopher-style repetition filters over the corpus (top-bigram
+    * fraction + duplicate-trigram fraction; see
+    * [[TextAnalysis.repetitionScores]]). */
+  val t21_repetition: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.repetitionScores(t(spark, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN [array_to_string(list_slice(t, i+1, i+2), ' ') for i in range(len(t)-1)]
+        |    ELSE [] END) AS g FROM toks),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac FROM bc GROUP BY 1),
+        |trg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN [array_to_string(list_slice(t, i+1, i+3), ' ') for i in range(len(t)-2)]
+        |    ELSE [] END) AS g FROM toks),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM trg GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup_trigram_frac FROM tc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(ba.top_bigram_frac, 0.0) AS top_bigram_frac,
+        |  COALESCE(ta.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN ba ON ba.doc_id = d.doc_id
+        |LEFT JOIN ta ON ta.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin))
+
+  /** PII redaction gate. The corpus is synthetic word-soup with no real
+    * PII, so the fixture INJECTS deterministic PII derived from doc_id
+    * (an email + a phone per doc) and the gate verifies that Spark's
+    * java.util.regex and DuckDB's RE2 agree on detection counts AND the
+    * md5 of the fully redacted text — the cross-engine contract a
+    * production redaction pass relies on. */
+  val t22_redact_pii: Q = Q(
+    run = (spark, dir) => {
+      val injected = concat(lower(col("text")),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.piiEmailCount(injected).as("n_emails"),
+          TextAnalysis.piiPhoneCount(injected).as("n_phones"),
+          md5(TextAnalysis.redactPii(injected)).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    oracle = {
+      val e = TextAnalysis.EmailPattern
+      val p = TextAnalysis.PhonePattern
+      Some(
+        s"""WITH inj AS (
+           |  SELECT doc_id, lower(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com or call 555-'
+           |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(t, '$e', '<email>', 'g'),
+           |    '$p', '<phone>', 'g')) AS redacted_md5
+           |FROM inj ORDER BY doc_id""".stripMargin)
+    })
+
+  /** GPT-style sequence packing as a relation: concatenate docs in id
+    * order, chop into 512-token sequences; each doc's stream offset and
+    * starting sequence id ([[TextAnalysis.packSequences]] — distributed
+    * prefix-sum, no global window). */
+  val t23_pack_sequences: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.packSequences(t(spark, dir, "documents"), "doc_id", "text",
+          capacity = 512)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM n)
+        |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+        |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin))
+
   val t11_fingerprint: Q = Q(
     run = (spark, dir) => fingerprintFrame(spark, dir).orderBy("doc_id"),
     benchRun = Some((spark, dir) => fingerprintFrame(spark, dir)),
@@ -1885,6 +1975,9 @@ object Queries {
     "t9_quality_score" -> t9_quality_score,
     "t10_token_counts" -> t10_token_counts,
     "t11_fingerprint" -> t11_fingerprint,
+    "t21_repetition" -> t21_repetition,
+    "t22_redact_pii" -> t22_redact_pii,
+    "t23_pack_sequences" -> t23_pack_sequences,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -121,4 +121,112 @@ object TextAnalysis {
     * (quadratic in document length; see [[fingerprintFromNorm]]). */
   def fingerprint(text: Column, gram: Int = 5, k: Int = 4): Column =
     fingerprintFromNorm(lower(trim(text)), gram, k)
+
+  /** Gopher-style REPETITION filters (Rae et al. 2021 §A1.1 "repetition"
+    * signals) — the standard quality gate [[qualityScore]]'s
+    * length/punct/stopword ratios do not cover: heavily repetitive docs
+    * (boilerplate, keyword stuffing, generation loops) score
+    *
+    *   - `top_bigram_frac`: occurrences of the MOST FREQUENT word bigram
+    *     / total bigram occurrences;
+    *   - `dup_trigram_frac`: fraction of trigram occurrences whose
+    *     trigram appears more than once.
+    *
+    * Docs with fewer than n+1 tokens score 0.0 (nothing repeats).
+    *
+    * Shape (the scale-correct one): gram occurrences are EXPLODED and
+    * counted in a two-level aggregation — (id, gram) partial counts,
+    * then per-doc max/sum — instead of a per-row mode computation, which
+    * would be quadratic in document length inside each row. The shuffle
+    * carries (id, gram-occurrence) pairs, the same volume as the
+    * dedup family's shingle joins; both aggregations are map-side
+    * partial. Token arrays are staged ([[Staging.barrier]]) per the
+    * lambda-closure rule. */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    def fracOf(n: Int, top: Boolean, name: String): DataFrame =
+      toks.select(col("id"),
+          explode(TextDedup.gramOccurrences(col("t"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg(
+          (if (top) max(col("c")) * lit(1.0) / sum(col("c"))
+           else sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) * lit(1.0)
+             / sum(col("c"))).as(name))
+    df.select(col(idCol).as("id"))
+      .join(fracOf(2, top = true, "top_bigram_frac"), Seq("id"), "left")
+      .join(fracOf(3, top = false, "dup_trigram_frac"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** Patterns are deliberately RE2-compatible (no backreferences, no
+    * lookaround) so the DuckDB oracle evaluates the IDENTICAL regex —
+    * Spark compiles them with java.util.regex, DuckDB with RE2; staying
+    * in the common subset keeps the differential gate honest. Lowercase
+    * char classes: redaction runs on normalized (lowercased) text. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction (map-only): masks emails then phone numbers. Spark's
+    * `regexp_replace` replaces ALL occurrences (the DuckDB twin needs
+    * the explicit 'g' flag). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<email>"),
+      PhonePattern, "<phone>")
+
+  /** Occurrence counts for the two PII classes, for audit columns. */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
+  // -------------------------------------------------------------------
+  // Sequence packing (GPT-style concatenate-then-chop)
+  // -------------------------------------------------------------------
+
+  /** Token-budget SEQUENCE PACKING: documents are concatenated in id
+    * order into one token stream and chopped into fixed-`capacity`
+    * training sequences; each doc gets its stream `start_offset` and the
+    * `seq_id` of the sequence its first token lands in — the standard
+    * pretraining packing layout, as a relation.
+    *
+    * The global prefix sum is computed WITHOUT a global window (a
+    * `Window.orderBy` with no partition key executes in ONE partition —
+    * the classic scale-killer): docs are bucketed by `floor(id /
+    * bucketWidth)` (content-independent, deterministic), the cumsum
+    * within each bucket is a partition-local window, and the cross-bucket
+    * prefix is a window over the tiny per-bucket-totals table (one row
+    * per bucket — metadata-scale, like the IVF centroid table) joined
+    * back by broadcast. `start_offset` = bucket prefix + within-bucket
+    * prefix, exactly the global cumsum in exact integer arithmetic. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, bucketWidth: Long = 1000L): DataFrame = {
+    val n = df.select(col(idCol).as("id"),
+      size(TextDedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bucketed = n.withColumn("bucket", floor(col("id") / bucketWidth))
+    val bucketTotals = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+    val bucketPrefix = bucketTotals.withColumn("bucket_prefix",
+      coalesce(sum(col("bucket_total")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    val withinPrefix = bucketed.withColumn("within_prefix",
+      coalesce(sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    withinPrefix.join(broadcast(bucketPrefix), Seq("bucket"))
+      .select(col("id"), col("n_tokens"),
+        (col("bucket_prefix") + col("within_prefix")).as("start_offset"))
+      .withColumn("seq_id", floor(col("start_offset") / capacity).cast("long"))
+  }
 }

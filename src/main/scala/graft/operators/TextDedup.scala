@@ -83,9 +83,16 @@ object TextDedup {
     * Uses O(1) `element_at` accesses rather than per-position `slice`
     * copies. */
   def shingles(toks: Column, n: Int): Column =
+    array_distinct(gramOccurrences(toks, n))
+
+  /** All word n-gram OCCURRENCES in order (no distinct) — the raw form
+    * behind [[shingles]]; repetition scoring ([[TextAnalysis
+    * .repetitionScores]]) needs occurrence counts, not the set. Same
+    * closure rule as [[shingles]]: pass a materialized attribute. */
+  def gramOccurrences(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))))
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
 
   /** Staged (id, shingle-set) table: tokens are MATERIALIZED (persist)

@@ -68,6 +68,61 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition scores: hand-computed fractions; short docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // bigrams: ab,ba,ab,ba → top 2/4; trigrams: aba,bab,aba → dup 2/3
+      (2L, "x y z w"),        // all grams unique → top 1/3, dup 0
+      (3L, "solo")            // < 2 tokens → 0, 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Staging.scoped {
+      TextAnalysis.repetitionScores(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    assert(out(1L) === ((0.5, 2.0 / 3)))
+    assert(out(2L) === ((1.0 / 3, 0.0)))
+    assert(out(3L) === ((0.0, 0.0)))
+  }
+
+  test("redactPii masks every email and phone; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at a.b-c%d@sub.example.org and x@y.io or dial 555-1234 then 010.4242",
+      "no pii here at all").toDF("t")
+    val out = df.select(
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.piiEmailCount(col("t")).as("e"),
+      TextAnalysis.piiPhoneCount(col("t")).as("p")).collect()
+    assert(out(0).getString(0) ===
+      "mail me at <email> and <email> or dial <phone> then <phone>")
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 2L)
+    assert(out(1).getString(0) === "no pii here at all")
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L)
+  }
+
+  test("packSequences distributed prefix-sum equals the global-window cumsum") {
+    import spark.implicits._
+    // sparse, non-dense ids straddling several buckets of width 5
+    val docs = (1L to 97L by 3L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+        capacity = 8, bucketWidth = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // naive single-partition reference
+    val naive = docs.withColumn("n", size(split(col("text"), " ")).cast("long"))
+      .withColumn("off", coalesce(sum("n").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq", floor(col("off") / 8).cast("long"))
+      .select("doc_id", "n", "off", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed === naive)
+    // offsets are a proper prefix sum: each start = previous start + count
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2) }
+  }
+
   test("approx quantile thresholds sit in the valid median band of the deterministic twin") {
     // the at-scale (sketch) form of t18's threshold subplan must pick a
     // REAL data value in the median band; the deterministic row_number
