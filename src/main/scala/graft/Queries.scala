@@ -1054,6 +1054,30 @@ object Queries {
         |  CAST(FLOOR(start_offset / 512) AS BIGINT) AS seq_id
         |FROM o ORDER BY doc_id""".stripMargin))
 
+  /** Keyword extraction: per-doc top-5 rarity-weighted terms
+    * ([[TextAnalysis.topTermsByRarity]]; exact-rational score so the
+    * differential can hash it). */
+  val t24_top_terms: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.topTermsByRarity(t(spark, dir, "documents"), "doc_id", "text",
+          k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank"),
+    oracle = Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, term, tf, df, tf * 1.0 / df AS score
+        |  FROM tf JOIN dfreq USING (term)),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin))
+
   val t11_fingerprint: Q = Q(
     run = (spark, dir) => fingerprintFrame(spark, dir).orderBy("doc_id"),
     benchRun = Some((spark, dir) => fingerprintFrame(spark, dir)),
@@ -1978,6 +2002,7 @@ object Queries {
     "t21_repetition" -> t21_repetition,
     "t22_redact_pii" -> t22_redact_pii,
     "t23_pack_sequences" -> t23_pack_sequences,
+    "t24_top_terms" -> t24_top_terms,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -162,6 +162,42 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Keyword extraction (rarity-weighted top terms)
+  // -------------------------------------------------------------------
+
+  /** Per-document TOP-K TERMS by rarity weight — keyword extraction over
+    * the corpus. Score = tf / df (term frequency over document
+    * frequency): for a fixed tf it ranks exactly like tf·idf (both
+    * strictly decreasing in df) and, unlike `ln`-idf, is a single IEEE
+    * division of exact integers — bit-identical across engines, so the
+    * DuckDB differential can hash the scores. Production tf·idf is the
+    * one-line swap `tf * ln((N+1)/(df+1))` documented here; `ln` is only
+    * ~1-ulp reproducible across libm implementations, which is why the
+    * GATE uses the rational form (the q10 decimal-moments precedent).
+    *
+    * Shape: exploded token occurrences → (id, term) counts (map-side
+    * partial) → document frequencies from the (id, term) relation →
+    * equi-join on term (AQE picks broadcast when the term dictionary is
+    * small; shuffle-hash otherwise — at 100 TB the dictionary can exceed
+    * broadcast size) → per-doc top-k via a PARTITIONED row_number window
+    * (partition-local, no global sort). Ties broken by term. */
+  def topTermsByRarity(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextDedup.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf") * lit(1.0) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------
 

@@ -123,6 +123,23 @@ class TextAnalysisSpec extends SparkSpec {
       assert(b._3 === a._3 + a._2) }
   }
 
+  test("topTermsByRarity ranks distinctive terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare1"),    // 'common' in all docs, rare1 only here
+      (2L, "common rare2 rare2"),
+      (3L, "common xyz")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTermsByRarity(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: rare1 df=1 tf=1 → 1.0 beats common tf=2 df=3 → 0.667
+    assert(out((1L, 1)) === (("rare1", 1L, 1L)))
+    assert(out((1L, 2)) === (("common", 2L, 3L)))
+    // doc 2: rare2 tf=2 df=1 → 2.0 first
+    assert(out((2L, 1)) === (("rare2", 2L, 1L)))
+    // doc 3: xyz (1/1) beats common (1/3)
+    assert(out((3L, 1)) === (("xyz", 1L, 1L)))
+  }
+
   test("approx quantile thresholds sit in the valid median band of the deterministic twin") {
     // the at-scale (sketch) form of t18's threshold subplan must pick a
     // REAL data value in the median band; the deterministic row_number
