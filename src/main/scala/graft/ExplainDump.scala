@@ -11,7 +11,8 @@ object ExplainDump {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_resumable_scan", "f1_enrich_lineitem", "a2_consistency_metrics",
         "t3_minhash_lsh_pairs", "t6_ann_topk", "w1_windowed_agg",
-        "t17_decontaminate", "t18_stratified_sample")
+        "t17_decontaminate", "t18_stratified_sample",
+        "t21_repetition", "t23_pack_sequences", "t24_top_terms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

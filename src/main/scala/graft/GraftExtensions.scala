@@ -7,33 +7,65 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.DotProduct
 
 /**
- * Session extensions: registers the engine's native expressions for SQL
- * use. Activate with
+ * Session extensions: registers the engine's native expressions AND its
+ * text-operator macros for SQL use. Activate with
  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
  * `spark.sql.extensions=graft.GraftExtensions`; then
- * `SELECT graft_dot(a, b)` works in plain SQL.
+ * `SELECT graft_dot(a, b)`, `SELECT graft_redact(text)` etc. work in
+ * plain SQL.
+ *
+ * The text functions are SQL MACROS: the builder expands each call into
+ * the same Catalyst expression tree the Column API builds (via the
+ * [[org.apache.spark.sql.graft.bridge]]), so SQL users get identical
+ * semantics, codegen, and pushdown — there are no UDFs behind these
+ * names.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      GraftExtensions.dotBuilder))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
-  private val dotBuilder:
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression = { children =>
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graft.bridge
+
+  private val dotBuilder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "graft_dot expects exactly 2 arguments")
     DotProduct(children.head, children(1))
   }
 
+  /** Wrap a unary Column composition as a SQL function builder. */
+  private def unary(name: String)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$name expects exactly 1 argument")
+    bridge.expressionEager(f(bridge.column(children.head)))
+  }
+
+  /** Name → builder for every SQL-registered function. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> dotBuilder,
+    "graft_tokens" -> unary("graft_tokens")(operators.TextDedup.tokens),
+    "graft_redact" -> unary("graft_redact")(operators.TextAnalysis.redactPii),
+    "graft_langid" -> unary("graft_langid")(operators.TextAnalysis.langId),
+    "graft_quality" -> unary("graft_quality")(operators.TextAnalysis.qualityScore),
+    // convenience form: inlines the normalization into the gram lambda —
+    // fine for ad-hoc SQL; pipelines should stage the normalized text
+    // and use fingerprintFromNorm (see TextAnalysis scaladoc)
+    "graft_fingerprint" -> unary("graft_fingerprint")(
+      operators.TextAnalysis.fingerprint(_)))
+
   /** Registry-path registration for an ALREADY-RUNNING session (the
     * builder path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    functions.foreach { case (name, builder) =>
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

@@ -1389,6 +1389,20 @@ object Queries {
          |  CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
 
+  /** w3's at-scale twin: HLL++ `approx_count_distinct`. Exact
+    * countDistinct shuffles one row per distinct (event_type, user) —
+    * fine here, unbounded at 100 TB; the sketch twin shuffles one
+    * fixed-size mergeable HLL buffer per partition per group. Guarded by
+    * QueriesSpec: the estimate must land within the configured rsd band
+    * of the exact w3 answer on the corpus (the t18
+    * approx-vs-deterministic twin pattern). */
+  def w3ApproxDistinct(spark: SparkSession, dir: String,
+      rsd: Double = 0.05): DataFrame =
+    eventsWithTs(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_distinct_users"),
+        count(lit(1)).as("n"))
+
   val w3_distinct_users: Q = Q(
     run = (spark, dir) =>
       eventsWithTs(spark, dir)

@@ -13,6 +13,16 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. [[expression]] wraps the
+    * column node lazily (`ColumnNodeExpression`), which the analyzer
+    * only unwraps on DataFrame API paths — an expression returned from a
+    * FunctionRegistry builder must already be a plain Catalyst tree
+    * (possibly with UnresolvedFunction leaves, which the analyzer DOES
+    * resolve) or execution hits "Cannot generate code". This runs the
+    * classic converter up front. */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The persisted RDD under a `localCheckpoint`ed / `checkpoint`ed
     * Dataset. `Dataset.unpersist` releases only CacheManager entries, so
     * checkpoint blocks otherwise linger until GC (ContextCleaner) — this

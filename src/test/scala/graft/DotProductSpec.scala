@@ -73,4 +73,27 @@ class DotProductSpec extends SparkSpec {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder wired
   }
+
+  test("SQL text macros expand to the Column-API expression trees") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_redact('mail a@b.io or 555-1234') AS red,
+        |  graft_tokens('  The quick  FOX ') AS toks,
+        |  graft_langid('the cat and the dog is a pet') AS lang,
+        |  graft_quality('the quick brown fox jumps over the lazy dog') AS q,
+        |  graft_fingerprint('abcdefgh') AS fp""".stripMargin).head
+    assert(r.getString(0) === "mail <email> or <phone>")
+    assert(r.getSeq[String](1) === Seq("the", "quick", "fox"))
+    assert(r.getString(2) === "en")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    // identical to the Column-API result — macro, not a reimplementation
+    import spark.implicits._
+    val viaColumn = Seq("abcdefgh").toDF("t")
+      .select(graft.operators.TextAnalysis.fingerprint(col("t"))).head.getString(0)
+    assert(r.getString(4) === viaColumn)
+    // arity errors surface through analysis
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_redact('a', 'b')").collect())
+    assert(err.getMessage.contains("graft_redact"))
+  }
 }

@@ -19,6 +19,22 @@ class QueriesSpec extends SparkSpec {
     assert(missing === Set.empty)
   }
 
+  test("w3 approx-distinct twin lands within the rsd band of the exact answer") {
+    import org.apache.spark.sql.functions._
+    val rsd = 0.05
+    val exact = Queries.w3_distinct_users.run(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Queries.w3ApproxDistinct(spark, sf(), rsd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // 3×rsd: the documented HLL++ error band with slack for small groups
+      assert(math.abs(a - e).toDouble / e <= 3 * rsd,
+        s"$k: approx $a vs exact $e exceeds ${3 * rsd}")
+    }
+  }
+
   test("unrounded DECIMAL q1 sums match DuckDB golden values row-by-row (sub-cent differential)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
