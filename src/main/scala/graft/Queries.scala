@@ -727,6 +727,29 @@ object Queries {
     """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
 
+  /** Metadata-FILTERED vector search: top-5 neighbors sharing the
+    * query's `label` ([[VectorOps.filteredTopK]] — predicate inside the
+    * join, non-matching vectors never scored). */
+  val t25_filtered_ann: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.filteredTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", Seq("label"), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label AS label,
+        |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+        |  FROM q JOIN n c ON c.vec_id <> q.vec_id AND c.label = q.label),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, label, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val t6_ann_topk: Q = Q(
     run = (spark, dir) => {
       val emb = t(spark, dir, "embeddings")
@@ -2006,6 +2029,7 @@ object Queries {
     "t20_embedding_clusters" -> t20_embedding_clusters,
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
+    "t25_filtered_ann" -> t25_filtered_ann,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,
     "t13_ann_recall" -> t13_ann_recall,

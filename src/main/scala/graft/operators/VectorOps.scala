@@ -80,6 +80,36 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** FILTERED cosine top-k — vector search restricted by a metadata
+    * predicate: each query's neighbors must match it on every column in
+    * `matchCols` (the "search within category/tenant/language" shape a
+    * vector store exposes). The predicate lives IN the join condition,
+    * so non-matching vectors are never scored; at 100 TB this composes
+    * with clustering the corpus by the filter columns, turning the
+    * predicate into partition pruning before the scan. With an IVF
+    * index, apply the same predicate to the probed cells' members
+    * (search-time filter) rather than re-training per filter value. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, matchCols: Seq[String], k: Int): DataFrame = {
+    require(matchCols.nonEmpty, "filteredTopK needs at least one match column")
+    def prep(df: DataFrame, p: String): DataFrame =
+      df.select(Seq(col(idCol).as(p + "id"), asDouble(col(vecCol)).as(p + "v"))
+          ++ matchCols.map(m => col(m).as(p + m)): _*)
+        .withColumn(p + "nrm", norm(col(p + "v")))
+    val c = prep(corpus, "c_")
+    val q = prep(queries, "q_")
+    val cond = (col("c_id") =!= col("q_id")) +: matchCols.map(m =>
+      col("c_" + m) === col("q_" + m))
+    val scored = c.join(broadcast(q), cond.reduce(_ && _))
+      .select(Seq(col("q_id").as("query_id"), col("c_id").as("neighbor_id")) ++
+        matchCols.map(m => col("q_" + m).as(m)) :+
+        cosine(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")).as("cos"): _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /**
    * IVF coarse quantizer: one centroid per `labelCol` cell, computed with
    * EXACT decimal per-dimension sums (a double-sum groupBy is

@@ -120,6 +120,24 @@ class DedupSpec extends SparkSpec {
     (bound.keySet -- staged.keySet).foreach(id => assert(bound(id).isEmpty))
   }
 
+  test("filteredTopK equals per-label brute force over the restricted corpus") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val filtered = VectorOps.filteredTopK(emb, queries,
+        "vec_id", "embedding", Seq("label"), k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val perLabel = queries.select("vec_id", "label").collect().flatMap { q =>
+      val (qid, lbl) = (q.getLong(0), q.getInt(1))
+      VectorOps.bruteForceTopK(emb.filter(col("label") === lbl),
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(filtered.nonEmpty)
+    assert(filtered === perLabel)
+  }
+
   test("keepSurvivors drops exactly the non-survivor cluster members") {
     import spark.implicits._
     val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
