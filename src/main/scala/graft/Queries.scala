@@ -528,6 +528,38 @@ object Queries {
            |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM hs ORDER BY doc_id""".stripMargin)
     })
 
+  /** SimHash near-dup pairs (hamming ≤ 3 of 32 bits) via
+    * pigeonhole-exact banding ([[TextDedup.simhashPairs]]). The oracle
+    * is deliberately the EXHAUSTIVE quadratic join — hash equality
+    * proves the banded plan loses no pair at the distance bound. */
+  val t26_simhash_pairs: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val withHs = Staging.barrier(docs.select(col("doc_id"),
+        transform(TextDedup.tokens(col("text")), TextDedup.tokenHash60(_)).as("hs")))
+      val sh = Staging.barrier(withHs.select(col("doc_id"),
+        TextDedup.simhashFromHashes(col("hs"), SimhashBits).as("simhash")))
+      TextDedup.simhashPairs(sh, "doc_id", "simhash", SimhashBits,
+          bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+    oracle = {
+      val terms = (0 until SimhashBits).map { b =>
+        s"(CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |hs AS (SELECT doc_id, list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS h FROM toks),
+           |sim AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM hs)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin)
+    })
+
   private val CosineThreshold = 0.45
 
   private val NearDupBits = 4
@@ -2020,6 +2052,7 @@ object Queries {
     "t2_ngram_jaccard_pairs" -> t2_ngram_jaccard_pairs,
     "t3_minhash_lsh_pairs" -> t3_minhash_lsh_pairs,
     "t4_simhash" -> t4_simhash,
+    "t26_simhash_pairs" -> t26_simhash_pairs,
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
     "t17_decontaminate" -> t17_decontaminate,

@@ -481,4 +481,35 @@ object TextDedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup PAIRS with PIGEONHOLE-EXACT banding: the
+    * `bits`-bit simhash splits into `bands` contiguous bit bands; two
+    * hashes within hamming distance `maxDist` < bands differ in at most
+    * `maxDist` bands, so they MUST agree on at least one — the band
+    * bucket join has provably FULL recall at the distance bound, unlike
+    * minhash banding's probabilistic recall (the t26 oracle exploits
+    * this: it is the exhaustive quadratic join, and the driver hash
+    * proves the banded plan reproduces it exactly). Candidates are
+    * verified with the exact popcount hamming; the self-join shuffles
+    * (band_idx, band_value, id, hash) — 8-byte keys, never documents. */
+  def simhashPairs(sh: DataFrame, idCol: String, simhashCol: String,
+      bits: Int = 32, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist < bands, "pigeonhole recall needs maxDist < bands")
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val ex = sh.select(col(idCol).as("id"), col(simhashCol).as("h"))
+      .select(col("id"), col("h"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("h"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "bv")))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.h"), col("b.h")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }
