@@ -241,17 +241,30 @@ object VectorOps {
     * literals (map-side assign/probe), corpus partitioned by cell. */
   def kmeansIvfTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, kClusters: Int = 8, iters: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, matchCols: Seq[String] = Nil): DataFrame = {
+    // matchCols = SEARCH-TIME metadata filter (the production filtered-
+    // ANN shape): the index stays ONE index over the full corpus —
+    // centroids are trained unfiltered — and the predicate prunes the
+    // probed cells' candidates before scoring. Recall within a filter
+    // value degrades only if that value's vectors are spread across more
+    // cells than nprobe reaches; raise nprobe, never re-train per value.
     val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
-    val corpus = prepared(df, idCol, vecCol)
+    val corpus = df.select(Seq(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v")) ++ matchCols.map(col): _*)
+      .withColumn("nrm", norm(col("v")))
       .withColumn("cell", assignCell(col("v"), col("nrm"), cent))
     val probed = corpus.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
-        explode(probeCells(col("v"), col("nrm"), cent, nprobe)).as("cell"))
-    val scored = probed.join(corpus, Seq("cell"))
-      .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+      .select(Seq(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")) ++ matchCols.map(m => col(m).as("q_" + m)) :+
+        explode(probeCells(col("v"), col("nrm"), cent, nprobe)).as("cell"): _*)
+    val candidates = matchCols.foldLeft(
+        probed.join(corpus, Seq("cell")).filter(col("id") =!= col("query_id"))) {
+      (d, m) => d.filter(col("q_" + m) === col(m))
+    }
+    val scored = candidates
+      .select(Seq(col("query_id"), col("id").as("neighbor_id")) ++
+        matchCols.map(m => col("q_" + m).as(m)) :+
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"): _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

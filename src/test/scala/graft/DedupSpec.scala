@@ -138,6 +138,32 @@ class DedupSpec extends SparkSpec {
     assert(filtered === perLabel)
   }
 
+  test("IVF search-time filter: full probe equals exact filtered search; partial probe stays label-pure") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val pred = col("vec_id") < 10
+    // nprobe = kClusters ⇒ every cell probed ⇒ candidates are the whole
+    // corpus within the filter ⇒ must equal the exact filtered search
+    val full = VectorOps.kmeansIvfTopK(emb, "vec_id", "embedding", pred,
+        k = 3, kClusters = 4, iters = 2, nprobe = 4, matchCols = Seq("label"))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = VectorOps.filteredTopK(emb, emb.filter(pred),
+        "vec_id", "embedding", Seq("label"), k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full.nonEmpty)
+    assert(full === exact)
+    // partial probe: recall may drop but every neighbor still matches
+    // the query's label (the filter is inside candidate generation)
+    val labels = emb.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    VectorOps.kmeansIvfTopK(emb, "vec_id", "embedding", pred,
+        k = 3, kClusters = 4, iters = 2, nprobe = 1, matchCols = Seq("label"))
+      .select("query_id", "neighbor_id")
+      .collect().foreach { r =>
+        assert(labels(r.getLong(0)) === labels(r.getLong(1))) }
+  }
+
   test("keepSurvivors drops exactly the non-survivor cluster members") {
     import spark.implicits._
     val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
