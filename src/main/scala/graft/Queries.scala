@@ -560,6 +560,54 @@ object Queries {
            |ORDER BY id_a, id_b""".stripMargin)
     })
 
+  private val SpanGram = 5
+
+  /** Span-level (substring) duplication — the ExactSubstr modality: which
+    * parts of each document are copied verbatim from elsewhere in the
+    * corpus, not just which documents are near-duplicates. See
+    * [[TextDedup.spanDuplication]] for the scale argument (gram-digest
+    * aggregation, no pairwise join, no global sort). */
+  val t27_span_dedup: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.spanDuplication(t(spark, dir, "documents"), "doc_id", "text",
+          gram = SpanGram)
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= $SpanGram
+         |      THEN [array_to_string(list_slice(t, i+1, i+$SpanGram), ' ') for i in range(len(t)-${SpanGram - 1})]
+         |      ELSE [] END AS gs
+         |  FROM toks),
+         |ex AS (
+         |  SELECT doc_id, unnest(range(len(gs))) AS pos, md5(unnest(gs)) AS gh
+         |  FROM g),
+         |dup AS (SELECT gh FROM ex GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (SELECT doc_id, pos FROM ex WHERE gh IN (SELECT gh FROM dup)),
+         |rn AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM fl),
+         |r2 AS (SELECT doc_id, grp, count(*) AS run FROM rn GROUP BY 1, 2),
+         |ra AS (
+         |  SELECT doc_id, max(run) AS max_run,
+         |    CAST(sum(run) AS BIGINT) AS dup_grams
+         |  FROM r2 GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_grams, 0) AS n_grams,
+         |  COALESCE(dup_grams, 0) AS dup_grams,
+         |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+         |       ELSE COALESCE(dup_grams, 0) * 1.0 / n_grams END AS dup_fraction,
+         |  COALESCE(max_run + ${SpanGram - 1}, 0) AS max_dup_span_tokens
+         |FROM documents d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN ra USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   private val CosineThreshold = 0.45
 
   private val NearDupBits = 4
@@ -2053,6 +2101,7 @@ object Queries {
     "t3_minhash_lsh_pairs" -> t3_minhash_lsh_pairs,
     "t4_simhash" -> t4_simhash,
     "t26_simhash_pairs" -> t26_simhash_pairs,
+    "t27_span_dedup" -> t27_span_dedup,
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
     "t17_decontaminate" -> t17_decontaminate,

@@ -512,4 +512,70 @@ object TextDedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Span-level duplication metrics — the substring analogue of document
+    * dedup (ExactSubstr: "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022). A token n-gram is DUPLICATED when
+    * it occurs in ≥ 2 distinct documents; per document we report how much
+    * of it is built from duplicated grams and the longest contiguous
+    * duplicated span. Unlike the suffix-array formulation, this
+    * gram-frequency formulation is a pure shuffle-aggregation pipeline —
+    * no pairwise joins, no global sort:
+    *
+    *   1. tokens staged (materialized attribute — lambda-closure rule),
+    *      gram occurrences posexploded with their position;
+    *   2. duplicated-gram set = groupBy(gram digest) HAVING
+    *      count(DISTINCT doc) ≥ 2 — shuffles 16-byte digests, never text.
+    *      A 128-bit digest stands in for the gram (collision odds over
+    *      even 10^12 distinct grams ~ 10^-15, far below hardware error);
+    *   3. LEFT SEMI join of positions against the duplicated set (AQE
+    *      broadcasts it when small, shuffle-hash otherwise);
+    *   4. run-length of consecutive duplicated positions via the
+    *      pos − row_number trick under a PARTITIONED window (per-doc,
+    *      no global sort), then one per-doc aggregate.
+    *
+    * Returns (doc_id, n_grams, dup_grams, dup_fraction,
+    * max_dup_span_tokens): `dup_fraction` is a single division of exact
+    * integers (bit-identical across engines — the t24 rationale);
+    * `max_dup_span_tokens` = longest duplicated run + (gram−1), i.e. the
+    * token length of the longest substring shared verbatim with another
+    * document (0 when none). Docs shorter than `gram` tokens report all
+    * zeros. The cross-doc threshold is distinct DOCUMENTS, so a phrase
+    * repeated only within one doc does not count (that is
+    * [[graft.operators.TextAnalysis.repetitionScores]]'s job). */
+  def spanDuplication(df: DataFrame, idCol: String, textCol: String,
+      gram: Int): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    // (id, pos, gram-digest) — staged: consumed by the dup-set aggregate,
+    // the semi join probe, and the per-doc totals
+    val ex = Staging.barrier(
+      toks.select(col("id"),
+          posexplode(gramOccurrences(col("t"), gram)).as(Seq("pos", "g")))
+        .select(col("id"), col("pos"), md5(col("g")).as("gh")))
+    val dupSet = ex.groupBy("gh")
+      .agg(count_distinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val flagged = ex.join(dupSet, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max(col("run")).as("max_run"),
+        sum(col("run")).as("dup_grams"))
+    val totals = ex.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    df.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(runs, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_grams"), lit(0L)) * lit(1.0)
+            / col("n_grams")).as("dup_fraction"),
+        coalesce(col("max_run") + lit(gram - 1L), lit(0L))
+          .as("max_dup_span_tokens"))
+  }
 }

@@ -54,6 +54,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span duplication: planted shared span found; within-doc repeats don't count") {
+    import spark.implicits._
+    // doc 1 and 2 share a verbatim 7-token span inside otherwise-unique
+    // text; doc 3 repeats its own phrase (within-doc only); doc 4 is
+    // unique; doc 5 is shorter than the gram size
+    val shared = "the quick brown fox jumps over dog"
+    val fixture = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "red green blue red green blue red green blue red green blue"),
+      (4L, "entirely unique words without any overlap anywhere here"),
+      (5L, "too few tokens")).toDF("doc_id", "text")
+    val out = graft.operators.Staging.scoped {
+      TextDedup.spanDuplication(fixture, "doc_id", "text", gram = 5)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    }
+    // 7-token shared span = 3 duplicated 5-grams; span length reported 7
+    val (n1, d1, f1, s1) = out(1L)
+    assert(n1 === 8L && d1 === 3L && s1 === 7L && math.abs(f1 - 3.0 / 8) < 1e-15)
+    assert(out(2L) === ((9L, 3L, 3.0 / 9, 7L)))
+    // within-doc repetition is NOT cross-doc duplication
+    assert(out(3L) === ((8L, 0L, 0.0, 0L)))
+    assert(out(4L) === ((4L, 0L, 0.0, 0L)))
+    // short doc: zero grams, zero fraction (no ANSI division error)
+    assert(out(5L) === ((0L, 0L, 0.0, 0L)))
+  }
+
   test("connected components: a planted A~B~C chain collapses to one survivor") {
     import spark.implicits._
     // A~B and B~C but NOT A~C, plus a disjoint pair and a long chain
