@@ -410,6 +410,54 @@ object Queries {
         |) AS t(source_name, sink_name) ORDER BY source_name""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // C1: CDC merge (apply an I/U/D change log to a snapshot)
+  // ---------------------------------------------------------------------
+
+  /** [[Cdc.applyChanges]] over a change batch derived deterministically
+    * from `orders`: keys ≡0 (mod 7) are missing from the base and arrive
+    * as inserts (seq 1), keys ≡0 (mod 5) get a full-row update image
+    * (status 'R', price doubled — exact in binary FP, seq 2), keys ≡0
+    * (mod 11) are deleted (seq 3). The congruence overlaps exercise
+    * latest-wins: a key ≡0 (mod 35) is inserted then updated (update
+    * survives), ≡0 (mod 55/77) is deleted whatever else happened. */
+  val c1_cdc_merge: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val base = ord.filter(col("o_orderkey") % 7 =!= 0)
+      val inserts = ord.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val updates = ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val deletes = ord.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      Cdc.applyChanges(base, inserts.unionByName(updates).unionByName(deletes),
+          Seq("o_orderkey"), "op", "seq")
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |changes AS (
+        |  SELECT *, 'I' AS op, 1 AS seq FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+        |    'U', 2
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT *, 'D', 3 FROM orders WHERE o_orderkey % 11 = 0),
+        |latest AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
 
@@ -2092,7 +2140,8 @@ object Queries {
     "o3_create_table_ddl" -> o3_create_table_ddl,
     "o10_fb_table_mapping" -> o10_fb_table_mapping,
     "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip,
-    "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip)
+    "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip,
+    "c1_cdc_merge" -> c1_cdc_merge)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * CDC merge — apply a change batch (insert/update/delete log) to a base
+ * snapshot, latest change per key wins. The natural next step after the
+ * reference's append/replace sink modes (MIS:1090–1113 only truncates or
+ * appends; a log-consuming pipeline needs MERGE): the same operator a
+ * `MERGE INTO` statement or a Debezium-feed materializer runs.
+ *
+ * Semantics:
+ *   - `changes` carries the base's payload columns plus an op column
+ *     (`'I' | 'U' | 'D'`) and a per-key strictly-increasing sequence
+ *     column (the CDC log's LSN / binlog position). For each key only the
+ *     HIGHEST-sequence change applies: `D` removes the key, `I`/`U`
+ *     replace the full row (full-row images, as Debezium emits).
+ *   - Keys absent from `changes` pass through from `base` untouched.
+ *   - A delete of an absent key is a no-op; an insert of a present key
+ *     behaves as an update (upsert) — so replaying an already-applied
+ *     batch is idempotent (CdcSpec asserts both).
+ *
+ * Scale shape (100 TB base, ≪ base-sized change batch):
+ *   1. latest-per-key via `max_by(struct(payload), seq)` — an AGGREGATION,
+ *     not a `row_number` window: partial aggregation combines map-side,
+ *     shuffling one row per key per map task instead of sorting every
+ *     change inside a window partition. Sequence ties are impossible in
+ *     a real log (unique LSN); we still break them deterministically by
+ *     including the sequence in the struct ordering.
+ *   2. one LEFT ANTI join of base against the touched-key set (AQE
+ *     broadcasts it when the batch is small — the common case; falls
+ *     back to a shuffle join keyed identically to step 1 otherwise).
+ *     With the base bucketed on the key ([[Ddl]] bucketing), the anti
+ *     join is exchange-free on the base side.
+ *   3. union with the surviving upsert images — map-only.
+ *   The base table is never shuffled when the touched-key set broadcasts;
+ *   the big side streams through scan → anti-join → union → sink.
+ */
+object Cdc {
+
+  /** Merge `changes` into `base`. `base` and `changes` must share the
+    * payload schema; `changes` additionally carries `opCol` and `seqCol`.
+    * Returns the merged snapshot with the payload schema. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "CDC merge needs at least one key column")
+    val payload = base.columns.toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every base column; missing " +
+        payload.filterNot(changes.columns.contains).mkString(","))
+    val keys = keyCols.map(col)
+    // max_by over (seq, op, payload): seq dominates; op/payload only break
+    // impossible-in-practice ties, keeping the operator deterministic
+    val image = struct((Seq(col(seqCol), col(opCol)) ++ payload.map(col)): _*)
+    val latest = changes.groupBy(keys: _*)
+      .agg(max(image).as("img"))
+      .select(keys ++ Seq(col(s"img.$opCol").as(opCol)) ++
+        payload.filterNot(keyCols.contains).map(c => col(s"img.$c").as(c)): _*)
+    val untouched = base.join(latest.select(keys: _*), keyCols, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(payload.map(col): _*)
+    untouched.unionByName(upserts)
+  }
+}

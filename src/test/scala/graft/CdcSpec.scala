@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Cdc
+
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+
+  private def merged(b: DataFrame, ch: DataFrame): Map[Long, (String, Double)] =
+    Cdc.applyChanges(b, ch, Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+  private val changes = Seq(
+    (2L, "b2", 21.0, "U", 1L),   // plain update
+    (3L, "c", 30.0, "D", 1L),    // plain delete
+    (5L, "e", 50.0, "I", 1L),    // insert of a new key
+    (4L, "d", 40.0, "D", 1L),    // delete …
+    (4L, "d2", 42.0, "I", 2L),   // … then re-insert at a higher seq: survives
+    (6L, "f", 60.0, "U", 1L),    // update …
+    (6L, "f", 60.0, "D", 2L),    // … then delete at a higher seq: gone
+    (9L, "x", 0.0, "D", 1L),     // delete of an absent key: no-op
+    (1L, "a2", 11.0, "I", 1L))   // insert on a PRESENT key: acts as update
+    .toDF("k", "name", "v", "op", "seq")
+
+  test("latest change per key wins; deletes drop; untouched keys pass through") {
+    val out = merged(base, changes)
+    assert(out === Map(
+      1L -> (("a2", 11.0)),  // upserted by the 'I' on a present key
+      2L -> (("b2", 21.0)),  // updated
+      4L -> (("d2", 42.0)),  // delete superseded by the later re-insert
+      5L -> (("e", 50.0))))  // fresh insert; 3 and 6 deleted, 9 never existed
+  }
+
+  test("replaying an already-applied batch is idempotent") {
+    val once = Cdc.applyChanges(base, changes, Seq("k"), "op", "seq")
+    val twice = Cdc.applyChanges(once, changes, Seq("k"), "op", "seq")
+    assert(once.except(twice).count() === 0L)
+    assert(twice.except(once).count() === 0L)
+  }
+
+  test("missing payload columns in the change batch fail loudly") {
+    val bad = Seq((1L, "a", "U", 1L)).toDF("k", "name", "op", "seq")
+    val e = intercept[IllegalArgumentException](
+      Cdc.applyChanges(base, bad, Seq("k"), "op", "seq"))
+    assert(e.getMessage.contains("v"))
+  }
+}
