@@ -898,6 +898,39 @@ object Queries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     bench = true)
 
+  private val NegBandTop = 50
+  private val NegPerQuery = 5
+
+  /** Contrastive pairs: top-5 positives + 5 hash-sampled hard negatives
+    * from ranks (5, 50] per query — [[VectorOps.hardNegatives]]. */
+  val t28_hard_negatives: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = NegBandTop, nNeg = NegPerQuery)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""WITH $duckVecPrep,
+         |q AS (SELECT * FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM q JOIN n c ON c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored),
+         |b AS (SELECT * FROM ranked WHERE rank <= $NegBandTop),
+         |pos AS (SELECT query_id, neighbor_id, cos, rank, 'pos' AS role
+         |  FROM b WHERE rank <= 5),
+         |neg AS (SELECT query_id, neighbor_id, cos, rank, 'neg' AS role
+         |  FROM b WHERE rank > 5
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY md5(CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR)),
+         |      neighbor_id) <= $NegPerQuery)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank, role
+         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY query_id, rank""".stripMargin))
+
   private val BucketedQueryBound = 100
 
   /** Sign-bucket ANN recall baseline with a BOUNDED query set (the
@@ -2161,6 +2194,7 @@ object Queries {
     "t18_stratified_sample" -> t18_stratified_sample,
     "t6_ann_topk" -> t6_ann_topk,
     "t25_filtered_ann" -> t25_filtered_ann,
+    "t28_hard_negatives" -> t28_hard_negatives,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,
     "t13_ann_recall" -> t13_ann_recall,

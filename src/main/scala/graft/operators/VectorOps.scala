@@ -80,6 +80,34 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training pairs (the DPR /
+    * SimCSE data-prep step): per query, POSITIVES are the top-`k` cosine
+    * neighbors and NEGATIVES are `nNeg` vectors sampled from the "hard"
+    * band of ranks (k, m] — similar enough to be informative, ranked too
+    * low to be positives. Sampling is a DETERMINISTIC md5 order over
+    * (query_id, neighbor_id) — the t18 rationale: a retried job emits the
+    * same pairs, no RNG state to carry.
+    *
+    * Gated on brute-force scoring (exact ranks); at 100 TB swap the
+    * `ranked` stage for the IVF probe ([[ivfSq8TopK]] with k = m) — the
+    * banding + hash-sample stages are index-agnostic, and the window is
+    * PARTITIONED by query (no global sort). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, nNeg: Int): DataFrame = {
+    require(m > k, s"negative band (k=$k, m=$m] is empty")
+    require(nNeg > 0, "nNeg must be positive")
+    val ranked = bruteForceTopK(corpus, queries, idCol, vecCol, m)
+    val pos = ranked.filter(col("rank") <= k).withColumn("role", lit("pos"))
+    val wNeg = Window.partitionBy("query_id").orderBy(
+      md5(concat_ws(":", col("query_id"), col("neighbor_id"))),
+      col("neighbor_id"))
+    val neg = ranked.filter(col("rank") > k)
+      .withColumn("srn", row_number().over(wNeg))
+      .filter(col("srn") <= nNeg)
+      .drop("srn").withColumn("role", lit("neg"))
+    pos.unionByName(neg)
+  }
+
   /** FILTERED cosine top-k — vector search restricted by a metadata
     * predicate: each query's neighbors must match it on every column in
     * `matchCols` (the "search within category/tenant/language" shape a

@@ -211,6 +211,24 @@ class DedupSpec extends SparkSpec {
     assert(out.agg(sum("dup_count")).head.getLong(0) === docs.count())
   }
 
+  test("hard negatives: nNeg per query, drawn strictly from the (k, m] rank band") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val out = graft.operators.Staging.scoped {
+      VectorOps.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, m = 20, nNeg = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getString(4)))
+    }
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size === 5)
+    byQuery.foreach { case (q, rows) =>
+      val (pos, neg) = rows.partition(_._4 == "pos")
+      assert(pos.length === 3 && neg.length === 4, s"query $q")
+      assert(pos.forall(_._3 <= 3) && neg.forall(r => r._3 > 3 && r._3 <= 20))
+      // pos and neg never overlap on neighbor ids
+      assert(pos.map(_._2).toSet.intersect(neg.map(_._2).toSet).isEmpty)
+    }
+  }
+
   test("brute-force top-k is self-consistent and k-bounded") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
