@@ -1944,6 +1944,125 @@ object Queries {
         |    / (COUNT(*) - 1) AS var_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** TPC-H Q4 shape: correlated EXISTS — orders with at least one
+    * late-shipping lineitem (shipped ≥ 90 days after the order date),
+    * counted per priority. The EXISTS decorrelates to a LEFT SEMI join
+    * keyed on the order — one shuffle pair, each order emitted at most
+    * once however many lineitems match; the date bound rides in the join
+    * condition so unmatched lineitems die at the join, not in a
+    * post-filter. */
+  val q4_priority_exists: Q = Q(
+    run = (spark, dir) => {
+      val li = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      t(spark, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    oracle = Some(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** TPC-H Q17 shape: correlated SCALAR subquery — revenue from
+    * lineitems whose quantity is below 20% of their part's average.
+    * Expressed as the decorrelated plan Catalyst produces for the
+    * subquery form: one per-part aggregate joined back to the fact (the
+    * oracle keeps the correlated spelling). The threshold
+    * `0.2·Σqty/count` is division/multiplication of EXACT doubles
+    * (integral quantities sum exactly below 2⁵³), so both engines
+    * compare against bit-identical bounds; revenue totals in exact
+    * decimal. */
+  val q17_small_quantity: Q = Q(
+    run = (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val thresh = li.groupBy("l_partkey")
+        .agg((lit(0.2) * sum(col("l_quantity")) / count(lit(1))).as("thresh"))
+      li.join(thresh, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("thresh"))
+        .agg(money(sum(dec6(col("l_extendedprice")))).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    oracle = Some(
+      s"""SELECT
+         |  ${duckMoney("SUM(CAST(l_extendedprice AS DECIMAL(18,6)))")} AS total_revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem l
+         |WHERE l_quantity < (SELECT 0.2 * SUM(l_quantity) / COUNT(*)
+         |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin))
+
+  /** TPC-H Q11 shape: share-of-total HAVING — nations whose supplier
+    * revenue exceeds 4% of the global total. The global total is a
+    * SCALAR aggregate broadcast against the per-nation rows (no second
+    * scan of the fact: both aggregates fold the same shuffled relation),
+    * and the share test is the RATIONAL form `rev·25 > total` — an
+    * integer multiply on exact decimals instead of a lossy
+    * `rev/total > 0.04` double division. */
+  val q11_revenue_share: Q = Q(
+    run = (spark, dir) => {
+      val rev = t(spark, dir, "lineitem")
+        .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).as("rev_dec"))
+      rev.crossJoin(broadcast(rev.agg(sum(col("rev_dec")).as("total_dec"))))
+        .filter(col("rev_dec") * 25 > col("total_dec"))
+        .select(col("n_name"), money(col("rev_dec")).as("revenue"))
+        .orderBy("n_name")
+    },
+    oracle = Some(
+      s"""WITH rev AS (
+         |  SELECT n_name, SUM($duckDiscPrice) AS rev_dec
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY n_name)
+         |SELECT n_name, ${duckMoney("rev_dec")} AS revenue
+         |FROM rev WHERE rev_dec * 25 > (SELECT SUM(rev_dec) FROM rev)
+         |ORDER BY n_name""".stripMargin))
+
+  /** Customer-spend DECILES — the ntile ranking family. The decile
+    * assignment needs a TOTAL order over per-customer spend (single
+    * range-sorted partition); at 100 TB the swap is
+    * `approxQuantileThresholds`-style bucket bounds (the t18 twin) with
+    * deciles assigned map-side against broadcast cut points — gated here
+    * in the exact form, tie-broken by customer key so the ranking is
+    * deterministic. Per-decile stats are exact decimal. */
+  val q13_spend_deciles: Q = Q(
+    run = (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("spend_dec"), col("o_custkey"))
+      t(spark, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(dec6(col("o_totalprice"))).as("spend_dec"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          money(min(col("spend_dec"))).as("min_spend"),
+          money(max(col("spend_dec"))).as("max_spend"),
+          money(sum(col("spend_dec"))).as("sum_spend"))
+        .orderBy("decile")
+    },
+    oracle = Some(
+      s"""WITH spend AS (
+         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec
+         |  FROM orders GROUP BY o_custkey),
+         |tiled AS (
+         |  SELECT spend_dec,
+         |    ntile(10) OVER (ORDER BY spend_dec, o_custkey) AS decile
+         |  FROM spend)
+         |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_customers,
+         |  ${duckMoney("MIN(spend_dec)")} AS min_spend,
+         |  ${duckMoney("MAX(spend_dec)")} AS max_spend,
+         |  ${duckMoney("SUM(spend_dec)")} AS sum_spend
+         |FROM tiled GROUP BY decile ORDER BY decile""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -2223,7 +2342,11 @@ object Queries {
     "q18_large_orders" -> q18_large_orders,
     "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann,
     "q9_pivot_events" -> q9_pivot_events,
-    "q10_value_moments" -> q10_value_moments)
+    "q10_value_moments" -> q10_value_moments,
+    "q4_priority_exists" -> q4_priority_exists,
+    "q17_small_quantity" -> q17_small_quantity,
+    "q11_revenue_share" -> q11_revenue_share,
+    "q13_spend_deciles" -> q13_spend_deciles)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
