@@ -62,4 +62,39 @@ object Cdc {
       .select(payload.map(col): _*)
     untouched.unionByName(upserts)
   }
+
+  /** One INCREMENTAL merge step over a sequence-carrying state — the
+    * building block of the streaming materializer
+    * ([[graft.streaming.StreamingIngest.cdcMaterialize]]). `state` is
+    * the merged snapshot plus `seqCol` (the sequence that produced each
+    * row); `changes` is a change slice as in [[applyChanges]]. Because
+    * the state REMEMBERS its sequence, a stale change (seq ≤ the applied
+    * one) loses the struct-max and is ignored — cross-batch replays and
+    * late duplicate updates are safe. The one irrecoverable reordering
+    * is an insert arriving AFTER the delete that should shadow it:
+    * deletes leave no tombstone, so per-key in-order delivery of D is
+    * assumed (a CDC log read in offset order provides it).
+    *
+    * Same aggregation shape as [[applyChanges]] (map-side combinable,
+    * no window sort); state rows enter as op `'U'` so an equal-seq
+    * replayed insert ties into the identical image. */
+  def mergeStep(state: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String): DataFrame = {
+    val payload = state.columns.toSeq.filterNot(_ == seqCol)
+    require(payload.forall(changes.columns.contains) &&
+        changes.columns.contains(seqCol),
+      s"changes must carry every state column; missing " +
+        (payload :+ seqCol).filterNot(changes.columns.contains).mkString(","))
+    val cols = (payload :+ seqCol :+ opCol).map(col)
+    val combined = state.withColumn(opCol, lit("U")).select(cols: _*)
+      .unionByName(changes.select(cols: _*))
+    val keys = keyCols.map(col)
+    val image = struct((Seq(col(seqCol), col(opCol)) ++ payload.map(col)): _*)
+    combined.groupBy(keys: _*)
+      .agg(max(image).as("img"))
+      .select(keys ++ (payload.filterNot(keyCols.contains) :+ seqCol :+ opCol)
+        .map(c => col(s"img.$c").as(c)): _*)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+  }
 }

@@ -243,6 +243,48 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming CDC materializer — the stream twin of
+    * [[graft.operators.Cdc.applyChanges]]: consume a change-event stream
+    * and maintain the merged snapshot across micro-batches. Each batch
+    * runs one [[graft.operators.Cdc.mergeStep]] (state carries the
+    * applied sequence, so stale/replayed changes are ignored — see its
+    * scaladoc for the delete-ordering assumption), then the new state is
+    * `localCheckpoint`ed: the checkpoint truncates lineage (without it
+    * the state plan grows by one merge per batch — the
+    * connectedComponents exponential-growth trap) and the superseded
+    * state's blocks are released deterministically. On a real cluster
+    * swap the sink for a table write per batch (foreachBatch → MERGE
+    * INTO) — the in-memory state here is the test/demo medium; the merge
+    * shape is the same.
+    *
+    * `initial` is the base snapshot; a missing `seqCol` is added as 0
+    * (every real change wins over the base). Returns the running query
+    * and a thunk reading the CURRENT state (call after
+    * `processAllAvailable()` for a settled view). */
+  def cdcMaterialize(changes: DataFrame, initial: DataFrame,
+      keyCols: Seq[String], opCol: String, seqCol: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : (StreamingQuery, () => DataFrame) = {
+    val seeded =
+      if (initial.columns.contains(seqCol)) initial
+      else initial.withColumn(seqCol, lit(0L))
+    var state = seeded.localCheckpoint(eager = true)
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = graft.operators.Cdc
+          .mergeStep(state, batch, keyCols, opCol, seqCol)
+          .localCheckpoint(eager = true)
+        org.apache.spark.sql.graft.bridge.checkpointedRdd(state)
+          .foreach(_.unpersist(blocking = false))
+        state.unpersist(blocking = false)
+        state = next
+      }
+      .trigger(trigger)
+      .start()
+    (q, () => state)
+  }
+
   /** True session-window aggregation (gap-merged event-time windows) —
     * works identically over a stream or a batch frame. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =

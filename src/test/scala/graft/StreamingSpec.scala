@@ -184,6 +184,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set(1L, 10L, 20L, 21L, 30L))
   }
 
+  test("streaming CDC materializer equals the batch merge; stale changes are ignored") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // wave 0: update k=2, insert k=5, delete k=3
+    // wave 1: delete-then-shadowing-reinsert ordering for k=4 happened
+    //         across waves; stale update for k=2 (seq 1 < applied 2) must
+    //         be IGNORED because the state remembers its sequence
+    val waves = Seq(
+      Seq((2L, "b2", 21.0, "U", 2L), (5L, "e", 50.0, "I", 3L),
+        (3L, "c", 30.0, "D", 4L), (4L, "d", 40.0, "D", 5L)),
+      Seq((4L, "d2", 42.0, "I", 6L), (2L, "bStale", 99.0, "U", 1L)))
+    val src = tmp("cdc-src")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("name", StringType), StructField("v", DoubleType),
+      StructField("op", StringType), StructField("seq", LongType)))
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"cdc-wave$i")
+      rows.toDF("k", "name", "v", "op", "seq")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val (q, readState) = StreamingIngest.cdcMaterialize(
+      stream, base, Seq("k"), "op", "seq")
+    q.processAllAvailable(); q.stop()
+    val streamed = readState().collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(streamed === Map(
+      1L -> (("a", 10.0)),    // untouched
+      2L -> (("b2", 21.0)),   // updated; the later-arriving STALE image lost
+      4L -> (("d2", 42.0)),   // deleted in wave 0, re-inserted in wave 1
+      5L -> (("e", 50.0))))   // inserted; 3 stays deleted
+    // equals the batch operator over the full in-order log (minus the
+    // stale change, which applyChanges' latest-seq-wins also discards)
+    val batch = graft.operators.Cdc.applyChanges(base,
+        waves.flatten.toDF("k", "name", "v", "op", "seq"),
+        Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(batch === streamed)
+  }
+
   test("streaming decontamination (stream-static foreachBatch) equals the batch operator") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
