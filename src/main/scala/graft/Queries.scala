@@ -458,6 +458,82 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // P3/P4: dataset profiling + constraint validation (Quality)
+  // ---------------------------------------------------------------------
+
+  /** One-pass per-column profile of `orders` — [[Quality.profile]] in
+    * its EXACT form (the gate); the HLL `exact = false` twin is the
+    * 100 TB default, error-bounded in QualitySpec. */
+  val p3_profile: Q = Q(
+    run = (spark, dir) =>
+      Quality.profile(t(spark, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("col_name"),
+    oracle = Some(
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_value,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin))
+
+  /** Constraint suite over the corpus — true invariants (pk/fk/not-null,
+    * expected 0) plus two intentionally-strict expectations that COUNT
+    * real violations (status domain without 'P'; price floor), proving
+    * the counting path, not just the zero path. */
+  val p4_quality_checks: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      Quality.uniqueKey(ord, Seq("o_orderkey"), "pk_orders_unique")
+        .unionByName(Quality.notNull(ord, "o_orderkey", "notnull_o_orderkey"))
+        .unionByName(Quality.foreignKey(ord, "o_custkey",
+          t(spark, dir, "customer"), "c_custkey", "fk_orders_customer"))
+        .unionByName(Quality.foreignKey(t(spark, dir, "lineitem"), "l_orderkey",
+          ord, "o_orderkey", "fk_lineitem_orders"))
+        .unionByName(Quality.inSet(ord, "o_orderstatus", Seq("O", "F"),
+          "domain_status_no_partial"))
+        .unionByName(Quality.atLeast(ord, "o_totalprice", 1000.0,
+          "floor_totalprice_1000"))
+        .orderBy("check_name")
+    },
+    oracle = Some(
+      """SELECT * FROM (
+        |  SELECT 'pk_orders_unique' AS check_name,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS violations FROM orders
+        |  UNION ALL
+        |  SELECT 'notnull_o_orderkey', COUNT(*) - COUNT(o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', COUNT(*) FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'domain_status_no_partial',
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'floor_totalprice_1000',
+        |    CAST(SUM(CASE WHEN o_totalprice < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |ORDER BY check_name""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
 
@@ -2293,7 +2369,9 @@ object Queries {
     "o10_fb_table_mapping" -> o10_fb_table_mapping,
     "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip,
     "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip,
-    "c1_cdc_merge" -> c1_cdc_merge)
+    "c1_cdc_merge" -> c1_cdc_merge,
+    "p3_profile" -> p3_profile,
+    "p4_quality_checks" -> p4_quality_checks)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fixture: DataFrame = Seq[(java.lang.Long, String, java.lang.Double)](
+    (1L, "O", 10.0), (1L, "O", 11.0),          // duplicate key
+    (2L, "F", -5.0),                            // negative value
+    (3L, "X", 20.0),                            // out-of-domain status
+    (null, "O", 30.0), (4L, null, 40.0))        // null key / null status
+    .toDF("k", "status", "v")
+
+  test("constraint checks count planted violations exactly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.uniqueKey(fixture, Seq("k"), "uniq")
+      .unionByName(Quality.notNull(fixture, "k", "nn"))
+      .unionByName(Quality.inSet(fixture, "status", Seq("O", "F"), "dom"))
+      .unionByName(Quality.atLeast(fixture, "v", 0.0, "pos"))
+      .unionByName(Quality.foreignKey(fixture, "k", parent, "pk", "fk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "uniq" -> 1L,  // two rows share k=1 (the null key is one "key" value)
+      "nn" -> 1L,    // one null key
+      "dom" -> 1L,   // 'X' (null status doesn't violate the domain)
+      "pos" -> 1L,   // -5.0
+      "fk" -> 1L))   // k=4 has no parent; null keys are skipped
+  }
+
+  test("profile reports rows/nulls/cardinality/min-max; non-numerics get null bounds") {
+    val rows = Quality.profile(fixture, Seq("k", "status", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(rows("k") === ((6L, 1L, 4L, Some(1.0), Some(4.0))))
+    assert(rows("status") === ((6L, 1L, 3L, None, None)))
+    assert(rows("v") === ((6L, 0L, 6L, Some(-5.0), Some(40.0))))
+  }
+
+  test("approx profile cardinalities stay within HLL error of exact") {
+    val ord = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    def card(exact: Boolean): Map[String, Long] =
+      Quality.profile(ord, cols, exact = exact)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val (ex, ap) = (card(true), card(false))
+    cols.foreach { c =>
+      // bound at 3× the requested rsd (0.02): ~3σ of the HLL estimator
+      val rel = math.abs(ap(c) - ex(c)).toDouble / math.max(ex(c), 1L)
+      assert(rel <= 0.06, s"$c: exact=${ex(c)} approx=${ap(c)} rel=$rel")
+    }
+  }
+}
