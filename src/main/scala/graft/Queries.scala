@@ -2082,11 +2082,15 @@ object Queries {
     * `rev/total > 0.04` double division. */
   val q11_revenue_share: Q = Q(
     run = (spark, dir) => {
-      val rev = t(spark, dir, "lineitem")
+      // barrier: the per-nation aggregate feeds BOTH the output rows and
+      // the scalar total — without it each branch re-scans the fact
+      // table (verified in the physical plan; the staged form reads the
+      // ~#nations-row cache twice instead)
+      val rev = Staging.barrier(t(spark, dir, "lineitem")
         .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(sum(discPrice).as("rev_dec"))
+        .agg(sum(discPrice).as("rev_dec")))
       rev.crossJoin(broadcast(rev.agg(sum(col("rev_dec")).as("total_dec"))))
         .filter(col("rev_dec") * 25 > col("total_dec"))
         .select(col("n_name"), money(col("rev_dec")).as("revenue"))
