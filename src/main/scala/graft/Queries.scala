@@ -1007,6 +1007,45 @@ object Queries {
          |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** Per-source document quota — [[TextAnalysis.capPerGroup]]. */
+  val t29_source_caps: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.capPerGroup(t(spark, dir, "documents"), "source", "doc_id",
+          cap = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+    oracle = Some(
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin))
+
+  private val ChunkTokens = 8
+  private val ChunkOverlap = 2
+
+  /** Overlapping token-window chunking — [[TextAnalysis.chunkDocuments]]
+    * (embedding/retrieval prep; chunks march by chunk−overlap). */
+  val t30_chunk_documents: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.chunkDocuments(t(spark, dir, "documents"), "doc_id", "text",
+          chunkTokens = ChunkTokens, overlap = ChunkOverlap)
+        .orderBy("doc_id", "chunk_idx"),
+    oracle = {
+      val step = ChunkTokens - ChunkOverlap
+      Some(
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, t, unnest(range(0, len(t), $step)) AS start
+           |  FROM toks WHERE len(t) > 0)
+           |SELECT doc_id, CAST(start // $step AS INT) AS chunk_idx,
+           |  CAST(start AS INT) AS start_tok,
+           |  CAST(LEAST($ChunkTokens, len(t) - start) AS INT) AS n_tok,
+           |  array_to_string(list_slice(t, start + 1, start + $ChunkTokens), ' ') AS chunk_text
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)
+    })
+
   private val BucketedQueryBound = 100
 
   /** Sign-bucket ANN recall baseline with a BOUNDED query set (the
@@ -2396,6 +2435,8 @@ object Queries {
     "t6_ann_topk" -> t6_ann_topk,
     "t25_filtered_ann" -> t25_filtered_ann,
     "t28_hard_negatives" -> t28_hard_negatives,
+    "t29_source_caps" -> t29_source_caps,
+    "t30_chunk_documents" -> t30_chunk_documents,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,
     "t13_ann_recall" -> t13_ann_recall,

@@ -265,4 +265,60 @@ object TextAnalysis {
         (col("bucket_prefix") + col("within_prefix")).as("start_offset"))
       .withColumn("seq_id", floor(col("start_offset") / capacity).cast("long"))
   }
+
+  // -------------------------------------------------------------------
+  // Per-group caps + chunking
+  // -------------------------------------------------------------------
+
+  /** Cap rows per group (the RefinedWeb-style "at most N documents per
+    * domain" quota): keep `cap` rows per `groupCol` value, chosen by a
+    * DETERMINISTIC md5 order over (group, id) — a reproducible uniform
+    * draw, not head-of-file bias (the t18 hash-mod rationale: a retried
+    * job keeps the same rows).
+    *
+    * The ranking window is PARTITIONED by group. A pathological group
+    * (one domain = half the corpus) concentrates in one partition; for
+    * heavy-tailed group histograms, pre-filter with the hash-mod
+    * fraction `cap / group_count` (map-side, approximate cap) and apply
+    * this exact ranking to the survivors — two lines with
+    * [[stratified-sample]]-style keep decisions; gated here in the
+    * exact form. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(concat_ws(":", col(groupCol), col(idCol))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** Split documents into overlapping token-window chunks — embedding /
+    * retrieval prep (a chunk is what gets embedded; the overlap keeps
+    * sentence fragments from being split blind). Emits one row per
+    * chunk: (doc_id, chunk_idx, start_tok, n_tok, chunk_text). Chunk
+    * starts march by `chunkTokens − overlap`; the final chunk may be
+    * short (included whenever its start is inside the doc). Empty docs
+    * emit nothing.
+    *
+    * Map-only after the staged tokenization (the generate multiplies
+    * rows, never shuffles); tokens are a MATERIALIZED attribute per the
+    * lambda-closure rule, so per-chunk slicing reads the array, not the
+    * tokenizer. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap($overlap) < chunkTokens($chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("t")))
+    toks.filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(step)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(lit(chunkTokens), size(col("t")) - col("start_tok")).as("n_tok"),
+        concat_ws(" ", slice(col("t"), col("start_tok") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

@@ -123,6 +123,39 @@ class TextAnalysisSpec extends SparkSpec {
       assert(b._3 === a._3 + a._2) }
   }
 
+  test("chunkDocuments: marching starts, short tail, overlap region shared verbatim") {
+    import spark.implicits._
+    val doc = (0 until 12).map(i => s"w$i").mkString(" ") // 12 tokens
+    val out = graft.operators.Staging.scoped {
+      TextAnalysis.chunkDocuments(
+          Seq((1L, doc), (2L, "")).toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = 5, overlap = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    }
+    // step 3 → starts 0,3,6,9; last chunk is the 3-token tail
+    assert(out.map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0, 0, 5), (1, 3, 5), (2, 6, 5), (3, 9, 3)))
+    assert(out(0)._5 === "w0 w1 w2 w3 w4")
+    assert(out(3)._5 === "w9 w10 w11")
+    // consecutive chunks share exactly the 2-token overlap
+    assert(out(0)._5.split(" ").takeRight(2).sameElements(
+      out(1)._5.split(" ").take(2)))
+    assert(out.forall(_._1 == 1L)) // the empty doc emits nothing
+  }
+
+  test("capPerGroup: exact cap per group, deterministic across runs") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    def run(): Seq[Long] = TextAnalysis.capPerGroup(df, "grp", "id", cap = 7)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val a = run()
+    assert(a.size === 21) // 3 groups × 7
+    assert(a === run())   // hash order, not partition order: reproducible
+    val kept = TextAnalysis.capPerGroup(df, "grp", "id", cap = 7)
+      .groupBy("grp").count().collect().map(_.getLong(1))
+    assert(kept.forall(_ === 7L))
+  }
+
   test("topTermsByRarity ranks distinctive terms above ubiquitous ones") {
     import spark.implicits._
     val docs = Seq(
