@@ -1020,6 +1020,23 @@ object Queries {
         |  ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) <= 10
         |ORDER BY doc_id""".stripMargin))
 
+  /** Seeded corpus shuffle + round-robin shards —
+    * [[TextAnalysis.shuffleShards]] (distributed rank, no global-order
+    * window; the oracle IS the single global row_number). */
+  val t31_corpus_shuffle: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.shuffleShards(t(spark, dir, "documents"), "doc_id",
+          seed = "s1", nShards = 8)
+        .orderBy("doc_id"),
+    oracle = Some(
+      """WITH rk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rank
+        |  FROM documents)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank % 8 AS INT) AS shard
+        |FROM rk ORDER BY doc_id""".stripMargin))
+
   private val ChunkTokens = 8
   private val ChunkOverlap = 2
 
@@ -2437,6 +2454,7 @@ object Queries {
     "t28_hard_negatives" -> t28_hard_negatives,
     "t29_source_caps" -> t29_source_caps,
     "t30_chunk_documents" -> t30_chunk_documents,
+    "t31_corpus_shuffle" -> t31_corpus_shuffle,
     "t7_ann_bucketed" -> t7_ann_bucketed,
     "t12_ivf_ann" -> t12_ivf_ann,
     "t13_ann_recall" -> t13_ann_recall,

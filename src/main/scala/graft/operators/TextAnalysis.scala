@@ -266,6 +266,39 @@ object TextAnalysis {
       .withColumn("seq_id", floor(col("start_offset") / capacity).cast("long"))
   }
 
+  /** Deterministic corpus SHUFFLE + shard assignment — the "randomize
+    * order before sharding for training" step, seeded so a retried job
+    * produces byte-identical shards. Order = md5(seed:id); `rank` is the
+    * 0-based position in that order and `shard` = rank mod `nShards`
+    * (round-robin ⇒ shard sizes within 1 of each other).
+    *
+    * The global rank uses the [[packSequences]] trick — NO global-order
+    * window: the hash's first byte buckets the corpus into 256 hash
+    * ranges (a bucket is a PREFIX of the sort key, so bucket-major order
+    * IS hash order), within-bucket ranks are partition-local windows,
+    * and the cross-bucket offset comes from the 256-row totals table,
+    * broadcast back. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hashed = df.select(col(idCol).as("id"),
+        md5(concat_ws(":", lit(seed), col(idCol))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("h", "id")
+    val withRk = hashed.withColumn("wrk", row_number().over(wIn))
+    val prefix = withRk.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("bp", coalesce(sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bucket"), col("bp"))
+    withRk.join(broadcast(prefix), Seq("bucket"))
+      .select(col("id").as(idCol),
+        (col("bp") + col("wrk") - 1).as("rank"),
+        ((col("bp") + col("wrk") - 1) % nShards).cast("int").as("shard"))
+  }
+
   // -------------------------------------------------------------------
   // Per-group caps + chunking
   // -------------------------------------------------------------------

@@ -123,6 +123,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(b._3 === a._3 + a._2) }
   }
 
+  test("shuffleShards: ranks equal the global-window spelling; shards balanced") {
+    import spark.implicits._
+    val df = (1L to 257L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = TextAnalysis.shuffleShards(df, "doc_id", seed = "sX", nShards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val expect = df.select(col("doc_id"),
+        (row_number().over(Window.orderBy(
+          md5(concat_ws(":", lit("sX"), col("doc_id"))), col("doc_id"))) - 1).as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got.map { case (k, v) => k -> v._1 } === expect)
+    // round-robin: shard sizes within 1 of each other (257 = 4×64 + 1)
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).values.toSeq.sorted
+    assert(sizes === Seq(64, 64, 64, 65))
+    // different seed ⇒ different permutation (overwhelmingly)
+    val other = TextAnalysis.shuffleShards(df, "doc_id", seed = "sY", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== got.map { case (k, v) => k -> v._1 })
+  }
+
   test("chunkDocuments: marching starts, short tail, overlap region shared verbatim") {
     import spark.implicits._
     val doc = (0 until 12).map(i => s"w$i").mkString(" ") // 12 tokens
