@@ -455,7 +455,8 @@ object Queries {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM latest WHERE op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // P3/P4: dataset profiling + constraint validation (Quality)
@@ -1061,7 +1062,8 @@ object Queries {
            |  CAST(LEAST($ChunkTokens, len(t) - start) AS INT) AS n_tok,
            |  array_to_string(list_slice(t, start + 1, start + $ChunkTokens), ' ') AS chunk_text
            |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)
-    })
+    },
+    bench = true)
 
   private val BucketedQueryBound = 100
 

@@ -22,6 +22,15 @@ echo "$T18LOG" | grep -q "approx quantile thresholds sit in the valid median ban
   || { echo "FATAL: t18 approx-vs-exact threshold test did not run (renamed or filtered out)"; exit 1; }
 echo "$T18LOG" | grep -q "All tests passed" \
   || { echo "FATAL: t18 approx-vs-exact threshold test failed"; echo "$T18LOG" | tail -20; exit 1; }
+echo "=== p3 cardinality guard (mandatory): HLL profile vs exact profile"
+# p3's documented at-scale swap (profile(exact = false), HLL sketches
+# instead of count-distinct Expand) is honest only while the sketch
+# provably stays within 3×rsd of the exact run — this test is that guard
+QLOG=$(sbt -batch 'testOnly graft.QualitySpec -- -z "HLL error"' 2>&1)
+echo "$QLOG" | grep -q "approx profile cardinalities stay within HLL error of exact" \
+  || { echo "FATAL: p3 HLL-vs-exact cardinality test did not run (renamed or filtered out)"; exit 1; }
+echo "$QLOG" | grep -q "All tests passed" \
+  || { echo "FATAL: p3 HLL-vs-exact cardinality test failed"; echo "$QLOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
