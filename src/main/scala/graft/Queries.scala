@@ -458,6 +458,49 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin),
     bench = true)
 
+  /** [[Cdc.captureChanges]] between two orders-derived snapshots: keys
+    * ≡0 (mod 7) exist only in the NEW snapshot (→ I), ≡0 (mod 11) only
+    * in the OLD (→ D), ≡0 (mod 5) present in both with a changed image
+    * (→ U); everything else emits nothing. The c1 derivation run in
+    * reverse — capture is the inverse of apply (round-trip law in
+    * CdcSpec). */
+  val c2_snapshot_diff: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val oldSnap = ord.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = ord.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("R")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Cdc.captureChanges(oldSnap, newSnap, Seq("o_orderkey"), "op")
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |d AS (
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderdate ELSE n.o_orderdate END AS o_orderdate,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderpriority ELSE n.o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN n.o_orderkey IS NULL THEN 'D'
+        |       WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN (o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority)
+        |         IS DISTINCT FROM (n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate, n.o_orderpriority)
+        |       THEN 'U' END AS op
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin))
+
   // ---------------------------------------------------------------------
   // P3/P4: dataset profiling + constraint validation (Quality)
   // ---------------------------------------------------------------------
@@ -2432,6 +2475,7 @@ object Queries {
     "e2e_ingest_roundtrip" -> e2e_ingest_roundtrip,
     "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip,
     "c1_cdc_merge" -> c1_cdc_merge,
+    "c2_snapshot_diff" -> c2_snapshot_diff,
     "p3_profile" -> p3_profile,
     "p4_quality_checks" -> p4_quality_checks)
 

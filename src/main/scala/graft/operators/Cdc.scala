@@ -63,6 +63,44 @@ object Cdc {
     untouched.unionByName(upserts)
   }
 
+  /** CDC CAPTURE — derive the change log between two snapshots: the
+    * inverse of [[applyChanges]]. Keys only in `newSnap` emit `I` (new
+    * payload), keys only in `oldSnap` emit `D` (old payload), keys in
+    * both with differing payloads emit `U` (new payload); unchanged keys
+    * emit nothing. Round-trip law (CdcSpec):
+    * `applyChanges(old, captureChanges(old, new) + seq) == new`.
+    *
+    * Shape: ONE full-outer join on the key — shuffle both sides keyed
+    * identically (exchange-free when both snapshots are bucketed on the
+    * key, [[Ddl]] bucketing); change detection is a null-safe struct
+    * comparison (`<=>`), map-side after the join. This is how you
+    * bootstrap a CDC feed when the source offers only periodic dumps. */
+  def captureChanges(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String], opCol: String): DataFrame = {
+    val payload = oldSnap.columns.toSeq
+    require(payload.toSet == newSnap.columns.toSet,
+      "snapshots must share one schema; got " +
+        s"${payload.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val nonKey = payload.filterNot(keyCols.contains)
+    val o = nonKey.foldLeft(oldSnap)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+      .withColumn("__o", lit(1))
+    val n = nonKey.foldLeft(newSnap)((d, c) => d.withColumnRenamed(c, s"__n_$c"))
+      .withColumn("__n", lit(1))
+    val changed =
+      if (nonKey.isEmpty) lit(false)
+      else !(struct(nonKey.map(c => col(s"__o_$c")): _*) <=>
+        struct(nonKey.map(c => col(s"__n_$c")): _*))
+    o.join(n, keyCols, "full_outer")
+      .withColumn(opCol,
+        when(col("__n").isNull, lit("D"))
+          .when(col("__o").isNull, lit("I"))
+          .when(changed, lit("U")))
+      .filter(col(opCol).isNotNull)
+      .select(keyCols.map(col) ++ nonKey.map(c =>
+        when(col(opCol) === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)) :+ col(opCol): _*)
+  }
+
   /** One INCREMENTAL merge step over a sequence-carrying state — the
     * building block of the streaming materializer
     * ([[graft.streaming.StreamingIngest.cdcMaterialize]]). `state` is

@@ -44,6 +44,31 @@ class CdcSpec extends SparkSpec {
     assert(twice.except(once).count() === 0L)
   }
 
+  test("captureChanges classifies I/U/D and skips unchanged keys") {
+    val newSnap = Seq((1L, "a", 10.0),    // unchanged → no row
+        (2L, "b2", 21.0),                 // changed → U
+        (5L, "e", 50.0))                  // new key → I; 3,4 dropped → D
+      .toDF("k", "name", "v")
+    val out = Cdc.captureChanges(base, newSnap, Seq("k"), "op")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(out === Map(
+      2L -> (("b2", 21.0, "U")),
+      3L -> (("c", 30.0, "D")),   // D carries the OLD payload
+      4L -> (("d", 40.0, "D")),
+      5L -> (("e", 50.0, "I"))))
+  }
+
+  test("round trip: applying the captured diff reproduces the new snapshot") {
+    val newSnap = Seq((1L, "a2", 11.0), (2L, "b", 20.0), (6L, "f", 60.0))
+      .toDF("k", "name", "v")
+    val log = Cdc.captureChanges(base, newSnap, Seq("k"), "op")
+      .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+    val applied = Cdc.applyChanges(base, log, Seq("k"), "op", "seq")
+    assert(applied.except(newSnap).count() === 0L)
+    assert(newSnap.except(applied).count() === 0L)
+  }
+
   test("missing payload columns in the change batch fail loudly") {
     val bad = Seq((1L, "a", "U", 1L)).toDF("k", "name", "op", "seq")
     val e = intercept[IllegalArgumentException](
