@@ -577,6 +577,41 @@ object Queries {
         |    CAST(SUM(CASE WHEN o_totalprice < 1000.0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
         |ORDER BY check_name""".stripMargin))
 
+  /** Equal-width price histogram — [[Quality.histogram]] (the profile's
+    * distribution view; both engines bin with identical IEEE steps). */
+  val p5_histogram: Q = Q(
+    run = (spark, dir) =>
+      Quality.histogram(t(spark, dir, "orders"), "o_totalprice", bins = 10)
+        .orderBy("bin"),
+    oracle = Some(
+      """WITH s AS (
+        |  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS mx FROM orders),
+        |b AS (
+        |  SELECT CASE WHEN (mx - mn) / 10 = 0 THEN 0
+        |    ELSE LEAST(9, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10)) AS INT)) END AS bin,
+        |    mn, (mx - mn) / 10 AS w
+        |  FROM orders, s WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, mn + bin * w AS lo, mn + (bin + 1) * w AS hi,
+        |  COUNT(*) AS cnt
+        |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin))
+
+  /** Top-k frequent values — [[Quality.topValues]] over order
+    * priorities (rank window over the aggregated value table only). */
+  val p6_heavy_hitters: Q = Q(
+    run = (spark, dir) =>
+      Quality.topValues(t(spark, dir, "orders"), "o_orderpriority", k = 3)
+        .orderBy("rank"),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT o_orderpriority AS value, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+        |SELECT value, cnt, CAST(rank AS INT) AS rank FROM (
+        |  SELECT value, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, value) AS rank
+        |  FROM c)
+        |WHERE rank <= 3 ORDER BY rank""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -2477,7 +2512,9 @@ object Queries {
     "c1_cdc_merge" -> c1_cdc_merge,
     "c2_snapshot_diff" -> c2_snapshot_diff,
     "p3_profile" -> p3_profile,
-    "p4_quality_checks" -> p4_quality_checks)
+    "p4_quality_checks" -> p4_quality_checks,
+    "p5_histogram" -> p5_histogram,
+    "p6_heavy_hitters" -> p6_heavy_hitters)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -90,6 +90,48 @@ object Quality {
     result(name,
       sum(when(col(c) < lo, 1L).otherwise(0L)), df)
 
+  /** Fixed-width HISTOGRAM of a numeric column: `bins` equal-width
+    * buckets spanning [min, max], the max landing in the last bucket.
+    * Two scans by construction (bounds, then binning) with the bounds
+    * row broadcast into the binning pass — no driver action in the
+    * plan; empty buckets emit no row. Every arithmetic step (width,
+    * bucket index, edges) is a fixed IEEE expression over the exact
+    * min/max, so both engines compute identical buckets. A degenerate
+    * column (min == max) collapses into bucket 0. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val stats = df.agg(min(col(c)).cast(DoubleType).as("mn"),
+      max(col(c)).cast(DoubleType).as("mx"))
+    df.select(col(c).cast(DoubleType).as("v")).filter(col("v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .withColumn("w", (col("mx") - col("mn")) / lit(bins))
+      .withColumn("bin",
+        when(col("w") === 0, lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col("v") - col("mn")) / col("w")).cast("int"))))
+      .groupBy("bin", "mn", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"),
+        (col("mn") + col("bin") * col("w")).as("lo"),
+        (col("mn") + (col("bin") + 1) * col("w")).as("hi"),
+        col("cnt"))
+  }
+
+  /** Heavy hitters: the `k` most frequent values of a column, ties
+    * broken by value. The ranking window runs over the AGGREGATED
+    * value table (cardinality-sized, not corpus-sized); for columns
+    * whose distinct count itself explodes, the at-scale swap is a
+    * sketch (Misra–Gries / count-min) feeding the same output shape. */
+  def topValues(df: DataFrame, c: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("value"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */

@@ -41,6 +41,29 @@ class QualitySpec extends SparkSpec {
     assert(rows("v") === ((6L, 0L, 6L, Some(-5.0), Some(40.0))))
   }
 
+  test("histogram: counts cover all rows, edges tile [min,max], max lands in last bin") {
+    val vals = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).map(Tuple1(_)).toDF("x")
+    val out = Quality.histogram(vals, "x", bins = 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._4).sum === 6L)
+    assert(out.head._2 === 0.0 && out.last._3 === 10.0)
+    // 10.0 (the max) is clamped into bin 4, not a phantom bin 5
+    assert(out.last._1 === 4 && out.last._4 === 2L) // 9.9 and 10.0
+    // degenerate column: single bucket 0 with all rows
+    val flat = Quality.histogram(Seq(7.0, 7.0, 7.0).map(Tuple1(_)).toDF("x"), "x", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(flat.toSeq === Seq((0, 3L)))
+  }
+
+  test("topValues: frequency order with value tie-break, nulls excluded") {
+    val df = Seq("b", "b", "a", "a", "c", null).map(Tuple1(_)).toDF("s")
+    val out = Quality.topValues(df, "s", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // a and b tie at 2; 'a' wins rank 1 by value; c (1) is cut by k=2
+    assert(out.toSeq === Seq(("a", 2L, 1), ("b", 2L, 2)))
+  }
+
   test("approx profile cardinalities stay within HLL error of exact") {
     val ord = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
