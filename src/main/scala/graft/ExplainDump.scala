@@ -12,7 +12,9 @@ object ExplainDump {
       else Seq("s1_resumable_scan", "f1_enrich_lineitem", "a2_consistency_metrics",
         "t3_minhash_lsh_pairs", "t6_ann_topk", "w1_windowed_agg",
         "t17_decontaminate", "t18_stratified_sample",
-        "t21_repetition", "t23_pack_sequences", "t24_top_terms")
+        "t21_repetition", "t23_pack_sequences", "t24_top_terms",
+        "t27_span_dedup", "c1_cdc_merge", "c2_snapshot_diff",
+        "t31_corpus_shuffle", "p3_profile", "q4_priority_exists")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
