@@ -14,7 +14,8 @@ object ExplainDump {
         "t17_decontaminate", "t18_stratified_sample",
         "t21_repetition", "t23_pack_sequences", "t24_top_terms",
         "t27_span_dedup", "c1_cdc_merge", "c2_snapshot_diff",
-        "t31_corpus_shuffle", "p3_profile", "q4_priority_exists")
+        "t31_corpus_shuffle", "p3_profile", "q4_priority_exists",
+        "j3_asof_join", "j4_range_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -2330,6 +2330,99 @@ object Queries {
         |  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** AS-OF join: every click event matched to the user's most recent
+    * purchase at-or-before it (ties on ts broken by greatest event_id),
+    * nulls when no purchase precedes. The Spark side is
+    * [[TemporalJoin.asOf]] — union + one running-`last` window, ONE
+    * shuffle on the key, merge-join cost — never the range-join +
+    * per-row argmax that explodes |clicks|×|purchases| per user. The
+    * oracle is a plain LATERAL top-1 (no DuckDB ASOF dialect
+    * dependence) so the tie-break is explicit and identical. */
+  private def asOfFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsWithTs(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("last_purchase_id"),
+        col("ts").as("last_purchase_ts"),
+        col("value").as("last_purchase_value"))
+    TemporalJoin.asOf(clicks, purchases,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      rightPayload = Seq("last_purchase_id", "last_purchase_ts",
+        "last_purchase_value"),
+      tieBreak = Seq("last_purchase_id"))
+  }
+
+  val j3_asof_join: Q = Q(
+    run = (spark, dir) => asOfFrame(spark, dir).orderBy("event_id"),
+    benchRun = Some((spark, dir) => asOfFrame(spark, dir)),
+    oracle = Some(
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  p.last_purchase_id, p.last_purchase_ts, p.last_purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS last_purchase_id,
+        |         CAST(ts AS TIMESTAMP) AS last_purchase_ts,
+        |         value AS last_purchase_value
+        |  FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |  ORDER BY CAST(p.ts AS TIMESTAMP) DESC, event_id DESC LIMIT 1
+        |) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin),
+    bench = true)
+
+  /** Bucketed RANGE join (no equi-key): one-hour incident windows
+    * anchored at high-value error events, counting/summing ALL events
+    * that fall inside each window. [[TemporalJoin.rangeJoin]] replicates
+    * each window to the ≤2 hour-buckets it covers and equi-joins events
+    * on their own bucket — each matching pair meets exactly once, the
+    * cross product never materializes, and Catalyst sees an ordinary
+    * equi-join (AQE broadcasts the filtered window side). Empty windows
+    * are recovered by re-joining the aggregate to the window list, which
+    * keeps the event stream un-outer-joined. Hour buckets are computed
+    * with timezone-free field arithmetic (datediff×24+hour) so the plan
+    * is session-timezone-independent. */
+  val j4_range_join: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+      val wins = ev.filter(col("event_type") === "error" && col("value") > 250)
+        .select(col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      val points = ev.select(col("ts"), dec6(col("value")).as("v"))
+      val epoch = lit(java.sql.Date.valueOf("2024-01-01"))
+      val hourBucket = (c: Column) =>
+        datediff(to_date(c), epoch).cast(LongType) * 24 + hour(c)
+      val matched = TemporalJoin.rangeJoin(wins, "w_start", "w_end",
+        points, "ts", hourBucket)
+      val agg = matched.groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), money(sum(col("v"))).as("sum_value"))
+      wins.select("window_id", "w_start")
+        .join(agg, Seq("window_id"), "left")
+        .select(col("window_id"), col("w_start"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("window_id")
+    },
+    oracle = Some(
+      s"""WITH w AS (SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS w_start,
+         |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end
+         |  FROM events WHERE event_type = 'error' AND value > 250),
+         |e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+         |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+         |m AS (SELECT w.window_id, count(e.ts) AS n_events,
+         |    ${duckMoney("SUM(e.v)")} AS sum_value
+         |  FROM w LEFT JOIN e ON e.ts >= w.w_start AND e.ts < w.w_end
+         |  GROUP BY w.window_id)
+         |SELECT window_id, w_start, CAST(n_events AS BIGINT) AS n_events,
+         |  COALESCE(sum_value, 0.0) AS sum_value
+         |FROM w JOIN m USING (window_id)
+         |ORDER BY window_id""".stripMargin))
+
   /** SQ8 scalar-quantized ANN: 8-bit codes for candidate generation
     * (integer dot product — exactly portable), exact cosine re-rank of
     * the top candidates. */
@@ -2557,6 +2650,8 @@ object Queries {
     "w5_latest_state" -> w5_latest_state,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
+    "j3_asof_join" -> j3_asof_join,
+    "j4_range_join" -> j4_range_join,
     "q1_pricing_summary" -> q1_pricing_summary,
     "q3_shipping_priority" -> q3_shipping_priority,
     "q5_local_supplier_volume" -> q5_local_supplier_volume,

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark's DataFrame API lacks as primitives:
+ * the AS-OF join (each left row matched to the single most recent right
+ * row at-or-before its timestamp, per key) and the bucketed RANGE join
+ * (points joined to intervals with no equi-key).
+ *
+ * Both are COMPOSED from built-in operators — the preference order the
+ * build plan mandates — because the compositions below already have the
+ * physical shape a custom SparkPlan would target:
+ *
+ *  - [[asOf]] is ONE hash-partition shuffle on the key + a per-partition
+ *    sort (exactly a merge-join's cost), never the naive
+ *    "range-join + per-row argmax" which explodes to |L|×|R| pairs per
+ *    key before pruning. At 100 TB the union-window form streams both
+ *    inputs through a single sort-merge pass.
+ *  - [[rangeJoin]] replicates each interval to the fixed-granularity
+ *    buckets it covers and equi-joins points on THEIR single bucket, so
+ *    a matching pair meets exactly once (no post-join dedup) and the
+ *    cross product never materializes. Catalyst sees an ordinary
+ *    equi-join: AQE broadcast / skew handling apply unchanged.
+ */
+object TemporalJoin {
+
+  /** As-of join (left outer): for every left row, attach the right row
+    * with the greatest `rightTs <= leftTs` in the same key group —
+    * ties on `rightTs` broken by the greatest `tieBreak` — or nulls if
+    * no right row precedes it.
+    *
+    * Implementation: union the two tagged inputs, then one running
+    * `last(payload, ignoreNulls)` window ordered by
+    * `(ts, side, tieBreak)` with right rows (side=0) sorting before
+    * left rows (side=1) at equal timestamps, so "at-or-before" is
+    * inclusive. The right payload travels as ONE struct so all its
+    * fields come from the SAME matched row even when individual fields
+    * are null.
+    *
+    * Output: all left columns plus `rightPayload` columns (caller
+    * guarantees the names don't collide with left's).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: Seq[String]): DataFrame = {
+    require(rightPayload.nonEmpty, "asOf: rightPayload must name at least one column")
+    val key = "__asof_key"
+    val ts = "__asof_ts"
+    val side = "__asof_side"
+    val pay = "__asof_payload"
+    val ties = tieBreak.indices.map(i => s"__asof_tie$i")
+
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(rightPayload.map(col): _*)
+
+    val l = left.select(
+      col(leftKey).as(key) +: col(leftTs).as(ts) +: lit(1).as(side) +:
+        tieBreak.zip(ties).map { case (src, alias) =>
+          lit(null).cast(right.schema(src).dataType).as(alias)
+        } ++:
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as(pay) +:
+        leftCols.map(col): _*)
+
+    val r = right.select(
+      col(rightKey).as(key) +: col(rightTs).as(ts) +: lit(0).as(side) +:
+        tieBreak.zip(ties).map { case (src, alias) => col(src).as(alias) } ++:
+        payloadStruct.as(pay) +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val order: Seq[Column] = col(ts).asc +: col(side).asc +: ties.map(col(_).asc)
+    val w = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(f => col(s"$pay.$f").as(f)): _*)
+  }
+
+  /** Bucketed range join (inner): pair every point with every interval
+    * `[startCol, endCol)` that contains it, WITHOUT an equi-key and
+    * without a cross product.
+    *
+    * `bucketOf` maps a point/instant to its coarse bucket (e.g.
+    * `to_date` for day granularity); intervals are exploded to the
+    * buckets they cover via `sequence(bucketOf(start), bucketOf(end))`
+    * — a bounded replication factor of `⌈span/granularity⌉+1` on the
+    * (usually filtered, small) interval side only. Points join on their
+    * OWN single bucket, so each matching (interval, point) pair meets
+    * in exactly one bucket and needs no dedup; the residual
+    * `start <= p < end` filter drops same-bucket non-overlaps.
+    *
+    * Output: `ranges` columns ++ `points` columns, matched rows only
+    * (callers wanting empty intervals re-join the aggregate back, which
+    * keeps the heavy side streaming).
+    */
+  def rangeJoin(
+      ranges: DataFrame,
+      startCol: String,
+      endCol: String,
+      points: DataFrame,
+      pointCol: String,
+      bucketOf: Column => Column): DataFrame = {
+    val bucket = "__range_bucket"
+    val expanded = ranges.withColumn(bucket,
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val bucketed = points.withColumn(bucket, bucketOf(col(pointCol)))
+    expanded.join(bucketed, Seq(bucket), "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop(bucket)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoin
+
+/** [[TemporalJoin]] laws on randomized data: the shuffle-lean
+  * compositions must equal their naive (explode-then-prune) forms. */
+class TemporalJoinSpec extends SparkSpec {
+
+  // Deterministic pseudo-random fixtures: keys collide heavily, ts
+  // collide sometimes (exercises the tie-break), payload fields include
+  // nulls (exercises the struct-atomicity of the match).
+  private lazy val left: DataFrame = spark.range(0, 2000).select(
+    col("id").as("l_id"),
+    pmod(hash(col("id") * 7), lit(23)).cast("long").as("k"),
+    pmod(hash(col("id") + 1), lit(500)).cast("long").as("t"),
+    (col("id") % 13).as("l_val"))
+
+  private lazy val right: DataFrame = spark.range(0, 1500).select(
+    col("id").as("r_id"),
+    pmod(hash(col("id") * 11), lit(23)).cast("long").as("k"),
+    pmod(hash(col("id") + 2), lit(500)).cast("long").as("t"),
+    when(col("id") % 5 === 0, lit(null).cast("long"))
+      .otherwise(col("id") * 2).as("r_val"))
+
+  test("asOf equals the naive argmax join (ties + nulls included)") {
+    val l = left
+    val r = right.select(col("k"), col("t"),
+      col("r_id").as("m_id"), col("t").as("m_t"), col("r_val").as("m_val"))
+    val got = TemporalJoin.asOf(l, r, "k", "k", "t", "t",
+      rightPayload = Seq("m_id", "m_t", "m_val"), tieBreak = Seq("m_id"))
+
+    // Naive: range join then keep the (max t, max m_id) row per left row.
+    val w = Window.partitionBy("l_id")
+      .orderBy(col("m_t").desc_nulls_last, col("m_id").desc_nulls_last)
+    val naive = l.join(r,
+        l("k") === r("k") && r("t") <= l("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(l("l_id"), l("k"), l("t"), col("l_val"),
+        col("m_id"), col("m_t"), col("m_val"))
+
+    assert(got.count() === l.count()) // left-outer: one row per left row
+    assert(got.except(naive).count() === 0L)
+    assert(naive.except(got).count() === 0L)
+  }
+
+  test("asOf at-or-before is inclusive and prefers the max tie-break") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("l_id", "k", "t")
+    val r = Seq(
+      (7L, 10L, 100L, "same-ts-low"),
+      (9L, 10L, 100L, "same-ts-high"),
+      (8L, 10L, 101L, "after")).toDF("m_id", "k", "t", "tag")
+      .select(col("k"), col("t"), col("m_id"), col("tag").as("m_tag"))
+    val got = TemporalJoin.asOf(l, r, "k", "k", "t", "t",
+      rightPayload = Seq("m_id", "m_tag"), tieBreak = Seq("m_id"))
+      .select("m_id", "m_tag").as[(Long, String)].collect()
+    assert(got.toSeq === Seq((9L, "same-ts-high")))
+  }
+
+  test("asOf with no preceding right row yields nulls, not dropped rows") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 5L), (2L, 99L, 5L)).toDF("l_id", "k", "t")
+    val r = Seq((7L, 10L, 6L)).toDF("m_id", "k", "t")
+      .select(col("k"), col("t"), col("m_id"))
+    val got = TemporalJoin.asOf(l, r, "k", "k", "t", "t",
+      rightPayload = Seq("m_id"), tieBreak = Seq("m_id"))
+    assert(got.count() === 2L)
+    assert(got.filter(col("m_id").isNull).count() === 2L)
+  }
+
+  test("rangeJoin equals the naive theta-join and emits no duplicates") {
+    val ranges = spark.range(0, 300).select(
+      col("id").as("range_id"),
+      pmod(hash(col("id") * 3), lit(1000)).cast("long").as("s"))
+      .withColumn("e", col("s") + pmod(hash(col("range_id") + 5), lit(40)))
+    val points = spark.range(0, 5000).select(
+      col("id").as("p_id"),
+      pmod(hash(col("id") * 13), lit(1040)).cast("long").as("p"))
+
+    val bucket = (c: org.apache.spark.sql.Column) => floor(c / 16)
+    val got = TemporalJoin.rangeJoin(ranges, "s", "e", points, "p", bucket)
+      .select("range_id", "p_id")
+    val naive = ranges.join(points,
+        points("p") >= ranges("s") && points("p") < ranges("e"))
+      .select("range_id", "p_id")
+
+    assert(got.count() === naive.count()) // count equality ⇒ no dup pairs
+    assert(got.except(naive).count() === 0L)
+    assert(naive.except(got).count() === 0L)
+  }
+}
