@@ -1474,6 +1474,39 @@ object Queries {
         |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin))
 
+  private val LmVocab = 4096
+
+  /** Unigram-LM quality filter (see [[TextAnalysis.lmQuality]]): the
+    * oracle retrains the identical LM in SQL — same tokenizer, same
+    * deterministic top-`LmVocab` cut, same integer micro-logprob
+    * fixed-pointing — so the comparison is hash-exact despite the
+    * transcendental scoring. */
+  val t32_lm_quality: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.lmQuality(t(spark, dir, "documents"), "doc_id", "text",
+          vocab = LmVocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         |lm AS (SELECT w, CAST(round(log10(cnt * 1.0 / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS lp
+         |  FROM counts ORDER BY cnt DESC, w LIMIT $LmVocab),
+         |oov AS (SELECT CAST(round(log10(0.5 / total) * 1000000) AS BIGINT) AS lp FROM tot),
+         |scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(COALESCE(lm.lp, (SELECT lp FROM oov))) AS BIGINT) AS sum_lp_micro
+         |  FROM toks t LEFT JOIN lm ON lm.w = t.w GROUP BY t.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+         |  COALESCE(s.sum_lp_micro, 0) AS sum_lp_micro,
+         |  CASE WHEN s.n_tokens > 0
+         |       THEN s.sum_lp_micro * 1.0 / s.n_tokens / 1000000.0 END AS avg_logprob
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
+    bench = true)
+
   val t11_fingerprint: Q = Q(
     run = (spark, dir) => fingerprintFrame(spark, dir).orderBy("doc_id"),
     benchRun = Some((spark, dir) => fingerprintFrame(spark, dir)),
@@ -2642,6 +2675,7 @@ object Queries {
     "t22_redact_pii" -> t22_redact_pii,
     "t23_pack_sequences" -> t23_pack_sequences,
     "t24_top_terms" -> t24_top_terms,
+    "t32_lm_quality" -> t32_lm_quality,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

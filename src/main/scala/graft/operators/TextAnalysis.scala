@@ -197,6 +197,57 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Unigram-LM corpus quality (the CCNet-style filter): train word
+    * frequencies over the corpus itself, keep the `vocab` most frequent
+    * words (count desc, word asc — deterministic), and score every
+    * document by the mean log10 unigram probability of its tokens;
+    * out-of-vocab words get a half-count floor `log10(0.5/total)`.
+    *
+    * Cross-engine exactness: per-word log-probs are fixed-pointed to
+    * integer MICRO-units (`round(log10(p)·1e6)` as BIGINT) BEFORE the
+    * per-document sum, so the aggregate is integer arithmetic —
+    * order-independent and bit-identical across Spark and DuckDB, where
+    * a float sum would drift with aggregation order. The emitted
+    * `avg_logprob` is then a fixed two-division rendering of the exact
+    * integers.
+    *
+    * Scale shape: one exploded-token aggregate for the LM (map-side
+    * partial combine), vocab selection via orderBy+LIMIT
+    * (TakeOrderedAndProject — per-partition top-k, never a
+    * single-partition global sort), the resulting `vocab`-row table
+    * BROADCAST into a map-side scoring join, one hash-agg on doc id.
+    * The only driver-collected value is the scalar corpus token count
+    * (index metadata, same class as the watermark head()). The word-
+    * count table is persisted for its two consumers (total + top-k) —
+    * it is |distinct words|, not corpus-scale. */
+  def lmQuality(df: DataFrame, idCol: String, textCol: String,
+      vocab: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextDedup.tokens(col(textCol))).as("w"))
+    val counts = Staging.barrier(
+      toks.groupBy("w").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum("cnt")).head.getLong(0)
+    def lpMicro(p: Column): Column =
+      round(log10(p) * lit(1e6)).cast("long")
+    val lm = counts
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocab)
+      .select(col("w"), lpMicro(col("cnt") * lit(1.0) / lit(total.toDouble)).as("lp"))
+    val oov = lpMicro(lit(0.5) / lit(total.toDouble))
+    val scored = toks
+      .join(broadcast(lm), Seq("w"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lp"), oov)).as("sum_lp_micro"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"),
+        when(col("n_tokens") > 0,
+          col("sum_lp_micro") * lit(1.0) / col("n_tokens") / lit(1e6))
+          .as("avg_logprob"))
+  }
+
   // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------

@@ -222,4 +222,28 @@ class TextAnalysisSpec extends SparkSpec {
         s"$lang: approx $a outside the median band (exact ${exact(lang)})")
     }
   }
+
+  test("lmQuality: exact integer micro-logprobs, vocab cut, OOV floor, empty docs") {
+    import spark.implicits._
+    // corpus: "the" ×6, "cat" ×2, "dog" ×1, "zzz" ×1 → total 10 tokens
+    val docs = Seq(
+      (1L, "the the the cat"),      // all in-vocab (vocab=3 keeps the,cat,dog)
+      (2L, "the zzz"),              // zzz falls outside vocab → OOV floor
+      (3L, "   "),                  // zero tokens
+      (4L, "the the dog cat")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmQuality(docs, "doc_id", "text", vocab = 3)
+      .orderBy("id").collect()
+    def lp(p: Double): Long = math.round(math.log10(p) * 1e6)
+    val (lpThe, lpCat, lpDog, lpOov) =
+      (lp(6 / 10.0), lp(2 / 10.0), lp(1 / 10.0), lp(0.5 / 10.0))
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got(0).getLong(1) === 4L)
+    assert(got(0).getLong(2) === 3 * lpThe + lpCat)
+    assert(got(1).getLong(2) === lpThe + lpOov) // zzz ranked out of vocab=3
+    assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L
+      && got(2).isNullAt(3)) // empty doc: zero tokens, null score
+    assert(got(3).getLong(2) === 2 * lpThe + lpDog + lpCat)
+    val avg1 = got(0).getDouble(3)
+    assert(avg1 === (3 * lpThe + lpCat) * 1.0 / 4 / 1e6)
+  }
 }
