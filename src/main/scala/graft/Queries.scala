@@ -2363,6 +2363,42 @@ object Queries {
         |  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Incremental dedup of a RESUMED ingest batch against already-landed
+    * data ([[IncrementalDedup]]): the resumed scan re-reads the
+    * watermark boundary region (keys in (max/2, max·6/10] here), and the
+    * operator drops exactly the re-read rows by canonical row hash —
+    * Bloom-prefiltered so only candidates shuffle into the anti-join.
+    * The oracle is the honest NOT EXISTS over the same split: the Bloom
+    * must be semantically invisible. */
+  val t33_bloom_dedup: Q = Q(
+    run = (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val metas = ColumnMeta.fromSchema(li.schema)
+      val hashed = li.withColumn("row_md5", CanonicalHash.rowHashExpr(metas))
+      val maxKey = li.agg(max("l_orderkey")).head.getLong(0)
+      val corpus = hashed.filter(col("l_orderkey") <= maxKey * 6 / 10)
+        .select("row_md5")
+      val batch = hashed.filter(col("l_orderkey") > maxKey / 2)
+        .select("l_orderkey", "l_linenumber", "row_md5")
+      IncrementalDedup.newRows(batch, corpus, "row_md5",
+          expectedItems = 1L << 20, fpp = 0.01)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    oracle = {
+      val h = OracleSql.rowHash(LineitemMetas)
+      Some(
+        s"""WITH h AS (SELECT l_orderkey, l_linenumber, $h AS row_md5 FROM lineitem),
+           |mx AS (SELECT max(l_orderkey) AS mk FROM lineitem)
+           |SELECT l_orderkey, l_linenumber, row_md5
+           |FROM h b
+           |WHERE b.l_orderkey > (SELECT mk // 2 FROM mx)
+           |  AND NOT EXISTS (SELECT 1 FROM h c
+           |    WHERE c.l_orderkey <= (SELECT mk * 6 // 10 FROM mx)
+           |      AND c.row_md5 = b.row_md5)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    },
+    bench = true)
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -2676,6 +2712,7 @@ object Queries {
     "t23_pack_sequences" -> t23_pack_sequences,
     "t24_top_terms" -> t24_top_terms,
     "t32_lm_quality" -> t32_lm_quality,
+    "t33_bloom_dedup" -> t33_bloom_dedup,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

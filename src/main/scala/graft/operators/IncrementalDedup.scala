@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * Incremental exact dedup: the rows of a NEW batch whose key does not
+ * already exist in a (much larger) ingested corpus — the resumed-ingest /
+ * rolling-corpus staple. Semantically it is exactly
+ * `batch LEFT ANTI JOIN corpus ON key` (what the differential oracle
+ * checks); the point of the operator is the physical shape at scale:
+ *
+ *   1. ONE pass over the corpus keys builds a Bloom filter with Spark's
+ *      native `BloomFilterAggregate` (partial aggregation: each task
+ *      builds a local filter, merges are OR's of bit arrays — the only
+ *      thing that ever reaches the driver is the final `numBits/8`-byte
+ *      sketch, ~1.2 MB per million keys at 1% fpp; index metadata, the
+ *      same class as IVF centroids).
+ *   2. The batch is prefiltered MAP-SIDE with the codegen'd
+ *      `might_contain`: a Bloom "no" has zero false negatives, so those
+ *      rows are DEFINITELY new and never enter a shuffle.
+ *   3. Only the Bloom "maybe" rows — true duplicates plus the fpp
+ *      fraction of the batch — are anti-joined against the corpus keys
+ *      to clear false positives.
+ *
+ * At 100 TB the anti-join's shuffle shrinks from |batch| to
+ * |dups| + fpp·|batch|; with a resumed scan's small overlap that is
+ * orders of magnitude. For corpora whose key count pushes the single
+ * filter past driver/broadcast budgets, the same construction shards by
+ * key range (one filter per shard, batch routed by the same ranges) —
+ * the per-shard plan is identical to this one.
+ */
+object IncrementalDedup {
+
+  /** Distributed Bloom build over `keys` (one column). Returns the
+    * serialized filter. `expectedItems`/`fpp` size the bit array via the
+    * standard optimal-bits formula. */
+  def trainBloom(keys: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      bridge.expressionEager(xxhash64(col(keyCol))),
+      bridge.expressionEager(lit(expectedItems)),
+      bridge.expressionEager(lit(numBits))).toAggregateExpression()
+    keys.select(bridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd Bloom membership probe (no false negatives). */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    bridge.column(BloomFilterMightContain(
+      bridge.expressionEager(lit(bloomBytes)),
+      bridge.expressionEager(xxhash64(key))))
+
+  /** Batch rows whose `keyCol` is NOT present in `corpus` — exact
+    * anti-join semantics, Bloom-prefiltered shuffle. */
+  def newRows(batch: DataFrame, corpus: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = trainBloom(corpus.select(col(keyCol)), keyCol, expectedItems, fpp)
+    val maybe = mightContain(bloom, col(keyCol))
+    val definitelyNew = batch.filter(!maybe)
+    val cleared = batch.filter(maybe)
+      .join(corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(cleared)
+  }
+}
