@@ -2458,7 +2458,7 @@ object Queries {
   val j4_range_join: Q = Q(
     run = (spark, dir) => {
       val ev = eventsWithTs(spark, dir)
-      val wins = ev.filter(col("event_type") === "error" && col("value") > 250)
+      val wins = ev.filter(col("event_type") === "error" && col("value") > 180)
         .select(col("event_id").as("window_id"),
           col("ts").as("w_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
@@ -2480,7 +2480,7 @@ object Queries {
     oracle = Some(
       s"""WITH w AS (SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS w_start,
          |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS w_end
-         |  FROM events WHERE event_type = 'error' AND value > 250),
+         |  FROM events WHERE event_type = 'error' AND value > 180),
          |e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
          |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
          |m AS (SELECT w.window_id, count(e.ts) AS n_events,
