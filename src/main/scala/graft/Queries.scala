@@ -1175,6 +1175,9 @@ object Queries {
   private val IvfClusters = 10
   private val IvfIters = 5
   private val IvfNprobe = 2
+  // SemDeDup (t34) pair threshold: below t5's 0.45 so the within-cell
+  // rule actually fires on the synthetic corpus (max pairwise cos ≈ 0.51)
+  private val SemDedupThreshold = 0.40
   // declared here (before every use site) — a forward reference to an
   // uninitialized val would silently bake 0 into the oracle SQL
   private val Sq8Candidates = 20
@@ -2399,6 +2402,28 @@ object Queries {
     },
     bench = true)
 
+  /** SemDeDup semantic dedup: the k-means cells from the t12 index bound
+    * the pairwise-cosine space (within-cell only, never corpus²); a
+    * vector survives iff no lower-id cell-mate is ≥ threshold similar.
+    * The oracle reuses the t12 Lloyd CTEs so both engines derive the
+    * SAME cells, then replays the pair rule in SQL. */
+  val t34_semdedup: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          kClusters = IvfClusters, iters = IvfIters,
+          threshold = SemDedupThreshold)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+    oracle = Some(
+      s"""$kmeansCtePrefix,
+         |drp AS (SELECT DISTINCT b.vec_id AS id
+         |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $SemDedupThreshold)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.id IS NULL) AS keep
+         |FROM corpus c LEFT JOIN drp d ON d.id = c.vec_id
+         |ORDER BY vec_id""".stripMargin),
+    bench = true)
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -2713,6 +2738,7 @@ object Queries {
     "t24_top_terms" -> t24_top_terms,
     "t32_lm_quality" -> t32_lm_quality,
     "t33_bloom_dedup" -> t33_bloom_dedup,
+    "t34_semdedup" -> t34_semdedup,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -298,6 +298,37 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells BOUND the pair space — pairwise
+    * cosine is computed only within a cell, never corpus² — and a vector
+    * is kept iff no lower-id vector in its cell is ≥ `threshold` similar
+    * (the deterministic min-id survivor rule, same tie-break as t5/t16).
+    *
+    * Scale shape (100 TB): centroids are broadcast literals, so the cell
+    * assignment is map-side; the within-cell self-join is an ordinary
+    * equi-join on `cell` that shuffles each vector once. Cell population
+    * is ≈ N/k, so the per-cell quadratic verify is bounded by raising
+    * `kClusters` with corpus size (the paper runs k = 11k on LAION);
+    * skewed cells are AQE-splittable because the join key is the cell id.
+    * The assigned corpus is staged ([[Staging.barrier]]) so the two join
+    * sides and the final keep-join read one materialization, not three
+    * re-assignments.
+    *
+    * Returns (id, cell, keep) for every input vector. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      kClusters: Int, iters: Int, threshold: Double): DataFrame = {
+    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
+    val corpus = Staging.barrier(prepared(df, idCol, vecCol)
+      .withColumn("cell", assignCell(col("v"), col("nrm"), cent)))
+    val dropped = corpus.as("a").join(corpus.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    corpus.select(col("id"), col("cell"))
+      .join(dropped.withColumn("drp", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("drp").isNull.as("keep"))
+  }
+
   // -------------------------------------------------------------------
   // SQ8 scalar quantization: 8-bit codes, integer candidate scoring
   // -------------------------------------------------------------------

@@ -340,6 +340,27 @@ class DedupSpec extends SparkSpec {
     assert(nBanded === nTruth, s"recall ${nBanded.toDouble / nTruth}")
   }
 
+  test("semDedup keep flags satisfy the min-id survivor rule within cells") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val sd = VectorOps.semDedup(emb, "vec_id", "embedding",
+      kClusters = 10, iters = 5, threshold = 0.40).cache()
+    assert(sd.count() === emb.count()) // total function: one row per vector
+    // independently recompute the defining property from the quadratic
+    // baseline restricted to same-cell pairs: dropped ⇔ ∃ lower-id
+    // cell-mate with cos ≥ θ
+    val cells = sd.select(col("id"), col("cell"))
+    val pairs = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.40)
+      .join(cells.select(col("id").as("id_a"), col("cell").as("ca")), Seq("id_a"))
+      .join(cells.select(col("id").as("id_b"), col("cell").as("cb")), Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+    val expectDropped = pairs.select(col("id_b").as("id")).distinct()
+    val gotDropped = sd.filter(!col("keep")).select("id")
+    assert(gotDropped.except(expectDropped).count() === 0L)
+    assert(expectDropped.except(gotDropped).count() === 0L)
+    assert(gotDropped.count() > 0, "fixture should contain semantic dups")
+    sd.unpersist()
+  }
+
   test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val ann = VectorOps.bucketedTopK(emb, "vec_id", "embedding",
