@@ -2424,6 +2424,34 @@ object Queries {
          |ORDER BY vec_id""".stripMargin),
     bench = true)
 
+  private val MixtureBudget = 200L
+
+  /** Temperature mixture sampling — [[TextAnalysis.mixtureWeights]]
+    * (α = 1/2 source reweighting toward a document budget; integer-scaled
+    * weights so both engines agree bit-for-bit). */
+  val t35_mixture_weights: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.mixtureWeights(t(spark, dir, "documents"), "source",
+          "doc_id", budget = MixtureBudget)
+        .select("doc_id", "source", "n_docs", "ppm", "quota", "keep")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |wi AS (SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS wi
+         |  FROM cnt),
+         |tot AS (SELECT SUM(wi) AS tw FROM wi),
+         |wts AS (SELECT source, n_docs, wi * 1000000 // tw AS ppm,
+         |    least(n_docs, (wi * 1000000 // tw) * $MixtureBudget // 1000000) AS quota
+         |  FROM wi, tot),
+         |rk AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+         |    ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, w.n_docs, CAST(w.ppm AS BIGINT) AS ppm,
+         |  CAST(w.quota AS BIGINT) AS quota, (r.rk <= w.quota) AS keep
+         |FROM rk r JOIN wts w USING (source)
+         |ORDER BY doc_id""".stripMargin))
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -2739,6 +2767,7 @@ object Queries {
     "t32_lm_quality" -> t32_lm_quality,
     "t33_bloom_dedup" -> t33_bloom_dedup,
     "t34_semdedup" -> t34_semdedup,
+    "t35_mixture_weights" -> t35_mixture_weights,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

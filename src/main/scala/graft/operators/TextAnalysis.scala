@@ -377,6 +377,49 @@ object TextAnalysis {
       .drop("__rk")
   }
 
+  /** Temperature-scaled source mixing (α-sampling, the XLM-R / mT5
+    * multilingual recipe): per-group sampling weights w_g ∝ n_g^α with
+    * α = 1/2, then a deterministic per-group quota toward a document
+    * `budget`. All weight arithmetic is INTEGER-scaled so the contract
+    * is engine-portable:
+    *
+    *   wi_g    = floor(sqrt(n_g) · 1e6)      — IEEE sqrt and multiply
+    *             are correctly rounded, so wi is bit-identical across
+    *             engines; a general pow(n, α) would not be, which is why
+    *             α is fixed at 1/2 rather than a parameter
+    *   ppm_g   = wi_g · 1_000_000 div Σ wi   — integer division
+    *   quota_g = min(n_g, ppm_g · budget div 1_000_000)
+    *
+    * Selection within a group is the [[capPerGroup]] md5-rank (uniform,
+    * deterministic, retry-stable). Returns one row per input doc:
+    * (id, group, n_docs, ppm, quota, keep).
+    *
+    * Scale shape: group counts and weights are METADATA (one row per
+    * group) — one map-side-combined agg, broadcast back onto the corpus;
+    * the only corpus-scale work is the per-group rank window, which
+    * shares [[capPerGroup]]'s skew caveat (pre-filter with a hash-mod
+    * fraction before the exact rank for pathological groups). Quota
+    * arithmetic overflows only past ~9e12 budget docs (ppm ≤ 1e6). */
+  def mixtureWeights(df: DataFrame, groupCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wi",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val total = counts.agg(sum("wi").as("tw"))
+    val wts = counts.crossJoin(broadcast(total))
+      .withColumn("ppm", expr("wi * 1000000L div tw"))
+      .withColumn("quota", least(col("n_docs"), expr(s"ppm * ${budget}L div 1000000L")))
+      .select(groupCol, "n_docs", "ppm", "quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(concat_ws(":", col(groupCol), col(idCol))), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(wts), Seq(groupCol))
+      .withColumn("keep", col("__rk") <= col("quota"))
+      .drop("__rk")
+  }
+
   /** Split documents into overlapping token-window chunks — embedding /
     * retrieval prep (a chunk is what gets embedded; the overlap keeps
     * sentence fragments from being split blind). Emits one row per

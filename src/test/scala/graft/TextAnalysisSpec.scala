@@ -223,6 +223,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWeights: quotas honored exactly; sqrt temperature flattens the mix") {
+    import spark.implicits._
+    // skewed corpus: big group 400 docs, small group 25 docs
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 425L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val got = TextAnalysis.mixtureWeights(docs, "grp", "doc_id", budget = 100L)
+      .cache()
+    assert(got.count() === 425L) // total function: one row per doc
+    val byGrp = got.groupBy("grp").agg(
+        first("n_docs").as("n"), first("ppm").as("ppm"),
+        first("quota").as("quota"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nB, ppmB, quotaB, keptB) = byGrp("big")
+    val (nS, ppmS, quotaS, keptS) = byGrp("small")
+    assert(keptB === quotaB && keptS === quotaS) // selection fills the quota
+    assert(quotaB <= nB && quotaS <= nS)
+    // α=1/2 flattening: big/small count ratio 16×, weight ratio must be
+    // the sqrt (4×), far below proportional
+    assert(ppmB < ppmS * 16L && ppmB >= ppmS * 3L && ppmB <= ppmS * 5L)
+    assert(quotaB + quotaS <= 100L) // never exceeds the budget
+    // deterministic across runs (md5-rank selection, no RNG)
+    val again = TextAnalysis.mixtureWeights(docs, "grp", "doc_id", budget = 100L)
+    assert(got.except(again).count() === 0L && again.except(got).count() === 0L)
+    got.unpersist()
+  }
+
   test("lmQuality: exact integer micro-logprobs, vocab cut, OOV floor, empty docs") {
     import spark.implicits._
     // corpus: "the" ×6, "cat" ×2, "dog" ×1, "zzz" ×1 → total 10 tokens
