@@ -2452,6 +2452,50 @@ object Queries {
          |FROM rk r JOIN wts w USING (source)
          |ORDER BY doc_id""".stripMargin))
 
+  private val DsirBudget = 100
+
+  /** DSIR importance resampling — [[TextAnalysis.dsirWeights]] (unigram
+    * target-vs-raw log-ratio, integer micro-logprobs, TakeOrdered
+    * cutoff). Target domain = source 'src0'. */
+  val t36_dsir_weights: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.dsirWeights(t(spark, dir, "documents"), "doc_id", "text",
+          targetPred = col("source") === "src0", vocab = LmVocab,
+          budget = DsirBudget)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH base AS (SELECT doc_id, text, (source = 'src0') AS is_target FROM documents),
+         |toks AS (SELECT doc_id, is_target,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM base),
+         |rc AS (SELECT w, count(*) AS rcnt FROM toks GROUP BY w),
+         |rtot AS (SELECT CAST(sum(rcnt) AS BIGINT) AS total FROM rc),
+         |tc AS (SELECT w, count(*) AS tcnt FROM toks WHERE is_target GROUP BY w),
+         |ttot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks WHERE is_target),
+         |lm AS (SELECT v.w,
+         |    CAST(round(log10(v.rcnt * 1.0 / (SELECT total FROM rtot)) * 1000000) AS BIGINT) AS lp_raw,
+         |    COALESCE(CAST(round(log10(tc.tcnt * 1.0 / (SELECT total FROM ttot)) * 1000000) AS BIGINT),
+         |      CAST(round(log10(0.5 / (SELECT total FROM ttot)) * 1000000) AS BIGINT)) AS lp_tgt
+         |  FROM (SELECT w, rcnt FROM rc ORDER BY rcnt DESC, w LIMIT $LmVocab) v
+         |  LEFT JOIN tc ON tc.w = v.w),
+         |oov AS (SELECT CAST(round(log10(0.5 / (SELECT total FROM ttot)) * 1000000) AS BIGINT) AS t,
+         |    CAST(round(log10(0.5 / (SELECT total FROM rtot)) * 1000000) AS BIGINT) AS r),
+         |scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(COALESCE(lm.lp_tgt, (SELECT t FROM oov))
+         |      - COALESCE(lm.lp_raw, (SELECT r FROM oov))) AS BIGINT) AS dsir_micro
+         |  FROM toks t LEFT JOIN lm ON lm.w = t.w GROUP BY t.doc_id),
+         |fl AS (SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+         |    COALESCE(s.dsir_micro, 0) AS dsir_micro
+         |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+         |cut AS (SELECT dsir_micro AS cd, doc_id AS ci FROM (
+         |    SELECT * FROM fl ORDER BY dsir_micro DESC, doc_id LIMIT $DsirBudget)
+         |  ORDER BY dsir_micro ASC, doc_id DESC LIMIT 1)
+         |SELECT doc_id, n_tokens, dsir_micro,
+         |  (dsir_micro > (SELECT cd FROM cut)
+         |   OR (dsir_micro = (SELECT cd FROM cut) AND doc_id <= (SELECT ci FROM cut))) AS keep
+         |FROM fl ORDER BY doc_id""".stripMargin))
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -2768,6 +2812,7 @@ object Queries {
     "t33_bloom_dedup" -> t33_bloom_dedup,
     "t34_semdedup" -> t34_semdedup,
     "t35_mixture_weights" -> t35_mixture_weights,
+    "t36_dsir_weights" -> t36_dsir_weights,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -248,6 +248,67 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * each doc scores Σ_tokens [log p_target(w) − log p_raw(w)] under two
+    * unigram LMs — target = the `targetPred` subset, raw = the whole
+    * corpus — and the top `budget` docs by score are kept. The LMs share
+    * one vocab (top-`vocab` raw tokens, deterministic cut); a vocab word
+    * unseen in the target and any out-of-vocab token fall to the 0.5/total
+    * floor on their side. Log-probs use [[lmQuality]]'s integer
+    * micro-logprob fixed-pointing, so per-doc sums are exact longs and
+    * the differential gate is hash-exact despite the transcendentals.
+    *
+    * Scale shape: both LMs are vocab-bounded METADATA broadcast onto one
+    * staged token stream; totals are scalar aggregates. The top-`budget`
+    * cut is NOT a global sort — the cutoff row (score, id) is computed
+    * TakeOrdered-style (limit budget → tail 1, driver gets one row) and
+    * applied as a map-side predicate, the k3 top-k shape. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, vocab: Int, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      targetPred.as("is_target"))
+    val toks = Staging.barrier(base.select(col("id"), col("is_target"),
+      explode(TextDedup.tokens(col("txt"))).as("w")))
+    val rawCounts = Staging.barrier(
+      toks.groupBy("w").agg(count(lit(1)).as("rcnt")))
+    val tgtCounts = toks.filter(col("is_target"))
+      .groupBy("w").agg(count(lit(1)).as("tcnt"))
+    val rawTotal = rawCounts.agg(sum("rcnt")).head.getLong(0)
+    val tgtTotal = toks.filter(col("is_target")).count()
+    require(tgtTotal > 0, "targetPred selects no tokens: target LM is undefined")
+    def lpMicro(p: Column): Column = round(log10(p) * lit(1e6)).cast("long")
+    val oovRaw = lpMicro(lit(0.5) / lit(rawTotal.toDouble))
+    val oovTgt = lpMicro(lit(0.5) / lit(tgtTotal.toDouble))
+    val lm = rawCounts.orderBy(col("rcnt").desc, col("w").asc).limit(vocab)
+      .join(tgtCounts, Seq("w"), "left")
+      .select(col("w"),
+        lpMicro(col("rcnt") * lit(1.0) / lit(rawTotal.toDouble)).as("lp_raw"),
+        coalesce(lpMicro(col("tcnt") * lit(1.0) / lit(tgtTotal.toDouble)),
+          oovTgt).as("lp_tgt"))
+    val scored = toks.join(broadcast(lm), Seq("w"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lp_tgt"), oovTgt) - coalesce(col("lp_raw"), oovRaw))
+          .as("dsir_micro"))
+    val full = Staging.barrier(base.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro")))
+    // cutoff = the budget-th row in (score desc, id asc) order; applied
+    // as a predicate so selection never needs a global window
+    val cut = full.orderBy(col("dsir_micro").desc, col("id").asc).limit(budget)
+      .orderBy(col("dsir_micro").asc, col("id").desc).limit(1)
+      .select("dsir_micro", "id").collect().headOption
+    val keep = cut match {
+      case Some(r) =>
+        col("dsir_micro") > r.getLong(0) ||
+          (col("dsir_micro") === r.getLong(0) && col("id") <= r.getLong(1))
+      case None => lit(true)
+    }
+    full.withColumn("keep", keep)
+  }
+
   // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------

@@ -251,6 +251,37 @@ class TextAnalysisSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("dsirWeights: target-domain lookalikes outrank background; budget exact") {
+    import spark.implicits._
+    // target domain (docs 0-4) speaks "ml ai"; background (5-24) "cat dog"
+    val docs = ((0L until 5L).map(i => (i, "ml ai ml ai", true)) ++
+      (5L until 25L).map(i => (i, "cat dog cat dog", false)) ++
+      Seq((25L, "ml ai cat dog", false),   // mixed: closer to target than pure bg
+        (26L, "", false))                  // empty: zero tokens, score 0
+      ).toDF("doc_id", "text", "tgt")
+    val got = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      targetPred = col("tgt"), vocab = 100, budget = 6).cache()
+    assert(got.count() === 27L)
+    val byId = got.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // every target-vocab doc scores above every background doc
+    val tgtScores = (0L until 5L).map(byId(_)._2)
+    val bgScores = (5L until 25L).map(byId(_)._2)
+    assert(tgtScores.min > bgScores.max)
+    // the mixed doc sits strictly between
+    assert(byId(25L)._2 < tgtScores.min && byId(25L)._2 > bgScores.max)
+    assert(byId(26L)._1 === 0L && byId(26L)._2 === 0L) // empty doc
+    // exactly budget docs kept: the 5 target docs + the mixed one... unless
+    // the empty doc's 0 outranks — assert the keep SET is the top-6 by score
+    assert(got.filter(col("keep")).count() === 6L)
+    val keptIds = got.filter(col("keep")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val top6 = byId.toSeq.sortBy { case (id, (_, s, _)) => (-s, id) }
+      .take(6).map(_._1).toSet
+    assert(keptIds === top6)
+    got.unpersist()
+  }
+
   test("lmQuality: exact integer micro-logprobs, vocab cut, OOV floor, empty docs") {
     import spark.implicits._
     // corpus: "the" ×6, "cat" ×2, "dog" ×1, "zzz" ×1 → total 10 tokens
