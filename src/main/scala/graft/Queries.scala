@@ -2315,6 +2315,136 @@ object Queries {
          |  ${duckMoney("SUM(spend_dec)")} AS sum_spend
          |FROM tiled GROUP BY decile ORDER BY decile""".stripMargin))
 
+  /** TPC-H Q12 shape: join + conditional counting — line shipments in a
+    * date window, classified by order priority. The shipdate range is a
+    * pushable scan predicate (PushedFilters on the parquet min/max), the
+    * priority split is a map-side CASE fold: one shuffle, two counters. */
+  val q12_priority_lines: Q = Q(
+    run = (spark, dir) => {
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+        .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    oracle = Some(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    bench = true)
+
+  /** TPC-H Q14 shape: promo revenue share. Both sums fold the SAME
+    * joined relation in one aggregate (no second scan); the share is a
+    * double division of two cent-rounded doubles — bit-identical inputs,
+    * one IEEE op, so the quotient is engine-exact without a rational
+    * workaround. Part side is a broadcast dimension. */
+  val q14_promo_revenue: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          money(sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0).cast(Dec6))))
+            .as("promo_revenue"),
+          money(sum(discPrice)).as("total_revenue"))
+        .withColumn("promo_share", col("promo_revenue") / col("total_revenue")),
+    oracle = Some(
+      s"""WITH agg AS (SELECT
+         |  ${duckMoney(s"SUM(CASE WHEN p_type = 'PROMO' THEN $duckDiscPrice ELSE CAST(0 AS DECIMAL(18,6)) END)")} AS promo_revenue,
+         |  ${duckMoney(s"SUM($duckDiscPrice)")} AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey)
+         |SELECT promo_revenue, total_revenue,
+         |  promo_revenue / total_revenue AS promo_share FROM agg""".stripMargin))
+
+  /** TPC-H Q16 shape: DISTINCT-count with an exclusion anti-join —
+    * suppliers per (brand, type) for small parts, excluding
+    * negative-balance suppliers (the NOT IN sub). The exclusion list is
+    * a broadcast LEFT ANTI (never a shuffled NOT IN), the distinct-agg
+    * shuffles (brand, type, suppkey) once, partial-deduped map-side. */
+  val q16_supplier_count: Q = Q(
+    run = (spark, dir) => {
+      val bad = t(spark, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_size") <= 25)
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    },
+    oracle = Some(
+      """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin))
+
+  /** TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate — three
+    * (brand, size-band, quantity-band) arms. Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-condition out of the
+    * disjunction (hash join, not BNL) and pushes each arm's local
+    * conjuncts to its side's scan. */
+  val q19_disjunctive: Q = Q(
+    run = (spark, dir) => {
+      val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#11", 1, 15, 1, 20) || arm("Brand#22", 10, 30, 10, 35) ||
+          arm("Brand#15", 20, 50, 20, 50))
+        .agg(money(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
+    },
+    oracle = Some(
+      s"""SELECT ${duckMoney(s"SUM($duckDiscPrice)")} AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin))
+
+  /** TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS —
+    * above-average-balance customers with no urgent orders, per segment.
+    * The average test is the RATIONAL form `bal·n > total` on exact
+    * decimals (q11/q17 precedent — no lossy double division); the NOT
+    * EXISTS is a broadcast LEFT ANTI against the (small) urgent-customer
+    * key list. */
+  val q22_idle_balance: Q = Q(
+    run = (spark, dir) => {
+      val cust = t(spark, dir, "customer")
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n"), sum(dec6(col("c_acctbal"))).as("total_dec"))
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(dec6(col("c_acctbal")) * col("n") > col("total_dec"))
+        .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          money(sum(dec6(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+    oracle = Some(
+      s"""WITH a AS (SELECT COUNT(*) AS n, SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS t
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, COUNT(*) AS numcust,
+         |  ${duckMoney("SUM(CAST(c_acctbal AS DECIMAL(18,6)))")} AS totacctbal
+         |FROM customer c
+         |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * (SELECT n FROM a) > (SELECT t FROM a)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -2836,7 +2966,12 @@ object Queries {
     "q4_priority_exists" -> q4_priority_exists,
     "q17_small_quantity" -> q17_small_quantity,
     "q11_revenue_share" -> q11_revenue_share,
-    "q13_spend_deciles" -> q13_spend_deciles)
+    "q13_spend_deciles" -> q13_spend_deciles,
+    "q12_priority_lines" -> q12_priority_lines,
+    "q14_promo_revenue" -> q14_promo_revenue,
+    "q16_supplier_count" -> q16_supplier_count,
+    "q19_disjunctive" -> q19_disjunctive,
+    "q22_idle_balance" -> q22_idle_balance)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
