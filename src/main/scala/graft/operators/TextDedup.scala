@@ -114,8 +114,18 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** k-element MinHash signature: element i = min over shingles of
-    * md5("<i>:" ++ shingle), as hex string. */
+    * md5("<i>:" ++ shingle), as hex string. The fused kernel
+    * ([[graft.functions.MinhashSignature]]) — contract-identical to
+    * [[minhashSignatureComposed]] (DedupSpec asserts byte-equality), one
+    * static call per row instead of k lambda transforms + string mins. */
   def minhashSignature(sh: Column, k: Int): Column =
+    graft.functions.MinhashSignature(sh, k)
+
+  /** The composed-built-ins formulation — retained as the semantic
+    * baseline the fused kernel is equivalence-tested against (the
+    * [[graft.operators.VectorOps.dotComposed]] precedent), and the
+    * direct transliteration of the DuckDB oracle's per-i min. */
+  def minhashSignatureComposed(sh: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))): _*)
 

@@ -340,6 +340,21 @@ class DedupSpec extends SparkSpec {
     assert(nBanded === nTruth, s"recall ${nBanded.toDouble / nTruth}")
   }
 
+  test("fused minhash kernel equals the composed k-lambda formulation byte-for-byte") {
+    val withSh = TextDedup.shingleSets(docs, "doc_id", "text", 3)
+    // include an empty-set doc to exercise the k-NULLs path the
+    // shingleSets filter normally removes
+    val withEmpty = withSh.unionByName(
+      withSh.sparkSession.range(1).select(lit(-1L).as("id"),
+        array().cast("array<string>").as("s")))
+    val both = withEmpty.select(col("id"),
+      TextDedup.minhashSignature(col("s"), 16).as("fused"),
+      TextDedup.minhashSignatureComposed(col("s"), 16).as("composed"))
+    val bad = both.filter(!(col("fused") <=> col("composed"))).count()
+    assert(bad === 0L)
+    assert(both.count() > 0)
+  }
+
   test("semDedup keep flags satisfy the min-id survivor rule within cells") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val sd = VectorOps.semDedup(emb, "vec_id", "embedding",
