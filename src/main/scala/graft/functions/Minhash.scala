@@ -128,3 +128,124 @@ object MinhashSignature {
   def apply(sh: Column, k: Int): Column =
     bridge.column(MinhashSignature(bridge.expression(sh), k))
 }
+
+/**
+ * Fused min-k character-gram fingerprint kernel — same escape-hatch
+ * rationale as [[MinhashKernel]], applied to the t11 path.
+ *
+ * CONTRACT-IDENTICAL to the composed form
+ * ([[graft.operators.TextAnalysis.fingerprintFromNormComposed]]): the k
+ * lexicographically smallest md5s (MULTISET — duplicate grams keep their
+ * duplicate hashes, exactly like `array_sort` + `slice`) of the
+ * codepoint-based `gram`-char substrings, hex-concatenated ascending;
+ * NULL when the text has fewer than `gram` codepoints. Gram windows walk
+ * a precomputed codepoint→byte-offset table, so each md5 reads the
+ * window's bytes directly — no per-position UTF8String substring
+ * allocation, no O(L)-element array materialization, no string sort.
+ */
+object FingerprintKernel {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** UTF-8 char width from the leading byte (mirrors UTF8String). */
+  private def charWidth(b: Byte): Int = {
+    val v = b & 0xff
+    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
+  }
+
+  def fingerprint(s: UTF8String, gram: Int, k: Int): UTF8String = {
+    val bytes = s.getBytes
+    // codepoint start offsets (n+1 entries, last = total bytes)
+    var n = 0
+    var off = 0
+    while (off < bytes.length) { off += charWidth(bytes(off)); n += 1 }
+    if (n < gram) return null
+    val offs = new Array[Int](n + 1)
+    off = 0
+    var ci = 0
+    while (off < bytes.length) { offs(ci) = off; off += charWidth(bytes(off)); ci += 1 }
+    offs(n) = bytes.length
+    // min-k multiset of digests via bounded insertion
+    val mins = new Array[Array[Byte]](k)
+    var filled = 0
+    val digest = mdLocal.get()
+    var i = 0
+    while (i <= n - gram) {
+      digest.reset()
+      digest.update(bytes, offs(i), offs(i + gram) - offs(i))
+      val d = digest.digest()
+      if (filled < k) {
+        var j = filled
+        while (j > 0 && lessUnsigned(d, mins(j - 1))) { mins(j) = mins(j - 1); j -= 1 }
+        mins(j) = d
+        filled += 1
+      } else if (lessUnsigned(d, mins(k - 1))) {
+        var j = k - 1
+        while (j > 0 && lessUnsigned(d, mins(j - 1))) { mins(j) = mins(j - 1); j -= 1 }
+        mins(j) = d
+      }
+      i += 1
+    }
+    val hexDigits = "0123456789abcdef"
+    val out = new Array[Byte](32 * filled)
+    i = 0
+    while (i < filled) {
+      val d = mins(i)
+      var b = 0
+      while (b < 16) {
+        out(32 * i + 2 * b) = hexDigits.charAt((d(b) >> 4) & 0xf).toByte
+        out(32 * i + 2 * b + 1) = hexDigits.charAt(d(b) & 0xf).toByte
+        b += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** Min-k gram fingerprint as one fused expression node. */
+case class GramFingerprint(child: Expression, gram: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if gram > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument and gram, k > 0, got " +
+        s"${child.dataType.simpleString}, gram=$gram, k=$k")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    FingerprintKernel.fingerprint(v.asInstanceOf[UTF8String], gram, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.FingerprintKernel.fingerprint($c, $gram, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramFingerprint =
+    copy(child = newChild)
+}
+
+object GramFingerprint {
+  /** Column-API entry: `graft_fingerprint(norm, gram, k)`. */
+  def apply(norm: Column, gram: Int, k: Int): Column =
+    bridge.column(GramFingerprint(bridge.expression(norm), gram, k))
+}

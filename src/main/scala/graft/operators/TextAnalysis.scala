@@ -107,7 +107,15 @@ object TextAnalysis {
     * [[Staging.barrier]] first (the t11 call site in Queries does), or
     * use [[fingerprint]] only on columns that are already plain
     * attributes of normalized text. */
-  def fingerprintFromNorm(norm: Column, gram: Int = 5, k: Int = 4): Column = {
+  def fingerprintFromNorm(norm: Column, gram: Int = 5, k: Int = 4): Column =
+    graft.functions.GramFingerprint(norm, gram, k)
+
+  /** The composed-built-ins formulation — retained as the semantic
+    * baseline the fused kernel ([[graft.functions.GramFingerprint]]) is
+    * equivalence-tested against (TextAnalysisSpec), and the direct
+    * transliteration of the DuckDB oracle's list-comprehension. Subject
+    * to the same materialized-attribute rule as above. */
+  def fingerprintFromNormComposed(norm: Column, gram: Int = 5, k: Int = 4): Column = {
     val grams = transform(sequence(lit(0), length(norm) - gram),
       i => norm.substr(i + lit(1), lit(gram)))
     val hashes = array_sort(transform(grams, g => md5(g)))

@@ -223,6 +223,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fused fingerprint kernel equals the composed formulation incl. astral chars") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaa"),                    // duplicate grams → duplicate hashes kept
+      (3L, "abcd"),                          // < 5 codepoints → NULL
+      (4L, ""),                              // empty → NULL
+      (5L, "ab😀cd😁ef"), // astral codepoints count as one char
+      (6L, "exact5")).toDF("id", "norm")
+    val both = docs.select(col("id"),
+      TextAnalysis.fingerprintFromNorm(col("norm")).as("fused"),
+      TextAnalysis.fingerprintFromNormComposed(col("norm")).as("composed"))
+    val bad = both.filter(!(col("fused") <=> col("composed"))).count()
+    assert(bad === 0L)
+    // and over the real corpus
+    val corpus = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+    val cb = corpus.select(
+      TextAnalysis.fingerprintFromNorm(col("norm")).as("fused"),
+      TextAnalysis.fingerprintFromNormComposed(col("norm")).as("composed"))
+    assert(cb.filter(!(col("fused") <=> col("composed"))).count() === 0L)
+  }
+
   test("mixtureWeights: quotas honored exactly; sqrt temperature flattens the mix") {
     import spark.implicits._
     // skewed corpus: big group 400 docs, small group 25 docs
