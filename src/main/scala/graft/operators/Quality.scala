@@ -132,6 +132,26 @@ object Quality {
       .filter(col("rank") <= k)
   }
 
+  /** The at-scale twin of [[topValues]]: Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]) — fixed `numCounters` memory per
+    * partial aggregate instead of a value-domain group-by, with the
+    * mergeable-summaries guarantees (every value with frequency
+    * > N/(numCounters+1) survives; counts are lower bounds short by at
+    * most N/(numCounters+1)). Spec-gated on the guarantees
+    * (HeavyHittersSpec), not oracle equality — counter values depend on
+    * partition order. Returns (value, count_lb, rank). */
+  def topValuesApprox(df: DataFrame, c: String, k: Int,
+      numCounters: Int): DataFrame = {
+    require(k > 0 && numCounters >= k,
+      "need numCounters >= k > 0: the sketch can only report what it retains")
+    df.filter(col(c).isNotNull)
+      .agg(graft.functions.MisraGriesAgg(col(c), numCounters).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("idx", "e")))
+      .filter(col("idx") < k)
+      .select(col("e.value").as("value"), col("e.count_lb").as("count_lb"),
+        (col("idx") + 1).cast("int").as("rank"))
+  }
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */

@@ -77,4 +77,38 @@ class QualitySpec extends SparkSpec {
       assert(rel <= 0.06, s"$c: exact=${ex(c)} approx=${ap(c)} rel=$rel")
     }
   }
+
+  test("Misra-Gries sketch honors the mergeable-summaries guarantees") {
+    import spark.implicits._
+    // skewed synthetic column: hot values dominate a long uniform tail
+    val rows = (Seq.fill(4000)("hot_a") ++ Seq.fill(2500)("hot_b") ++
+      Seq.fill(1200)("hot_c") ++ (0 until 2300).map(i => s"tail_${i % 700}"))
+    val nCounters = 16
+    val n = rows.size.toLong
+    val slack = n / (nCounters + 1)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // exercise partial aggregation + merge across many partitions, and
+    // independence from partitioning (guarantees, not counter values)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("v").repartition(parts)
+      val got = graft.operators.Quality.topValuesApprox(df, "v", k = nCounters,
+          numCounters = nCounters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 1. every item with true freq > N/(k+1) survives
+      truth.filter(_._2 > slack).keys.foreach { v =>
+        assert(got.contains(v), s"parts=$parts: heavy item $v missing")
+      }
+      // 2. counts are lower bounds, short by at most N/(k+1)
+      got.foreach { case (v, lb) =>
+        val t = truth(v)
+        assert(lb <= t, s"parts=$parts: $v lb=$lb exceeds true $t")
+        assert(lb >= t - slack, s"parts=$parts: $v lb=$lb below ${t - slack}")
+      }
+      // 3. the three hot values lead the report in frequency order
+      val top3 = graft.operators.Quality.topValuesApprox(df, "v", k = 3,
+          numCounters = nCounters)
+        .orderBy("rank").collect().map(_.getString(0)).toSeq
+      assert(top3 === Seq("hot_a", "hot_b", "hot_c"))
+    }
+  }
 }
