@@ -15,7 +15,10 @@ object ExplainDump {
         "t21_repetition", "t23_pack_sequences", "t24_top_terms",
         "t27_span_dedup", "c1_cdc_merge", "c2_snapshot_diff",
         "t31_corpus_shuffle", "p3_profile", "q4_priority_exists",
-        "j3_asof_join", "j4_range_join")
+        "j3_asof_join", "j4_range_join",
+        "t33_bloom_dedup", "t34_semdedup", "t35_mixture_weights",
+        "t36_dsir_weights", "q12_priority_lines", "q16_supplier_count",
+        "q19_disjunctive", "q22_idle_balance")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -31,6 +31,16 @@ echo "$QLOG" | grep -q "approx profile cardinalities stay within HLL error of ex
   || { echo "FATAL: p3 HLL-vs-exact cardinality test did not run (renamed or filtered out)"; exit 1; }
 echo "$QLOG" | grep -q "All tests passed" \
   || { echo "FATAL: p3 HLL-vs-exact cardinality test failed"; echo "$QLOG" | tail -20; exit 1; }
+echo "=== p6 heavy-hitter guard (mandatory): Misra-Gries sketch vs exact guarantees"
+# p6's documented at-scale swap (topValuesApprox, fixed-memory Misra-Gries
+# instead of a value-domain group-by) is honest only while the sketch
+# provably honors the mergeable-summaries survival + lower-bound
+# guarantees across partitionings — this test is that guard
+MGLOG=$(sbt -batch 'testOnly graft.QualitySpec -- -z "Misra-Gries"' 2>&1)
+echo "$MGLOG" | grep -q "Misra-Gries sketch honors the mergeable-summaries guarantees" \
+  || { echo "FATAL: p6 Misra-Gries guarantee test did not run (renamed or filtered out)"; exit 1; }
+echo "$MGLOG" | grep -q "All tests passed" \
+  || { echo "FATAL: p6 Misra-Gries guarantee test failed"; echo "$MGLOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
