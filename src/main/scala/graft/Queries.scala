@@ -612,6 +612,29 @@ object Queries {
         |  FROM c)
         |WHERE rank <= 3 ORDER BY rank""".stripMargin))
 
+  /** The Misra–Gries sketch run UNDER capacity: with `numCounters` ≥ the
+    * column's distinct-value count the decrement/reduction steps never
+    * fire, so the sketch degenerates to exact counting — deterministic
+    * and therefore gateable against the SAME oracle as the exact p6.
+    * This differentially proves the aggregate's exactness-when-under-
+    * capacity property; the over-capacity guarantees (survival, lower
+    * bounds) are the QualitySpec + ci.sh mandatory guard. */
+  val p7_heavy_hitters_sketch: Q = Q(
+    run = (spark, dir) =>
+      Quality.topValuesApprox(t(spark, dir, "orders"), "o_orderpriority",
+          k = 3, numCounters = 8)
+        .withColumnRenamed("count_lb", "cnt")
+        .orderBy("rank"),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT o_orderpriority AS value, COUNT(*) AS cnt
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+        |SELECT value, cnt, CAST(rank AS INT) AS rank FROM (
+        |  SELECT value, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, value) AS rank
+        |  FROM c)
+        |WHERE rank <= 3 ORDER BY rank""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -2909,7 +2932,8 @@ object Queries {
     "p3_profile" -> p3_profile,
     "p4_quality_checks" -> p4_quality_checks,
     "p5_histogram" -> p5_histogram,
-    "p6_heavy_hitters" -> p6_heavy_hitters)
+    "p6_heavy_hitters" -> p6_heavy_hitters,
+    "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(
