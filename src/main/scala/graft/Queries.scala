@@ -2611,6 +2611,45 @@ object Queries {
          |FROM rk r JOIN wts w USING (source)
          |ORDER BY doc_id""".stripMargin))
 
+  private val WinnowGram = 5
+  private val WinnowWindow = 4
+
+  /** Winnowing positional fingerprints — [[graft.functions
+    * .WinnowFingerprints]] (Schleimer et al. SIGMOD'03 / MOSS): one pick
+    * per sliding window of `WinnowWindow` consecutive `WinnowGram`-char
+    * gram hashes, rightmost-min tie-break, deduplicated. Unlike t11's
+    * global min-k signature these localize WHERE documents overlap: any
+    * shared substring of ≥ gram+w−1 chars shares a fingerprint. Docs
+    * shorter than gram+w−1 codepoints emit nothing. Map-only after the
+    * scan; the oracle replays the same windows relationally. */
+  val t37_winnowing: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprints(
+            lower(trim(col("text"))), WinnowGram, WinnowWindow)).as("fp"))
+        .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+        .orderBy("doc_id", "pos"),
+    oracle = Some(
+      s"""WITH n AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+         |hs AS (SELECT doc_id,
+         |    [md5(substr(norm, i+1, $WinnowGram)) for i in range(length(norm) - ${WinnowGram - 1})] AS h
+         |  FROM n WHERE length(norm) >= ${WinnowGram + WinnowWindow - 1}),
+         |g AS (SELECT doc_id, t.i AS pos, h[t.i+1] AS hv
+         |  FROM hs, unnest(range(len(h))) t(i)),
+         |wj AS (SELECT doc_id, t.j AS j
+         |  FROM hs, unnest(range(len(h) - ${WinnowWindow - 1})) t(j)),
+         |ex AS (SELECT w.doc_id, w.j, g.pos, g.hv FROM wj w
+         |  JOIN g ON g.doc_id = w.doc_id
+         |    AND g.pos BETWEEN w.j AND w.j + ${WinnowWindow - 1}),
+         |wmin AS (SELECT doc_id, j, min(hv) AS mh FROM ex GROUP BY 1, 2),
+         |pick AS (SELECT e.doc_id, e.j, max(e.pos) AS pos FROM ex e
+         |  JOIN wmin m ON m.doc_id = e.doc_id AND m.j = e.j AND e.hv = m.mh
+         |  GROUP BY 1, 2)
+         |SELECT DISTINCT p.doc_id AS doc_id, CAST(p.pos AS INT) AS pos, g.hv AS h
+         |FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.pos = p.pos
+         |ORDER BY p.doc_id, pos""".stripMargin))
+
   private val DsirBudget = 100
 
   /** DSIR importance resampling — [[TextAnalysis.dsirWeights]] (unigram
@@ -2973,6 +3012,7 @@ object Queries {
     "t34_semdedup" -> t34_semdedup,
     "t35_mixture_weights" -> t35_mixture_weights,
     "t36_dsir_weights" -> t36_dsir_weights,
+    "t37_winnowing" -> t37_winnowing,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

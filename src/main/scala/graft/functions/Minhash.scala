@@ -2,13 +2,16 @@ package graft.functions
 
 import java.security.MessageDigest
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -248,4 +251,137 @@ object GramFingerprint {
   /** Column-API entry: `graft_fingerprint(norm, gram, k)`. */
   def apply(norm: Column, gram: Int, k: Int): Column =
     bridge.column(GramFingerprint(bridge.expression(norm), gram, k))
+}
+
+/**
+ * Winnowing fingerprint kernel (Schleimer, Wilkerson, Aiken: "Winnowing:
+ * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+ * scheme). Where [[FingerprintKernel]] keeps the k GLOBAL minima (a
+ * whole-doc signature), winnowing keeps one gram hash per sliding WINDOW
+ * of `w` consecutive gram hashes — a POSITIONAL fingerprint set with the
+ * paper's guarantee: any shared substring of at least `w + gram − 1`
+ * characters contributes at least one common fingerprint, so matching
+ * fingerprints localize WHERE two documents overlap, not just that they
+ * do.
+ *
+ * Selection rule (deterministic, the oracle's spelling): in each window
+ * take the minimum hash, ties broken by the RIGHTMOST position; the
+ * per-window picks are then deduplicated globally as (pos, hash) pairs
+ * (overlapping windows re-pick the same gram). Output is the pick list
+ * ordered by position: array<struct<pos int, h string>>; NULL when the
+ * doc has fewer than `gram + w − 1` codepoints (no full window).
+ */
+object WinnowKernel {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def charWidth(b: Byte): Int = {
+    val v = b & 0xff
+    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** hex-string order == unsigned byte order (see [[MinhashKernel]]). */
+  private def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x - y
+      i += 1
+    }
+    0
+  }
+
+  def fingerprints(s: UTF8String, gram: Int, w: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    var n = 0
+    var off = 0
+    while (off < bytes.length) { off += charWidth(bytes(off)); n += 1 }
+    val nGrams = n - gram + 1
+    val nWins = nGrams - w + 1
+    if (nWins <= 0) return null
+    val offs = new Array[Int](n + 1)
+    off = 0; var ci = 0
+    while (off < bytes.length) { offs(ci) = off; off += charWidth(bytes(off)); ci += 1 }
+    offs(n) = bytes.length
+    // all gram digests
+    val digest = mdLocal.get()
+    val hs = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      digest.reset()
+      digest.update(bytes, offs(i), offs(i + gram) - offs(i))
+      hs(i) = digest.digest()
+      i += 1
+    }
+    // sliding rightmost-min; record picks, dedup CONSECUTIVE repeats
+    // (overlapping windows re-pick the same position; global distinct of
+    // (pos, h) == skip when the picked position repeats)
+    val picks = new mutable.ArrayBuffer[Int](nWins)
+    var j = 0
+    var last = -1
+    while (j < nWins) {
+      var m = j
+      var p = j + 1
+      while (p < j + w) {
+        if (cmpUnsigned(hs(p), hs(m)) <= 0) m = p // rightmost on ties
+        p += 1
+      }
+      if (m != last) { picks += m; last = m }
+      j += 1
+    }
+    new GenericArrayData(picks.map(p =>
+      InternalRow(p, hex32(hs(p)))).toArray[Any])
+  }
+}
+
+/** Winnowing fingerprint set as one fused expression node. */
+case class WinnowFingerprints(child: Expression, gram: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType), StructField("h", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if gram > 0 && w > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument and gram, w > 0, got " +
+        s"${child.dataType.simpleString}, gram=$gram, w=$w")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowKernel.fingerprints(v.asInstanceOf[UTF8String], gram, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.WinnowKernel.fingerprints($c, $gram, $w);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Column-API entry: `graft_winnow(norm, gram, w)`. */
+  def apply(norm: Column, gram: Int, w: Int): Column =
+    bridge.column(WinnowFingerprints(bridge.expression(norm), gram, w))
 }

@@ -246,6 +246,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cb.filter(!(col("fused") <=> col("composed"))).count() === 0L)
   }
 
+  test("winnowing: shared-substring guarantee, w-bounded gaps, short docs null") {
+    import spark.implicits._
+    val shared = "unmistakably shared span of text here"
+    val docs = Seq(
+      (1L, s"left padding words then $shared and a tail"),
+      (2L, s"totally different opening but $shared closes it"),
+      (3L, "zz"),               // < gram+w-1 codepoints → no window → null
+      (4L, "independent content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      graft.functions.WinnowFingerprints(lower(trim(col("text"))), 5, 4).as("fps"))
+    val rows = fp.collect().map(r => r.getLong(0) ->
+      Option(r.getSeq[org.apache.spark.sql.Row](1))).toMap
+    assert(rows(3L).isEmpty, "doc below gram+w-1 must yield NULL")
+    // guarantee: docs 1 and 2 share a substring far longer than w+gram-1
+    // → at least one common fingerprint HASH; doc 4 shares none of them
+    def hashes(id: Long): Set[String] =
+      rows(id).get.map(_.getString(1)).toSet
+    val common = hashes(1L) intersect hashes(2L)
+    assert(common.nonEmpty, "winnowing must fingerprint the shared span")
+    assert((common intersect hashes(4L)).isEmpty)
+    // density: consecutive picked positions gap by at most w
+    val pos = rows(1L).get.map(_.getInt(0))
+    assert(pos === pos.sorted, "picks must be position-ordered")
+    pos.sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= 4, s"gap $a -> $b exceeds the window bound") }
+  }
+
   test("mixtureWeights: quotas honored exactly; sqrt temperature flattens the mix") {
     import spark.implicits._
     // skewed corpus: big group 400 docs, small group 25 docs
