@@ -2468,6 +2468,49 @@ object Queries {
          |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** TPC-H Q2 shape: correlated per-group ARGMIN + dimension chain — for
+    * each size-15 part, the cheapest supplier (min extended price, ties
+    * to the lowest suppkey) with its nation/region names. The argmin is
+    * a STRUCT-MIN hash aggregation (the w5 pattern: map-side combinable,
+    * one partially-combined struct per (part × map task) in the shuffle —
+    * never the row_number window sort the correlated-subquery spelling
+    * implies); dimensions are broadcast. The oracle keeps the window
+    * spelling, so the gate also checks the reformulation. */
+  val q2_min_cost_supplier: Q = Q(
+    run = (spark, dir) => {
+      val li = t(spark, dir, "lineitem")
+      val best = li
+        .join(broadcast(t(spark, dir, "part").filter(col("p_size") === 15)
+          .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(min(struct(dec6(col("l_extendedprice")).as("price"),
+          col("l_suppkey").as("sk"))).as("m"))
+        .select(col("p_partkey"), col("p_name"),
+          money(col("m.price")).as("min_price"), col("m.sk").as("s_suppkey"))
+      best
+        .join(broadcast(t(spark, dir, "supplier")), Seq("s_suppkey"))
+        .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "r_name", "min_price")
+        .orderBy("p_partkey")
+    },
+    oracle = Some(
+      s"""WITH ranked AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+         |    row_number() OVER (PARTITION BY l_partkey
+         |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,6)), l_suppkey) AS rn
+         |  FROM lineitem)
+         |SELECT p_partkey, p_name, s_name, n_name, r_name,
+         |  ${duckMoney("price")} AS min_price
+         |FROM ranked
+         |JOIN part ON p_partkey = l_partkey AND p_size = 15
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN region ON r_regionkey = n_regionkey
+         |WHERE rn = 1
+         |ORDER BY p_partkey""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -3041,7 +3084,8 @@ object Queries {
     "q14_promo_revenue" -> q14_promo_revenue,
     "q16_supplier_count" -> q16_supplier_count,
     "q19_disjunctive" -> q19_disjunctive,
-    "q22_idle_balance" -> q22_idle_balance)
+    "q22_idle_balance" -> q22_idle_balance,
+    "q2_min_cost_supplier" -> q2_min_cost_supplier)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
