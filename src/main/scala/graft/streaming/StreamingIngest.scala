@@ -369,4 +369,74 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateSessions)
   }
+
+  // -------------------------------------------------------------------
+  // Streaming AS-OF enrichment (the j3 batch temporal join's twin)
+  // -------------------------------------------------------------------
+
+  final case class AsOfEvent(event_id: Long, user_id: Long, tsMicros: Long,
+      event_type: String, value: Double)
+  final case class PurchaseState(id: Long, tsMicros: Long, value: Double)
+  final case class AsOfMatch(event_id: Long, user_id: Long, tsMicros: Long,
+      last_purchase_id: Option[Long], last_purchase_ts: Option[Long],
+      last_purchase_value: Option[Double])
+
+  /** flatMapGroupsWithState update: per user, clicks enriched with the
+    * most recent purchase AT-OR-BEFORE them — the streaming twin of the
+    * [[graft.operators.TemporalJoin.asOf]] batch join (j3), with ONE
+    * purchase row of state per user (the minimal possible).
+    *
+    * Within a batch, rows are replayed in `(ts, purchases-first,
+    * event_id)` order, which reproduces the batch tie-break exactly: a
+    * purchase at the same timestamp as a click IS eligible (`p.ts <=
+    * c.ts`), and among equal-ts purchases the greatest event_id wins
+    * (they replay in id order; the last update survives).
+    *
+    * Cross-batch, correctness holds for event-time-ordered arrival — a
+    * purchase arriving in a later batch than a click it precedes in
+    * event time cannot retro-enrich the already-emitted click. That is
+    * the standard streaming-join late-data boundary; bound it the usual
+    * way (watermark + delayed emission) if the source can reorder across
+    * batches. */
+  def updateAsOf(
+      userId: Long,
+      events: Iterator[AsOfEvent],
+      state: GroupState[PurchaseState]): Iterator[AsOfMatch] = {
+    var cur = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsOfMatch]
+    events.toSeq
+      .sortBy(e => (e.tsMicros, if (e.event_type == "purchase") 0 else 1, e.event_id))
+      .foreach { e =>
+        if (e.event_type == "purchase") {
+          if (cur == null || e.tsMicros > cur.tsMicros ||
+              (e.tsMicros == cur.tsMicros && e.event_id > cur.id))
+            cur = PurchaseState(e.event_id, e.tsMicros, e.value)
+        } else {
+          out += AsOfMatch(e.event_id, userId, e.tsMicros,
+            Option(cur).map(_.id), Option(cur).map(_.tsMicros),
+            Option(cur).map(_.value))
+        }
+      }
+    if (cur != null) state.update(cur)
+    out.iterator
+  }
+
+  /** Streaming as-of enrichment: click events joined to the user's
+    * latest preceding purchase. Non-participating event types are
+    * filtered before the stateful operator (less shuffle, less state). */
+  def streamingAsOf(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_type"), col("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateAsOf)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tsMicros")).as("ts"),
+        col("last_purchase_id"),
+        timestamp_micros(col("last_purchase_ts")).as("last_purchase_ts"),
+        col("last_purchase_value"))
+  }
 }

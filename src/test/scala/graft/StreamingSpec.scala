@@ -314,6 +314,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming as-of enrichment equals the batch j3 temporal join") {
+    val events = StreamingIngest.readEvents(spark, sf())
+    val asof = StreamingIngest.streamingAsOf(spark, events)
+    val q = asof.writeStream.outputMode("update")
+      .format("memory").queryName("asof_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("asof_stream")
+    val batch = Queries.all("j3_asof_join").run(spark, sf())
+      .select("event_id", "user_id", "ts", "last_purchase_id",
+        "last_purchase_ts", "last_purchase_value")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+    // some clicks have a preceding purchase, some don't — both paths live
+    assert(streamed.filter(col("last_purchase_id").isNotNull).count() > 0)
+    assert(streamed.filter(col("last_purchase_id").isNull).count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization equals the batch lag/cumsum query") {
     val events = StreamingIngest.readEvents(spark, sf())
     val sess = StreamingIngest.sessionize(spark, events)
