@@ -18,7 +18,8 @@ object ExplainDump {
         "j3_asof_join", "j4_range_join",
         "t33_bloom_dedup", "t34_semdedup", "t35_mixture_weights",
         "t36_dsir_weights", "q12_priority_lines", "q16_supplier_count",
-        "q19_disjunctive", "q22_idle_balance")
+        "q19_disjunctive", "q22_idle_balance",
+        "t37_winnowing", "q2_min_cost_supplier", "p7_heavy_hitters_sketch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
