@@ -238,7 +238,11 @@ object VectorOps {
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Seq[(Int, Array[Double])] = {
-    val p = prepared(df, idCol, vecCol)
+    // barrier: every Lloyd iteration re-reads this projection (seed draw
+    // + iters× assignment scans) — unstaged, each iteration re-runs the
+    // source scan and the norm computation; staged, the corpus is read
+    // once and the loop iterates over the materialization
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
     var cent: Seq[(Int, Array[Double])] = p
       .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select("v").collect().toSeq.zipWithIndex
