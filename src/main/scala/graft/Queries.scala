@@ -2793,6 +2793,43 @@ object Queries {
     * keeps the event stream un-outer-joined. Hour buckets are computed
     * with timezone-free field arithmetic (datediff×24+hour) so the plan
     * is session-timezone-independent. */
+  /** Bucketed INTERVAL-OVERLAP join (no equi-key): 48-hour incident
+    * windows × 24-hour high-value purchase windows, every overlapping
+    * pair with its exact overlap duration. [[TemporalJoin.intervalJoin]]
+    * replicates both sides to day buckets and claims each pair once in
+    * the overlap-start's bucket — an ordinary equi-join, never |A|×|B|,
+    * no post-join DISTINCT. */
+  val j5_interval_join: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+      val incidents = ev.filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("event_id").as("incident_id"), col("ts").as("i_start"),
+          (col("ts") + expr("INTERVAL 48 HOURS")).as("i_end"))
+      val promos = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 24 HOURS")).as("p_end"))
+      val epoch = lit(java.sql.Date.valueOf("2024-01-01"))
+      val dayBucket = (c: Column) => datediff(to_date(c), epoch).cast(LongType)
+      TemporalJoin.intervalJoin(incidents, "i_start", "i_end",
+          promos, "p_start", "p_end", dayBucket)
+        .select(col("incident_id"), col("purchase_id"),
+          (unix_micros(least(col("i_end"), col("p_end")).cast(TimestampType)) -
+            unix_micros(greatest(col("i_start"), col("p_start")).cast(TimestampType)))
+            .as("overlap_us"))
+        .orderBy("incident_id", "purchase_id")
+    },
+    oracle = Some(
+      """WITH a AS (SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 48 HOUR AS e
+        |  FROM events WHERE event_type = 'error' AND value > 150),
+        |b AS (SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 24 HOUR AS e
+        |  FROM events WHERE event_type = 'purchase' AND value > 150)
+        |SELECT incident_id, purchase_id,
+        |  CAST(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY incident_id, purchase_id""".stripMargin))
+
   val j4_range_join: Q = Q(
     run = (spark, dir) => {
       val ev = eventsWithTs(spark, dir)
@@ -3066,6 +3103,7 @@ object Queries {
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,
     "j4_range_join" -> j4_range_join,
+    "j5_interval_join" -> j5_interval_join,
     "q1_pricing_summary" -> q1_pricing_summary,
     "q3_shipping_priority" -> q3_shipping_priority,
     "q5_local_supplier_volume" -> q5_local_supplier_volume,

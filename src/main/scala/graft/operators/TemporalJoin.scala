@@ -119,4 +119,32 @@ object TemporalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop(bucket)
   }
+
+  /** Bucketed INTERVAL-OVERLAP join (inner): pair every left interval
+    * `[leftStart, leftEnd)` with every right interval `[rightStart,
+    * rightEnd)` that overlaps it — no equi-key, no cross product, and
+    * exactly-once WITHOUT a post-join DISTINCT.
+    *
+    * Both sides replicate to the buckets their span covers (bounded
+    * factor `⌈span/granularity⌉+1` each); a candidate pair meets once
+    * per SHARED bucket, so the claim predicate keeps only the bucket of
+    * the overlap's start — `bucketOf(greatest(starts))` — which both
+    * intervals cover by definition whenever they truly overlap. Catalyst
+    * sees an ordinary equi-join on the bucket: AQE broadcast/skew
+    * handling apply; the residual overlap test prunes same-bucket
+    * non-overlaps. */
+  def intervalJoin(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketOf: Column => Column): DataFrame = {
+    val bucket = "__iv_bucket"
+    val l = left.withColumn(bucket,
+      explode(sequence(bucketOf(col(leftStart)), bucketOf(col(leftEnd)))))
+    val r = right.withColumn(bucket,
+      explode(sequence(bucketOf(col(rightStart)), bucketOf(col(rightEnd)))))
+    l.join(r, Seq(bucket), "inner")
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col(bucket) === bucketOf(greatest(col(leftStart), col(rightStart))))
+      .drop(bucket)
+  }
 }

@@ -93,4 +93,28 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.except(naive).count() === 0L)
     assert(naive.except(got).count() === 0L)
   }
+
+  test("intervalJoin equals the naive overlap theta-join and emits no duplicates") {
+    // randomized intervals spanning multiple buckets, boundary-touching
+    // pairs included (end exclusive: touching must NOT match)
+    val a = spark.range(0, 400).select(
+      col("id").as("a_id"),
+      pmod(hash(col("id") * 7), lit(1000)).cast("long").as("a_s"))
+      .withColumn("a_e", col("a_s") + 1 + pmod(hash(col("a_id") + 11), lit(60)))
+    val b = spark.range(0, 400).select(
+      col("id").as("b_id"),
+      pmod(hash(col("id") * 29), lit(1000)).cast("long").as("b_s"))
+      .withColumn("b_e", col("b_s") + 1 + pmod(hash(col("b_id") + 3), lit(30)))
+
+    val bucket = (c: org.apache.spark.sql.Column) => floor(c / 16)
+    val got = TemporalJoin.intervalJoin(a, "a_s", "a_e", b, "b_s", "b_e", bucket)
+      .select("a_id", "b_id")
+    val naive = a.join(b, a("a_s") < b("b_e") && b("b_s") < a("a_e"))
+      .select("a_id", "b_id")
+
+    assert(got.count() === naive.count()) // count equality ⇒ claim dedup exact
+    assert(got.except(naive).count() === 0L)
+    assert(naive.except(got).count() === 0L)
+    assert(got.count() > 0)
+  }
 }
