@@ -728,6 +728,40 @@ object Queries {
     },
     bench = true)
 
+  /** Cross-source duplication matrix — the corpus-overlap report a data
+    * team reads before mixing sources: near-dup pairs (the t3 LSH
+    * pipeline) rolled up by (source, source), canonicalized with
+    * least/greatest so the matrix is upper-triangular. The doc→source
+    * map is a broadcast dimension on each side of the (tiny) pair list;
+    * the heavy work is the shared LSH pipeline, already scale-shaped. */
+  val t38_overlap_matrix: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), Seq("id_a"))
+        .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    oracle = Some(
+      s"""WITH pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+         |m AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM pairs
+         |  JOIN documents da ON da.doc_id = pairs.id_a
+         |  JOIN documents db ON db.doc_id = pairs.id_b)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin))
+
   private val SimhashBits = 32
 
   val t4_simhash: Q = Q(
@@ -3093,6 +3127,7 @@ object Queries {
     "t35_mixture_weights" -> t35_mixture_weights,
     "t36_dsir_weights" -> t36_dsir_weights,
     "t37_winnowing" -> t37_winnowing,
+    "t38_overlap_matrix" -> t38_overlap_matrix,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
