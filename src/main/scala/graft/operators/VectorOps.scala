@@ -328,8 +328,11 @@ object VectorOps {
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= threshold)
       .select(col("b.id").as("id")).distinct()
+    // the dropped-id list is bounded by the near-dup population — small
+    // next to the corpus (t19's keepSurvivors rationale) — so the keep
+    // flag is a broadcast outer join, not a corpus-wide sort-merge
     corpus.select(col("id"), col("cell"))
-      .join(dropped.withColumn("drp", lit(true)), Seq("id"), "left")
+      .join(broadcast(dropped.withColumn("drp", lit(true))), Seq("id"), "left")
       .select(col("id"), col("cell"), col("drp").isNull.as("keep"))
   }
 
