@@ -2844,12 +2844,16 @@ object Queries {
           (col("ts") + expr("INTERVAL 24 HOURS")).as("p_end"))
       val epoch = lit(java.sql.Date.valueOf("2024-01-01"))
       val dayBucket = (c: Column) => datediff(to_date(c), epoch).cast(LongType)
+      // overlap duration via NTZ field arithmetic (timestamp_ntz
+      // subtraction → day-time interval → exact decimal seconds → micros)
+      // — session-timezone-independent like j4's bucketing, where a
+      // unix_micros over an NTZ→LTZ cast would shift across a DST gap in
+      // any non-UTC session
       TemporalJoin.intervalJoin(incidents, "i_start", "i_end",
           promos, "p_start", "p_end", dayBucket)
         .select(col("incident_id"), col("purchase_id"),
-          (unix_micros(least(col("i_end"), col("p_end")).cast(TimestampType)) -
-            unix_micros(greatest(col("i_start"), col("p_start")).cast(TimestampType)))
-            .as("overlap_us"))
+          expr("CAST(CAST(least(i_end, p_end) - greatest(i_start, p_start) " +
+            "AS DECIMAL(28,6)) * 1000000 AS BIGINT)").as("overlap_us"))
         .orderBy("incident_id", "purchase_id")
     },
     oracle = Some(

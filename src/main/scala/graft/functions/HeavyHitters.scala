@@ -101,9 +101,16 @@ case class MisraGriesAgg(
   }
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toSeq.sortBy { case (v, c) => (-c, v) }
+    // count ties break by UTF-8 BINARY order (UTF8String's comparator) —
+    // the ordering StringType sorts give the exact twin (p6) and the
+    // DuckDB oracle; Java String order diverges on supplementary-plane
+    // characters (surrogate pairs sort below 0xE0.. lead bytes)
+    val sorted = buf.toSeq
+      .map { case (v, c) => (UTF8String.fromString(v), c) }
+      .sortWith { case ((va, ca), (vb, cb)) =>
+        ca > cb || (ca == cb && va.compareTo(vb) < 0) }
     new GenericArrayData(sorted.map { case (v, c) =>
-      InternalRow(UTF8String.fromString(v), c)
+      InternalRow(v, c)
     }.toArray[Any])
   }
 

@@ -15,6 +15,80 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType,
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
+ * Byte-level primitives shared by the fused hash kernels below
+ * ([[MinhashKernel]], [[FingerprintKernel]], [[WinnowKernel]]). These
+ * are LOAD-BEARING for the cross-engine hash contract — one definition
+ * each so a future fix (e.g. malformed-lead-byte handling in
+ * [[charWidth]]) cannot silently miss a kernel:
+ *
+ *   - lowercase-hex encoding is ORDER-PRESERVING, so comparing raw
+ *     digests with [[cmpUnsigned]] is equivalent to comparing their hex
+ *     strings lexicographically (FIXTURES.md §1 digest ordering) — what
+ *     lets every kernel keep 16-byte digests and hex-encode only
+ *     winners;
+ *   - [[charWidth]] mirrors UTF8String's leading-byte widths, so
+ *     codepoint walks agree with Spark's `length`/`substring` units.
+ */
+private[functions] object HashKernels {
+  val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x - y
+      i += 1
+    }
+    0
+  }
+
+  def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean =
+    cmpUnsigned(a, b) < 0
+
+  /** UTF-8 char width from the leading byte (mirrors UTF8String). */
+  def charWidth(b: Byte): Int = {
+    val v = b & 0xff
+    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase-hex a 16-byte digest into `out` at `off` (32 bytes). */
+  def hex32Into(d: Array[Byte], out: Array[Byte], off: Int): Unit = {
+    var i = 0
+    while (i < 16) {
+      out(off + 2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
+      out(off + 2 * i + 1) = HexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+  }
+
+  def hex32(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    hex32Into(d, out, 0)
+    UTF8String.fromBytes(out)
+  }
+
+  /** Codepoint start offsets of a UTF-8 byte array: `n + 1` entries with
+    * `offs(n) == bytes.length`, or null when the text has fewer than
+    * `minChars` codepoints. */
+  def charOffsets(bytes: Array[Byte], minChars: Int): Array[Int] = {
+    var n = 0
+    var off = 0
+    while (off < bytes.length) { off += charWidth(bytes(off)); n += 1 }
+    if (n < minChars) return null
+    val offs = new Array[Int](n + 1)
+    off = 0
+    var ci = 0
+    while (off < bytes.length) { offs(ci) = off; off += charWidth(bytes(off)); ci += 1 }
+    offs(n) = bytes.length
+    offs
+  }
+}
+
+/**
  * Fused MinHash signature kernel — the [[DotProduct]] escape-hatch
  * pattern applied to the LSH hot path.
  *
@@ -23,76 +97,55 @@ import org.apache.spark.unsafe.types.UTF8String
  * `array((0 until k).map(i => array_min(transform(sh, s =>
  * md5(concat(lit(s"$i:"), s))))))`) and therefore to the DuckDB oracle:
  * element i of the signature is the lexicographic minimum over shingles
- * of `md5("<i>:" ++ shingle)` as lowercase hex. DedupSpec asserts the
- * byte-equality; the t3/t19/p1 differential gates then hold unchanged.
+ * of `md5("<i>:" ++ shingle)` as lowercase hex. NULL shingle elements
+ * are skipped, exactly like the composed form (a null shingle hashes to
+ * null, which `array_min` ignores). DedupSpec asserts the byte-equality;
+ * the t3/t19/p1 differential gates then hold unchanged.
  *
  * Why it is faster (measured ~2.7 s → well under 1 s for the signature
  * stage at sf0.1): the composed form walks k lambda transforms per row —
  * k×|shingles| trips through Concat/Md5/Cast each allocating
  * UTF8Strings, then k string `array_min` folds over 32-char hex strings.
  * The kernel loops shingle-major with ONE thread-local MessageDigest,
- * keeps the running minimum as raw 16-byte digests (lowercase-hex
- * encoding is order-preserving, so unsigned byte comparison ≡ hex string
- * comparison — FIXTURES.md §1 digest ordering), and hex-encodes only the
- * k winners at the end.
+ * keeps the running minimum as raw 16-byte digests, and hex-encodes only
+ * the k winners at the end.
  *
- * Empty shingle arrays yield k NULL elements, exactly like `array_min`
- * over an empty transform result.
+ * Empty (or all-null) shingle arrays yield k NULL elements, exactly like
+ * `array_min` over an empty transform result.
  */
 object MinhashKernel {
-  private val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   /** `"<i>:"` prefixes, cached per kernel instance (k is a literal). */
   def prefixes(k: Int): Array[Array[Byte]] =
     Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
-
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private val HexDigits = "0123456789abcdef".toCharArray
-
-  private def hex32(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
 
   def signature(sh: ArrayData, pfx: Array[Array[Byte]]): ArrayData = {
     val k = pfx.length
     val n = sh.numElements()
     val mins = new Array[Array[Byte]](k)
-    val digest = mdLocal.get()
+    val digest = HashKernels.mdLocal.get()
     var j = 0
     while (j < n) {
-      val s = sh.getUTF8String(j).getBytes
-      var i = 0
-      while (i < k) {
-        digest.reset()
-        digest.update(pfx(i))
-        digest.update(s)
-        val d = digest.digest()
-        if (mins(i) == null || lessUnsigned(d, mins(i))) mins(i) = d
-        i += 1
+      val u = sh.getUTF8String(j)
+      if (u != null) {
+        val s = u.getBytes
+        var i = 0
+        while (i < k) {
+          digest.reset()
+          digest.update(pfx(i))
+          digest.update(s)
+          val d = digest.digest()
+          if (mins(i) == null || HashKernels.lessUnsigned(d, mins(i))) mins(i) = d
+          i += 1
+        }
       }
       j += 1
     }
     val out = new Array[Any](k)
     var i = 0
-    while (i < k) { out(i) = if (mins(i) == null) null else hex32(mins(i)); i += 1 }
+    while (i < k) {
+      out(i) = if (mins(i) == null) null else HashKernels.hex32(mins(i))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }
@@ -147,42 +200,15 @@ object MinhashSignature {
  * allocation, no O(L)-element array materialization, no string sort.
  */
 object FingerprintKernel {
-  private val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  /** UTF-8 char width from the leading byte (mirrors UTF8String). */
-  private def charWidth(b: Byte): Int = {
-    val v = b & 0xff
-    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
-  }
-
   def fingerprint(s: UTF8String, gram: Int, k: Int): UTF8String = {
     val bytes = s.getBytes
-    // codepoint start offsets (n+1 entries, last = total bytes)
-    var n = 0
-    var off = 0
-    while (off < bytes.length) { off += charWidth(bytes(off)); n += 1 }
-    if (n < gram) return null
-    val offs = new Array[Int](n + 1)
-    off = 0
-    var ci = 0
-    while (off < bytes.length) { offs(ci) = off; off += charWidth(bytes(off)); ci += 1 }
-    offs(n) = bytes.length
+    val offs = HashKernels.charOffsets(bytes, gram)
+    if (offs == null) return null
+    val n = offs.length - 1
     // min-k multiset of digests via bounded insertion
     val mins = new Array[Array[Byte]](k)
     var filled = 0
-    val digest = mdLocal.get()
+    val digest = HashKernels.mdLocal.get()
     var i = 0
     while (i <= n - gram) {
       digest.reset()
@@ -190,29 +216,23 @@ object FingerprintKernel {
       val d = digest.digest()
       if (filled < k) {
         var j = filled
-        while (j > 0 && lessUnsigned(d, mins(j - 1))) { mins(j) = mins(j - 1); j -= 1 }
+        while (j > 0 && HashKernels.lessUnsigned(d, mins(j - 1))) {
+          mins(j) = mins(j - 1); j -= 1
+        }
         mins(j) = d
         filled += 1
-      } else if (lessUnsigned(d, mins(k - 1))) {
+      } else if (HashKernels.lessUnsigned(d, mins(k - 1))) {
         var j = k - 1
-        while (j > 0 && lessUnsigned(d, mins(j - 1))) { mins(j) = mins(j - 1); j -= 1 }
+        while (j > 0 && HashKernels.lessUnsigned(d, mins(j - 1))) {
+          mins(j) = mins(j - 1); j -= 1
+        }
         mins(j) = d
       }
       i += 1
     }
-    val hexDigits = "0123456789abcdef"
     val out = new Array[Byte](32 * filled)
     i = 0
-    while (i < filled) {
-      val d = mins(i)
-      var b = 0
-      while (b < 16) {
-        out(32 * i + 2 * b) = hexDigits.charAt((d(b) >> 4) & 0xf).toByte
-        out(32 * i + 2 * b + 1) = hexDigits.charAt(d(b) & 0xf).toByte
-        b += 1
-      }
-      i += 1
-    }
+    while (i < filled) { HashKernels.hex32Into(mins(i), out, 32 * i); i += 1 }
     UTF8String.fromBytes(out)
   }
 }
@@ -267,58 +287,22 @@ object GramFingerprint {
  * Selection rule (deterministic, the oracle's spelling): in each window
  * take the minimum hash, ties broken by the RIGHTMOST position; the
  * per-window picks are then deduplicated globally as (pos, hash) pairs
- * (overlapping windows re-pick the same gram). Output is the pick list
- * ordered by position: array<struct<pos int, h string>>; NULL when the
- * doc has fewer than `gram + w − 1` codepoints (no full window).
+ * (overlapping windows re-pick the same gram — picks are provably
+ * position-monotonic, so consecutive dedup equals global distinct).
+ * Output is the pick list ordered by position: array<struct<pos int,
+ * h string>>; NULL when the doc has fewer than `gram + w − 1` codepoints
+ * (no full window).
  */
 object WinnowKernel {
-  private val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private def charWidth(b: Byte): Int = {
-    val v = b & 0xff
-    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
-  }
-
-  private val HexDigits = "0123456789abcdef".toCharArray
-
-  private def hex32(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexDigits((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = HexDigits(d(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
-
-  /** hex-string order == unsigned byte order (see [[MinhashKernel]]). */
-  private def cmpUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
-      if (x != y) return x - y
-      i += 1
-    }
-    0
-  }
-
   def fingerprints(s: UTF8String, gram: Int, w: Int): GenericArrayData = {
     val bytes = s.getBytes
-    var n = 0
-    var off = 0
-    while (off < bytes.length) { off += charWidth(bytes(off)); n += 1 }
+    val offs = HashKernels.charOffsets(bytes, gram + w - 1)
+    if (offs == null) return null
+    val n = offs.length - 1
     val nGrams = n - gram + 1
     val nWins = nGrams - w + 1
-    if (nWins <= 0) return null
-    val offs = new Array[Int](n + 1)
-    off = 0; var ci = 0
-    while (off < bytes.length) { offs(ci) = off; off += charWidth(bytes(off)); ci += 1 }
-    offs(n) = bytes.length
     // all gram digests
-    val digest = mdLocal.get()
+    val digest = HashKernels.mdLocal.get()
     val hs = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
@@ -327,9 +311,7 @@ object WinnowKernel {
       hs(i) = digest.digest()
       i += 1
     }
-    // sliding rightmost-min; record picks, dedup CONSECUTIVE repeats
-    // (overlapping windows re-pick the same position; global distinct of
-    // (pos, h) == skip when the picked position repeats)
+    // sliding rightmost-min; consecutive dedup (see scaladoc)
     val picks = new mutable.ArrayBuffer[Int](nWins)
     var j = 0
     var last = -1
@@ -337,14 +319,14 @@ object WinnowKernel {
       var m = j
       var p = j + 1
       while (p < j + w) {
-        if (cmpUnsigned(hs(p), hs(m)) <= 0) m = p // rightmost on ties
+        if (HashKernels.cmpUnsigned(hs(p), hs(m)) <= 0) m = p // rightmost on ties
         p += 1
       }
       if (m != last) { picks += m; last = m }
       j += 1
     }
     new GenericArrayData(picks.map(p =>
-      InternalRow(p, hex32(hs(p)))).toArray[Any])
+      InternalRow(p, HashKernels.hex32(hs(p)))).toArray[Any])
   }
 }
 

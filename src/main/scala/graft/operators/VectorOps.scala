@@ -237,12 +237,19 @@ object VectorOps {
    * one (label, pos)-keyed aggregation, the minimal Lloyd step.
    */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+      k: Int, iters: Int): Seq[(Int, Array[Double])] =
     // barrier: every Lloyd iteration re-reads this projection (seed draw
     // + iters× assignment scans) — unstaged, each iteration re-runs the
     // source scan and the norm computation; staged, the corpus is read
     // once and the loop iterates over the materialization
-    val p = Staging.barrier(prepared(df, idCol, vecCol))
+    kmeansCentroidsPrepared(Staging.barrier(prepared(df, idCol, vecCol)), k, iters)
+
+  /** [[kmeansCentroids]] over an ALREADY-staged (id, v, nrm) frame —
+    * callers that also consume the prepared corpus downstream
+    * ([[semDedup]]) stage it once and share instead of holding two
+    * corpus-scale materializations. */
+  def kmeansCentroidsPrepared(p: DataFrame,
+      k: Int, iters: Int): Seq[(Int, Array[Double])] = {
     var cent: Seq[(Int, Array[Double])] = p
       .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select("v").collect().toSeq.zipWithIndex
@@ -314,16 +321,21 @@ object VectorOps {
     * is ≈ N/k, so the per-cell quadratic verify is bounded by raising
     * `kClusters` with corpus size (the paper runs k = 11k on LAION);
     * skewed cells are AQE-splittable because the join key is the cell id.
-    * The assigned corpus is staged ([[Staging.barrier]]) so the two join
-    * sides and the final keep-join read one materialization, not three
-    * re-assignments.
+    * The prepared corpus is staged ONCE ([[Staging.barrier]]) and shared
+    * by the Lloyd trainer, both self-join sides and the keep-join; the
+    * cell assignment re-derives map-side from that cache.
     *
     * Returns (id, cell, keep) for every input vector. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       kClusters: Int, iters: Int, threshold: Double): DataFrame = {
-    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
-    val corpus = Staging.barrier(prepared(df, idCol, vecCol)
-      .withColumn("cell", assignCell(col("v"), col("nrm"), cent)))
+    // ONE staged prepared frame shared by the Lloyd trainer and every
+    // downstream consumer; the cell column derives map-side from the
+    // cache (broadcast-literal centroids), so re-deriving it per join
+    // side costs CPU on cached rows, never a second corpus-scale
+    // materialization or source scan
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
+    val cent = kmeansCentroidsPrepared(p, kClusters, iters)
+    val corpus = p.withColumn("cell", assignCell(col("v"), col("nrm"), cent))
     val dropped = corpus.as("a").join(corpus.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= threshold)
