@@ -2725,7 +2725,8 @@ object Queries {
          |  GROUP BY 1, 2)
          |SELECT DISTINCT p.doc_id AS doc_id, CAST(p.pos AS INT) AS pos, g.hv AS h
          |FROM pick p JOIN g ON g.doc_id = p.doc_id AND g.pos = p.pos
-         |ORDER BY p.doc_id, pos""".stripMargin))
+         |ORDER BY p.doc_id, pos""".stripMargin),
+    bench = true)
 
   private val DsirBudget = 100
 
@@ -2866,7 +2867,8 @@ object Queries {
         |SELECT incident_id, purchase_id,
         |  CAST(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS BIGINT) AS overlap_us
         |FROM a JOIN b ON a.s < b.e AND b.s < a.e
-        |ORDER BY incident_id, purchase_id""".stripMargin))
+        |ORDER BY incident_id, purchase_id""".stripMargin),
+    bench = true)
 
   val j4_range_join: Q = Q(
     run = (spark, dir) => {
