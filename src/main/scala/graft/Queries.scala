@@ -2728,6 +2728,33 @@ object Queries {
          |ORDER BY p.doc_id, pos""".stripMargin),
     bench = true)
 
+  private val WinnowMaxDf = 20
+  private val WinnowMinShared = 3
+
+  /** Winnowing-pair candidates — [[TextDedup.winnowPairs]] (docs sharing
+    * ≥ minShared rare fingerprints; the df-cap drops stop-grams before
+    * the self-join). Composes the t37 fingerprints into the dedup
+    * family's pair-finding stage. */
+  val t39_winnow_pairs: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.winnowPairs(t(spark, dir, "documents"), "doc_id", "text",
+          gram = WinnowGram, w = WinnowWindow, maxDf = WinnowMaxDf,
+          minShared = WinnowMinShared)
+        .orderBy("id_a", "id_b"),
+    oracle = Some(
+      s"""WITH wfp AS (SELECT doc_id, h FROM (${"" /* t37 CTE below */}
+         |  ${t37_winnowing.oracle.get.replace("\n", "\n  ")}
+         |) GROUP BY doc_id, h),
+         |dfq AS (SELECT h FROM (SELECT h, count(*) AS c FROM wfp GROUP BY h)
+         |  WHERE c <= $WinnowMaxDf),
+         |rare AS (SELECT doc_id, h FROM wfp JOIN dfq USING (h)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+         |FROM p WHERE shared >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin))
+
   private val DsirBudget = 100
 
   /** DSIR importance resampling — [[TextAnalysis.dsirWeights]] (unigram
@@ -3134,6 +3161,7 @@ object Queries {
     "t36_dsir_weights" -> t36_dsir_weights,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
+    "t39_winnow_pairs" -> t39_winnow_pairs,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -107,6 +107,40 @@ object TextDedup {
       .filter(size(col("s")) > 0)
   }
 
+  /** Winnowing-based near-dup CANDIDATE pairs: documents sharing at
+    * least `minShared` rare winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprints]]) — the MOSS index shape for
+    * span-level overlap detection, complementing the whole-doc MinHash
+    * route (t3) with fingerprints that localize WHERE docs overlap.
+    *
+    * The DF-CAP is the load-bearing scale control: a fingerprint
+    * appearing in more than `maxDf` documents is a stop-gram — it
+    * carries no overlap signal and would contribute O(df²) candidate
+    * pairs. Dropping capped hashes BEFORE the self-join bounds each
+    * join key's fan-out at maxDf², so the candidate space is
+    * Σ_h min(df_h, maxDf)² — the same boundedness argument as t2's
+    * prefix filter and the LSH band join. The (id, hash) list is
+    * deduplicated before everything, so document frequency and shared
+    * counts are set semantics on both engines. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      gram: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+    require(maxDf > 1 && minShared > 0, "need maxDf > 1 and minShared > 0")
+    val fp = Staging.barrier(df.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprints(
+          lower(trim(col(textCol))), gram, w)).as("f"))
+      .select(col("id"), col("f.h").as("h"))
+      .distinct())
+    val rareHashes = fp.groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= maxDf)
+      .select("h")
+    val rare = fp.join(rareHashes, Seq("h"), "left_semi")
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact dedup: keep the lowest id per identical text digest. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(md5(col(textCol)).as("text_md5"), col(idCol))
