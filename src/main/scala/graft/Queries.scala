@@ -2545,6 +2545,38 @@ object Queries {
          |WHERE rn = 1
          |ORDER BY p_partkey""".stripMargin))
 
+  /** TPC-H Q15 shape: top supplier(s) by windowed revenue — the
+    * aggregate-then-scalar-MAX HAVING. The per-supplier aggregate is
+    * staged (q11's rationale: it feeds both the output rows and the
+    * scalar max, one fact-scan not two) and the max test compares EXACT
+    * decimals, so ties — which Q15 explicitly allows — are engine-exact,
+    * never a double-epsilon accident. */
+  val q15_top_supplier: Q = Q(
+    run = (spark, dir) => {
+      val rev = Staging.barrier(t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1997-07-01 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_suppkey")
+        .agg(sum(discPrice).as("total_rev_dec")))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev_dec")).as("mx"))))
+        .filter(col("total_rev_dec") === col("mx"))
+        .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          money(col("total_rev_dec")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    oracle = Some(
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, SUM($duckDiscPrice) AS total_rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ${duckMoney("total_rev_dec")} AS total_revenue
+         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+         |WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -3192,7 +3224,8 @@ object Queries {
     "q16_supplier_count" -> q16_supplier_count,
     "q19_disjunctive" -> q19_disjunctive,
     "q22_idle_balance" -> q22_idle_balance,
-    "q2_min_cost_supplier" -> q2_min_cost_supplier)
+    "q2_min_cost_supplier" -> q2_min_cost_supplier,
+    "q15_top_supplier" -> q15_top_supplier)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }
