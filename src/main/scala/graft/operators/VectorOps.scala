@@ -287,10 +287,14 @@ object VectorOps {
     // probed cells' candidates before scoring. Recall within a filter
     // value degrades only if that value's vectors are spread across more
     // cells than nprobe reaches; raise nprobe, never re-train per value.
-    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
-    val corpus = df.select(Seq(col(idCol).as("id"),
+    // one staged projection shared by the Lloyd trainer and the index
+    // build (extra matchCols ride along; the trainer reads id/v/nrm) —
+    // scan × 1, not scan × (iters + 1)
+    val corpus0 = Staging.barrier(df.select(Seq(col(idCol).as("id"),
         asDouble(col(vecCol)).as("v")) ++ matchCols.map(col): _*)
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
+    val cent = kmeansCentroidsPrepared(corpus0, kClusters, iters)
+    val corpus = corpus0
       .withColumn("cell", assignCell(col("v"), col("nrm"), cent))
     val probed = corpus.filter(queryPred)
       .select(Seq(col("id").as("query_id"), col("v").as("qv"),
@@ -395,7 +399,9 @@ object VectorOps {
    */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, candidates: Int = 20): DataFrame = {
-    val p = prepared(df, idCol, vecCol)
+    // staged: the stats pass, both code sides and the two re-rank
+    // lookups read one materialization, not four source scans
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
     val (lo, hi) = sq8Stats(p)
     val coded = p.select(col("id"), col("nrm"),
       sq8Code(col("v"), lo, hi).as("code"))
@@ -435,8 +441,10 @@ object VectorOps {
   def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, kClusters: Int = 8, iters: Int = 3,
       nprobe: Int = 2, candidates: Int = 20): DataFrame = {
-    val p = prepared(df, idCol, vecCol)
-    val cent = kmeansCentroids(df, idCol, vecCol, kClusters, iters)
+    // one staged prepared frame shared by the trainer, the SQ8 stats
+    // pass, the index build, the query side and the re-rank lookups
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
+    val cent = kmeansCentroidsPrepared(p, kClusters, iters)
     val (lo, hi) = sq8Stats(p)
     val indexed = p.select(col("id"), col("nrm"),
       assignCell(col("v"), col("nrm"), cent).as("cell"),
