@@ -54,11 +54,18 @@ object GraftExtensions {
     "graft_redact" -> unary("graft_redact")(operators.TextAnalysis.redactPii),
     "graft_langid" -> unary("graft_langid")(operators.TextAnalysis.langId),
     "graft_quality" -> unary("graft_quality")(operators.TextAnalysis.qualityScore),
-    // convenience form: inlines the normalization into the gram lambda —
-    // fine for ad-hoc SQL; pipelines should stage the normalized text
-    // and use fingerprintFromNorm (see TextAnalysis scaladoc)
+    // convenience form over raw text (the fused kernel evaluates its
+    // child once per row, so the old inlined-normalization quadratic
+    // hazard does not apply to the kernel path)
     "graft_fingerprint" -> unary("graft_fingerprint")(
-      operators.TextAnalysis.fingerprint(_)))
+      operators.TextAnalysis.fingerprint(_)),
+    // fused-kernel families (round 7): minhash signature, winnowing
+    // fingerprints — k / (gram, w) fixed to the gated defaults for the
+    // SQL surface; the Column API exposes the parameters
+    "graft_minhash" -> unary("graft_minhash")(
+      operators.TextDedup.minhashSignature(_, 16)),
+    "graft_winnow" -> unary("graft_winnow")(
+      graft.functions.WinnowFingerprints(_, 5, 4)))
 
   /** Registry-path registration for an ALREADY-RUNNING session (the
     * builder path only applies at session construction). */

@@ -96,4 +96,19 @@ class DotProductSpec extends SparkSpec {
       spark.sql("SELECT graft_redact('a', 'b')").collect())
     assert(err.getMessage.contains("graft_redact"))
   }
+
+  test("SQL kernel macros: graft_minhash and graft_winnow match the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT graft_minhash(array('a b c', 'b c d')) AS sig,
+        |  graft_winnow('the quick brown fox jumps') AS fps""".stripMargin).head
+    val viaCol = Seq((Seq("a b c", "b c d"), "the quick brown fox jumps"))
+      .toDF("sh", "t")
+      .select(graft.operators.TextDedup.minhashSignature(col("sh"), 16).as("sig"),
+        graft.functions.WinnowFingerprints(col("t"), 5, 4).as("fps"))
+      .head
+    assert(r.getSeq[String](0) === viaCol.getSeq[String](0))
+    assert(r.getSeq[org.apache.spark.sql.Row](1) === viaCol.getSeq[org.apache.spark.sql.Row](1))
+  }
 }
