@@ -731,9 +731,15 @@ object Queries {
   /** Cross-source duplication matrix — the corpus-overlap report a data
     * team reads before mixing sources: near-dup pairs (the t3 LSH
     * pipeline) rolled up by (source, source), canonicalized with
-    * least/greatest so the matrix is upper-triangular. The doc→source
-    * map is a broadcast dimension on each side of the (tiny) pair list;
-    * the heavy work is the shared LSH pipeline, already scale-shaped. */
+    * least/greatest so the matrix is upper-triangular.
+    *
+    * Broadcast discipline (ADVICE r7): the PAIR list is the tiny side —
+    * the doc→source map is corpus-cardinality and must never broadcast.
+    * Each pair is unpivoted to its two member ids, that sliver is
+    * broadcast against ONE map-side pass over documents, and least/
+    * greatest collapse back per pair via min/max over the two matched
+    * rows (id_a < id_b guarantees exactly two). Shuffle carries only
+    * (id_a, id_b, source) for matched pairs. */
   val t38_overlap_matrix: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
@@ -741,12 +747,13 @@ object Queries {
           n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
         .select("id_a", "id_b")
-      val src = docs.select(col("doc_id"), col("source"))
-      pairs
-        .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("sa"))), Seq("id_a"))
-        .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("sb"))), Seq("id_b"))
-        .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
+      val sides = pairs.select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(sides), Seq("doc_id"))
+        .groupBy("id_a", "id_b")
+        .agg(min(col("source")).as("source_a"),
+          max(col("source")).as("source_b"))
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")

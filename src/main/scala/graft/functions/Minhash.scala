@@ -8,7 +8,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
@@ -47,11 +48,13 @@ private[functions] object HashKernels {
   def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean =
     cmpUnsigned(a, b) < 0
 
-  /** UTF-8 char width from the leading byte (mirrors UTF8String). */
-  def charWidth(b: Byte): Int = {
-    val v = b & 0xff
-    if (v < 0x80) 1 else if (v < 0xe0) 2 else if (v < 0xf0) 3 else 4
-  }
+  /** UTF-8 char width from the leading byte — DELEGATES to Spark's own
+    * table so the mirror is exact by construction, including malformed
+    * input: stray continuation bytes (0x80–0xBF) and the UTF-8-disallowed
+    * leads (0xF8–0xFF) advance by 1, exactly as `substring`/`length` walk
+    * them, so the fused kernels and the composed substr-based baselines
+    * agree byte-for-byte even on invalid UTF-8. */
+  def charWidth(b: Byte): Int = UTF8String.numBytesForFirstByte(b)
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
@@ -111,12 +114,19 @@ private[functions] object HashKernels {
  * the k winners at the end.
  *
  * Empty (or all-null) shingle arrays yield k NULL elements, exactly like
- * `array_min` over an empty transform result.
+ * `array_min` over an empty transform result — and so does a NULL
+ * shingle array: the composed form's outer `array(...)` is non-null even
+ * when every `transform` under it is (array_min(transform(NULL)) = NULL
+ * per element, but array(...) itself never is), so the expression as a
+ * whole is NOT nullable.
  */
 object MinhashKernel {
   /** `"<i>:"` prefixes, cached per kernel instance (k is a literal). */
   def prefixes(k: Int): Array[Array[Byte]] =
     Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
+
+  /** The k-NULLs signature a NULL or empty shingle array maps to. */
+  def nullSignature(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
 
   def signature(sh: ArrayData, pfx: Array[Array[Byte]]): ArrayData = {
     val k = pfx.length
@@ -166,13 +176,27 @@ case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   @transient private lazy val pfx = MinhashKernel.prefixes(k)
 
-  override def nullSafeEval(v: Any): Any =
-    MinhashKernel.signature(v.asInstanceOf[ArrayData], pfx)
+  /** Never NULL: a NULL child yields k NULL elements, matching the
+    * composed `array(array_min(transform(...)), ...)` whose outer
+    * `array(...)` is non-null regardless of the input (ADVICE r7). */
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinhashKernel.nullSignature(k)
+    else MinhashKernel.signature(v.asInstanceOf[ArrayData], pfx)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pfxRef = ctx.addReferenceObj("pfx", pfx, "byte[][]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinhashKernel.signature($c, $pfxRef);")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$javaType ${ev.value} = ${childGen.isNull}
+      |  ? graft.functions.MinhashKernel.nullSignature($k)
+      |  : graft.functions.MinhashKernel.signature(${childGen.value}, $pfxRef);
+      |""".stripMargin, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =

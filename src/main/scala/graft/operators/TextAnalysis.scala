@@ -309,9 +309,11 @@ object TextAnalysis {
       .orderBy(col("dsir_micro").asc, col("id").desc).limit(1)
       .select("dsir_micro", "id").collect().headOption
     val keep = cut match {
+      // the id is read generically (lit(Any)) so non-bigint idCol types
+      // (int, string) compare under their own ordering, not a forced long
       case Some(r) =>
         col("dsir_micro") > r.getLong(0) ||
-          (col("dsir_micro") === r.getLong(0) && col("id") <= r.getLong(1))
+          (col("dsir_micro") === r.getLong(0) && col("id") <= lit(r.get(1)))
       case None => lit(true)
     }
     full.withColumn("keep", keep)

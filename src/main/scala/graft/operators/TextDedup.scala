@@ -150,7 +150,9 @@ object TextDedup {
   /** k-element MinHash signature: element i = min over shingles of
     * md5("<i>:" ++ shingle), as hex string. The fused kernel
     * ([[graft.functions.MinhashSignature]]) — contract-identical to
-    * [[minhashSignatureComposed]] (DedupSpec asserts byte-equality), one
+    * [[minhashSignatureComposed]] (DedupSpec asserts byte-equality)
+    * INCLUDING null input: both map a NULL shingle array to k NULL
+    * elements (the composed outer `array(...)` is never null) — one
     * static call per row instead of k lambda transforms + string mins. */
   def minhashSignature(sh: Column, k: Int): Column =
     graft.functions.MinhashSignature(sh, k)

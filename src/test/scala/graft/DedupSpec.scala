@@ -342,11 +342,15 @@ class DedupSpec extends SparkSpec {
 
   test("fused minhash kernel equals the composed k-lambda formulation byte-for-byte") {
     val withSh = TextDedup.shingleSets(docs, "doc_id", "text", 3)
-    // include an empty-set doc to exercise the k-NULLs path the
-    // shingleSets filter normally removes
+    // include an empty-set doc AND a NULL-array doc: both must yield the
+    // k-NULLs signature the composed outer array(...) produces (the
+    // shingleSets filter normally removes them, but SQL graft_minhash
+    // users can hit either)
     val withEmpty = withSh.unionByName(
       withSh.sparkSession.range(1).select(lit(-1L).as("id"),
         array().cast("array<string>").as("s")))
+      .unionByName(withSh.sparkSession.range(1).select(lit(-2L).as("id"),
+        lit(null).cast("array<string>").as("s")))
     val both = withEmpty.select(col("id"),
       TextDedup.minhashSignature(col("s"), 16).as("fused"),
       TextDedup.minhashSignatureComposed(col("s"), 16).as("composed"))

@@ -237,6 +237,19 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.fingerprintFromNormComposed(col("norm")).as("composed"))
     val bad = both.filter(!(col("fused") <=> col("composed"))).count()
     assert(bad === 0L)
+    // malformed UTF-8 (stray continuation bytes, disallowed leads): the
+    // kernel's codepoint walk must match Spark's substring semantics —
+    // both advance 1 byte on 0x80–0xBF and 0xF8–0xFF leads (ADVICE r7).
+    // binary→string cast wraps the bytes unvalidated.
+    val malformed = Seq(
+      Array[Byte](0x80.toByte, 'a', 'b', 'c', 'd', 0xbf.toByte, 'e'),
+      Array[Byte]('x', 0xf8.toByte, 0xff.toByte, 'y', 'z', 'w'),
+      Array[Byte](0xe2.toByte, 'a', 'b', 'c', 'd', 'e', 'f') // truncated 3-byte lead
+    ).toDF("raw").select(col("raw").cast("string").as("norm"))
+    val mb = malformed.select(
+      TextAnalysis.fingerprintFromNorm(col("norm")).as("fused"),
+      TextAnalysis.fingerprintFromNormComposed(col("norm")).as("composed"))
+    assert(mb.filter(!(col("fused") <=> col("composed"))).count() === 0L)
     // and over the real corpus
     val corpus = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
       .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
