@@ -667,11 +667,14 @@ object Queries {
   val t2_ngram_jaccard_pairs: Q = Q(
     run = (spark, dir) => {
       // staged+persisted: see TextDedup.shingleSets (quadratic-lambda and
-      // self-join-recompute hazards). Skew-adaptive: a sampled df probe
-      // routes flat corpora (like this synthetic one) to the direct
-      // exploded join and heavy-tailed corpora to the prefix-filtered
-      // variant — see TextDedup.jaccardPairsAdaptive
-      val withSh = Staging.barrier(TextDedup.shingleSets(
+      // self-join-recompute hazards). 64-bit currency: the staged frame
+      // holds xxhash64 shingle ids, never strings (TextDedup
+      // .hashedShingles — hashes at the edges, ids inside every join).
+      // Skew-adaptive: a sampled df probe routes flat corpora (like this
+      // synthetic one) to the direct exploded join and heavy-tailed
+      // corpora to the prefix-filtered variant — see
+      // TextDedup.jaccardPairsAdaptive
+      val withSh = Staging.barrier(TextDedup.hashedShingles(
         t(spark, dir, "documents"), "doc_id", "text", 3))
       TextDedup.jaccardPairsAdaptive(withSh, JaccardThreshold)
         .orderBy("id_a", "id_b")
@@ -984,7 +987,7 @@ object Queries {
     * [[TextDedup.decontaminate]]. */
   val t17_decontaminate: Q = Q(
     run = (spark, dir) => {
-      val withSh = Staging.barrier(TextDedup.shingleSets(
+      val withSh = Staging.barrier(TextDedup.hashedShingles(
         t(spark, dir, "documents"), "doc_id", "text", 3))
       TextDedup.decontaminate(withSh, col("id") % EvalModulus === 0, DecontThreshold)
         .orderBy("train_id", "eval_id")
@@ -1685,12 +1688,12 @@ object Queries {
   private def p1Frame(spark: SparkSession, dir: String): DataFrame = {
       val docs = t(spark, dir, "documents")
       // ONE corpus shingle pass, shared by near-dup LSH and
-      // decontamination (both are 3-gram consumers)
-      val withSh = Staging.barrier(TextDedup.shingleSets(docs, "doc_id", "text", 3))
+      // decontamination (both are 3-gram consumers); the staged frame
+      // carries 64-bit shingle ids + band digests, never strings
+      val withSh = Staging.barrier(TextDedup.shingleLshFrame(
+        docs, "doc_id", "text", 3, MinhashK, BandSize, NumBands))
       // near-dup clusters over the full corpus
-      val pairs = TextDedup.minhashLshPairsFromShingles(withSh,
-          k = MinhashK, bandSize = BandSize, numBands = NumBands,
-          threshold = JaccardThreshold)
+      val pairs = TextDedup.minhashLshPairsFromFrame(withSh, JaccardThreshold)
         .select("id_a", "id_b")
       val clusters = TextDedup.connectedComponents(pairs)
       // exact-dup survivors (one keep_id per identical text)

@@ -103,9 +103,63 @@ object TextDedup {
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val withToks = Staging.barrier(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
-    withToks.select(col("id"), shingles(col("t"), n).as("s"))
-      .filter(size(col("s")) > 0)
+    // size(t) >= n ⟺ size(shingles) > 0 (gramOccurrences is empty exactly
+    // when the doc is shorter than n tokens) — filtering on the CHEAP
+    // token count keeps predicate pushdown from re-evaluating the shingle
+    // lambda a second time under the projection
+    withToks.filter(size(col("t")) >= n)
+      .select(col("id"), shingles(col("t"), n).as("s"))
   }
+
+  /** [[shingleSets]] in the dedup family's 64-bit JOIN CURRENCY: `s` is
+    * `array<bigint>` — each distinct shingle string hashed to its
+    * xxhash64 — computed map-side in the same pass as the shingle
+    * construction, so shingle STRINGS are never persisted and never
+    * shuffled (at 100 TB the staged shingle table and every
+    * verification join carry 8-byte ids instead of ~20-byte UTF-8; the
+    * join-key width IS the shuffle volume). Downstream consumers
+    * ([[jaccardPairs]], [[jaccardPairsAdaptive]], [[decontaminate]])
+    * accept either currency and join on hashes in both, so results are
+    * identical modulo the documented ~2⁻⁶⁴ birthday collision. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withToks = Staging.barrier(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    withToks.filter(size(col("t")) >= n)
+      .select(col("id"),
+        transform(shingles(col("t"), n), x => xxhash64(x)).as("s"))
+  }
+
+  /** The staged LSH input frame `(id, s: array<bigint>, bands)` built in
+    * ONE pass over the staged token table: shingle strings are consumed
+    * map-side into (a) their xxhash64 ids (the verification currency) and
+    * (b) the MinHash band digests, then dropped — never persisted, never
+    * shuffled. The caller barriers the result; it is the frame
+    * [[minhashLshPairsFromFrame]] and [[decontaminate]] share (p1's
+    * one-corpus-shingle-pass rationale). The shingle expression is
+    * evaluated twice per row (once per consumer) from the MATERIALIZED
+    * token attribute — strictly cheaper than persisting corpus-scale
+    * string arrays to feed each consumer once. */
+  def shingleLshFrame(df: DataFrame, idCol: String, textCol: String, n: Int,
+      k: Int, bandSize: Int, numBands: Int): DataFrame = {
+    val withToks = Staging.barrier(
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    withToks.filter(size(col("t")) >= n)
+      .select(col("id"),
+        transform(shingles(col("t"), n), x => xxhash64(x)).as("s"),
+        bandHashes(minhashSignature(shingles(col("t"), n), k),
+          bandSize, numBands).as("bands"))
+  }
+
+  /** The dedup family's join currency: string shingle arrays hash
+    * elementwise to xxhash64; already-hashed (bigint) arrays pass
+    * through. Lets every pair/containment operator accept either a
+    * string [[shingleSets]] frame (specs, streaming unions) or a
+    * [[hashedShingles]] frame (the gated batch queries). */
+  private def asHashes(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case ArrayType(StringType, _) => transform(col(c), x => xxhash64(x))
+      case _ => col(c)
+    }
 
   /** Winnowing-based near-dup CANDIDATE pairs: documents sharing at
     * least `minShared` rare winnowing fingerprints
@@ -200,11 +254,30 @@ object TextDedup {
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
     * Input: (idCol, bandsCol: array<string>). The join key is
-    * (band index, band hash) — shuffle carries only ids and digests. */
-  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    * (band index, band hash) — shuffle carries only ids and digests.
+    *
+    * `maxBucket` is the optional STOP-BUCKET control (the t39 df-cap
+    * twin): a bucket holding more than `maxBucket` documents is
+    * boilerplate slop — its df² candidate pairs are exactly the LSH
+    * skew hazard — and is dropped BEFORE the self-join, bounding every
+    * join key's fan-out at maxBucket². Capping is an explicit
+    * approximation (pairs inside dropped buckets that share no other
+    * bucket are lost), so the GATED queries run uncapped and stay exact
+    * against the DuckDB oracle; DedupSpec gates the subset guarantee
+    * (capped ⊆ uncapped, and a generous cap changes nothing). */
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String,
+      maxBucket: Option[Int] = None): DataFrame = {
     val exploded = df.select(col(idCol).as("id"), posexplode(col(bandsCol)).as(Seq("band_idx", "bh")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    val joinable = maxBucket match {
+      case Some(cap) =>
+        val ok = exploded.groupBy("band_idx", "bh")
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+          .select("band_idx", "bh")
+        exploded.join(ok, Seq("band_idx", "bh"), "left_semi")
+      case None => exploded
+    }
+    val a = joinable.as("a")
+    val b = joinable.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -222,14 +295,15 @@ object TextDedup {
     * sizes from a map-side projection — no cross join anywhere). */
   def jaccardPairs(df: DataFrame, idCol: String, shCol: String,
       threshold: Double): DataFrame = {
-    val sized = df.select(col(idCol).as("id"), col(shCol).as("s"))
-      .withColumn("n", size(col("s")))
     // join on 64-bit shingle hashes, not the strings: same intersection
     // counts modulo a ~2⁻⁶⁴ birthday collision (shingles are distinct
     // per doc), and the shuffle carries 8-byte keys instead of ~20-byte
-    // UTF-8 — at 100 TB the join key width IS the shuffle volume
-    val ex = sized.select(col("id"), col("n"),
-      explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+    // UTF-8 — at 100 TB the join key width IS the shuffle volume. A
+    // [[hashedShingles]] input is already in that currency (asHashes
+    // passes it through), so nothing re-hashes.
+    val sized = df.select(col(idCol).as("id"), asHashes(df, shCol).as("s"))
+      .withColumn("n", size(col("s")))
+    val ex = sized.select(col("id"), col("n"), explode(col("s")).as("sh"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -259,19 +333,25 @@ object TextDedup {
    * shingles is exactly what this variant removes. Result-equality with
    * [[jaccardPairs]] is asserted in DedupSpec.
    *
-   * Input: (id, s) with DISTINCT shingles, persisted by the caller.
+   * Input: (id, s) with DISTINCT shingles (string or 64-bit hashed
+   * currency), persisted by the caller.
    */
   def jaccardPairsPrefix(withSh: DataFrame, threshold: Double): DataFrame = {
-    val ex = withSh.select(col("id"), explode(col("s")).as("sh"))
+    // normalize to the 64-bit currency up front: the df ranking, the
+    // prefix join keys, and the verification arrays all carry 8-byte ids
+    // (for a string input the canonical order (df, xxhash64(str)) is the
+    // same order as (df, hash) here — the hash IS xxhash64(str))
+    val hashed = withSh.select(col("id"), asHashes(withSh, "s").as("s"))
+    val ex = hashed.select(col("id"), explode(col("s")).as("sh"))
     val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc shingles sorted by (df, hash): rare-first canonical order;
     // prefix length n - ⌈t·n⌉ + 1 (≥ the |A|-α+1 the lemma needs for
     // α = ⌈t·max(|A|,|B|)⌉, so lossless)
     val prefixes = ex.join(dfreq, "sh")
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("sh")).as("h"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh").as("h"))))
         .as("ordered"))
-      .join(withSh.select(col("id"), size(col("s")).as("n")), "id")
+      .join(hashed.select(col("id"), size(col("s")).as("n")), "id")
       .select(col("id"), col("n"),
         explode(slice(col("ordered"), lit(1),
           greatest((col("n") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))))
@@ -282,8 +362,8 @@ object TextDedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
-      .join(withSh.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -312,7 +392,7 @@ object TextDedup {
     // not ~25-byte strings (a hash collision merges two shingles' counts —
     // it can only OVERstate the hottest df, nudging toward the skew-safe
     // route, never hide a hot shingle)
-    val ex = withSh.select(explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+    val ex = withSh.select(explode(asHashes(withSh, "s")).as("sh"))
     val sampled =
       if (sampleFraction >= 1.0) ex else ex.sample(sampleFraction, seed = 42L)
     val hottestSampled = Option(
@@ -338,23 +418,24 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, bandSize: Int, numBands: Int,
       threshold: Double): DataFrame =
-    minhashLshPairsFromShingles(
-      Staging.barrier(shingleSets(df, idCol, textCol, n)),
-      k, bandSize, numBands, threshold)
+    minhashLshPairsFromFrame(
+      Staging.barrier(shingleLshFrame(df, idCol, textCol, n, k, bandSize, numBands)),
+      threshold)
 
-  /** [[minhashLshPairs]] over an ALREADY-STAGED `(id, s)` shingle table —
-    * for pipelines that reuse the shingle stage across operators (p1
-    * shares it with [[decontaminate]]: one corpus shingle pass, not two;
-    * at 100 TB the shingle projection is a full corpus scan, so sharing
-    * it is a whole-stage saving, not a micro-optimization). */
-  def minhashLshPairsFromShingles(withSh: DataFrame, k: Int, bandSize: Int,
-      numBands: Int, threshold: Double): DataFrame = {
-    val withBands = Staging.barrier(withSh.select(col("id"),
-        bandHashes(minhashSignature(col("s"), k), bandSize, numBands).as("bands")))
-    val cand = candidatePairs(withBands, "id", "bands")
+  /** [[minhashLshPairs]] over an ALREADY-STAGED [[shingleLshFrame]]
+    * `(id, s: array<bigint>, bands)` — for pipelines that reuse the one
+    * corpus shingle pass across operators (p1 shares it with
+    * [[decontaminate]]; at 100 TB the shingle projection is a full
+    * corpus scan, so sharing it is a whole-stage saving, not a
+    * micro-optimization). Candidate generation joins band digests;
+    * verification joins carry the 8-byte hashed-shingle arrays — no
+    * string shuffles anywhere. */
+  def minhashLshPairsFromFrame(frame: DataFrame, threshold: Double,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val cand = candidatePairs(frame, "id", "bands", maxBucket)
     cand
-      .join(withSh.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .join(frame.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(frame.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -375,17 +456,19 @@ object TextDedup {
    * side is broadcast-scale and the join is effectively a semi-join probe
    * of the corpus shingle stream.
    *
-   * Input: the staged (id, s) shingle-set table ([[shingleSets]]);
-   * `evalPred` splits it (rows failing the predicate are the train side).
+   * Input: the staged (id, s) shingle-set table ([[shingleSets]] strings
+   * or [[hashedShingles]] / [[shingleLshFrame]] 64-bit currency — the
+   * join runs on hashes either way); `evalPred` splits it (rows failing
+   * the predicate are the train side).
    */
   def decontaminate(withSh: DataFrame, evalPred: Column,
       threshold: Double): DataFrame = {
     val evalSide = withSh.filter(evalPred)
       .select(col("id").as("eval_id"), size(col("s")).as("n_e"),
-        explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+        explode(asHashes(withSh, "s")).as("sh"))
     val trainSide = withSh.filter(!evalPred)
       .select(col("id").as("train_id"),
-        explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+        explode(asHashes(withSh, "s")).as("sh"))
     trainSide.join(evalSide, Seq("sh"))
       .groupBy("train_id", "eval_id", "n_e")
       .agg(count(lit(1)).as("overlap"))

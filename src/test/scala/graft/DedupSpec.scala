@@ -40,6 +40,47 @@ class DedupSpec extends SparkSpec {
     assert(prefix.except(direct).count() === 0L)
   }
 
+  test("hashed 64-bit shingle currency equals the string currency on every operator") {
+    val strings = TextDedup.shingleSets(docs, "doc_id", "text", 3).persist()
+    val hashed = TextDedup.hashedShingles(docs, "doc_id", "text", 3).persist()
+    // same docs survive the ≥n-token filter; same per-doc set sizes
+    assert(strings.select(col("id"), size(col("s")).as("n"))
+      .except(hashed.select(col("id"), size(col("s")).as("n"))).count() === 0L)
+    // pairwise operators agree across currencies (hash at the edges,
+    // ids inside the joins — semantically invisible)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.jaccardPairs(df, "id", "s", 0.5).select("id_a", "id_b", "jaccard")
+    assert(pairs(strings).except(pairs(hashed)).count() === 0L)
+    assert(pairs(hashed).except(pairs(strings)).count() === 0L)
+    def decont(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.decontaminate(df, col("id") % 37 === 0, 0.1)
+    assert(decont(strings).except(decont(hashed)).count() === 0L)
+    assert(decont(hashed).except(decont(strings)).count() === 0L)
+    def prefix(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.jaccardPairsPrefix(df, 0.5).select("id_a", "id_b", "jaccard")
+    assert(prefix(hashed).except(pairs(strings)).count() === 0L)
+    assert(pairs(strings).except(prefix(hashed)).count() === 0L)
+    strings.unpersist(); hashed.unpersist()
+  }
+
+  test("LSH stop-bucket cap: generous cap is a no-op; tight cap yields a subset") {
+    import graft.operators.Staging
+    Staging.scoped {
+      val frame = Staging.barrier(TextDedup.shingleLshFrame(
+        docs, "doc_id", "text", 3, 16, 4, 4))
+      val uncapped = TextDedup.minhashLshPairsFromFrame(frame, 0.5)
+      val generous = TextDedup.minhashLshPairsFromFrame(frame, 0.5,
+        maxBucket = Some(Int.MaxValue))
+      val tight = TextDedup.minhashLshPairsFromFrame(frame, 0.5,
+        maxBucket = Some(1)) // every ≥2-doc bucket dropped → no candidates
+      assert(uncapped.count() > 0)
+      assert(generous.except(uncapped).count() === 0L)
+      assert(uncapped.except(generous).count() === 0L)
+      assert(tight.except(uncapped).count() === 0L) // subset guarantee
+      assert(tight.count() === 0L)
+    }
+  }
+
   test("adaptive jaccard routes both ways and both routes equal the direct join") {
     val withSh = TextDedup.shingleSets(docs, "doc_id", "text", 3).persist()
     val direct = TextDedup.jaccardPairs(withSh, "id", "s", 0.5)

@@ -12,7 +12,7 @@ class StagingSpec extends SparkSpec {
     val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, k = 8, bandSize = 4, numBands = 2, threshold = 0.5)
     pairs.count() // consuming action: barriers materialize here
-    assert(Staging.registered === 3) // tokens, shingles, bands
+    assert(Staging.registered === 2) // tokens + the fused (id, s, bands) frame
     Staging.releaseAll()
     assert(Staging.registered === 0)
     // non-blocking unpersist: poll briefly for the blocks to drain
