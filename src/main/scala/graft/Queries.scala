@@ -2797,6 +2797,43 @@ object Queries {
          |FROM p WHERE shared >= $WinnowMinShared
          |ORDER BY id_a, id_b""".stripMargin))
 
+  /** The composed MOSS-style dedup PIPELINE: winnowing fingerprints →
+    * rare-fingerprint candidate pairs (t39) → connected components →
+    * survivors-only corpus — the winnow family brought to full parity
+    * with the MinHash route (t3 → t16 → t19). Same modality-agnostic
+    * clustering and survivor application; only the pair-finding stage
+    * differs (positional fingerprints localize overlap, so this pipeline
+    * catches long shared SPANS that whole-doc Jaccard dilutes away).
+    * Output mirrors t19: surviving doc ids with token counts. */
+  val t41_winnow_dedup_apply: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.winnowPairs(docs, "doc_id", "text",
+          gram = WinnowGram, w = WinnowWindow, maxDf = WinnowMaxDf,
+          minShared = WinnowMinShared)
+        .select("id_a", "id_b")
+      TextDedup.keepSurvivors(docs, "doc_id", TextDedup.connectedComponents(pairs))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ws_tokens"))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t39_winnow_pairs.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |  WHERE c.id = d.doc_id AND c.id <> c.cluster_id)
+         |ORDER BY d.doc_id""".stripMargin))
+
   private val DsirBudget = 100
 
   /** DSIR importance resampling — [[TextAnalysis.dsirWeights]] (unigram
@@ -3204,6 +3241,7 @@ object Queries {
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,
+    "t41_winnow_dedup_apply" -> t41_winnow_dedup_apply,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -335,19 +335,27 @@ object WinnowKernel {
       hs(i) = digest.digest()
       i += 1
     }
-    // sliding rightmost-min; consecutive dedup (see scaladoc)
+    // sliding rightmost-min via a MONOTONIC DEQUE — O(nGrams) total, not
+    // O(nGrams·w): each gram index is pushed and popped at most once.
+    // Pop-back on `>=` keeps the RIGHTMOST index among tied minima at the
+    // front (the selection rule the oracle spells); pop-front evicts
+    // indices that left the window. Consecutive dedup as before.
     val picks = new mutable.ArrayBuffer[Int](nWins)
-    var j = 0
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
     var last = -1
-    while (j < nWins) {
-      var m = j
-      var p = j + 1
-      while (p < j + w) {
-        if (HashKernels.cmpUnsigned(hs(p), hs(m)) <= 0) m = p // rightmost on ties
-        p += 1
+    var p = 0
+    while (p < nGrams) {
+      while (tail > head &&
+          HashKernels.cmpUnsigned(hs(deque(tail - 1)), hs(p)) >= 0) tail -= 1
+      deque(tail) = p; tail += 1
+      if (p >= w - 1) {
+        while (deque(head) < p - w + 1) head += 1
+        val m = deque(head)
+        if (m != last) { picks += m; last = m }
       }
-      if (m != last) { picks += m; last = m }
-      j += 1
+      p += 1
     }
     new GenericArrayData(picks.map(p =>
       InternalRow(p, HashKernels.hex32(hs(p)))).toArray[Any])
