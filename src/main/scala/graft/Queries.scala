@@ -1956,6 +1956,27 @@ object Queries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     bench = true)
 
+  /** Persisted-index ANN: build the IVF+SQ8 index ONCE as catalog tables
+    * ([[VectorOps.writeIndex]] — cell-bucketed coded corpus + centroid/
+    * stats metadata), then LOAD and probe ([[VectorOps.loadIndex]] →
+    * [[VectorOps.ivfSq8TopKFromIndex]]). Everything persisted round-trips
+    * exactly, and the probe pipeline is shared code with t15's in-query
+    * build, so the loaded path is gated on t15's ORACLE VERBATIM —
+    * build-once-probe-many must be invisible to results. The production
+    * rationale: t12/t15 retrain inside every query; a pipeline amortizes
+    * one build (and its one bucketing shuffle) across every probe. */
+  val t40_ann_index_persist: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_index"
+      VectorOps.writeIndex(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        table, kClusters = IvfClusters, iters = IvfIters, numBuckets = 8)
+      val idx = VectorOps.loadIndex(spark, table)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = t15_ivf_sq8_ann.oracle)
+
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
   // ---------------------------------------------------------------------
@@ -3261,6 +3282,7 @@ object Queries {
     "q8_inactive_customers" -> q8_inactive_customers,
     "q18_large_orders" -> q18_large_orders,
     "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann,
+    "t40_ann_index_persist" -> t40_ann_index_persist,
     "q9_pivot_events" -> q9_pivot_events,
     "q10_value_moments" -> q10_value_moments,
     "q4_priority_exists" -> q4_priority_exists,

@@ -400,6 +400,41 @@ class DedupSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("persisted ANN index: load-and-probe equals build-and-probe; bucketed cell reads are exchange-free") {
+    import graft.operators.Staging
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val table = "graft_ann_idx_spec"
+    try {
+      Staging.scoped {
+        VectorOps.writeIndex(emb, "vec_id", "embedding", table,
+          kClusters = 10, iters = 5, numBuckets = 4)
+      }
+      val idx = VectorOps.loadIndex(spark, table)
+      val loaded = Staging.scoped {
+        VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = 2, candidates = 20).collect().toSet
+      }
+      val built = Staging.scoped {
+        VectorOps.ivfSq8TopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, kClusters = 10, iters = 5,
+          nprobe = 2, candidates = 20).collect().toSet
+      }
+      assert(loaded.nonEmpty)
+      assert(loaded === built) // bit-exact: parquet round-trip + shared probe
+      // the write-time bucketing shuffle was the LAST one: a per-cell
+      // aggregation over the loaded index plans with NO Exchange
+      val agg = idx.coded.groupBy("cell").count()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed index read should not shuffle:\n$plan")
+      assert(agg.count() > 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_stats")
+    }
+  }
+
   test("semDedup keep flags satisfy the min-id survivor rule within cells") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val sd = VectorOps.semDedup(emb, "vec_id", "embedding",
