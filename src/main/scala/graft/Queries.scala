@@ -635,6 +635,30 @@ object Queries {
         |  FROM c)
         |WHERE rank <= 3 ORDER BY rank""".stripMargin))
 
+  /** GROUPED Misra–Gries under capacity: one sketch per source, top
+    * languages per source ([[Quality.topValuesApproxByKey]]) — the
+    * per-key heavy-hitter shape real profiling asks for. `numCounters`
+    * ≥ the per-source language cardinality, so every group's sketch
+    * degenerates to exact counting and the query gates against the
+    * exact per-key GROUP BY oracle (p7's under-capacity rationale,
+    * per group); over-capacity grouped guarantees are QualitySpec's
+    * grouped mergeable-summaries test. */
+  val p8_heavy_hitters_grouped: Q = Q(
+    run = (spark, dir) =>
+      Quality.topValuesApproxByKey(t(spark, dir, "documents"),
+          key = "source", c = "lang", k = 2, numCounters = 8)
+        .withColumnRenamed("count_lb", "cnt")
+        .orderBy("source", "rank"),
+    oracle = Some(
+      """WITH c AS (
+        |  SELECT source, lang AS value, COUNT(*) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2)
+        |SELECT source, value, cnt, CAST(rank AS INT) AS rank FROM (
+        |  SELECT source, value, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, value) AS rank
+        |  FROM c)
+        |WHERE rank <= 2 ORDER BY source, rank""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -3219,7 +3243,8 @@ object Queries {
     "p4_quality_checks" -> p4_quality_checks,
     "p5_histogram" -> p5_histogram,
     "p6_heavy_hitters" -> p6_heavy_hitters,
-    "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch)
+    "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch,
+    "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

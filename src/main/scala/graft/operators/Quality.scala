@@ -152,6 +152,32 @@ object Quality {
         (col("idx") + 1).cast("int").as("rank"))
   }
 
+  /** GROUPED [[topValuesApprox]]: one Misra–Gries sketch PER group key —
+    * the per-key heavy-hitter report real profiling asks for (top values
+    * per column per source/partition/tenant). [[graft.functions
+    * .MisraGriesAgg]] is an ordinary aggregate expression, so under
+    * `groupBy` Spark runs it with map-side partial sketches merged per
+    * key: state is `numCounters` counters × |keys| — never a
+    * (key × value-domain) group-by. The mergeable-summaries guarantees
+    * hold PER GROUP with N = that group's non-null rows (QualitySpec
+    * gates this over grouped multi-partition merges); under capacity it
+    * degenerates to exact per-key counting, which is what p8 gates
+    * against the DuckDB oracle. Returns (key, value, count_lb, rank),
+    * rank partitioned by key. */
+  def topValuesApproxByKey(df: DataFrame, key: String, c: String, k: Int,
+      numCounters: Int): DataFrame = {
+    require(k > 0 && numCounters >= k,
+      "need numCounters >= k > 0: the sketch can only report what it retains")
+    df.filter(col(c).isNotNull)
+      .groupBy(col(key))
+      .agg(graft.functions.MisraGriesAgg(col(c), numCounters).as("hh"))
+      .select(col(key), posexplode(col("hh")).as(Seq("idx", "e")))
+      .filter(col("idx") < k)
+      .select(col(key), col("e.value").as("value"),
+        col("e.count_lb").as("count_lb"),
+        (col("idx") + 1).cast("int").as("rank"))
+  }
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */

@@ -111,4 +111,44 @@ class QualitySpec extends SparkSpec {
       assert(top3 === Seq("hot_a", "hot_b", "hot_c"))
     }
   }
+
+  test("grouped Misra-Gries honors the mergeable-summaries guarantees per key") {
+    import spark.implicits._
+    // two groups with DIFFERENT hot sets and different N: the guarantees
+    // must hold per group with that group's own N, across partitionings
+    val g1 = (Seq.fill(3000)("g1_hot") ++ Seq.fill(900)("g1_warm") ++
+      (0 until 1100).map(i => s"g1_tail_${i % 400}")).map(("k1", _))
+    val g2 = (Seq.fill(500)("g2_hot") ++
+      (0 until 300).map(i => s"g2_tail_${i % 150}")).map(("k2", _))
+    val nCounters = 16
+    val truth = (g1 ++ g2).groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap // keyed by (group, value)
+    val nPer = Map("k1" -> g1.size.toLong, "k2" -> g2.size.toLong)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = (g1 ++ g2).toDF("grp", "v").repartition(parts)
+      val got = graft.operators.Quality.topValuesApproxByKey(df, "grp", "v",
+          k = nCounters, numCounters = nCounters)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      nPer.foreach { case (grp, n) =>
+        val slack = n / (nCounters + 1)
+        // 1. per-group survival of items above that group's threshold
+        truth.filter { case ((g, _), c) => g == grp && c > slack }.keys
+          .foreach { key =>
+            assert(got.contains(key), s"parts=$parts: heavy $key missing")
+          }
+        // 2. per-group lower bounds within that group's slack
+        got.filter(_._1._1 == grp).foreach { case (key, lb) =>
+          val t = truth(key)
+          assert(lb <= t, s"parts=$parts: $key lb=$lb exceeds true $t")
+          assert(lb >= t - slack, s"parts=$parts: $key lb=$lb below ${t - slack}")
+        }
+      }
+      // 3. each group's hot value leads its own ranking — group isolation
+      val lead = graft.operators.Quality.topValuesApproxByKey(df, "grp", "v",
+          k = 1, numCounters = nCounters)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(lead === Map("k1" -> "g1_hot", "k2" -> "g2_hot"))
+    }
+  }
 }
