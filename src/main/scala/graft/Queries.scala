@@ -2632,6 +2632,100 @@ object Queries {
          |WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM rev)
          |ORDER BY s_suppkey""".stripMargin))
 
+  /** TPC-H Q20 shape: correlated-aggregate semi-join — suppliers in a
+    * nation band who shipped more than half of their lifetime volume of
+    * 'large …' parts during 1997 (the corpus has no partsupp table, so
+    * lifetime shipped quantity stands in for availqty; reference scope
+    * is the §2 A-family aggregate verification reshaped as TPC-H Q20).
+    * Both the 1997 and the lifetime sums fold in ONE (part, supplier)
+    * hash aggregation — a conditional SUM, never a lineitem self-join —
+    * and the qualifying-supplier key list (bounded by supplier
+    * cardinality, a true dimension) broadcasts into a LEFT SEMI against
+    * the supplier table. Quantities are integer-valued doubles, so
+    * `qty97 * 2 > qty_all` is exact in both engines (no epsilon). */
+  val q20_promotion_supplier: Q = Q(
+    run = (spark, dir) => {
+      val in97 =
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType)
+      val qualifying = t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "part")
+          .filter(col("p_name").startsWith("large")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("qty_all"),
+          sum(when(in97, col("l_quantity"))).as("qty97"))
+        .filter(col("qty97") * 2 > col("qty_all"))
+        .select(col("l_suppkey")).distinct()
+      t(spark, dir, "supplier")
+        .join(broadcast(t(spark, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+    oracle = Some(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(l_quantity) AS qty_all,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |             THEN l_quantity END) AS qty97
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM ps WHERE qty97 * 2 > qty_all)
+        |ORDER BY s_suppkey""".stripMargin))
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — for finalized
+    * multi-supplier orders, the supplier whose line shipped more than 90
+    * days after the order date while NO other supplier in that order was
+    * late (the corpus has no commit/receipt dates; o_orderdate + 90d is
+    * the lateness rule). The EXISTS / NOT-EXISTS lineitem self-join PAIR
+    * is reformulated as ONE per-order hash aggregation: a distinct
+    * supplier count plus the late suppkeys collected WITH multiplicity —
+    * collect_list over an order's lines is a bounded-size group (order
+    * cardinality, like w2's sessions), never a corpus-wide collect. At
+    * 100 TB that is a single orderkey shuffle where the correlated
+    * spelling adds two more full lineitem shuffles. The oracle keeps the
+    * EXISTS/NOT-EXISTS spelling, so the gate also proves the
+    * reformulation. Exploding the kept late-list restores per-LINE
+    * multiplicity (numwait counts late lines, not late orders). */
+  val q21_waiting_supplier: Q = Q(
+    run = (spark, dir) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      t(spark, dir, "lineitem")
+        .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          collect_list(when(late, col("l_suppkey"))).as("late_supps"))
+        .filter(col("n_supp") > 1 && size(array_distinct(col("late_supps"))) === 1)
+        .select(explode(col("late_supps")).as("l_suppkey"))
+        .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+    oracle = Some(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin))
+
   /** CDC-style latest-state compaction: one row per key, the row with
     * the greatest (ts, event_id). Expressed as a HASH AGGREGATION over a
     * struct max — map-side partial aggregation, no per-key window sort:
@@ -3320,7 +3414,9 @@ object Queries {
     "q19_disjunctive" -> q19_disjunctive,
     "q22_idle_balance" -> q22_idle_balance,
     "q2_min_cost_supplier" -> q2_min_cost_supplier,
-    "q15_top_supplier" -> q15_top_supplier)
+    "q15_top_supplier" -> q15_top_supplier,
+    "q20_promotion_supplier" -> q20_promotion_supplier,
+    "q21_waiting_supplier" -> q21_waiting_supplier)
 
   def all: Map[String, Q] = referenceQueries ++ pipelineQueries
 }

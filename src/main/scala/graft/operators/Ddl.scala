@@ -154,7 +154,8 @@ object Ddl {
    * path write.
    */
   def writeBucketedTable(df: DataFrame, table: String, key: String,
-      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) dropTableAndLocation(df.sparkSession, table)
     df.write
       .mode(mode)
       .option("compression", ParquetCompression)
@@ -162,4 +163,22 @@ object Ddl {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Make an Overwrite `saveAsTable` idempotent ACROSS sessions: the
+    * session catalog is per-JVM, so a warehouse directory left by a
+    * previous run is invisible to `SaveMode.Overwrite` (which only
+    * replaces CATALOGED tables) and `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS. Drop the catalog entry if present AND
+    * clear the default location — rebuild-over-a-prior-run is the normal
+    * production cadence for a persisted index, not an error. */
+  def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }

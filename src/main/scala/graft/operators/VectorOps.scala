@@ -520,10 +520,12 @@ object VectorOps {
     val p = Staging.barrier(prepared(df, idCol, vecCol))
     val cent = kmeansCentroidsPrepared(p, kClusters, iters)
     val (lo, hi) = sq8Stats(p)
+    Ddl.dropTableAndLocation(spark, s"${table}_centroids")
     spark.createDataFrame(cent.map { case (l, c) => (l, c.toSeq) })
       .toDF("label", "c")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_centroids")
+    Ddl.dropTableAndLocation(spark, s"${table}_stats")
     spark.createDataFrame(lo.indices.map(i => (i, lo(i), hi(i))))
       .toDF("pos", "lo", "hi")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
