@@ -3017,6 +3017,48 @@ object Queries {
          |   OR (dsir_micro = (SELECT cd FROM cut) AND doc_id <= (SELECT ci FROM cut))) AS keep
          |FROM fl ORDER BY doc_id""".stripMargin))
 
+  private val Bm25Terms = Seq("spark", "query", "stream", "filter")
+  private val Bm25K = 25
+
+  /** BM25 top-k keyword retrieval ([[TextAnalysis.bm25TopK]]): rank
+    * documents for a static probe query — the quality-retrieval /
+    * exemplar-selection primitive. Map-side tf columns over one
+    * let-bound token array, one single-row stats aggregate broadcast
+    * back, TakeOrderedAndProject cut — zero corpus shuffles. The oracle
+    * mirrors the IEEE expression tree parenthesis-for-parenthesis and
+    * compares the integer micro-unit scores hash-exactly (the t32
+    * fixed-pointing rule). */
+  val t42_bm25_topk: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
+          Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id"),
+    oracle = Some {
+      val tf = Bm25Terms.indices.map(i =>
+        s"len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS tf_$i")
+      val dfAgg = Bm25Terms.indices.map(i =>
+        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      val contrib = Bm25Terms.indices.map(i =>
+        s"""CAST(ROUND(1e6 * log10(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+           |    ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
+           |     (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))) AS BIGINT)""".stripMargin)
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |perdoc AS (
+         |  SELECT id, len(toks) AS dl, ${tf.mkString(",\n    ")}
+         |  FROM base),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, ${dfAgg.mkString(",\n    ")}
+         |  FROM perdoc)
+         |SELECT id AS doc_id,
+         |  (${contrib.mkString("\n + ")}) AS score_micro
+         |FROM perdoc CROSS JOIN stats
+         |WHERE ${Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
+         |ORDER BY score_micro DESC, id LIMIT $Bm25K""".stripMargin
+    })
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -3378,6 +3420,7 @@ object Queries {
     "t34_semdedup" -> t34_semdedup,
     "t35_mixture_weights" -> t35_mixture_weights,
     "t36_dsir_weights" -> t36_dsir_weights,
+    "t42_bm25_topk" -> t42_bm25_topk,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,

@@ -256,6 +256,70 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** BM25 top-k keyword retrieval (Okapi BM25, Robertson et al., TREC-3)
+    * over the corpus for a SMALL static term set — the classic
+    * quality-retrieval primitive (rank documents for a probe query;
+    * select domain exemplars for targeted sampling).
+    *
+    * Scale shape — ZERO corpus shuffles before the top-k cut:
+    *   - per-doc term frequencies are array expressions over ONE
+    *     let-bound token array ([[TextDedup.bound]] — |terms| filter
+    *     lambdas read the bound slot, the tokenizer runs once per row),
+    *     entirely map-side;
+    *   - corpus statistics (N, avgdl, per-term document frequencies) are
+    *     ONE single-row global aggregate crossJoin-broadcast back (the
+    *     q11/q15 scalar pattern);
+    *   - the k cut is TakeOrderedAndProject (per-partition top-k, never
+    *     a global sort).
+    *
+    * Cross-engine exactness (the t32 rule): each term's contribution is
+    * fixed-pointed to integer MICRO-units before the per-doc sum —
+    * `round(1e6·idf·tfnorm)` as BIGINT — so the score is a sum of longs
+    * over a STATIC term list (fixed expression order, no float
+    * aggregation drift). idf/tfnorm inputs (tf, dl, df, N, avgdl) are
+    * identical exact values in both engines, the arithmetic is the same
+    * IEEE expression tree, and log10 follows the t32 precedent.
+    * avgdl is exact: integer dl sums stay below 2^53.
+    *
+    * Ties at rank k are impossible to cut ambiguously: the ordering
+    * (score desc, id asc) is total. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val tfCols = terms.indices.map(i => s"tf_$i")
+    // STAGED: two consumers (stats + scoring) — the barrier holds the
+    // tiny (id, dl, tf…) ints frame, not text, so the tokenizer runs
+    // once per row, not once per consumer (the family staging rule)
+    val perDoc = Staging.barrier(df.select(col(idCol).as("id"),
+      TextDedup.bound(TextDedup.tokens(col(textCol))) { toks =>
+        struct((size(toks).as("dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            size(filter(toks, x => x === lit(term))).as(s"tf_$i")
+          }): _*)
+      }.as("s"))
+      .select(col("id") +: col("s.dl").as("dl") +:
+        tfCols.map(c => col(s"s.$c").as(c)): _*))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (avg(col("dl")).as("avgdl") +:
+        tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"df_$c"))): _*)
+    val contrib = tfCols.map { c =>
+      val tf = col(c).cast("double")
+      val dfT = col(s"df_$c").cast("double")
+      val idf = log10(lit(1.0) +
+        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tfnorm = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      round(lit(1e6) * idf * tfnorm).cast("long")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(tfCols.map(c => col(c) > 0).reduce(_ || _))
+      .select(col("id"), contrib.reduce(_ + _).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
     * each doc scores Σ_tokens [log p_target(w) − log p_raw(w)] under two
     * unigram LMs — target = the `targetPred` subset, raw = the whole

@@ -369,4 +369,31 @@ class TextAnalysisSpec extends SparkSpec {
     val avg1 = got(0).getDouble(3)
     assert(avg1 === (3 * lpThe + lpCat) * 1.0 / 4 / 1e6)
   }
+
+  test("bm25TopK: exact micro scores, tf monotonicity, no-term exclusion, k cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark data"), // tf=3, dl=4
+      (2L, "spark data data data"),   // tf=1, dl=4 → scores below doc 1
+      (3L, "data data data data"),    // no query term → excluded
+      (4L, "spark"),                  // tf=1, dl=1 → shorter doc beats doc 2
+      (5L, "spark data")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("spark"), k = 3).collect()
+    // k cut honored; doc 3 (no term) never appears
+    assert(got.length === 3 && !got.map(_.getLong(0)).contains(3L))
+    // hand-computed BM25 (k1=1.2, b=0.75): N=5, df=4, avgdl=15/5=3
+    def score(tf: Double, dl: Double): Long = {
+      val idf = math.log10(1.0 + (5 - 4.0 + 0.5) / (4.0 + 0.5))
+      val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+      math.round(1e6 * idf * tfn)
+    }
+    val expected = Seq(
+      1L -> score(3, 4), 4L -> score(1, 1), 2L -> score(1, 4),
+      5L -> score(1, 2)).sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toSeq === expected)
+    // the expected ranking also exhibits the two BM25 laws: tf
+    // monotonicity (doc 1 over docs 2/5 at tf=1) and length
+    // normalization (doc 4, dl=1, over doc 2, dl=4, at equal tf)
+  }
 }
