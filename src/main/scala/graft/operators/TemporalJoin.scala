@@ -132,7 +132,16 @@ object TemporalJoin {
     * intervals cover by definition whenever they truly overlap. Catalyst
     * sees an ordinary equi-join on the bucket: AQE broadcast/skew
     * handling apply; the residual overlap test prunes same-bucket
-    * non-overlaps. */
+    * non-overlaps.
+    *
+    * Scale note (round-8 audit): output cardinality — hence runtime — is
+    * quadratic in interval DENSITY per bucket window, because the query
+    * semantics demand every overlapping pair (10× denser traffic in the
+    * same time range → 100× pairs, measured; runtime grew only 16×, i.e.
+    * sublinear in output). A corpus that grows by EXTENDING the time
+    * range keeps per-bucket work flat; if density itself grows, pick a
+    * finer `bucketOf` granularity so per-bucket candidate sets stay
+    * bounded. */
   def intervalJoin(
       left: DataFrame, leftStart: String, leftEnd: String,
       right: DataFrame, rightStart: String, rightEnd: String,
