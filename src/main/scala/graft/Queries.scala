@@ -1980,6 +1980,91 @@ object Queries {
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     bench = true)
 
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqIters = 2
+  private val PqCandidates = 50
+
+  /** PQ-ADC oracle: per-subspace L2 Lloyd (same seeding/decimal-mean
+    * recipe as the coarse k-means CTEs), dense code renumbering, corpus
+    * coding, per-query ADC lookup tables, estimated-cosine candidate
+    * cut, exact re-rank — every float expression tree mirrors the Spark
+    * side operator-for-operator. */
+  private def pqOracleSql: String = {
+    val subLen = 64 / PqM
+    val perSub = (0 until PqM).map { si =>
+      val off = si * subLen
+      val train = (1 to PqIters).map { j =>
+        s"""ps${si}_$j AS MATERIALIZED (SELECT t.vec_id, t.s, c.code,
+           |  (list_dot_product(c.c, c.c) - 2.0 * list_dot_product(t.s, c.c)) AS d2
+           |  FROM sub$si t CROSS JOIN pc${si}_${j - 1} c),
+           |pa${si}_$j AS MATERIALIZED (SELECT vec_id, s, code FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
+           |  FROM ps${si}_$j) WHERE rn = 1),
+           |px${si}_$j AS MATERIALIZED (SELECT code, t.pos, s[t.pos + 1] AS val
+           |  FROM pa${si}_$j, unnest(range(len(s))) AS t(pos)),
+           |pc${si}_$j AS MATERIALIZED (SELECT code, array_agg(CAST(sm AS DOUBLE) / cnt ORDER BY pos) AS c FROM (
+           |  SELECT code, pos, SUM(CAST(val AS DECIMAL(27,12))) AS sm, COUNT(*) AS cnt
+           |  FROM px${si}_$j GROUP BY 1, 2) GROUP BY code)""".stripMargin
+      }.mkString(",\n")
+      s"""sub$si AS MATERIALIZED (SELECT vec_id, e[${off + 1}:${off + subLen}] AS s FROM n),
+         |pc${si}_0 AS MATERIALIZED (SELECT code, c FROM (
+         |  SELECT s AS c,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |  FROM sub$si) WHERE code < $PqKsub),
+         |$train,
+         |pf$si AS MATERIALIZED (SELECT row_number() OVER (ORDER BY code) - 1 AS code, c
+         |  FROM pc${si}_$PqIters),
+         |cd$si AS MATERIALIZED (SELECT vec_id, code FROM (
+         |  SELECT t.vec_id, c.code, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |    (list_dot_product(c.c, c.c) - 2.0 * list_dot_product(t.s, c.c)), c.code) AS rn
+         |  FROM sub$si t CROSS JOIN pf$si c) WHERE rn = 1),
+         |ql$si AS MATERIALIZED (SELECT t.vec_id AS query_id, c.code, list_dot_product(t.s, c.c) AS lv
+         |  FROM sub$si t CROSS JOIN pf$si c WHERE t.vec_id < 10)""".stripMargin
+    }.mkString(",\n")
+    val estExpr = (1 until PqM).foldLeft("l0.lv") { (acc, i) => s"($acc + l$i.lv)" }
+    val lutJoins = (0 until PqM).map(i =>
+      s"JOIN ql$i l$i ON l$i.query_id = q.query_id AND l$i.code = t.k$i").mkString("\n  ")
+    val codeJoin = (1 until PqM).map(i => s"JOIN cd$i USING (vec_id)").mkString(" ")
+    val codeCols = (0 until PqM).map(i => s"cd$i.code AS k$i").mkString(", ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       |$perSub,
+       |codes AS MATERIALIZED (SELECT cd0.vec_id, $codeCols FROM cd0 $codeJoin),
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, nrm AS qnrm FROM n WHERE vec_id < 10),
+       |cscored AS MATERIALIZED (SELECT q.query_id, t.vec_id AS neighbor_id,
+       |    ($estExpr / (nn.nrm * q.qnrm)) AS qscore
+       |  FROM qn q
+       |  JOIN codes t ON t.vec_id <> q.query_id
+       |  JOIN n nn ON nn.vec_id = t.vec_id
+       |  $lutJoins),
+       |cand AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qscore DESC, neighbor_id) AS rn FROM cscored) WHERE rn <= $PqCandidates),
+       |rescored AS MATERIALIZED (SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+       |             JOIN n b ON b.vec_id = cand.neighbor_id),
+       |ranked AS MATERIALIZED (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rescored)
+       |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** PQ-ADC ANN ([[VectorOps.pqTopK]]): product-quantized codes (m bytes
+    * per vector — the memory tier below SQ8) scored by asymmetric
+    * distance computation against per-query lookup tables, exact cosine
+    * re-rank on top. The oracle replays codebook training, coding, ADC
+    * and re-rank in SQL, so the gate is hash-exact end-to-end — the PQ
+    * approximation is pinned, not sampled. */
+  val t43_pq_ann: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.pqTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, m = PqM, ksub = PqKsub,
+          iters = PqIters, candidates = PqCandidates)
+        .orderBy("query_id", "rank"),
+    oracle = Some(pqOracleSql))
+
   /** Persisted-index ANN: build the IVF+SQ8 index ONCE as catalog tables
     * ([[VectorOps.writeIndex]] — cell-bucketed coded corpus + centroid/
     * stats metadata), then LOAD and probe ([[VectorOps.loadIndex]] →
@@ -3445,6 +3530,7 @@ object Queries {
     "q18_large_orders" -> q18_large_orders,
     "t15_ivf_sq8_ann" -> t15_ivf_sq8_ann,
     "t40_ann_index_persist" -> t40_ann_index_persist,
+    "t43_pq_ann" -> t43_pq_ann,
     "q9_pivot_events" -> q9_pivot_events,
     "q10_value_moments" -> q10_value_moments,
     "q4_priority_exists" -> q4_priority_exists,

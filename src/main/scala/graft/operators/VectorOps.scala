@@ -556,6 +556,140 @@ object VectorOps {
     ivfSq8Probe(idx.coded, idx.cent, idx.lo, idx.hi, queryPred, k,
       nprobe, candidates)
 
+  // ---------- Product quantization (PQ / ADC) ----------
+
+  /** Subvector slice `[off+1, off+len]` (1-based, like DuckDB `l[a:b]`). */
+  private def subvec(v: Column, off: Int, len: Int): Column =
+    slice(v, off + 1, len)
+
+  private def dotSelf(c: Array[Double]): Double = {
+    var i = 0; var a = 0.0
+    while (i < c.length) { a += c(i) * c(i); i += 1 }
+    a
+  }
+
+  /** Per-centroid ADJUSTED L2 scores for a subvector: the argmin over
+    * `‖s−c‖²` needs only `dot(c,c) − 2·dot(s,c)` (the `dot(s,s)` term is
+    * constant per row) — fewer float ops AND a smaller expression tree
+    * to mirror in the oracle. Ties → lowest code, via the same
+    * sort_array(struct) idiom as [[centScores]]. */
+  private def pqScores(s: Column, cents: Seq[(Int, Array[Double])]): Column =
+    array(cents.map { case (code, c) =>
+      struct((lit(dotSelf(c)) - lit(2.0) * dot(s, typedLit(c.toSeq))).as("d2adj"),
+        lit(code).as("code"))
+    }: _*)
+
+  /** argmin-L2 centroid code for one subspace (ties → lowest code). */
+  private def pqAssign(s: Column, cents: Seq[(Int, Array[Double])]): Column =
+    element_at(transform(slice(sort_array(pqScores(s, cents)), 1, 1),
+      x => x("code")), 1)
+
+  /** Per-subspace deterministic Lloyd (L2) product-quantizer codebooks
+    * over an ALREADY-staged `(id, v, nrm)` frame: dim splits into `m`
+    * equal subspaces; each trains `ksub` centroids with the SAME
+    * engine-portable recipe as the coarse quantizer
+    * ([[kmeansCentroidsPrepared]]) — `(md5(id), id)`-ordered seeds,
+    * map-side argmin against literal centroids, exact-decimal means —
+    * except the metric is L2 (the quantity PQ reconstruction error
+    * minimizes), not cosine. Codebooks are m·ksub·(dim/m) doubles of
+    * collected index METADATA; the corpus is never collected. */
+  def pqCodebooks(p: DataFrame, m: Int, ksub: Int,
+      iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val dim = p.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { si =>
+      val ps = p.select(col("id"), subvec(col("v"), si * sub, sub).as("s"))
+      var cent: Seq[(Int, Array[Double])] = ps
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(ksub)
+        .select("s").collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+      for (_ <- 0 until iters) {
+        cent = ps.withColumn("code", pqAssign(col("s"), cent))
+          .select(col("code"), posexplode(col("s")).as(Seq("pos", "x")))
+          .groupBy("code", "pos")
+          .agg(sum(col("x").cast("decimal(27,12)")).as("sm"),
+            count(lit(1)).as("n"))
+          .select(col("code"), col("pos"),
+            (col("sm").cast("double") / col("n")).as("cv"))
+          .groupBy("code")
+          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+          .select(col("code"), transform(col("pc"), x => x("cv")).as("c"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+      }
+      // dense renumbering (order-preserving): a dropped-out cluster must
+      // not leave a hole, because ADC lookup tables index by code+1
+      cent.zipWithIndex.map { case ((_, c), i) => (i, c) }
+    }
+  }
+
+  /** m-element PQ code array for a vector (one argmin per subspace). */
+  def pqCode(v: Column, books: Seq[Seq[(Int, Array[Double])]],
+      sub: Int): Column =
+    array(books.zipWithIndex.map { case (cs, si) =>
+      pqAssign(subvec(v, si * sub, sub), cs)
+    }: _*)
+
+  /**
+   * PQ-ADC ANN — the memory shape below SQ8: per indexed vector just
+   * (m codes, norm) ≈ m+8 bytes vs dim+12 for SQ8 and 8·dim raw — the
+   * regime where a 100 TB corpus's ANN index fits a modest cluster's
+   * RAM. Scoring is asymmetric distance computation (ADC, Jégou et al.
+   * 2011, "Product Quantization for Nearest Neighbor Search"): each
+   * query precomputes per-subspace lookup tables `LUT[s][j] =
+   * dot(codebook_sj, q_s)` ON THE TINY QUERY SIDE (before broadcast), so
+   * the corpus-side estimated dot is m array lookups + m−1 additions per
+   * row — no per-row decode, no per-row dot. Exact cosine re-rank of the
+   * top `candidates` restores precision (the [[sq8TopK]] contract).
+   *
+   * Scale shape: codebooks train on the staged frame (m·iters bounded
+   * driver jobs), coding and LUT build are map-side against literal
+   * codebooks, the candidate join broadcasts the query side, and both
+   * top-k cuts are per-query windows over the candidate stream.
+   */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, candidates: Int = 20): DataFrame = {
+    // one staged prepared frame: codebook training (m·iters scans), the
+    // coding pass, the query/LUT side, and both re-rank lookups
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
+    val books = pqCodebooks(p, m, ksub, iters)
+    val sub = books.head.head._2.length
+    val coded = p.select(col("id"), col("nrm"),
+      pqCode(col("v"), books, sub).as("code"))
+    val luts = (0 until m).map { si =>
+      array(books(si).map { case (_, c) =>
+        dot(subvec(col("v"), si * sub, sub), typedLit(c.toSeq))
+      }: _*).as(s"lut_$si")
+    }
+    val q = p.filter(queryPred).select(
+      col("id").as("query_id") +: col("nrm").as("qnrm") +: luts: _*)
+    val est = (0 until m).map(si =>
+      element_at(col(s"lut_$si"), element_at(col("code"), si + 1) + 1))
+      .reduce(_ + _)
+    val qscored = coded
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (est / (col("nrm") * col("qnrm"))).as("qscore"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    val cand = qscored.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = cand
+      .join(p.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(p.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nnrm")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random
     * hyperplanes). */

@@ -358,6 +358,32 @@ class DedupSpec extends SparkSpec {
     assert(recallOf(composed) > 0.5)
   }
 
+  test("PQ-ADC ANN: dense codebooks, k-bounded output, candidate cut recovers most brute-force neighbors") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val p = VectorOps.prepared(emb, "vec_id", "embedding")
+    val books = VectorOps.pqCodebooks(p, m = 8, ksub = 16, iters = 2)
+    assert(books.length === 8)
+    // codes must be DENSE 0..n-1 per subspace: ADC lookup tables index by
+    // code+1, so a hole from a dropped-out Lloyd cluster would misindex
+    books.foreach { cs =>
+      assert(cs.map(_._1) === cs.indices.toSeq)
+      assert(cs.forall(_._2.length === 8)) // 64 / m
+    }
+    val pq = VectorOps.pqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, m = 8, ksub = 16, iters = 2,
+      candidates = 50)
+    val counts = pq.groupBy("query_id").count().collect()
+    assert(counts.length === 10 && counts.forall(_.getLong(1) === 5L))
+    val truth = VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+    val hits = truth.join(pq.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    // near-uniform synthetic embeddings are PQ's worst case (no cluster
+    // structure to quantize); 0.66 measured at these params — gate at 0.5
+    val recall = hits.toDouble / truth.count()
+    assert(recall >= 0.5, s"PQ recall@5 too low: $recall")
+  }
+
   test("banded near-dup is a lossless subset of the quadratic baseline, with full recall here") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     // the gate's banding must actually cover distinct dimension ranges:
