@@ -3105,6 +3105,38 @@ object Queries {
   private val Bm25Terms = Seq("spark", "query", "stream", "filter")
   private val Bm25K = 25
 
+  /** Okapi BM25 oracle, parameterized for reuse by t42 (whole corpus)
+    * and t44 (corpus minus the probe document, list depth n). Mirrors
+    * [[TextAnalysis.bm25TopK]]'s IEEE expression tree
+    * parenthesis-for-parenthesis; scores in integer micro-units. */
+  private def bm25OracleSql(terms: Seq[String], k: Int,
+      excludeId: Option[Long] = None): String = {
+    val tf = terms.indices.map(i =>
+      s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf_$i")
+    val dfAgg = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+    val contrib = terms.indices.map(i =>
+      s"""CAST(ROUND(1e6 * log10(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+         |    ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
+         |     (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))) AS BIGINT)""".stripMargin)
+    val excl = excludeId.map(id => s"WHERE doc_id <> $id").getOrElse("")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents $excl),
+       |perdoc AS (
+       |  SELECT id, len(toks) AS dl, ${tf.mkString(",\n    ")}
+       |  FROM base),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, ${dfAgg.mkString(",\n    ")}
+       |  FROM perdoc)
+       |SELECT id AS doc_id,
+       |  (${contrib.mkString("\n + ")}) AS score_micro
+       |FROM perdoc CROSS JOIN stats
+       |WHERE ${terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
+       |ORDER BY score_micro DESC, id LIMIT $k""".stripMargin
+  }
+
   /** BM25 top-k keyword retrieval ([[TextAnalysis.bm25TopK]]): rank
     * documents for a static probe query — the quality-retrieval /
     * exemplar-selection primitive. Map-side tf columns over one
@@ -3118,31 +3150,50 @@ object Queries {
       TextAnalysis.bm25TopK(t(spark, dir, "documents"), "doc_id", "text",
           Bm25Terms, Bm25K)
         .withColumnRenamed("id", "doc_id"),
-    oracle = Some {
-      val tf = Bm25Terms.indices.map(i =>
-        s"len(list_filter(toks, x -> x = '${Bm25Terms(i)}')) AS tf_$i")
-      val dfAgg = Bm25Terms.indices.map(i =>
-        s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
-      val contrib = Bm25Terms.indices.map(i =>
-        s"""CAST(ROUND(1e6 * log10(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
-           |    ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
-           |     (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))) AS BIGINT)""".stripMargin)
-      s"""WITH base AS (
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
+
+  private val HybridN = 50
+  private val HybridK = 15
+  private val HybridQueryVec = 0L
+
+  /** Hybrid keyword+vector retrieval ([[Retrieval.hybridTopK]]): BM25
+    * list for the probe terms and exact-cosine list for the probe
+    * document's embedding, fused by reciprocal rank fusion (Cormack et
+    * al., SIGIR 2009) — the standard production shape for combining
+    * incommensurable retrievers without score calibration. Fusion is
+    * list-sized; scores emitted in integer nano-units so the gate
+    * compares longs (the t42 rule). */
+  val t44_hybrid_rrf: Q = Q(
+    run = (spark, dir) =>
+      Retrieval.hybridTopK(t(spark, dir, "documents"),
+          t(spark, dir, "embeddings"), "doc_id", "text", "vec_id",
+          "embedding", Bm25Terms, HybridQueryVec, n = HybridN, k = HybridK)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank"),
+    oracle = Some(
+      s"""WITH blist AS (
          |  SELECT doc_id AS id,
-         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
-         |  FROM documents),
-         |perdoc AS (
-         |  SELECT id, len(toks) AS dl, ${tf.mkString(",\n    ")}
-         |  FROM base),
-         |stats AS (
-         |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, ${dfAgg.mkString(",\n    ")}
-         |  FROM perdoc)
-         |SELECT id AS doc_id,
-         |  (${contrib.mkString("\n + ")}) AS score_micro
-         |FROM perdoc CROSS JOIN stats
-         |WHERE ${Bm25Terms.indices.map(i => s"tf_$i > 0").mkString(" OR ")}
-         |ORDER BY score_micro DESC, id LIMIT $Bm25K""".stripMargin
-    })
+         |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+         |  FROM (${bm25OracleSql(Bm25Terms, HybridN, Some(HybridQueryVec))})),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |q AS (SELECT e AS qe, nrm AS qnrm FROM nv WHERE vec_id = $HybridQueryVec),
+         |vlist AS (SELECT id, rk FROM (
+         |  SELECT c.vec_id AS id, row_number() OVER (ORDER BY
+         |      list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) DESC, c.vec_id) AS rk
+         |  FROM nv c CROSS JOIN q WHERE c.vec_id <> $HybridQueryVec)
+         |  WHERE rk <= $HybridN),
+         |fused AS (
+         |  SELECT COALESCE(b.id, vl.id) AS doc_id,
+         |    CAST(ROUND(1e9 * (
+         |      COALESCE(1.0 / (60.0 + CAST(b.rk AS DOUBLE)), 0.0)
+         |      + COALESCE(1.0 / (60.0 + CAST(vl.rk AS DOUBLE)), 0.0))) AS BIGINT)
+         |      AS rrf_nano
+         |  FROM blist b FULL OUTER JOIN vlist vl ON b.id = vl.id),
+         |cut AS (SELECT * FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT $HybridK)
+         |SELECT doc_id, rrf_nano, CAST(row_number() OVER
+         |  (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+         |FROM cut ORDER BY rank""".stripMargin))
 
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
@@ -3506,6 +3557,7 @@ object Queries {
     "t35_mixture_weights" -> t35_mixture_weights,
     "t36_dsir_weights" -> t36_dsir_weights,
     "t42_bm25_topk" -> t42_bm25_topk,
+    "t44_hybrid_rrf" -> t44_hybrid_rrf,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,

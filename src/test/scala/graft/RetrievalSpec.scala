@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: hand-checked scores, both-list consensus outranks single-list presence") {
+    val kw = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val vec = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(kw, vec), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def nano(ranks: Seq[Int]): Long =
+      math.round(1e9 * ranks.map(r => 1.0 / (60.0 + r)).sum)
+    // doc 20: ranks (2,1); doc 10: ranks (1,3); doc 30: kw-only 3; doc 40: vec-only 2
+    assert(fused.toSeq === Seq(
+      (20L, nano(Seq(2, 1)), 1),
+      (10L, nano(Seq(1, 3)), 2),
+      (40L, nano(Seq(2)), 3),
+      (30L, nano(Seq(3)), 4)))
+    // consensus property: 20 (in both, best ranks) leads everything
+    assert(fused.head._1 === 20L)
+  }
+
+  test("rrfFuse ties break on id; k bounds the output") {
+    val a = Seq((5L, 1), (3L, 2)).toDF("id", "rank")
+    val b = Seq((3L, 1), (5L, 2)).toDF("id", "rank")
+    // symmetric ranks → equal scores → id ascending
+    val fused = Retrieval.rrfFuse(Seq(a, b), k = 1).collect()
+    assert(fused.length === 1)
+    assert(fused.head.getLong(0) === 3L)
+  }
+
+  test("hybridTopK: k-bounded, probe excluded, every hit from one of the two lists") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val terms = Seq("spark", "query", "stream", "filter")
+    val out = Retrieval.hybridTopK(docs, emb, "doc_id", "text", "vec_id",
+      "embedding", terms, queryVecId = 0L, n = 50, k = 15).collect()
+    assert(out.length === 15)
+    assert(out.map(_.getInt(2)).toSeq === (1 to 15))
+    assert(!out.exists(_.getLong(0) === 0L), "probe doc must be excluded")
+    // provenance: each fused hit is in the kw top-50 or the vector top-50
+    val kwIds = operators.TextAnalysis
+      .bm25TopK(docs.filter(col("doc_id") =!= 0L), "doc_id", "text", terms, 50)
+      .select("id").as[Long].collect().toSet
+    val vecIds = operators.VectorOps
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), "vec_id",
+        "embedding", 50)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out.forall(r => kwIds(r.getLong(0)) || vecIds(r.getLong(0))))
+    // the fusion is genuinely hybrid on this fixture: at least one hit
+    // from each side that the other side did not surface
+    assert(out.exists(r => kwIds(r.getLong(0)) && !vecIds(r.getLong(0))))
+    assert(out.exists(r => vecIds(r.getLong(0)) && !kwIds(r.getLong(0))))
+  }
+}
