@@ -659,6 +659,38 @@ object Queries {
         |  FROM c)
         |WHERE rank <= 2 ORDER BY source, rank""".stripMargin))
 
+  private val P9Probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  /** Per-source document-length quantiles via the mergeable quantile
+    * sketch ([[Quality.quantilesApproxByKey]]), run UNDER capacity so
+    * compaction never fires and the sketch provably degenerates to the
+    * exact rank-`ceil(q·n)` percentile — deterministic and therefore
+    * oracle-gateable (the p7/p8 under-capacity rationale). The rank
+    * rule is pinned EXPLICITLY in both engines (smallest value whose
+    * rank reaches `ceil(q·n)` in IEEE-double q·n) rather than
+    * delegated to an engine percentile flavor; over-capacity rank-error
+    * and weight-invariant guarantees are QuantileSketchSpec's. */
+  val p9_quantile_sketch: Q = Q(
+    run = (spark, dir) =>
+      Quality.quantilesApproxByKey(t(spark, dir, "documents"),
+          key = "source", c = "n_chars", P9Probs, capacity = 8192)
+        .orderBy("source", "p"),
+    oracle = Some {
+      val perQ = P9Probs.map { q =>
+        s"""SELECT source, CAST($q AS DOUBLE) AS p,
+           |  MIN(v) FILTER (WHERE rn >= GREATEST(1,
+           |    CAST(CEIL(CAST($q AS DOUBLE) * n) AS BIGINT))) AS value
+           |FROM r GROUP BY source""".stripMargin
+      }
+      s"""WITH r AS (
+         |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM documents WHERE n_chars IS NOT NULL)
+         |${perQ.mkString("\nUNION ALL\n")}
+         |ORDER BY source, p""".stripMargin
+    })
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -3516,7 +3548,8 @@ object Queries {
     "p5_histogram" -> p5_histogram,
     "p6_heavy_hitters" -> p6_heavy_hitters,
     "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch,
-    "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped)
+    "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped,
+    "p9_quantile_sketch" -> p9_quantile_sketch)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

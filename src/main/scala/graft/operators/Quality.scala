@@ -178,6 +178,24 @@ object Quality {
         (col("idx") + 1).cast("int").as("rank"))
   }
 
+  /** Per-key quantile profile via the mergeable sketch
+    * ([[graft.functions.QuantileSketchAgg]]) — the at-scale twin of an
+    * exact per-key percentile (which needs a per-key sort of the value
+    * multiset). One fixed-memory sketch per group, map-side combinable;
+    * under capacity (group rows ≤ `capacity`) it provably degenerates
+    * to the exact rank-`ceil(q·n)` percentile, which is what `p9` gates
+    * against the explicit-rank DuckDB oracle; over-capacity rank-error
+    * and weight-invariant guarantees are QuantileSketchSpec's. Returns
+    * (key, p, value) rows. */
+  def quantilesApproxByKey(df: DataFrame, key: String, c: String,
+      probabilities: Seq[Double], capacity: Int): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(key))
+      .agg(graft.functions.QuantileSketchAgg(col(c).cast("double"),
+        capacity, probabilities).as("qs"))
+      .select(col(key), explode(col("qs")).as("e"))
+      .select(col(key), col("e.p").as("p"), col("e.value").as("value"))
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */

@@ -41,6 +41,16 @@ echo "$MGLOG" | grep -q "Misra-Gries sketch honors the mergeable-summaries guara
   || { echo "FATAL: p6 Misra-Gries guarantee test did not run (renamed or filtered out)"; exit 1; }
 echo "$MGLOG" | grep -q "All tests passed" \
   || { echo "FATAL: p6 Misra-Gries guarantee test failed"; echo "$MGLOG" | tail -20; exit 1; }
+echo "=== p9 quantile-sketch guard (mandatory): weight invariant + rank-error bound"
+# p9's at-scale claim (fixed-memory mergeable quantiles instead of a
+# per-key sort) is honest only while over-capacity compaction keeps the
+# weight invariant and the deterministic rank-error bound — this test is
+# that guard
+QSLOG=$(sbt -batch 'testOnly graft.QuantileSketchSpec -- -z "over capacity"' 2>&1)
+echo "$QSLOG" | grep -q "total weight invariant holds and rank error is bounded" \
+  || { echo "FATAL: p9 quantile-sketch guarantee test did not run (renamed or filtered out)"; exit 1; }
+echo "$QSLOG" | grep -q "All tests passed" \
+  || { echo "FATAL: p9 quantile-sketch guarantee test failed"; echo "$QSLOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
