@@ -65,7 +65,22 @@ object GraftExtensions {
     "graft_minhash" -> unary("graft_minhash")(
       operators.TextDedup.minhashSignature(_, 16)),
     "graft_winnow" -> unary("graft_winnow")(
-      graft.functions.WinnowFingerprints(_, 5, 4)))
+      graft.functions.WinnowFingerprints(_, 5, 4)),
+    // sketch aggregates (parameters fixed to the gated defaults for the
+    // SQL surface; the Column API exposes them): the analyzer wraps the
+    // raw AggregateFunction in an AggregateExpression at use sites,
+    // exactly as for built-in aggregates
+    "graft_heavy_hitters" -> { children =>
+      require(children.length == 1,
+        "graft_heavy_hitters expects exactly 1 argument")
+      graft.functions.MisraGriesAgg(children.head, 8)
+    },
+    "graft_quantiles" -> { children =>
+      require(children.length == 1,
+        "graft_quantiles expects exactly 1 argument")
+      graft.functions.QuantileSketchAgg(children.head, 8192,
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    })
 
   /** Registry-path registration for an ALREADY-RUNNING session (the
     * builder path only applies at session construction). */

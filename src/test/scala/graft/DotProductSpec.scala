@@ -111,4 +111,23 @@ class DotProductSpec extends SparkSpec {
     assert(r.getSeq[String](0) === viaCol.getSeq[String](0))
     assert(r.getSeq[org.apache.spark.sql.Row](1) === viaCol.getSeq[org.apache.spark.sql.Row](1))
   }
+
+  test("SQL sketch aggregates: graft_heavy_hitters and graft_quantiles analyze and aggregate") {
+    GraftExtensions.register(spark)
+    spark.range(100)
+      .selectExpr("CAST(id % 3 AS STRING) AS s", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sketch_probe")
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(s) AS hh FROM sketch_probe").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    // 3 distinct values, capacity 8 → exact counting: 34/33/33
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("0", 34L), ("1", 33L), ("2", 33L)))
+    val qs = spark.sql(
+      "SELECT graft_quantiles(v) AS qs FROM sketch_probe").head
+      .getSeq[org.apache.spark.sql.Row](0)
+    // under capacity → exact rank-ceil(q*100) percentiles of 0..99
+    assert(qs.map(r => (r.getDouble(0), r.getDouble(1))) ===
+      Seq((0.1, 9.0), (0.25, 24.0), (0.5, 49.0), (0.75, 74.0), (0.9, 89.0)))
+  }
 }
