@@ -2095,7 +2095,8 @@ object Queries {
           col("vec_id") < 10, k = 5, m = PqM, ksub = PqKsub,
           iters = PqIters, candidates = PqCandidates)
         .orderBy("query_id", "rank"),
-    oracle = Some(pqOracleSql))
+    oracle = Some(pqOracleSql),
+    bench = true)
 
   /** Persisted-index ANN: build the IVF+SQ8 index ONCE as catalog tables
     * ([[VectorOps.writeIndex]] — cell-bucketed coded corpus + centroid/
@@ -3202,6 +3203,7 @@ object Queries {
           "embedding", Bm25Terms, HybridQueryVec, n = HybridN, k = HybridK)
         .withColumnRenamed("id", "doc_id")
         .orderBy("rank"),
+    bench = true,
     oracle = Some(
       s"""WITH blist AS (
          |  SELECT doc_id AS id,

@@ -598,31 +598,51 @@ object VectorOps {
     val dim = p.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { si =>
-      val ps = p.select(col("id"), subvec(col("v"), si * sub, sub).as("s"))
-      var cent: Seq[(Int, Array[Double])] = ps
-        .orderBy(md5(col("id").cast("string")), col("id")).limit(ksub)
-        .select("s").collect().toSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-      for (_ <- 0 until iters) {
-        cent = ps.withColumn("code", pqAssign(col("s"), cent))
-          .select(col("code"), posexplode(col("s")).as(Seq("pos", "x")))
-          .groupBy("code", "pos")
-          .agg(sum(col("x").cast("decimal(27,12)")).as("sm"),
-            count(lit(1)).as("n"))
-          .select(col("code"), col("pos"),
-            (col("sm").cast("double") / col("n")).as("cv"))
-          .groupBy("code")
-          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-          .select(col("code"), transform(col("pc"), x => x("cv")).as("c"))
-          .collect().toSeq
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // ONE seed pass for all m subspaces: the (md5(id), id) seed order is
+    // subspace-independent, so the same ksub rows slice into every
+    // subspace's initial codebook
+    val seedRows = p.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(ksub).select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { si =>
+      seedRows.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(si * sub, si * sub + sub))
+      }
+    }
+    // ONE corpus pass per Lloyd iteration for ALL subspaces (not m):
+    // assign every subvector map-side against its literal codebook,
+    // explode (subspace, code, pos, x), aggregate exact-decimal means
+    // keyed by (subspace, code, pos). Values are identical to training
+    // each subspace separately — decimal sums are order-exact and the
+    // keys partition the same groups — so the t43 oracle (which replays
+    // per-subspace training) is untouched; only the pass count changes.
+    for (_ <- 0 until iters) {
+      val perSub = (0 until m).map { si =>
+        val s = subvec(col("v"), si * sub, sub)
+        struct(lit(si).as("si"), pqAssign(s, books(si)).as("code"),
+          s.as("s")).as(s"a_$si")
+      }
+      val rows = p.select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.si"), col("a.code"),
+          posexplode(col("a.s")).as(Seq("pos", "x")))
+        .groupBy("si", "code", "pos")
+        .agg(sum(col("x").cast("decimal(27,12)")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("si"), col("code"), col("pos"),
+          (col("sm").cast("double") / col("n")).as("cv"))
+        .collect()
+      books = (0 until m).map { si =>
+        rows.filter(_.getInt(0) == si)
+          .groupBy(_.getInt(1)).toSeq
+          .map { case (code, rs) =>
+            (code, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+          }
           .sortBy(_._1)
       }
-      // dense renumbering (order-preserving): a dropped-out cluster must
-      // not leave a hole, because ADC lookup tables index by code+1
-      cent.zipWithIndex.map { case ((_, c), i) => (i, c) }
     }
+    // dense renumbering (order-preserving): a dropped-out cluster must
+    // not leave a hole, because ADC lookup tables index by code+1
+    books.map(_.zipWithIndex.map { case ((_, c), i) => (i, c) })
   }
 
   /** m-element PQ code array for a vector (one argmin per subspace). */
