@@ -2098,6 +2098,24 @@ object Queries {
     oracle = Some(pqOracleSql),
     bench = true)
 
+  /** Persisted PQ index ([[VectorOps.writePqIndex]] →
+    * [[VectorOps.loadPqIndex]] → [[VectorOps.pqTopKFromIndex]]): the
+    * t40 build-once/probe-many production shape one memory tier down —
+    * codebooks and the coded corpus round-trip through catalog tables,
+    * and the probe shares [[VectorOps.pqTopK]]'s code path, so the gate
+    * (t43's oracle, hash-exact) proves persistence loses nothing. */
+  val t45_pq_index_persist: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_index"
+      VectorOps.writePqIndex(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", table, m = PqM, ksub = PqKsub, iters = PqIters)
+      val idx = VectorOps.loadPqIndex(spark, table)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = t43_pq_ann.oracle)
+
   /** Persisted-index ANN: build the IVF+SQ8 index ONCE as catalog tables
     * ([[VectorOps.writeIndex]] — cell-bucketed coded corpus + centroid/
     * stats metadata), then LOAD and probe ([[VectorOps.loadIndex]] →
@@ -3593,6 +3611,7 @@ object Queries {
     "t36_dsir_weights" -> t36_dsir_weights,
     "t42_bm25_topk" -> t42_bm25_topk,
     "t44_hybrid_rrf" -> t44_hybrid_rrf,
+    "t45_pq_index_persist" -> t45_pq_index_persist,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,

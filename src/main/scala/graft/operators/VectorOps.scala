@@ -672,24 +672,37 @@ object VectorOps {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 4, ksub: Int = 8,
       iters: Int = 2, candidates: Int = 20): DataFrame = {
-    // one staged prepared frame: codebook training (m·iters scans), the
+    // one staged prepared frame: codebook training (iters+1 scans), the
     // coding pass, the query/LUT side, and both re-rank lookups
     val p = Staging.barrier(prepared(df, idCol, vecCol))
     val books = pqCodebooks(p, m, ksub, iters)
     val sub = books.head.head._2.length
-    val coded = p.select(col("id"), col("nrm"),
-      pqCode(col("v"), books, sub).as("code"))
+    pqProbe(p.withColumn("code", pqCode(col("v"), books, sub)), books,
+      queryPred, k, candidates)
+  }
+
+  /** The shared PQ-ADC probe over a coded frame (`id`, `v`, `nrm`,
+    * `code`) — used by [[pqTopK]] (in-query build) and
+    * [[pqTopKFromIndex]] (loaded index), so the two are equal by
+    * construction. Per-query ADC lookup tables are built on the (tiny)
+    * query side before broadcast; the corpus side pays m array lookups
+    * + m−1 adds per row; exact cosine re-ranks the candidate cut. */
+  private def pqProbe(stored: DataFrame,
+      books: Seq[Seq[(Int, Array[Double])]], queryPred: Column, k: Int,
+      candidates: Int): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
     val luts = (0 until m).map { si =>
       array(books(si).map { case (_, c) =>
         dot(subvec(col("v"), si * sub, sub), typedLit(c.toSeq))
       }: _*).as(s"lut_$si")
     }
-    val q = p.filter(queryPred).select(
+    val q = stored.filter(queryPred).select(
       col("id").as("query_id") +: col("nrm").as("qnrm") +: luts: _*)
     val est = (0 until m).map(si =>
       element_at(col(s"lut_$si"), element_at(col("code"), si + 1) + 1))
       .reduce(_ + _)
-    val qscored = coded
+    val qscored = stored.select(col("id"), col("nrm"), col("code"))
       .join(broadcast(q), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         (est / (col("nrm") * col("qnrm"))).as("qscore"))
@@ -699,9 +712,9 @@ object VectorOps {
       .filter(col("crank") <= candidates)
       .select(col("query_id"), col("neighbor_id"))
     val rescored = cand
-      .join(p.select(col("id").as("query_id"), col("v").as("qv"),
+      .join(stored.select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm")), Seq("query_id"))
-      .join(p.select(col("id").as("neighbor_id"), col("v").as("nv"),
+      .join(stored.select(col("id").as("neighbor_id"), col("v").as("nv"),
         col("nrm").as("nnrm")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("cos"))
@@ -709,6 +722,55 @@ object VectorOps {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** A loaded [[writePqIndex]] index: codebook METADATA (m·ksub·(dim/m)
+    * doubles) + the lazy coded-corpus relation. */
+  final case class PqIndex(books: Seq[Seq[(Int, Array[Double])]],
+      coded: DataFrame)
+
+  /** Persist a PQ index as catalog tables — build ONCE, probe many
+    * times (the t40 production shape, one memory tier down): the coded
+    * corpus (`id`, `v`, `nrm`, `code`) as `table`, the trained
+    * codebooks as `table_codebooks` (si, code, c). Rerunnable:
+    * existing tables are dropped with their locations first. */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      table: String, m: Int = 4, ksub: Int = 8, iters: Int = 2): Unit = {
+    val spark = df.sparkSession
+    val p = Staging.barrier(prepared(df, idCol, vecCol))
+    val books = pqCodebooks(p, m, ksub, iters)
+    val sub = books.head.head._2.length
+    Ddl.dropTableAndLocation(spark, s"${table}_codebooks")
+    spark.createDataFrame(books.zipWithIndex.flatMap { case (cs, si) =>
+      cs.map { case (code, c) => (si, code, c.toSeq) }
+    }).toDF("si", "code", "c")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_codebooks")
+    Ddl.dropTableAndLocation(spark, table)
+    p.withColumn("code", pqCode(col("v"), books, sub))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Load a [[writePqIndex]] index: codebooks are collected (broadcast-
+    * sized metadata); the coded corpus stays a lazy relation. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): PqIndex = {
+    val rows = spark.table(s"${table}_codebooks")
+      .orderBy("si", "code").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rs) =>
+        rs.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
+    }
+    PqIndex(books, spark.table(table))
+  }
+
+  /** [[pqTopK]] over a LOADED index — no training, no coding pass:
+    * the shared probe runs as-is. `queryPred` addresses the stored
+    * schema (`id`, `v`, `nrm`, `code`). */
+  def pqTopKFromIndex(idx: PqIndex, queryPred: Column, k: Int,
+      candidates: Int = 20): DataFrame =
+    pqProbe(idx.coded, idx.books, queryPred, k, candidates)
 
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random
