@@ -138,6 +138,25 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** Streaming profiling twin: the Misra–Gries heavy-hitter sketch
+    * ([[graft.functions.MisraGriesAgg]]) as a streaming aggregation —
+    * per-key top values over an unbounded stream with fixed state. The
+    * sketch is an ordinary `TypedImperativeAggregate`, so complete-mode
+    * streaming runs it like any built-in imperative agg: partial
+    * buffers serialize into the state store and merge across
+    * micro-batches; state per key is `numCounters` counters, NEVER the
+    * value domain — the same at-scale rationale as the batch p8. Under
+    * capacity the sketch is exact counting, so the streamed result
+    * equals the batch profile regardless of how rows split across
+    * micro-batches (StreamingSpec proves exactly that); over capacity
+    * the mergeable-summaries guarantees hold per key with N = that
+    * key's rows seen so far. */
+  def streamingTopValues(stream: DataFrame, keyCol: String, c: String,
+      numCounters: Int): DataFrame =
+    stream.filter(col(c).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.MisraGriesAgg(col(c), numCounters).as("hh"))
+
   /** Streaming exact deduplication — the dedup family's streaming twin:
     * drops rows whose digest was already seen, with state expired by the
     * watermark (`dropDuplicatesWithinWatermark`), so the dedup table

@@ -112,6 +112,40 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinct) // 2N in, N out
   }
 
+  test("streaming Misra-Gries profile (complete mode) equals the batch sketch across micro-batches") {
+    // split events across two files so maxFilesPerTrigger=1 forces the
+    // per-key sketches to MERGE state across micro-batches
+    val src = tmp("mg-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    events.filter(col("event_id") % 2 === 0)
+      .write.parquet(s"$src/half1.parquet")
+    events.filter(col("event_id") % 2 === 1)
+      .write.parquet(s"$src/half2.parquet")
+    val stream = spark.readStream
+      .schema(StreamingIngest.EventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+      .withColumn("user_str", col("user_id").cast("string"))
+    val q = StreamingIngest
+      .streamingTopValues(stream, "event_type", "user_str",
+        numCounters = 4096)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("mg_stream")
+    val batch = events.withColumn("user_str", col("user_id").cast("string"))
+      .filter(col("user_str").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.MisraGriesAgg(col("user_str"), 4096).as("hh"))
+    // under capacity both sides are exact counting, so the full sorted
+    // (value, count) arrays are identical however the rows were batched
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("streaming near-dup (LSH bucket claims) equals the batch t3-pipeline survivors") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
