@@ -3203,6 +3203,24 @@ object Queries {
         .withColumnRenamed("id", "doc_id"),
     oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
 
+  /** Persisted inverted index ([[Retrieval.writeBm25Index]] →
+    * [[Retrieval.bm25TopKFromIndex]]): term-bucketed postings +
+    * persisted corpus stats, probed for the t42 terms — the keyword
+    * side of the build-once/probe-many family (t40 IVF+SQ8, t45 PQ).
+    * Probe cost is the query terms' bucket-pruned postings, never a
+    * corpus scan; the gate is t42's oracle hash-exact because the
+    * per-term contribution is the same shared float tree and absent
+    * terms contribute exactly 0. */
+  val t46_bm25_index_persist: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bm25_index"
+      Retrieval.writeBm25Index(t(spark, dir, "documents"), "doc_id",
+        "text", table)
+      Retrieval.bm25TopKFromIndex(spark, table, Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
+
   private val HybridN = 50
   private val HybridK = 15
   private val HybridQueryVec = 0L
@@ -3612,6 +3630,7 @@ object Queries {
     "t42_bm25_topk" -> t42_bm25_topk,
     "t44_hybrid_rrf" -> t44_hybrid_rrf,
     "t45_pq_index_persist" -> t45_pq_index_persist,
+    "t46_bm25_index_persist" -> t46_bm25_index_persist,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,

@@ -74,4 +74,67 @@ object Retrieval {
       .select(col("neighbor_id").as("id"), col("rank"))
     rrfFuse(Seq(kwRanked, vecRanked), k, kRrf)
   }
+
+  /** Persist an INVERTED INDEX for BM25 — the keyword side of the
+    * build-once/probe-many family (t40 IVF+SQ8, t45 PQ, this):
+    *   - `table`: postings (term, id, tf), BUCKETED by term
+    *     ([[Ddl.writeBucketedTable]]) so a probe for a handful of query
+    *     terms prunes to their buckets instead of scanning the corpus;
+    *   - `table_docs`: (id, dl) for EVERY document (zero-token docs
+    *     included — they shape n_docs/avgdl exactly as the in-query
+    *     scorer's);
+    *   - `table_stats`: the single (n_docs, avgdl) row, so a probe
+    *     touches no corpus-sized relation for statistics.
+    * Per-term document frequencies are NOT persisted: df(t) = the
+    * term's postings count, computed at probe time from the already
+    * bucket-pruned postings — always correct, never stale relative to
+    * the postings. Rerunnable: existing tables are dropped first. */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val toks = Staging.barrier(docs.select(col(idCol).as("id"),
+      TextDedup.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).as("dl")))
+    Ddl.dropTableAndLocation(spark, s"${table}_docs")
+    toks.select(col("id"), col("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_docs")
+    Ddl.dropTableAndLocation(spark, s"${table}_stats")
+    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_stats")
+    val postings = toks
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    Ddl.writeBucketedTable(postings, table, "term", numBuckets)
+  }
+
+  /** BM25 top-k over a LOADED [[writeBm25Index]] index, for ARBITRARY
+    * query terms — the production probe shape: cost is proportional to
+    * the query terms' postings (bucket-pruned equi-filter on the
+    * bucketed term column), never the corpus. Scores are bit-identical
+    * to [[TextAnalysis.bm25TopK]] on the same corpus/terms/k: the
+    * per-term contribution is the SAME shared float tree
+    * ([[TextAnalysis.bm25Contrib]]), absent terms contribute exactly
+    * 0L in both forms, and the k cut is the same total
+    * (score desc, id) order. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromIndex needs at least one term")
+    val posts = spark.table(table)
+      .filter(col("term").isin(terms: _*))
+    val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${table}_stats")
+    posts
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), TextAnalysis.bm25Contrib(col("tf"), col("df"),
+        col("n_docs"), col("avgdl"), col("dl"), k1, b).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -283,6 +283,25 @@ object TextAnalysis {
     *
     * Ties at rank k are impossible to cut ambiguously: the ordering
     * (score desc, id asc) is total. */
+  /** One term's Okapi BM25 contribution in integer MICRO-units — the
+    * SINGLE float expression tree shared by [[bm25TopK]] (tf columns)
+    * and [[Retrieval.bm25TopKFromIndex]] (postings rows), so in-query
+    * and index-probe scores are bit-identical and both match the
+    * oracle's mirrored parenthesization. A zero tf contributes exactly
+    * 0L, which is why summing only PRESENT terms (the postings form)
+    * equals summing all terms (the tf-column form). */
+  private[operators] def bm25Contrib(tfC: Column, dfC: Column,
+      nDocs: Column, avgdl: Column, dl: Column, k1: Double,
+      b: Double): Column = {
+    val tf = tfC.cast("double")
+    val dfT = dfC.cast("double")
+    val idf = log10(lit(1.0) +
+      (nDocs - dfT + lit(0.5)) / (dfT + lit(0.5)))
+    val tfnorm = tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    round(lit(1e6) * idf * tfnorm).cast("long")
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -304,15 +323,9 @@ object TextAnalysis {
       count(lit(1)).as("n_docs"),
       (avg(col("dl")).as("avgdl") +:
         tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"df_$c"))): _*)
-    val contrib = tfCols.map { c =>
-      val tf = col(c).cast("double")
-      val dfT = col(s"df_$c").cast("double")
-      val idf = log10(lit(1.0) +
-        (col("n_docs") - dfT + lit(0.5)) / (dfT + lit(0.5)))
-      val tfnorm = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-      round(lit(1e6) * idf * tfnorm).cast("long")
-    }
+    val contrib = tfCols.map(c =>
+      bm25Contrib(col(c), col(s"df_$c"), col("n_docs"), col("avgdl"),
+        col("dl"), k1, b))
     perDoc.crossJoin(broadcast(stats))
       .filter(tfCols.map(c => col(c) > 0).reduce(_ || _))
       .select(col("id"), contrib.reduce(_ + _).as("score_micro"))

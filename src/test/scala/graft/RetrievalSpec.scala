@@ -56,4 +56,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out.exists(r => kwIds(r.getLong(0)) && !vecIds(r.getLong(0))))
     assert(out.exists(r => vecIds(r.getLong(0)) && !kwIds(r.getLong(0))))
   }
+
+  test("BM25 index probe equals the in-query scorer for ARBITRARY terms") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_bm25_spec")
+    // terms the index was NOT gated on — the point of persisting is
+    // that any probe works without a corpus scan
+    for (terms <- Seq(Seq("data", "model"), Seq("join", "window", "the"))) {
+      val probe = Retrieval
+        .bm25TopKFromIndex(spark, "graft_bm25_spec", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inQuery = operators.TextAnalysis
+        .bm25TopK(docs, "doc_id", "text", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(probe === inQuery, s"terms=$terms")
+    }
+  }
 }
