@@ -659,6 +659,46 @@ object Queries {
         |  FROM c)
         |WHERE rank <= 2 ORDER BY source, rank""".stripMargin))
 
+  private val P10Depth = 4
+  private val P10Width = 32
+  private val P10Probes =
+    Seq("click", "error", "purchase", "refund", "signup", "view")
+
+  /** Count-Min watchlist frequency estimates over event types
+    * ([[Quality.frequencyEstimates]]), including an ABSENT key
+    * ("refund") whose estimate is pure collision mass. Count-Min
+    * counters are order-independent sums, so unlike the MG/quantile
+    * gates this needs no under-capacity degeneration: the oracle
+    * replays the whole sketch — the engine-portable md5 row hashes,
+    * the depth×width counters, the min-over-rows estimate — and the
+    * gate is hash-exact at the gated width=32 WITH collisions. The
+    * ≥-true-count and merge-order-independence guarantees are
+    * CountMinSpec's. */
+  val p10_count_min: Q = Q(
+    run = (spark, dir) =>
+      Quality.frequencyEstimates(t(spark, dir, "events"), "event_type",
+          P10Depth, P10Width, P10Probes)
+        .orderBy("value"),
+    oracle = Some(
+      s"""WITH vals AS (
+         |  SELECT event_type AS v FROM events WHERE event_type IS NOT NULL),
+         |hrows AS (SELECT i FROM range($P10Depth) t(i)),
+         |counters AS (
+         |  SELECT i,
+         |    CAST('0x' || substr(md5(CONCAT(i, ':', v)), 1, 12) AS BIGINT)
+         |      % $P10Width AS b,
+         |    COUNT(*) AS c
+         |  FROM vals CROSS JOIN hrows GROUP BY 1, 2),
+         |probes AS (SELECT unnest(
+         |  [${P10Probes.map(p => s"'$p'").mkString(", ")}]) AS p),
+         |pb AS (SELECT p, i,
+         |    CAST('0x' || substr(md5(CONCAT(i, ':', p)), 1, 12) AS BIGINT)
+         |      % $P10Width AS b
+         |  FROM probes CROSS JOIN hrows)
+         |SELECT p AS value, MIN(COALESCE(c, 0)) AS est
+         |FROM pb LEFT JOIN counters USING (i, b)
+         |GROUP BY p ORDER BY value""".stripMargin))
+
   private val P9Probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
 
   /** Per-source document-length quantiles via the mergeable quantile
@@ -3587,7 +3627,8 @@ object Queries {
     "p6_heavy_hitters" -> p6_heavy_hitters,
     "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch,
     "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped,
-    "p9_quantile_sketch" -> p9_quantile_sketch)
+    "p9_quantile_sketch" -> p9_quantile_sketch,
+    "p10_count_min" -> p10_count_min)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

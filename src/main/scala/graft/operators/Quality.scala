@@ -196,6 +196,21 @@ object Quality {
       .select(col(key), explode(col("qs")).as("e"))
       .select(col(key), col("e.p").as("p"), col("e.value").as("value"))
 
+  /** Watchlist frequency estimates via the Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]): depth×width longs of fixed
+    * state however high the column's cardinality, estimates never below
+    * the true count. Unlike the MG/quantile twins this is exactly
+    * oracle-gateable at ANY capacity — counters are order-independent
+    * sums — which is what `p10` does. Returns (value, est) in probe
+    * order. */
+  def frequencyEstimates(df: DataFrame, c: String, depth: Int, width: Int,
+      probes: Seq[String]): DataFrame =
+    df.filter(col(c).isNotNull)
+      .agg(graft.functions.CountMinAgg(col(c), depth, width, probes)
+        .as("cm"))
+      .select(explode(col("cm")).as("e"))
+      .select(col("e.value").as("value"), col("e.est").as("est"))
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */
