@@ -1352,7 +1352,7 @@ object Queries {
     * bit-identical cosine scoring, exact decimal means. Yields CTEs
     * `corpus` (vec_id, e, nrm, cell) and `probed` (query_id, qv, qnrm,
     * cell ≤ nprobe). */
-  private def kmeansCtePrefix: String = {
+  private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10"): String = {
     val iterCtes = (1 to IvfIters).map { i =>
       s"""s$i AS (SELECT n.vec_id, n.e, c.label,
          |  list_dot_product(n.e, c.c) / (n.nrm * sqrt(list_dot_product(c.c, c.c))) AS cs
@@ -1382,11 +1382,11 @@ object Queries {
        |  FROM sfin) WHERE rn = 1),
        |probed AS (SELECT vec_id AS query_id, e AS qv, nrm AS qnrm, label AS cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
-       |  FROM sfin WHERE vec_id < 10) WHERE rn <= $IvfNprobe)""".stripMargin
+       |  FROM sfin WHERE $queryPredSql) WHERE rn <= $IvfNprobe)""".stripMargin
   }
 
   private def kmeansIvfOracleSql: String =
-    s"""$kmeansCtePrefix,
+    s"""${kmeansCtePrefix()},
        |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
        |  list_dot_product(p.qv, c.e) / (p.qnrm * c.nrm) AS cos
        |  FROM probed p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id),
@@ -2014,6 +2014,41 @@ object Queries {
     * re-rank bounds the error. The oracle is the kmeans CTE prefix
     * composed with the SQ8 quantize/decode CTEs — both replicas already
     * proven exact independently (t12, t14). */
+  /** IVF+SQ8 oracle CTE chain through `ranked` (per-query exact-cosine
+    * re-rank of the SQ8 candidate cut), parameterized by the probe
+    * predicate and candidate width — shared by t15 (top-5, all probe
+    * queries) and t47 (the persisted hybrid's single-query vector
+    * list). */
+  private def ivfSq8OracleCtes(queryPredSql: String = "vec_id < 10",
+      candidates: Int = Sq8Candidates): String =
+    s"""${kmeansCtePrefix(queryPredSql)},
+       |ex0 AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
+       |  FROM v, unnest(range(len(e))) AS t(pos)),
+       |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0 GROUP BY pos),
+       |qvs AS (SELECT ex0.vec_id, ex0.pos, st.lo, st.hi,
+       |    CASE WHEN st.hi = st.lo THEN 0
+       |         ELSE greatest(0, least(255,
+       |           CAST(floor((ex0.val - st.lo) / (st.hi - st.lo) * 255) AS INTEGER))) END AS qv
+       |  FROM ex0 JOIN st ON st.pos = ex0.pos),
+       |dec AS (SELECT vec_id,
+       |    array_agg(lo + qv * ((hi - lo) / 255.0) ORDER BY pos) AS d
+       |  FROM qvs GROUP BY vec_id),
+       |qsq AS (SELECT p.query_id, p.qnrm, p.cell, d.d AS qd
+       |  FROM probed p JOIN dec d ON d.vec_id = p.query_id),
+       |cscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(cd.d, q.qd) / (c.nrm * q.qnrm) AS qscore
+       |  FROM qsq q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
+       |  JOIN dec cd ON cd.vec_id = c.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY qscore DESC, neighbor_id) AS rn FROM cscored) WHERE rn <= $candidates),
+       |rescored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = cand.query_id
+       |             JOIN n b ON b.vec_id = cand.neighbor_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rescored)""".stripMargin
+
   val t15_ivf_sq8_ann: Q = Q(
     run = (spark, dir) =>
       VectorOps.ivfSq8TopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
@@ -2021,33 +2056,7 @@ object Queries {
           nprobe = IvfNprobe, candidates = Sq8Candidates)
         .orderBy("query_id", "rank"),
     oracle = Some(
-      s"""$kmeansCtePrefix,
-         |ex0 AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
-         |  FROM v, unnest(range(len(e))) AS t(pos)),
-         |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0 GROUP BY pos),
-         |qvs AS (SELECT ex0.vec_id, ex0.pos, st.lo, st.hi,
-         |    CASE WHEN st.hi = st.lo THEN 0
-         |         ELSE greatest(0, least(255,
-         |           CAST(floor((ex0.val - st.lo) / (st.hi - st.lo) * 255) AS INTEGER))) END AS qv
-         |  FROM ex0 JOIN st ON st.pos = ex0.pos),
-         |dec AS (SELECT vec_id,
-         |    array_agg(lo + qv * ((hi - lo) / 255.0) ORDER BY pos) AS d
-         |  FROM qvs GROUP BY vec_id),
-         |qsq AS (SELECT p.query_id, p.qnrm, p.cell, d.d AS qd
-         |  FROM probed p JOIN dec d ON d.vec_id = p.query_id),
-         |cscored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    list_dot_product(cd.d, q.qd) / (c.nrm * q.qnrm) AS qscore
-         |  FROM qsq q JOIN corpus c ON c.cell = q.cell AND c.vec_id <> q.query_id
-         |  JOIN dec cd ON cd.vec_id = c.vec_id),
-         |cand AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY qscore DESC, neighbor_id) AS rn FROM cscored) WHERE rn <= $Sq8Candidates),
-         |rescored AS (SELECT cand.query_id, cand.neighbor_id,
-         |    list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
-         |  FROM cand JOIN n a ON a.vec_id = cand.query_id
-         |             JOIN n b ON b.vec_id = cand.neighbor_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rescored)
+      s"""${ivfSq8OracleCtes()}
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     bench = true)
@@ -3008,7 +3017,7 @@ object Queries {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id"),
     oracle = Some(
-      s"""$kmeansCtePrefix,
+      s"""${kmeansCtePrefix()},
          |drp AS (SELECT DISTINCT b.vec_id AS id
          |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $SemDedupThreshold)
@@ -3293,6 +3302,67 @@ object Queries {
          |      list_dot_product(q.qe, c.e) / (q.qnrm * c.nrm) DESC, c.vec_id) AS rk
          |  FROM nv c CROSS JOIN q WHERE c.vec_id <> $HybridQueryVec)
          |  WHERE rk <= $HybridN),
+         |fused AS (
+         |  SELECT COALESCE(b.id, vl.id) AS doc_id,
+         |    CAST(ROUND(1e9 * (
+         |      COALESCE(1.0 / (60.0 + CAST(b.rk AS DOUBLE)), 0.0)
+         |      + COALESCE(1.0 / (60.0 + CAST(vl.rk AS DOUBLE)), 0.0))) AS BIGINT)
+         |      AS rrf_nano
+         |  FROM blist b FULL OUTER JOIN vlist vl ON b.id = vl.id),
+         |cut AS (SELECT * FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT $HybridK)
+         |SELECT doc_id, rrf_nano, CAST(row_number() OVER
+         |  (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+         |FROM cut ORDER BY rank""".stripMargin))
+
+  private val HybridIdxCand = 60
+
+  /** The persisted retrieval STACK end-to-end ([[Retrieval]] +
+    * [[VectorOps]]): both indexes built once as catalog tables — the
+    * term-bucketed BM25 inverted index (t46's) and the IVF+SQ8 ANN
+    * index (t40's) — then probed for one hybrid query (the t44 terms +
+    * probe document 0's embedding) and RRF-fused. Differences from t44
+    * are deliberate production semantics: the keyword index serves MANY
+    * probes, so its statistics are global (the probe doc is dropped
+    * post-retrieval, not re-scored out of the stats), and the vector
+    * list is the APPROXIMATE IVF+SQ8 probe, not brute force. The
+    * oracle replays all of it — BM25, k-means cells, SQ8
+    * quantize/decode, exact re-rank, fusion — and the gate is
+    * hash-exact. */
+  val t47_hybrid_index_stack: Q = Q(
+    run = (spark, dir) => {
+      val bmTable = "graft_hybrid_bm25"
+      val annTable = "graft_hybrid_ann"
+      Retrieval.writeBm25Index(t(spark, dir, "documents"), "doc_id",
+        "text", bmTable)
+      VectorOps.writeIndex(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", annTable, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      val kw = Retrieval
+        .bm25TopKFromIndex(spark, bmTable, Bm25Terms, HybridN + 1)
+        .filter(col("id") =!= HybridQueryVec)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_micro").desc, col("id").asc)))
+        .filter(col("rank") <= HybridN)
+        .select("id", "rank")
+      val vec = VectorOps
+        .ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, annTable),
+          col("id") === HybridQueryVec, k = HybridN, nprobe = IvfNprobe,
+          candidates = HybridIdxCand)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(kw, vec), HybridK)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    },
+    oracle = Some(
+      s"""${ivfSq8OracleCtes(s"vec_id = $HybridQueryVec", HybridIdxCand)},
+         |vlist AS (SELECT neighbor_id AS id, rank AS rk FROM ranked
+         |  WHERE rank <= $HybridN),
+         |blist AS (SELECT id, rk FROM (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+         |  FROM (${bm25OracleSql(Bm25Terms, HybridN + 1)})
+         |  WHERE doc_id <> $HybridQueryVec) WHERE rk <= $HybridN),
          |fused AS (
          |  SELECT COALESCE(b.id, vl.id) AS doc_id,
          |    CAST(ROUND(1e9 * (
@@ -3672,6 +3742,7 @@ object Queries {
     "t44_hybrid_rrf" -> t44_hybrid_rrf,
     "t45_pq_index_persist" -> t45_pq_index_persist,
     "t46_bm25_index_persist" -> t46_bm25_index_persist,
+    "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,
