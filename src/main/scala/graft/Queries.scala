@@ -129,6 +129,27 @@ object Queries {
         |  ('embeddings','vec_id')
         |) AS t(table_name, order_key) ORDER BY table_name""".stripMargin))
 
+  /** JSONL corpus round-trip ([[graft.sources.JsonlCorpus]]): documents
+    * → one-object-per-line JSONL shards → schema-pinned FAILFAST
+    * read-back, gated hash-equal to the ORIGINAL table — the corpus
+    * interchange fidelity check (embedded newlines stay escaped,
+    * unicode survives the escape cycle, numeric widths hold). The
+    * oracle never sees the JSONL: equality against the source table IS
+    * the round-trip law. */
+  val s6_jsonl_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val path = "spark-warehouse/graft_jsonl_docs"
+      graft.sources.JsonlCorpus.writeJsonl(docs, cols, path)
+      graft.sources.JsonlCorpus
+        .readJsonl(spark, path, docs.select(cols.map(col): _*).schema)
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // F1 + F5–F13: full lineage enrichment with dual canonical hashes
   // ---------------------------------------------------------------------
@@ -3676,6 +3697,7 @@ object Queries {
     "s3_access_probe" -> s3_access_probe,
     "s4_schema_inference" -> s4_schema_inference,
     "s5_order_key_detection" -> s5_order_key_detection,
+    "s6_jsonl_roundtrip" -> s6_jsonl_roundtrip,
     "f1_enrich_lineitem" -> f1_enrich_lineitem,
     "f_canonical_tokens" -> f_canonical_tokens,
     "a1_count_bounded" -> a1_count_bounded,
