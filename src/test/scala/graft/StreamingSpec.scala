@@ -146,6 +146,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming quantile sketch (complete mode) equals the batch sketch across micro-batches") {
+    val src = tmp("qs-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    events.filter(col("event_id") % 2 === 0)
+      .write.parquet(s"$src/half1.parquet")
+    events.filter(col("event_id") % 2 === 1)
+      .write.parquet(s"$src/half2.parquet")
+    val probs = Seq(0.25, 0.5, 0.9)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.QuantileSketchAgg(col("value").cast("double"),
+          8192, probs).as("qs"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.EventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = agg(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("qs_stream").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("qs_stream")
+    val batch = agg(events)
+    // under capacity both are the exact percentile, however batched
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("streaming near-dup (LSH bucket claims) equals the batch t3-pipeline survivors") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
