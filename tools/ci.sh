@@ -51,6 +51,15 @@ echo "$QSLOG" | grep -q "total weight invariant holds and rank error is bounded"
   || { echo "FATAL: p9 quantile-sketch guarantee test did not run (renamed or filtered out)"; exit 1; }
 echo "$QSLOG" | grep -q "All tests passed" \
   || { echo "FATAL: p9 quantile-sketch guarantee test failed"; echo "$QSLOG" | tail -20; exit 1; }
+echo "=== t43 PQ recall guard (mandatory): ADC candidates recover brute-force neighbors"
+# t43's at-scale claim (m bytes per vector) is honest only while the
+# ADC candidate cut + exact re-rank keeps real recall on the worst-case
+# near-uniform fixture — this test is that guard
+PQLOG=$(sbt -batch 'testOnly graft.DedupSpec -- -z "PQ-ADC"' 2>&1)
+echo "$PQLOG" | grep -q "candidate cut recovers most brute-force neighbors" \
+  || { echo "FATAL: t43 PQ recall test did not run (renamed or filtered out)"; exit 1; }
+echo "$PQLOG" | grep -q "All tests passed" \
+  || { echo "FATAL: t43 PQ recall test failed"; echo "$PQLOG" | tail -20; exit 1; }
 OUT=$(mktemp -d)
 echo "=== Verify sf0.01 -> $OUT"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT" 2>&1 \
