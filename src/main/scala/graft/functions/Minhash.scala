@@ -399,3 +399,75 @@ object WinnowFingerprints {
   def apply(norm: Column, gram: Int, w: Int): Column =
     bridge.column(WinnowFingerprints(bridge.expression(norm), gram, w))
 }
+
+object GramMd5Kernel {
+  /** md5 hex of each token n-gram, streamed: gram i digests
+    * `tok(i) ' ' tok(i+1) ' ' … tok(i+n-1)` byte-for-byte as
+    * `md5(concat_ws(" ", …))` renders it — UTF-8 token bytes with
+    * single-space separators — without building the gram string.
+    * Tokens are non-null by the tokenizer contract; a null element
+    * would be SKIPPED by concat_ws (separator and all), so the kernel
+    * mirrors exactly that. Arrays shorter than `n` yield an empty
+    * array, matching the composed `when(size >= n, …).otherwise([])`. */
+  def digests(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val digest = HashKernels.mdLocal.get()
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      digest.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val u = toks.getUTF8String(i + j)
+        if (u != null) { // concat_ws skips nulls AND their separator
+          if (!first) digest.update(' '.toByte)
+          digest.update(u.getBytes)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = HashKernels.hex32(digest.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Fused md5-per-token-n-gram kernel — the t27 (span duplication) hot
+  * path: replaces `transform(gramOccurrences(t, n), g -> md5(g))`,
+  * which materializes every gram as a string before hashing, with one
+  * static call that streams each gram's bytes through a thread-local
+  * digest. Output order and bytes are CONTRACT-IDENTICAL to the
+  * composed form (DedupSpec byte-equality, incl. unicode and
+  * empty-token edges). */
+case class GramMd5s(child: Expression, gram: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_gram_md5s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if gram > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and gram > 0, got " +
+        s"${child.dataType.simpleString}, gram=$gram")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    GramMd5Kernel.digests(v.asInstanceOf[ArrayData], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.GramMd5Kernel.digests($c, $gram);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramMd5s =
+    copy(child = newChild)
+}
+
+object GramMd5s {
+  /** Column-API entry: md5 hex per token n-gram. */
+  def apply(toks: Column, gram: Int): Column =
+    bridge.column(GramMd5s(bridge.expression(toks), gram))
+}

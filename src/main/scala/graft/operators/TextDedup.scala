@@ -677,11 +677,14 @@ object TextDedup {
     val toks = Staging.barrier(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
     // (id, pos, gram-digest) — staged: consumed by the dup-set aggregate,
-    // the semi join probe, and the per-doc totals
+    // the semi join probe, and the per-doc totals. The digests come from
+    // the fused kernel (one static call streaming each gram's bytes),
+    // byte-equal to the composed transform(gramOccurrences)+md5 it
+    // replaced (DedupSpec)
     val ex = Staging.barrier(
       toks.select(col("id"),
-          posexplode(gramOccurrences(col("t"), gram)).as(Seq("pos", "g")))
-        .select(col("id"), col("pos"), md5(col("g")).as("gh")))
+          posexplode(graft.functions.GramMd5s(col("t"), gram))
+            .as(Seq("pos", "gh"))))
     val dupSet = ex.groupBy("gh")
       .agg(count_distinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= 2)

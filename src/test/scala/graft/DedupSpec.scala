@@ -426,6 +426,24 @@ class DedupSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("fused gram-md5 kernel equals the composed transform+md5 byte-for-byte") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "café 中文 😀 unicode grams stay exact",
+      "a b",          // shorter than gram → empty array
+      "",             // no tokens
+      "x  y   z w v"  // collapsed whitespace from the tokenizer
+    ).toDF("text").select(TextDedup.tokens(col("text")).as("t"))
+    val both = fixtures.select(
+      graft.functions.GramMd5s(col("t"), 3).as("fused"),
+      transform(TextDedup.gramOccurrences(col("t"), 3), g => md5(g))
+        .as("composed"))
+    assert(both.filter(!(col("fused") <=> col("composed"))).count() === 0L)
+    // non-degenerate: at least one row actually produced grams
+    assert(both.filter(size(col("fused")) > 0).count() > 0L)
+  }
+
   test("persisted ANN index: load-and-probe equals build-and-probe; bucketed cell reads are exchange-free") {
     import graft.operators.Staging
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
