@@ -66,6 +66,12 @@ object GraftExtensions {
       operators.TextDedup.minhashSignature(_, 16)),
     "graft_winnow" -> unary("graft_winnow")(
       graft.functions.WinnowFingerprints(_, 5, 4)),
+    // the fused shingle front end (round 8): distinct 3-gram shingle ids
+    // and the full LSH struct(s, bands) over a token array
+    "graft_shingle_ids" -> unary("graft_shingle_ids")(
+      graft.functions.ShingleIds(_, 3)),
+    "graft_shingle_lsh" -> unary("graft_shingle_lsh")(
+      graft.functions.ShingleLshBands(_, 3, 16, 4, 4)),
     // sketch aggregates (parameters fixed to the gated defaults for the
     // SQL surface; the Column API exposes them): the analyzer wraps the
     // raw AggregateFunction in an AggregateExpression at use sites,

@@ -7,12 +7,13 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -470,4 +471,294 @@ object GramMd5s {
   /** Column-API entry: md5 hex per token n-gram. */
   def apply(toks: Column, gram: Int): Column =
     bridge.column(GramMd5s(bridge.expression(toks), gram))
+}
+
+/**
+ * Fused shingle-stage kernel — the whole dedup-family front end
+ * (tokens → n-gram shingles → distinct → xxhash64 ids [→ MinHash
+ * signature → LSH band digests]) in ONE walk over the token array.
+ *
+ * CONTRACT-IDENTICAL to the composed pipeline it replaces:
+ *
+ *   ids   = `transform(array_distinct(gramOccurrences(t, n)), xxhash64)`
+ *   bands = `bandHashes(minhashSignature(shingles(t, n), k), bandSize,
+ *           numBands)`
+ *
+ * byte-for-byte (DedupSpec asserts both), so the t2/t3/t17/t19/t38/p1
+ * DuckDB differential gates hold unchanged. The mirrored edges:
+ *
+ *   - gram bytes are streamed exactly as `concat_ws(" ", …)` renders
+ *     them — UTF-8 token bytes, single-space separators, NULL tokens
+ *     skipped WITH their separator ([[GramMd5Kernel]]'s rule);
+ *   - distinctness is EXACT on gram bytes (an arena-backed probe table
+ *     keyed by full byte equality, xxhash64 only as the bucket hash), in
+ *     first-occurrence order — `array_distinct` semantics, immune to the
+ *     64-bit birthday collision a dedup-by-hash shortcut would add: two
+ *     distinct grams with colliding xxhash64 emit their id twice,
+ *     exactly like the composed transform;
+ *   - the xxhash64 seed is 42 — Spark's `xxhash64` — via the same
+ *     `XXH64.hashUnsafeBytes` the built-in evaluates;
+ *   - MinHash minima are updated per DISTINCT gram (min over a set
+ *     equals min over the multiset, so this matches the composed
+ *     `minhashSignature(shingles(…))` which also folds the distinct
+ *     array);
+ *   - band digests follow `md5(concat_ws(",", slice(sig, …)))`: hex
+ *     minima joined by ',', all-NULL signatures (no grams) digest the
+ *     empty string;
+ *   - fewer than `n` tokens — or a NULL token array, whose composed
+ *     `when(size(t) >= n, …)` guard also falls through — yield an empty
+ *     id array and the empty-string band digests.
+ *
+ * Why it is faster (the round-7 kernel rationale, applied to the LAST
+ * composed hot path): the composed form allocates a UTF8String per gram
+ * via `concat_ws` (after n `element_at` trips), hashes the array into
+ * `array_distinct`'s set, walks it again for xxhash64, and — on the LSH
+ * path — builds every gram a SECOND time for the signature consumer.
+ * The kernel gathers token bytes once, builds each gram in a reusable
+ * thread-local scratch buffer, and feeds id dedup and signature minima
+ * from the same bytes.
+ */
+object ShingleKernel {
+  private val scratchLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 10)
+  }
+
+  private def regionEquals(a: Array[Byte], aOff: Int, b: Array[Byte],
+      len: Int): Boolean = {
+    var i = 0
+    while (i < len) {
+      if (a(aOff + i) != b(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Core walk. Returns (distinct-gram xxhash64 ids — the first `count`
+    * slots — , count, k running md5 minima or null when pfx is null).
+    * `toks == null` behaves as zero grams (the composed guard's
+    * fall-through). */
+  private def scan(toks: ArrayData, n: Int, pfx: Array[Array[Byte]])
+      : (Array[Long], Int, Array[Array[Byte]]) = {
+    val k = if (pfx == null) 0 else pfx.length
+    val mins = if (k > 0) new Array[Array[Byte]](k) else null
+    val len = if (toks == null) 0 else toks.numElements()
+    if (len < n) return (Array.emptyLongArray, 0, mins)
+    val nGrams = len - n + 1
+    // token bytes gathered once (the composed element_at walk re-reads
+    // each token n times)
+    val tb = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      val u = toks.getUTF8String(i)
+      tb(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
+    var scratch = scratchLocal.get()
+    // open-addressing probe table over entry indices; capacity ≥ 2×grams
+    var cap = 4
+    while (cap < nGrams * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val ids = new Array[Long](nGrams)
+    val offs = new Array[Int](nGrams)
+    val lens = new Array[Int](nGrams)
+    var arena = new Array[Byte](256)
+    var arenaPos = 0
+    var count = 0
+    val digest = HashKernels.mdLocal.get()
+    var g = 0
+    while (g < nGrams) {
+      // gram bytes into scratch: concat_ws(" ") — nulls skipped with
+      // their separator
+      var glen = 0
+      var first = true
+      var j = 0
+      while (j < n) {
+        val b = tb(g + j)
+        if (b != null) {
+          val need = glen + b.length + 1
+          if (need > scratch.length) {
+            scratch = java.util.Arrays.copyOf(scratch,
+              math.max(need, scratch.length * 2))
+            scratchLocal.set(scratch)
+          }
+          if (!first) { scratch(glen) = ' '; glen += 1 }
+          System.arraycopy(b, 0, scratch, glen, b.length)
+          glen += b.length
+          first = false
+        }
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET,
+        glen, 42L)
+      var slot = (h & mask).toInt
+      var dup = false
+      var e = table(slot)
+      while (e != -1 && !dup) {
+        if (ids(e) == h && lens(e) == glen &&
+            regionEquals(arena, offs(e), scratch, glen)) dup = true
+        else { slot = (slot + 1) & mask; e = table(slot) }
+      }
+      if (!dup) {
+        table(slot) = count
+        ids(count) = h
+        offs(count) = arenaPos
+        lens(count) = glen
+        if (arenaPos + glen > arena.length) {
+          arena = java.util.Arrays.copyOf(arena,
+            math.max(arenaPos + glen, arena.length * 2))
+        }
+        System.arraycopy(scratch, 0, arena, arenaPos, glen)
+        arenaPos += glen
+        count += 1
+        var ki = 0
+        while (ki < k) {
+          digest.reset()
+          digest.update(pfx(ki))
+          digest.update(scratch, 0, glen)
+          val d = digest.digest()
+          if (mins(ki) == null || HashKernels.lessUnsigned(d, mins(ki))) {
+            mins(ki) = d
+          }
+          ki += 1
+        }
+      }
+      g += 1
+    }
+    (ids, count, mins)
+  }
+
+  /** Distinct-gram xxhash64 ids, first-occurrence order. */
+  def ids(toks: ArrayData, n: Int): ArrayData = {
+    val (raw, count, _) = scan(toks, n, null)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, count))
+  }
+
+  /** struct(s: ids, bands: LSH band digests) in one walk. */
+  def lsh(toks: ArrayData, n: Int, pfx: Array[Array[Byte]], bandSize: Int,
+      numBands: Int): InternalRow = {
+    val (raw, count, mins) = scan(toks, n, pfx)
+    val k = pfx.length
+    val digest = HashKernels.mdLocal.get()
+    val hx = new Array[Byte](32)
+    val bands = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      digest.reset()
+      var first = true
+      var i = b * bandSize
+      val end = math.min(i + bandSize, k)
+      while (i < end) {
+        if (mins(i) != null) { // concat_ws skips nulls and separators
+          if (!first) digest.update(','.toByte)
+          HashKernels.hex32Into(mins(i), hx, 0)
+          digest.update(hx)
+          first = false
+        }
+        i += 1
+      }
+      bands(b) = HashKernels.hex32(digest.digest())
+      b += 1
+    }
+    InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, count)),
+      new GenericArrayData(bands))
+  }
+}
+
+/** Distinct-shingle xxhash64 ids as one fused expression node — the
+  * [[graft.operators.TextDedup.hashedShingles]] projection. */
+case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and n > 0, got " +
+        s"${child.dataType.simpleString}, n=$n")
+  }
+
+  /** Never NULL: a NULL token array yields an empty id array — the
+    * composed `when(size(t) >= n, …).otherwise(array())` fall-through. */
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleKernel.ids(child.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$javaType ${ev.value} = graft.functions.ShingleKernel.ids(
+      |  ${childGen.isNull} ? null : ${childGen.value}, $n);
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleIds =
+    copy(child = newChild)
+}
+
+object ShingleIds {
+  /** Column-API entry: distinct n-gram shingle ids over a token array. */
+  def apply(toks: Column, n: Int): Column =
+    bridge.column(ShingleIds(bridge.expression(toks), n))
+}
+
+/** The full LSH front end — struct(s: shingle ids, bands: band digests)
+  * — as one fused expression node; the
+  * [[graft.operators.TextDedup.shingleLshFrame]] projection. */
+case class ShingleLshBands(child: Expression, n: Int, k: Int,
+    bandSize: Int, numBands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", ArrayType(LongType, containsNull = false)),
+    StructField("bands", ArrayType(StringType, containsNull = false))))
+  override def prettyName: String = "graft_shingle_lsh"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _)
+        if n > 0 && k > 0 && bandSize > 0 && numBands > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and n, k, bandSize, numBands " +
+        s"> 0, got ${child.dataType.simpleString}, n=$n, k=$k, " +
+        s"bandSize=$bandSize, numBands=$numBands")
+  }
+
+  @transient private lazy val pfx = MinhashKernel.prefixes(k)
+
+  /** Never NULL: a NULL token array yields (empty ids, empty-string band
+    * digests), matching the composed guard's fall-through. */
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleKernel.lsh(child.eval(input).asInstanceOf[ArrayData], n, pfx,
+      bandSize, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pfxRef = ctx.addReferenceObj("pfx", pfx, "byte[][]")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$javaType ${ev.value} = graft.functions.ShingleKernel.lsh(
+      |  ${childGen.isNull} ? null : ${childGen.value}, $n, $pfxRef,
+      |  $bandSize, $numBands);
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleLshBands =
+    copy(child = newChild)
+}
+
+object ShingleLshBands {
+  /** Column-API entry: struct(s, bands) over a token array. */
+  def apply(toks: Column, n: Int, k: Int, bandSize: Int,
+      numBands: Int): Column =
+    bridge.column(ShingleLshBands(bridge.expression(toks), n, k, bandSize,
+      numBands))
 }

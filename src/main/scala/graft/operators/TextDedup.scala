@@ -124,9 +124,11 @@ object TextDedup {
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val withToks = Staging.barrier(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
+    // fused kernel ([[graft.functions.ShingleIds]]): gram construction,
+    // exact byte-dedup, and xxhash64 in one walk — contract-identical to
+    // `transform(shingles(t, n), xxhash64)` (DedupSpec byte-equality)
     withToks.filter(size(col("t")) >= n)
-      .select(col("id"),
-        transform(shingles(col("t"), n), x => xxhash64(x)).as("s"))
+      .select(col("id"), graft.functions.ShingleIds(col("t"), n).as("s"))
   }
 
   /** The staged LSH input frame `(id, s: array<bigint>, bands)` built in
@@ -135,19 +137,24 @@ object TextDedup {
     * (b) the MinHash band digests, then dropped — never persisted, never
     * shuffled. The caller barriers the result; it is the frame
     * [[minhashLshPairsFromFrame]] and [[decontaminate]] share (p1's
-    * one-corpus-shingle-pass rationale). The shingle expression is
-    * evaluated twice per row (once per consumer) from the MATERIALIZED
-    * token attribute — strictly cheaper than persisting corpus-scale
-    * string arrays to feed each consumer once. */
+    * one-corpus-shingle-pass rationale). Both consumers are fused into
+    * ONE kernel walk ([[graft.functions.ShingleLshBands]]): each gram is
+    * built once and feeds id dedup and signature minima from the same
+    * bytes — contract-identical to the composed
+    * shingles→xxhash64 / →minhash→bandHashes pair (DedupSpec
+    * byte-equality), which previously evaluated the shingle expression
+    * twice per row. The struct unwrap is a separate projection so
+    * CollapseProject (which refuses to duplicate non-cheap expressions)
+    * keeps the kernel evaluated once. */
   def shingleLshFrame(df: DataFrame, idCol: String, textCol: String, n: Int,
       k: Int, bandSize: Int, numBands: Int): DataFrame = {
     val withToks = Staging.barrier(
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("t")))
     withToks.filter(size(col("t")) >= n)
       .select(col("id"),
-        transform(shingles(col("t"), n), x => xxhash64(x)).as("s"),
-        bandHashes(minhashSignature(shingles(col("t"), n), k),
-          bandSize, numBands).as("bands"))
+        graft.functions.ShingleLshBands(col("t"), n, k, bandSize, numBands)
+          .as("sl"))
+      .select(col("id"), col("sl.s").as("s"), col("sl.bands").as("bands"))
   }
 
   /** The dedup family's join currency: string shingle arrays hash
@@ -244,12 +251,12 @@ object TextDedup {
   def bandedDigests(text: Column, n: Int, k: Int, bandSize: Int,
       numBands: Int): Column =
     bound(tokens(text)) { t =>
-      bound(shingles(t, n)) { s =>
-        when(size(s) > 0,
-          bound(minhashSignature(s, k)) { sig =>
-            bandHashes(sig, bandSize, numBands)
-          })
-      }
+      // size(t) >= n ⟺ the doc has at least one gram ⟺ size(shingles) > 0;
+      // the fused kernel evaluates its child once, so only the token stage
+      // still needs the let-binding
+      when(size(t) >= n,
+        graft.functions.ShingleLshBands(t, n, k, bandSize, numBands)
+          .getField("bands"))
     }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.

@@ -444,6 +444,46 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(size(col("fused")) > 0).count() > 0L)
   }
 
+  test("fused shingle kernels equal the composed shingle pipeline byte-for-byte") {
+    import spark.implicits._
+    // corpus rows + adversarial edges: unicode multi-byte tokens,
+    // duplicate grams (distinct order must be first-occurrence), fewer
+    // tokens than n, empty text, collapsed whitespace, a NULL token
+    // element (concat_ws skips it and its separator), a NULL array
+    val corpusToks = docs.limit(200)
+      .select(TextDedup.tokens(col("text")).as("t"))
+    val edgeToks = Seq(
+      Seq("a", "b", "a", "b", "a", "b"),          // duplicate grams
+      Seq("café", "中文", "😀", "x", "café", "中文", "😀"),
+      Seq("only", "two"),
+      Seq.empty[String],
+      Seq("x", "", "y", "", "x", "", "y")         // empty tokens
+    ).toDF("t")
+      .unionByName(Seq(1).toDF("one")
+        .select(array(lit("a"), lit(null), lit("b"), lit("c")).as("t")))
+      .unionByName(Seq(1).toDF("one")
+        .select(lit(null).cast("array<string>").as("t")))
+    val toks = corpusToks.unionByName(edgeToks)
+    val sl = graft.functions.ShingleLshBands(col("t"), 3, 16, 4, 4)
+    val both = toks.select(
+      graft.functions.ShingleIds(col("t"), 3).as("fused_ids"),
+      transform(TextDedup.shingles(col("t"), 3), x => xxhash64(x))
+        .as("composed_ids"),
+      sl.getField("s").as("lsh_ids"),
+      sl.getField("bands").as("fused_bands"),
+      TextDedup.bandHashes(
+        TextDedup.minhashSignatureComposed(TextDedup.shingles(col("t"), 3), 16),
+        4, 4).as("composed_bands"))
+    assert(both.filter(!(col("fused_ids") <=> col("composed_ids"))).count() === 0L)
+    assert(both.filter(!(col("lsh_ids") <=> col("composed_ids"))).count() === 0L)
+    assert(both.filter(!(col("fused_bands") <=> col("composed_bands"))).count() === 0L)
+    // non-degenerate: grams actually produced, and dup grams actually dedup'd
+    assert(both.filter(size(col("fused_ids")) > 0).count() > 0L)
+    val dup = Seq(Seq("a", "b", "a", "b", "a", "b")).toDF("t")
+      .select(graft.functions.ShingleIds(col("t"), 3).as("ids")).head().getSeq[Long](0)
+    assert(dup.length === 2 && dup.distinct.length === 2) // "a b a","b a b"
+  }
+
   test("persisted ANN index: load-and-probe equals build-and-probe; bucketed cell reads are exchange-free") {
     import graft.operators.Staging
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")

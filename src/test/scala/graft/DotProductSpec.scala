@@ -112,6 +112,21 @@ class DotProductSpec extends SparkSpec {
     assert(r.getSeq[org.apache.spark.sql.Row](1) === viaCol.getSeq[org.apache.spark.sql.Row](1))
   }
 
+  test("SQL kernel macros: graft_shingle_ids and graft_shingle_lsh match the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT graft_shingle_ids(array('a', 'b', 'c', 'a', 'b', 'c')) AS ids,
+        |  graft_shingle_lsh(array('a', 'b', 'c', 'd')) AS sl""".stripMargin).head
+    val viaCol = Seq((Seq("a", "b", "c", "a", "b", "c"), Seq("a", "b", "c", "d")))
+      .toDF("t1", "t2")
+      .select(graft.functions.ShingleIds(col("t1"), 3).as("ids"),
+        graft.functions.ShingleLshBands(col("t2"), 3, 16, 4, 4).as("sl"))
+      .head
+    assert(r.getSeq[Long](0) === viaCol.getSeq[Long](0))
+    assert(r.getStruct(1) === viaCol.getStruct(1))
+  }
+
   test("SQL sketch aggregates: graft_heavy_hitters and graft_quantiles analyze and aggregate") {
     GraftExtensions.register(spark)
     spark.range(100)
