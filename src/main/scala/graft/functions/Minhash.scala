@@ -667,6 +667,84 @@ object ShingleKernel {
   }
 }
 
+/**
+ * Fused whitespace tokenizer — the [[graft.operators.TextDedup.tokens]]
+ * front end (`filter(split(lower(trim(text)), "\\s+"), x != "")`) as one
+ * expression node.
+ *
+ * CONTRACT-IDENTICAL to the composed form (DedupSpec byte-equality):
+ *
+ *   - lowercasing IS Spark's — the kernel calls the same
+ *     `UTF8String.toLowerCase` the `lower` expression evaluates (ASCII
+ *     fast path, JDK fallback for multi-byte case mappings), so ß/İ/Σ
+ *     edge mappings cannot diverge;
+ *   - the split walk mirrors Java regex `\s+` exactly: separators are
+ *     maximal runs of the ASCII class `[ \t\n\x0B\f\r]` (Java's `\s`
+ *     without UNICODE_CHARACTER_CLASS — unicode spaces like U+00A0 are
+ *     TOKEN bytes, as in the composed form), and all separator bytes
+ *     are < 0x80, so the byte walk cannot split a multi-byte codepoint;
+ *   - `trim` in the composed form only strips leading/trailing ' ',
+ *     which the split + empty-filter already discards — the kernel
+ *     needs no trim step for byte-identical output;
+ *   - empty-token filtering is structural: a maximal non-separator run
+ *     is non-empty by construction, exactly the composed filter's
+ *     result (regex split only yields "" at the edges).
+ *
+ * Why it is faster: `UTF8String.split` round-trips through
+ * `String` — a full UTF-8 decode, a compiled-regex scan, a `String[]`,
+ * and a re-encode back to UTF8String per token — then the filter lambda
+ * walks the array again. The kernel lowercases once and emits tokens as
+ * zero-copy slices of the lowered byte array.
+ */
+object TokenizeKernel {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def tokens(text: UTF8String): GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Whitespace tokens of lowercased text as one fused expression node. */
+case class GraftTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenizeKernel.tokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.TokenizeKernel.tokens($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokens =
+    copy(child = newChild)
+}
+
+object GraftTokens {
+  /** Column-API entry: fused whitespace tokenizer. */
+  def apply(text: Column): Column =
+    bridge.column(GraftTokens(bridge.expression(text)))
+}
+
 /** Distinct-shingle xxhash64 ids as one fused expression node — the
   * [[graft.operators.TextDedup.hashedShingles]] projection. */
 case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {

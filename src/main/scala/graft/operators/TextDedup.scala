@@ -50,8 +50,16 @@ object CheckpointStrategy {
 object TextDedup {
 
   /** Whitespace tokens of lowercased trimmed text; empty tokens dropped
-    * (split produces them at string edges in both Spark and DuckDB). */
+    * (split produces them at string edges in both Spark and DuckDB).
+    * Fused kernel ([[graft.functions.GraftTokens]]) — contract-identical
+    * to [[tokensComposed]] (DedupSpec byte-equality). */
   def tokens(text: Column): Column =
+    graft.functions.GraftTokens(text)
+
+  /** The composed-built-ins tokenizer — retained as the semantic
+    * baseline the fused kernel is equivalence-tested against, and the
+    * direct transliteration of the DuckDB oracle's spelling. */
+  def tokensComposed(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), x => x =!= lit(""))
 
   /** let-binding for a single expression: evaluates `value` ONCE per row

@@ -444,6 +444,30 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(size(col("fused")) > 0).count() > 0L)
   }
 
+  test("fused tokenizer equals the composed trim+lower+split+filter byte-for-byte") {
+    import spark.implicits._
+    // corpus rows + adversarial edges: multi-byte case mappings (İ→i̇,
+    // ẞ→ß, Σ final-sigma), every ASCII \s class byte, unicode NBSP
+    // (U+00A0 is NOT Java \s — must stay inside a token), empties,
+    // pure-whitespace, leading/trailing runs, and NULL
+    val fixtures = Seq(
+      "  Leading and TRAILING   ",
+      "tabs\tand\nnewlinesvtab\ffeed\rcr mixed",
+      "İstanbul STRASSE ẞharp ΣΙΣΥΦΟΣ ΟΔΟΣ café 中文 😀",
+      "nbsp stays joined",
+      "",
+      " \t\r\n ",
+      "x"
+    ).toDF("text")
+      .unionByName(Seq(1).toDF("one").select(lit(null).cast("string").as("text")))
+      .unionByName(docs.limit(200).select(col("text")))
+    val both = fixtures.select(
+      TextDedup.tokens(col("text")).as("fused"),
+      TextDedup.tokensComposed(col("text")).as("composed"))
+    assert(both.filter(!(col("fused") <=> col("composed"))).count() === 0L)
+    assert(both.filter(size(col("fused")) > 1).count() > 0L)
+  }
+
   test("fused shingle kernels equal the composed shingle pipeline byte-for-byte") {
     import spark.implicits._
     // corpus rows + adversarial edges: unicode multi-byte tokens,
