@@ -1327,6 +1327,37 @@ object Queries {
     },
     bench = true)
 
+  /** Paragraph-level dedup + reassembly over non-overlapping
+    * [[ChunkTokens]]-token chunks — see [[TextDedup.paragraphDedup]].
+    * The oracle replays chunking, first-occurrence selection
+    * (row_number over md5 groups ≡ Spark's min-struct), and ordered
+    * string_agg reassembly. */
+  val t48_paragraph_dedup: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.paragraphDedup(t(spark, dir, "documents"), "doc_id", "text",
+          chunkTokens = ChunkTokens)
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkTokens)) AS start
+         |  FROM toks WHERE len(t) > 0),
+         |ch AS (
+         |  SELECT doc_id, CAST(start // $ChunkTokens AS INT) AS chunk_idx,
+         |    array_to_string(list_slice(t, start + 1, start + $ChunkTokens), ' ') AS chunk_text
+         |  FROM st),
+         |k AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   private val BucketedQueryBound = 100
 
   /** Sign-bucket ANN recall baseline with a BOUNDED query set (the
@@ -3769,6 +3800,7 @@ object Queries {
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,
     "t41_winnow_dedup_apply" -> t41_winnow_dedup_apply,
+    "t48_paragraph_dedup" -> t48_paragraph_dedup,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

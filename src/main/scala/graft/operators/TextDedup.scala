@@ -600,6 +600,56 @@ object TextDedup {
         .select(col("doc_id").as("drop_id")),
       corpus(idCol) === col("drop_id"), "left_anti")
 
+  /** Paragraph-level dedup with DOCUMENT REASSEMBLY (the Dolma / CCNet
+    * pipeline shape): every duplicated paragraph loses all but its FIRST
+    * occurrence — global order (doc_id, chunk_idx) — and each document
+    * is rebuilt from its surviving paragraphs. Corpus cleaning at
+    * sub-document granularity: doc-level survivors (t19/[[keepSurvivors]])
+    * drop whole documents, span duplication (t27) only FLAGS repeated
+    * grams; this operator actually rewrites the text.
+    *
+    * The synthetic corpus has no newline boundaries, so "paragraph" is a
+    * fixed NON-OVERLAPPING token chunk ([[TextAnalysis.chunkDocuments]]
+    * with overlap 0 — non-overlap makes reassembly lossless); with a
+    * natural paragraph splitter the pipeline is unchanged (the chunker
+    * is the injectable boundary). Dedup is exact on chunk text (md5
+    * groups — the t1 exact-dedup precedent), INCLUDING within-document
+    * repeats: a paragraph repeated inside one doc keeps only its first
+    * copy, as in Dolma's paragraph dedup.
+    *
+    * Shape at 100 TB: one md5-keyed aggregation carrying digests + two
+    * longs (map-side combinable `min(struct(doc_id, chunk_idx))` — the
+    * CDC struct-max pattern), one h-equi join to flag occurrences (the
+    * only shuffle that moves chunk text), one doc_id shuffle to
+    * reassemble. No corpus-wide windows, no sort of text rows; the
+    * per-doc `sort_array` orders only that doc's surviving chunks.
+    *
+    * Output: (doc_id, n_chunks, n_kept, clean_text) for every doc with
+    * at least one chunk; a doc whose every paragraph was seen earlier
+    * reassembles to the empty string (the caller's drop-or-keep policy).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = Staging.barrier(
+      TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, 0)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          md5(col("chunk_text")).as("h")))
+    val first = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    chunks.join(first, Seq("h"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        (col("f.doc_id") === col("doc_id") &&
+          col("f.chunk_idx") === col("chunk_idx")).as("keep"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text"))).as("clean_text"))
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
   def tokenHash60(tok: Column): Column =

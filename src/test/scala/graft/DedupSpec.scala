@@ -444,6 +444,28 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(size(col("fused")) > 0).count() > 0L)
   }
 
+  test("paragraph dedup keeps first occurrences only and reassembles documents") {
+    import spark.implicits._
+    // chunkTokens=2 → doc 1 owns "a b","c d","e f"; doc 2 repeats two of
+    // them around its own "x y"; doc 3 repeats a chunk WITHIN itself
+    val fixture = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b x y c d"),
+      (3L, "p q p q r s")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(fixture, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 3L, 3L, "a b c d e f"),
+      (2L, 3L, 1L, "x y"),
+      (3L, 3L, 2L, "p q r s")))
+    // corpus is non-degenerate: the planted exact-dup docs actually lose chunks
+    val corpus = TextDedup.paragraphDedup(docs, "doc_id", "text", 8)
+    assert(corpus.filter(col("n_kept") < col("n_chunks")).count() > 0L)
+  }
+
   test("fused tokenizer equals the composed trim+lower+split+filter byte-for-byte") {
     import spark.implicits._
     // corpus rows + adversarial edges: multi-byte case mappings (İ→i̇,
