@@ -408,10 +408,12 @@ object GramMd5Kernel {
     * single-space separators — without building the gram string.
     * Tokens are non-null by the tokenizer contract; a null element
     * would be SKIPPED by concat_ws (separator and all), so the kernel
-    * mirrors exactly that. Arrays shorter than `n` yield an empty
-    * array, matching the composed `when(size >= n, …).otherwise([])`. */
+    * mirrors exactly that. Arrays shorter than `n` — and a NULL array,
+    * whose composed `when(size(t) >= n, …)` guard also falls through
+    * (size(NULL) is NULL) — yield an empty array, matching the composed
+    * `otherwise([])` (KernelPropertySpec caught the NULL case). */
   def digests(toks: ArrayData, n: Int): ArrayData = {
-    val len = toks.numElements()
+    val len = if (toks == null) 0 else toks.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val digest = HashKernels.mdLocal.get()
     val out = new Array[Any](len - n + 1)
@@ -455,13 +457,22 @@ case class GramMd5s(child: Expression, gram: Int) extends UnaryExpression {
         s"${child.dataType.simpleString}, gram=$gram")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    GramMd5Kernel.digests(v.asInstanceOf[ArrayData], gram)
+  /** Never NULL: a NULL token array yields an empty array — the composed
+    * `when(size(t) >= n, …).otherwise(array())` fall-through. */
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = graft.functions.GramMd5Kernel.digests($c, $gram);"
-    })
+  override def eval(input: InternalRow): Any =
+    GramMd5Kernel.digests(child.eval(input).asInstanceOf[ArrayData], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$javaType ${ev.value} = graft.functions.GramMd5Kernel.digests(
+      |  ${childGen.isNull} ? null : ${childGen.value}, $gram);
+      |""".stripMargin, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): GramMd5s =
     copy(child = newChild)
@@ -700,8 +711,16 @@ object TokenizeKernel {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  def tokens(text: UTF8String): GenericArrayData = {
-    val bytes = text.toLowerCase.getBytes
+  /** `useICU` mirrors the `Lower` expression's own flag
+    * (`spark.sql.icu.caseMappings.enabled`): ICU and the JDK disagree on
+    * Greek final-sigma context (ICU requires a PRECEDING cased letter —
+    * "aσ0Σ" lowers to `…0σ`, the JDK yields `…0ς`), so the kernel must
+    * route through the same `CollationSupport.Lower` entry the built-in
+    * evaluates, with the same flag — caught by KernelPropertySpec, which
+    * generates exactly these contexts. */
+  def tokens(text: UTF8String, useICU: Boolean): GenericArrayData = {
+    val bytes = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .exec(text, 0, useICU).getBytes
     val n = bytes.length
     val out = new mutable.ArrayBuffer[Any](8)
     var i = 0
@@ -727,12 +746,18 @@ case class GraftTokens(child: Expression) extends UnaryExpression {
       s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
   }
 
+  /** Same capture discipline as the built-in `Lower`: a lazy read of the
+    * session flag at first use. */
+  @transient private lazy val useICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConf(org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override def nullSafeEval(v: Any): Any =
-    TokenizeKernel.tokens(v.asInstanceOf[UTF8String])
+    TokenizeKernel.tokens(v.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = graft.functions.TokenizeKernel.tokens($c);"
+      s"${ev.value} = graft.functions.TokenizeKernel.tokens($c, $useICU);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): GraftTokens =

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.operators.TextDedup
+
+/**
+ * Property-based byte-equivalence of the fused text kernels against
+ * their composed-built-ins baselines (the CanonicalHashPropertySpec
+ * pattern applied to the dedup front end): ScalaCheck generates
+ * adversarial inputs — every Java `\s` byte, NBSP (NOT `\s`),
+ * multi-byte case mappings (ß/ẞ/İ/ı/Σ/σ/ς), astral emoji, empty and
+ * null tokens, duplicate grams — and each property demands exact
+ * equality on the SAME frame. One Spark job per property, fixed seed.
+ */
+class KernelPropertySpec extends SparkSpec {
+
+  private val N = 300
+  private def sample[A](g: Gen[A]): List[A] =
+    Gen.listOfN(N, g).pureApply(Gen.Parameters.default, rng.Seed(4242L))
+
+  private val atoms = Gen.oneOf(
+    " ", "\t", "\n", "", "\f", "\r", " ",
+    "a", "B", "z", "ß", "ẞ", "İ", "ı", "Σ", "σ", "ς", "Ä", "é",
+    "中", "😀", "0", ".", "-")
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, atoms).map(_.mkString))
+
+  // token atoms skew toward a tiny vocabulary so n-gram DUPLICATES are
+  // common (the dedup table's interesting path); nulls and empties mixed
+  // in (concat_ws skips nulls with their separator, keeps empties)
+  private val tokGen: Gen[String] = Gen.frequency(
+    8 -> Gen.oneOf("a", "b", "c", "ab", "ß", "中", "😀", ""),
+    1 -> Gen.const(null))
+  private val arrGen: Gen[Seq[String]] = Gen.frequency(
+    9 -> Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen)),
+    1 -> Gen.const(null))
+
+  test("property: fused tokenizer == composed trim+lower+split+filter") {
+    import spark.implicits._
+    val df = sample(textGen).toDF("text")
+    val both = df.select(
+      TextDedup.tokens(col("text")).as("fused"),
+      TextDedup.tokensComposed(col("text")).as("composed"))
+    val bad = both.filter(!(col("fused") <=> col("composed")))
+    assert(bad.count() === 0L, bad.take(3).mkString("; "))
+    assert(both.filter(size(col("fused")) > 1).count() > 0L)
+  }
+
+  test("property: fused shingle kernels == composed distinct/minhash/band pipeline") {
+    import spark.implicits._
+    val df = sample(arrGen).toDF("t")
+    val sl = graft.functions.ShingleLshBands(col("t"), 3, 8, 2, 4)
+    val both = df.select(
+      graft.functions.ShingleIds(col("t"), 3).as("fused_ids"),
+      transform(TextDedup.shingles(col("t"), 3), x => xxhash64(x))
+        .as("composed_ids"),
+      sl.getField("s").as("lsh_ids"),
+      sl.getField("bands").as("fused_bands"),
+      TextDedup.bandHashes(
+        TextDedup.minhashSignatureComposed(TextDedup.shingles(col("t"), 3), 8),
+        2, 4).as("composed_bands"),
+      graft.functions.GramMd5s(col("t"), 3).as("fused_md5s"),
+      transform(TextDedup.gramOccurrences(col("t"), 3), g => md5(g))
+        .as("composed_md5s"))
+    Seq(("fused_ids", "composed_ids"), ("lsh_ids", "composed_ids"),
+      ("fused_bands", "composed_bands"), ("fused_md5s", "composed_md5s"))
+      .foreach { case (f, c) =>
+        val bad = both.filter(!(col(f) <=> col(c)))
+        assert(bad.count() === 0L, s"$f vs $c: ${bad.take(3).mkString("; ")}")
+      }
+    // non-degenerate: duplicate grams occurred AND were deduplicated
+    assert(both.filter(size(col("fused_md5s")) > size(col("fused_ids")))
+      .count() > 0L)
+  }
+}
