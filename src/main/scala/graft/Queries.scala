@@ -1358,6 +1358,34 @@ object Queries {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** Gopher-rule quality filter vector — see [[TextAnalysis.gopherRules]].
+    * All-rational comparisons; the oracle replays every rule on DuckDB's
+    * list primitives. */
+  val t49_gopher_rules: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS total_len,
+         |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_intersect(list_distinct(t), ['the','a','of','to','and','in'])) AS BIGINT) AS n_stop
+         |  FROM toks WHERE len(t) > 0)
+         |SELECT doc_id, n_words,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+         |  (3 * n_words <= total_len AND total_len <= 10 * n_words) AS r_mean_word_len,
+         |  (5 * alpha_words >= 4 * n_words) AS r_alpha_frac,
+         |  (n_stop >= 2) AS r_stop_words,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND 3 * n_words <= total_len AND total_len <= 10 * n_words
+         |    AND 5 * alpha_words >= 4 * n_words AND n_stop >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   private val BucketedQueryBound = 100
 
   /** Sign-bucket ANN recall baseline with a BOUNDED query set (the
@@ -3801,6 +3829,7 @@ object Queries {
     "t39_winnow_pairs" -> t39_winnow_pairs,
     "t41_winnow_dedup_apply" -> t41_winnow_dedup_apply,
     "t48_paragraph_dedup" -> t48_paragraph_dedup,
+    "t49_gopher_rules" -> t49_gopher_rules,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,

@@ -71,6 +71,46 @@ object TextAnalysis {
       b(c("stopword_ratio") > 0.01)
   }
 
+  /** Gopher-style document quality RULES (Rae et al. 2021, appendix A —
+    * the MassiveText filter set, restated on this corpus's measurable
+    * axes): each document gets a named boolean per rule plus the
+    * conjunction `keep`, so a pipeline can report WHICH rule killed a
+    * document, not just that one did (the reason-tagged form quality
+    * pipelines actually operate — t9's scalar score is the ranking twin,
+    * this is the filter twin).
+    *
+    * Every rule is a RATIONAL comparison on integer aggregates (the
+    * t24/q11 precedent): `3 ≤ mean_word_len ≤ 10` is spelled
+    * `3·n ≤ total_len ∧ total_len ≤ 10·n`, the 80 % alphabetic-word
+    * floor is `5·alpha ≥ 4·n` — no float division anywhere, so both
+    * engines agree bit-for-bit. Map-only over the staged token
+    * attribute: one pass, no shuffles beyond the source scan. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = Seq("the", "a", "of", "to", "and", "in"),
+      minStopWords: Int = 2): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("doc_id"), TextDedup.tokens(col(textCol)).as("t")))
+    toks.filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (a, x) => a + length(x)).as("total_len"),
+        size(filter(col("t"), x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(array_intersect(array_distinct(col("t")),
+          array(stopWords.map(lit): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_word_count"),
+        (lit(3) * col("n_words") <= col("total_len") &&
+          col("total_len") <= lit(10) * col("n_words")).as("r_mean_word_len"),
+        (lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+          .as("r_alpha_frac"),
+        (col("n_stop") >= minStopWords).as("r_stop_words"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_alpha_frac") && col("r_stop_words"))
+  }
+
   /** Per-group quantile threshold, SKETCH-based (`approx_percentile`):
     * the at-scale form of the t18 stratification threshold — one
     * map-side-combined aggregation, no per-group sort. Returns an actual

@@ -396,4 +396,29 @@ class TextAnalysisSpec extends SparkSpec {
     // monotonicity (doc 1 over docs 2/5 at tf=1) and length
     // normalization (doc 4, dl=1, over doc 2, dl=4, at equal tf)
   }
+
+  test("gopherRules: each rule trips independently; rational bounds are inclusive") {
+    import spark.implicits._
+    val w50 = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, no stopwords
+    val docs = Seq(
+      // 50 words incl. "the a": passes count (inclusive lower bound),
+      // mean len (283 chars / 50 words inside [150, 500]), alpha, stops
+      (1L, (1 to 48).map(i => s"word$i").mkString(" ") + " the a"),
+      (2L, "the a short doc"),                       // fails word count only
+      (3L, w50),                                     // fails stop words only
+      // 50 single-char words + the a → mean word len 1 < 3: fails mean only
+      (4L, (1 to 48).map(_ => "x").mkString(" ") + " the a"),
+      // 48 digit words + the a → alpha frac 2/50 < 0.8: fails alpha (and mean)
+      (5L, (1 to 48).map(_ => "123").mkString(" ") + " the a")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getBoolean(2), x.getBoolean(3),
+        x.getBoolean(4), x.getBoolean(5), x.getBoolean(6))).toSeq
+    assert(r === Seq(
+      (1L, true, true, true, true, true),
+      (2L, false, true, true, true, false),
+      (3L, true, true, true, false, false),
+      (4L, true, false, true, true, false),
+      (5L, true, false, false, true, false)))
+  }
 }
