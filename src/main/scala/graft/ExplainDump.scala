@@ -21,7 +21,8 @@ object ExplainDump {
         "q19_disjunctive", "q22_idle_balance",
         "t37_winnowing", "q2_min_cost_supplier", "p7_heavy_hitters_sketch",
         "j5_interval_join", "t38_overlap_matrix", "q14_promo_revenue",
-        "t40_ann_index_persist", "t41_winnow_dedup_apply")
+        "t40_ann_index_persist", "t41_winnow_dedup_apply",
+        "t48_paragraph_dedup", "t49_gopher_rules")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
