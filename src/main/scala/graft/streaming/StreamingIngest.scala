@@ -225,6 +225,53 @@ object StreamingIngest {
       .filter(col("claimed") === col("expected"))
       .select(col(idCol))
 
+  /** Streaming twin of [[graft.operators.TextDedup.paragraphDedup]] —
+    * the claims form (the near-dup twin's pattern): each arriving doc's
+    * non-overlapping token chunks CLAIM their chunk hash, and
+    * `dropDuplicatesWithinWatermark` keeps only the first claim per
+    * hash, so a paragraph that already streamed by — in this doc or any
+    * earlier one — is dropped exactly as the batch operator drops later
+    * occurrences. First-occurrence order is ARRIVAL order (the stream's
+    * only notion of "first"); when docs arrive in id order the claims
+    * equal the batch keep set (StreamingSpec asserts it). State is one
+    * row per distinct chunk hash inside the watermark — the same
+    * digest-cardinality bound as the batch aggregation.
+    *
+    * Chunking is the [[bound]]-variable spelling of
+    * [[graft.operators.TextAnalysis.chunkDocuments]] (persist barriers
+    * are illegal on streams); docs shorter than one token emit nothing,
+    * as in batch. Output claims: (id, ts, chunk_idx, chunk_text, h);
+    * reassemble with [[paragraphSurvivorText]]. */
+  def streamingParagraphClaims(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, chunkTokens: Int,
+      watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.operators.TextDedup.bound(
+          graft.operators.TextDedup.tokens(col(textCol))) { t =>
+          when(size(t) > 0,
+            transform(
+              sequence(lit(0),
+                floor((size(t) - 1) / lit(chunkTokens)).cast("int")),
+              ci => struct(ci.cast("int").as("chunk_idx"),
+                concat_ws(" ",
+                  slice(t, ci * chunkTokens + 1, lit(chunkTokens)))
+                  .as("chunk_text"))))
+        }).as("c"))
+      .select(col(idCol), col(tsCol), col("c.chunk_idx"),
+        col("c.chunk_text"), md5(col("c.chunk_text")).as("h"))
+      .dropDuplicatesWithinWatermark("h")
+
+  /** Batch-side reduction of [[streamingParagraphClaims]] output:
+    * reassemble each document's surviving paragraphs in chunk order —
+    * the `clean_text` the batch operator emits (docs whose every chunk
+    * lost do not appear; the batch twin emits them with empty text). */
+  def paragraphSurvivorText(claims: DataFrame, idCol: String): DataFrame =
+    claims.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text"))).as("clean_text"))
+
   /** Streaming train/eval DECONTAMINATION — the third member of the
     * streaming corpus-prep trio (exact dedup, near-dup, decontamination).
     * Unlike the other two this needs NO cross-batch state: each incoming

@@ -176,6 +176,63 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
+    import org.apache.spark.sql.types._
+    import graft.operators.{Staging, TextDedup}
+    val chunkTokens = 2
+    // doc 1 owns "a b","c d","e f"; doc 2 repeats two around its own
+    // "x y"; doc 3 repeats a chunk within itself; doc 4 is all-repeats
+    // (batch emits it with empty text, the claims form omits it)
+    val docs = Seq(
+      1L -> "a b c d e f",
+      2L -> "a b x y c d",
+      3L -> "p q p q r s",
+      4L -> "a b c d")
+    // one file per doc, arrival order = id order, so the stream's
+    // first-claim rule matches the batch (doc_id, chunk_idx) minimum
+    val src = tmp("para-src")
+    docs.zipWithIndex.foreach { case ((id, text), i) =>
+      val rows = Seq(org.apache.spark.sql.Row(id, text,
+        java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:00")))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType)))
+      val staging = tmp(s"para-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val claims = StreamingIngest.streamingParagraphClaims(stream, "doc_id",
+      "text", "ts", chunkTokens, watermark = "10 days")
+    val q = claims.writeStream.outputMode("append")
+      .format("memory").queryName("para_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = StreamingIngest.paragraphSurvivorText(
+      spark.table("para_stream"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    import spark.implicits._
+    val batch = Staging.scoped {
+      TextDedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    }
+    // every doc with a surviving chunk reassembles identically; the
+    // zero-survivor doc (4) appears only on the batch side, empty
+    val batchKept = batch.collect { case (id, nKept, text) if nKept > 0 => id -> text }.toMap
+    assert(streamed === batchKept)
+    assert(batch.collectFirst { case (4L, n, t) => (n, t) } === Some((0L, "")))
+    assert(streamed === Map(1L -> "a b c d e f", 2L -> "x y", 3L -> "p q r s"))
+  }
+
   test("streaming near-dup (LSH bucket claims) equals the batch t3-pipeline survivors") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
