@@ -74,4 +74,27 @@ class KernelPropertySpec extends SparkSpec {
     assert(both.filter(size(col("fused_md5s")) > size(col("fused_ids")))
       .count() > 0L)
   }
+
+  test("property: kernels agree with themselves across codegen and interpreted eval") {
+    // the eval() path runs when whole-stage codegen is off (fallbacks,
+    // some filter contexts) — it must be byte-identical to doGenCode's
+    import spark.implicits._
+    val texts = sample(textGen).toDF("text")
+    val arrs = sample(arrGen).toDF("t")
+    def run(): (Array[org.apache.spark.sql.Row], Array[org.apache.spark.sql.Row]) = (
+      texts.select(TextDedup.tokens(col("text"))).collect(),
+      arrs.select(
+        graft.functions.ShingleIds(col("t"), 3),
+        graft.functions.ShingleLshBands(col("t"), 3, 8, 2, 4),
+        graft.functions.GramMd5s(col("t"), 3)).collect())
+    val codegen = run()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val interpreted = run()
+      assert(interpreted._1 === codegen._1)
+      assert(interpreted._2 === codegen._2)
+    } finally spark.conf.set(key, prev)
+  }
 }
