@@ -52,11 +52,20 @@ object Bench {
 
     // dev subset filter: SPARK_GRAFT_BENCH_ONLY=t2_...,t3_... runs only the
     // named headline queries (before/after timing of one family without the
-    // full sweep); the driver never sets it, so official BENCH_r{N} artifacts
-    // always carry the complete set.
+    // full sweep). Guard rails so a subset run can never masquerade as an
+    // official artifact: unknown names are FATAL (a typo must not silently
+    // shrink the set), and the emitted JSON carries a "subset" marker
+    // whenever the filter is active.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val headline = Queries.all.filter(_._2.bench).toSeq.sortBy(_._1)
+    val allHeadline = Queries.all.filter(_._2.bench).toSeq.sortBy(_._1)
+    only.foreach { names =>
+      val unknown = names -- allHeadline.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown bench queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val headline = allHeadline
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var failed = List.empty[String]
     val results = headline.map { case (name, q) =>
@@ -90,7 +99,9 @@ object Bench {
     val loadEnd = loadAvg
     // A failed query must be VISIBLE (in the JSON) and FATAL (non-zero
     // exit) — otherwise a broken headline silently shrinks the total.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreadJson,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"failed":$failedJson,"sf":"$sfDir"}""")
+    val subsetMarker =
+      if (only.isDefined) s""","subset":${headline.length}""" else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreadJson,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"failed":$failedJson$subsetMarker,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

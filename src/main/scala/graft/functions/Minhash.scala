@@ -646,11 +646,9 @@ object ShingleKernel {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, count))
   }
 
-  /** struct(s: ids, bands: LSH band digests) in one walk. */
-  def lsh(toks: ArrayData, n: Int, pfx: Array[Array[Byte]], bandSize: Int,
-      numBands: Int): InternalRow = {
-    val (raw, count, mins) = scan(toks, n, pfx)
-    val k = pfx.length
+  private def bandDigests(mins: Array[Array[Byte]], bandSize: Int,
+      numBands: Int): GenericArrayData = {
+    val k = mins.length
     val digest = HashKernels.mdLocal.get()
     val hx = new Array[Byte](32)
     val bands = new Array[Any](numBands)
@@ -672,9 +670,75 @@ object ShingleKernel {
       bands(b) = HashKernels.hex32(digest.digest())
       b += 1
     }
+    new GenericArrayData(bands)
+  }
+
+  /** struct(s: ids, bands: LSH band digests) in one walk. */
+  def lsh(toks: ArrayData, n: Int, pfx: Array[Array[Byte]], bandSize: Int,
+      numBands: Int): InternalRow = {
+    val (raw, count, mins) = scan(toks, n, pfx)
     InternalRow(
       UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, count)),
-      new GenericArrayData(bands))
+      bandDigests(mins, bandSize, numBands))
+  }
+
+  /** Band digests ONLY — the streaming near-dup path, which never
+    * consumes the shingle ids. The MinHash minimum over the gram
+    * MULTISET equals the minimum over the distinct set, so this walk
+    * needs no dedup table, no arena, and no id array at all: each gram
+    * is built in scratch and folded straight into the k minima. */
+  def bands(toks: ArrayData, n: Int, pfx: Array[Array[Byte]],
+      bandSize: Int, numBands: Int): GenericArrayData = {
+    val k = pfx.length
+    val mins = new Array[Array[Byte]](k)
+    val len = if (toks == null) 0 else toks.numElements()
+    if (len >= n) {
+      val nGrams = len - n + 1
+      val tb = new Array[Array[Byte]](len)
+      var i = 0
+      while (i < len) {
+        val u = toks.getUTF8String(i)
+        tb(i) = if (u == null) null else u.getBytes
+        i += 1
+      }
+      var scratch = scratchLocal.get()
+      val digest = HashKernels.mdLocal.get()
+      var g = 0
+      while (g < nGrams) {
+        var glen = 0
+        var first = true
+        var j = 0
+        while (j < n) {
+          val b = tb(g + j)
+          if (b != null) {
+            val need = glen + b.length + 1
+            if (need > scratch.length) {
+              scratch = java.util.Arrays.copyOf(scratch,
+                math.max(need, scratch.length * 2))
+              scratchLocal.set(scratch)
+            }
+            if (!first) { scratch(glen) = ' '; glen += 1 }
+            System.arraycopy(b, 0, scratch, glen, b.length)
+            glen += b.length
+            first = false
+          }
+          j += 1
+        }
+        var ki = 0
+        while (ki < k) {
+          digest.reset()
+          digest.update(pfx(ki))
+          digest.update(scratch, 0, glen)
+          val d = digest.digest()
+          if (mins(ki) == null || HashKernels.lessUnsigned(d, mins(ki))) {
+            mins(ki) = d
+          }
+          ki += 1
+        }
+        g += 1
+      }
+    }
+    bandDigests(mins, bandSize, numBands)
   }
 }
 
@@ -863,5 +927,59 @@ object ShingleLshBands {
   def apply(toks: Column, n: Int, k: Int, bandSize: Int,
       numBands: Int): Column =
     bridge.column(ShingleLshBands(bridge.expression(toks), n, k, bandSize,
+      numBands))
+}
+
+/** LSH band digests ONLY (no shingle-id output) — the streaming
+  * near-dup projection, where materializing the unused id array per row
+  * would be waste. Byte-identical to
+  * `ShingleLshBands(…).getField("bands")` (DedupSpec asserts it). */
+case class ShingleBands(child: Expression, n: Int, k: Int,
+    bandSize: Int, numBands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _)
+        if n > 0 && k > 0 && bandSize > 0 && numBands > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> and n, k, bandSize, numBands " +
+        s"> 0, got ${child.dataType.simpleString}, n=$n, k=$k, " +
+        s"bandSize=$bandSize, numBands=$numBands")
+  }
+
+  @transient private lazy val pfx = MinhashKernel.prefixes(k)
+
+  /** Never NULL: a NULL token array yields the empty-string band
+    * digests, matching the composed guard's fall-through. */
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleKernel.bands(child.eval(input).asInstanceOf[ArrayData], n, pfx,
+      bandSize, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pfxRef = ctx.addReferenceObj("pfx", pfx, "byte[][]")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      |${childGen.code}
+      |$javaType ${ev.value} = graft.functions.ShingleKernel.bands(
+      |  ${childGen.isNull} ? null : ${childGen.value}, $n, $pfxRef,
+      |  $bandSize, $numBands);
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleBands =
+    copy(child = newChild)
+}
+
+object ShingleBands {
+  /** Column-API entry: band digests over a token array. */
+  def apply(toks: Column, n: Int, k: Int, bandSize: Int,
+      numBands: Int): Column =
+    bridge.column(ShingleBands(bridge.expression(toks), n, k, bandSize,
       numBands))
 }

@@ -620,6 +620,21 @@ object TextAnalysis {
     * rows, never shuffles); tokens are a MATERIALIZED attribute per the
     * lambda-closure rule, so per-chunk slicing reads the array, not the
     * tokenizer. */
+  /** Non-overlapping chunk structs `array<struct<chunk_idx int,
+    * chunk_text string>>` of a MATERIALIZED-or-bound token column — the
+    * ONE chunk-boundary spelling shared by the batch paragraph dedup
+    * ([[TextDedup.paragraphDedup]]) and its streaming twin
+    * ([[graft.streaming.StreamingIngest.streamingParagraphClaims]]), so
+    * the twins cannot drift apart on boundary arithmetic. NULL (for the
+    * caller's guard/explode to drop) when the doc has no tokens. */
+  def chunkStructs(t: Column, chunkTokens: Int): Column =
+    when(size(t) > 0,
+      transform(
+        sequence(lit(0), floor((size(t) - 1) / lit(chunkTokens)).cast("int")),
+        ci => struct(ci.as("chunk_idx"),
+          concat_ws(" ", slice(t, ci * chunkTokens + 1, lit(chunkTokens)))
+            .as("chunk_text"))))
+
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,

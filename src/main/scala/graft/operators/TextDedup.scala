@@ -261,10 +261,11 @@ object TextDedup {
     bound(tokens(text)) { t =>
       // size(t) >= n ⟺ the doc has at least one gram ⟺ size(shingles) > 0;
       // the fused kernel evaluates its child once, so only the token stage
-      // still needs the let-binding
+      // still needs the let-binding. Bands-ONLY kernel: this path never
+      // consumes shingle ids, so it skips the dedup table and id array
+      // entirely (min over the gram multiset = min over the distinct set)
       when(size(t) >= n,
-        graft.functions.ShingleLshBands(t, n, k, bandSize, numBands)
-          .getField("bands"))
+        graft.functions.ShingleBands(t, n, k, bandSize, numBands))
     }
 
   /** Candidate pairs (id_a < id_b) sharing at least one LSH band bucket.
@@ -630,10 +631,17 @@ object TextDedup {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
+    // chunk boundaries come from the ONE shared spelling
+    // (TextAnalysis.chunkStructs) the streaming twin also uses; tokens
+    // are a materialized attribute per the lambda-closure rule
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
     val chunks = Staging.barrier(
-      TextAnalysis.chunkDocuments(df, idCol, textCol, chunkTokens, 0)
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
-          md5(col("chunk_text")).as("h")))
+      toks.select(col("doc_id"),
+          explode(TextAnalysis.chunkStructs(col("t"), chunkTokens)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk_text").as("chunk_text"),
+          md5(col("c.chunk_text")).as("h")))
     val first = chunks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
     chunks.join(first, Seq("h"))

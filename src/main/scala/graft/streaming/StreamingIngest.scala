@@ -237,8 +237,10 @@ object StreamingIngest {
     * row per distinct chunk hash inside the watermark — the same
     * digest-cardinality bound as the batch aggregation.
     *
-    * Chunking is the [[bound]]-variable spelling of
-    * [[graft.operators.TextAnalysis.chunkDocuments]] (persist barriers
+    * Chunk boundaries are the ONE shared spelling
+    * ([[graft.operators.TextAnalysis.chunkStructs]]) the batch operator
+    * also explodes — the twins cannot drift apart — here under a
+    * [[graft.operators.TextDedup.bound]] token binding (persist barriers
     * are illegal on streams); docs shorter than one token emit nothing,
     * as in batch. Output claims: (id, ts, chunk_idx, chunk_text, h);
     * reassemble with [[paragraphSurvivorText]]. */
@@ -249,14 +251,7 @@ object StreamingIngest {
       .select(col(idCol), col(tsCol),
         explode(graft.operators.TextDedup.bound(
           graft.operators.TextDedup.tokens(col(textCol))) { t =>
-          when(size(t) > 0,
-            transform(
-              sequence(lit(0),
-                floor((size(t) - 1) / lit(chunkTokens)).cast("int")),
-              ci => struct(ci.cast("int").as("chunk_idx"),
-                concat_ws(" ",
-                  slice(t, ci * chunkTokens + 1, lit(chunkTokens)))
-                  .as("chunk_text"))))
+          graft.operators.TextAnalysis.chunkStructs(t, chunkTokens)
         }).as("c"))
       .select(col(idCol), col(tsCol), col("c.chunk_idx"),
         col("c.chunk_text"), md5(col("c.chunk_text")).as("h"))

@@ -58,6 +58,7 @@ class KernelPropertySpec extends SparkSpec {
         .as("composed_ids"),
       sl.getField("s").as("lsh_ids"),
       sl.getField("bands").as("fused_bands"),
+      graft.functions.ShingleBands(col("t"), 3, 8, 2, 4).as("bands_only"),
       TextDedup.bandHashes(
         TextDedup.minhashSignatureComposed(TextDedup.shingles(col("t"), 3), 8),
         2, 4).as("composed_bands"),
@@ -65,7 +66,8 @@ class KernelPropertySpec extends SparkSpec {
       transform(TextDedup.gramOccurrences(col("t"), 3), g => md5(g))
         .as("composed_md5s"))
     Seq(("fused_ids", "composed_ids"), ("lsh_ids", "composed_ids"),
-      ("fused_bands", "composed_bands"), ("fused_md5s", "composed_md5s"))
+      ("fused_bands", "composed_bands"), ("bands_only", "composed_bands"),
+      ("fused_md5s", "composed_md5s"))
       .foreach { case (f, c) =>
         val bad = both.filter(!(col(f) <=> col(c)))
         assert(bad.count() === 0L, s"$f vs $c: ${bad.take(3).mkString("; ")}")
@@ -76,8 +78,11 @@ class KernelPropertySpec extends SparkSpec {
   }
 
   test("property: kernels agree with themselves across codegen and interpreted eval") {
-    // the eval() path runs when whole-stage codegen is off (fallbacks,
-    // some filter contexts) — it must be byte-identical to doGenCode's
+    // the eval() overrides carry their own null-handling glue, separate
+    // from doGenCode's — they must be byte-identical. Merely disabling
+    // whole-stage codegen is NOT enough to reach them (projections still
+    // compile per-operator via CodeGeneratorWithInterpretedFallback);
+    // factoryMode=NO_CODEGEN forces the true interpreted path.
     import spark.implicits._
     val texts = sample(textGen).toDF("text")
     val arrs = sample(arrGen).toDF("t")
@@ -86,15 +91,22 @@ class KernelPropertySpec extends SparkSpec {
       arrs.select(
         graft.functions.ShingleIds(col("t"), 3),
         graft.functions.ShingleLshBands(col("t"), 3, 8, 2, 4),
+        graft.functions.ShingleBands(col("t"), 3, 8, 2, 4),
         graft.functions.GramMd5s(col("t"), 3)).collect())
     val codegen = run()
-    val key = "spark.sql.codegen.wholeStage"
-    val prev = spark.conf.get(key)
+    val wholeStage = "spark.sql.codegen.wholeStage"
+    val factory = "spark.sql.codegen.factoryMode"
+    val prevWs = spark.conf.get(wholeStage)
+    val prevFm = spark.conf.get(factory, "FALLBACK")
     try {
-      spark.conf.set(key, "false")
+      spark.conf.set(wholeStage, "false")
+      spark.conf.set(factory, "NO_CODEGEN")
       val interpreted = run()
       assert(interpreted._1 === codegen._1)
       assert(interpreted._2 === codegen._2)
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(wholeStage, prevWs)
+      spark.conf.set(factory, prevFm)
+    }
   }
 }
