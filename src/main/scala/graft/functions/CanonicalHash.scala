@@ -104,14 +104,24 @@ object CanonicalHash {
   }
 
   /** F5/F6: the full row-hash expression over the given source columns —
-    * `md5(concat_ws("|", tokens…))` (FB:1640–1649 / MIS:1802). Tokens are
-    * never NULL (coalesce above), so concat_ws's null-skipping semantics
-    * can't bite. */
+    * `md5(concat_ws("|", tokens…))` (FB:1640–1649 / MIS:1802), fused as
+    * one [[Md5Join]] node that streams token bytes through the digest
+    * instead of materializing the joined row string. Tokens are never
+    * NULL (coalesce above), so concat_ws's null-skipping semantics can't
+    * bite — and Md5Join mirrors them anyway. */
   def rowHashExpr(metas: Seq[ColumnMeta]): Column =
-    md5(concat_ws(Separator, metas.map(m => tokenExpr(col(m.name), m)): _*))
+    rowHashExpr(metas.map(m => col(m.name)), metas)
 
   /** Same hash over explicit input columns (e.g. qualified/renamed). */
   def rowHashExpr(cols: Seq[Column], metas: Seq[ColumnMeta]): Column =
+    org.apache.spark.sql.graft.bridge.column(Md5Join(
+      cols.zip(metas).map { case (c, m) =>
+        org.apache.spark.sql.graft.bridge.expression(tokenExpr(c, m)) }))
+
+  /** The composed-built-ins spelling — the semantic baseline
+    * [[Md5Join]] is equivalence-tested against (CanonicalHashSpec), and
+    * the direct transliteration of the reference SQL / DuckDB oracle. */
+  def rowHashExprComposed(cols: Seq[Column], metas: Seq[ColumnMeta]): Column =
     md5(concat_ws(Separator, cols.zip(metas).map { case (c, m) => tokenExpr(c, m) }: _*))
 
   // ---------------------------------------------------------------------
@@ -222,6 +232,18 @@ object CanonicalHash {
 object CanonicalTokens {
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Thread-local MD5, reset — the [[Md5Join]] codegen entry (public so
+    * generated code can call it without reaching the package-private
+    * [[HashKernels]]). */
+  def freshDigest(): MessageDigest = {
+    val d = HashKernels.mdLocal.get()
+    d.reset()
+    d
+  }
+
+  /** Finish a [[freshDigest]] digest as lowercase-hex UTF8String. */
+  def hexDigest(d: MessageDigest): UTF8String = HashKernels.hex32(d.digest())
+
   /** F9 fused: `round(x, 6) HALF_UP → DECIMAL(38,6) plain string` as a
     * single BigDecimal op (the exact [[CanonicalHash.tokenOf]] double
     * path). NaN/±Inf/|x| ≥ 1e32 → null (→ `<NULL>` after coalesce). */
@@ -308,4 +330,82 @@ case class RenderTimestampToken(child: org.apache.spark.sql.catalyst.expressions
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): RenderTimestampToken =
     copy(child = newChild)
+}
+
+/** F5/F6's outer `md5(concat_ws("|", token…))` as ONE variadic fused
+  * node: every token's bytes stream through a thread-local MessageDigest
+  * with the separator byte between non-null children — the concatenated
+  * row string (≈ row width per hash, twice per enriched row) is never
+  * materialized. Tokens are non-null by construction (the F13 coalesce),
+  * but a NULL child is mirrored exactly as `concat_ws` skips it — value
+  * AND separator — so the node is contract-identical on ANY input.
+  * CanonicalHashSpec asserts equality with the pure-Scala [[CanonicalHash
+  * .rowHash]] on random rows (the definitional triangle); the
+  * f1/a2/j1/t33/e2e differential gates hold end-to-end. */
+case class Md5Join(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends org.apache.spark.sql.catalyst.expressions.Expression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{Block, CodegenContext, ExprCode, FalseLiteral}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "graft_md5_join"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.nonEmpty && children.forall(_.dataType == StringType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects one or more string children, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val d = CanonicalTokens.freshDigest()
+    var first = true
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v != null) {
+        if (!first) d.update('|'.toByte)
+        d.update(v.asInstanceOf[UTF8String].getBytes)
+        first = false
+      }
+      i += 1
+    }
+    CanonicalTokens.hexDigest(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val digest = ctx.freshName("digest")
+    val first = ctx.freshName("first")
+    val updates = children.map { ch =>
+      val g = ch.genCode(ctx)
+      code"""
+        |${g.code}
+        |if (!${g.isNull}) {
+        |  if (!$first) { $digest.update((byte) '|'); }
+        |  $digest.update(${g.value}.getBytes());
+        |  $first = false;
+        |}
+        |""".stripMargin
+    }.foldLeft(code"": Block)(_ + _)
+    ev.copy(code = code"""
+      |java.security.MessageDigest $digest =
+      |  graft.functions.CanonicalTokens.freshDigest();
+      |boolean $first = true;
+      |$updates
+      |UTF8String ${ev.value} =
+      |  graft.functions.CanonicalTokens.hexDigest($digest);
+      |""".stripMargin, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Md5Join =
+    copy(children = newChildren)
 }

@@ -87,6 +87,24 @@ class CanonicalHashSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("fused Md5Join row hash equals the composed md5∘concat_ws, both eval paths") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet").limit(300)
+    val metas = ColumnMeta.fromSchema(df.schema)
+    val cols = df.columns.map(col).toSeq
+    def run() = df.select(
+        CanonicalHash.rowHashExpr(cols, metas).as("fused"),
+        CanonicalHash.rowHashExprComposed(cols, metas).as("composed"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val codegen = run()
+    assert(codegen.forall { case (f, c) => f == c })
+    val factory = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(factory, "FALLBACK")
+    try {
+      spark.conf.set(factory, "NO_CODEGEN") // force Md5Join.eval()
+      assert(run().toSeq === codegen.toSeq)
+    } finally spark.conf.set(factory, prev)
+  }
+
   test("expression side ≡ Scala side on lineitem sf0.001") {
     val df = spark.read.parquet(sf() + "/lineitem.parquet")
     val metas = ColumnMeta.fromSchema(df.schema)
