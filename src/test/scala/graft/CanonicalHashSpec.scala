@@ -105,6 +105,25 @@ class CanonicalHashSpec extends SparkSpec {
     } finally spark.conf.set(factory, prev)
   }
 
+  test("Md5Join mirrors concat_ws null skipping on raw nullable children") {
+    // unreachable through rowHashExpr (F13 coalesce makes tokens
+    // non-null) but part of the node's declared contract
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some("b"), Some("c")),
+      (None: Option[String], Some("b"), Some("c")), // leading null: no sep
+      (Some("a"), None: Option[String], Some("c")), // inner null: one sep
+      (Some("a"), Some("b"), None: Option[String]), // trailing null
+      (None: Option[String], None: Option[String], None: Option[String])
+    ).toDF("x", "y", "z")
+    val cols = Seq(col("x"), col("y"), col("z"))
+    val both = df.select(
+      org.apache.spark.sql.graft.bridge.column(graft.functions.Md5Join(
+        cols.map(org.apache.spark.sql.graft.bridge.expression))).as("fused"),
+      md5(concat_ws("|", cols: _*)).as("composed"))
+    assert(both.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("expression side ≡ Scala side on lineitem sf0.001") {
     val df = spark.read.parquet(sf() + "/lineitem.parquet")
     val metas = ColumnMeta.fromSchema(df.schema)
