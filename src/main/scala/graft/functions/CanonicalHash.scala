@@ -365,15 +365,28 @@ case class Md5Join(children: Seq[org.apache.spark.sql.catalyst.expressions.Expre
           children.map(_.dataType.simpleString).mkString(", "))
     }
 
+  // All children are evaluated BEFORE the digest is initialized (eval
+  // and codegen alike): child trees may themselves use the shared
+  // thread-local digest (a kernel-derived column inlined by
+  // CollapseProject, or a nested Md5Join), and interleaving their
+  // evaluation with updates to the same digest would silently corrupt
+  // the outer hash. Buffer-then-stream keeps the node contract-correct
+  // on ANY input, matching the scaladoc claim.
   override def eval(input: InternalRow): Any = {
-    val d = CanonicalTokens.freshDigest()
-    var first = true
+    val vals = new Array[UTF8String](children.length)
     var i = 0
     while (i < children.length) {
-      val v = children(i).eval(input)
+      vals(i) = children(i).eval(input).asInstanceOf[UTF8String]
+      i += 1
+    }
+    val d = CanonicalTokens.freshDigest()
+    var first = true
+    i = 0
+    while (i < vals.length) {
+      val v = vals(i)
       if (v != null) {
         if (!first) d.update('|'.toByte)
-        d.update(v.asInstanceOf[UTF8String].getBytes)
+        d.update(v.getBytes)
         first = false
       }
       i += 1
@@ -382,24 +395,36 @@ case class Md5Join(children: Seq[org.apache.spark.sql.catalyst.expressions.Expre
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Child values land in a mutable-state array so the per-child blocks
+    // can be split into separate methods (splitExpressionsWithCurrentInputs)
+    // — wide rows (many metas) stay under the 64KB JVM method limit
+    // instead of falling back to the interpreted path.
+    val vals = ctx.addMutableState("UTF8String[]", "md5JoinVals",
+      v => s"$v = new UTF8String[${children.length}];")
+    val assigns = children.zipWithIndex.map { case (ch, i) =>
+      val g = ch.genCode(ctx)
+      s"""
+         |${g.code}
+         |$vals[$i] = ${g.isNull} ? null : ${g.value};
+         |""".stripMargin
+    }
+    val evalChildren = ctx.splitExpressionsWithCurrentInputs(assigns)
     val digest = ctx.freshName("digest")
     val first = ctx.freshName("first")
-    val updates = children.map { ch =>
-      val g = ch.genCode(ctx)
-      code"""
-        |${g.code}
-        |if (!${g.isNull}) {
-        |  if (!$first) { $digest.update((byte) '|'); }
-        |  $digest.update(${g.value}.getBytes());
-        |  $first = false;
-        |}
-        |""".stripMargin
-    }.foldLeft(code"": Block)(_ + _)
+    val i = ctx.freshName("i")
     ev.copy(code = code"""
+      |$evalChildren
       |java.security.MessageDigest $digest =
       |  graft.functions.CanonicalTokens.freshDigest();
       |boolean $first = true;
-      |$updates
+      |for (int $i = 0; $i < ${children.length}; $i++) {
+      |  UTF8String v = $vals[$i];
+      |  if (v != null) {
+      |    if (!$first) { $digest.update((byte) '|'); }
+      |    $digest.update(v.getBytes());
+      |    $first = false;
+      |  }
+      |}
       |UTF8String ${ev.value} =
       |  graft.functions.CanonicalTokens.hexDigest($digest);
       |""".stripMargin, isNull = FalseLiteral)

@@ -2,7 +2,6 @@ package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -70,11 +69,22 @@ case class CountMinAgg(
         s"depth=$depth, width=$width, probes=${probes.size}")
   }
 
-  /** Bucket of `v` in hash row `i`: first 48 md5 bits of "i:v" mod width
-    * — bit-for-bit the expression both engines' SQL forms compute. */
-  private def bucket(i: Int, v: String): Int = {
-    val d = MessageDigest.getInstance("MD5")
-      .digest(s"$i:$v".getBytes(StandardCharsets.UTF_8))
+  /** UTF-8 bytes of the per-hash-row prefix `"i:"` — computed once per
+    * operator instance, not per row (the aggregate's hottest path). */
+  @transient private lazy val rowPrefixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
+
+  /** Bucket of the key bytes in hash row `i`: first 48 md5 bits of
+    * "i:v" mod width — bit-for-bit the expression both engines' SQL
+    * forms compute. Streams the prefix and key bytes through the shared
+    * thread-local digest (reset per call): no per-row digest
+    * allocation, no "i:v" string materialization. */
+  private def bucket(i: Int, keyBytes: Array[Byte]): Int = {
+    val md = HashKernels.mdLocal.get()
+    md.reset()
+    md.update(rowPrefixes(i))
+    md.update(keyBytes)
+    val d = md.digest()
     var h = 0L
     var b = 0
     while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
@@ -87,9 +97,9 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val key = v.asInstanceOf[UTF8String].toString
+    val keyBytes = v.asInstanceOf[UTF8String].getBytes
     var i = 0
-    while (i < depth) { buf(i * width + bucket(i, key)) += 1L; i += 1 }
+    while (i < depth) { buf(i * width + bucket(i, keyBytes)) += 1L; i += 1 }
     buf
   }
 
@@ -103,8 +113,9 @@ case class CountMinAgg(
     val out = probes.map { p =>
       var est = Long.MaxValue
       var i = 0
+      val pb = p.getBytes(StandardCharsets.UTF_8)
       while (i < depth) {
-        val c = buf(i * width + bucket(i, p))
+        val c = buf(i * width + bucket(i, pb))
         if (c < est) est = c
         i += 1
       }

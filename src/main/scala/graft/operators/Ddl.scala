@@ -174,10 +174,27 @@ object Ddl {
     * production cadence for a persisted index, not an error. */
   def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(table) match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case parts => throw new IllegalArgumentException(
+        s"dropTableAndLocation supports 1- or 2-part names, got " +
+          parts.mkString("."))
+    }
+    // Resolve the CATALOGED location before dropping (a custom-LOCATION
+    // table's data is not at the default path); only when the table is
+    // absent fall back to the default path — that clears the leftover
+    // warehouse directory of a previous JVM's managed table, which is
+    // exactly the cross-session idempotency this helper exists for.
+    val loc = (if (cat.tableExists(ident)) {
+      cat.getTableMetadata(ident).storage.locationUri
+        .map(u => new org.apache.hadoop.fs.Path(u))
+    } else None).getOrElse(
+      new org.apache.hadoop.fs.Path(cat.defaultTablePath(ident)))
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

@@ -90,8 +90,8 @@ object TemporalJoin {
     l.unionByName(r)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .select(leftCols.map(f => col(s"$lpay.$f").as(f)) ++
-        rightPayload.map(f => col(s"$pay.$f").as(f)): _*)
+      .select(leftCols.map(f => col(lpay).getField(f).as(f)) ++
+        rightPayload.map(f => col(pay).getField(f).as(f)): _*)
   }
 
   /** Bucketed range join (inner): pair every point with every interval

@@ -105,6 +105,28 @@ class CanonicalHashSpec extends SparkSpec {
     } finally spark.conf.set(factory, prev)
   }
 
+  test("Md5Join survives very wide rows (split codegen) and digest-using children") {
+    import org.apache.spark.sql.graft.bridge
+    // 300 children — far past the point where unsplit per-child blocks
+    // would overflow the 64KB method limit.
+    val df = spark.range(50).toDF("id")
+    val cols = (0 until 300).map(i => md5(concat_ws(":", lit(i), col("id").cast("string"))))
+    val both = df.select(
+      bridge.column(graft.functions.Md5Join(cols.map(bridge.expression))).as("fused"),
+      md5(concat_ws("|", cols: _*)).as("composed"))
+    assert(both.collect().forall(r => r.getString(0) == r.getString(1)))
+    // nested Md5Join as a child: the inner node uses the same shared
+    // thread-local digest — buffered child evaluation keeps the outer
+    // hash correct (the interleaving hazard this node guards against)
+    val inner = bridge.column(graft.functions.Md5Join(
+      Seq(col("id").cast("string")).map(bridge.expression)))
+    val nested = df.select(
+      bridge.column(graft.functions.Md5Join(
+        Seq(inner, col("id").cast("string")).map(bridge.expression))).as("fused"),
+      md5(concat_ws("|", md5(col("id").cast("string")), col("id").cast("string"))).as("composed"))
+    assert(nested.collect().forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("Md5Join mirrors concat_ws null skipping on raw nullable children") {
     // unreachable through rowHashExpr (F13 coalesce makes tokens
     // non-null) but part of the node's declared contract
