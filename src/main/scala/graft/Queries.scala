@@ -1432,11 +1432,19 @@ object Queries {
     * bit-identical cosine scoring, exact decimal means. Yields CTEs
     * `corpus` (vec_id, e, nrm, cell) and `probed` (query_id, qv, qnrm,
     * cell ≤ nprobe). */
-  private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10"): String = {
+  private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10",
+      trainPredSql: Option[String] = None): String = {
+    // Frozen-quantizer variant (t50): seeds and Lloyd iterations read
+    // only the TRAINING subset `tn`; assignment/coding/probing (sfin,
+    // corpus, probed) always read the full corpus `n`. With no training
+    // predicate the generated SQL is the historical full-corpus text.
+    val tn = if (trainPredSql.isDefined) "tn" else "n"
+    val tnCte = trainPredSql
+      .map(p => s"tn AS (SELECT * FROM n WHERE $p),\n").getOrElse("")
     val iterCtes = (1 to IvfIters).map { i =>
       s"""s$i AS (SELECT n.vec_id, n.e, c.label,
          |  list_dot_product(n.e, c.c) / (n.nrm * sqrt(list_dot_product(c.c, c.c))) AS cs
-         |  FROM n CROSS JOIN c${i - 1} c),
+         |  FROM $tn n CROSS JOIN c${i - 1} c),
          |a$i AS (SELECT vec_id, e, label FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
          |  FROM s$i) WHERE rn = 1),
@@ -1448,10 +1456,10 @@ object Queries {
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-       |c0 AS (SELECT label, c FROM (
+       |${tnCte}c0 AS (SELECT label, c FROM (
        |  SELECT e AS c,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
-       |  FROM n) WHERE label < $IvfClusters),
+       |  FROM $tn) WHERE label < $IvfClusters),
        |$iterCtes,
        |cf AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM c$IvfIters),
        |sfin AS (SELECT n.vec_id, n.e, n.nrm, c.label,
@@ -2100,11 +2108,13 @@ object Queries {
     * queries) and t47 (the persisted hybrid's single-query vector
     * list). */
   private def ivfSq8OracleCtes(queryPredSql: String = "vec_id < 10",
-      candidates: Int = Sq8Candidates): String =
-    s"""${kmeansCtePrefix(queryPredSql)},
+      candidates: Int = Sq8Candidates,
+      trainPredSql: Option[String] = None): String =
+    s"""${kmeansCtePrefix(queryPredSql, trainPredSql)},
        |ex0 AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
        |  FROM v, unnest(range(len(e))) AS t(pos)),
-       |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0 GROUP BY pos),
+       |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0
+       |  ${trainPredSql.map(p => s"WHERE $p ").getOrElse("")}GROUP BY pos),
        |qvs AS (SELECT ex0.vec_id, ex0.pos, st.lo, st.hi,
        |    CASE WHEN st.hi = st.lo THEN 0
        |         ELSE greatest(0, least(255,
@@ -2151,14 +2161,20 @@ object Queries {
     * coding, per-query ADC lookup tables, estimated-cosine candidate
     * cut, exact re-rank — every float expression tree mirrors the Spark
     * side operator-for-operator. */
-  private def pqOracleSql: String = {
+  private def pqOracleSql(trainPredSql: Option[String] = None): String = {
     val subLen = 64 / PqM
     val perSub = (0 until PqM).map { si =>
       val off = si * subLen
+      // Frozen-codebook variant (t55): seeding and Lloyd read only the
+      // training subset; coding (cd) and query LUTs (ql) read all.
+      val tsub = if (trainPredSql.isDefined) s"tsub$si" else s"sub$si"
+      val tsubCte = trainPredSql.map(p =>
+        s"tsub$si AS MATERIALIZED (SELECT * FROM sub$si WHERE $p),\n")
+        .getOrElse("")
       val train = (1 to PqIters).map { j =>
         s"""ps${si}_$j AS MATERIALIZED (SELECT t.vec_id, t.s, c.code,
            |  (list_dot_product(c.c, c.c) - 2.0 * list_dot_product(t.s, c.c)) AS d2
-           |  FROM sub$si t CROSS JOIN pc${si}_${j - 1} c),
+           |  FROM $tsub t CROSS JOIN pc${si}_${j - 1} c),
            |pa${si}_$j AS MATERIALIZED (SELECT vec_id, s, code FROM (
            |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rn
            |  FROM ps${si}_$j) WHERE rn = 1),
@@ -2169,10 +2185,10 @@ object Queries {
            |  FROM px${si}_$j GROUP BY 1, 2) GROUP BY code)""".stripMargin
       }.mkString(",\n")
       s"""sub$si AS MATERIALIZED (SELECT vec_id, e[${off + 1}:${off + subLen}] AS s FROM n),
-         |pc${si}_0 AS MATERIALIZED (SELECT code, c FROM (
+         |${tsubCte}pc${si}_0 AS MATERIALIZED (SELECT code, c FROM (
          |  SELECT s AS c,
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-         |  FROM sub$si) WHERE code < $PqKsub),
+         |  FROM $tsub) WHERE code < $PqKsub),
          |$train,
          |pf$si AS MATERIALIZED (SELECT row_number() OVER (ORDER BY code) - 1 AS code, c
          |  FROM pc${si}_$PqIters),
@@ -2224,7 +2240,7 @@ object Queries {
           col("vec_id") < 10, k = 5, m = PqM, ksub = PqKsub,
           iters = PqIters, candidates = PqCandidates)
         .orderBy("query_id", "rank"),
-    oracle = Some(pqOracleSql),
+    oracle = Some(pqOracleSql()),
     bench = true)
 
   /** Persisted PQ index ([[VectorOps.writePqIndex]] →
@@ -2265,6 +2281,60 @@ object Queries {
         .orderBy("query_id", "rank")
     },
     oracle = t15_ivf_sq8_ann.oracle)
+
+  /** Deterministic build/append corpus split for the incremental-index
+    * family (t50/t54/t55): ids ≢ 0 (mod 3) are the initial build, the
+    * rest arrive as the appended batch. Mirrored verbatim in the
+    * oracles' training predicates. */
+  private val AppendTrainSql = "vec_id % 3 <> 0"
+
+  /** Incremental ANN index maintenance ([[VectorOps.appendToIndex]]):
+    * the IVF+SQ8 index is built on two thirds of the corpus, the
+    * remaining third is APPENDED against the frozen centroids/SQ8 stats
+    * (no retrain, no index rewrite — the batch is coded and routed to
+    * its cell buckets, FAISS `IndexIVF.add` semantics), and the probe
+    * runs over the combined index. The oracle retrains nothing either:
+    * its k-means/stats CTEs read only the training subset while coding
+    * and probing read the full corpus — so the gate proves
+    * probe(build(A) + append(B)) ≡ probe(build(A∪B) | quantizers(A))
+    * value-exactly, the production ingest contract. */
+  val t50_ann_index_append: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_append"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      VectorOps.appendToIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", table, numBuckets = 8)
+      val idx = VectorOps.loadIndex(spark, table)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${ivfSq8OracleCtes(trainPredSql = Some(AppendTrainSql))}
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** Incremental PQ index maintenance ([[VectorOps.appendToPqIndex]]):
+    * same contract as t50 one memory tier down — codebooks train on the
+    * build subset and FREEZE; the appended batch is only coded. Gated
+    * on the PQ oracle with training restricted to the build subset. */
+  val t55_pq_index_append: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_append"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, m = PqM, ksub = PqKsub, iters = PqIters)
+      VectorOps.appendToPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", table)
+      val idx = VectorOps.loadPqIndex(spark, table)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(pqOracleSql(Some(AppendTrainSql))))
 
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
@@ -3350,6 +3420,27 @@ object Queries {
     },
     oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
 
+  /** Incremental BM25 index maintenance ([[Retrieval.appendToBm25Index]]):
+    * the inverted index is built on two thirds of the corpus, the rest
+    * is APPENDED — new postings land in their term buckets, (n_docs,
+    * avgdl) are refreshed, per-term df is counted from postings at probe
+    * time so it is exact by construction. BM25 has no trained state, so
+    * append loses NOTHING: the gate is the full-corpus t42 oracle
+    * VERBATIM — a probe after append must be indistinguishable from a
+    * probe over a from-scratch build on the union. */
+  val t54_bm25_index_append: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bm25_append"
+      val docs = t(spark, dir, "documents")
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", table)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", table)
+      Retrieval.bm25TopKFromIndex(spark, table, Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
+
   private val HybridN = 50
   private val HybridK = 15
   private val HybridQueryVec = 0L
@@ -3823,6 +3914,9 @@ object Queries {
     "t44_hybrid_rrf" -> t44_hybrid_rrf,
     "t45_pq_index_persist" -> t45_pq_index_persist,
     "t46_bm25_index_persist" -> t46_bm25_index_persist,
+    "t50_ann_index_append" -> t50_ann_index_append,
+    "t54_bm25_index_append" -> t54_bm25_index_append,
+    "t55_pq_index_append" -> t55_pq_index_append,
     "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,

@@ -110,6 +110,47 @@ object Retrieval {
     Ddl.writeBucketedTable(postings, table, "term", numBuckets)
   }
 
+  /** INCREMENTAL maintenance of a persisted [[writeBm25Index]] index:
+    * tokenize ONLY the new documents, append their (id, dl) rows and
+    * term-bucketed postings, and refresh the single-row stats table —
+    * no rebuild touches the existing postings. Unlike the vector
+    * indexes' frozen quantizers, BM25 has no trained state: its
+    * statistics (n_docs, avgdl, per-term df) are exact corpus
+    * aggregates, and all three stay exact under append — df is counted
+    * from the postings at probe time (never persisted, so never stale),
+    * and (n_docs, avgdl) are recomputed from the appended `_docs` table
+    * (integer token counts sum exactly in double, so the refreshed
+    * avgdl is bit-identical to a from-scratch build's). A probe after
+    * append is therefore equal to a probe over a full rebuild on the
+    * union corpus — t54 gates that value-level on the t42 oracle
+    * verbatim. Cost: one tokenize+bucket pass over the BATCH plus a
+    * `_docs`-sized (two tiny columns) stats aggregate. Caller
+    * contract: doc ids are new; `numBuckets` must equal the build's. */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      table: String, numBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val toks = Staging.barrier(docs.select(col(idCol).as("id"),
+      TextDedup.tokens(col(textCol)).as("t"))
+      .select(col("id"), col("t"), size(col("t")).as("dl")))
+    toks.select(col("id"), col("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${table}_docs")
+    val postings = toks
+      .select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    Ddl.writeBucketedTable(postings, table, "term", numBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+    val stats = spark.table(s"${table}_docs")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .collect().head
+    Ddl.dropTableAndLocation(spark, s"${table}_stats")
+    spark.createDataFrame(Seq((stats.getLong(0), stats.getDouble(1))))
+      .toDF("n_docs", "avgdl")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
   /** BM25 top-k over a LOADED [[writeBm25Index]] index, for ARBITRARY
     * query terms — the production probe shape: cost is proportional to
     * the query terms' postings (bucket-pruned equi-filter on the

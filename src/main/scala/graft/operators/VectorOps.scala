@@ -556,6 +556,35 @@ object VectorOps {
     ivfSq8Probe(idx.coded, idx.cent, idx.lo, idx.hi, queryPred, k,
       nprobe, candidates)
 
+  /** INCREMENTAL maintenance of a persisted [[writeIndex]] index: code
+    * `df`'s vectors against the FROZEN quantizers (the stored centroids
+    * and SQ8 stats — neither is retrained) and append them to the
+    * cell-bucketed coded relation. This is the production ingest shape:
+    * a 100 TB pipeline receives new vectors continuously, and a full
+    * retrain+rewrite per batch would be quadratic in corpus size; the
+    * standard answer (FAISS `IndexIVF.add`, Jégou et al. 2011 §V) is
+    * exactly this — quantizers train once on a sample, additions only
+    * code and route. The append is CELL-LOCAL: one coding pass over the
+    * batch plus the bucketing shuffle of the BATCH only — the existing
+    * index files are untouched, no full-index rewrite (t50's plan gate).
+    * Out-of-range values clamp into [lo,hi] by [[sq8Code]]'s saturation,
+    * so frozen stats stay valid for any batch. Caller contract: ids are
+    * new (appending an existing id duplicates it, as in any
+    * append-mode sink); `numBuckets` must equal the build's.
+    * Probe-equivalence — a probe over build(A)+append(B) equals a probe
+    * over build(A∪B) with quantizers trained on A — is gated
+    * value-level by t50 against the frozen-training DuckDB oracle. */
+  def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
+      table: String, numBuckets: Int = 8): Unit = {
+    val idx = loadIndex(df.sparkSession, table)
+    val p = prepared(df, idCol, vecCol)
+    val indexed = p.select(col("id"), col("v"), col("nrm"),
+      assignCell(col("v"), col("nrm"), idx.cent).as("cell"),
+      sq8Code(col("v"), idx.lo, idx.hi).as("code"))
+    Ddl.writeBucketedTable(indexed, table, "cell", numBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   // ---------- Product quantization (PQ / ADC) ----------
 
   /** Subvector slice `[off+1, off+len]` (1-based, like DuckDB `l[a:b]`). */
@@ -771,6 +800,22 @@ object VectorOps {
   def pqTopKFromIndex(idx: PqIndex, queryPred: Column, k: Int,
       candidates: Int = 20): DataFrame =
     pqProbe(idx.coded, idx.books, queryPred, k, candidates)
+
+  /** INCREMENTAL maintenance of a persisted [[writePqIndex]] index:
+    * code `df`'s vectors against the FROZEN codebooks (no retraining —
+    * the [[appendToIndex]] contract one memory tier down) and append to
+    * the coded relation; codebook tables are untouched. One map-side
+    * coding pass over the batch, no index rewrite. t55 gates
+    * probe-equivalence against the frozen-training PQ oracle. */
+  def appendToPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      table: String): Unit = {
+    val idx = loadPqIndex(df.sparkSession, table)
+    val sub = idx.books.head.head._2.length
+    prepared(df, idCol, vecCol)
+      .withColumn("code", pqCode(col("v"), idx.books, sub))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(table)
+  }
 
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign
     * of dimension offset+i. Deterministic and oracle-portable (no random

@@ -57,6 +57,79 @@ class RetrievalSpec extends SparkSpec {
     assert(out.exists(r => vecIds(r.getLong(0)) && !kwIds(r.getLong(0))))
   }
 
+  /** Parquet leaf files of a cataloged table: name → mtime. */
+  private def tableFiles(table: String): Map[String, Long] = {
+    val uri = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    new java.io.File(uri).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+  }
+
+  test("BM25 append: existing postings untouched, probe equals a full rebuild") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val table = "graft_bm25_append_spec"
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", table)
+    val before = tableFiles(table)
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", table)
+    val after = tableFiles(table)
+    // no rewrite: every pre-append postings file survives byte-identical
+    // (same name, same mtime); the append only ADDED files
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    assert(after.size > before.size)
+    // probe-equivalence on terms the t54 gate never sees: the appended
+    // index must answer ANY query exactly as the independent in-query
+    // scorer does over the full corpus
+    for (terms <- Seq(Seq("data", "model"), Seq("join", "window", "the"))) {
+      val probe = Retrieval
+        .bm25TopKFromIndex(spark, table, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inQuery = operators.TextAnalysis
+        .bm25TopK(docs, "doc_id", "text", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(probe === inQuery, s"terms=$terms")
+    }
+  }
+
+  test("ANN append: existing cell buckets untouched, frozen metadata unchanged") {
+    import graft.operators.VectorOps
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val table = "graft_ann_append_spec"
+    VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+      "embedding", table, kClusters = 8, iters = 2, numBuckets = 8)
+    val idxBefore = VectorOps.loadIndex(spark, table)
+    val before = tableFiles(table)
+    VectorOps.appendToIndex(emb.filter(col("vec_id") % 3 === 0), "vec_id",
+      "embedding", table, numBuckets = 8)
+    val after = tableFiles(table)
+    assert(before.forall { case (n, m) => after.get(n).contains(m) })
+    assert(after.size > before.size)
+    val idxAfter = VectorOps.loadIndex(spark, table)
+    // quantizers are FROZEN: centroids and SQ8 stats byte-identical
+    assert(idxAfter.cent.map(_._1) === idxBefore.cent.map(_._1))
+    assert(idxAfter.cent.map(_._2.toSeq) === idxBefore.cent.map(_._2.toSeq))
+    assert(idxAfter.lo.toSeq === idxBefore.lo.toSeq)
+    assert(idxAfter.hi.toSeq === idxBefore.hi.toSeq)
+    // the combined relation now carries exactly the union of ids
+    val ids = idxAfter.coded.select("id").collect().map(_.getLong(0)).toSet
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === want)
+    // appended rows were coded against the frozen quantizers: recode the
+    // appended batch independently and compare cell+code per id
+    val recoded = VectorOps.prepared(
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+      .select(col("id"),
+        VectorOps.assignCell(col("v"), col("nrm"), idxBefore.cent).as("cell"),
+        VectorOps.sq8Code(col("v"), idxBefore.lo, idxBefore.hi).as("code"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2)))).toMap
+    val stored = idxAfter.coded.filter(col("id") % 3 === 0)
+      .select(col("id"), col("cell"), col("code"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2)))).toMap
+    assert(stored === recoded)
+  }
+
   test("BM25 index probe equals the in-query scorer for ARBITRARY terms") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_bm25_spec")
