@@ -995,6 +995,71 @@ object Queries {
          |ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** True ExactSubstr span REMOVAL ([[TextDedup.spanDedup]]): where t27
+    * only measures duplicated spans, this cuts every duplicated run
+    * except its first (doc_id, start) occurrence and rebuilds the text —
+    * Lee et al. 2022's actual transformation, composed from t27's
+    * run-length spans and t48's reassembly. The oracle replays the
+    * gram-df + run-length CTEs, the digest-sequence span keys, the
+    * keep-first window and the positional removal, and the gate is
+    * hash-exact on the rebuilt strings. */
+  val t51_span_removal: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.spanDedup(t(spark, dir, "documents"), "doc_id", "text",
+          gram = SpanGram)
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= $SpanGram
+         |      THEN [array_to_string(list_slice(t, i+1, i+$SpanGram), ' ') for i in range(len(t)-${SpanGram - 1})]
+         |      ELSE [] END AS gs
+         |  FROM toks),
+         |ex AS (
+         |  SELECT doc_id, unnest(range(len(gs))) AS pos, md5(unnest(gs)) AS gh
+         |  FROM g),
+         |dup AS (SELECT gh FROM ex GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (SELECT doc_id, pos, gh FROM ex WHERE gh IN (SELECT gh FROM dup)),
+         |rn AS (
+         |  SELECT doc_id, pos, gh,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM fl),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start,
+         |    min(pos) + count(*) + ${SpanGram - 2} AS last,
+         |    md5(string_agg(gh, '' ORDER BY pos)) AS sh
+         |  FROM rn GROUP BY doc_id, grp),
+         |firsts AS (
+         |  SELECT sh, doc_id, start FROM (
+         |    SELECT sh, doc_id, start,
+         |      row_number() OVER (PARTITION BY sh ORDER BY doc_id, start) AS r
+         |    FROM spans) WHERE r = 1),
+         |removed AS (
+         |  SELECT s.doc_id, s.start, s.last FROM spans s
+         |  WHERE NOT EXISTS (SELECT 1 FROM firsts f
+         |    WHERE f.sh = s.sh AND f.doc_id = s.doc_id AND f.start = s.start)),
+         |rmpos AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, unnest(range(start, last + 1)) AS pos FROM removed)),
+         |tokpos AS (
+         |  SELECT doc_id, unnest(range(len(t))) AS pos, unnest(t) AS tok FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM rmpos r
+         |    WHERE r.doc_id = tp.doc_id AND r.pos = tp.pos)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t) AS n_tokens,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM toks tk LEFT JOIN agg a USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin))
+
   private val CosineThreshold = 0.45
 
   private val NearDupBits = 4
@@ -3880,6 +3945,7 @@ object Queries {
     "t4_simhash" -> t4_simhash,
     "t26_simhash_pairs" -> t26_simhash_pairs,
     "t27_span_dedup" -> t27_span_dedup,
+    "t51_span_removal" -> t51_span_removal,
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
     "t17_decontaminate" -> t17_decontaminate,

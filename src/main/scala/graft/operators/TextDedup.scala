@@ -630,12 +630,16 @@ object TextDedup {
     * reassembles to the empty string (the caller's drop-or-keep policy).
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int): DataFrame = {
+      chunkTokens: Int,
+      maxDocTokens: Int = DefaultMaxDocTokens): DataFrame = {
     // chunk boundaries come from the ONE shared spelling
     // (TextAnalysis.chunkStructs) the streaming twin also uses; tokens
-    // are a materialized attribute per the lambda-closure rule
+    // are a materialized attribute per the lambda-closure rule, guarded
+    // by the reassembly-buffer contract ([[DefaultMaxDocTokens]])
     val toks = Staging.barrier(
-      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t")))
+      df.select(col(idCol).as("doc_id"),
+        guardedTokens(col(textCol), col(idCol), maxDocTokens,
+          "paragraphDedup").as("t")))
     val chunks = Staging.barrier(
       toks.select(col("doc_id"),
           explode(TextAnalysis.chunkStructs(col("t"), chunkTokens)).as("c"))
@@ -657,6 +661,31 @@ object TextDedup {
             struct(col("chunk_idx"), col("chunk_text"))))),
           x => x.getField("chunk_text"))).as("clean_text"))
   }
+
+  /** Reassembly-buffer contract shared by the document-rewriting
+    * operators ([[paragraphDedup]], [[spanDedup]]): their final per-doc
+    * aggregate holds one document's surviving text in a single buffer
+    * row, so an unbounded document is an executor-OOM hazard, not a
+    * correctness hazard. Mirroring the F13 1000-char token-cap
+    * discipline, the bound is EXPLICIT: a document over `maxDocTokens`
+    * fails the job loudly (`assert_true`, map-side, before any shuffle)
+    * instead of dying opaquely in an aggregation spill. 2^20 tokens
+    * (several MB of text) is far above any sane training document;
+    * callers with bigger rows should chunk first (t30). */
+  val DefaultMaxDocTokens: Int = 1 << 20
+
+  /** Tokens of `textCol`, guarded by the [[DefaultMaxDocTokens]]
+    * contract: evaluates the token array once (let-bound), asserts the
+    * bound, and returns the array unchanged. */
+  private def guardedTokens(textCol: Column, idCol: Column,
+      maxDocTokens: Int, op: String): Column =
+    bound(tokens(textCol)) { tt =>
+      when(assert_true(size(tt) <= lit(maxDocTokens),
+        concat(lit(s"$op: document "), idCol.cast("string"), lit(" has "),
+          size(tt).cast("string"),
+          lit(s" tokens > maxDocTokens=$maxDocTokens (reassembly-buffer " +
+            "contract; chunk oversized docs first)"))).isNull, tt)
+    }
 
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
@@ -782,5 +811,85 @@ object TextDedup {
             / col("n_grams")).as("dup_fraction"),
         coalesce(col("max_run") + lit(gram - 1L), lit(0L))
           .as("max_dup_span_tokens"))
+  }
+
+  /** Span REMOVAL — true ExactSubstr dedup (Lee et al. 2022, §3:
+    * "deduplicating training data makes language models better" CUTS
+    * every duplicated byte range and rejoins the remainder; t27's
+    * [[spanDuplication]] only FLAGS them). Composes t27's run-length
+    * spans with t48's reassembly:
+    *
+    *   1. duplicated-gram runs exactly as t27 (gram-digest aggregation,
+    *      cross-doc df ≥ 2, pos − row_number runs under a per-doc
+    *      window) — corpus-sized shuffles carry 16-byte digests only;
+    *   2. each maximal run becomes a SPAN `[start, start+run+gram−2]`
+    *      keyed by md5 over its ordered gram-digest sequence — equal
+    *      span text ⇔ equal digest sequence (128-bit digests stand in
+    *      for grams, the t27 collision rule), so the key is computed
+    *      from digests already in flight and the corpus text is never
+    *      joined, never shuffled;
+    *   3. keep-first: per span key, min(doc_id, start) survives (the
+    *      t48 rule at span granularity); every other occurrence's token
+    *      range is removed;
+    *   4. reassembly is MAP-SIDE: removal ranges aggregate to one tiny
+    *      (doc_id, ranges) row per affected doc, join back to the token
+    *      arrays (AQE broadcasts the small side), and a positional
+    *      `filter` drops covered tokens — no token-level explode, no
+    *      text shuffle at all.
+    *
+    * Overlap semantics: removal is the UNION of removed ranges — a kept
+    * first-occurrence span partially covered by some other removed
+    * range loses the intersection (document order, not span identity,
+    * is what reassembly preserves). Docs shorter than `gram` tokens
+    * pass through untouched; a fully-duplicated later doc reassembles
+    * to the empty string (caller's drop-or-keep policy, as t48).
+    *
+    * Output: (doc_id, n_tokens, n_kept, clean_text). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      gram: Int, maxDocTokens: Int = DefaultMaxDocTokens): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("doc_id"),
+        guardedTokens(col(textCol), col(idCol), maxDocTokens,
+          "spanDedup").as("t")))
+    val ex = Staging.barrier(
+      toks.select(col("doc_id"),
+        posexplode(graft.functions.GramMd5s(col("t"), gram))
+          .as(Seq("pos", "gh"))))
+    val dupSet = ex.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val flagged = ex.join(dupSet, Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"),
+        md5(concat_ws("", transform(
+          sort_array(collect_list(struct(col("pos"), col("gh")))),
+          x => x.getField("gh")))).as("sh"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + col("run") + lit(gram - 2L)).as("last"), col("sh"))
+    val firsts = spans.groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("start"))).as("f"))
+    val rmRanges = spans.join(firsts, Seq("sh"))
+      .filter(!(col("f.doc_id") === col("doc_id") &&
+        col("f.start") === col("start")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("last"))).as("rm"))
+    toks.join(rmRanges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("rm"),
+          array().cast("array<struct<start:int,last:bigint>>")).as("rm"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        bound(filter(col("t"), (_, i) =>
+          !exists(col("rm"), r =>
+            i >= r.getField("start") && i <= r.getField("last")))) { kept =>
+          struct(size(kept).cast("long").as("n_kept"),
+            concat_ws(" ", kept).as("clean_text"))
+        }.as("k"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("k.n_kept").as("n_kept"), col("k.clean_text").as("clean_text"))
   }
 }

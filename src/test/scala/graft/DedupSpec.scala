@@ -466,6 +466,60 @@ class DedupSpec extends SparkSpec {
     assert(corpus.filter(col("n_kept") < col("n_chunks")).count() > 0L)
   }
 
+  test("span removal cuts all but the first occurrence and reassembles losslessly") {
+    import spark.implicits._
+    // gram=2: docs 1 and 2 share the maximal run "a b c" (grams "a b",
+    // "b c"); doc 1 owns the first occurrence, doc 2 loses tokens 1-3;
+    // doc 3 shares nothing and must round-trip byte-identical
+    val fixture = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c y"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanDedup(fixture, "doc_id", "text", gram = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 5L, 2L, "x y"),
+      (3L, 3L, 3L, "p q r")))
+    // t48's lossless-reassembly law at span granularity, corpus-wide:
+    // any doc that loses nothing rebuilds EXACTLY its normalized text,
+    // and kept counts never exceed totals
+    val corpus = TextDedup.spanDedup(docs, "doc_id", "text", gram = 5)
+    val norm = docs.select(col("doc_id"),
+      concat_ws(" ", TextDedup.tokens(col("text"))).as("norm"))
+    assert(corpus.join(norm, Seq("doc_id"))
+      .filter(col("n_kept") === col("n_tokens") &&
+        col("clean_text") =!= col("norm")).count() === 0L)
+    assert(corpus.filter(col("n_kept") > col("n_tokens")).count() === 0L)
+    // non-degenerate on the corpus: some doc actually loses a span
+    assert(corpus.filter(col("n_kept") < col("n_tokens")).count() > 0L)
+  }
+
+  test("reassembly-buffer contract: docs at the token bound pass, over it fail loudly") {
+    import spark.implicits._
+    val atBound = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val overBound = Seq((2L, "a b c d e")).toDF("doc_id", "text")
+    // at the bound: both rewriting operators run normally
+    assert(TextDedup.paragraphDedup(atBound, "doc_id", "text", 2,
+      maxDocTokens = 4).count() === 1L)
+    assert(TextDedup.spanDedup(atBound, "doc_id", "text", 2,
+      maxDocTokens = 4).count() === 1L)
+    // over the bound: loud per-row failure naming the contract, not an
+    // opaque aggregation OOM
+    for (run <- Seq(
+        () => TextDedup.paragraphDedup(overBound, "doc_id", "text", 2,
+          maxDocTokens = 4).collect(),
+        () => TextDedup.spanDedup(overBound, "doc_id", "text", 2,
+          maxDocTokens = 4).collect())) {
+      val e = intercept[Exception](run())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("maxDocTokens")), e.toString)
+    }
+  }
+
   test("fused tokenizer equals the composed trim+lower+split+filter byte-for-byte") {
     import spark.implicits._
     // corpus rows + adversarial edges: multi-byte case mappings (İ→i̇,
