@@ -3611,6 +3611,102 @@ object Queries {
          |  (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
          |FROM cut ORDER BY rank""".stripMargin))
 
+  /** (query_id, term) pairs for the batched retrieval probe (t52):
+    * four query-by-example probes, each with its own term set. */
+  private val BatchedQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "query",
+    1L -> "stream", 1L -> "filter",
+    2L -> "data", 2L -> "model",
+    3L -> "join", 3L -> "window")
+
+  /** BATCHED hybrid retrieval over the persisted index stack
+    * ([[Retrieval.bm25ScoreBatchedFromIndex]] + the multi-query IVF+SQ8
+    * probe + [[Retrieval.rrfFuseBatched]]): four query-by-example
+    * probes — each with its OWN term set and its own embedding — score,
+    * rank and fuse in ONE plan. Every per-query cut is a rank window
+    * PARTITIONED by query_id (the t28 shape): no single-partition
+    * window, no per-query job loop (QueriesSpec pins the plan). The
+    * keyword side reads the term-bucketed postings without reshuffling
+    * them; the vector side is the t47 probe with a 4-query predicate.
+    * Self-hits (id = query_id) are dropped post-retrieval, t47's
+    * production semantics. The oracle replays batched BM25 (per-query
+    * tf/df over a VALUES term relation), the k-means/SQ8 probe and the
+    * per-query fusion; the gate is hash-exact. */
+  val t52_hybrid_batched: Q = Q(
+    run = (spark, dir) => {
+      val bmTable = "graft_batched_bm25"
+      val annTable = "graft_batched_ann"
+      Retrieval.writeBm25Index(t(spark, dir, "documents"), "doc_id",
+        "text", bmTable)
+      VectorOps.writeIndex(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", annTable, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      val qt = spark.createDataFrame(BatchedQueries).toDF("query_id", "term")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("id").asc)
+      val kw = Retrieval.bm25ScoreBatchedFromIndex(spark, bmTable, qt)
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= HybridN)
+        .select("query_id", "id", "rank")
+      val vec = VectorOps
+        .ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, annTable),
+          col("id") < 4, k = HybridN, nprobe = IvfNprobe,
+          candidates = HybridIdxCand)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Retrieval.rrfFuseBatched(Seq(kw, vec), HybridK)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("query_id", "rank")
+    },
+    oracle = {
+      val qtValues = BatchedQueries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      Some(
+        s"""${ivfSq8OracleCtes("vec_id < 4", HybridIdxCand)},
+           |vlist AS (SELECT query_id, neighbor_id AS id, rank AS rk
+           |  FROM ranked WHERE rank <= $HybridN),
+           |qt AS (SELECT CAST(q AS BIGINT) AS query_id, term
+           |  FROM (VALUES $qtValues) vv(q, term)),
+           |base AS (
+           |  SELECT doc_id AS id,
+           |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |perdoc AS (SELECT id, len(toks) AS dl, toks FROM base),
+           |bstats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM perdoc),
+           |tft AS (SELECT p.id, tt.term, len(list_filter(p.toks, x -> x = tt.term)) AS tf, p.dl
+           |  FROM perdoc p CROSS JOIN (SELECT DISTINCT term FROM qt) tt),
+           |dfs AS (SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+           |  FROM tft GROUP BY term),
+           |contrib AS (SELECT q.query_id, f.id,
+           |  CAST(ROUND(1e6 * log10(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+           |    ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+           |     (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))) AS BIGINT) AS c
+           |  FROM tft f JOIN dfs USING (term) JOIN qt q ON q.term = f.term
+           |  CROSS JOIN bstats
+           |  WHERE f.tf > 0),
+           |kscore AS (SELECT query_id, id, SUM(c) AS score_micro
+           |  FROM contrib GROUP BY 1, 2),
+           |blist AS (SELECT query_id, id, rk FROM (
+           |  SELECT query_id, id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, id) AS rk
+           |  FROM kscore WHERE id <> query_id) WHERE rk <= $HybridN),
+           |fused AS (
+           |  SELECT COALESCE(b.query_id, vl.query_id) AS query_id,
+           |    COALESCE(b.id, vl.id) AS doc_id,
+           |    CAST(ROUND(1e9 * (
+           |      COALESCE(1.0 / (60.0 + CAST(b.rk AS DOUBLE)), 0.0)
+           |      + COALESCE(1.0 / (60.0 + CAST(vl.rk AS DOUBLE)), 0.0))) AS BIGINT)
+           |      AS rrf_nano
+           |  FROM blist b FULL OUTER JOIN vlist vl
+           |    ON b.query_id = vl.query_id AND b.id = vl.id)
+           |SELECT query_id, doc_id, rrf_nano, CAST(rank AS INT) AS rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf_nano DESC, doc_id) AS rank FROM fused)
+           |WHERE rank <= $HybridK ORDER BY query_id, rank""".stripMargin)
+    })
+
   /** AS-OF join: every click event matched to the user's most recent
     * purchase at-or-before it (ties on ts broken by greatest event_id),
     * nulls when no purchase precedes. The Spark side is
@@ -3984,6 +4080,7 @@ object Queries {
     "t54_bm25_index_append" -> t54_bm25_index_append,
     "t55_pq_index_append" -> t55_pq_index_append,
     "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
+    "t52_hybrid_batched" -> t52_hybrid_batched,
     "t37_winnowing" -> t37_winnowing,
     "t38_overlap_matrix" -> t38_overlap_matrix,
     "t39_winnow_pairs" -> t39_winnow_pairs,

@@ -110,6 +110,66 @@ object Retrieval {
     Ddl.writeBucketedTable(postings, table, "term", numBuckets)
   }
 
+  /** BATCHED multi-query BM25 scoring over a LOADED [[writeBm25Index]]
+    * index: `queryTerms` is a (query_id, term) relation — N queries
+    * score in ONE plan, no per-query job loop. The postings relation is
+    * term-bucketed, so the semi-join term restriction, the per-term df
+    * count and the per-(query, doc) contribution sum all run without
+    * re-shuffling postings; the query side (terms, dfs, stats) is
+    * broadcast. Per-posting contributions are the SAME shared float
+    * tree as the single-query probe ([[TextAnalysis.bm25Contrib]],
+    * integer micro-units), so batched scores equal N single probes
+    * exactly. Returns (query_id, id, score_micro) — docs with no hit
+    * on a query's terms are absent (they contribute exactly 0);
+    * ranking/cutting is the caller's (a per-query rank window — the
+    * t28 shape — never a global sort). */
+  def bm25ScoreBatchedFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queryTerms: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qt = queryTerms.select(col("query_id"), col("term"))
+    val posts = spark.table(table)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+    val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${table}_stats")
+    posts
+      .join(broadcast(dfs), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("id"),
+        TextAnalysis.bm25Contrib(col("tf"), col("df"), col("n_docs"),
+          col("avgdl"), col("dl"), k1, b).as("c"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("score_micro"))
+  }
+
+  /** BATCHED [[rrfFuse]]: each list is (query_id, id, rank) — rank
+    * 1-based PER QUERY, top-N-bounded — and fusion joins on
+    * (query_id, id) with the final cut a rank window PARTITIONED by
+    * query_id: one plan fuses N queries, no single-partition window,
+    * no per-query loop. Scores in integer nano-units, ties cut on
+    * (score desc, id) — the rrfFuse contract per query. */
+  def rrfFuseBatched(lists: Seq[DataFrame], k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatched needs at least one ranked list")
+    val renamed = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("id"),
+        col("rank").cast("double").as(s"rk_$i"))
+    }
+    val joined = renamed.reduce((a, b) =>
+      a.join(b, Seq("query_id", "id"), "full_outer"))
+    val score = lists.indices
+      .map(i => coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rk_$i")),
+        lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_nano").desc, col("id").asc)
+    joined
+      .select(col("query_id"), col("id"),
+        round(lit(1e9) * score).cast("long").as("rrf_nano"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** INCREMENTAL maintenance of a persisted [[writeBm25Index]] index:
     * tokenize ONLY the new documents, append their (id, dl) rows and
     * term-bucketed postings, and refresh the single-row stats table —

@@ -130,6 +130,39 @@ class RetrievalSpec extends SparkSpec {
     assert(stored === recoded)
   }
 
+  test("batched BM25 equals N single-query probes; fused plan has no single-partition window") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val table = "graft_bm25_batch_spec"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", table)
+    val querySets = Seq(
+      10L -> Seq("data", "model"),
+      20L -> Seq("join", "window", "the"))
+    val qt = querySets
+      .flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val batched = Retrieval.bm25ScoreBatchedFromIndex(spark, table, qt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // per-query singles through the INDEPENDENT in-query scorer: every
+    // batched (query, doc, score) must be what that query scores alone
+    val singles = querySets.flatMap { case (q, ts) =>
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", ts, k = Int.MaxValue)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batched === singles)
+    // the fusion cut is a PARTITIONED rank window: one plan for N
+    // queries, no Exchange SinglePartition anywhere (the per-query loop
+    // smell t52 exists to eliminate)
+    val lists = Seq(
+      qt.select(col("query_id"), (col("query_id") + 1).as("id"), lit(1).as("rank")),
+      qt.select(col("query_id"), (col("query_id") + 2).as("id"), lit(1).as("rank")))
+    val fused = Retrieval.rrfFuseBatched(lists, k = 5)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"batched fusion must not plan a single-partition window:\n$plan")
+    assert(fused.count() > 0)
+  }
+
   test("BM25 index probe equals the in-query scorer for ARBITRARY terms") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     Retrieval.writeBm25Index(docs, "doc_id", "text", "graft_bm25_spec")
