@@ -1423,6 +1423,80 @@ object Queries {
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** FUZZY paragraph dedup ([[TextDedup.fuzzyParagraphDedup]]): t48's
+    * exact-chunk rule widened to NEAR-duplicate chunks (CCNet) — the
+    * whole t3 LSH stack at chunk granularity, t16's connected
+    * components, t48's reassembly. The oracle replays chunking, the
+    * banded minhash candidate join, exact-Jaccard verification, the
+    * recursive-CTE min-label closure and ordered reassembly; the gate
+    * is hash-exact on the rebuilt strings. */
+  val t53_fuzzy_paragraph_dedup: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.fuzzyParagraphDedup(t(spark, dir, "documents"), "doc_id",
+          "text", chunkTokens = ChunkTokens, n = 3, k = MinhashK,
+          bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .orderBy("doc_id"),
+    oracle = {
+      val sigElems = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(", ")
+      val bandElems = (0 until NumBands).map(b =>
+        s"md5(array_to_string(list_slice(sig, ${b * BandSize + 1}, ${(b + 1) * BandSize}), ','))")
+        .mkString(", ")
+      Some(
+        s"""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |st AS (
+           |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkTokens)) AS start
+           |  FROM toks WHERE len(t) > 0),
+           |ch AS (
+           |  SELECT doc_id, CAST(start // $ChunkTokens AS INT) AS chunk_idx,
+           |    doc_id * ${TextDedup.ChunkIdStride} + (start // $ChunkTokens) AS cid,
+           |    list_slice(t, start + 1, start + $ChunkTokens) AS ctoks,
+           |    array_to_string(list_slice(t, start + 1, start + $ChunkTokens), ' ') AS chunk_text
+           |  FROM st),
+           |csh AS (
+           |  SELECT cid,
+           |    CASE WHEN len(ctoks) >= 3
+           |      THEN list_distinct([array_to_string(list_slice(ctoks, i+1, i+3), ' ') for i in range(len(ctoks)-2)])
+           |      ELSE [] END AS s
+           |  FROM ch),
+           |shf AS (SELECT cid, s FROM csh WHERE len(s) > 0),
+           |sig AS (SELECT cid, s, [$sigElems] AS sig FROM shf),
+           |bands AS (SELECT cid, [$bandElems] AS bands FROM sig),
+           |bex AS (
+           |  SELECT cid, r.range AS band_idx, bands[r.range + 1] AS bh
+           |  FROM bands CROSS JOIN range($NumBands) r),
+           |cand AS (
+           |  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+           |  FROM bex a JOIN bex b
+           |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.cid < b.cid),
+           |pairs AS (
+           |  SELECT id_a, id_b
+           |  FROM cand JOIN shf sa ON sa.cid = id_a JOIN shf sb ON sb.cid = id_b
+           |  WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+           |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $JaccardThreshold),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT id, id AS lbl FROM nodes
+           |  UNION
+           |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |kk AS (
+           |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text,
+           |    CASE WHEN comp.cluster_id IS NULL OR comp.cluster_id = ch.cid
+           |      THEN 1 END AS keep
+           |  FROM ch LEFT JOIN comp ON comp.id = ch.cid)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |  count(CASE WHEN keep = 1 THEN 1 END) AS n_kept,
+           |  coalesce(string_agg(CASE WHEN keep = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS clean_text
+           |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    })
+
   /** Gopher-rule quality filter vector — see [[TextAnalysis.gopherRules]].
     * All-rational comparisons; the oracle replays every rule on DuckDB's
     * list primitives. */
@@ -4086,6 +4160,7 @@ object Queries {
     "t39_winnow_pairs" -> t39_winnow_pairs,
     "t41_winnow_dedup_apply" -> t41_winnow_dedup_apply,
     "t48_paragraph_dedup" -> t48_paragraph_dedup,
+    "t53_fuzzy_paragraph_dedup" -> t53_fuzzy_paragraph_dedup,
     "t49_gopher_rules" -> t49_gopher_rules,
     "m1_multimodal_features" -> m1_multimodal_features,
     "w1_windowed_agg" -> w1_windowed_agg,

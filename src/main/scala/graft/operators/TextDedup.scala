@@ -687,6 +687,64 @@ object TextDedup {
             "contract; chunk oversized docs first)"))).isNull, tt)
     }
 
+  /** Chunk-id stride for [[fuzzyParagraphDedup]]: chunk id =
+    * `doc_id · 2²¹ + chunk_idx`. 2²¹ > [[DefaultMaxDocTokens]] bounds
+    * chunk_idx (even 1-token chunks), so the encoding is collision-free
+    * and ORDER-PRESERVING — min chunk id ≡ min (doc_id, chunk_idx), the
+    * keep-first rule's total order. Contract: doc ids fit 42 bits
+    * (4·10¹² documents — beyond any current corpus). */
+  val ChunkIdStride: Long = 1L << 21
+
+  /** FUZZY paragraph dedup (CCNet's near-duplicate paragraph removal on
+    * top of t48's exact rule): chunks are rows, so the WHOLE document
+    * near-dup stack applies unchanged at chunk granularity —
+    * [[minhashLshPairs]] (shingle → minhash → banded candidates → exact
+    * Jaccard ≥ `threshold`) finds near-dup chunk PAIRS,
+    * [[connectedComponents]] closes them into clusters, each cluster
+    * keeps only its first (doc_id, chunk_idx) member (singletons pass),
+    * and documents reassemble exactly as [[paragraphDedup]]. Exact
+    * duplicates are a subcase (identical text ⇒ identical signature ⇒
+    * banded candidate ⇒ Jaccard 1), so this strictly widens t48.
+    *
+    * Scale shape: the LSH stack shuffles chunk signatures and 8-byte
+    * hashed shingles, never chunk text (t3's banded plan); the cluster
+    * state is two longs per PAIRED chunk; reassembly is t48's one
+    * doc_id shuffle. Chunk text rides only the staged chunk frame and
+    * the final aggregate. */
+  def fuzzyParagraphDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, n: Int, k: Int, bandSize: Int, numBands: Int,
+      threshold: Double,
+      maxDocTokens: Int = DefaultMaxDocTokens): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("doc_id"),
+        guardedTokens(col(textCol), col(idCol), maxDocTokens,
+          "fuzzyParagraphDedup").as("t")))
+    val chunks = Staging.barrier(
+      toks.select(col("doc_id"),
+          explode(TextAnalysis.chunkStructs(col("t"), chunkTokens)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk_text").as("chunk_text"))
+        .withColumn("cid",
+          col("doc_id") * lit(ChunkIdStride) + col("chunk_idx")))
+    val pairs = minhashLshPairs(chunks, "cid", "chunk_text",
+        n, k, bandSize, numBands, threshold)
+      .select("id_a", "id_b")
+    val clusters = connectedComponents(pairs)
+      .select(col("doc_id").as("ccid"), col("cluster_id"))
+    chunks.join(clusters, col("cid") === col("ccid"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        (col("cluster_id").isNull || col("cluster_id") === col("cid"))
+          .as("keep"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text"))).as("clean_text"))
+  }
+
   /** 60-bit token hash: first 15 hex chars of md5, parsed base-16 —
     * portable (DuckDB: CAST('0x'||substr(md5(t),1,15) AS BIGINT)). */
   def tokenHash60(tok: Column): Column =

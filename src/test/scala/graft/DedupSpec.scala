@@ -497,6 +497,33 @@ class DedupSpec extends SparkSpec {
     assert(corpus.filter(col("n_kept") < col("n_tokens")).count() > 0L)
   }
 
+  test("fuzzy paragraph dedup removes NEAR-duplicate chunks, not just exact ones") {
+    import spark.implicits._
+    // chunkTokens=8: doc 2's first chunk differs from doc 1's in its
+    // LAST token only — 5 of 7 distinct 3-gram shingles shared
+    // (jaccard ≈ 0.714 ≥ 0.5), text NOT equal, so t48's exact rule
+    // keeps it and only the fuzzy rule can remove it
+    val fixture = Seq(
+      (1L, "a b c d e f g h p q r s t u v w"),
+      (2L, "a b c d e f g z m n o m n o m n")
+    ).toDF("doc_id", "text")
+    // bandSize=1 × 16 bands: any agreeing signature element makes the
+    // pair a candidate — recall misses need all 16 minhashes to differ
+    // ((2/7)^16, and deterministic for this fixed fixture: verified hit)
+    val out = TextDedup.fuzzyParagraphDedup(fixture, "doc_id", "text",
+        chunkTokens = 8, n = 3, k = 16, bandSize = 1, numBands = 16,
+        threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 2L, 2L, "a b c d e f g h p q r s t u v w"),
+      (2L, 2L, 1L, "m n o m n o m n")))
+    // exact rule would NOT have removed it
+    val exact = TextDedup.paragraphDedup(fixture, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(exact.forall(r => r.getLong(1) === r.getLong(2)))
+  }
+
   test("reassembly-buffer contract: docs at the token bound pass, over it fail loudly") {
     import spark.implicits._
     val atBound = Seq((1L, "a b c d")).toDF("doc_id", "text")
