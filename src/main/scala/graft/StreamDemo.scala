@@ -53,6 +53,19 @@ object StreamDemo {
     wq.processAllAvailable(); wq.stop()
     println(s"[stream-demo] session windows: ${spark.table("sessions_w").count()}")
 
+    // update-mode windowed sketch profile: per-trigger deltas under a
+    // watermark (bounded state); the memory sink in update mode keeps
+    // every delta, so the count is >= the number of distinct groups
+    val pq = StreamingIngest.streamingWindowedSketch(
+        StreamingIngest.readEvents(spark, dir), "event_type",
+        graft.functions.MisraGriesAgg(
+          org.apache.spark.sql.functions.col("user_id").cast("string"), 64),
+        window = "1 hour", watermark = "2 hours")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("profile_upd").start()
+    pq.processAllAvailable(); pq.stop()
+    println(s"[stream-demo] update-mode sketch deltas: ${spark.table("profile_upd").count()}")
+
     // streaming NEAR-dup: documents streamed once, LSH bucket claims
     // deduped within the watermark, survivors = docs that kept all claims
     val docsStream = spark.readStream

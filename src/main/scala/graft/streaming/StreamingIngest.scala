@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -156,6 +156,35 @@ object StreamingIngest {
     stream.filter(col(c).isNotNull)
       .groupBy(col(keyCol))
       .agg(graft.functions.MisraGriesAgg(col(c), numCounters).as("hh"))
+
+  /** UPDATE-MODE windowed sketch profile — the production monitoring
+    * shape the complete-mode twins ([[streamingTopValues]]) are not:
+    * complete mode re-emits EVERY group per trigger and keeps every
+    * group's state forever; this groups by EVENT-TIME window under a
+    * watermark, so each trigger emits only the (window, key) rows that
+    * CHANGED (per-trigger deltas) and state for windows older than the
+    * watermark is EVICTED — bounded state over an unbounded stream.
+    * `sketch` is any of the repo's mergeable `TypedImperativeAggregate`
+    * sketch columns (Misra–Gries `p7`/`p8`, KLL-style quantiles `p9`,
+    * Count-Min `p10`): partial buffers merge through the state store
+    * exactly as in batch, so once a window CLOSES (the watermark passes
+    * its end) its last emitted row equals the batch sketch over the
+    * window's on-time rows. Consumer contract: FINALIZE each window
+    * when the watermark passes it — Spark's dropping of rows that
+    * arrive after eviction is best-effort (a very-late row may surface
+    * once more as a fresh partial state), and the finalize rule is what
+    * makes that harmless. StreamingSpec proves delta emission,
+    * at-close equality with batch, and state eviction. */
+  def streamingWindowedSketch(stream: DataFrame, keyCol: String,
+      sketch: Column, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col(keyCol))
+      .agg(sketch.as("sketch"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("sketch"))
 
   /** Streaming exact deduplication — the dedup family's streaming twin:
     * drops rows whose digest was already seen, with state expired by the

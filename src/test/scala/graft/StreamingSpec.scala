@@ -176,6 +176,89 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("update-mode windowed sketch: per-trigger deltas, late-drop, closed window equals batch") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("user_str", StringType), StructField("ts", TimestampType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // wave 1/2: the 10:00 window fills across TWO triggers (state must
+    // merge); wave 3 jumps event time to 14:00, pushing the watermark
+    // (2h) to 12:00 — past the 10:00 window's end, closing it; wave 4
+    // is a LATE 10:20 row behind the watermark and must be dropped
+    val waves = Seq(
+      Seq(Row("click", "u1", t("2024-01-01 10:05:00")),
+        Row("click", "u1", t("2024-01-01 10:10:00")),
+        Row("view", "u3", t("2024-01-01 10:12:00"))),
+      Seq(Row("click", "u2", t("2024-01-01 10:20:00"))),
+      Seq(Row("click", "u9", t("2024-01-01 14:00:00"))),
+      Seq(Row("click", "u7", t("2024-01-01 10:20:00"))))
+    val src = tmp("upd-sketch-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"upd-sketch-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val profiled = StreamingIngest.streamingWindowedSketch(stream,
+      "event_type", graft.functions.MisraGriesAgg(col("user_str"), 16),
+      window = "1 hour", watermark = "2 hours")
+    // collect each trigger's emitted delta rows with their batch id
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Seq[Row])]
+    val q = profiled.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getTimestamp(0).toString, r.getString(1),
+            r.getSeq[Row](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val w10 = "2024-01-01 10:00:00.0"
+    val w14 = "2024-01-01 14:00:00.0"
+    // DELTAS, not complete re-emission: wave 2 changed only the click
+    // row (view's unchanged state must NOT re-emit); wave 3 emitted
+    // only the new 14:00 window, never the untouched 10:00 rows
+    val byBatch = emitted.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).toSet).toMap
+    assert(byBatch(0L) === Set((w10, "click"), (w10, "view")))
+    assert(byBatch(1L) === Set((w10, "click")))
+    assert(byBatch(2L) === Set((w14, "click")))
+    // FINALIZE-AT-CLOSE: wave 3's 14:00 event pushed the watermark to
+    // 12:00, past the 10:00 window's end — the window closed at batch 2.
+    // The consumer contract for update-mode sinks is to finalize each
+    // window when the watermark passes it; the last emission AT OR
+    // BEFORE the closing batch must equal the batch sketch over the
+    // window's on-time rows. (Spark's drop of later-arriving rows for
+    // an already-evicted window is best-effort — wave 4 may surface as
+    // a fresh partial state — so post-close emissions are exactly what
+    // the finalize rule exists to ignore.)
+    val finalAtClose = emitted.filter(_._1 <= 2L).groupBy(e => (e._2, e._3))
+      .view.mapValues(_.maxBy(_._1)._4.map(r =>
+        (r.getString(0), r.getLong(1))).toSeq).toMap
+    val onTime = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.take(3).flatten), schema)
+    val batch = StreamingIngest.streamingWindowedSketch(onTime,
+        "event_type", graft.functions.MisraGriesAgg(col("user_str"), 16))
+      .collect().map(r => ((r.getTimestamp(0).toString, r.getString(1)),
+        r.getSeq[Row](2).map(x => (x.getString(0), x.getLong(1))).toSeq)).toMap
+    assert(finalAtClose === batch)
+    assert(finalAtClose((w10, "click")).toMap === Map("u1" -> 2L, "u2" -> 1L))
+    // BOUNDED STATE: after the watermark passed, the closed 10:00
+    // window's state rows were EVICTED — the store ends with only the
+    // open 14:00 window's single row, however many rows the stream saw
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head
+    assert(lastState.numRowsTotal === 1L)
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
