@@ -22,7 +22,9 @@ object ExplainDump {
         "t37_winnowing", "q2_min_cost_supplier", "p7_heavy_hitters_sketch",
         "j5_interval_join", "t38_overlap_matrix", "q14_promo_revenue",
         "t40_ann_index_persist", "t41_winnow_dedup_apply",
-        "t48_paragraph_dedup", "t49_gopher_rules")
+        "t48_paragraph_dedup", "t49_gopher_rules",
+        "t50_ann_index_append", "t51_span_removal", "t52_hybrid_batched",
+        "t53_fuzzy_paragraph_dedup", "t54_bm25_index_append")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1058,7 +1058,8 @@ object Queries {
          |  COALESCE(a.n_kept, 0) AS n_kept,
          |  COALESCE(a.clean_text, '') AS clean_text
          |FROM toks tk LEFT JOIN agg a USING (doc_id)
-         |ORDER BY tk.doc_id""".stripMargin))
+         |ORDER BY tk.doc_id""".stripMargin),
+    bench = true)
 
   private val CosineThreshold = 0.45
 
@@ -1495,7 +1496,8 @@ object Queries {
            |  count(CASE WHEN keep = 1 THEN 1 END) AS n_kept,
            |  coalesce(string_agg(CASE WHEN keep = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS clean_text
            |FROM kk GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    })
+    },
+    bench = true)
 
   /** Gopher-rule quality filter vector — see [[TextAnalysis.gopherRules]].
     * All-rational comparisons; the oracle replays every rule on DuckDB's

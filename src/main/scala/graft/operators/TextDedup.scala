@@ -706,11 +706,14 @@ object TextDedup {
     * duplicates are a subcase (identical text ⇒ identical signature ⇒
     * banded candidate ⇒ Jaccard 1), so this strictly widens t48.
     *
-    * Scale shape: the LSH stack shuffles chunk signatures and 8-byte
-    * hashed shingles, never chunk text (t3's banded plan); the cluster
-    * state is two longs per PAIRED chunk; reassembly is t48's one
-    * doc_id shuffle. Chunk text rides only the staged chunk frame and
-    * the final aggregate. */
+    * Scale shape: exact-duplicate chunks COLLAPSE to one representative
+    * per distinct text before LSH (see the in-body comment — provably
+    * result-identical, and it removes the M² candidate clique a
+    * verbatim-repeated chunk would otherwise cost), so the LSH stack
+    * shuffles one signature row per DISTINCT chunk, never text and
+    * never per-occurrence; cluster state is two longs per paired
+    * representative. Chunk text moves exactly twice — the h-flag join
+    * and the doc_id reassembly — t48's budget. */
   def fuzzyParagraphDedup(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, n: Int, k: Int, bandSize: Int, numBands: Int,
       threshold: Double,
@@ -725,16 +728,46 @@ object TextDedup {
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           col("c.chunk_text").as("chunk_text"))
         .withColumn("cid",
-          col("doc_id") * lit(ChunkIdStride) + col("chunk_idx")))
-    val pairs = minhashLshPairs(chunks, "cid", "chunk_text",
-        n, k, bandSize, numBands, threshold)
+          col("doc_id") * lit(ChunkIdStride) + col("chunk_idx"))
+        .withColumn("h", md5(col("chunk_text"))))
+    // EXACT-COLLAPSE before LSH — the clique killer: a chunk duplicated
+    // verbatim across M documents would put M ids in one LSH bucket and
+    // cost M²/2 candidate pairs (fatal at corpus scale, where exact
+    // repetition is the dominant duplication mode). Identical text ⇒
+    // identical signature AND identical verified Jaccard against any
+    // third chunk, so LSH over one representative per distinct text
+    // (the group's min cid) yields EXACTLY the same connected
+    // components, and each component's min representative IS the global
+    // min cid (representatives are group minima; the encoding is order-
+    // preserving). `first(s/bands)` is deterministic: every value in an
+    // h-group is byte-identical by construction.
+    val chFrame =
+      chunks.select(col("cid"), col("h"), tokens(col("chunk_text")).as("ct"))
+        .filter(size(col("ct")) >= n)
+        .select(col("cid"), col("h"),
+          graft.functions.ShingleLshBands(col("ct"), n, k, bandSize, numBands)
+            .as("sl"))
+        .select(col("cid"), col("h"),
+          col("sl.s").as("s"), col("sl.bands").as("bands"))
+    val repFrame = Staging.barrier(
+      chFrame.groupBy("h")
+        .agg(min(col("cid")).as("id"),
+          first(col("s")).as("s"), first(col("bands")).as("bands")))
+    val pairs = minhashLshPairsFromFrame(repFrame, threshold)
       .select("id_a", "id_b")
-    val clusters = connectedComponents(pairs)
-      .select(col("doc_id").as("ccid"), col("cluster_id"))
-    chunks.join(clusters, col("cid") === col("ccid"), "left")
+    val cc = connectedComponents(pairs)
+      .select(col("doc_id").as("rcid"), col("cluster_id"))
+    // (h → effective cluster) for every distinct chunk text: the CC
+    // label when the representative paired, else the representative
+    // itself (pure exact-dup group). Distinct-chunk-sized, digests+longs.
+    val hMap = repFrame.select(col("h"), col("id").as("rcid"))
+      .join(cc, Seq("rcid"), "left")
+      .select(col("h"), coalesce(col("cluster_id"), col("rcid")).as("eff"))
+    // chunks too short to shingle never enter the frame → no h match →
+    // always kept (mirrors the oracle's empty-shingle exclusion)
+    chunks.join(hMap, Seq("h"), "left")
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
-        (col("cluster_id").isNull || col("cluster_id") === col("cid"))
-          .as("keep"))
+        (col("eff").isNull || col("eff") === col("cid")).as("keep"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
