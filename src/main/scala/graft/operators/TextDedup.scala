@@ -534,8 +534,49 @@ object TextDedup {
    * `maxIters` (default 25 ⇒ diameter ~2²⁵) did not converge rather than
    * returning partial labels.
    */
+  /** Edge-count bound for [[connectedComponents]]' driver union-find
+    * fast path: 2M edges ≈ 32 MB of longs — far under broadcast-scale
+    * driver memory, far over any test corpus. Near-dup PAIR lists are
+    * metadata-scale by construction (a pair exists only per verified
+    * near-duplicate), so most real corpora take the fast path; past the
+    * bound the distributed min-label loop engages automatically. */
+  val SmallGraphEdges: Long = 2L * 1000 * 1000
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
-      checkpointer: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      checkpointer: CheckpointStrategy = CheckpointStrategy.Local,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    // Driver union-find fast path: the distributed loop costs a fixed
+    // ~3 actions + one lineage checkpoint PER ITERATION — pure latency
+    // when the edge list is metadata-sized. Under the bound, collect the
+    // (id, id) longs and run path-compressed union-find with MIN-id
+    // representatives: the result is the same fixpoint the loop (and
+    // the recursive-CTE oracle) computes — every node labeled with the
+    // minimum id reachable through pairs — so the gates cannot tell the
+    // paths apart (DedupSpec asserts equality on corpus pairs).
+    val p = Staging.barrier(
+      pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
+    if (p.count() <= smallGraphEdges) {
+      val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id: the smaller root stays the representative
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labeled = parent.keys.toSeq.map(id => (id, find(id)))
+      val sizes = labeled.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labeled
+        .map { case (id, lbl) => (id, lbl, sizes(lbl)) }
+        .toDF("doc_id", "cluster_id", "cluster_size")
+    }
     val ckpt: DataFrame => DataFrame = checkpointer match {
       case CheckpointStrategy.Local =>
         df => df.localCheckpoint(eager = true)
@@ -548,8 +589,8 @@ object TextDedup {
     // cache, so only the (small, changing) label side shuffles per
     // iteration — the edge list, the big side at scale, shuffles once
     val edges = Staging.barrier(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
         .repartition(col("dst")))
     var cur = Staging.barrier(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))

@@ -145,14 +145,35 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 15)
   }
 
+  test("connected components: driver union-find fast path equals the distributed loop") {
+    // corpus-scale near-dup pairs, BOTH paths: same fixpoint (min
+    // reachable id per node, sizes included) — the gates cannot tell
+    // which path ran
+    def run(threshold: Long): Set[(Long, Long, Long)] =
+      graft.operators.Staging.scoped {
+        val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = 16, bandSize = 4, numBands = 4, threshold = 0.5)
+          .select("id_a", "id_b")
+        TextDedup.connectedComponents(pairs, smallGraphEdges = threshold)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    val fast = run(TextDedup.SmallGraphEdges)
+    val distributed = run(0L)
+    assert(fast.nonEmpty)
+    assert(fast === distributed)
+  }
+
   test("connected components: reliable checkpoint path equals the local default") {
     import spark.implicits._
     import graft.operators.CheckpointStrategy
     val chain = (20L until 29L).map(i => (i, i + 1))
     val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("id_a", "id_b")
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop — this test exists
+    // to exercise the checkpointer, which the fast path never touches
     def run(s: CheckpointStrategy): Set[(Long, Long, Long)] =
       graft.operators.Staging.scoped {
-        TextDedup.connectedComponents(pairs, checkpointer = s)
+        TextDedup.connectedComponents(pairs, checkpointer = s,
+            smallGraphEdges = 0L)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       }
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
