@@ -259,6 +259,60 @@ class StreamingSpec extends SparkSpec {
     assert(lastState.numRowsTotal === 1L)
   }
 
+  test("streaming index append equals one-shot batch append; replayed batches are no-ops") {
+    import graft.operators.{Staging, VectorOps}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val buildSide = emb.filter(col("vec_id") % 3 =!= 0)
+    val appendSide = emb.filter(col("vec_id") % 3 === 0)
+    // reference: one-shot batch append (the t50 path)
+    val batchTable = "graft_stream_ann_ref"
+    val probeRef = Staging.scoped {
+      VectorOps.writeIndex(buildSide, "vec_id", "embedding", batchTable,
+        kClusters = 8, iters = 2, numBuckets = 8)
+      VectorOps.appendToIndex(appendSide, "vec_id", "embedding", batchTable)
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, batchTable),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    // stream the SAME append batch in two waves through foreachBatch
+    val streamTable = "graft_stream_ann"
+    Staging.scoped {
+      VectorOps.writeIndex(buildSide, "vec_id", "embedding", streamTable,
+        kClusters = 8, iters = 2, numBuckets = 8)
+    }
+    val src = tmp("idx-append-src")
+    Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val staging = tmp(s"idx-append-wave$i")
+        appendSide.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(appendSide.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.streamingIndexAppend(stream, "vec_id",
+      "embedding", streamTable, tmp("idx-append-ckpt"))
+    q.processAllAvailable(); q.stop()
+    val probeStream = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, streamTable),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    assert(probeStream === probeRef)
+    // idempotence: replaying an already-committed batch id is a no-op
+    val before = spark.table(streamTable).count()
+    StreamingIngest.appendVectorBatch(appendSide, batchId = 0L,
+      "vec_id", "embedding", streamTable)
+    assert(spark.table(streamTable).count() === before)
+    // a NEW batch id with an empty frame commits without touching rows
+    StreamingIngest.appendVectorBatch(appendSide.limit(0), batchId = 99L,
+      "vec_id", "embedding", streamTable)
+    assert(spark.table(streamTable).count() === before)
+    assert(spark.table(s"${streamTable}_appends").count() === 3L)
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
