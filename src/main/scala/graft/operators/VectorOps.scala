@@ -244,12 +244,96 @@ object VectorOps {
     // once and the loop iterates over the materialization
     kmeansCentroidsPrepared(Staging.barrier(prepared(df, idCol, vecCol)), k, iters)
 
+  /** Row bound for [[kmeansCentroidsPrepared]]'s driver fast path:
+    * 100k vectors ≈ 64 MB of doubles at dim 64 — broadcast-scale driver
+    * memory. Training state (centroids) was ALWAYS driver-side; under
+    * the bound the training DATA pass joins it, turning `iters`
+    * distributed jobs of pure fixed latency into one in-memory loop.
+    * Past the bound the distributed Lloyd loop engages automatically —
+    * and at real corpus scale production trains on a SAMPLE anyway
+    * (FAISS's train/add split), which this bound models honestly. */
+  val SmallCorpusRows: Long = 100L * 1000
+
+  /** Left-to-right sequential dot — byte-identical to the
+    * [[graft.functions.DotProduct]] kernel's accumulation order. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def md5HexStr(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** The Lloyd loop in driver memory — REPLICATES the distributed jobs
+    * operation-for-operation so the result is bit-identical (the t12/
+    * t15/t40/t47 oracles cannot tell which path trained): md5-ordered
+    * seed draw; argmax-cosine assignment with the same sequential dot,
+    * the same `-(cos)` negation and `java.lang.Double.compare` tie
+    * order; per-dimension means as EXACT java BigDecimal sums of the
+    * same HALF_UP scale-12 casts (associative, so driver order is
+    * irrelevant), cast back through `doubleValue` (correctly rounded,
+    * = Spark's Decimal→Double) and divided by the count. */
+  private def kmeansCentroidsLocal(rows: Array[(Long, Array[Double], Double)],
+      k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    var cent: Seq[(Int, Array[Double])] = rows
+      .sortBy { case (id, _, _) => (md5HexStr(id.toString), id) }
+      .take(k).zipWithIndex
+      .map { case ((_, v, _), i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val cn = cent.map { case (l, c) => (l, c, math.sqrt(dotSeq(c, c))) }
+      val sums = scala.collection.mutable.HashMap
+        .empty[(Int, Int), java.math.BigDecimal]
+      val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+      rows.foreach { case (_, v, nrm) =>
+        var bestNeg = Double.PositiveInfinity
+        var bestLabel = Int.MaxValue
+        cn.foreach { case (l, c, cnrm) =>
+          val neg = -(dotSeq(v, c) / (nrm * cnrm))
+          val cmp = java.lang.Double.compare(neg, bestNeg)
+          if (cmp < 0 || (cmp == 0 && l < bestLabel)) {
+            bestNeg = neg; bestLabel = l
+          }
+        }
+        counts(bestLabel) = counts.getOrElse(bestLabel, 0L) + 1L
+        var pos = 0
+        while (pos < v.length) {
+          val d = java.math.BigDecimal.valueOf(v(pos))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          sums((bestLabel, pos)) =
+            sums.get((bestLabel, pos)).map(_.add(d)).getOrElse(d)
+          pos += 1
+        }
+      }
+      cent = counts.keys.toSeq.sorted.map { l =>
+        val n = counts(l)
+        val dim = Iterator.from(0).takeWhile(p => sums.contains((l, p))).size
+        (l, Array.tabulate(dim)(p => sums((l, p)).doubleValue / n))
+      }
+    }
+    cent
+  }
+
   /** [[kmeansCentroids]] over an ALREADY-staged (id, v, nrm) frame —
     * callers that also consume the prepared corpus downstream
     * ([[semDedup]]) stage it once and share instead of holding two
-    * corpus-scale materializations. */
+    * corpus-scale materializations. Under [[SmallCorpusRows]] (and a
+    * long id column) training runs the bit-identical driver loop
+    * ([[kmeansCentroidsLocal]]); past it, the distributed jobs. */
   def kmeansCentroidsPrepared(p: DataFrame,
-      k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+      k: Int, iters: Int,
+      smallCorpusRows: Long = SmallCorpusRows): Seq[(Int, Array[Double])] = {
+    val idIsLong = p.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong && p.count() <= smallCorpusRows) {
+      val rows = p.select("id", "v", "nrm").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      return kmeansCentroidsLocal(rows, k, iters)
+    }
     var cent: Seq[(Int, Array[Double])] = p
       .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select("v").collect().toSeq.zipWithIndex
@@ -622,11 +706,77 @@ object VectorOps {
     * except the metric is L2 (the quantity PQ reconstruction error
     * minimizes), not cosine. Codebooks are m·ksub·(dim/m) doubles of
     * collected index METADATA; the corpus is never collected. */
+  /** [[pqCodebooks]]' driver twin — the [[kmeansCentroidsLocal]]
+    * pattern under the L2 metric: same seed order, same
+    * `dotSelf(c) − 2·dot(s,c)` adjusted score with
+    * `java.lang.Double.compare` tie order, same exact-decimal means —
+    * bit-identical to the distributed jobs (the t43/t45/t55 oracles
+    * gate it). */
+  private def pqCodebooksLocal(rows: Array[(Long, Array[Double])],
+      m: Int, ksub: Int, iters: Int,
+      dim: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val sub = dim / m
+    val seedRows = rows
+      .sortBy { case (id, _) => (md5HexStr(id.toString), id) }
+      .take(ksub).map(_._2)
+    var books: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { si =>
+      seedRows.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(si * sub, si * sub + sub))
+      }
+    }
+    for (_ <- 0 until iters) {
+      val pre = books.map(_.map { case (code, c) => (code, c, dotSelf(c)) })
+      val sums = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int), java.math.BigDecimal]
+      val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+      rows.foreach { case (_, v) =>
+        var si = 0
+        while (si < m) {
+          val s = v.slice(si * sub, si * sub + sub)
+          var bestD2 = Double.PositiveInfinity
+          var bestCode = Int.MaxValue
+          pre(si).foreach { case (code, c, cc) =>
+            val d2 = cc - 2.0 * dotSeq(s, c)
+            val cmp = java.lang.Double.compare(d2, bestD2)
+            if (cmp < 0 || (cmp == 0 && code < bestCode)) {
+              bestD2 = d2; bestCode = code
+            }
+          }
+          counts((si, bestCode)) = counts.getOrElse((si, bestCode), 0L) + 1L
+          var pos = 0
+          while (pos < s.length) {
+            val d = java.math.BigDecimal.valueOf(s(pos))
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+            sums((si, bestCode, pos)) =
+              sums.get((si, bestCode, pos)).map(_.add(d)).getOrElse(d)
+            pos += 1
+          }
+          si += 1
+        }
+      }
+      books = (0 until m).map { si =>
+        counts.keys.filter(_._1 == si).map(_._2).toSeq.sorted.map { code =>
+          val n = counts((si, code))
+          val d = Iterator.from(0)
+            .takeWhile(p => sums.contains((si, code, p))).size
+          (code, Array.tabulate(d)(p => sums((si, code, p)).doubleValue / n))
+        }
+      }
+    }
+    books.map(_.zipWithIndex.map { case ((_, c), i) => (i, c) })
+  }
+
   def pqCodebooks(p: DataFrame, m: Int, ksub: Int,
       iters: Int): Seq[Seq[(Int, Array[Double])]] = {
     val dim = p.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    if (p.schema("id").dataType == org.apache.spark.sql.types.LongType &&
+        p.count() <= SmallCorpusRows) {
+      val rows = p.select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      return pqCodebooksLocal(rows, m, ksub, iters, dim)
+    }
     // ONE seed pass for all m subspaces: the (md5(id), id) seed order is
     // subspace-independent, so the same ksub rows slice into every
     // subspace's initial codebook
