@@ -198,16 +198,32 @@ object StreamingIngest {
     * the ledger; the ledger here narrows the exposure to exactly that
     * pair and makes every completed batch replay-safe. */
   def appendVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
-      vecCol: String, table: String, numBuckets: Int = 8): Unit = {
+      vecCol: String, table: String, numBuckets: Int = 8): Unit =
+    ledgeredAppend(batch, batchId, table)(
+      graft.operators.VectorOps.appendToIndex(_, idCol, vecCol,
+        table, numBuckets))
+
+  /** [[appendVectorBatch]]'s keyword twin: one idempotent micro-batch of
+    * BM25-index maintenance
+    * ([[graft.operators.Retrieval.appendToBm25Index]] under the same
+    * `<table>_appends` ledger). */
+  def appendDocBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, table: String, numBuckets: Int = 8): Unit =
+    ledgeredAppend(batch, batchId, table)(
+      graft.operators.Retrieval.appendToBm25Index(_, idCol, textCol,
+        table, numBuckets))
+
+  /** Shared batch-id ledger guard: run `append` once per (table,
+    * batchId); replays are no-ops. See [[appendVectorBatch]] for the
+    * atomicity note. */
+  private def ledgeredAppend(batch: DataFrame, batchId: Long,
+      table: String)(append: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     val ledger = s"${table}_appends"
     val replay = spark.catalog.tableExists(ledger) &&
       !spark.table(ledger).filter(col("batch_id") === batchId).isEmpty
     if (!replay) {
-      if (!batch.isEmpty) {
-        graft.operators.VectorOps.appendToIndex(batch, idCol, vecCol,
-          table, numBuckets)
-      }
+      if (!batch.isEmpty) append(batch)
       import spark.implicits._
       Seq(batchId).toDF("batch_id").write
         .mode(org.apache.spark.sql.SaveMode.Append)
@@ -223,10 +239,7 @@ object StreamingIngest {
     * and INGEST FOREVER, with per-batch cost proportional to the batch
     * (one coding pass + its bucket shuffle) — never the index.
     * StreamingSpec proves stream-fed equals one-shot batch append and
-    * that a replayed batch id leaves the index untouched. The BM25
-    * composition is symmetric
-    * ([[graft.operators.Retrieval.appendToBm25Index]] in the same
-    * foreachBatch shape). */
+    * that a replayed batch id leaves the index untouched. */
   def streamingIndexAppend(stream: DataFrame, idCol: String,
       vecCol: String, table: String, checkpoint: String,
       numBuckets: Int = 8): StreamingQuery =
@@ -234,6 +247,22 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendVectorBatch(batch, batchId, idCol, vecCol, table, numBuckets)
+      }
+      .start()
+
+  /** [[streamingIndexAppend]]'s keyword twin: continuous BM25-index
+    * maintenance — each micro-batch of new documents appends its
+    * term-bucketed postings and refreshes the corpus stats,
+    * idempotently per batch id ([[appendDocBatch]]). StreamingSpec
+    * proves the stream-fed index answers probes exactly as a one-shot
+    * batch append. */
+  def streamingBm25Append(stream: DataFrame, idCol: String,
+      textCol: String, table: String, checkpoint: String,
+      numBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendDocBatch(batch, batchId, idCol, textCol, table, numBuckets)
       }
       .start()
 

@@ -313,6 +313,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(s"${streamTable}_appends").count() === 3L)
   }
 
+  test("streaming BM25 append equals one-shot batch append on arbitrary probes") {
+    import graft.operators.{Retrieval, Staging}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val buildSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val appendSide = docs.filter(col("doc_id") % 3 === 0)
+    val terms = Seq("data", "model", "the")
+    val refTable = "graft_stream_bm25_ref"
+    val probeRef = Staging.scoped {
+      Retrieval.writeBm25Index(buildSide, "doc_id", "text", refTable)
+      Retrieval.appendToBm25Index(appendSide, "doc_id", "text", refTable)
+      Retrieval.bm25TopKFromIndex(spark, refTable, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val streamTable = "graft_stream_bm25"
+    Staging.scoped {
+      Retrieval.writeBm25Index(buildSide, "doc_id", "text", streamTable)
+    }
+    val src = tmp("bm25-append-src")
+    Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val staging = tmp(s"bm25-append-wave$i")
+        appendSide.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(appendSide.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.streamingBm25Append(stream, "doc_id", "text",
+      streamTable, tmp("bm25-append-ckpt"))
+    q.processAllAvailable(); q.stop()
+    val probeStream = Staging.scoped {
+      Retrieval.bm25TopKFromIndex(spark, streamTable, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(probeStream === probeRef)
+    assert(probeStream.nonEmpty)
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
