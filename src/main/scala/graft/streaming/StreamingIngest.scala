@@ -220,7 +220,15 @@ object StreamingIngest {
       table: String)(append: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     val ledger = s"${table}_appends"
-    val replay = spark.catalog.tableExists(ledger) &&
+    val exists = spark.catalog.tableExists(ledger)
+    // a ledger DIRECTORY invisible to the catalog is stale by
+    // definition (this session's index build dropped ITS tables the
+    // same way): clear it before the first write, or the managed-table
+    // create fails with LOCATION_ALREADY_EXISTS. With a persistent
+    // metastore (production), the cataloged ledger survives restarts
+    // and this branch never fires.
+    if (!exists) graft.operators.Ddl.dropTableAndLocation(spark, ledger)
+    val replay = exists &&
       !spark.table(ledger).filter(col("batch_id") === batchId).isEmpty
     if (!replay) {
       if (!batch.isEmpty) append(batch)
