@@ -24,7 +24,9 @@ object ExplainDump {
         "t40_ann_index_persist", "t41_winnow_dedup_apply",
         "t48_paragraph_dedup", "t49_gopher_rules",
         "t50_ann_index_append", "t51_span_removal", "t52_hybrid_batched",
-        "t53_fuzzy_paragraph_dedup", "t54_bm25_index_append")
+        "t53_fuzzy_paragraph_dedup", "t54_bm25_index_append",
+        "t56_ann_index_delete", "t58_ann_index_compact",
+        "t59_bm25_index_compact")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

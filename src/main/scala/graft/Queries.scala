@@ -1574,14 +1574,22 @@ object Queries {
     * `corpus` (vec_id, e, nrm, cell) and `probed` (query_id, qv, qnrm,
     * cell ≤ nprobe). */
   private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10",
-      trainPredSql: Option[String] = None): String = {
+      trainPredSql: Option[String] = None,
+      dataPredSql: Option[String] = None): String = {
     // Frozen-quantizer variant (t50): seeds and Lloyd iterations read
     // only the TRAINING subset `tn`; assignment/coding/probing (sfin,
     // corpus, probed) always read the full corpus `n`. With no training
     // predicate the generated SQL is the historical full-corpus text.
+    // Deleted-data variant (t56/t58): `dataPredSql` names the SURVIVING
+    // vectors — coding/probing read only `dn` while training still reads
+    // its own subset, replaying an index whose quantizers were trained
+    // before a delete removed rows.
     val tn = if (trainPredSql.isDefined) "tn" else "n"
     val tnCte = trainPredSql
       .map(p => s"tn AS (SELECT * FROM n WHERE $p),\n").getOrElse("")
+    val dn = if (dataPredSql.isDefined) "dn" else "n"
+    val dnCte = dataPredSql
+      .map(p => s"dn AS (SELECT * FROM n WHERE $p),\n").getOrElse("")
     val iterCtes = (1 to IvfIters).map { i =>
       s"""s$i AS (SELECT n.vec_id, n.e, c.label,
          |  list_dot_product(n.e, c.c) / (n.nrm * sqrt(list_dot_product(c.c, c.c))) AS cs
@@ -1597,7 +1605,7 @@ object Queries {
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-       |${tnCte}c0 AS (SELECT label, c FROM (
+       |$tnCte${dnCte}c0 AS (SELECT label, c FROM (
        |  SELECT e AS c,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
        |  FROM $tn) WHERE label < $IvfClusters),
@@ -1605,7 +1613,7 @@ object Queries {
        |cf AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM c$IvfIters),
        |sfin AS (SELECT n.vec_id, n.e, n.nrm, c.label,
        |  list_dot_product(n.e, c.c) / (n.nrm * c.cnrm) AS cs
-       |  FROM n CROSS JOIN cf c),
+       |  FROM $dn n CROSS JOIN cf c),
        |corpus AS (SELECT vec_id, e, nrm, label AS cell FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, label) AS rn
        |  FROM sfin) WHERE rn = 1),
@@ -2250,8 +2258,9 @@ object Queries {
     * list). */
   private def ivfSq8OracleCtes(queryPredSql: String = "vec_id < 10",
       candidates: Int = Sq8Candidates,
-      trainPredSql: Option[String] = None): String =
-    s"""${kmeansCtePrefix(queryPredSql, trainPredSql)},
+      trainPredSql: Option[String] = None,
+      dataPredSql: Option[String] = None): String =
+    s"""${kmeansCtePrefix(queryPredSql, trainPredSql, dataPredSql)},
        |ex0 AS (SELECT vec_id, t.pos, e[t.pos + 1] AS val
        |  FROM v, unnest(range(len(e))) AS t(pos)),
        |st AS (SELECT pos, min(val) AS lo, max(val) AS hi FROM ex0
@@ -2476,6 +2485,73 @@ object Queries {
         .orderBy("query_id", "rank")
     },
     oracle = Some(pqOracleSql(Some(AppendTrainSql))))
+
+  /** Deterministic delete set for the index-delete/compact family
+    * (t56–t59): ids ≡ 2 (mod 5) are deleted. Chosen coprime to the
+    * append family's mod-3 split so lifecycle gates (t58/t59) delete
+    * across BOTH the build and the appended batch. */
+  private val DeleteSurvivorSql = "vec_id % 5 <> 2"
+
+  /** Index DELETE ([[VectorOps.deleteFromIndex]]): the index is built
+    * on the full corpus, then ids ≡ 2 (mod 5) are tombstoned — parquet
+    * files are immutable, so the delete is merge-on-read (a tiny side
+    * table every probe anti-joins, the Iceberg-v2 equality-delete
+    * shape; FAISS `remove_ids` semantics for the quantizers: centroids
+    * and SQ8 stats are frozen build artifacts and do NOT refresh). The
+    * oracle trains on the FULL corpus but codes/probes only survivors,
+    * so the gate proves probe(build(X) − delete(D)) ≡
+    * probe(X∖D | quantizers(X)) value-exactly. */
+  val t56_ann_index_delete: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_delete"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writeIndex(emb, "vec_id", "embedding", table,
+        kClusters = IvfClusters, iters = IvfIters, numBuckets = 8)
+      VectorOps.deleteFromIndex(emb.filter(col("vec_id") % 5 === 2),
+        "vec_id", table)
+      val idx = VectorOps.loadIndex(spark, table)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${ivfSq8OracleCtes(dataPredSql = Some(DeleteSurvivorSql))}
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** FULL index lifecycle, vector side ([[VectorOps.compactIndex]]):
+    * build on two thirds → append the rest against frozen quantizers →
+    * delete ids ≡ 2 (mod 5) (tombstones spanning BOTH batches) →
+    * COMPACT (physically rewrite survivors bucket-preserving, clear
+    * tombstones) → probe. The oracle trains quantizers on the build
+    * subset only and codes/probes survivors only — the gate proves the
+    * whole maintenance chain is invisible next to a hypothetical
+    * survivor corpus indexed under the same frozen quantizers.
+    * Compaction must both EXCLUDE the tombstoned rows in the rewrite
+    * and clear the delete list; forgetting either fails the oracle
+    * (resurrected rows) or the RetrievalSpec file/catalog pins. */
+  val t58_ann_index_compact: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_compact"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      VectorOps.appendToIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", table, numBuckets = 8)
+      VectorOps.deleteFromIndex(emb.filter(col("vec_id") % 5 === 2),
+        "vec_id", table)
+      VectorOps.compactIndex(spark, table)
+      val idx = VectorOps.loadIndex(spark, table)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${ivfSq8OracleCtes(trainPredSql = Some(AppendTrainSql),
+            dataPredSql = Some(DeleteSurvivorSql))}
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
@@ -3501,7 +3577,8 @@ object Queries {
     * [[TextAnalysis.bm25TopK]]'s IEEE expression tree
     * parenthesis-for-parenthesis; scores in integer micro-units. */
   private def bm25OracleSql(terms: Seq[String], k: Int,
-      excludeId: Option[Long] = None): String = {
+      excludeId: Option[Long] = None,
+      survivorPredSql: Option[String] = None): String = {
     val tf = terms.indices.map(i =>
       s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf_$i")
     val dfAgg = terms.indices.map(i =>
@@ -3510,7 +3587,9 @@ object Queries {
       s"""CAST(ROUND(1e6 * log10(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
          |    ((CAST(tf_$i AS DOUBLE) * (1.2 + 1.0)) /
          |     (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl)))) AS BIGINT)""".stripMargin)
-    val excl = excludeId.map(id => s"WHERE doc_id <> $id").getOrElse("")
+    val preds = excludeId.map(id => s"doc_id <> $id").toSeq ++
+      survivorPredSql.toSeq
+    val excl = if (preds.isEmpty) "" else "WHERE " + preds.mkString(" AND ")
     s"""WITH base AS (
        |  SELECT doc_id AS id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
@@ -3581,6 +3660,51 @@ object Queries {
         .withColumnRenamed("id", "doc_id")
     },
     oracle = Some(bm25OracleSql(Bm25Terms, Bm25K)))
+
+  /** BM25 index DELETE ([[Retrieval.deleteFromBm25Index]]): tombstone
+    * the ids AND refresh the stats row — BM25's statistics are live
+    * corpus aggregates, and all three refresh exactly ((n_docs, avgdl)
+    * from surviving `_docs` rows, df from surviving postings at probe
+    * time), so a probe after delete equals a probe over a from-scratch
+    * build on the survivors. Gated on the survivor-restricted t42
+    * oracle. */
+  val t57_bm25_index_delete: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bm25_delete"
+      val docs = t(spark, dir, "documents")
+      Retrieval.writeBm25Index(docs, "doc_id", "text", table)
+      Retrieval.deleteFromBm25Index(docs.filter(col("doc_id") % 5 === 2),
+        "doc_id", table)
+      Retrieval.bm25TopKFromIndex(spark, table, Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K,
+      survivorPredSql = Some("doc_id % 5 <> 2"))))
+
+  /** FULL index lifecycle, keyword side ([[Retrieval.compactBm25Index]]):
+    * build → append → delete → compact → probe, gated on the
+    * survivor-restricted t42 oracle. Compaction rewrites both the
+    * term-bucketed postings and the `_docs` sibling (they share the
+    * index's tombstones) and clears the delete list; stats were already
+    * exact from the delete-time refresh. Compaction must both EXCLUDE
+    * the tombstoned rows and clear the delete list; forgetting either
+    * fails this oracle or the RetrievalSpec pins. */
+  val t59_bm25_index_compact: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bm25_compact"
+      val docs = t(spark, dir, "documents")
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", table)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", table)
+      Retrieval.deleteFromBm25Index(docs.filter(col("doc_id") % 5 === 2),
+        "doc_id", table)
+      Retrieval.compactBm25Index(spark, table)
+      Retrieval.bm25TopKFromIndex(spark, table, Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K,
+      survivorPredSql = Some("doc_id % 5 <> 2"))))
 
   private val HybridN = 50
   private val HybridK = 15
@@ -4155,6 +4279,10 @@ object Queries {
     "t50_ann_index_append" -> t50_ann_index_append,
     "t54_bm25_index_append" -> t54_bm25_index_append,
     "t55_pq_index_append" -> t55_pq_index_append,
+    "t56_ann_index_delete" -> t56_ann_index_delete,
+    "t57_bm25_index_delete" -> t57_bm25_index_delete,
+    "t58_ann_index_compact" -> t58_ann_index_compact,
+    "t59_bm25_index_compact" -> t59_bm25_index_compact,
     "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
     "t52_hybrid_batched" -> t52_hybrid_batched,
     "t37_winnowing" -> t37_winnowing,

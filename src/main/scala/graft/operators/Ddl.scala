@@ -198,4 +198,93 @@ object Ddl {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  // ------------------------------------------------------------------
+  // Tombstone deletes for persisted append-only indexes (merge-on-read)
+  // ------------------------------------------------------------------
+
+  /** Side table holding the DELETED ids of `<table>` — the Iceberg-v2
+    * equality-delete-file shape on the session catalog: parquet data
+    * files are immutable, so a delete writes the doomed ids to a tiny
+    * side relation and every probe anti-joins it until a compaction
+    * physically rewrites the survivors. */
+  def tombstoneTable(table: String): String = s"${table}_deleted"
+
+  /** Record `ids` (one column, renamed `id`) as deleted from `table`.
+    * Append-mode: repeated deletes accumulate; [[compactTable]] clears.
+    * Caller contract (the Iceberg sequence-number rule, which a side
+    * table cannot express): a deleted id must not be RE-appended until
+    * a compaction has cleared the tombstones — the anti-join cannot
+    * distinguish the resurrected row from the dead one. */
+  def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String): Unit = {
+    val ts = tombstoneTable(table)
+    // same cross-JVM guard as the streaming append ledger: a tombstone
+    // DIRECTORY invisible to this session's catalog is a previous run's
+    // leftover, not state
+    if (!spark.catalog.tableExists(ts)) dropTableAndLocation(spark, ts)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode(SaveMode.Append).format("parquet").saveAsTable(ts)
+  }
+
+  /** `df` minus the tombstoned rows of `table` (no-op when no deletes
+    * are recorded). The delete list is broadcast: it is metadata-sized
+    * BY CONTRACT — compaction is the pressure valve that keeps it so
+    * (the same bound Iceberg puts on accumulated delete files before a
+    * rewrite). BroadcastHashJoin LeftAnti preserves the probe side's
+    * partitioning, so bucket-pruned index probes stay exchange-free. */
+  def withoutDeleted(spark: org.apache.spark.sql.SparkSession,
+      table: String, df: DataFrame, idCol: String): DataFrame = {
+    val ts = tombstoneTable(table)
+    if (!spark.catalog.tableExists(ts)) df
+    else {
+      val del = spark.table(ts)
+      df.join(org.apache.spark.sql.functions.broadcast(del),
+        df(idCol) === del("id"), "left_anti")
+    }
+  }
+
+  /** Drop the tombstone table of `table` (post-compaction, or on a
+    * fresh index build — a rebuild starts with zero deletes). */
+  def dropTombstones(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    dropTableAndLocation(spark, tombstoneTable(table))
+
+  /** Physically rewrite `table` without its tombstoned rows, preserving
+    * the catalog bucketing spec (read from the table's own metadata, so
+    * a build/compact bucket-count mismatch cannot happen), then clear
+    * the tombstones. This is merge-on-read → copy-on-write: it also
+    * merges the small files accumulated by append batches (each append
+    * adds ≤ numBuckets files; compaction rewrites the table in one
+    * pass), bounding both the probe-time anti-join and the file count —
+    * Iceberg's rewrite_data_files on the session catalog. Unbucketed
+    * tables compact the same way minus the bucket spec. `tombstonesOf`
+    * names the index whose delete list applies when it differs from the
+    * compacted table (a BM25 index's `_docs` sibling shares the index's
+    * tombstones). Tombstones are NOT cleared here — a multi-table index
+    * compacts every sibling first, then drops them once. */
+  def compactTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String,
+      tombstonesOf: Option[String] = None): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val bucketSpec = cat.getTableMetadata(ident).bucketSpec
+    val survivors = withoutDeleted(spark, tombstonesOf.getOrElse(table),
+      spark.table(table), idCol)
+    val tmp = s"${table}_compacting"
+    bucketSpec match {
+      case Some(bs) =>
+        writeBucketedTable(survivors, tmp, bs.bucketColumnNames.head,
+          bs.numBuckets)
+      case None =>
+        dropTableAndLocation(spark, tmp)
+        survivors.write.mode(SaveMode.Overwrite)
+          .option("compression", ParquetCompression)
+          .format("parquet").saveAsTable(tmp)
+    }
+    // swap: the rename moves the managed location under the original
+    // name and carries the bucket spec with the metadata
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
 }

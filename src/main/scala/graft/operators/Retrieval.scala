@@ -108,6 +108,8 @@ object Retrieval {
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     Ddl.writeBucketedTable(postings, table, "term", numBuckets)
+    // a fresh build has zero deletes
+    Ddl.dropTombstones(spark, table)
   }
 
   /** BATCHED multi-query BM25 scoring over a LOADED [[writeBm25Index]]
@@ -127,7 +129,7 @@ object Retrieval {
       table: String, queryTerms: DataFrame, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val qt = queryTerms.select(col("query_id"), col("term"))
-    val posts = spark.table(table)
+    val posts = Ddl.withoutDeleted(spark, table, spark.table(table), "id")
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
     val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = spark.table(s"${table}_stats")
@@ -201,7 +203,19 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     Ddl.writeBucketedTable(postings, table, "term", numBuckets,
       org.apache.spark.sql.SaveMode.Append)
-    val stats = spark.table(s"${table}_docs")
+    refreshBm25Stats(spark, table)
+  }
+
+  /** Recompute the single (n_docs, avgdl) stats row from the LIVE
+    * document set — `_docs` minus any tombstoned ids. Exact under both
+    * append and delete: integer token counts sum exactly in double, so
+    * the refreshed avgdl is bit-identical to a from-scratch build over
+    * the surviving corpus. */
+  private def refreshBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val live = Ddl.withoutDeleted(spark, table,
+      spark.table(s"${table}_docs"), "id")
+    val stats = live
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .collect().head
     Ddl.dropTableAndLocation(spark, s"${table}_stats")
@@ -209,6 +223,39 @@ object Retrieval {
       .toDF("n_docs", "avgdl")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** DELETE documents from a persisted [[writeBm25Index]] index:
+    * tombstone the ids ([[Ddl.appendTombstones]] — probes anti-join the
+    * broadcast delete list until [[compactBm25Index]] rewrites) and
+    * refresh the stats row over the SURVIVING documents. Unlike the
+    * vector indexes, BM25's statistics are live corpus aggregates, so a
+    * delete must refresh them — and all three refresh EXACTLY:
+    * (n_docs, avgdl) recompute from the surviving `_docs` rows, df is
+    * counted from the surviving postings at probe time. A probe after
+    * delete therefore equals a probe over a from-scratch build on the
+    * survivors — t57 gates that value-level against the survivor-
+    * restricted oracle. */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String,
+      table: String): Unit = {
+    val spark = ids.sparkSession
+    Ddl.appendTombstones(spark, table, ids, idCol)
+    refreshBm25Stats(spark, table)
+  }
+
+  /** COMPACT a persisted BM25 index: rewrite the term-bucketed postings
+    * and the `_docs` sibling without their tombstoned rows (both share
+    * the index's delete list), then clear the tombstones. Stats are
+    * already exact (refreshed at delete time). Bounds the probe-time
+    * anti-join and merges append-accumulated files; after compaction a
+    * previously deleted id may be re-appended. t59 gates the full
+    * build → append → delete → compact lifecycle. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Ddl.compactTable(spark, s"${table}_docs", "id",
+      tombstonesOf = Some(table))
+    Ddl.compactTable(spark, table, "id")
+    Ddl.dropTombstones(spark, table)
   }
 
   /** BM25 top-k over a LOADED [[writeBm25Index]] index, for ARBITRARY
@@ -224,7 +271,7 @@ object Retrieval {
       table: String, terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopKFromIndex needs at least one term")
-    val posts = spark.table(table)
+    val posts = Ddl.withoutDeleted(spark, table, spark.table(table), "id")
       .filter(col("term").isin(terms: _*))
     val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = spark.table(s"${table}_stats")

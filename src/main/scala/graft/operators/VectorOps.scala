@@ -618,6 +618,9 @@ object VectorOps {
       assignCell(col("v"), col("nrm"), cent).as("cell"),
       sq8Code(col("v"), lo, hi).as("code"))
     Ddl.writeBucketedTable(indexed, table, "cell", numBuckets)
+    // a fresh build has zero deletes — clear any tombstones a previous
+    // build's delete left behind
+    Ddl.dropTombstones(spark, table)
   }
 
   /** Load a [[writeIndex]] index: metadata is collected (the same k·dim
@@ -628,7 +631,7 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val st = spark.table(s"${table}_stats").orderBy("pos").collect()
     AnnIndex(cent, st.map(_.getDouble(1)), st.map(_.getDouble(2)),
-      spark.table(table))
+      Ddl.withoutDeleted(spark, table, spark.table(table), "id"))
   }
 
   /** [[ivfSq8TopK]] over a LOADED index — no training, no stats pass, no
@@ -667,6 +670,35 @@ object VectorOps {
       sq8Code(col("v"), idx.lo, idx.hi).as("code"))
     Ddl.writeBucketedTable(indexed, table, "cell", numBuckets,
       org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** DELETE from a persisted [[writeIndex]] index — the third leg of the
+    * index lifecycle (build → append → delete → compact). Parquet data
+    * files are immutable, so the delete is merge-on-read
+    * ([[Ddl.appendTombstones]]): the doomed ids land in a tiny side
+    * table and [[loadIndex]] anti-joins it (broadcast — partitioning of
+    * the bucketed probe side is preserved, probes stay exchange-free).
+    * Quantizers are untouched: centroids and SQ8 stats are FROZEN build
+    * artifacts, not corpus statistics a delete must refresh (FAISS
+    * `remove_ids` semantics — the reconstruction grid does not move
+    * when vectors leave). O(batch) cost, zero index-file writes;
+    * [[compactIndex]] is the pressure valve that physically removes
+    * tombstoned rows. t56 gates probe-equivalence: probe(build(X) −
+    * delete(D)) ≡ probe(X∖D | quantizers(X)) value-exactly. */
+  def deleteFromIndex(ids: DataFrame, idCol: String, table: String): Unit =
+    Ddl.appendTombstones(ids.sparkSession, table, ids, idCol)
+
+  /** COMPACT a persisted [[writeIndex]] index: rewrite the coded
+    * relation without its tombstoned rows (bucket spec preserved — read
+    * from the catalog, so it cannot drift from the build's), clear the
+    * tombstones. Merge-on-read → copy-on-write: bounds the probe-time
+    * anti-join AND merges append-accumulated small files. Quantizer
+    * tables are untouched. After compaction, re-appending a previously
+    * deleted id is legal again. t58 gates the full lifecycle. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Ddl.compactTable(spark, table, "id")
+    Ddl.dropTombstones(spark, table)
   }
 
   // ---------- Product quantization (PQ / ADC) ----------
@@ -928,6 +960,7 @@ object VectorOps {
     p.withColumn("code", pqCode(col("v"), books, sub))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(table)
+    Ddl.dropTombstones(spark, table)
   }
 
   /** Load a [[writePqIndex]] index: codebooks are collected (broadcast-
@@ -941,7 +974,7 @@ object VectorOps {
         rs.sortBy(_.getInt(1))
           .map(r => (r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
     }
-    PqIndex(books, spark.table(table))
+    PqIndex(books, Ddl.withoutDeleted(spark, table, spark.table(table), "id"))
   }
 
   /** [[pqTopK]] over a LOADED index — no training, no coding pass:
@@ -965,6 +998,21 @@ object VectorOps {
       .withColumn("code", pqCode(col("v"), idx.books, sub))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(table)
+  }
+
+  /** [[deleteFromIndex]] one memory tier down: tombstone the ids;
+    * codebooks are frozen build artifacts and never refresh.
+    * RetrievalSpec proves probe-after-delete ≡ probe over the surviving
+    * coded rows. */
+  def deleteFromPqIndex(ids: DataFrame, idCol: String, table: String): Unit =
+    Ddl.appendTombstones(ids.sparkSession, table, ids, idCol)
+
+  /** [[compactIndex]] for a PQ index (the coded relation is unbucketed;
+    * the rewrite drops tombstoned rows and merges append files). */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    Ddl.compactTable(spark, table, "id")
+    Ddl.dropTombstones(spark, table)
   }
 
   /** Sign-LSH signature over dims [offset+1, offset+bits]: bit i = sign

@@ -130,6 +130,115 @@ class RetrievalSpec extends SparkSpec {
     assert(stored === recoded)
   }
 
+  test("ANN delete is merge-on-read; compact rewrites survivors and clears tombstones") {
+    import graft.operators.{Ddl, VectorOps}
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val table = "graft_ann_delete_spec"
+    VectorOps.writeIndex(emb, "vec_id", "embedding", table,
+      kClusters = 8, iters = 2, numBuckets = 8)
+    val before = tableFiles(table)
+    VectorOps.deleteFromIndex(emb.filter(col("vec_id") % 7 === 3),
+      "vec_id", table)
+    // merge-on-read: the delete wrote NO index files — every data file
+    // survives name+mtime identical
+    assert(tableFiles(table) === before)
+    // probes see only survivors, and exactly what a manually-filtered
+    // coded relation under the same quantizers sees
+    val idx = VectorOps.loadIndex(spark, table)
+    val probe = VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(probe.nonEmpty)
+    assert(!probe.exists { case (q, n, _) => q % 7 == 3 || n % 7 == 3 })
+    val manual = idx.copy(coded =
+      spark.table(table).filter(col("id") % 7 =!= 3))
+    val expect = VectorOps.ivfSq8TopKFromIndex(manual, col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(probe === expect)
+    // compact: physically removes the tombstoned rows, keeps the bucket
+    // spec, clears the delete list
+    VectorOps.compactIndex(spark, table)
+    assert(!spark.catalog.tableExists(Ddl.tombstoneTable(table)))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.bucketSpec.map(_.numBuckets).contains(8))
+    val ids = spark.table(table).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!ids.exists(_ % 7 == 3))
+    // probe results are unchanged by compaction
+    val after = VectorOps.ivfSq8TopKFromIndex(
+        VectorOps.loadIndex(spark, table), col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(after === probe)
+    // post-compaction, a previously deleted id may be re-appended and
+    // becomes visible again
+    VectorOps.appendToIndex(emb.filter(col("vec_id") === 3), "vec_id",
+      "embedding", table, numBuckets = 8)
+    val back = VectorOps.loadIndex(spark, table).coded
+      .filter(col("id") === 3).count()
+    assert(back === 1L)
+  }
+
+  test("PQ delete: probe excludes tombstoned ids, equals survivors under frozen codebooks") {
+    import graft.operators.VectorOps
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val table = "graft_pq_delete_spec"
+    VectorOps.writePqIndex(emb, "vec_id", "embedding", table,
+      m = 4, ksub = 8, iters = 1)
+    VectorOps.deleteFromPqIndex(emb.filter(col("vec_id") % 7 === 3),
+      "vec_id", table)
+    val idx = VectorOps.loadPqIndex(spark, table)
+    val probe = VectorOps.pqTopKFromIndex(idx, col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(probe.nonEmpty)
+    assert(!probe.exists { case (q, n, _) => q % 7 == 3 || n % 7 == 3 })
+    val manual = idx.copy(coded =
+      spark.table(table).filter(col("id") % 7 =!= 3))
+    val expect = VectorOps.pqTopKFromIndex(manual, col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(probe === expect)
+    VectorOps.compactPqIndex(spark, table)
+    assert(!spark.catalog.tableExists(
+      graft.operators.Ddl.tombstoneTable(table)))
+    val after = VectorOps.pqTopKFromIndex(
+        VectorOps.loadPqIndex(spark, table), col("id") < 20, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(after === probe)
+  }
+
+  test("BM25 delete refreshes stats exactly: probe equals the in-query scorer over survivors") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val table = "graft_bm25_delete_spec"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", table)
+    Retrieval.deleteFromBm25Index(docs.filter(col("doc_id") % 7 === 3),
+      "doc_id", table)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 3)
+    // terms the t57 gate never sees: the deleted index must answer ANY
+    // query exactly as a from-scratch build over the survivors would —
+    // this fails if (n_docs, avgdl, df) are stale by even one document
+    for (terms <- Seq(Seq("data", "model"), Seq("join", "window", "the"))) {
+      val probe = Retrieval
+        .bm25TopKFromIndex(spark, table, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val inQuery = operators.TextAnalysis
+        .bm25TopK(survivors, "doc_id", "text", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(probe === inQuery, s"terms=$terms")
+    }
+    // compact then re-check: physically removed, same answers
+    Retrieval.compactBm25Index(spark, table)
+    assert(!spark.catalog.tableExists(
+      graft.operators.Ddl.tombstoneTable(table)))
+    assert(spark.table(s"${table}_docs").filter(col("id") % 7 === 3)
+      .count() === 0L)
+    val probe2 = Retrieval
+      .bm25TopKFromIndex(spark, table, Seq("data", "model"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inQuery2 = operators.TextAnalysis
+      .bm25TopK(survivors, "doc_id", "text", Seq("data", "model"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe2 === inQuery2)
+  }
+
   test("batched BM25 equals N single-query probes; fused plan has no single-partition window") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
