@@ -199,7 +199,7 @@ object StreamingIngest {
     * pair and makes every completed batch replay-safe. */
   def appendVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
       vecCol: String, table: String, numBuckets: Int = 8): Unit =
-    ledgeredAppend(batch, batchId, table)(
+    ledgered(batch, batchId, s"${table}_appends")(
       graft.operators.VectorOps.appendToIndex(_, idCol, vecCol,
         table, numBuckets))
 
@@ -209,17 +209,42 @@ object StreamingIngest {
     * `<table>_appends` ledger). */
   def appendDocBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, table: String, numBuckets: Int = 8): Unit =
-    ledgeredAppend(batch, batchId, table)(
+    ledgered(batch, batchId, s"${table}_appends")(
       graft.operators.Retrieval.appendToBm25Index(_, idCol, textCol,
         table, numBuckets))
 
-  /** Shared batch-id ledger guard: run `append` once per (table,
+  /** [[appendVectorBatch]]'s DELETE twin: one idempotent micro-batch of
+    * tombstones ([[graft.operators.VectorOps.deleteFromIndex]] under a
+    * SEPARATE `<table>_deletes` ledger — append and delete streams have
+    * independent batch-id sequences). Replaying a committed batch id is
+    * a no-op; within a fresh batch the tombstone write itself is
+    * idempotent anyway (anti-join semantics are insensitive to
+    * duplicate tombstones), so the ledger's real job is keeping the
+    * delete list metadata-sized under retries. Ordering between a
+    * concurrent append stream and this delete stream is the CALLER's
+    * contract (the [[graft.operators.Ddl.appendTombstones]] rule: a
+    * deleted id must not be re-appended before a compaction). */
+  def deleteVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
+      table: String): Unit =
+    ledgered(batch, batchId, s"${table}_deletes")(
+      graft.operators.VectorOps.deleteFromIndex(_, idCol, table))
+
+  /** [[deleteVectorBatch]]'s keyword twin: tombstone the documents AND
+    * refresh the BM25 stats row over the survivors
+    * ([[graft.operators.Retrieval.deleteFromBm25Index]]) — per-batch
+    * cost is the tombstone write plus the `_docs`-sized (two tiny
+    * columns) stats aggregate, never the postings. */
+  def deleteDocBatch(batch: DataFrame, batchId: Long, idCol: String,
+      table: String): Unit =
+    ledgered(batch, batchId, s"${table}_deletes")(
+      graft.operators.Retrieval.deleteFromBm25Index(_, idCol, table))
+
+  /** Shared batch-id ledger guard: run `append` once per (ledger,
     * batchId); replays are no-ops. See [[appendVectorBatch]] for the
     * atomicity note. */
-  private def ledgeredAppend(batch: DataFrame, batchId: Long,
-      table: String)(append: DataFrame => Unit): Unit = {
+  private def ledgered(batch: DataFrame, batchId: Long,
+      ledger: String)(append: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
-    val ledger = s"${table}_appends"
     val exists = spark.catalog.tableExists(ledger)
     // a ledger DIRECTORY invisible to the catalog is stale by
     // definition (this session's index build dropped ITS tables the
@@ -271,6 +296,33 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendDocBatch(batch, batchId, idCol, textCol, table, numBuckets)
+      }
+      .start()
+
+  /** CONTINUOUS index deletes — the delete stream (GDPR erasure feed,
+    * a CDC delete topic) as a streaming sink: each micro-batch of ids
+    * is tombstoned idempotently per batch id ([[deleteVectorBatch]]).
+    * Per-batch cost is the tombstone write — never the index; a
+    * periodic [[graft.operators.VectorOps.compactIndex]] (maintenance
+    * cadence, not per-batch) physically removes the rows and keeps the
+    * probe-time anti-join metadata-sized. */
+  def streamingIndexDelete(stream: DataFrame, idCol: String,
+      table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteVectorBatch(batch, batchId, idCol, table)
+      }
+      .start()
+
+  /** [[streamingIndexDelete]]'s keyword twin: continuous BM25 deletes
+    * with the per-batch exact stats refresh ([[deleteDocBatch]]). */
+  def streamingBm25Delete(stream: DataFrame, idCol: String,
+      table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteDocBatch(batch, batchId, idCol, table)
       }
       .start()
 

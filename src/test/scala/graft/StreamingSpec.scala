@@ -313,6 +313,86 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(s"${streamTable}_appends").count() === 3L)
   }
 
+  test("streaming index deletes equal a one-shot delete; replayed delete batches are no-ops") {
+    import graft.operators.{Ddl, Retrieval, Staging, VectorOps}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val doomed = emb.filter(col("vec_id") % 7 === 3)
+    // reference: one-shot batch delete (the t56 path)
+    val refTable = "graft_stream_anndel_ref"
+    val probeRef = Staging.scoped {
+      VectorOps.writeIndex(emb, "vec_id", "embedding", refTable,
+        kClusters = 8, iters = 2, numBuckets = 8)
+      VectorOps.deleteFromIndex(doomed, "vec_id", refTable)
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, refTable),
+        col("id") < 20, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    // stream the SAME delete set in two waves through foreachBatch
+    val streamTable = "graft_stream_anndel"
+    Staging.scoped {
+      VectorOps.writeIndex(emb, "vec_id", "embedding", streamTable,
+        kClusters = 8, iters = 2, numBuckets = 8)
+    }
+    val src = tmp("idx-del-src")
+    Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val staging = tmp(s"idx-del-wave$i")
+        doomed.filter(pred).select("vec_id").coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val stream = spark.readStream
+      .schema(doomed.select("vec_id").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.streamingIndexDelete(stream, "vec_id",
+      streamTable, tmp("idx-del-ckpt"))
+    q.processAllAvailable(); q.stop()
+    val probeStream = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, streamTable),
+        col("id") < 20, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    assert(probeStream === probeRef)
+    assert(probeStream.nonEmpty)
+    // idempotence: a replayed delete batch id leaves the tombstone list
+    // untouched (the ledger's job — unbounded retries must not grow it)
+    val tsTable = Ddl.tombstoneTable(streamTable)
+    val before = spark.table(tsTable).count()
+    StreamingIngest.deleteVectorBatch(doomed, batchId = 0L, "vec_id",
+      streamTable)
+    assert(spark.table(tsTable).count() === before)
+    // BM25 twin: stream-fed deletes answer probes exactly like the
+    // one-shot t57 path (stats refresh included per batch)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bmTable = "graft_stream_bm25del"
+    Staging.scoped {
+      Retrieval.writeBm25Index(docs, "doc_id", "text", bmTable)
+    }
+    val bmSrc = tmp("bm25-del-src")
+    val bmDoomed = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val staging = tmp("bm25-del-wave0")
+    bmDoomed.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$bmSrc/wave0.parquet"))
+    val bmStream = spark.readStream.schema(bmDoomed.schema)
+      .parquet(bmSrc)
+    val bq = StreamingIngest.streamingBm25Delete(bmStream, "doc_id",
+      bmTable, tmp("bm25-del-ckpt"))
+    bq.processAllAvailable(); bq.stop()
+    val probe = Retrieval
+      .bm25TopKFromIndex(spark, bmTable, Seq("data", "model"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inQuery = operators.TextAnalysis
+      .bm25TopK(docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text",
+        Seq("data", "model"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe === inQuery)
+  }
+
   test("streaming BM25 append equals one-shot batch append on arbitrary probes") {
     import graft.operators.{Retrieval, Staging}
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
