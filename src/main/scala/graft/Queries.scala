@@ -32,22 +32,28 @@ object Queries {
   }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    // default; read it as raw nanos (LongType) and convert explicitly
-    // where event time is needed (see eventsWithTs).
+    // older driver corpora carry events.ts as TIMESTAMP(NANOS), which
+    // Spark rejects by default; read those as raw nanos (LongType) and
+    // convert explicitly where event time is needed (see eventsWithTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` converted from raw nanos to a naive timestamp
-    * (microsecond truncation — same as DuckDB's TIMESTAMP_NS→TIMESTAMP
-    * cast). */
-  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame =
-    // integer DIV, not `/`: long/int goes through DOUBLE and ~1.7e18 ns
-    // exceeds 2^53 — the float detour silently shifts some timestamps
-    // by a microsecond
-    t(spark, dir, "events").withColumn("ts",
-      timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+  /** events with `ts` normalized to a naive microsecond timestamp,
+    * whatever flavor the corpus file carries: raw nanos-as-long (legacy
+    * TIMESTAMP_NS corpora — integer DIV truncation, same as DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast; `/` would detour through DOUBLE and
+    * ~1.7e18 ns exceeds 2^53), native TIMESTAMP_NTZ (µs corpora), or a
+    * zoned TIMESTAMP (cast preserves the UTC-pinned wall clock). */
+  private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => ev
+      case _ => ev.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
+  }
 
   // Static schema mirrors of the driver corpus (FIXTURES.md §2) — used to
   // generate oracle SQL at class-init time, where no SparkSession exists.

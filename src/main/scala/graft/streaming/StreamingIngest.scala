@@ -27,9 +27,11 @@ import graft.operators.Enrich
  */
 object StreamingIngest {
 
-  /** events.parquet carries TIMESTAMP(NANOS): streamed as raw nanos
-    * (LongType) and converted to TimestampType (µs truncation) — pinned
-    * UTC session makes this wall-clock-stable. */
+  /** Legacy raw schema of a TIMESTAMP(NANOS) events corpus: streamed as
+    * raw nanos (LongType) and converted to TimestampType (µs
+    * truncation) — pinned UTC session makes this wall-clock-stable.
+    * Newer corpora carry µs timestamps natively; [[eventsRawSchema]]
+    * reads whichever flavor the files actually have. */
   val EventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -37,6 +39,29 @@ object StreamingIngest {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The actual on-disk schema of an events parquet file/dir, as a batch
+    * read sees it (legacy ns corpora surface `ts` as LongType under
+    * `nanosAsLong`; µs corpora as TIMESTAMP_NTZ). File streams require
+    * an upfront schema — deriving it from the footer instead of pinning
+    * a literal keeps the stream surface corpus-flavor-agnostic. */
+  def eventsRawSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path).schema
+  }
+
+  /** Normalize a raw `ts` column to TimestampType whatever flavor the
+    * corpus carries: nanos-as-long (integer DIV truncation — a `/`
+    * would detour through DOUBLE and ~1.7e18 ns exceeds 2^53),
+    * TIMESTAMP_NTZ (cast is wall-clock-preserving under the pinned UTC
+    * session), or already TimestampType. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
   /**
    * O6 checkpoint/trigger knob surface — the Spark analogues of the
@@ -62,15 +87,13 @@ object StreamingIngest {
 
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source requires a directory: stream the corpus dir
     // filtered down to the events table
-    val reader = spark.readStream.schema(EventsRawSchema)
+    val reader = spark.readStream
+      .schema(eventsRawSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      // integer DIV: a double detour loses microseconds at ns magnitudes
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(reader.parquet(dir))
   }
 
   /** S1/S2 streaming analogue: enrich each event with the 11-column
@@ -81,10 +104,9 @@ object StreamingIngest {
       checkpointPath: String,
       cfg: StreamConfig = StreamConfig()): StreamingQuery = {
     val events = readEvents(spark, dir, cfg.maxFilesPerTrigger)
-    val metas = EventsRawSchema.fields.toSeq.map {
-      case f if f.name == "ts" => ColumnMeta.fromField(StructField("ts", TimestampType))
-      case f => ColumnMeta.fromField(f)
-    }
+    // derive the envelope metas from the normalized stream schema (ts is
+    // TimestampType after normalizeEventTs, whatever the files carried)
+    val metas = events.schema.fields.toSeq.map(ColumnMeta.fromField)
     // month-partitioned like the batch sink (Ddl.writePartitioned) — the
     // streaming and batch paths share one on-disk contract
     val writer = Enrich.enrich(events, metas)

@@ -95,12 +95,10 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$src/events1.parquet"))
     Files.copy(java.nio.file.Paths.get(sf() + "/events.parquet"),
       java.nio.file.Paths.get(s"$src/events2.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(StreamingIngest.EventsRawSchema)
+    val stream = StreamingIngest.normalizeEventTs(spark.readStream
+      .schema(StreamingIngest.eventsRawSchema(spark, src))
       .option("maxFilesPerTrigger", "1")
-      .parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(src))
     val deduped = StreamingIngest.streamingDedup(stream,
       Seq("event_id", "user_id", "event_type"), watermark = "10 days")
     val q = deduped.writeStream.outputMode("append")
@@ -123,7 +121,7 @@ class StreamingSpec extends SparkSpec {
     events.filter(col("event_id") % 2 === 1)
       .write.parquet(s"$src/half2.parquet")
     val stream = spark.readStream
-      .schema(StreamingIngest.EventsRawSchema)
+      .schema(StreamingIngest.eventsRawSchema(spark, s"$src/half1.parquet"))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$src/*.parquet")
       .withColumn("user_str", col("user_id").cast("string"))
@@ -161,7 +159,7 @@ class StreamingSpec extends SparkSpec {
         .agg(graft.functions.QuantileSketchAgg(col("value").cast("double"),
           8192, probs).as("qs"))
     val stream = spark.readStream
-      .schema(StreamingIngest.EventsRawSchema)
+      .schema(StreamingIngest.eventsRawSchema(spark, s"$src/half1.parquet"))
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$src/*.parquet")
     val q = agg(stream).writeStream.outputMode("complete")
