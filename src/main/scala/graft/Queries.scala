@@ -758,6 +758,67 @@ object Queries {
          |ORDER BY source, p""".stripMargin
     })
 
+  private val P11P = 5                      // m=32: full register replay in SQL
+  private val P11M = 1 << P11P
+  private val P11Mask = (1L << (64 - P11P)) - 1 // low 64-p bits of the md5 hash
+  private val P11RhoZero = 64 - P11P + 1    // rank when the suffix is all zeros
+  private val P11AlphaNum = 697L            // α_32 as the HLL paper's exact
+  private val P11AlphaDen = 1000L           //   rational (Flajolet 2007, Fig. 3)
+
+  /** HyperLogLog distinct users per event type
+    * ([[Quality.distinctSketchByKey]]) — the sketch twin of the exact
+    * `w3`. STRONGEST gate of the sketch family: registers are
+    * element-wise max (commutative, associative, idempotent), so the
+    * state is a deterministic function of the input SET, and the oracle
+    * replays the ENTIRE sketch in SQL — the md5-prefix 64-bit hash
+    * (CountMin's idiom, widened to 16 hex chars → UBIGINT), per-register
+    * max rank via `bin()` bit-length, the HUGEINT harmonic sum
+    * `Σ 2^{64-M_j}`, and the raw estimate in exact integer micro-units
+    * (`α_m` as the paper's rational — no float touches the gated
+    * columns). The small-range-corrected `est` uses JVM `ln` (not
+    * bit-portable) and is dropped here; QualitySpec gates it on
+    * accuracy bands + partitioning invariance. */
+  val p11_hll_distinct: Q = Q(
+    run = (spark, dir) =>
+      Quality.distinctSketchByKey(t(spark, dir, "events"),
+          key = "event_type", c = "user_id", p = P11P)
+        .drop("est")
+        .orderBy("event_type"),
+    oracle = Some(
+      s"""WITH vals AS (
+         |  SELECT event_type, CAST(user_id AS VARCHAR) AS v
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hs AS (
+         |  SELECT event_type,
+         |    CAST('0x' || substr(md5(v), 1, 16) AS UBIGINT) AS h
+         |  FROM vals),
+         |regs AS (
+         |  SELECT event_type, CAST(h >> ${64 - P11P} AS INTEGER) AS idx,
+         |    MAX(CASE WHEN (h & CAST('$P11Mask' AS UBIGINT)) = 0
+         |      THEN $P11RhoZero
+         |      ELSE $P11RhoZero - length(bin(h & CAST('$P11Mask' AS UBIGINT)))
+         |      END) AS rho
+         |  FROM hs GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT g.event_type, t.i AS idx
+         |  FROM (SELECT DISTINCT event_type FROM vals) g
+         |  CROSS JOIN range($P11M) t(i)),
+         |full_regs AS (
+         |  SELECT grid.event_type, COALESCE(regs.rho, 0) AS rho
+         |  FROM grid LEFT JOIN regs ON regs.event_type = grid.event_type
+         |    AND regs.idx = grid.idx),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS INTEGER) AS nonzero,
+         |    SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS harmonic
+         |  FROM full_regs GROUP BY event_type)
+         |SELECT event_type, CAST($P11M AS INTEGER) AS m, nonzero,
+         |  CAST(harmonic AS DECIMAL(38,0)) AS harmonic,
+         |  CAST((CAST($P11AlphaNum AS HUGEINT) * $P11M * $P11M
+         |      * CAST('18446744073709551616' AS HUGEINT) * 1000000)
+         |    // (CAST($P11AlphaDen AS HUGEINT) * harmonic) AS BIGINT) AS est_raw_e6
+         |FROM agg ORDER BY event_type""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -2317,7 +2378,14 @@ object Queries {
     * coding, per-query ADC lookup tables, estimated-cosine candidate
     * cut, exact re-rank — every float expression tree mirrors the Spark
     * side operator-for-operator. */
-  private def pqOracleSql(trainPredSql: Option[String] = None): String = {
+  private def pqOracleSql(trainPredSql: Option[String] = None,
+      dataPredSql: Option[String] = None): String = {
+    // Survivor-restriction variant (t60/t61): training reads the train
+    // subset, but coding (cd), query LUTs (ql) and query norms (qn) read
+    // only surviving ids — merge-on-read deletes keep the stored codes
+    // of survivors (coding is a deterministic per-row map), so deleting
+    // D from build(X) must equal coding X∖D under frozen quantizers(X).
+    val dataAnd = dataPredSql.map(p => s" AND ($p)").getOrElse("")
     val subLen = 64 / PqM
     val perSub = (0 until PqM).map { si =>
       val off = si * subLen
@@ -2351,9 +2419,9 @@ object Queries {
          |cd$si AS MATERIALIZED (SELECT vec_id, code FROM (
          |  SELECT t.vec_id, c.code, row_number() OVER (PARTITION BY t.vec_id ORDER BY
          |    (list_dot_product(c.c, c.c) - 2.0 * list_dot_product(t.s, c.c)), c.code) AS rn
-         |  FROM sub$si t CROSS JOIN pf$si c) WHERE rn = 1),
+         |  FROM sub$si t CROSS JOIN pf$si c) WHERE rn = 1$dataAnd),
          |ql$si AS MATERIALIZED (SELECT t.vec_id AS query_id, c.code, list_dot_product(t.s, c.c) AS lv
-         |  FROM sub$si t CROSS JOIN pf$si c WHERE t.vec_id < 10)""".stripMargin
+         |  FROM sub$si t CROSS JOIN pf$si c WHERE t.vec_id < 10$dataAnd)""".stripMargin
     }.mkString(",\n")
     val estExpr = (1 until PqM).foldLeft("l0.lv") { (acc, i) => s"($acc + l$i.lv)" }
     val lutJoins = (0 until PqM).map(i =>
@@ -2364,7 +2432,7 @@ object Queries {
        |n AS MATERIALIZED (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |$perSub,
        |codes AS MATERIALIZED (SELECT cd0.vec_id, $codeCols FROM cd0 $codeJoin),
-       |qn AS MATERIALIZED (SELECT vec_id AS query_id, nrm AS qnrm FROM n WHERE vec_id < 10),
+       |qn AS MATERIALIZED (SELECT vec_id AS query_id, nrm AS qnrm FROM n WHERE vec_id < 10$dataAnd),
        |cscored AS MATERIALIZED (SELECT q.query_id, t.vec_id AS neighbor_id,
        |    ($estExpr / (nn.nrm * q.qnrm)) AS qscore
        |  FROM qn q
@@ -2558,6 +2626,58 @@ object Queries {
             dataPredSql = Some(DeleteSurvivorSql))}
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  /** PQ index DELETE ([[VectorOps.deleteFromPqIndex]]) — t56 one memory
+    * tier down, restoring three-modality symmetry (ANN t56, BM25 t57,
+    * PQ here): the PQ index is built on the full corpus, ids ≡ 2
+    * (mod 5) are tombstoned merge-on-read, codebooks stay FROZEN (FAISS
+    * `remove_ids` semantics — the reconstruction grid does not move when
+    * vectors leave). The oracle trains codebooks on the full corpus but
+    * codes/probes survivors only, so the gate proves
+    * probe(build(X) − delete(D)) ≡ probe(X∖D | codebooks(X))
+    * value-exactly. Deleted queries vanish from the output (8×5 rows). */
+  val t60_pq_index_delete: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_delete"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writePqIndex(emb, "vec_id", "embedding", table,
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      VectorOps.deleteFromPqIndex(emb.filter(col("vec_id") % 5 === 2),
+        "vec_id", table)
+      val idx = VectorOps.loadPqIndex(spark, table)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(pqOracleSql(dataPredSql = Some(DeleteSurvivorSql))))
+
+  /** FULL PQ index lifecycle ([[VectorOps.compactPqIndex]]) — t58 one
+    * memory tier down: build codebooks on two thirds → append the rest
+    * against FROZEN codebooks → delete ids ≡ 2 (mod 5) across both
+    * batches → COMPACT (rewrite survivors, clear tombstones) → probe.
+    * The oracle trains on the build subset only and codes/probes
+    * survivors only — the whole maintenance chain must be invisible
+    * next to a hypothetical survivor corpus coded under the same frozen
+    * codebooks. Compaction must both exclude tombstoned rows and clear
+    * the delete list; forgetting either resurrects rows or drops
+    * survivors, and the oracle catches both. */
+  val t61_pq_index_compact: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_compact"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, m = PqM, ksub = PqKsub, iters = PqIters)
+      VectorOps.appendToPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", table)
+      VectorOps.deleteFromPqIndex(emb.filter(col("vec_id") % 5 === 2),
+        "vec_id", table)
+      VectorOps.compactPqIndex(spark, table)
+      val idx = VectorOps.loadPqIndex(spark, table)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(pqOracleSql(Some(AppendTrainSql), Some(DeleteSurvivorSql))))
 
   // ---------------------------------------------------------------------
   // Classic analytical shapes over the TPC-H-ish tables
@@ -4237,7 +4357,8 @@ object Queries {
     "p7_heavy_hitters_sketch" -> p7_heavy_hitters_sketch,
     "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped,
     "p9_quantile_sketch" -> p9_quantile_sketch,
-    "p10_count_min" -> p10_count_min)
+    "p10_count_min" -> p10_count_min,
+    "p11_hll_distinct" -> p11_hll_distinct)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(
@@ -4289,6 +4410,8 @@ object Queries {
     "t57_bm25_index_delete" -> t57_bm25_index_delete,
     "t58_ann_index_compact" -> t58_ann_index_compact,
     "t59_bm25_index_compact" -> t59_bm25_index_compact,
+    "t60_pq_index_delete" -> t60_pq_index_delete,
+    "t61_pq_index_compact" -> t61_pq_index_compact,
     "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
     "t52_hybrid_batched" -> t52_hybrid_batched,
     "t37_winnowing" -> t37_winnowing,

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -139,9 +137,15 @@ case class HllAgg(
       i += 1
     }
     val (an, ad) = alpha
-    val estRawE6 =
-      ((BigInt(an) * m * m * (one << 64) * 1000000L) /
-        (BigInt(ad) * harmonic)).toLong
+    val estRawE6Big =
+      (BigInt(an) * m * m * (one << 64) * 1000000L) / (BigInt(ad) * harmonic)
+    // micro-units overflow Long only past ~9.2e12 estimated distincts —
+    // beyond the 64-bit hash's own collision regime; fail loudly rather
+    // than wrap (BigInt.toLong keeps the low bits silently)
+    require(estRawE6Big.isValidLong,
+      s"$prettyName: raw estimate ${estRawE6Big / 1000000L} overflows the " +
+        "est_raw_e6 micro-unit Long; p=" + p)
+    val estRawE6 = estRawE6Big.toLong
     // production estimate: raw, with the small-range linear-counting
     // correction (spec-gated — see scaladoc)
     val raw = estRawE6.toDouble / 1e6

@@ -211,6 +211,25 @@ object Quality {
       .select(explode(col("cm")).as("e"))
       .select(col("e.value").as("value"), col("e.est").as("est"))
 
+  /** Grouped HyperLogLog distinct-count sketch
+    * ([[graft.functions.HllAgg]]): one `2^p`-byte register array per
+    * group however many rows, map-side combined like any aggregate — the
+    * shuffle carries `|groups| · 2^p` bytes total, the scale shape
+    * `w3`'s exact COUNT(DISTINCT) (one shuffled row per distinct value)
+    * cannot have. Values are sketched as strings (cast here) under the
+    * repo's engine-portable md5 hash idiom, so the whole register state
+    * is SQL-replayable — `p11` gates `m`/`nonzero`/`harmonic`/
+    * `est_raw_e6` hash-exact against DuckDB; the corrected `est`
+    * (JVM `ln`, not bit-portable) is QualitySpec's accuracy band. */
+  def distinctSketchByKey(df: DataFrame, key: String, c: String,
+      p: Int): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(key))
+      .agg(graft.functions.HllAgg(col(c).cast("string"), p).as("hll"))
+      .select(col(key), col("hll.m").as("m"),
+        col("hll.nonzero").as("nonzero"), col("hll.harmonic").as("harmonic"),
+        col("hll.est_raw_e6").as("est_raw_e6"), col("hll.est").as("est"))
+
   /** Referential integrity: child keys (non-null) absent from the
     * parent's key set. LEFT ANTI against the parent keys — broadcast
     * when small, shuffle-hash on the FK otherwise. */

@@ -1001,14 +1001,16 @@ object VectorOps {
   }
 
   /** [[deleteFromIndex]] one memory tier down: tombstone the ids;
-    * codebooks are frozen build artifacts and never refresh.
-    * RetrievalSpec proves probe-after-delete ≡ probe over the surviving
-    * coded rows. */
+    * codebooks are frozen build artifacts and never refresh. t60 gates
+    * probe-equivalence value-exactly (probe(build(X) − delete(D)) ≡
+    * probe(X∖D | codebooks(X))); RetrievalSpec additionally pins the
+    * merge-on-read mechanics. */
   def deleteFromPqIndex(ids: DataFrame, idCol: String, table: String): Unit =
     Ddl.appendTombstones(ids.sparkSession, table, ids, idCol)
 
   /** [[compactIndex]] for a PQ index (the coded relation is unbucketed;
-    * the rewrite drops tombstoned rows and merges append files). */
+    * the rewrite drops tombstoned rows and merges append files). t61
+    * gates the full build→append→delete→compact lifecycle. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     Ddl.compactTable(spark, table, "id")

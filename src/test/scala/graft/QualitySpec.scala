@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 
 import graft.operators.Quality
 
@@ -110,6 +110,45 @@ class QualitySpec extends SparkSpec {
         .orderBy("rank").collect().map(_.getString(0)).toSeq
       assert(top3 === Seq("hot_a", "hot_b", "hot_c"))
     }
+  }
+
+  test("HLL sketch: corrected estimate lands in the accuracy band") {
+    // p11 oracle-gates the raw integer estimate; THIS row gates the
+    // production `est` (JVM ln, small-range correction). p=11 → m=2048,
+    // rsd = 1.04/sqrt(m) ≈ 2.3%; assert a 3σ ≈ 7% band vs exact.
+    val ord = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+      .withColumn("g", org.apache.spark.sql.functions.lit("all"))
+    val exact = ord.select("o_custkey").distinct().count()
+    val est = Quality.distinctSketchByKey(ord, "g", "o_custkey", p = 11)
+      .collect()(0).getAs[Long]("est")
+    val rel = math.abs(est - exact).toDouble / exact
+    assert(rel <= 0.07, s"exact=$exact est=$est rel=$rel")
+  }
+
+  test("HLL sketch: small-range linear-counting regime is near-exact") {
+    import spark.implicits._
+    // 5 distinct values in m=1024 registers: raw < 2.5m and zeros > 0,
+    // so est takes the linear-counting branch — near-exact at tiny V
+    val df = (0 until 200).map(i => s"v_${i % 5}").toDF("s")
+      .withColumn("g", org.apache.spark.sql.functions.lit("all"))
+    val est = Quality.distinctSketchByKey(df, "g", "s", p = 10)
+      .collect()(0).getAs[Long]("est")
+    assert(math.abs(est - 5L) <= 1L, s"linear-counting est=$est for 5 distinct")
+  }
+
+  test("HLL sketch: full state is invariant to partitioning and merge order") {
+    import spark.implicits._
+    // registers are element-wise max — commutative, associative AND
+    // idempotent — so every output column (including the float-corrected
+    // est) must be IDENTICAL across partitionings, like p7/p9's rows
+    val rows = (0 until 5000).map(i => (s"t_${i % 3}", s"u_${i % 797}"))
+    def state(parts: Int): Seq[Row] = {
+      val df = rows.toDF("grp", "v").repartition(parts)
+      Quality.distinctSketchByKey(df, "grp", "v", p = 5)
+        .orderBy("grp").collect().toSeq
+    }
+    val base = state(1)
+    for (parts <- Seq(7, 32)) assert(state(parts) === base, s"parts=$parts")
   }
 
   test("grouped Misra-Gries honors the mergeable-summaries guarantees per key") {
