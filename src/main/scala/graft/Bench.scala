@@ -24,11 +24,28 @@ import org.apache.spark.sql.SparkSession
  * had not changed. Each query therefore runs `SPARK_GRAFT_BENCH_REPS`
  * times (default 3) and reports the MINIMUM — the best observed time is
  * the one bounded below by the actual work, so host contention can only
- * push it UP, never fake an improvement. The JSON carries the evidence to
- * self-diagnose a noisy run: the 1-minute system load average at start
- * and end, and each query's relative spread ((max-min)/min over its
- * reps) — a large spread under high load means "noise", the same spread
- * at load ~0 means "look at the code".
+ * push it UP, never fake an improvement.
+ *
+ * Self-arbitration (rounds 8/9 lesson — two artifacts in a row taken at
+ * load 6–8 needed a side-channel reconciliation to interpret): the JSON
+ * now carries enough evidence to adjudicate itself, per query:
+ *
+ *   - `times`: EVERY rep's seconds (not just the min) — a 18.1/5.0/4.8
+ *     sequence reads as "first rep hit contention", three tight high
+ *     reps read as "the code is that slow";
+ *   - `rep_loads`: the 1-minute load average sampled right after each
+ *     rep — the context each number was taken under;
+ *   - AUTO-EXTENSION: a query whose relative spread ((max-min)/min)
+ *     exceeds `SPARK_GRAFT_BENCH_SPREAD` (default 0.25) WHILE the host
+ *     is loaded (latest rep's load > `SPARK_GRAFT_BENCH_HIGH_LOAD`,
+ *     default 2.0) gets extra reps, up to `SPARK_GRAFT_BENCH_MAX_REPS`
+ *     (default 9) — buying more chances to catch a quiet window. High
+ *     spread at LOW load is left alone: that is code-real variance the
+ *     artifact should show, not average away.
+ *
+ * The min stays the headline (work-bounded-below); `reps_run` records
+ * how many reps each query actually took, so an extended query is
+ * visibly flagged as "measured under contention, best-of-N".
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,33 +84,56 @@ object Bench {
     }
     val headline = allHeadline
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val spreadBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "0.25").toDouble
+    val highLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIGH_LOAD", "2.0").toDouble
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "9").toInt.max(reps)
     var failed = List.empty[String]
     val results = headline.map { case (name, q) =>
-      val times = (1 to reps).iterator.map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val repLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var broken = false
+      def runOnce(): Unit = {
         val t0 = System.nanoTime()
         // scoped frame per run: barrier release is CHARGED to the query
         // (unpersist is part of its real cost; non-blocking bookkeeping)
         // and isolated from every other query's barriers
-        var ok = true
         graft.operators.Staging.scoped {
           try q.runForBench(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed ::= name
-            ok = false
+            broken = true
           }
         }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }.takeWhile(_._1).map(_._2).toSeq // a failed rep stops the query's loop
-      name -> times
+        if (!broken) {
+          times += (System.nanoTime() - t0) / 1e9
+          repLoads += loadAvg
+        }
+      }
+      def spread: Double =
+        if (times.size < 2) 0.0 else (times.max - times.min) / times.min
+      while (!broken && times.size < reps) runOnce()
+      // auto-extension: noisy spread under a loaded host buys extra reps
+      // (a quiet-host spread is code-real and stands as measured)
+      while (!broken && times.size < maxReps && spread > spreadBound &&
+        repLoads.last > highLoad) runOnce()
+      name -> ((times.toSeq, repLoads.toSeq))
     }
     def jmap(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val mins = results.map { case (k, ts) => k -> (if (ts.isEmpty) 0.0 else ts.min) }
-    val spreads = results.collect { case (k, ts) if ts.nonEmpty =>
+    def jmapArr(pairs: Seq[(String, Seq[Double])]): String =
+      pairs.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val mins = results.map { case (k, (ts, _)) => k -> (if (ts.isEmpty) 0.0 else ts.min) }
+    val spreads = results.collect { case (k, (ts, _)) if ts.size >= 2 =>
       k -> (ts.max - ts.min) / ts.min }
     val qs = jmap(mins)
     val spreadJson = jmap(spreads)
+    val timesJson = jmapArr(results.map { case (k, (ts, _)) => k -> ts })
+    val repLoadsJson = jmapArr(results.map { case (k, (_, ls)) => k -> ls })
+    val repsRun = results.map { case (k, (ts, _)) => s""""$k":${ts.size}""" }
+      .mkString("{", ",", "}")
     val failedJson = failed.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
     val loadEnd = loadAvg
@@ -101,7 +141,7 @@ object Bench {
     // exit) — otherwise a broken headline silently shrinks the total.
     val subsetMarker =
       if (only.isDefined) s""","subset":${headline.length}""" else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreadJson,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"failed":$failedJson$subsetMarker,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreadJson,"times":$timesJson,"rep_loads":$repLoadsJson,"reps_run":$repsRun,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"failed":$failedJson$subsetMarker,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

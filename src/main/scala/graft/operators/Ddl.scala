@@ -262,15 +262,21 @@ object Ddl {
     * names the index whose delete list applies when it differs from the
     * compacted table (a BM25 index's `_docs` sibling shares the index's
     * tombstones). Tombstones are NOT cleared here — a multi-table index
-    * compacts every sibling first, then drops them once. */
+    * compacts every sibling first, then drops them once. `sideRows`
+    * are streamed CommitLog batches to FOLD into the rewrite (the
+    * LSM merge: L0 runs join the base layout here and the caller
+    * clears the log after). */
   def compactTable(spark: org.apache.spark.sql.SparkSession,
       table: String, idCol: String,
-      tombstonesOf: Option[String] = None): Unit = {
+      tombstonesOf: Option[String] = None,
+      sideRows: Option[DataFrame] = None): Unit = {
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val bucketSpec = cat.getTableMetadata(ident).bucketSpec
+    val base = spark.table(table)
+    val withSide = sideRows.map(base.unionByName(_)).getOrElse(base)
     val survivors = withoutDeleted(spark, tombstonesOf.getOrElse(table),
-      spark.table(table), idCol)
+      withSide, idCol)
     val tmp = s"${table}_compacting"
     bucketSpec match {
       case Some(bs) =>

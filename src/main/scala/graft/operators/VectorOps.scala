@@ -618,9 +618,10 @@ object VectorOps {
       assignCell(col("v"), col("nrm"), cent).as("cell"),
       sq8Code(col("v"), lo, hi).as("code"))
     Ddl.writeBucketedTable(indexed, table, "cell", numBuckets)
-    // a fresh build has zero deletes — clear any tombstones a previous
-    // build's delete left behind
+    // a fresh build has zero deletes and zero streamed side batches —
+    // clear whatever a previous build's maintenance left behind
     Ddl.dropTombstones(spark, table)
+    CommitLog.clear(spark, table)
   }
 
   /** Load a [[writeIndex]] index: metadata is collected (the same k·dim
@@ -630,8 +631,13 @@ object VectorOps {
     val cent = spark.table(s"${table}_centroids").orderBy("label").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val st = spark.table(s"${table}_stats").orderBy("pos").collect()
+    // streamed side batches (atomic CommitLog appends) union with the
+    // bucketed base; absent commits keep the exact base-table plan
+    val base = spark.table(table)
+    val all = CommitLog.sideRows(spark, table, base.schema)
+      .map(base.unionByName(_)).getOrElse(base)
     AnnIndex(cent, st.map(_.getDouble(1)), st.map(_.getDouble(2)),
-      Ddl.withoutDeleted(spark, table, spark.table(table), "id"))
+      Ddl.withoutDeleted(spark, table, all, "id"))
   }
 
   /** [[ivfSq8TopK]] over a LOADED index — no training, no stats pass, no
@@ -664,12 +670,36 @@ object VectorOps {
   def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
       table: String, numBuckets: Int = 8): Unit = {
     val idx = loadIndex(df.sparkSession, table)
-    val p = prepared(df, idCol, vecCol)
-    val indexed = p.select(col("id"), col("v"), col("nrm"),
+    Ddl.writeBucketedTable(codedForIndex(df, idCol, vecCol, idx), table,
+      "cell", numBuckets, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** The append's coding pass alone: `df` coded against the FROZEN
+    * quantizers of an already-loaded index (shared by the direct
+    * [[appendToIndex]] and the atomic [[appendToIndexCommitted]]). */
+  private def codedForIndex(df: DataFrame, idCol: String, vecCol: String,
+      idx: AnnIndex): DataFrame =
+    prepared(df, idCol, vecCol).select(col("id"), col("v"), col("nrm"),
       assignCell(col("v"), col("nrm"), idx.cent).as("cell"),
       sq8Code(col("v"), idx.lo, idx.hi).as("code"))
-    Ddl.writeBucketedTable(indexed, table, "cell", numBuckets,
-      org.apache.spark.sql.SaveMode.Append)
+
+  /** [[appendToIndex]] with an ATOMIC per-batch commit — the streaming
+    * maintenance shape ([[graft.streaming.StreamingIngest]]): the coded
+    * batch lands in a [[CommitLog]] side directory whose rename IS the
+    * commit point, so a crash anywhere leaves either nothing (replay
+    * rewrites) or the whole batch (replay is a no-op) — never a
+    * duplicate. Side batches are unbucketed L0 runs that
+    * [[loadIndex]] unions with the bucketed base; [[compactIndex]]
+    * folds them in and restores the pure bucketed layout. Returns false
+    * on a replayed batch id. */
+  def appendToIndexCommitted(df: DataFrame, idCol: String, vecCol: String,
+      table: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    CommitLog.commit(spark, table, batchId) { dir =>
+      val idx = loadIndex(spark, table)
+      codedForIndex(df, idCol, vecCol, idx).write
+        .option("compression", Ddl.ParquetCompression).parquet(dir)
+    }
   }
 
   /** DELETE from a persisted [[writeIndex]] index — the third leg of the
@@ -697,7 +727,9 @@ object VectorOps {
     * deleted id is legal again. t58 gates the full lifecycle. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    Ddl.compactTable(spark, table, "id")
+    Ddl.compactTable(spark, table, "id",
+      sideRows = CommitLog.sideRows(spark, table, spark.table(table).schema))
+    CommitLog.clear(spark, table)
     Ddl.dropTombstones(spark, table)
   }
 
@@ -961,6 +993,7 @@ object VectorOps {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(table)
     Ddl.dropTombstones(spark, table)
+    CommitLog.clear(spark, table)
   }
 
   /** Load a [[writePqIndex]] index: codebooks are collected (broadcast-
@@ -974,7 +1007,10 @@ object VectorOps {
         rs.sortBy(_.getInt(1))
           .map(r => (r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
     }
-    PqIndex(books, Ddl.withoutDeleted(spark, table, spark.table(table), "id"))
+    val base = spark.table(table)
+    val all = CommitLog.sideRows(spark, table, base.schema)
+      .map(base.unionByName(_)).getOrElse(base)
+    PqIndex(books, Ddl.withoutDeleted(spark, table, all, "id"))
   }
 
   /** [[pqTopK]] over a LOADED index — no training, no coding pass:
@@ -991,13 +1027,31 @@ object VectorOps {
     * coding pass over the batch, no index rewrite. t55 gates
     * probe-equivalence against the frozen-training PQ oracle. */
   def appendToPqIndex(df: DataFrame, idCol: String, vecCol: String,
-      table: String): Unit = {
-    val idx = loadPqIndex(df.sparkSession, table)
+      table: String): Unit =
+    codedForPqIndex(df, idCol, vecCol,
+      loadPqIndex(df.sparkSession, table))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(table)
+
+  /** The PQ append's coding pass alone (frozen codebooks). */
+  private def codedForPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      idx: PqIndex): DataFrame = {
     val sub = idx.books.head.head._2.length
     prepared(df, idCol, vecCol)
       .withColumn("code", pqCode(col("v"), idx.books, sub))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[appendToPqIndex]] with the ATOMIC per-batch commit
+    * ([[appendToIndexCommitted]] one memory tier down): the coded batch
+    * commits by directory rename, replay is a no-op, no
+    * partial-visibility window. Returns false on a replayed id. */
+  def appendToPqIndexCommitted(df: DataFrame, idCol: String, vecCol: String,
+      table: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    CommitLog.commit(spark, table, batchId) { dir =>
+      codedForPqIndex(df, idCol, vecCol, loadPqIndex(spark, table)).write
+        .option("compression", Ddl.ParquetCompression).parquet(dir)
+    }
   }
 
   /** [[deleteFromIndex]] one memory tier down: tombstone the ids;
@@ -1013,7 +1067,9 @@ object VectorOps {
     * gates the full build→append→delete→compact lifecycle. */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
-    Ddl.compactTable(spark, table, "id")
+    Ddl.compactTable(spark, table, "id",
+      sideRows = CommitLog.sideRows(spark, table, spark.table(table).schema))
+    CommitLog.clear(spark, table)
     Ddl.dropTombstones(spark, table)
   }
 

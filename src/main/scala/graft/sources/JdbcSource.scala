@@ -22,9 +22,9 @@ import graft.operators.SqlLiteral
  *
  * Scale note: like the reference's source (single-threaded per table,
  * FB:262–275), the default scan is one JDBC partition; for large tables
- * pass `numPartitions`+bounds so Spark issues range-parallel reads —
- * the watermark predicate keeps every partition on the same frozen
- * snapshot.
+ * [[scanPartitioned]] issues range-parallel reads — the watermark
+ * predicate keeps every partition on the same frozen snapshot
+ * (JdbcSourceSpec gates parallel ≡ single on rows+hash).
  */
 object JdbcSource {
 
@@ -133,4 +133,42 @@ object JdbcSource {
       .option("dbtable",
         s"(${buildScanSql(table, metas, orderBy, watermark, offsetRows)}) s")
       .load()
+
+  /** S1 AT SCALE: the same bounded snapshot scan as [[scan]], split into
+    * `numPartitions` RANGE-PARALLEL JDBC reads on the (numeric) order
+    * key. At 100 TB the partitioned read IS the ingest path — the
+    * reference's source is single-threaded per table (FB:262–275,
+    * FB:1060–1149), and this is precisely where the Spark re-expression
+    * beats it: Spark's JDBC partitioner turns
+    * (partitionColumn, lowerBound, upperBound, numPartitions) into
+    * stride predicates appended to the pushed-down subquery, one
+    * executor connection per key range, while the frozen watermark
+    * predicate keeps EVERY partition on the same snapshot — so the
+    * union is row-for-row the single-stream scan (JdbcSourceSpec gates
+    * rows+hash equality and the scan's partition count).
+    *
+    * Two deliberate differences from [[scan]]: the subquery carries no
+    * ORDER BY (a range-split read has no cross-partition order to
+    * promise — K1's total order is the consumer's sort, as with the
+    * bucketed sinks), and no OFFSET (an offset inside a stride
+    * predicate would skip rows per-partition, not globally; resume on
+    * the parallel path is by watermark range, not row offset). */
+  def scanPartitioned(spark: SparkSession, url: String, table: String,
+      metas: Seq[ColumnMeta], orderBy: String, watermark: Option[Any],
+      numPartitions: Int, lowerBound: Long, upperBound: Long): DataFrame = {
+    val cols = metas.map(m => SqlLiteral.escapeSourceIdentifier(m.name)).mkString(", ")
+    val q = SqlLiteral.escapeSourceIdentifier _
+    val where = watermark
+      .map(w => s"${q(orderBy)} <= ${SqlLiteral.toSqlLiteral(w)}")
+      .getOrElse("1 = 0")
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT $cols FROM ${q(table)} WHERE $where) s")
+      .option("partitionColumn", orderBy)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+  }
 }

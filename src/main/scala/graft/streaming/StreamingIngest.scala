@@ -47,7 +47,11 @@ object StreamingIngest {
     * a literal keeps the stream surface corpus-flavor-agnostic. */
   def eventsRawSchema(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path).schema
+    // a stream may legitimately be declared BEFORE any file arrives
+    // (continuous ingest watches an empty directory); fall back to the
+    // legacy literal schema until a footer exists to infer from
+    try spark.read.parquet(path).schema
+    catch { case _: org.apache.spark.sql.AnalysisException => EventsRawSchema }
   }
 
   /** Normalize a raw `ts` column to TimestampType whatever flavor the
@@ -208,27 +212,41 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("sketch"))
 
-  /** One micro-batch of STREAMING ANN-index maintenance, idempotent by
-    * batch id: [[graft.operators.VectorOps.appendToIndex]] against the
-    * frozen quantizers, recorded in a `<table>_appends` ledger so a
-    * replayed foreachBatch id (Structured Streaming's at-least-once
-    * retry) is a no-op — the standard foreachBatch idempotence recipe.
-    * Honesty note: append and ledger-write are two non-atomic writes; a
-    * crash BETWEEN them duplicates that one batch on retry. Closing
-    * that window needs a transactional table format — the documented
-    * Iceberg seam — or batch-id-stamped rows a reader filters through
-    * the ledger; the ledger here narrows the exposure to exactly that
-    * pair and makes every completed batch replay-safe. */
+  /** One micro-batch of STREAMING ANN-index maintenance, EXACTLY-ONCE
+    * by batch id: the batch is coded against the frozen quantizers and
+    * committed through [[graft.operators.CommitLog]] — data visibility
+    * and commit are one atomic directory rename, the replay check is
+    * the committed directory's existence, and there is no second write
+    * for a crash to land between (the round-9 one-batch duplication
+    * window is structurally gone; StreamingSpec's crash-injection row
+    * proves it). The committed batch is an unbucketed L0 side run the
+    * probes union in; a periodic
+    * [[graft.operators.VectorOps.compactIndex]] folds runs into the
+    * bucketed base, restoring fully exchange-free probes. `numBuckets`
+    * is retired by that design (the side run is unbucketed until
+    * compaction, which reads the bucket spec from the catalog). */
   def appendVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
-      vecCol: String, table: String, numBuckets: Int = 8): Unit =
-    ledgered(batch, batchId, s"${table}_appends")(
-      graft.operators.VectorOps.appendToIndex(_, idCol, vecCol,
-        table, numBuckets))
+      vecCol: String, table: String): Unit =
+    graft.operators.VectorOps.appendToIndexCommitted(batch, idCol, vecCol,
+      table, batchId)
+
+  /** [[appendVectorBatch]]'s PQ twin: one exactly-once micro-batch of
+    * PQ-index maintenance
+    * ([[graft.operators.VectorOps.appendToPqIndexCommitted]] — frozen
+    * codebooks, atomic CommitLog rename). */
+  def appendPqBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, table: String): Unit =
+    graft.operators.VectorOps.appendToPqIndexCommitted(batch, idCol, vecCol,
+      table, batchId)
 
   /** [[appendVectorBatch]]'s keyword twin: one idempotent micro-batch of
     * BM25-index maintenance
-    * ([[graft.operators.Retrieval.appendToBm25Index]] under the same
-    * `<table>_appends` ledger). */
+    * ([[graft.operators.Retrieval.appendToBm25Index]] under a
+    * `<table>_appends` ledger). The BM25 append spans THREE tables
+    * (postings, docs, stats overwrite), which a single-directory rename
+    * cannot cover — this path keeps the ledger recipe and its one-batch
+    * crash window; the honest remedy is a multi-table transactional
+    * format (the documented Iceberg seam, DESIGN.md). */
   def appendDocBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, table: String, numBuckets: Int = 8): Unit =
     ledgered(batch, batchId, s"${table}_appends")(
@@ -251,6 +269,16 @@ object StreamingIngest {
     ledgered(batch, batchId, s"${table}_deletes")(
       graft.operators.VectorOps.deleteFromIndex(_, idCol, table))
 
+  /** [[deleteVectorBatch]]'s PQ twin: idempotent micro-batch tombstones
+    * against a persisted PQ index
+    * ([[graft.operators.VectorOps.deleteFromPqIndex]] under the same
+    * separate `<table>_deletes` ledger; duplicate tombstones are
+    * harmless, the ledger keeps the list metadata-sized). */
+  def deletePqBatch(batch: DataFrame, batchId: Long, idCol: String,
+      table: String): Unit =
+    ledgered(batch, batchId, s"${table}_deletes")(
+      graft.operators.VectorOps.deleteFromPqIndex(_, idCol, table))
+
   /** [[deleteVectorBatch]]'s keyword twin: tombstone the documents AND
     * refresh the BM25 stats row over the survivors
     * ([[graft.operators.Retrieval.deleteFromBm25Index]]) — per-batch
@@ -262,8 +290,10 @@ object StreamingIngest {
       graft.operators.Retrieval.deleteFromBm25Index(_, idCol, table))
 
   /** Shared batch-id ledger guard: run `append` once per (ledger,
-    * batchId); replays are no-ops. See [[appendVectorBatch]] for the
-    * atomicity note. */
+    * batchId); replays are no-ops. Used where the write is either
+    * idempotent anyway (tombstones) or multi-table (BM25 — see
+    * [[appendDocBatch]]'s atomicity note); the single-relation vector
+    * appends use the atomic [[graft.operators.CommitLog]] instead. */
   private def ledgered(batch: DataFrame, batchId: Long,
       ledger: String)(append: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
@@ -292,16 +322,33 @@ object StreamingIngest {
     * per batch id ([[appendVectorBatch]]). This closes the production
     * loop for the build-once/probe-many family: build once, probe many,
     * and INGEST FOREVER, with per-batch cost proportional to the batch
-    * (one coding pass + its bucket shuffle) — never the index.
-    * StreamingSpec proves stream-fed equals one-shot batch append and
-    * that a replayed batch id leaves the index untouched. */
+    * (one coding pass + one atomic directory commit) — never the index.
+    * StreamingSpec proves stream-fed equals one-shot batch append, that
+    * a replayed batch id leaves the index untouched, and that a crash
+    * mid-batch leaves NOTHING visible (exactly-once, not just
+    * replay-safe). `numBuckets` kept for source compatibility; the
+    * committed side runs are unbucketed until compaction. */
   def streamingIndexAppend(stream: DataFrame, idCol: String,
       vecCol: String, table: String, checkpoint: String,
       numBuckets: Int = 8): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendVectorBatch(batch, batchId, idCol, vecCol, table, numBuckets)
+        appendVectorBatch(batch, batchId, idCol, vecCol, table)
+      }
+      .start()
+
+  /** [[streamingIndexAppend]]'s PQ twin: continuous PQ-index
+    * maintenance — each micro-batch is coded against the frozen
+    * codebooks and atomically committed ([[appendPqBatch]]).
+    * StreamingSpec proves stream-fed ≡ one-shot batch append and
+    * replayed-batch no-op. */
+  def streamingPqAppend(stream: DataFrame, idCol: String,
+      vecCol: String, table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPqBatch(batch, batchId, idCol, vecCol, table)
       }
       .start()
 
@@ -334,6 +381,19 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         deleteVectorBatch(batch, batchId, idCol, table)
+      }
+      .start()
+
+  /** [[streamingIndexDelete]]'s PQ twin: continuous tombstones against
+    * a persisted PQ index ([[deletePqBatch]]); a periodic
+    * [[graft.operators.VectorOps.compactPqIndex]] physically removes
+    * the rows. */
+  def streamingPqDelete(stream: DataFrame, idCol: String,
+      table: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deletePqBatch(batch, batchId, idCol, table)
       }
       .start()
 

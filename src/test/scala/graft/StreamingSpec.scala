@@ -300,15 +300,167 @@ class StreamingSpec extends SparkSpec {
     }
     assert(probeStream === probeRef)
     // idempotence: replaying an already-committed batch id is a no-op
-    val before = spark.table(streamTable).count()
+    import graft.operators.CommitLog
+    def codedCount(): Long = Staging.scoped {
+      VectorOps.loadIndex(spark, streamTable).coded.count()
+    }
+    val before = codedCount()
     StreamingIngest.appendVectorBatch(appendSide, batchId = 0L,
       "vec_id", "embedding", streamTable)
-    assert(spark.table(streamTable).count() === before)
-    // a NEW batch id with an empty frame commits without touching rows
+    assert(codedCount() === before)
+    // a NEW batch id with an empty frame commits without adding rows
     StreamingIngest.appendVectorBatch(appendSide.limit(0), batchId = 99L,
       "vec_id", "embedding", streamTable)
+    assert(codedCount() === before)
+    assert(CommitLog.committedBatches(spark, streamTable) === Seq(0L, 1L, 99L))
+    // COMPACTION folds the committed side runs into the bucketed base
+    // (the LSM merge) and clears the log; probes are unchanged
+    Staging.scoped { VectorOps.compactIndex(spark, streamTable) }
+    assert(CommitLog.committedBatches(spark, streamTable).isEmpty)
+    // every formerly-side row now lives in the bucketed base itself
     assert(spark.table(streamTable).count() === before)
-    assert(spark.table(s"${streamTable}_appends").count() === 3L)
+    val probeCompacted = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, streamTable),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    assert(probeCompacted === probeRef)
+  }
+
+  test("vector append commit is atomic: a crash between data write and commit leaves nothing; replay is exactly-once") {
+    import graft.operators.{CommitLog, Staging, VectorOps}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val buildSide = emb.filter(col("vec_id") % 3 =!= 0)
+    val appendSide = emb.filter(col("vec_id") % 3 === 0)
+    val table = "graft_atomic_ann"
+    Staging.scoped {
+      VectorOps.writeIndex(buildSide, "vec_id", "embedding", table,
+        kClusters = 8, iters = 2, numBuckets = 8)
+    }
+    def probe(): Set[org.apache.spark.sql.Row] = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, table),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    val probeBase = probe()
+    // CRASH INJECTION at the old protocol's fatal point: the batch's
+    // data files are fully written, the commit has not happened. With
+    // the ledger recipe this was the one-batch duplication window; with
+    // the rename protocol the staged files must be INVISIBLE.
+    val boom = intercept[RuntimeException] {
+      CommitLog.commit(spark, table, batchId = 0L) { dir =>
+        appendSide.limit(5).write.parquet(dir)
+        throw new RuntimeException("crash after data write, before commit")
+      }
+    }
+    assert(boom.getMessage.contains("before commit"))
+    assert(!CommitLog.isCommitted(spark, table, 0L))
+    assert(probe() === probeBase) // staged rows never became visible
+    // RESTART: Structured Streaming replays batch 0 with the same rows;
+    // the stale staging debris is cleared and the batch commits once
+    StreamingIngest.appendVectorBatch(appendSide, batchId = 0L,
+      "vec_id", "embedding", table)
+    assert(CommitLog.isCommitted(spark, table, 0L))
+    val afterReplay = probe()
+    // the replayed result equals a ONE-SHOT batch append (exactly-once)
+    val refTable = "graft_atomic_ann_ref"
+    val probeRef = Staging.scoped {
+      VectorOps.writeIndex(buildSide, "vec_id", "embedding", refTable,
+        kClusters = 8, iters = 2, numBuckets = 8)
+      VectorOps.appendToIndex(appendSide, "vec_id", "embedding", refTable)
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, refTable),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20).collect().toSet
+    }
+    assert(afterReplay === probeRef)
+    // and a second replay of the committed id is a no-op
+    val n = Staging.scoped { VectorOps.loadIndex(spark, table).coded.count() }
+    StreamingIngest.appendVectorBatch(appendSide, batchId = 0L,
+      "vec_id", "embedding", table)
+    assert(Staging.scoped {
+      VectorOps.loadIndex(spark, table).coded.count() } === n)
+  }
+
+  test("streaming PQ append/delete equal their one-shot batch twins; replays are no-ops") {
+    import graft.operators.{CommitLog, Ddl, Staging, VectorOps}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val buildSide = emb.filter(col("vec_id") % 3 =!= 0)
+    val appendSide = emb.filter(col("vec_id") % 3 === 0)
+    // reference: one-shot batch append (the t55 path)
+    val refTable = "graft_stream_pq_ref"
+    val probeRef = Staging.scoped {
+      VectorOps.writePqIndex(buildSide, "vec_id", "embedding", refTable,
+        m = 4, ksub = 8, iters = 2)
+      VectorOps.appendToPqIndex(appendSide, "vec_id", "embedding", refTable)
+      VectorOps.pqTopKFromIndex(VectorOps.loadPqIndex(spark, refTable),
+        col("id") < 10, k = 5, candidates = 20).collect().toSet
+    }
+    // stream the SAME append batch in two waves through foreachBatch
+    val streamTable = "graft_stream_pq"
+    Staging.scoped {
+      VectorOps.writePqIndex(buildSide, "vec_id", "embedding", streamTable,
+        m = 4, ksub = 8, iters = 2)
+    }
+    val src = tmp("pq-append-src")
+    Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val staging = tmp(s"pq-append-wave$i")
+        appendSide.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(appendSide.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.streamingPqAppend(stream, "vec_id",
+      "embedding", streamTable, tmp("pq-append-ckpt"))
+    q.processAllAvailable(); q.stop()
+    def probePq(): Set[org.apache.spark.sql.Row] = Staging.scoped {
+      VectorOps.pqTopKFromIndex(VectorOps.loadPqIndex(spark, streamTable),
+        col("id") < 10, k = 5, candidates = 20).collect().toSet
+    }
+    assert(probePq() === probeRef)
+    // replayed batch id is a no-op
+    def codedCount(): Long = Staging.scoped {
+      VectorOps.loadPqIndex(spark, streamTable).coded.count()
+    }
+    val before = codedCount()
+    StreamingIngest.appendPqBatch(appendSide, batchId = 0L,
+      "vec_id", "embedding", streamTable)
+    assert(codedCount() === before)
+    assert(CommitLog.committedBatches(spark, streamTable) === Seq(0L, 1L))
+    // DELETE twin: stream-fed tombstones equal the one-shot t60 path
+    val doomed = emb.filter(col("vec_id") % 7 === 3)
+    val delSrc = tmp("pq-del-src")
+    val delStaging = tmp("pq-del-wave0")
+    doomed.select("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(delStaging)
+    val delPart = new java.io.File(delStaging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(delPart.toPath,
+      java.nio.file.Paths.get(s"$delSrc/wave0.parquet"))
+    val delStream = spark.readStream
+      .schema(doomed.select("vec_id").schema).parquet(delSrc)
+    val dq = StreamingIngest.streamingPqDelete(delStream, "vec_id",
+      streamTable, tmp("pq-del-ckpt"))
+    dq.processAllAvailable(); dq.stop()
+    val refDel = Staging.scoped {
+      VectorOps.deleteFromPqIndex(doomed, "vec_id", refTable)
+      VectorOps.pqTopKFromIndex(VectorOps.loadPqIndex(spark, refTable),
+        col("id") < 10, k = 5, candidates = 20).collect().toSet
+    }
+    assert(probePq() === refDel)
+    // replayed delete batch leaves the tombstone list untouched
+    val tsTable = Ddl.tombstoneTable(streamTable)
+    val tsBefore = spark.table(tsTable).count()
+    StreamingIngest.deletePqBatch(doomed, batchId = 0L, "vec_id",
+      streamTable)
+    assert(spark.table(tsTable).count() === tsBefore)
+    // COMPACTION folds side runs, drops tombstoned rows, clears both
+    Staging.scoped { VectorOps.compactPqIndex(spark, streamTable) }
+    assert(CommitLog.committedBatches(spark, streamTable).isEmpty)
+    assert(!spark.catalog.tableExists(tsTable))
+    assert(probePq() === refDel)
   }
 
   test("streaming index deletes equal a one-shot delete; replayed delete batches are no-ops") {
