@@ -697,8 +697,13 @@ object VectorOps {
     val spark = df.sparkSession
     CommitLog.commit(spark, table, batchId) { dir =>
       val idx = loadIndex(spark, table)
-      codedForIndex(df, idCol, vecCol, idx).write
-        .option("compression", Ddl.ParquetCompression).parquet(dir)
+      // side runs cannot carry the catalog bucket spec, but sorting each
+      // task's rows by cell gives every parquet row group tight cell
+      // min/max stats — a probe's cell predicate prunes row groups of
+      // the L0 runs the way bucket pruning serves the base (no extra
+      // shuffle: the sort is within the batch's existing partitions)
+      codedForIndex(df, idCol, vecCol, idx).sortWithinPartitions("cell")
+        .write.option("compression", Ddl.ParquetCompression).parquet(dir)
     }
   }
 

@@ -192,7 +192,7 @@ object StreamingIngest {
     * watermark is EVICTED — bounded state over an unbounded stream.
     * `sketch` is any of the repo's mergeable `TypedImperativeAggregate`
     * sketch columns (Misra–Gries `p7`/`p8`, KLL-style quantiles `p9`,
-    * Count-Min `p10`): partial buffers merge through the state store
+    * Count-Min `p10`, HLL `p11`): partial buffers merge through the state store
     * exactly as in batch, so once a window CLOSES (the watermark passes
     * its end) its last emitted row equals the batch sketch over the
     * window's on-time rows. Consumer contract: FINALIZE each window

@@ -174,6 +174,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming HLL sketch (complete mode) equals the batch sketch across micro-batches") {
+    // HLL registers are element-wise max — commutative, associative AND
+    // idempotent — so the streamed state must equal the batch sketch
+    // EXACTLY (every column, including the float-corrected est) however
+    // rows split across micro-batches. This exercises the
+    // TypedImperativeAggregate's serialize/merge through the state
+    // store, the same guarantee chain as the MG/quantile twins above.
+    val src = tmp("hll-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    events.filter(col("event_id") % 2 === 0)
+      .write.parquet(s"$src/half1.parquet")
+    events.filter(col("event_id") % 2 === 1)
+      .write.parquet(s"$src/half2.parquet")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("user_str", col("user_id").cast("string"))
+        .filter(col("user_str").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllAgg(col("user_str"), 9).as("hll"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.eventsRawSchema(spark, s"$src/half1.parquet"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = agg(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hll_stream")
+    val batch = agg(events)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("update-mode windowed sketch: per-trigger deltas, late-drop, closed window equals batch") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
