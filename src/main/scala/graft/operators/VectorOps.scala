@@ -697,11 +697,15 @@ object VectorOps {
     val spark = df.sparkSession
     CommitLog.commit(spark, table, batchId) { dir =>
       val idx = loadIndex(spark, table)
-      // side runs cannot carry the catalog bucket spec, but sorting each
-      // task's rows by cell gives every parquet row group tight cell
-      // min/max stats — a probe's cell predicate prunes row groups of
-      // the L0 runs the way bucket pruning serves the base (no extra
-      // shuffle: the sort is within the batch's existing partitions)
+      // side runs cannot carry the catalog bucket spec; sorting each
+      // task's rows by cell (free — within the batch's existing
+      // partitions) keeps every run cell-clustered: tight row-group
+      // min/max stats for any STATIC cell predicate (per-cell
+      // maintenance scans) and cell-contiguous input for compaction's
+      // bucketed rewrite. The probe itself restricts cells through the
+      // same broadcast join the bucketed base uses, so probe cost over
+      // side runs is bounded by the runs' size — i.e. by compaction
+      // cadence, as documented in CommitLog
       codedForIndex(df, idCol, vecCol, idx).sortWithinPartitions("cell")
         .write.option("compression", Ddl.ParquetCompression).parquet(dir)
     }
