@@ -15,7 +15,10 @@ import graft.operators.Enrich
  * `--jdbc-url <url>` switches the source from the parquet stand-in to a
  * live database connection ([[graft.sources.JdbcIngest]] — the
  * reference's actual deployment shape); `--offset table=n` resumes a
- * table at row offset n (S2, resume always appends).
+ * table at row offset n (S2, resume always appends);
+ * `--scan-partitions table=n` reads a table over n range-parallel JDBC
+ * connections (the at-scale ingest path the reference's single-reader
+ * source lacks — see [[graft.sources.JdbcSource.scanPartitioned]]).
  *
  * Prints a per-table report plus the aggregate batch counters
  * (rows_read / rows_written / delta, FB:1283–1327) and exits non-zero on
@@ -65,6 +68,8 @@ object IngestMain {
     val jdbcUrl = getArg(args, "jdbc-url", null)
     val offsets = parseOverrides(getArg(args, "offset", ""))
       .map { case (t, n) => t -> n.toLong }
+    val scanParts = parseOverrides(getArg(args, "scan-partitions", ""))
+      .map { case (t, n) => t -> n.toInt }
     val mappings = IngestJob.TableMapping.parse(tables, naming)
     val lineage = Enrich.Lineage(
       loadDttm = new java.sql.Timestamp(System.currentTimeMillis()))
@@ -81,7 +86,8 @@ object IngestMain {
             replace = mode == "replace",
             failOnConsistencyError = failOnErr,
             offsetRows = offsets,
-            lineage = lineage))
+            lineage = lineage,
+            scanPartitions = scanParts))
         else
           IngestJob.run(spark, IngestJob.IngestConfig(
             sourceDir = sourceDir,

@@ -18,12 +18,18 @@ import graft.operators.{ConsistencyCheck, Ddl, Enrich}
  * lineage envelope + canonical hashes → month-partitioned zstd parquet →
  * count + dual-hash consistency check.
  *
- * Scale: the scan arrives as ONE JDBC partition per table (the
- * reference's single-reader semantics, FB:262–275); everything after the
- * scan — enrich, write, verify — is ordinary distributed Spark. For big
- * tables, extend the scan with `numPartitions`/bounds range predicates
- * ([[JdbcSource]] scaladoc); the frozen watermark keeps all partitions on
- * one snapshot.
+ * Scale: by default the scan arrives as ONE JDBC partition per table
+ * (the reference's single-reader semantics, FB:262–275); `--scan-
+ * partitions table=n` switches a table to the range-parallel path
+ * ([[JdbcSource.scanPartitioned]]): bounds come from two scalar
+ * queries (MIN(k), and the already-frozen MAX(k) watermark), n
+ * stride-predicated connections read concurrently, and the frozen
+ * watermark keeps every partition on one snapshot — so the COUNT/hash
+ * consistency check verifies the parallel read against the same
+ * frozen baseline as the single-stream one. Non-numeric order keys
+ * and offset resumes fall back to the single-stream scan (an offset
+ * inside a stride is per-partition, not global). Everything after the
+ * scan — enrich, write, verify — is ordinary distributed Spark.
  */
 object JdbcIngest {
 
@@ -35,7 +41,14 @@ object JdbcIngest {
       replace: Boolean = false,
       failOnConsistencyError: Boolean = true,
       offsetRows: Map[String, Long] = Map.empty,
-      lineage: Enrich.Lineage = Enrich.Lineage())
+      lineage: Enrich.Lineage = Enrich.Lineage(),
+      scanPartitions: Map[String, Int] = Map.empty)
+
+  /** Range bounds must be integral; anything else → single-stream. */
+  private def longBound(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
 
   /** S5 resolution chain against live metadata: explicit override →
     * `getPrimaryKeys` → first discovered column (FB:224–235). */
@@ -62,8 +75,20 @@ object JdbcIngest {
       val srcCount = JdbcSource.readBoundedCount(cfg.url, m.source, orderBy, wm)
 
       val offset = cfg.offsetRows.getOrElse(m.source, 0L)
-      val scanned = JdbcSource.scan(spark, cfg.url, m.source, metas, orderBy,
-        wm, offset)
+      val parts = cfg.scanPartitions.getOrElse(m.source, 1)
+      val scanned = {
+        val parallel =
+          if (parts > 1 && offset == 0L)
+            for {
+              w <- wm; ub <- longBound(w)
+              lo <- JdbcSource.readMinValue(cfg.url, m.source, orderBy)
+              lb <- longBound(lo)
+            } yield JdbcSource.scanPartitioned(spark, cfg.url, m.source,
+              metas, orderBy, wm, parts, lb, ub)
+          else None
+        parallel.getOrElse(
+          JdbcSource.scan(spark, cfg.url, m.source, metas, orderBy, wm, offset))
+      }
       val enriched = Enrich.enrich(scanned, metas, cfg.lineage)
 
       // resume ALWAYS appends (the prefix is already in the sink)

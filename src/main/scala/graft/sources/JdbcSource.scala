@@ -80,6 +80,18 @@ object JdbcSource {
       }
     }).isSuccess
 
+  /** Lower bound of the order key — `SELECT MIN(k)`, the opening scalar
+    * of the range-parallel scan (the watermark is its upper twin). */
+  def readMinValue(url: String, table: String, orderBy: String): Option[Any] =
+    withConnection(url) { conn =>
+      Using.resource(conn.createStatement()) { st =>
+        val rs = st.executeQuery(
+          s"SELECT MIN(${SqlLiteral.escapeSourceIdentifier(orderBy)}) " +
+          s"FROM ${SqlLiteral.escapeSourceIdentifier(table)}")
+        if (rs.next()) Option(rs.getObject(1)) else None
+      }
+    }
+
   /** A3: frozen watermark — `SELECT MAX(k) FROM t` (FB:628–643). */
   def readWatermarkValue(url: String, table: String, orderBy: String): Option[Any] =
     withConnection(url) { conn =>

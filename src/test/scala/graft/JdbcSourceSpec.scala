@@ -168,6 +168,18 @@ class JdbcSourceSpec extends SparkSpec {
     assert(JdbcSource.scanPartitioned(spark, url, "WIDE", metas, "ID",
       None, numPartitions = 4, lowerBound = 1L, upperBound = 1000L)
       .count() === 0)
+    // the full orchestration over the parallel path: bounds discovered
+    // from the database (MIN + frozen MAX), count/hash verify green
+    // against the same frozen baseline as a single-stream ingest
+    val wh = java.nio.file.Files.createTempDirectory("jdbc-parallel").toString
+    val cfg = graft.sources.JdbcIngest.JdbcConfig(url, wh,
+      graft.IngestJob.TableMapping.parse("WIDE:wide"),
+      replace = true, scanPartitions = Map("WIDE" -> 4))
+    val res = graft.sources.JdbcIngest.run(spark, cfg).head
+    assert(!res.skipped && res.report.get.ok)
+    assert(res.report.get.sourceCount === 1000)
+    assert(res.report.get.sinkCount === 1000)
+    assert(res.report.get.hashMismatches === 0L)
   }
 
   test("typed row over JDBC: canonical tokens honor DECIMAL/CHAR/TIMESTAMP metadata") {
