@@ -41,7 +41,11 @@ import org.apache.spark.sql.SparkSession
  *     default 2.0) gets extra reps, up to `SPARK_GRAFT_BENCH_MAX_REPS`
  *     (default 9) — buying more chances to catch a quiet window. High
  *     spread at LOW load is left alone: that is code-real variance the
- *     artifact should show, not average away.
+ *     artifact should show, not average away. Queries whose best rep is
+ *     already under `SPARK_GRAFT_BENCH_EXTEND_FLOOR` seconds (default
+ *     0.5) never extend — sub-second spread is first-rep JIT noise
+ *     (the recorded c1/j3 pattern), and spending the run's wall-clock
+ *     there would starve the heavy queries the bands actually track.
  *
  * The min stays the headline (work-bounded-below); `reps_run` records
  * how many reps each query actually took, so an extended query is
@@ -87,6 +91,7 @@ object Bench {
     val spreadBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "0.25").toDouble
     val highLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIGH_LOAD", "2.0").toDouble
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "9").toInt.max(reps)
+    val extendFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTEND_FLOOR", "0.5").toDouble
     var failed = List.empty[String]
     val results = headline.map { case (name, q) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -114,9 +119,11 @@ object Bench {
         if (times.size < 2) 0.0 else (times.max - times.min) / times.min
       while (!broken && times.size < reps) runOnce()
       // auto-extension: noisy spread under a loaded host buys extra reps
-      // (a quiet-host spread is code-real and stands as measured)
+      // (a quiet-host spread is code-real and stands as measured; a
+      // sub-floor minimum is already fast enough that extending would
+      // only burn the heavies' wall-clock on JIT noise)
       while (!broken && times.size < maxReps && spread > spreadBound &&
-        repLoads.last > highLoad) runOnce()
+        times.min > extendFloor && repLoads.last > highLoad) runOnce()
       name -> ((times.toSeq, repLoads.toSeq))
     }
     def jmap(pairs: Seq[(String, Double)]): String =
