@@ -86,6 +86,14 @@ object GraftExtensions {
         "graft_quantiles expects exactly 1 argument")
       graft.functions.QuantileSketchAgg(children.head, 8192,
         Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    },
+    // HLL distinct-count sketch (p=11 — the QualitySpec accuracy-band
+    // configuration, rsd ≈ 2.3%; p11's oracle replay pins the same
+    // aggregate at p=5)
+    "graft_hll_distinct" -> { children =>
+      require(children.length == 1,
+        "graft_hll_distinct expects exactly 1 argument")
+      graft.functions.HllAgg(children.head, 11)
     })
 
   /** Registry-path registration for an ALREADY-RUNNING session (the

@@ -144,5 +144,12 @@ class DotProductSpec extends SparkSpec {
     // under capacity → exact rank-ceil(q*100) percentiles of 0..99
     assert(qs.map(r => (r.getDouble(0), r.getDouble(1))) ===
       Seq((0.1, 9.0), (0.25, 24.0), (0.5, 49.0), (0.75, 74.0), (0.9, 89.0)))
+    // HLL distinct sketch at p=11: 3 distinct values, tiny-V
+    // linear-counting regime → the estimate is (near-)exact
+    val hll = spark.sql(
+      "SELECT graft_hll_distinct(s) AS h FROM sketch_probe").head
+      .getStruct(0)
+    assert(hll.getAs[Int]("m") === 2048)
+    assert(math.abs(hll.getAs[Long]("est") - 3L) <= 1L)
   }
 }
