@@ -168,6 +168,18 @@ class JdbcSourceSpec extends SparkSpec {
     assert(JdbcSource.scanPartitioned(spark, url, "WIDE", metas, "ID",
       None, numPartitions = 4, lowerBound = 1L, upperBound = 1000L)
       .count() === 0)
+    // bounds are a PARTITIONING hint, not a filter: Spark leaves the
+    // first and last strides unbounded, so bounds narrower than the
+    // data still read every row (no silent truncation for a caller who
+    // estimated bounds from a stale sample)
+    val inner = JdbcSource.scanPartitioned(spark, url, "WIDE", metas,
+      "ID", wm, numPartitions = 4, lowerBound = 200L, upperBound = 800L)
+    assert(inner.rdd.getNumPartitions === 4)
+    assert(hashes(inner) === hp)
+    // degenerate split requests collapse to a correct single stream
+    assert(JdbcSource.scanPartitioned(spark, url, "WIDE", metas, "ID",
+      wm, numPartitions = 1, lowerBound = 1L, upperBound = 1000L)
+      .count() === 1000)
     // the full orchestration over the parallel path: bounds discovered
     // from the database (MIN + frozen MAX), count/hash verify green
     // against the same frozen baseline as a single-stream ingest
