@@ -2627,6 +2627,64 @@ object Queries {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** ATOMIC (CommitLog) incremental ANN maintenance
+    * ([[VectorOps.appendToIndexCommitted]]) — t50's contract through
+    * the streaming commit protocol: the appended third arrives as TWO
+    * atomically-committed side batches (unbucketed L0 runs the probe
+    * unions with the bucketed base) instead of a direct bucketed
+    * append. Gated on t50's frozen-training oracle VERBATIM, so the
+    * whole protocol — staging write, rename commit, side-run union —
+    * must be value-invisible next to the one-shot append. A replayed
+    * batch id inside the run doubles nothing (the oracle would see
+    * duplicated candidates and fail). */
+  val t62_ann_append_committed: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_commitlog"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      VectorOps.appendToIndexCommitted(batch.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", table, batchId = 0L)
+      VectorOps.appendToIndexCommitted(batch.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table, batchId = 1L)
+      // replay of a committed id must be a no-op or the oracle fails
+      VectorOps.appendToIndexCommitted(batch.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", table, batchId = 0L)
+      val idx = VectorOps.loadIndex(spark, table)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = t50_ann_index_append.oracle)
+
+  /** [[t62_ann_append_committed]] one memory tier down
+    * ([[VectorOps.appendToPqIndexCommitted]]): the PQ append through
+    * the atomic commit protocol, gated on t55's frozen-codebook oracle
+    * verbatim — all three streamed-maintenance modalities end
+    * oracle-gated (ANN t62, PQ here, BM25 t54 whose ledgered append
+    * writes the same tables as the batch path). */
+  val t63_pq_append_committed: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_commitlog"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, m = PqM, ksub = PqKsub, iters = PqIters)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      VectorOps.appendToPqIndexCommitted(batch.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", table, batchId = 0L)
+      VectorOps.appendToPqIndexCommitted(batch.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table, batchId = 1L)
+      VectorOps.appendToPqIndexCommitted(batch.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table, batchId = 1L)
+      val idx = VectorOps.loadPqIndex(spark, table)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = t55_pq_index_append.oracle)
+
   /** PQ index DELETE ([[VectorOps.deleteFromPqIndex]]) — t56 one memory
     * tier down, restoring three-modality symmetry (ANN t56, BM25 t57,
     * PQ here): the PQ index is built on the full corpus, ids ≡ 2
@@ -4412,6 +4470,8 @@ object Queries {
     "t59_bm25_index_compact" -> t59_bm25_index_compact,
     "t60_pq_index_delete" -> t60_pq_index_delete,
     "t61_pq_index_compact" -> t61_pq_index_compact,
+    "t62_ann_append_committed" -> t62_ann_append_committed,
+    "t63_pq_append_committed" -> t63_pq_append_committed,
     "t47_hybrid_index_stack" -> t47_hybrid_index_stack,
     "t52_hybrid_batched" -> t52_hybrid_batched,
     "t37_winnowing" -> t37_winnowing,
