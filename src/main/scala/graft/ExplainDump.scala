@@ -27,7 +27,8 @@ object ExplainDump {
         "t53_fuzzy_paragraph_dedup", "t54_bm25_index_append",
         "t56_ann_index_delete", "t58_ann_index_compact",
         "t59_bm25_index_compact", "t60_pq_index_delete",
-        "t61_pq_index_compact", "p11_hll_distinct")
+        "t61_pq_index_compact", "t62_ann_append_committed",
+        "t63_pq_append_committed", "p11_hll_distinct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
