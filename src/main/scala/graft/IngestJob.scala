@@ -77,7 +77,11 @@ object IngestJob {
       mapping: TableMapping,
       skipped: Boolean,
       report: Option[ConsistencyCheck.ConsistencyReport],
-      error: Option[String])
+      error: Option[String],
+      // non-fatal per-table notices (e.g. a requested parallel scan
+      // silently degrading to single-stream) — surfaced so a many-hour
+      // 100 TB ingest can't hide a 1-connection fallback in its report
+      warnings: Seq[String] = Nil)
 
   /** S5 order-by resolution chain (FB:224–235): explicit `--order-by` →
     * primary key → first column. Parquet sources carry no PK metadata, so

@@ -777,12 +777,19 @@ object Queries {
     * (`α_m` as the paper's rational — no float touches the gated
     * columns). The small-range-corrected `est` uses JVM `ln` (not
     * bit-portable) and is dropped here; QualitySpec gates it on
-    * accuracy bands + partitioning invariance. */
+    * accuracy bands + partitioning invariance.
+    *
+    * `harmonic` (~1.2e20 at m=32) exceeds float64's 2^53 exact range,
+    * so any comparison layer that narrows to double would see two
+    * different lossy renderings. The gated projection therefore casts
+    * it to an exact-digits STRING on BOTH sides — harness-proof
+    * regardless of how the comparison layer materializes decimals. */
   val p11_hll_distinct: Q = Q(
     run = (spark, dir) =>
       Quality.distinctSketchByKey(t(spark, dir, "events"),
           key = "event_type", c = "user_id", p = P11P)
         .drop("est")
+        .withColumn("harmonic", col("harmonic").cast("string"))
         .orderBy("event_type"),
     oracle = Some(
       s"""WITH vals AS (
@@ -813,7 +820,7 @@ object Queries {
          |    SUM(CAST(power(2.0, 64 - rho) AS HUGEINT)) AS harmonic
          |  FROM full_regs GROUP BY event_type)
          |SELECT event_type, CAST($P11M AS INTEGER) AS m, nonzero,
-         |  CAST(harmonic AS DECIMAL(38,0)) AS harmonic,
+         |  CAST(CAST(harmonic AS DECIMAL(38,0)) AS VARCHAR) AS harmonic,
          |  CAST((CAST($P11AlphaNum AS HUGEINT) * $P11M * $P11M
          |      * CAST('18446744073709551616' AS HUGEINT) * 1000000)
          |    // (CAST($P11AlphaDen AS HUGEINT) * harmonic) AS BIGINT) AS est_raw_e6
@@ -1795,10 +1802,10 @@ object Queries {
            |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
            |FROM toks)
            |SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
-           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
-           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
            |FROM c ORDER BY doc_id""".stripMargin)
     },
     bench = true)
@@ -2051,10 +2058,10 @@ object Queries {
            |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
            |FROM toks),
            |q AS (SELECT doc_id,
-           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
-           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
            |FROM c),
            |lq AS (SELECT lang.doc_id, lang.lang, q.quality
            |  FROM lang JOIN q ON q.doc_id = lang.doc_id),
@@ -2178,10 +2185,10 @@ object Queries {
            |  ${duckMarkerScore(allMarkers)} AS stopword_ratio
            |FROM toksq),
            |q AS (SELECT doc_id,
-           |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
+           |  CAST((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
            |  + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
-           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+           |  + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
            |FROM c),
            |lq AS (SELECT lang.doc_id, lang.lang, q.quality
            |  FROM lang JOIN q ON q.doc_id = lang.doc_id),

@@ -99,14 +99,50 @@ object CommitLog {
     * base-table plan (bucket pruning included). */
   def sideRows(spark: SparkSession, table: String,
       schema: StructType): Option[DataFrame] = {
+    sideRowsFor(spark, table, schema, committedBatches(spark, table))
+  }
+
+  /** Side rows of EXACTLY the given batch ids — the compaction-safe
+    * variant: a compaction snapshots [[committedBatches]] ONCE, folds
+    * precisely those directories, and [[deleteBatches]] only them, so a
+    * batch committed concurrently (between the snapshot and the
+    * post-swap delete) is neither folded nor deleted — it simply stays
+    * in the log for the next compaction. The old clear-the-whole-log
+    * finish silently DROPPED such a batch. */
+  def sideRowsFor(spark: SparkSession, table: String, schema: StructType,
+      batchIds: Seq[Long]): Option[DataFrame] = {
     val root = rootPath(spark, table)
-    val dirs = committedBatches(spark, table)
-      .map(id => committedPath(root, id).toString)
+    val dirs = batchIds.map(id => committedPath(root, id).toString)
     if (dirs.isEmpty) None
     else Some(spark.read.schema(schema).parquet(dirs: _*))
   }
 
-  /** Drop the whole log (post-compaction, or on a fresh index build). */
+  /** Remove exactly the given committed batch directories (post-fold).
+    * Batches committed after the caller's snapshot are untouched.
+    *
+    * Crash contract: each delete is independent, so a crash mid-way
+    * leaves some folded batches still in the log — the next
+    * [[sideRows]] union then DUPLICATES those rows against the folded
+    * base until a re-run compacts again (which removes the debris: its
+    * rewrite deduplicates nothing, but its delete clears the dirs).
+    * Closing that last window needs an atomic multi-file metadata swap
+    * — the Iceberg-snapshot seam documented in DESIGN.md. Until then:
+    * one compactor at a time, and rerun compaction after a mid-swap
+    * crash before serving probes. */
+  def deleteBatches(spark: SparkSession, table: String,
+      batchIds: Seq[Long]): Unit = {
+    val root = rootPath(spark, table)
+    val fs = fsOf(spark, root)
+    batchIds.foreach { id =>
+      val p = committedPath(root, id)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Drop the whole log — ONLY for a fresh index build (a rebuild
+    * starts with zero streamed batches). Compactions must use the
+    * snapshot-scoped [[deleteBatches]] instead: clearing the whole log
+    * would drop a batch committed after the compaction's snapshot. */
   def clear(spark: SparkSession, table: String): Unit = {
     val root = rootPath(spark, table)
     val fs = fsOf(spark, root)

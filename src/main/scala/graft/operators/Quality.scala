@@ -218,7 +218,8 @@ object Quality {
     * `w3`'s exact COUNT(DISTINCT) (one shuffled row per distinct value)
     * cannot have. Values are sketched as strings (cast here) under the
     * repo's engine-portable md5 hash idiom, so the whole register state
-    * is SQL-replayable — `p11` gates `m`/`nonzero`/`harmonic`/
+    * is SQL-replayable — `p11` gates `m`/`nonzero`/`harmonic` (cast to
+    * an exact-digits string there: ~1.2e20 exceeds float64's 2^53)/
     * `est_raw_e6` hash-exact against DuckDB; the corrected `est`
     * (JVM `ln`, not bit-portable) is QualitySpec's accuracy band. */
   def distinctSketchByKey(df: DataFrame, key: String, c: String,

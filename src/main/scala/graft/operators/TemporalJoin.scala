@@ -146,9 +146,10 @@ object TemporalJoin {
     * semantics demand every overlapping pair (10× denser traffic in the
     * same time range → 100× pairs, measured; runtime grew only 16×, i.e.
     * sublinear in output). A corpus that grows by EXTENDING the time
-    * range keeps per-bucket work flat; if density itself grows, pick a
-    * finer `bucketOf` granularity so per-bucket candidate sets stay
-    * bounded. */
+    * range keeps per-bucket work flat; if density itself grows, a finer
+    * `bucketOf` granularity keeps per-bucket candidate sets bounded —
+    * [[intervalJoinAuto]] derives that granularity from a density
+    * probe automatically. */
   def intervalJoin(
       left: DataFrame, leftStart: String, leftEnd: String,
       right: DataFrame, rightStart: String, rightEnd: String,
@@ -162,5 +163,75 @@ object TemporalJoin {
       .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
       .filter(col(bucket) === bucketOf(greatest(col(leftStart), col(rightStart))))
       .drop(bucket)
+  }
+
+  /** Default [[autoGranularity]] per-bucket candidate-pair bound:
+    * ~4M pairs is seconds of residual-filter work for one task, well
+    * under any sane shuffle-partition budget. */
+  val IntervalJoinMaxBucketCost: Long = 1L << 22
+
+  /** DERIVE an interval-join bucket granularity from the data — the
+    * round-10 audit's density caveat turned into behavior. Buckets are
+    * `floor(boundary / g)` over NUMERIC (long-castable) boundaries;
+    * callers with timestamps pass epoch numbers (j5's day arithmetic is
+    * the fixed-granularity alternative).
+    *
+    * Per-bucket join cost is `|L_b|·|R_b|`, quadratic in DENSITY: a
+    * corpus that grows denser (not longer) blows up a fixed g. This
+    * probe measures the peak per-bucket start-count product at the
+    * initial g (two count-by-bucket aggregations + one max — a metadata
+    * stats pass, no data is collected) and HALVES g until the
+    * uniform-scaling estimate (peak/4 per halving: each side's
+    * per-bucket population halves) fits `maxBucketCost` — but never
+    * below the mean interval span of either side: once g is under the
+    * spans, finer buckets stop thinning candidates (every interval
+    * covers whole buckets regardless) while the explode replication
+    * factor `span/g` keeps growing. All inputs are exact deterministic
+    * aggregates, so the derived g is stable across runs and engines.
+    *
+    * The RESULT SET is g-independent (the claim predicate is
+    * exactly-once at any granularity — TemporalJoinSpec gates auto ≡
+    * naive), so the derivation only moves plan cost, never values. */
+  def autoGranularity(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      initialGranularity: Long,
+      maxBucketCost: Long = IntervalJoinMaxBucketCost): Long = {
+    require(initialGranularity > 0, "initialGranularity must be positive")
+    val spanRow = left.agg(avg(col(leftEnd).cast("double") -
+        col(leftStart).cast("double")).as("sp")).collect().head
+    val spanRowR = right.agg(avg(col(rightEnd).cast("double") -
+        col(rightStart).cast("double")).as("sp")).collect().head
+    val meanSpan = math.max(
+      if (spanRow.isNullAt(0)) 0.0 else spanRow.getDouble(0),
+      if (spanRowR.isNullAt(0)) 0.0 else spanRowR.getDouble(0))
+    val spanFloor = math.max(1L, math.ceil(meanSpan).toLong)
+    val b = "__iv_probe_bucket"
+    def startCounts(df: DataFrame, s: String) =
+      df.groupBy(floor(col(s).cast("double") / initialGranularity).as(b))
+        .agg(count(lit(1)).as("n"))
+    val peakRow = startCounts(left, leftStart).as("lc")
+      .join(startCounts(right, rightStart).as("rc"), b)
+      .agg(max(col("lc.n") * col("rc.n"))).collect().head
+    var peak = if (peakRow.isNullAt(0)) 0L else peakRow.getLong(0)
+    var g = initialGranularity
+    while (peak > maxBucketCost && g / 2 >= spanFloor) {
+      g /= 2
+      peak /= 4
+    }
+    g
+  }
+
+  /** [[intervalJoin]] over numeric boundaries with the granularity
+    * chosen by [[autoGranularity]]'s density probe. */
+  def intervalJoinAuto(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      initialGranularity: Long,
+      maxBucketCost: Long = IntervalJoinMaxBucketCost): DataFrame = {
+    val g = autoGranularity(left, leftStart, leftEnd,
+      right, rightStart, rightEnd, initialGranularity, maxBucketCost)
+    intervalJoin(left, leftStart, leftEnd, right, rightStart, rightEnd,
+      c => floor(c.cast("double") / g).cast("long"))
   }
 }

@@ -407,7 +407,10 @@ object VectorOps {
     * assignment is map-side; the within-cell self-join is an ordinary
     * equi-join on `cell` that shuffles each vector once. Cell population
     * is ≈ N/k, so the per-cell quadratic verify is bounded by raising
-    * `kClusters` with corpus size (the paper runs k = 11k on LAION);
+    * `kClusters` with corpus size (the paper runs k = 11k on LAION) —
+    * [[semDedupAuto]] derives that k = ⌈√N⌉ automatically and is the
+    * scale-safe entry point; this explicit-k overload is for replaying
+    * a known quantizer (the t34 oracle bakes its k into static SQL);
     * skewed cells are AQE-splittable because the join key is the cell id.
     * The prepared corpus is staged ONCE ([[Staging.barrier]]) and shared
     * by the Lloyd trainer, both self-join sides and the keep-join; the
@@ -415,13 +418,42 @@ object VectorOps {
     *
     * Returns (id, cell, keep) for every input vector. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      kClusters: Int, iters: Int, threshold: Double): DataFrame = {
+      kClusters: Int, iters: Int, threshold: Double): DataFrame =
     // ONE staged prepared frame shared by the Lloyd trainer and every
     // downstream consumer; the cell column derives map-side from the
     // cache (broadcast-literal centroids), so re-deriving it per join
     // side costs CPU on cached rows, never a second corpus-scale
     // materialization or source scan
+    semDedupPrepared(Staging.barrier(prepared(df, idCol, vecCol)),
+      kClusters, iters, threshold)
+
+  /** Cap on [[semDedupAuto]]'s derived k: centroids are broadcast as
+    * literal arrays inside one assignment expression, so k is bounded
+    * by expression size, not executor memory. Past this, cell
+    * assignment needs a broadcast-join quantizer (or train on a
+    * sample and shard) — raise deliberately, not by default. */
+  val SemDedupMaxClusters: Int = 4096
+
+  /** [[semDedup]] with kClusters DERIVED from the corpus count — the
+    * scale-safe default. Per-cell population is ≈ N/k, so total cost is
+    * assignment N·k plus within-cell pairwise N²/k; k = ⌈√N⌉ minimizes
+    * the sum at O(N^1.5), the standard IVF sizing rule (SemDeDup itself
+    * runs k ≈ 11k on LAION-233M ≈ 0.7·√N). A FIXED k turns 10× data
+    * into ~100× pairwise work (the round-10 audit's 11.8× runtime row);
+    * the derived k keeps cell population growing only as √N. Clamped to
+    * [2, maxClusters] — see [[SemDedupMaxClusters]]. The count is free:
+    * it reads the same staged materialization the trainer uses. */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, iters: Int = 3,
+      maxClusters: Int = SemDedupMaxClusters): DataFrame = {
     val p = Staging.barrier(prepared(df, idCol, vecCol))
+    val k = math.min(maxClusters.toLong,
+      math.max(2L, math.ceil(math.sqrt(p.count().toDouble)).toLong)).toInt
+    semDedupPrepared(p, k, iters, threshold)
+  }
+
+  private def semDedupPrepared(p: DataFrame, kClusters: Int, iters: Int,
+      threshold: Double): DataFrame = {
     val cent = kmeansCentroidsPrepared(p, kClusters, iters)
     val corpus = p.withColumn("cell", assignCell(col("v"), col("nrm"), cent))
     val dropped = corpus.as("a").join(corpus.as("b"),
@@ -733,12 +765,23 @@ object VectorOps {
     * tombstones. Merge-on-read → copy-on-write: bounds the probe-time
     * anti-join AND merges append-accumulated small files. Quantizer
     * tables are untouched. After compaction, re-appending a previously
-    * deleted id is legal again. t58 gates the full lifecycle. */
+    * deleted id is legal again. t58 gates the full lifecycle.
+    *
+    * Concurrency-safe vs streaming appends: the folded batch ids are
+    * snapshotted ONCE, exactly those directories feed the rewrite, and
+    * only those are deleted afterwards ([[CommitLog.deleteBatches]]) —
+    * a batch committed mid-compaction survives in the log for the next
+    * compaction instead of being silently dropped by a whole-log clear.
+    * Crash between the table swap and the batch delete still leaves the
+    * folded batches visible twice (see deleteBatches' crash contract —
+    * rerun compaction to clear). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
+    val folded = CommitLog.committedBatches(spark, table)
     Ddl.compactTable(spark, table, "id",
-      sideRows = CommitLog.sideRows(spark, table, spark.table(table).schema))
-    CommitLog.clear(spark, table)
+      sideRows = CommitLog.sideRowsFor(spark, table,
+        spark.table(table).schema, folded))
+    CommitLog.deleteBatches(spark, table, folded)
     Ddl.dropTombstones(spark, table)
   }
 
@@ -1073,12 +1116,16 @@ object VectorOps {
 
   /** [[compactIndex]] for a PQ index (the coded relation is unbucketed;
     * the rewrite drops tombstoned rows and merges append files). t61
-    * gates the full build→append→delete→compact lifecycle. */
+    * gates the full build→append→delete→compact lifecycle. Folds a
+    * ONE-TIME snapshot of committed batches and deletes exactly those
+    * (see [[compactIndex]] — same concurrency/crash contract). */
   def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
+    val folded = CommitLog.committedBatches(spark, table)
     Ddl.compactTable(spark, table, "id",
-      sideRows = CommitLog.sideRows(spark, table, spark.table(table).schema))
-    CommitLog.clear(spark, table)
+      sideRows = CommitLog.sideRowsFor(spark, table,
+        spark.table(table).schema, folded))
+    CommitLog.deleteBatches(spark, table, folded)
     Ddl.dropTombstones(spark, table)
   }
 

@@ -76,19 +76,41 @@ object JdbcIngest {
 
       val offset = cfg.offsetRows.getOrElse(m.source, 0L)
       val parts = cfg.scanPartitions.getOrElse(m.source, 1)
-      val scanned = {
-        val parallel =
-          if (parts > 1 && offset == 0L)
-            for {
-              w <- wm; ub <- longBound(w)
-              lo <- JdbcSource.readMinValue(cfg.url, m.source, orderBy)
-              lb <- longBound(lo)
-            } yield JdbcSource.scanPartitioned(spark, cfg.url, m.source,
-              metas, orderBy, wm, parts, lb, ub)
-          else None
-        parallel.getOrElse(
-          JdbcSource.scan(spark, cfg.url, m.source, metas, orderBy, wm, offset))
-      }
+      // Either the parallel scan, or the REASON it can't run — a
+      // requested n>1 silently degrading to 1 JDBC connection is a
+      // many-hour surprise at the scale the flag targets, so the
+      // fallback is loud: logged here and carried in the result
+      val parallelOrReason: Either[String, org.apache.spark.sql.DataFrame] =
+        if (parts <= 1) Left("")
+        else if (offset != 0L)
+          Left(s"row-offset resume ($offset) is single-stream by design " +
+            "(a per-stride offset would skip rows per partition)")
+        else wm match {
+          case None => Left("NULL watermark (empty source): nothing to range-split")
+          case Some(w) => longBound(w) match {
+            case None => Left(s"order key '$orderBy' has non-integral " +
+              s"watermark ${w} (${w.getClass.getSimpleName}); range " +
+              "strides need a numeric key")
+            case Some(ub) =>
+              JdbcSource.readMinValue(cfg.url, m.source, orderBy)
+                .flatMap(longBound) match {
+                case None => Left(s"order key '$orderBy' has no integral " +
+                  "MIN: range strides need a numeric lower bound")
+                case Some(lb) => Right(JdbcSource.scanPartitioned(spark,
+                  cfg.url, m.source, metas, orderBy, wm, parts, lb, ub))
+              }
+          }
+        }
+      val fallbackWarning = parallelOrReason.left.toOption
+        .filter(_.nonEmpty)
+        .map { why =>
+          val msg = s"table ${m.source}: requested $parts scan partitions " +
+            s"but falling back to a single-stream scan — $why"
+          System.err.println(s"[jdbc] WARN $msg")
+          msg
+        }
+      val scanned = parallelOrReason.getOrElse(
+        JdbcSource.scan(spark, cfg.url, m.source, metas, orderBy, wm, offset))
       val enriched = Enrich.enrich(scanned, metas, cfg.lineage)
 
       // resume ALWAYS appends (the prefix is already in the sink)
@@ -100,7 +122,8 @@ object JdbcIngest {
       val metrics = ConsistencyCheck.isolatedSinkMetrics(spark, sinkPath)
       val report = ConsistencyCheck.check(m.sink, srcCount, metrics,
         cfg.failOnConsistencyError)
-      TableResult(m, skipped = false, Some(report), None)
+      TableResult(m, skipped = false, Some(report), None,
+        warnings = fallbackWarning.toSeq)
     } catch {
       case e: ConsistencyCheck.ConsistencyCheckException => throw e
       case e: Exception =>

@@ -28,6 +28,18 @@ import graft.operators.SqlLiteral
  */
 object JdbcSource {
 
+  /** SQL rendering dialect for the pushed-down scan. The semantics are
+    * identical — only the pagination syntax differs. */
+  sealed trait ScanDialect
+  object ScanDialect {
+    /** ANSI `OFFSET n ROWS` / `FETCH FIRST n ROWS ONLY` — what Derby
+      * (the live-tested engine) and most servers accept. */
+    case object Standard extends ScanDialect
+    /** Firebird's `SELECT FIRST n SKIP m cols …` (FB:506,
+      * FB:1073–1084 verbatim) — Firebird ≤2.x has no OFFSET/FETCH. */
+    case object Firebird extends ScanDialect
+  }
+
   private def withConnection[A](url: String)(f: Connection => A): A =
     Using.resource(DriverManager.getConnection(url))(f)
 
@@ -121,29 +133,45 @@ object JdbcSource {
     }
 
   /** S1: the bounded ordered (resumable) scan SQL, pushed down whole —
-    * standard-SQL rendering of the reference's Firebird query
-    * (FB:1072–1084: `SELECT [SKIP n] cols FROM t WHERE k <= wm ORDER BY
-    * k`). NULL watermark → empty-set predicate `1 = 0` (FB:648). */
+    * the reference's Firebird query (FB:1072–1084: `SELECT [FIRST n]
+    * [SKIP m] cols FROM t WHERE k <= wm ORDER BY k`), rendered per
+    * [[ScanDialect]]: Standard emits ANSI `OFFSET m ROWS` / `FETCH
+    * FIRST n ROWS ONLY` (Derby-verified live); Firebird emits the
+    * verbatim `FIRST`/`SKIP` form. NULL watermark → empty-set
+    * predicate `1 = 0` (FB:648). */
   def buildScanSql(table: String, metas: Seq[ColumnMeta], orderBy: String,
-      watermark: Option[Any], offsetRows: Long = 0): String = {
+      watermark: Option[Any], offsetRows: Long = 0,
+      dialect: ScanDialect = ScanDialect.Standard,
+      limitRows: Option[Long] = None): String = {
     val cols = metas.map(m => SqlLiteral.escapeSourceIdentifier(m.name)).mkString(", ")
     val q = SqlLiteral.escapeSourceIdentifier _
     val where = watermark
       .map(w => s"${q(orderBy)} <= ${SqlLiteral.toSqlLiteral(w)}")
       .getOrElse("1 = 0")
-    val offset = if (offsetRows > 0) s" OFFSET $offsetRows ROWS" else ""
-    s"SELECT $cols FROM ${q(table)} WHERE $where ORDER BY ${q(orderBy)}$offset"
+    dialect match {
+      case ScanDialect.Standard =>
+        val offset = if (offsetRows > 0) s" OFFSET $offsetRows ROWS" else ""
+        val limit = limitRows.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
+        s"SELECT $cols FROM ${q(table)} WHERE $where " +
+          s"ORDER BY ${q(orderBy)}$offset$limit"
+      case ScanDialect.Firebird =>
+        val first = limitRows.map(n => s"FIRST $n ").getOrElse("")
+        val skip = if (offsetRows > 0) s"SKIP $offsetRows " else ""
+        s"SELECT $first$skip$cols FROM ${q(table)} WHERE $where " +
+          s"ORDER BY ${q(orderBy)}"
+    }
   }
 
   /** Spark scan over the pushed-down snapshot SQL. */
   def scan(spark: SparkSession, url: String, table: String,
       metas: Seq[ColumnMeta], orderBy: String, watermark: Option[Any],
-      offsetRows: Long = 0): DataFrame =
+      offsetRows: Long = 0,
+      dialect: ScanDialect = ScanDialect.Standard): DataFrame =
     spark.read
       .format("jdbc")
       .option("url", url)
       .option("dbtable",
-        s"(${buildScanSql(table, metas, orderBy, watermark, offsetRows)}) s")
+        s"(${buildScanSql(table, metas, orderBy, watermark, offsetRows, dialect)}) s")
       .load()
 
   /** S1 AT SCALE: the same bounded snapshot scan as [[scan]], split into
@@ -165,6 +193,15 @@ object JdbcSource {
     * bucketed sinks), and no OFFSET (an offset inside a stride
     * predicate would skip rows per-partition, not globally; resume on
     * the parallel path is by watermark range, not row offset). */
+  /** Alias for the order key inside [[scanPartitioned]]'s subquery:
+    * plain lowercase alnum, so it needs NO quoting in any dialect —
+    * Spark's generated stride predicates (`alias >= x AND alias < y`)
+    * bind it identically whether or not the JDBC dialect quotes the
+    * partition column, where a raw reserved-word or case-sensitive key
+    * (which the SELECT list must escape) could bind differently on the
+    * parallel path than the single-stream one. */
+  private[sources] val PartitionKeyAlias = "graft_part_k"
+
   def scanPartitioned(spark: SparkSession, url: String, table: String,
       metas: Seq[ColumnMeta], orderBy: String, watermark: Option[Any],
       numPartitions: Int, lowerBound: Long, upperBound: Long): DataFrame = {
@@ -173,14 +210,20 @@ object JdbcSource {
     val where = watermark
       .map(w => s"${q(orderBy)} <= ${SqlLiteral.toSqlLiteral(w)}")
       .getOrElse("1 = 0")
-    spark.read
+    // the escaped key is re-projected under the plain alias — UNQUOTED,
+    // so the database applies its own case normalization and the stride
+    // predicates (quoted by Spark's dialect or not at all) bind the
+    // alias either way; they never touch the raw identifier
+    val loaded = spark.read
       .format("jdbc")
       .option("url", url)
-      .option("dbtable", s"(SELECT $cols FROM ${q(table)} WHERE $where) s")
-      .option("partitionColumn", orderBy)
+      .option("dbtable", s"(SELECT $cols, ${q(orderBy)} AS " +
+        s"$PartitionKeyAlias FROM ${q(table)} WHERE $where) s")
+      .option("partitionColumn", PartitionKeyAlias)
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .load()
+    loaded.drop(loaded.columns.filter(_.equalsIgnoreCase(PartitionKeyAlias)): _*)
   }
 }

@@ -66,4 +66,36 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.sideRows(spark, table, schema).get.count() === 5L)
     CommitLog.clear(spark, table)
   }
+
+  test("a batch committed after the compaction snapshot survives the fold's delete") {
+    val table = "graft_commitlog_concurrent"
+    CommitLog.clear(spark, table)
+    def write(lo: Int, hi: Int)(dir: String): Unit =
+      (lo to hi).toDF("x").write.parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.IntegerType)))
+    // the compactor's view: snapshot ids, fold exactly those rows
+    assert(CommitLog.commit(spark, table, 1L)(write(1, 3)))
+    assert(CommitLog.commit(spark, table, 2L)(write(4, 5)))
+    val snapshot = CommitLog.committedBatches(spark, table)
+    assert(snapshot === Seq(1L, 2L))
+    assert(CommitLog.sideRowsFor(spark, table, schema, snapshot)
+      .get.count() === 5L)
+    // a streaming append lands BETWEEN the snapshot and the post-swap
+    // delete — the race the whole-log clear used to lose
+    assert(CommitLog.commit(spark, table, 3L)(write(6, 9)))
+    // scoped sideRows never see the unfolded batch
+    assert(CommitLog.sideRowsFor(spark, table, schema, snapshot)
+      .get.count() === 5L)
+    CommitLog.deleteBatches(spark, table, snapshot)
+    // folded batches are gone; the concurrent batch is intact and is
+    // exactly what the next load/compaction sees
+    assert(CommitLog.committedBatches(spark, table) === Seq(3L))
+    assert(CommitLog.sideRows(spark, table, schema).get.count() === 4L)
+    // deleting an already-deleted (or never-committed) id is a no-op
+    CommitLog.deleteBatches(spark, table, Seq(1L, 99L))
+    assert(CommitLog.committedBatches(spark, table) === Seq(3L))
+    CommitLog.clear(spark, table)
+  }
 }

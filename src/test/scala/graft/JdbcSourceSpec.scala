@@ -194,6 +194,99 @@ class JdbcSourceSpec extends SparkSpec {
     assert(res.report.get.hashMismatches === 0L)
   }
 
+  test("golden: scan SQL renders the Standard and Firebird dialects") {
+    import JdbcSource.ScanDialect
+    val metas = Seq(
+      ColumnMeta("ID", Types.INTEGER, "INTEGER", 10, 0, nullable = false),
+      ColumnMeta("NAME", Types.VARCHAR, "VARCHAR", 100, 0, nullable = true))
+    // Standard (Derby-verified live): ANSI OFFSET/FETCH
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", Some(3)) ===
+      """SELECT "ID", "NAME" FROM "TEST" WHERE "ID" <= 3 ORDER BY "ID"""")
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", Some(3),
+      offsetRows = 2) ===
+      """SELECT "ID", "NAME" FROM "TEST" WHERE "ID" <= 3 ORDER BY "ID" OFFSET 2 ROWS""")
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", Some(3),
+      offsetRows = 2, limitRows = Some(5)) ===
+      """SELECT "ID", "NAME" FROM "TEST" WHERE "ID" <= 3 ORDER BY "ID" OFFSET 2 ROWS FETCH FIRST 5 ROWS ONLY""")
+    // Firebird (FB:1073-1084 verbatim): SELECT [FIRST n] [SKIP m] cols
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", Some(3),
+      offsetRows = 2, dialect = ScanDialect.Firebird) ===
+      """SELECT SKIP 2 "ID", "NAME" FROM "TEST" WHERE "ID" <= 3 ORDER BY "ID"""")
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", Some(3),
+      offsetRows = 2, dialect = ScanDialect.Firebird, limitRows = Some(5)) ===
+      """SELECT FIRST 5 SKIP 2 "ID", "NAME" FROM "TEST" WHERE "ID" <= 3 ORDER BY "ID"""")
+    // NULL watermark -> empty-set predicate in BOTH dialects (FB:648)
+    assert(JdbcSource.buildScanSql("TEST", metas, "ID", None,
+      dialect = ScanDialect.Firebird) ===
+      """SELECT "ID", "NAME" FROM "TEST" WHERE 1 = 0 ORDER BY "ID"""")
+  }
+
+  test("parallel scan strides bind an aliased key: reserved-word order keys work") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // "order": reserved word AND case-sensitive (needs quoting in the
+    // SELECT list) — the exact key class the raw partitionColumn option
+    // could bind differently on the parallel path
+    try st.execute(
+      """CREATE TABLE RESERVED ("order" INT PRIMARY KEY, NAME VARCHAR(20))""")
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    val empty = {
+      val rs = st.executeQuery("SELECT COUNT(*) FROM RESERVED")
+      rs.next(); rs.getLong(1) == 0
+    }
+    if (empty) {
+      conn.setAutoCommit(false)
+      val ps = conn.prepareStatement("INSERT INTO RESERVED VALUES (?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setInt(1, i); ps.setString(2, s"n_$i"); ps.addBatch()
+      }
+      ps.executeBatch(); conn.commit(); ps.close()
+      conn.setAutoCommit(true)
+    }
+    st.close(); conn.close()
+    val metas = JdbcSource.readTableMetadata(url, "RESERVED")
+    assert(metas.map(_.name) === Seq("order", "NAME"))
+    val wm = JdbcSource.readWatermarkValue(url, "RESERVED", "order")
+    assert(wm === Some(100))
+    val single = JdbcSource.scan(spark, url, "RESERVED", metas, "order", wm)
+    val par = JdbcSource.scanPartitioned(spark, url, "RESERVED", metas,
+      "order", wm, numPartitions = 4, lowerBound = 1L, upperBound = 100L)
+    assert(par.rdd.getNumPartitions === 4)
+    // the internal alias never leaks into the result schema
+    assert(par.columns.map(_.toLowerCase).toSeq === Seq("order", "name"))
+    val sorted = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(sorted(par) === sorted(single))
+  }
+
+  test("JdbcIngest warns loudly when a parallel scan request degrades to single-stream") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // VARCHAR primary key: no integral range bounds -> stride split
+    // impossible, the documented fallback case
+    try st.execute("CREATE TABLE SKEY (K VARCHAR(10) PRIMARY KEY, V INT)")
+    catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    try st.execute("INSERT INTO SKEY VALUES ('a', 1), ('b', 2)")
+    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => () }
+    st.close(); conn.close()
+    val wh = java.nio.file.Files.createTempDirectory("jdbc-fallback").toString
+    val cfg = graft.sources.JdbcIngest.JdbcConfig(url, wh,
+      graft.IngestJob.TableMapping.parse("SKEY:skey"),
+      replace = true, scanPartitions = Map("SKEY" -> 4))
+    val res = graft.sources.JdbcIngest.run(spark, cfg).head
+    assert(!res.skipped && res.report.get.ok) // the ingest itself succeeds
+    assert(res.warnings.exists(w => w.contains("falling back") &&
+      w.contains("SKEY") && w.contains("4")),
+      s"expected a named fallback warning, got: ${res.warnings}")
+    // the parallel path (integral key, no offset) carries NO warning
+    val okCfg = graft.sources.JdbcIngest.JdbcConfig(url, wh,
+      graft.IngestJob.TableMapping.parse("TEST:test2"),
+      replace = true, scanPartitions = Map("TEST" -> 2))
+    assert(graft.sources.JdbcIngest.run(spark, okCfg).head.warnings.isEmpty)
+  }
+
   test("typed row over JDBC: canonical tokens honor DECIMAL/CHAR/TIMESTAMP metadata") {
     seeded
     val metas = JdbcSource.readTableMetadata(url, "TYPED")

@@ -117,4 +117,54 @@ class TemporalJoinSpec extends SparkSpec {
     assert(naive.except(got).count() === 0L)
     assert(got.count() > 0)
   }
+
+  test("intervalJoinAuto refines granularity under density and matches the naive join") {
+    // DENSE synthetic: 2000 short intervals per side crammed into
+    // [0, 1000) — at the coarse initial granularity (one 1024-wide
+    // bucket) the per-bucket cost is ~2000², far over the test bound
+    val a = spark.range(0, 2000).select(
+      col("id").as("a_id"),
+      pmod(hash(col("id") * 7), lit(1000)).cast("long").as("a_s"))
+      .withColumn("a_e", col("a_s") + 1 + pmod(hash(col("a_id") + 11), lit(8)))
+    val b = spark.range(0, 2000).select(
+      col("id").as("b_id"),
+      pmod(hash(col("id") * 29), lit(1000)).cast("long").as("b_s"))
+      .withColumn("b_e", col("b_s") + 1 + pmod(hash(col("b_id") + 3), lit(8)))
+
+    val g = TemporalJoin.autoGranularity(a, "a_s", "a_e", b, "b_s", "b_e",
+      initialGranularity = 1024, maxBucketCost = 10000)
+    assert(g < 1024, s"dense data must refine the granularity, got $g")
+    // never refined below the mean-span floor: under the spans, finer
+    // buckets only inflate the explode replication factor
+    assert(g >= 5, s"granularity $g fell below the span floor")
+    // the REAL per-bucket start-count product at the chosen g fits the
+    // uniform-scaling estimate's target within its 2x modeling slack
+    val cntA = a.groupBy(floor(col("a_s") / g).as("bk")).count()
+      .withColumnRenamed("count", "na")
+    val cntB = b.groupBy(floor(col("b_s") / g).as("bk")).count()
+      .withColumnRenamed("count", "nb")
+    val peak = cntA.join(cntB, "bk")
+      .agg(max(col("na") * col("nb"))).head.getLong(0)
+    assert(peak <= 2L * 10000, s"per-bucket cost $peak still unbounded at g=$g")
+
+    // granularity choice moves PLAN COST only: values match the naive
+    // theta-join exactly, no duplicates (the claim predicate is
+    // exactly-once at any g)
+    val got = TemporalJoin.intervalJoinAuto(a, "a_s", "a_e", b, "b_s", "b_e",
+      initialGranularity = 1024, maxBucketCost = 10000)
+      .select("a_id", "b_id")
+    val naive = a.join(b, a("a_s") < b("b_e") && b("b_s") < a("a_e"))
+      .select("a_id", "b_id")
+    assert(got.count() === naive.count())
+    assert(got.except(naive).count() === 0L)
+    assert(naive.except(got).count() === 0L)
+    assert(got.count() > 0)
+
+    // sparse twin: same shape, population under the bound at the
+    // initial granularity → g stays put (no needless refinement)
+    val sparse = TemporalJoin.autoGranularity(
+      a.limit(50), "a_s", "a_e", b.limit(50), "b_s", "b_e",
+      initialGranularity = 1024, maxBucketCost = 10000)
+    assert(sparse === 1024L)
+  }
 }
