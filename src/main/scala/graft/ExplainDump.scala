@@ -28,7 +28,8 @@ object ExplainDump {
         "t56_ann_index_delete", "t58_ann_index_compact",
         "t59_bm25_index_compact", "t60_pq_index_delete",
         "t61_pq_index_compact", "t62_ann_append_committed",
-        "t63_pq_append_committed", "p11_hll_distinct")
+        "t63_pq_append_committed", "p11_hll_distinct",
+        "t34a_semdedup_auto", "j5a_interval_join_auto")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1649,7 +1649,8 @@ object Queries {
     * cell ≤ nprobe). */
   private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10",
       trainPredSql: Option[String] = None,
-      dataPredSql: Option[String] = None): String = {
+      dataPredSql: Option[String] = None,
+      kSql: String = IvfClusters.toString): String = {
     // Frozen-quantizer variant (t50): seeds and Lloyd iterations read
     // only the TRAINING subset `tn`; assignment/coding/probing (sfin,
     // corpus, probed) always read the full corpus `n`. With no training
@@ -1682,7 +1683,7 @@ object Queries {
        |$tnCte${dnCte}c0 AS (SELECT label, c FROM (
        |  SELECT e AS c,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS label
-       |  FROM $tn) WHERE label < $IvfClusters),
+       |  FROM $tn) WHERE label < $kSql),
        |$iterCtes,
        |cf AS (SELECT label, c, sqrt(list_dot_product(c, c)) AS cnrm FROM c$IvfIters),
        |sfin AS (SELECT n.vec_id, n.e, n.nrm, c.label,
@@ -3584,6 +3585,40 @@ object Queries {
          |ORDER BY vec_id""".stripMargin),
     bench = true)
 
+  /** The SQL twin of [[VectorOps.semDedupAutoK]]:
+    * k = clamp(⌈√(N / (2·(iters+1)))⌉, 2,
+    * [[VectorOps.SemDedupMaxClusters]]) as a scalar subquery over the
+    * corpus count, so the t34a oracle stays valid at ANY verify scale —
+    * both engines derive k from the same count (and the same iters
+    * literal) rather than baking one scale's value into the SQL. */
+  private val semDedupAutoKSql: String =
+    s"""(SELECT GREATEST(2, LEAST(${VectorOps.SemDedupMaxClusters},
+       |    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE) / ${2.0 * (IvfIters + 1)})) AS BIGINT))) FROM embeddings)""".stripMargin
+
+  /** t34 with kClusters DERIVED from the corpus count —
+    * [[VectorOps.semDedupAuto]], the scale-safe SemDeDup entry point
+    * (fixed k turns 10× data into ~100× within-cell pairwise work; the
+    * round-10 audit measured that as an 11.8× runtime row). The oracle
+    * replays the SAME derivation in SQL ([[semDedupAutoKSql]]) feeding
+    * the shared Lloyd unroll, so the gate holds at any scale, and both
+    * engines train the same derived seed count (7 at the sf0.01 verify
+    * corpus's N=500, iters=5) through bit-identical iterations. */
+  val t34a_semdedup_auto: Q = Q(
+    run = (spark, dir) =>
+      VectorOps.semDedupAuto(t(spark, dir, "embeddings"), "vec_id", "embedding",
+          threshold = SemDedupThreshold, iters = IvfIters)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+    oracle = Some(
+      s"""${kmeansCtePrefix(kSql = semDedupAutoKSql)},
+         |drp AS (SELECT DISTINCT b.vec_id AS id
+         |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= $SemDedupThreshold)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.id IS NULL) AS keep
+         |FROM corpus c LEFT JOIN drp d ON d.id = c.vec_id
+         |ORDER BY vec_id""".stripMargin),
+    bench = true)
+
   private val MixtureBudget = 200L
 
   /** Temperature mixture sampling — [[TextAnalysis.mixtureWeights]]
@@ -4196,6 +4231,54 @@ object Queries {
         |ORDER BY incident_id, purchase_id""".stripMargin),
     bench = true)
 
+  /** j5 with the bucket granularity DERIVED by
+    * [[TemporalJoin.autoGranularity]]'s density probe instead of a
+    * fixed day — the round-10 audit's density caveat turned into
+    * behavior. Interval boundaries become exact NTZ-epoch microsecond
+    * longs (the same session-timezone-independent field arithmetic as
+    * j5's overlap), the probe starts at j5's 24 h granularity and
+    * halves it while the peak per-bucket candidate product exceeds the
+    * bound — but never below the mean interval span, where finer
+    * buckets stop thinning candidates. The RESULT SET is
+    * granularity-independent (exactly-once claim predicate at any g —
+    * TemporalJoinSpec gates auto ≡ naive), so the oracle is j5's
+    * verbatim: same pairs, same exact overlap microseconds. */
+  val j5a_interval_join_auto: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+      // NTZ-epoch micros: NTZ subtraction → day-time interval → exact
+      // decimal seconds → micros; offsets from 2024-01-01 stay far
+      // below 2^53, so the probe's double bucketing is exact
+      val ntzEpoch = expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'")
+      val us = (c: Column) =>
+        ((c - ntzEpoch).cast(DecimalType(28, 6)) * 1000000).cast(LongType)
+      val incidents = ev.filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("event_id").as("incident_id"), us(col("ts")).as("i_start"),
+          us(col("ts") + expr("INTERVAL 48 HOURS")).as("i_end"))
+      val promos = ev.filter(col("event_type") === "purchase" && col("value") > 150)
+        .select(col("event_id").as("purchase_id"), us(col("ts")).as("p_start"),
+          us(col("ts") + expr("INTERVAL 24 HOURS")).as("p_end"))
+      TemporalJoin.intervalJoinAuto(incidents, "i_start", "i_end",
+          promos, "p_start", "p_end",
+          initialGranularity = 24L * 3600 * 1000000)
+        .select(col("incident_id"), col("purchase_id"),
+          (least(col("i_end"), col("p_end")) -
+            greatest(col("i_start"), col("p_start"))).as("overlap_us"))
+        .orderBy("incident_id", "purchase_id")
+    },
+    oracle = Some(
+      """WITH a AS (SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 48 HOUR AS e
+        |  FROM events WHERE event_type = 'error' AND value > 150),
+        |b AS (SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 24 HOUR AS e
+        |  FROM events WHERE event_type = 'purchase' AND value > 150)
+        |SELECT incident_id, purchase_id,
+        |  CAST(epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY incident_id, purchase_id""".stripMargin),
+    bench = true)
+
   val j4_range_join: Q = Q(
     run = (spark, dir) => {
       val ev = eventsWithTs(spark, dir)
@@ -4462,6 +4545,7 @@ object Queries {
     "t32_lm_quality" -> t32_lm_quality,
     "t33_bloom_dedup" -> t33_bloom_dedup,
     "t34_semdedup" -> t34_semdedup,
+    "t34a_semdedup_auto" -> t34a_semdedup_auto,
     "t35_mixture_weights" -> t35_mixture_weights,
     "t36_dsir_weights" -> t36_dsir_weights,
     "t42_bm25_topk" -> t42_bm25_topk,
@@ -4499,6 +4583,7 @@ object Queries {
     "j3_asof_join" -> j3_asof_join,
     "j4_range_join" -> j4_range_join,
     "j5_interval_join" -> j5_interval_join,
+    "j5a_interval_join_auto" -> j5a_interval_join_auto,
     "q1_pricing_summary" -> q1_pricing_summary,
     "q3_shipping_priority" -> q3_shipping_priority,
     "q5_local_supplier_volume" -> q5_local_supplier_volume,

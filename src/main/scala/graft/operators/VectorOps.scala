@@ -434,22 +434,32 @@ object VectorOps {
     * sample and shard) — raise deliberately, not by default. */
   val SemDedupMaxClusters: Int = 4096
 
+  /** The k [[semDedupAuto]] derives for a corpus of `n` vectors at
+    * `iters` Lloyd iterations: total cosine work is training+assignment
+    * `(iters+1)·N·k` plus within-cell pairwise `N²/(2k)`, minimized at
+    * k = √(N / (2·(iters+1))) — both terms then grow O(N^1.5), never
+    * quadratic, and cell population grows only as √N. (Plain ⌈√N⌉
+    * ignores the iters factor and over-spends ~2× on training at any
+    * scale; the SMALLER derived k also means larger cells → MORE pairs
+    * verified → recall can only improve over ⌈√N⌉.) Clamped to
+    * [2, maxClusters]. */
+  def semDedupAutoK(n: Long, iters: Int,
+      maxClusters: Int = SemDedupMaxClusters): Int =
+    math.min(maxClusters.toLong, math.max(2L,
+      math.ceil(math.sqrt(n.toDouble / (2.0 * (iters + 1)))).toLong)).toInt
+
   /** [[semDedup]] with kClusters DERIVED from the corpus count — the
-    * scale-safe default. Per-cell population is ≈ N/k, so total cost is
-    * assignment N·k plus within-cell pairwise N²/k; k = ⌈√N⌉ minimizes
-    * the sum at O(N^1.5), the standard IVF sizing rule (SemDeDup itself
-    * runs k ≈ 11k on LAION-233M ≈ 0.7·√N). A FIXED k turns 10× data
-    * into ~100× pairwise work (the round-10 audit's 11.8× runtime row);
-    * the derived k keeps cell population growing only as √N. Clamped to
-    * [2, maxClusters] — see [[SemDedupMaxClusters]]. The count is free:
-    * it reads the same staged materialization the trainer uses. */
+    * scale-safe default. A FIXED k turns 10× data into ~100× pairwise
+    * work (the round-10 audit's 11.8× runtime row); [[semDedupAutoK]]'s
+    * cost-minimizing k keeps every term O(N^1.5) (SemDeDup itself runs
+    * k ≈ 11k on LAION-233M — the same √N order). The count is free: it
+    * reads the same staged materialization the trainer uses. */
   def semDedupAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, iters: Int = 3,
       maxClusters: Int = SemDedupMaxClusters): DataFrame = {
     val p = Staging.barrier(prepared(df, idCol, vecCol))
-    val k = math.min(maxClusters.toLong,
-      math.max(2L, math.ceil(math.sqrt(p.count().toDouble)).toLong)).toInt
-    semDedupPrepared(p, k, iters, threshold)
+    semDedupPrepared(p, semDedupAutoK(p.count(), iters, maxClusters),
+      iters, threshold)
   }
 
   private def semDedupPrepared(p: DataFrame, kClusters: Int, iters: Int,

@@ -688,21 +688,22 @@ class DedupSpec extends SparkSpec {
     sd.unpersist()
   }
 
-  test("semDedupAuto derives k = ceil(sqrt(N)) and equals the explicit-k run") {
+  test("semDedupAuto derives the cost-minimizing k and equals the explicit-k run") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val n = emb.count()
-    val k = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val k = VectorOps.semDedupAutoK(n, iters = 3)
+    // k minimizes (iters+1)·N·k + N²/(2k): the closed form √(N/(2(i+1)))
+    assert(k === math.max(2,
+      math.ceil(math.sqrt(n.toDouble / (2.0 * 4))).toInt))
     val auto = VectorOps.semDedupAuto(emb, "vec_id", "embedding",
       threshold = 0.40, iters = 3)
     val explicit = VectorOps.semDedup(emb, "vec_id", "embedding",
       kClusters = k, iters = 3, threshold = 0.40)
     assert(auto.orderBy("id").collect() === explicit.orderBy("id").collect())
-    // the derived k bounds cell population near sqrt(N): no cell may
-    // hold more than a constant multiple of N/k vectors unless the data
-    // is pathologically concentrated — here just gate max cell <= N
-    // and the clamp floor/cap arithmetic
-    assert(math.min(VectorOps.SemDedupMaxClusters,
-      math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)) === k)
+    // clamp arithmetic: floor 2 and the broadcast-expression cap
+    assert(VectorOps.semDedupAutoK(1, iters = 3) === 2)
+    assert(VectorOps.semDedupAutoK(Long.MaxValue, iters = 3)
+      === VectorOps.SemDedupMaxClusters)
   }
 
   test("bucketed ANN recalls the planted cosine near-dup pairs partially") {
