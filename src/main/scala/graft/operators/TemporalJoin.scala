@@ -178,16 +178,23 @@ object TemporalJoin {
     *
     * Per-bucket join cost is `|L_b|·|R_b|`, quadratic in DENSITY: a
     * corpus that grows denser (not longer) blows up a fixed g. This
-    * probe measures the peak per-bucket start-count product at the
-    * initial g (two count-by-bucket aggregations + one max — a metadata
-    * stats pass, no data is collected) and HALVES g until the
+    * probe measures the peak per-bucket start-count product (two
+    * count-by-bucket aggregations + one max — a metadata stats pass,
+    * no data is collected) at the initial g, JUMPS down by the
     * uniform-scaling estimate (peak/4 per halving: each side's
-    * per-bucket population halves) fits `maxBucketCost` — but never
-    * below the mean interval span of either side: once g is under the
-    * spans, finer buckets stop thinning candidates (every interval
-    * covers whole buckets regardless) while the explode replication
-    * factor `span/g` keeps growing. All inputs are exact deterministic
-    * aggregates, so the derived g is stable across runs and engines.
+    * per-bucket population halves), then RE-PROBES the real peak at
+    * the landing g and keeps refining while it still exceeds
+    * `maxBucketCost` — start-time skew that halving fails to thin
+    * (all intervals crammed into one tight cluster) is caught by the
+    * re-probe where an estimate-only loop would silently stop with an
+    * unbounded bucket. Never refines below the mean interval span of
+    * either side: once g is under the spans, finer buckets stop
+    * thinning candidates (every interval covers whole buckets
+    * regardless) while the explode replication factor `span/g` keeps
+    * growing. Probe count is O(log(initial/floor)) in the worst case,
+    * 2–3 typically (the jump covers most of the distance). All inputs
+    * are exact deterministic aggregates, so the derived g is stable
+    * across runs and engines.
     *
     * The RESULT SET is g-independent (the claim predicate is
     * exactly-once at any granularity — TemporalJoinSpec gates auto ≡
@@ -207,17 +214,28 @@ object TemporalJoin {
       if (spanRowR.isNullAt(0)) 0.0 else spanRowR.getDouble(0))
     val spanFloor = math.max(1L, math.ceil(meanSpan).toLong)
     val b = "__iv_probe_bucket"
-    def startCounts(df: DataFrame, s: String) =
-      df.groupBy(floor(col(s).cast("double") / initialGranularity).as(b))
-        .agg(count(lit(1)).as("n"))
-    val peakRow = startCounts(left, leftStart).as("lc")
-      .join(startCounts(right, rightStart).as("rc"), b)
-      .agg(max(col("lc.n") * col("rc.n"))).collect().head
-    var peak = if (peakRow.isNullAt(0)) 0L else peakRow.getLong(0)
+    def peakAt(g: Long): Long = {
+      def startCounts(df: DataFrame, s: String) =
+        df.groupBy(floor(col(s).cast("double") / g).as(b))
+          .agg(count(lit(1)).as("n"))
+      val row = startCounts(left, leftStart).as("lc")
+        .join(startCounts(right, rightStart).as("rc"), b)
+        .agg(max(col("lc.n") * col("rc.n"))).collect().head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var g = initialGranularity
+    var peak = peakAt(g)
     while (peak > maxBucketCost && g / 2 >= spanFloor) {
-      g /= 2
-      peak /= 4
+      // uniform-scaling jump (estimate /4 per halving), then a REAL
+      // re-probe at the landing g — skewed starts that halving fails
+      // to thin refine further instead of stopping on a blind estimate
+      var jump = g
+      var est = peak
+      while (est > maxBucketCost && jump / 2 >= spanFloor) {
+        jump /= 2; est /= 4
+      }
+      g = jump
+      peak = peakAt(g)
     }
     g
   }

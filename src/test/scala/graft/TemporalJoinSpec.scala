@@ -167,4 +167,37 @@ class TemporalJoinSpec extends SparkSpec {
       initialGranularity = 1024, maxBucketCost = 10000)
     assert(sparse === 1024L)
   }
+
+  test("autoGranularity re-probe catches start-time skew the uniform estimate misses") {
+    // ALL starts crammed into [0, 8): halving the granularity does NOT
+    // thin the peak bucket (every interval stays in bucket 0 until g
+    // drops under 8). The uniform-scaling estimate alone (peak/4 per
+    // halving) would claim the bound met after 3 halvings while the
+    // real peak is unchanged; the re-probe keeps refining to the span
+    // floor instead.
+    val a = spark.range(0, 500).select(
+      col("id").as("a_id"),
+      pmod(hash(col("id") * 7), lit(8)).cast("long").as("a_s"))
+      .withColumn("a_e", col("a_s") + 2)
+    val b = spark.range(0, 500).select(
+      col("id").as("b_id"),
+      pmod(hash(col("id") * 29), lit(8)).cast("long").as("b_s"))
+      .withColumn("b_e", col("b_s") + 2)
+    val g = TemporalJoin.autoGranularity(a, "a_s", "a_e", b, "b_s", "b_e",
+      initialGranularity = 1024, maxBucketCost = 10000)
+    // span floor = 2; estimate-only would have stopped at 1024/8 = 128
+    // (500² / 4³ ≈ 3.9k ≤ 10k) with the real bucket-0 product still
+    // ~validating nothing — the re-probe drives g to the floor, the
+    // best any granularity can do on this distribution
+    assert(g === 2L, s"expected span-floor refinement under skew, got $g")
+    // and the join is still exact at the skew-forced granularity
+    val got = TemporalJoin.intervalJoinAuto(a, "a_s", "a_e", b, "b_s", "b_e",
+      initialGranularity = 1024, maxBucketCost = 10000)
+      .select("a_id", "b_id")
+    val naive = a.join(b, a("a_s") < b("b_e") && b("b_s") < a("a_e"))
+      .select("a_id", "b_id")
+    assert(got.count() === naive.count())
+    assert(got.except(naive).count() === 0L)
+    assert(naive.except(got).count() === 0L)
+  }
 }
