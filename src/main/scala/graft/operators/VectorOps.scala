@@ -264,10 +264,31 @@ object VectorOps {
     acc
   }
 
-  private def md5HexStr(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5HexStr(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The md5-ordered seed draw shared by both local trainers, with the
+    * sort key computed ONCE per row — `sortBy(md5…)` re-derives the
+    * digest on EVERY comparison (~2·n·log n of them), which measured as
+    * ~4.5 s of pure key recomputation at n = 20k, dwarfing the Lloyd
+    * loop itself. */
+  private def md5OrderedIds(ids: Array[Long]): Array[Int] =
+    ids.indices.toArray
+      .map(i => (md5HexStr(ids(i).toString), ids(i), i))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
 
   /** The Lloyd loop in driver memory — REPLICATES the distributed jobs
     * operation-for-operation so the result is bit-identical (the t12/
@@ -275,44 +296,136 @@ object VectorOps {
     * seed draw; argmax-cosine assignment with the same sequential dot,
     * the same `-(cos)` negation and `java.lang.Double.compare` tie
     * order; per-dimension means as EXACT java BigDecimal sums of the
-    * same HALF_UP scale-12 casts (associative, so driver order is
-    * irrelevant), cast back through `doubleValue` (correctly rounded,
-    * = Spark's Decimal→Double) and divided by the count. */
+    * same HALF_UP scale-12 casts, cast back through `doubleValue`
+    * (correctly rounded, = Spark's Decimal→Double) and divided by the
+    * count.
+    *
+    * PARALLEL over fixed row chunks (round-11): assignment is per-row
+    * independent, and the per-(cluster, dim) accumulators are exact
+    * arbitrary-precision sums — associative and commutative — so
+    * chunked partials merged in any order are BIT-IDENTICAL to the
+    * sequential loop (the property the distributed path already relies
+    * on for its partition-order-independent decimal aggregation). At
+    * the 100k-row fast-path ceiling this turns the training wall-clock
+    * from cores×-serial into ~one chunk's worth. */
   private def kmeansCentroidsLocal(rows: Array[(Long, Array[Double], Double)],
       k: Int, iters: Int): Seq[(Int, Array[Double])] = {
-    var cent: Seq[(Int, Array[Double])] = rows
-      .sortBy { case (id, _, _) => (md5HexStr(id.toString), id) }
-      .take(k).zipWithIndex
-      .map { case ((_, v, _), i) => (i, v) }.toSeq
-    for (_ <- 0 until iters) {
-      val cn = cent.map { case (l, c) => (l, c, math.sqrt(dotSeq(c, c))) }
-      val sums = scala.collection.mutable.HashMap
-        .empty[(Int, Int), java.math.BigDecimal]
-      val counts = scala.collection.mutable.HashMap.empty[Int, Long]
-      rows.foreach { case (_, v, nrm) =>
-        var bestNeg = Double.PositiveInfinity
-        var bestLabel = Int.MaxValue
-        cn.foreach { case (l, c, cnrm) =>
-          val neg = -(dotSeq(v, c) / (nrm * cnrm))
-          val cmp = java.lang.Double.compare(neg, bestNeg)
-          if (cmp < 0 || (cmp == 0 && l < bestLabel)) {
-            bestNeg = neg; bestLabel = l
-          }
-        }
-        counts(bestLabel) = counts.getOrElse(bestLabel, 0L) + 1L
+    var cent: Seq[(Int, Array[Double])] =
+      md5OrderedIds(rows.map(_._1)).take(k).toSeq
+        .map(rows(_)._2).zipWithIndex.map { case (v, i) => (i, v) }
+    val nThreads = math.max(1,
+      math.min(Runtime.getRuntime.availableProcessors(), 32))
+    def chunkBounds(n: Int): Seq[(Int, Int)] = (0 until nThreads).map { t =>
+      ((n.toLong * t / nThreads).toInt, (n.toLong * (t + 1) / nThreads).toInt)
+    }.filter { case (lo, hi) => hi > lo }
+    def inParallel[A](work: Seq[() => A]): Seq[A] =
+      if (work.lengthCompare(1) <= 0) work.map(_.apply())
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+      }
+    // the HALF_UP scale-12 decimal image of every coordinate, built ONCE:
+    // BigDecimal.valueOf routes through Double.toString — by far the
+    // loop's hottest call when repeated per iteration (measured 7.8 s →
+    // the dominant share at the 20k×64 probe); the cached decimals are
+    // immutable and shared by every iteration's accumulators
+    val bdRows: Array[Array[java.math.BigDecimal]] =
+      new Array[Array[java.math.BigDecimal]](rows.length)
+    inParallel(chunkBounds(rows.length).map { case (lo, hi) => () => {
+      var i = lo
+      while (i < hi) {
+        val v = rows(i)._2
+        val a = new Array[java.math.BigDecimal](v.length)
         var pos = 0
         while (pos < v.length) {
-          val d = java.math.BigDecimal.valueOf(v(pos))
+          a(pos) = java.math.BigDecimal.valueOf(v(pos))
             .setScale(12, java.math.RoundingMode.HALF_UP)
-          sums((bestLabel, pos)) =
-            sums.get((bestLabel, pos)).map(_.add(d)).getOrElse(d)
           pos += 1
         }
+        bdRows(i) = a
+        i += 1
       }
-      cent = counts.keys.toSeq.sorted.map { l =>
-        val n = counts(l)
-        val dim = Iterator.from(0).takeWhile(p => sums.contains((l, p))).size
-        (l, Array.tabulate(dim)(p => sums((l, p)).doubleValue / n))
+    }})
+    for (_ <- 0 until iters) {
+      val kNow = cent.length
+      // slot kNow is the degenerate all-NaN-cosine bucket (a zero-norm
+      // row): the sequential loop filed it under label Int.MaxValue,
+      // and label order puts it last — preserved verbatim
+      val labels = cent.map(_._1).toArray :+ Int.MaxValue
+      val cvecs = cent.map(_._2).toArray
+      val cnrms = cvecs.map(c => math.sqrt(dotSeq(c, c)))
+      def accumulate(lo: Int, hi: Int)
+          : (Array[Long], Array[Array[java.math.BigDecimal]]) = {
+        val counts = new Array[Long](kNow + 1)
+        val sums = new Array[Array[java.math.BigDecimal]](kNow + 1)
+        var i = lo
+        while (i < hi) {
+          val (_, v, nrm) = rows(i)
+          var bestNeg = Double.PositiveInfinity
+          var bestIdx = kNow
+          var j = 0
+          while (j < kNow) {
+            val neg = -(dotSeq(v, cvecs(j)) / (nrm * cnrms(j)))
+            val cmp = java.lang.Double.compare(neg, bestNeg)
+            if (cmp < 0 || (cmp == 0 && labels(j) < labels(bestIdx))) {
+              bestNeg = neg; bestIdx = j
+            }
+            j += 1
+          }
+          counts(bestIdx) += 1L
+          var s = sums(bestIdx)
+          if (s == null || s.length < v.length) {
+            val ns = new Array[java.math.BigDecimal](v.length)
+            if (s != null) System.arraycopy(s, 0, ns, 0, s.length)
+            sums(bestIdx) = ns; s = ns
+          }
+          val bd = bdRows(i)
+          var pos = 0
+          while (pos < v.length) {
+            val d = bd(pos)
+            s(pos) = if (s(pos) == null) d else s(pos).add(d)
+            pos += 1
+          }
+          i += 1
+        }
+        (counts, sums)
+      }
+      val partials = inParallel(chunkBounds(rows.length)
+        .map { case (lo, hi) => () => accumulate(lo, hi) })
+      val counts = new Array[Long](kNow + 1)
+      val sums = new Array[Array[java.math.BigDecimal]](kNow + 1)
+      partials.foreach { case (pc, ps) =>
+        var j = 0
+        while (j <= kNow) {
+          counts(j) += pc(j)
+          val s = ps(j)
+          if (s != null) {
+            var m = sums(j)
+            if (m == null || m.length < s.length) {
+              val nm = new Array[java.math.BigDecimal](s.length)
+              if (m != null) System.arraycopy(m, 0, nm, 0, m.length)
+              sums(j) = nm; m = nm
+            }
+            var pos = 0
+            while (pos < s.length) {
+              if (s(pos) != null)
+                m(pos) = if (m(pos) == null) s(pos) else m(pos).add(s(pos))
+              pos += 1
+            }
+          }
+          j += 1
+        }
+      }
+      cent = (0 to kNow).filter(counts(_) > 0L).map { j =>
+        val n = counts(j)
+        val s = sums(j)
+        // the sequential loop's takeWhile(sums.contains): dimension ends
+        // at the first position no assigned row reached
+        val dim = Iterator.from(0)
+          .takeWhile(p => p < s.length && s(p) != null).size
+        (labels(j), Array.tabulate(dim)(p => s(p).doubleValue / n))
       }
     }
     cent
@@ -842,9 +955,7 @@ object VectorOps {
       m: Int, ksub: Int, iters: Int,
       dim: Int): Seq[Seq[(Int, Array[Double])]] = {
     val sub = dim / m
-    val seedRows = rows
-      .sortBy { case (id, _) => (md5HexStr(id.toString), id) }
-      .take(ksub).map(_._2)
+    val seedRows = md5OrderedIds(rows.map(_._1)).take(ksub).map(rows(_)._2)
     var books: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { si =>
       seedRows.toSeq.zipWithIndex.map { case (v, i) =>
         (i, v.slice(si * sub, si * sub + sub))
