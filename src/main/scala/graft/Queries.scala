@@ -827,6 +827,265 @@ object Queries {
          |FROM agg ORDER BY event_type""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // p12/p13: KMV bottom-k distinct sketch + cross-corpus overlap
+  // ---------------------------------------------------------------------
+
+  private val KmvK = 256
+  private val LmVocab = 4096  // defined here: referenced by t65's oracle at init
+  /** `(k-1)·2^64·10^6` — the integer numerator of the KMV estimate. */
+  private val KmvEstNumerator: String =
+    (BigInt(KmvK - 1) * (BigInt(1) << 64) * 1000000).toString
+
+  /** Shared DuckDB CTEs for the KMV oracles: per-group distinct shingle
+    * hashes (`hx(g, h)`) → ranked bottom-k sketch (`sk(g, h, rn)`). The
+    * group expression is a parameter so p12 (per source) and p13 (A/B
+    * corpus halves) replay the same pipeline. */
+  private def duckKmvSketch(groupExpr: String): String =
+    s"""toks AS (
+       |  SELECT $groupExpr AS g,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |shx AS (
+       |  SELECT g, unnest(CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(list_slice(t, i+1, i+3), ' ') for i in range(len(t)-2)])
+       |    ELSE [] END) AS shingle
+       |  FROM toks),
+       |hx AS (SELECT DISTINCT g, substr(md5(shingle), 1, 16) AS h FROM shx),
+       |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hx),
+       |sk AS (SELECT g, h, rn FROM rk WHERE rn <= $KmvK)""".stripMargin
+
+  /** DuckDB spelling of the integer KMV estimate (micro-units). */
+  private def duckKmvEst(nCol: String, kthCol: String): String =
+    s"""CAST(CASE WHEN $nCol < $KmvK THEN $nCol * 1000000
+       |  ELSE CAST('$KmvEstNumerator' AS HUGEINT)
+       |    // CAST(CAST('0x' || $kthCol AS UBIGINT) AS HUGEINT) END AS BIGINT)""".stripMargin
+
+  /** The staged per-group shingle stream both KMV queries sketch: ONE
+    * pass over the corpus (p1's shared-frame rationale), group key
+    * chosen by the caller. */
+  private def kmvShingles(spark: SparkSession, dir: String,
+      group: Column): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = Staging.barrier(docs.select(group.as("g"),
+      TextDedup.tokens(col("text")).as("t")))
+    toks.filter(size(col("t")) >= 3)
+      .select(col("g"), explode(TextDedup.shingles(col("t"), 3)).as("shingle"))
+  }
+
+  /** KMV (bottom-k) distinct sketch per source ([[CorpusStats
+    * .kmvSketch]]): the fifth sketch-family member (MG p7/p8, quantiles
+    * p9, Count-Min p10, HLL p11) — unlike HLL it supports sketch-level
+    * SET operations (p13's union/overlap), the property the
+    * cross-corpus probes need. Strong gate: the sketch IS its k order
+    * statistics, so the gated row pins every retained hash via
+    * `kth_hash` plus the integer estimate — deterministic at any
+    * partitioning, any merge order. */
+  val p12_kmv_distinct: Q = Q(
+    run = (spark, dir) => {
+      val sh = kmvShingles(spark, dir, col("source"))
+      CorpusStats.kmvDistinct(
+          CorpusStats.kmvSketch(sh, "g", "shingle", KmvK), KmvK)
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH ${duckKmvSketch("source")},
+         |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_keys, max(h) AS kth_hash
+         |  FROM sk GROUP BY g)
+         |SELECT g AS source, n_keys, kth_hash,
+         |  ${duckKmvEst("n_keys", "kth_hash")} AS est_e6
+         |FROM agg ORDER BY source""".stripMargin))
+
+  /** Cross-corpus overlap from two KMV sketches ([[CorpusStats
+    * .kmvOverlap]]): Jaccard + union-cardinality estimates between the
+    * even- and odd-numbered source halves of the corpus WITHOUT any
+    * corpus-scale join — the "is this shard worth deduping against the
+    * landed data?" probe and the corpus-level contamination estimate.
+    * At 100 TB each shard sketches locally (one pass, k rows out); the
+    * overlap math here runs on 2k rows of metadata. */
+  val p13_kmv_overlap: Q = Q(
+    run = (spark, dir) => {
+      val even = substring(col("source"), 4, 10).cast(IntegerType) % 2 === 0
+      val sh = kmvShingles(spark, dir, when(even, "A").otherwise("B"))
+      val sk = Staging.barrier(
+        CorpusStats.kmvSketch(sh, "g", "shingle", KmvK))
+      CorpusStats.kmvOverlap(sk.filter(col("g") === "A"),
+        sk.filter(col("g") === "B"), KmvK)
+    },
+    oracle = Some(
+      s"""WITH ${duckKmvSketch(
+             "CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 'A' ELSE 'B' END")},
+         |fl AS (SELECT h, max(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS in_b
+         |  FROM sk GROUP BY h),
+         |tk AS (SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM fl),
+         |topk AS (SELECT h, in_a, in_b FROM tk WHERE rn <= $KmvK),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS inter_k, max(h) AS kth_hash
+         |  FROM topk)
+         |SELECT k_used, inter_k,
+         |  CAST(inter_k * 1000000 // k_used AS BIGINT) AS jaccard_e6,
+         |  ${duckKmvEst("k_used", "kth_hash")} AS union_est_e6
+         |FROM agg""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // t64/t65: weighted Bernoulli sampling + CCNet perplexity buckets
+  // ---------------------------------------------------------------------
+
+  private val SampleCap = 400L     // weight clamp (n_chars spans ~50..550)
+  private val SampleRateNum = 3L   // inclusion rate 3/10 at full weight
+  private val SampleRateDen = 10L
+
+  /** Integer-exact weighted Bernoulli (Poisson) sampling
+    * ([[CorpusStats.weightedSample]]): inclusion probability
+    * `(3/10)·min(n_chars,400)/400` decided purely in DECIMAL(38,0) /
+    * HUGEINT arithmetic off the portable md5-hash — seedless,
+    * retry-stable, and hash-exact across engines. Map-only: the 100 TB
+    * plan is a filter inside the scan, zero shuffles. */
+  val t64_weighted_sample: Q = Q(
+    run = (spark, dir) =>
+      CorpusStats.weightedSample(
+          t(spark, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", SampleCap, SampleRateNum, SampleRateDen)
+        .select("doc_id", "w")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""SELECT doc_id,
+         |  CAST(LEAST(GREATEST(n_chars, 0), $SampleCap) AS BIGINT) AS w
+         |FROM documents
+         |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS HUGEINT)
+         |    * ${SampleRateDen * SampleCap}
+         |  < CAST('18446744073709551616' AS HUGEINT) * $SampleRateNum
+         |    * LEAST(GREATEST(n_chars, 0), $SampleCap)
+         |ORDER BY doc_id""".stripMargin),
+    bench = true)
+
+  /** CCNet head/middle/tail perplexity bucketing ([[CorpusStats
+    * .perplexityBuckets]]): per-language rank over t32's integer
+    * micro-logprob scores; cutoffs `3n div 10` / `7n div 10` keep the
+    * whole decision in BIGINT arithmetic (no percentile floats cross
+    * the engine boundary). */
+  val t65_perplexity_buckets: Q = Q(
+    run = (spark, dir) =>
+      CorpusStats.perplexityBuckets(t(spark, dir, "documents"),
+          "doc_id", "text", vocab = LmVocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = {
+      val langs = TextAnalysis.LangMarkers
+      val scoreCols = langs.map { case (l, ms) => s"${duckMarkerScore(ms)} AS s_$l" }
+      val m = s"greatest(${langs.map("s_" + _._1).mkString(", ")})"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $m AND s_$l > 0 THEN '$l'" }.mkString(" ")
+      Some(
+        s"""WITH toks0 AS (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |sc AS (SELECT doc_id, text, t, ${scoreCols.mkString(",\n  ")} FROM toks0),
+           |lang AS (SELECT doc_id,
+           |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |       $pick ELSE 'und' END AS lang
+           |FROM sc),
+           |tw AS (SELECT doc_id, unnest(t) AS w FROM toks0),
+           |counts AS (SELECT w, count(*) AS cnt FROM tw GROUP BY w),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+           |lm AS (SELECT w, CAST(round(log10(cnt * 1.0 / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS lp
+           |  FROM counts ORDER BY cnt DESC, w LIMIT $LmVocab),
+           |oov AS (SELECT CAST(round(log10(0.5 / total) * 1000000) AS BIGINT) AS lp FROM tot),
+           |scored AS (SELECT tw.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(COALESCE(lm.lp, (SELECT lp FROM oov))) AS BIGINT) AS sum_lp_micro
+           |  FROM tw LEFT JOIN lm ON lm.w = tw.w GROUP BY tw.doc_id),
+           |keyed AS (SELECT s.doc_id, lang.lang, s.n_tokens,
+           |    (s.sum_lp_micro + 10000000 * s.n_tokens) * 1000000 // s.n_tokens AS lp_key
+           |  FROM scored s JOIN lang ON lang.doc_id = s.doc_id
+           |  WHERE s.n_tokens > 0),
+           |ranked AS (SELECT *,
+           |    row_number() OVER (PARTITION BY lang ORDER BY lp_key, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM keyed)
+           |SELECT doc_id, lang, n_tokens, CAST(lp_key AS BIGINT) AS lp_key,
+           |  CASE WHEN rn <= 3 * n // 10 THEN 'tail'
+           |       WHEN rn > 7 * n // 10 THEN 'head'
+           |       ELSE 'middle' END AS bucket
+           |FROM ranked ORDER BY doc_id""".stripMargin)
+    },
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // t66: distributed BPE merge-rule training
+  // ---------------------------------------------------------------------
+
+  private val BpeRounds = 8
+
+  /** One unrolled training round of the BPE oracle. Every CTE is
+    * `MATERIALIZED`: DuckDB inlines multiply-referenced CTEs by
+    * default, and 8 chained rounds of inlining is exponential — the
+    * un-materialized spelling ran >3 min at sf0.01, materialized 0.6 s. */
+  private def duckBpeRound(k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM (SELECT cnt, unnest([{'l': syms[i+1], 'r': syms[i+2]} for i in range(len(syms)-1)]) AS u
+       |        FROM w$k) GROUP BY 1, 2),
+       |m$k AS MATERIALIZED (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+       |e$k AS MATERIALIZED (
+       |  SELECT w, cnt, u.pos AS pos, u.sym AS sym
+       |  FROM (SELECT w, cnt, unnest([{'pos': i, 'sym': syms[i+1]} for i in range(len(syms))]) AS u
+       |        FROM w$k)),
+       |c$k AS MATERIALIZED (SELECT w, cnt, pos, sym,
+       |    CASE WHEN sym = (SELECT l FROM m$k)
+       |      AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM m$k)
+       |    THEN 1 ELSE 0 END AS cand
+       |  FROM e$k),
+       |i$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    THEN pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
+       |  FROM c$k),
+       |a$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0 THEN 1 ELSE 0 END AS app
+       |  FROM i$k),
+       |f$k AS MATERIALIZED (SELECT *, COALESCE(lag(app) OVER (PARTITION BY w ORDER BY pos), 0) AS prev_app,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM a$k),
+       |w${k + 1} AS MATERIALIZED (SELECT w, cnt,
+       |    list(CASE WHEN app = 1 THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+       |  FROM f$k WHERE prev_app = 0 GROUP BY w, cnt)""".stripMargin
+
+  /** Distributed BPE merge-rule training ([[BpeTrain.train]]): the
+    * corpus is touched ONCE (the word-frequency groupBy); all 8 rounds
+    * run on the vocab-sized symbol table, each collecting exactly one
+    * argmax row. The oracle replays all rounds unrolled; the Spark
+    * fold's greedy non-overlapping semantics ("aaaa" + (a,a) →
+    * [aa, aa]) are mirrored by the oracle's island-parity windows, and
+    * the winner rule (max count, lexicographically smallest pair) is
+    * integer/binary-string deterministic cross-engine. */
+  val t66_bpe_merges: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      val (merges, _) = BpeTrain.train(t(spark, dir, "documents"), "text",
+        rounds = BpeRounds)
+      merges.map(m => (m.round, m.left, m.right, m.count))
+        .toDF("round", "left_sym", "right_sym", "pair_count")
+        .orderBy("round")
+    },
+    oracle = Some {
+      val base =
+        """w1 AS MATERIALIZED (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+          |    [substr(w, i+1, 1) for i in range(length(w))] AS syms
+          |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+          |        FROM documents)
+          |  GROUP BY w)""".stripMargin
+      val blocks = (1 to BpeRounds).map(duckBpeRound).mkString(",\n")
+      val union = (1 to BpeRounds).map(k =>
+        s"SELECT $k AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM m$k")
+        .mkString(" UNION ALL ")
+      s"""WITH $base,
+         |$blocks,
+         |merges AS ($union)
+         |SELECT round, left_sym, right_sym, pair_count FROM merges ORDER BY round""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
 
@@ -1951,8 +2210,6 @@ object Queries {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin))
-
-  private val LmVocab = 4096
 
   /** Unigram-LM quality filter (see [[TextAnalysis.lmQuality]]): the
     * oracle retrains the identical LM in SQL — same tokenizer, same
@@ -4506,7 +4763,12 @@ object Queries {
     "p8_heavy_hitters_grouped" -> p8_heavy_hitters_grouped,
     "p9_quantile_sketch" -> p9_quantile_sketch,
     "p10_count_min" -> p10_count_min,
-    "p11_hll_distinct" -> p11_hll_distinct)
+    "p11_hll_distinct" -> p11_hll_distinct,
+    "p12_kmv_distinct" -> p12_kmv_distinct,
+    "p13_kmv_overlap" -> p13_kmv_overlap,
+    "t64_weighted_sample" -> t64_weighted_sample,
+    "t65_perplexity_buckets" -> t65_perplexity_buckets,
+    "t66_bpe_merges" -> t66_bpe_merges)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-level statistics and selection operators for training-data
+ * curation at 100 TB: KMV (bottom-k) distinct sketches with cross-corpus
+ * overlap estimation, integer-exact weighted Bernoulli sampling, and
+ * CCNet-style perplexity bucketing.
+ *
+ * Everything here follows the repo's cross-engine exactness discipline
+ * (CountMin.scala / Hll.scala): the portable 64-bit hash is the first 16
+ * hex chars of `md5(v)` — compared AS A STRING, where lexicographic order
+ * on lowercase hex equals unsigned numeric order — and every gated
+ * numeric is integer arithmetic (BIGINT / DECIMAL(38,0) with truncating
+ * `div`), never a float that two engines could render differently.
+ */
+object CorpusStats {
+
+  /** Portable 64-bit hash rendered as 16 lowercase hex chars.
+    * Lexicographic string order ≡ unsigned numeric order, so bottom-k
+    * selection never needs a (sign-hazardous) integer cast. */
+  def hex16(c: Column): Column = substring(md5(c), 1, 16)
+
+  /** `hex16` reinterpreted as its unsigned numeric value — DECIMAL(38,0)
+    * because 2^63..2^64-1 overflows BIGINT. `conv` yields the unsigned
+    * decimal digits as a string; the cast is exact. */
+  def hexUint(h: Column): Column = conv(h, 16, 10).cast(DecimalType(38, 0))
+
+  // -------------------------------------------------------------------
+  // KMV (bottom-k) distinct sketch — Bar-Yossef et al., RANDOM 2002
+  // -------------------------------------------------------------------
+
+  /**
+   * The k smallest DISTINCT `hex16` hashes of `valueCol` per group — the
+   * KMV synopsis. Mergeable (union of two sketches re-truncated to the
+   * k smallest is the sketch of the union), so shards sketch
+   * independently and a coordinator folds k-row tables.
+   *
+   * Plan shape: NO global pre-distinct. `dense_rank() <= k` gives the
+   * k smallest distinct values while letting Spark's
+   * InferWindowGroupLimit insert a PARTIAL WindowGroupLimit before the
+   * exchange — each map task forwards at most k distinct hashes per
+   * group (plus local ties), so the shuffle carries O(partitions · k)
+   * rows regardless of corpus size; the residual `.distinct()` runs on
+   * that k-bounded set. The alternative (`distinct()` then
+   * `row_number()`) shuffles EVERY distinct value twice.
+   *
+   * Returns (g, h, rn) with rn = 1..n_keys (n_keys ≤ k).
+   */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val ranked = df
+      .select(col(groupCol).as("g"), hex16(col(valueCol)).as("h"))
+      .withColumn("rk", dense_rank().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("rk") <= k)
+      .select("g", "h")
+      .distinct()
+    ranked.withColumn("rn",
+      row_number().over(Window.partitionBy("g").orderBy("h")))
+  }
+
+  /**
+   * Per-group distinct-count estimate from a [[kmvSketch]]:
+   * `(k-1) / v_k` with `v_k` = kth smallest hash normalized to [0,1) —
+   * i.e. `(k-1)·2^64 div h_k` in exact integer arithmetic, scaled to
+   * micro-units. A group with fewer than k distinct values IS its own
+   * sketch, so the estimate degrades to the exact count.
+   *
+   * Gated columns are engine-exact: `n_keys` BIGINT, `kth_hash` STRING,
+   * `est_e6` BIGINT via truncating integral division (Spark `div` ≡
+   * DuckDB `//`, both toward zero; operands positive).
+   */
+  def kmvDistinct(sketch: DataFrame, k: Int): DataFrame = {
+    val numerator = (BigInt(k - 1) * (BigInt(1) << 64) * 1000000).toString
+    sketch
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_keys"), max("h").as("kth_hash"))
+      .withColumn("est_e6",
+        when(col("n_keys") < k, col("n_keys") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST('$numerator' AS DECIMAL(38,0)) div CAST(conv(kth_hash, 16, 10) AS DECIMAL(38,0)) AS BIGINT)")))
+      .withColumn("est_e6", col("est_e6").cast(LongType))
+  }
+
+  /**
+   * KMV cross-corpus overlap: Jaccard and union-cardinality estimates
+   * between two sketches WITHOUT touching either corpus again — the
+   * "should I even run the dedup join?" probe, and the corpus-level
+   * fuzzy-contamination estimate (sketch the benchmark's shingles once;
+   * probe every training shard's sketch against it).
+   *
+   * Union sketch = k smallest of (A ∪ B) (each side already
+   * k-truncated, which is exactly why KMV sketches union losslessly);
+   * Jaccard ≈ |top-k(A∪B) ∩ A ∩ B| / k_used. Everything after the
+   * (k-row) sketches is metadata-scale.
+   *
+   * Returns ONE row: (k_used, inter_k, jaccard_e6, union_est_e6).
+   */
+  def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    val flagged = sketchA.select(col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(sketchB.select(col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val topk = flagged
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+    val numerator = (BigInt(k - 1) * (BigInt(1) << 64) * 1000000).toString
+    topk.agg(
+        count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).cast(LongType).as("inter_k"),
+        max("h").as("kth_hash"))
+      .withColumn("jaccard_e6",
+        expr("inter_k * 1000000L div k_used").cast(LongType))
+      .withColumn("union_est_e6",
+        when(col("k_used") < k, col("k_used") * lit(1000000L))
+          .otherwise(expr(
+            s"CAST(CAST('$numerator' AS DECIMAL(38,0)) div CAST(conv(kth_hash, 16, 10) AS DECIMAL(38,0)) AS BIGINT)")))
+      .select(col("k_used").cast(LongType), col("inter_k"),
+        col("jaccard_e6"), col("union_est_e6").cast(LongType))
+  }
+
+  // -------------------------------------------------------------------
+  // Weighted Bernoulli (Poisson) sampling — integer-exact inclusion
+  // -------------------------------------------------------------------
+
+  /**
+   * Importance sampling of a corpus with per-row inclusion probability
+   * `rate · w/cap` (w = weightCol clamped to [0, cap]) — the
+   * quality-weighted selection half of a data mix, as a MAP-ONLY filter
+   * (zero shuffles at any scale; each shard samples independently,
+   * which is the whole point of Poisson vs reservoir designs).
+   *
+   * The inclusion test is seedless, reproducible across engines, runs
+   * AND retries (the property `DataFrame.sample()` lacks — t18's
+   * argument), and integer-EXACT: include row i iff
+   *
+   *   H(id) · rateDen · cap  <  2^64 · rateNum · min(w_i, cap)
+   *
+   * with H = [[hexUint]] (uniform on [0, 2^64)). Both sides are
+   * DECIMAL(38,0)/HUGEINT products ≤ ~10^24 — no float ever enters the
+   * decision, so Spark and the DuckDB oracle select identical rows.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      cap: Long, rateNum: Long, rateDen: Long): DataFrame = {
+    require(rateNum > 0 && rateDen > 0 && cap > 0)
+    val w = least(greatest(col(weightCol).cast(LongType), lit(0L)), lit(cap))
+    val lhs = hexUint(hex16(col(idCol).cast(StringType))) *
+      lit(new java.math.BigDecimal(rateDen * cap))
+    val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger)) *
+      lit(new java.math.BigDecimal(rateNum)) * w.cast(DecimalType(38, 0))
+    df.filter(lhs < rhs).withColumn("w", w)
+  }
+
+  // -------------------------------------------------------------------
+  // CCNet-style perplexity bucketing — Wenzek et al., LREC 2020
+  // -------------------------------------------------------------------
+
+  /**
+   * Head/middle/tail split of a corpus by per-language LM score — the
+   * CCNet curation staple (keep "head", drop or down-weight "tail").
+   * Reuses [[TextAnalysis.lmQuality]]'s integer micro-logprob scoring
+   * (so the transcendental never crosses an engine boundary) and ranks
+   * on the integer key
+   *
+   *   lp_key = (sum_lp_micro + 10^7 · n_tokens) · 10^6 div n_tokens
+   *
+   * (= avg token logprob in micro-units, offset by +10^7 so the
+   * dividend stays positive — truncating division is then floor on
+   * both engines). Buckets by per-language rank: the lowest-logprob
+   * 30% is `tail`, the top 30% `head`, the rest `middle`; cutoffs are
+   * `3n div 10` / `7n div 10` — integer-exact, no percentile floats.
+   *
+   * Scale shape: scoring is t32's plan (broadcast vocab join, one
+   * hash-agg); the rank is one window per language — at 100 TB swap
+   * the exact rank for the staged threshold lookup (t18's
+   * approx-percentile note); semantics gate here, the swap is config.
+   */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      vocab: Int): DataFrame = {
+    val scored = TextAnalysis.lmQuality(df, idCol, textCol, vocab)
+      .filter(col("n_tokens") > 0)
+    val withLang = df.select(col(idCol).as("id"),
+      TextAnalysis.langId(col(textCol)).as("lang"))
+    val keyed = scored.join(withLang, Seq("id"))
+      .withColumn("lp_key",
+        expr("(sum_lp_micro + 10000000L * n_tokens) * 1000000L div n_tokens"))
+    val wRank = Window.partitionBy("lang").orderBy("lp_key", "id")
+    val wN = Window.partitionBy("lang")
+    keyed
+      .withColumn("rn", row_number().over(wRank).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("bucket",
+        when(col("rn") <= expr("3 * n div 10"), "tail")
+          .when(col("rn") > expr("7 * n div 10"), "head")
+          .otherwise("middle"))
+      .select(col("id"), col("lang"), col("n_tokens"), col("lp_key"),
+        col("bucket"))
+  }
+}

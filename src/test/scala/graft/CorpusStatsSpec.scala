@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+class CorpusStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def keyed(g: String, n: Int, offset: Int = 0): DataFrame =
+    (0 until n).map(i => (g, s"key-${i + offset}")).toDF("g", "v")
+
+  test("kmvSketch keeps exactly the k smallest distinct hashes per group") {
+    // duplicates must not consume sketch slots
+    val df = keyed("a", 50).unionAll(keyed("a", 50)).unionAll(keyed("b", 5))
+    val sk = CorpusStats.kmvSketch(df, "g", "v", 8).collect()
+    val a = sk.filter(_.getString(0) == "a").map(_.getString(1)).sorted
+    val b = sk.filter(_.getString(0) == "b").map(_.getString(1)).sorted
+    val expectA = (0 until 50).map(i => s"key-$i")
+      .map(v => java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString)
+      .distinct.sorted.take(8)
+    assert(a.toSeq === expectA)
+    assert(b.length === 5) // fewer distinct values than k → the exact set
+    // rn is a 1-based dense enumeration in hash order
+    val rns = sk.filter(_.getString(0) == "a").map(_.getInt(2)).sorted
+    assert(rns.toSeq === (1 to 8))
+  }
+
+  test("kmvSketch merges losslessly: sketch(A ∪ B) == fold of the two sketches") {
+    val a = keyed("x", 200)
+    val b = keyed("x", 200, offset = 150) // overlapping ranges
+    val k = 16
+    val whole = CorpusStats.kmvSketch(a.unionAll(b), "g", "v", k)
+      .select("h").as[String].collect().sorted.toSeq
+    val folded = CorpusStats.kmvSketch(a, "g", "v", k)
+      .unionByName(CorpusStats.kmvSketch(b, "g", "v", k))
+      .select("h").distinct().as[String].collect().sorted.take(k)
+    assert(whole === folded)
+  }
+
+  test("kmvDistinct is exact below capacity and within KMV error above it") {
+    val df = keyed("small", 10).unionAll(keyed("big", 5000))
+    val est = CorpusStats.kmvDistinct(
+        CorpusStats.kmvSketch(df, "g", "v", 256), 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(est("small") === ((10L, 10L * 1000000)))
+    val (nKeys, estE6) = est("big")
+    assert(nKeys === 256L)
+    // KMV std ≈ 1/√k ≈ 6.25%; assert a generous 4σ band
+    assert(math.abs(estE6 / 1e6 - 5000.0) < 5000.0 * 0.25, s"est=$estE6")
+  }
+
+  test("kmvOverlap bounds: disjoint corpora → 0; identical corpora → k") {
+    val a = CorpusStats.kmvSketch(keyed("a", 400), "g", "v", 32)
+    val b = CorpusStats.kmvSketch(keyed("b", 400, offset = 1000), "g", "v", 32)
+    val disjoint = CorpusStats.kmvOverlap(a, b, 32).head()
+    assert(disjoint.getLong(1) === 0L && disjoint.getLong(2) === 0L)
+    val same = CorpusStats.kmvOverlap(a,
+      CorpusStats.kmvSketch(keyed("b", 400), "g", "v", 32), 32).head()
+    assert(same.getLong(0) === 32L)     // k_used
+    assert(same.getLong(1) === 32L)     // inter_k
+    assert(same.getLong(2) === 1000000L) // jaccard_e6 = 1
+  }
+
+  test("weightedSample is deterministic, monotone in weight, and near its rate") {
+    val docs = (1L to 4000L).map(i => (i, (i % 500) + 50)).toDF("id", "w0")
+    val s1 = CorpusStats.weightedSample(docs, "id", "w0", 400, 3, 10)
+    val s2 = CorpusStats.weightedSample(docs, "id", "w0", 400, 3, 10)
+    val ids = s1.select("id").as[Long].collect().sorted
+    assert(ids.toSeq === s2.select("id").as[Long].collect().sorted.toSeq)
+    // zero weight can never be included
+    val zero = CorpusStats.weightedSample(
+      Seq((1L, 0L), (2L, -5L)).toDF("id", "w0"), "id", "w0", 400, 3, 10)
+    assert(zero.count() === 0L)
+    // empirical rate ≈ rate · E[min(w,cap)]/cap; w0 ∈ 50..549, cap 400
+    val expectedP = (50 to 549).map(w => 0.3 * math.min(w, 400) / 400.0).sum / 500
+    val got = ids.length.toDouble / 4000
+    assert(math.abs(got - expectedP) < 0.05, s"got=$got expected≈$expectedP")
+    // monotone: raising every weight to the cap is a superset
+    val full = CorpusStats.weightedSample(
+        docs.withColumn("w0", lit(400L)), "id", "w0", 400, 3, 10)
+      .select("id").as[Long].collect().toSet
+    assert(ids.forall(full.contains))
+  }
+
+  test("perplexityBuckets splits each language 30/40/30 by rank") {
+    val docs = (1 to 100).map { i =>
+      val langWords = if (i % 2 == 0) "the of and is in" else "der die und ist das"
+      (i.toLong, s"$langWords sample text number ${i % 7} with word-$i tail")
+    }.toDF("doc_id", "text")
+    val out = CorpusStats.perplexityBuckets(docs, "doc_id", "text", vocab = 64)
+    val byLang = out.groupBy("lang", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = byLang.keys.map(_._1).toSet
+    assert(langs.size >= 2)
+    langs.foreach { l =>
+      val n = byLang.collect { case ((`l`, _), c) => c }.sum
+      assert(byLang.getOrElse((l, "tail"), 0L) === 3 * n / 10)
+      assert(byLang.getOrElse((l, "head"), 0L) === n - 7 * n / 10)
+    }
+    // deterministic: same input, same buckets
+    val again = CorpusStats.perplexityBuckets(docs, "doc_id", "text", vocab = 64)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select("id", "bucket").collect()
+      .foreach(r => assert(again(r.getLong(0)) === r.getString(1)))
+  }
+}
