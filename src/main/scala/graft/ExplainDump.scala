@@ -30,7 +30,7 @@ object ExplainDump {
         "t61_pq_index_compact", "t62_ann_append_committed",
         "t63_pq_append_committed", "p11_hll_distinct",
         "t34a_semdedup_auto", "j5a_interval_join_auto",
-        "p12_kmv_distinct", "p13_kmv_overlap",
+        "p12_kmv_distinct", "p12a_kmv_distinct_agg", "p13_kmv_overlap",
         "t64_weighted_sample", "t65_perplexity_buckets",
         "t66_bpe_merges")
     val spark = SparkSession.builder()

@@ -94,6 +94,14 @@ object GraftExtensions {
       require(children.length == 1,
         "graft_hll_distinct expects exactly 1 argument")
       graft.functions.HllAgg(children.head, 11)
+    },
+    // KMV bottom-k distinct sketch (k=256 — the p12/p13 gated capacity;
+    // ~6% relative error, and the output carries the mergeable sketch
+    // itself for sketch-level set ops)
+    "graft_kmv_distinct" -> { children =>
+      require(children.length == 1,
+        "graft_kmv_distinct expects exactly 1 argument")
+      graft.functions.KmvAgg(children.head, 256)
     })
 
   /** Registry-path registration for an ALREADY-RUNNING session (the

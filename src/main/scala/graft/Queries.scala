@@ -896,6 +896,23 @@ object Queries {
          |  ${duckKmvEst("n_keys", "kth_hash")} AS est_e6
          |FROM agg ORDER BY source""".stripMargin))
 
+  /** The AGGREGATE form of p12 ([[graft.functions.KmvAgg]]): one
+    * map-side-combinable TypedImperativeAggregate per source — a fixed
+    * ≤k·8-byte buffer, no window sort, the streaming-capable shape.
+    * Value-identical to the window pipeline by construction (same md5
+    * prefix hash, same bottom-k set semantics), so it gates against
+    * p12's oracle VERBATIM — the strongest possible twin check. */
+  val p12a_kmv_distinct_agg: Q = Q(
+    run = (spark, dir) => {
+      val sh = kmvShingles(spark, dir, col("source"))
+      sh.groupBy(col("g").as("source"))
+        .agg(graft.functions.KmvAgg(col("shingle"), KmvK).as("kmv"))
+        .select(col("source"), col("kmv.n_keys").as("n_keys"),
+          col("kmv.kth_hash").as("kth_hash"), col("kmv.est_e6").as("est_e6"))
+        .orderBy("source")
+    },
+    oracle = p12_kmv_distinct.oracle)
+
   /** Cross-corpus overlap from two KMV sketches ([[CorpusStats
     * .kmvOverlap]]): Jaccard + union-cardinality estimates between the
     * even- and odd-numbered source halves of the corpus WITHOUT any
@@ -4765,6 +4782,7 @@ object Queries {
     "p10_count_min" -> p10_count_min,
     "p11_hll_distinct" -> p11_hll_distinct,
     "p12_kmv_distinct" -> p12_kmv_distinct,
+    "p12a_kmv_distinct_agg" -> p12a_kmv_distinct_agg,
     "p13_kmv_overlap" -> p13_kmv_overlap,
     "t64_weighted_sample" -> t64_weighted_sample,
     "t65_perplexity_buckets" -> t65_perplexity_buckets,

@@ -65,6 +65,39 @@ class CorpusStatsSpec extends SparkSpec {
     assert(same.getLong(2) === 1000000L) // jaccard_e6 = 1
   }
 
+  test("KmvAgg equals the window-pipeline sketch value-for-value") {
+    val df = keyed("a", 3000).unionAll(keyed("a", 3000)) // dups are free
+      .unionAll(keyed("b", 7))
+    val k = 128
+    val windowed = CorpusStats.kmvDistinct(
+        CorpusStats.kmvSketch(df, "g", "v", k), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val agged = df.groupBy("g")
+      .agg(graft.functions.KmvAgg(col("v"), k).as("kmv"))
+      .select(col("g"), col("kmv.n_keys"), col("kmv.kth_hash"),
+        col("kmv.est_e6"), col("kmv.sketch"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(agged === windowed)
+    // the sketch array is the k smallest hex hashes ascending
+    val sk = df.groupBy("g")
+      .agg(graft.functions.KmvAgg(col("v"), k).as("kmv"))
+      .filter(col("g") === "a")
+      .select(explode(col("kmv.sketch"))).as[String].collect()
+    assert(sk.length === k && sk.toSeq === sk.sorted.toSeq)
+    assert(sk.last === windowed("a")._2)
+  }
+
+  test("KmvAgg is partitioning-invariant (merge through any split)") {
+    val df = keyed("x", 2000)
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g")
+        .agg(graft.functions.KmvAgg(col("v"), 64).as("kmv"))
+        .select(col("kmv.sketch")).as[Seq[String]].head()
+    assert(run(1) === run(13))
+  }
+
   test("weightedSample is deterministic, monotone in weight, and near its rate") {
     val docs = (1L to 4000L).map(i => (i, (i % 500) + 50)).toDF("id", "w0")
     val s1 = CorpusStats.weightedSample(docs, "id", "w0", 400, 3, 10)

@@ -151,5 +151,13 @@ class DotProductSpec extends SparkSpec {
       .getStruct(0)
     assert(hll.getAs[Int]("m") === 2048)
     assert(math.abs(hll.getAs[Long]("est") - 3L) <= 1L)
+    // KMV bottom-k at k=256: 3 distinct values → below capacity, the
+    // sketch IS the value set and the estimate is exact
+    val kmv = spark.sql(
+      "SELECT graft_kmv_distinct(s) AS k FROM sketch_probe").head
+      .getStruct(0)
+    assert(kmv.getAs[Long]("n_keys") === 3L)
+    assert(kmv.getAs[Long]("est_e6") === 3000000L)
+    assert(kmv.getAs[Seq[String]]("sketch").length === 3)
   }
 }

@@ -207,6 +207,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming KMV sketch (complete mode) equals the batch sketch across micro-batches") {
+    // bottom-k of distinct hashes is commutative, associative and
+    // idempotent, so the streamed sketch — including the full retained
+    // hash array — must equal the batch sketch exactly however rows
+    // split across micro-batches (serialize/merge through the state
+    // store, the same guarantee chain as the HLL twin above).
+    val src = tmp("kmv-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(sf() + "/events.parquet")
+    events.filter(col("event_id") % 2 === 0)
+      .write.parquet(s"$src/half1.parquet")
+    events.filter(col("event_id") % 2 === 1)
+      .write.parquet(s"$src/half2.parquet")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("user_str", col("user_id").cast("string"))
+        .filter(col("user_str").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvAgg(col("user_str"), 64).as("kmv"))
+    val stream = spark.readStream
+      .schema(StreamingIngest.eventsRawSchema(spark, s"$src/half1.parquet"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+    val q = agg(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kmv_stream")
+    val batch = agg(events)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("update-mode windowed sketch: per-trigger deltas, late-drop, closed window equals batch") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
