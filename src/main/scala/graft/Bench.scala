@@ -81,13 +81,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val allHeadline = Queries.all.filter(_._2.bench).toSeq.sortBy(_._1)
     only.foreach { names =>
-      val unknown = names -- allHeadline.map(_._1).toSet
+      // subset runs may name ANY registered query (scaling audits time
+      // non-headline operators too); the "subset" marker below already
+      // keeps such a run from masquerading as an official artifact
+      val unknown = names -- Queries.all.keySet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names unknown bench queries: " +
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
           s"${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val headline = allHeadline
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val headline = only match {
+      case Some(names) =>
+        Queries.all.toSeq.sortBy(_._1).filter { case (n, _) => names.contains(n) }
+      case None => allHeadline
+    }
     val spreadBound = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "0.25").toDouble
     val highLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIGH_LOAD", "2.0").toDouble
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "9").toInt.max(reps)

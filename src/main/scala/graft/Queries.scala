@@ -2062,10 +2062,17 @@ object Queries {
 
   val t9_quality_score: Q = Q(
     run = (spark, dir) => {
-      val comps = TextAnalysis.qualityComponents(col("text"))
-      t(spark, dir, "documents").select(col("doc_id") +:
+      // stage the token array ONCE: five component columns plus the
+      // composite each embed the tokenizer inside interpreted lambda
+      // bodies (no subexpression elimination there — the langId lesson),
+      // so an unstaged spelling tokenizes ~10× per row
+      val toks = Staging.barrier(t(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextDedup.tokens(col("text")).as("t")))
+      val comps = TextAnalysis.qualityComponentsFrom(col("text"), col("t"))
+      toks.select(col("doc_id") +:
           comps.map { case (n, c) => c.as(n) } :+
-          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+          TextAnalysis.qualityScoreFrom(col("text"), col("t")).as("quality"): _*)
         .orderBy("doc_id")
     },
     oracle = {

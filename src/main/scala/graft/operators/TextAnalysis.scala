@@ -31,13 +31,26 @@ object TextAnalysis {
   }
 
   /** Detected language: argmax of marker ratios with declaration-order
-    * tie-break; all-zero → "und". CJK codepoints short-circuit to "zh". */
+    * tie-break; all-zero → "und". CJK codepoints short-circuit to "zh".
+    *
+    * Both the token array AND the score vector are LET-BOUND
+    * ([[TextDedup.bound]]): the argmax-with-tie-break tree references
+    * each score ~3× and the max ~5×, and Catalyst performs no CSE —
+    * unbound, the tokenizer kernel re-ran ~30× per row (measured: the
+    * t8 column at 10× data cost 24.8 s; bound, 2.5 s). The bound form
+    * tokenizes once, computes the 5 ratios once into an array, and the
+    * pick tree reads array slots. */
   def langId(text: Column): Column = {
-    val toks = TextDedup.tokens(text)
-    val scores = langScores(toks)
-    val maxScore = greatest(scores.map(_._2): _*)
-    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === maxScore && s > 0, lit(lang)).otherwise(acc)
+    val pick = TextDedup.bound(TextDedup.tokens(text)) { toks =>
+      TextDedup.bound(array(langScores(toks).map(_._2): _*)) { ss =>
+        val scores = LangMarkers.map(_._1).zipWithIndex.map {
+          case (lang, i) => lang -> element_at(ss, i + 1)
+        }
+        val maxScore = greatest(scores.map(_._2): _*)
+        scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+          when(s === maxScore && s > 0, lit(lang)).otherwise(acc)
+        }
+      }
     }
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
   }
@@ -45,8 +58,15 @@ object TextAnalysis {
   /** Quality components + composite score: length band, mean token
     * length band, punctuation ratio, stopword presence. Each component
     * contributes 0.25. */
-  def qualityComponents(text: Column): Seq[(String, Column)] = {
-    val toks = TextDedup.tokens(text)
+  def qualityComponents(text: Column): Seq[(String, Column)] =
+    qualityComponentsFrom(text, TextDedup.tokens(text))
+
+  /** Components from a caller-supplied token column — pass a bound
+    * lambda variable or a materialized attribute when more than one
+    * component lands in a single output column (the langId lesson:
+    * lambdas embed their outer token EXPRESSION per reference, and the
+    * interpreted higher-order path has no subexpression elimination). */
+  def qualityComponentsFrom(text: Column, toks: Column): Seq[(String, Column)] = {
     val nTok = size(toks)
     val nChars = length(text)
     val meanTokLen = when(nTok > 0,
@@ -62,8 +82,13 @@ object TextAnalysis {
       "punct_ratio" -> punct, "stopword_ratio" -> stopRatio)
   }
 
-  def qualityScore(text: Column): Column = {
-    val c = qualityComponents(text).toMap
+  def qualityScore(text: Column): Column =
+    TextDedup.bound(TextDedup.tokens(text))(qualityScoreFrom(text, _))
+
+  /** The composite score from a caller-supplied token column (bound
+    * variable or materialized attribute). */
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
+    val c = qualityComponentsFrom(text, toks).toMap
     val b = (p: Column) => when(p, lit(0.25)).otherwise(lit(0.0))
     b(c("n_tokens") >= 10 && c("n_tokens") <= 1000) +
       b(c("mean_token_len") >= 3.0 && c("mean_token_len") <= 12.0) +
