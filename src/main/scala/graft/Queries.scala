@@ -1067,6 +1067,22 @@ object Queries {
        |    list(CASE WHEN app = 1 THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
        |  FROM f$k WHERE prev_app = 0 GROUP BY w, cnt)""".stripMargin
 
+  /** The full unrolled BPE training chain: word-frequency base table
+    * plus all [[BpeRounds]] rounds. Ends with per-round winner CTEs
+    * `m1..m$BpeRounds` and the final word table `w${BpeRounds+1}` —
+    * shared by t66 (gates the merges) and t67 (gates the encode). */
+  private lazy val duckBpeChain: String = {
+    val base =
+      """w1 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |    [substr(w, i+1, 1) for i in range(length(w))] AS syms
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin
+    val blocks = (1 to BpeRounds).map(duckBpeRound).mkString(",\n")
+    s"$base,\n$blocks"
+  }
+
   /** Distributed BPE merge-rule training ([[BpeTrain.train]]): the
     * corpus is touched ONCE (the word-frequency groupBy); all 8 rounds
     * run on the vocab-sized symbol table, each collecting exactly one
@@ -1085,22 +1101,106 @@ object Queries {
         .orderBy("round")
     },
     oracle = Some {
-      val base =
-        """w1 AS MATERIALIZED (
-          |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
-          |    [substr(w, i+1, 1) for i in range(length(w))] AS syms
-          |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
-          |        FROM documents)
-          |  GROUP BY w)""".stripMargin
-      val blocks = (1 to BpeRounds).map(duckBpeRound).mkString(",\n")
       val union = (1 to BpeRounds).map(k =>
         s"SELECT $k AS round, l AS left_sym, r AS right_sym, n AS pair_count FROM m$k")
         .mkString(" UNION ALL ")
-      s"""WITH $base,
-         |$blocks,
+      s"""WITH $duckBpeChain,
          |merges AS ($union)
          |SELECT round, left_sym, right_sym, pair_count FROM merges ORDER BY round""".stripMargin
     })
+
+  /** Per-document token statistics under the t66-trained tokenizer
+    * ([[BpeTrain.encodeStats]]): word count, encoded BPE symbol count,
+    * character count. The corpus is touched twice in total — once for
+    * training's word-frequency table, once for the encode pass (explode
+    * + broadcast vocab probe + doc-keyed hash-agg); every distinct word
+    * is encoded exactly once. The oracle replays the full 8-round
+    * training chain and joins the final word table back to the corpus —
+    * all-integer gate, hash-exact. */
+  val t67_bpe_encode: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (_, words) = BpeTrain.train(docs, "text", rounds = BpeRounds)
+      BpeTrain.encodeStats(docs, "doc_id", "text", words)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH $duckBpeChain,
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_syms,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars
+         |FROM dw JOIN w${BpeRounds + 1} USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    bench = true)
+
+  private val ClassifierBandHiMicro = 5000L
+
+  /** Hashed linear quality classifier ([[TextAnalysis
+    * .classifyQuality]]): fastText-shaped inference — unigram+bigram
+    * feature bag, md5-bucketed weights, integer micro-logit
+    * (Σ weight − 1000·|bag|, centering by subtraction so no division
+    * enters the gate), keep flag and three-way band. Map-only at any
+    * scale; the hash-derived weights are the documented model seam. */
+  val t68_quality_classifier: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.classifyQuality(t(spark, dir, "documents"),
+          "doc_id", "text", bandHiMicro = ClassifierBandHiMicro)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |feats AS (SELECT doc_id,
+         |    list_concat(t, [t[i+1] || ' ' || t[i+2] for i in range(len(t)-1)]) AS f
+         |  FROM toks),
+         |scored AS (SELECT doc_id, CAST(len(f) AS BIGINT) AS n_feats,
+         |    CAST(COALESCE(list_sum(list_transform(f,
+         |        x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2001)), 0)
+         |      AS BIGINT) - 1000 * len(f) AS logit_micro
+         |  FROM feats)
+         |SELECT doc_id, n_feats, logit_micro, logit_micro > 0 AS keep,
+         |  CASE WHEN logit_micro > $ClassifierBandHiMicro THEN 'high'
+         |       WHEN logit_micro > 0 THEN 'mid' ELSE 'low' END AS band
+         |FROM scored ORDER BY doc_id""".stripMargin))
+
+  private val DupGramN = 5
+
+  /** Cross-document duplicate n-gram fraction ([[TextDedup
+    * .dupGramFractions]]) — the RefinedWeb/MassiveText `dup_ngram`
+    * corpus-quality metric: per document, the share of its distinct
+    * 5-grams that occur in at least one other document. Gram-keyed df
+    * aggregate + join-back (same shuffle key), integer fixed-point
+    * fraction. The Spark side joins on xxhash64 gram ids, the oracle
+    * on gram strings — identical modulo the documented ~2⁻⁶⁴ birthday
+    * collision. */
+  val t69_dup_ngram_fraction: Q = Q(
+    run = (spark, dir) =>
+      TextDedup.dupGramFractions(t(spark, dir, "documents"),
+          "doc_id", "text", n = DupGramN)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |    CASE WHEN len(t) >= $DupGramN
+         |      THEN list_distinct([array_to_string(list_slice(t, i+1, i+$DupGramN), ' ')
+         |                          for i in range(len(t)-${DupGramN - 1})])
+         |      ELSE [] END AS s
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_frac_micro
+         |FROM ex JOIN dfc USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
@@ -4793,7 +4893,10 @@ object Queries {
     "p13_kmv_overlap" -> p13_kmv_overlap,
     "t64_weighted_sample" -> t64_weighted_sample,
     "t65_perplexity_buckets" -> t65_perplexity_buckets,
-    "t66_bpe_merges" -> t66_bpe_merges)
+    "t66_bpe_merges" -> t66_bpe_merges,
+    "t67_bpe_encode" -> t67_bpe_encode,
+    "t68_quality_classifier" -> t68_quality_classifier,
+    "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -70,6 +70,33 @@ object BpeTrain {
       .agg(sum("cnt").as("n"))
 
   /**
+   * Per-document encoding statistics under a trained merge table: the
+   * corpus' exploded tokens join the final word table (`w` → encoded
+   * symbol list) and aggregate back per document — token count, BPE
+   * symbol count, character count. This is the "token counting under
+   * the trained tokenizer" step of a data pipeline (sizing a training
+   * mix, packing budgets) WITHOUT re-running the merge fold per
+   * occurrence: each distinct word is encoded exactly once (in
+   * [[train]]'s vocab-sized table) and every occurrence pays one
+   * broadcast-hash probe.
+   *
+   * Scale shape: one corpus pass (explode + probe + per-doc hash-agg,
+   * all map-side until the final doc-keyed aggregation); the word
+   * table is vocab-sized (millions of rows at 100 TB, still broadcast
+   * range — drop the hint and let AQE decide if a tokenizer's vocab
+   * ever outgrows it).
+   */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+      words: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .join(broadcast(words.select(col("w"), size(col("syms")).as("ns"),
+        length(col("w")).as("nc"))), Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
+        sum("nc").as("n_chars"))
+
+  /**
    * Learn the first `rounds` merge rules. Returns (merges, final word
    * table). The word table is re-barriered each round (it is vocab-
    * sized); the per-round driver pull is the single argmax row.

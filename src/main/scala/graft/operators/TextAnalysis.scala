@@ -676,4 +676,63 @@ object TextAnalysis {
         concat_ws(" ", slice(col("t"), col("start_tok") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
+
+  // -------------------------------------------------------------------
+  // Hashed linear quality classifier (fastText-shaped inference)
+  // -------------------------------------------------------------------
+
+  /** Classifier feature bag: unigram occurrences plus bigram
+    * occurrences (the fastText word-n-gram recipe, Joulin et al. 2017
+    * — bags, not sets: a repeated n-gram votes repeatedly). Pass a
+    * MATERIALIZED token attribute (the lambda-closure rule). */
+  def classifierFeatures(toks: Column): Column =
+    concat(toks, TextDedup.gramOccurrences(toks, 2))
+
+  /** Feature → 32-bit hash bucket in the repo's cross-engine hash
+    * currency (md5 prefix; Spark `conv` ↔ DuckDB `CAST('0x'||…)`). */
+  private def featureBucket(f: Column): Column =
+    conv(substring(md5(f), 1, 8), 16, 10).cast("long")
+
+  /** Bucket → weight in micro-units, range [0, 2000]. THE MODEL SEAM:
+    * this hash-derived stand-in makes the operator self-contained and
+    * bit-exactly oracle-checkable; production swaps it for a lookup
+    * into a broadcast bucket→weight table distilled from a trained
+    * linear model — every other part of the operator (feature
+    * extraction, bag scoring, integer logit, banding) is unchanged.
+    * Non-negative by construction so the `%` agrees cross-engine. */
+  private def featureWeightMicro(f: Column): Column =
+    featureBucket(f) % lit(2001L)
+
+  /** Integer micro-logit of the feature bag: Σ weight(f) − 1000·|f|
+    * (centering by subtraction, NOT an average — no division, so the
+    * gated value is integer-exact in both engines; an empty bag scores
+    * exactly 0). Map-side only: one md5 per feature, one fold. */
+  def classifierLogitMicro(feats: Column): Column =
+    aggregate(feats, lit(0L), (acc, f) => acc + featureWeightMicro(f)) -
+      lit(1000L) * size(feats)
+
+  /** Per-document classifier verdicts: `n_feats`, `logit_micro`,
+    * `keep` (logit > 0) and a three-way `band` at `bandHiMicro`.
+    * One map-only pass: the logit is the fused
+    * [[graft.functions.ClassifierLogit]] kernel (one walk, no feature
+    * array — contract-identical to the composed
+    * [[classifierLogitMicro]]∘[[classifierFeatures]] baseline), and
+    * `n_feats` is arithmetic on the token count (|bag| = n + max(n−1,
+    * 0)). All references live in ONE collapsed projection, where
+    * whole-stage codegen's subexpression elimination evaluates the
+    * tokenizer and the kernel once per row (CSE reaches ordinary
+    * projections — it is only LAMBDA bodies it cannot see into; the
+    * langId lesson). */
+  def classifyQuality(df: DataFrame, idCol: String, textCol: String,
+      bandHiMicro: Long): DataFrame =
+    df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t"))
+      .select(col("id"),
+        (size(col("t")) + greatest(size(col("t")) - 1, lit(0)))
+          .cast("long").as("n_feats"),
+        graft.functions.ClassifierLogit(col("t")).as("logit_micro"))
+      .withColumn("keep", col("logit_micro") > 0)
+      .withColumn("band",
+        when(col("logit_micro") > bandHiMicro, "high")
+          .when(col("logit_micro") > 0, "mid")
+          .otherwise("low"))
 }

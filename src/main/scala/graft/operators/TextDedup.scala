@@ -1024,4 +1024,41 @@ object TextDedup {
       .select(col("doc_id"), col("n_tokens"),
         col("k.n_kept").as("n_kept"), col("k.clean_text").as("clean_text"))
   }
+
+  /**
+   * Cross-document duplicate n-gram fraction — the RefinedWeb /
+   * MassiveText `dup_ngram` corpus-quality metric: for each document,
+   * the share of its DISTINCT word n-grams that also occur in at least
+   * one OTHER document. (Intra-document repetition is the separate
+   * [[TextAnalysis.repetitionScores]] family; this one measures
+   * corpus-level boilerplate pressure per document and is the standard
+   * pre-filter signal before span-level dedup.)
+   *
+   * Plan: per-doc distinct gram IDS ([[hashedShingles]] — 8-byte
+   * xxhash64 currency, strings never shuffle), explode once into a
+   * persisted (id, g) frame, document-frequency aggregate by gram,
+   * join back by gram, per-doc count aggregate. The df groupBy and the
+   * join shuffle on the SAME key (g), so the exploded frame moves
+   * twice but partitions identically; the final aggregate shuffles
+   * doc-keyed counts only. At 100 TB the persisted exploded frame is
+   * corpus-scale — swap the barrier for a `Reliable` checkpoint or
+   * drop it and let ReuseExchange share the gram-keyed shuffle.
+   *
+   * `dup_frac_micro` is integer fixed-point (`n_dup·10⁶ div n_grams`,
+   * both non-negative — `div` agrees cross-engine); docs shorter than
+   * `n` tokens have no grams and produce no row (mirrored by the
+   * oracle).
+   */
+  def dupGramFractions(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val ex = Staging.barrier(
+      hashedShingles(df, idCol, textCol, n)
+        .select(col("id"), explode(col("s")).as("g")))
+    val dfCounts = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(dfCounts, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac_micro", expr("n_dup * 1000000 div n_grams"))
+  }
 }

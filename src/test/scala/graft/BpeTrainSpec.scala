@@ -47,4 +47,15 @@ class BpeTrainSpec extends SparkSpec {
     val (merges, _) = BpeTrain.train(docs, "text", rounds = 5)
     assert(merges.isEmpty)
   }
+
+  test("encodeStats: per-doc word/symbol/char counts under the trained merges") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val (merges, words) = BpeTrain.train(docs, "text", rounds = 1)
+    assert(merges.head === BpeTrain.Merge(1, "a", "b", 3L))
+    val r = BpeTrain.encodeStats(docs, "doc_id", "text", words)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc 1: ab→[ab](1 sym), ab→1, cd→[c,d](2 syms); doc 2: ab→1
+    assert(r === Array((1L, 3L, 4L, 6L), (2L, 1L, 1L, 2L)))
+  }
 }

@@ -721,4 +721,21 @@ class DedupSpec extends SparkSpec {
       .filter(col("qb") =!= col("nb")).count()
     assert(bad === 0L)
   }
+
+  test("dupGramFractions: cross-doc duplicate share; short docs emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z"),   // 2-grams {x y, y z}
+      (2L, "x y q"),   // 2-grams {x y, y q} — shares "x y" with doc 1
+      (3L, "p q"),     // 2-gram  {p q} — unique
+      (4L, "solo")     // shorter than n: no grams, no row
+    ).toDF("doc_id", "text")
+    val r = TextDedup.dupGramFractions(docs, "doc_id", "text", n = 2)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r === Array(
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L)))
+  }
 }

@@ -109,4 +109,24 @@ class KernelPropertySpec extends SparkSpec {
       spark.conf.set(factory, prevFm)
     }
   }
+
+  test("property: fused classifier logit == composed feature-bag fold") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = sample(arrGen).toDF("t")
+    val both = df.select(
+      graft.functions.ClassifierLogit(col("t")).as("fused"),
+      TextAnalysis.classifierLogitMicro(
+        TextAnalysis.classifierFeatures(col("t"))).as("composed"),
+      (size(col("t")) + greatest(size(col("t")) - 1, lit(0)))
+        .cast("long").as("arith_feats"),
+      size(TextAnalysis.classifierFeatures(col("t"))).cast("long")
+        .as("bag_feats"))
+    val bad = both.filter(!(col("fused") <=> col("composed")) ||
+      !(col("arith_feats") <=> col("bag_feats")))
+    assert(bad.count() === 0L, bad.take(3).mkString("; "))
+    // the generator must exercise non-trivial bags and the null poisons
+    assert(both.filter(col("fused").isNotNull && col("arith_feats") > 3).count() > 0L)
+    assert(both.filter(col("fused").isNull).count() > 0L)
+  }
 }

@@ -421,4 +421,41 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, true, false, true, true, false),
       (5L, true, false, false, true, false)))
   }
+
+  /** Independent JVM-side replay of the classifier model: md5 prefix →
+    * bucket → weight, centered sum — checks Spark's conv/md5/aggregate
+    * chain against java.security MessageDigest arithmetic. */
+  private def expectedLogitMicro(text: String): (Long, Long) = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ws = feats.map { f =>
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 2001L
+    }
+    (feats.size.toLong, ws.sum - 1000L * feats.size)
+  }
+
+  test("classifyQuality: integer logit matches an independent JVM replay; empty doc scores 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), (3L, "   "), (4L, "single")).toDF("doc_id", "text")
+    val r = TextAnalysis.classifyQuality(docs, "doc_id", "text", bandHiMicro = 5000L)
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getString(4))).toSeq
+    val e1 = expectedLogitMicro("the quick brown fox jumps over the lazy dog")
+    val e2 = expectedLogitMicro("a b")
+    val e4 = expectedLogitMicro("single")
+    assert(r(0) === ((1L, e1._1, e1._2, e1._2 > 0,
+      if (e1._2 > 5000) "high" else if (e1._2 > 0) "mid" else "low")))
+    // "a b" → feats [a, b, "a b"]: bigrams counted as bag members
+    assert(e2._1 === 3L)
+    assert(r(1) === ((2L, 3L, e2._2, e2._2 > 0,
+      if (e2._2 > 5000) "high" else if (e2._2 > 0) "mid" else "low")))
+    // whitespace-only doc: empty bag, logit exactly 0, not kept
+    assert(r(2) === ((3L, 0L, 0L, false, "low")))
+    assert(r(3) === ((4L, 1L, e4._2, e4._2 > 0,
+      if (e4._2 > 5000) "high" else if (e4._2 > 0) "mid" else "low")))
+  }
 }
