@@ -1202,6 +1202,39 @@ object Queries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  private val CollocMinCount = 5L
+  private val CollocTopK = 100
+
+  /** Top-100 PMI collocations ([[CorpusStats.collocations]]) — phrase
+    * mining over adjacent token pairs. The PMI ratio is assembled in
+    * one fixed IEEE operation order and rounded to integer micro-units
+    * before the gate (the t32 float discipline); ties break on
+    * (pmi desc, left, right) so the LIMIT cut is deterministic
+    * cross-engine. */
+  val t70_collocations: Q = Q(
+    run = (spark, dir) =>
+      CorpusStats.collocations(t(spark, dir, "documents"), "text",
+        minCount = CollocMinCount, k = CollocTopK),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |pairs AS (SELECT unnest([{'l': t[i+1], 'r': t[i+2]} for i in range(len(t)-1)]) AS u
+         |  FROM toks),
+         |bic AS (SELECT u.l AS left_tok, u.r AS right_tok, CAST(count(*) AS BIGINT) AS c_ab
+         |  FROM pairs GROUP BY 1, 2),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS v FROM uc),
+         |n2 AS (SELECT CAST(sum(c_ab) AS BIGINT) AS v FROM bic)
+         |SELECT left_tok, right_tok, c_ab,
+         |  CAST(round(log10((CAST(c_ab AS DOUBLE) * (SELECT v FROM n1) * (SELECT v FROM n1))
+         |      / (CAST((SELECT v FROM n2) AS DOUBLE) * a.c * b.c)) * 1000000) AS BIGINT) AS pmi_micro
+         |FROM bic JOIN uc a ON a.w = left_tok JOIN uc b ON b.w = right_tok
+         |WHERE c_ab >= $CollocMinCount
+         |ORDER BY pmi_micro DESC, left_tok, right_tok LIMIT $CollocTopK""".stripMargin),
+    bench = true)
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -4896,7 +4929,8 @@ object Queries {
     "t66_bpe_merges" -> t66_bpe_merges,
     "t67_bpe_encode" -> t67_bpe_encode,
     "t68_quality_classifier" -> t68_quality_classifier,
-    "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction)
+    "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
+    "t70_collocations" -> t70_collocations)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -218,4 +218,55 @@ object CorpusStats {
       .select(col("id"), col("lang"), col("n_tokens"), col("lp_key"),
         col("bucket"))
   }
+
+  /**
+   * Top-k PMI collocations — the phrase-mining primitive (word2vec's
+   * phrase pass, Mikolov et al. 2013; PMI association per Church &
+   * Hanks 1990): adjacent token pairs scored by
+   * `log10(p(a,b) / (p(a)·p(b)))`, corpus-wide.
+   *
+   * Cross-engine exactness: the ratio is assembled in ONE fixed
+   * operation order — `(c_ab·N₁·N₁) / (N₂·c_a·c_b)` with every factor
+   * an exact-integer-valued double and left-associated IEEE
+   * multiplication — then a single log10, ×1e6, round to BIGINT
+   * micro-units (the t32 discipline: floats never survive into the
+   * gate un-rounded, and the op sequence is identical in DuckDB).
+   *
+   * Scale shape: two corpus-pass aggregates (unigram and bigram
+   * counts, both map-side-combined), totals pulled as two driver
+   * scalars (index-metadata class), the unigram table BROADCAST onto
+   * the bigram table twice (it is |vocab|-sized), and the top-k cut is
+   * `orderBy.limit` = TakeOrderedAndProject (per-partition top-k,
+   * never a global sort). The staged token table feeds both exploded
+   * aggregates; at 100 TB swap the persist for a Reliable checkpoint
+   * or recompute-per-consumer.
+   */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(TextDedup.tokens(col(textCol)).as("t")))
+    val uni = Staging.barrier(
+      toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val bi = Staging.barrier(
+      toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("l"),
+            element_at(col("t"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+        .agg(count(lit(1)).as("c_ab")))
+    val n1 = uni.agg(sum("c")).head.getLong(0)
+    val n2 = bi.agg(sum("c_ab")).head.getLong(0)
+    val ratio = (col("c_ab").cast("double") * lit(n1.toDouble) * lit(n1.toDouble)) /
+      (lit(n2.toDouble) * col("ca") * col("cb"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("left_tok"), col("c").as("ca"))),
+        Seq("left_tok"))
+      .join(broadcast(uni.select(col("w").as("right_tok"), col("c").as("cb"))),
+        Seq("right_tok"))
+      .select(col("left_tok"), col("right_tok"), col("c_ab"),
+        round(log10(ratio) * lit(1e6)).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("left_tok"), col("right_tok"))
+      .limit(k)
+  }
 }

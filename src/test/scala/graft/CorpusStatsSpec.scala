@@ -140,4 +140,21 @@ class CorpusStatsSpec extends SparkSpec {
     out.select("id", "bucket").collect()
       .foreach(r => assert(again(r.getLong(0)) === r.getString(1)))
   }
+
+  test("collocations: PMI micro matches an independent JVM replay; minCount filters") {
+    import spark.implicits._
+    // unigrams x:3 y:3 z:1 (N1=7); bigrams (x,y):3 (y,x):1 (y,z):1 (N2=5)
+    val docs = Seq("x y x y", "x y z").toDF("text")
+    val r = CorpusStats.collocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val expectedPmi = math.round(
+      math.log10((3.0 * 7 * 7) / (5.0 * 3 * 3)) * 1e6)
+    assert(r === Array(("x", "y", 3L, expectedPmi)))
+    // k cuts on (pmi desc, left, right): with minCount=1 all three pairs
+    // surface and the rarer pairs (c_ab=1 against c=1 unigrams) outrank
+    val all = CorpusStats.collocations(docs, "text", minCount = 1L, k = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    assert(all.length === 2)
+    assert(all.contains(("y", "z"))) // z is rare → highest association
+  }
 }
