@@ -1235,6 +1235,49 @@ object Queries {
          |ORDER BY pmi_micro DESC, left_tok, right_tok LIMIT $CollocTopK""".stripMargin),
     bench = true)
 
+  private val ProbeIters = 3
+  private val ProbeLr = 0.1
+
+  /** One unrolled gradient-descent iteration of the t71 oracle: dot via
+    * `list_dot_product` (sequential fold ≡ the repo's DotProduct
+    * kernel), per-row/per-dim gradient rounded to BIGINT micro BEFORE
+    * the cross-row sum (order-independent), weight update in the same
+    * fixed double order as [[LinearProbe.train]]. */
+  private def duckProbeIter(k: Int): String =
+    s"""wl${k - 1} AS (SELECT list(w ORDER BY dim) AS wl FROM w${k - 1}),
+       |d$k AS (SELECT e, y, list_dot_product(e, (SELECT wl FROM wl${k - 1})) AS dot FROM v),
+       |g$k AS (SELECT d.i AS dim,
+       |    CAST(sum(CAST(round((dot - y) * e[d.i] * 1000000) AS BIGINT)) AS BIGINT) AS g
+       |  FROM d$k, dims d GROUP BY 1),
+       |w$k AS (SELECT p.dim,
+       |    p.w - $ProbeLr * ((CAST(COALESCE(g.g, 0) AS DOUBLE) / 1000000.0) / (SELECT nn FROM n)) AS w
+       |  FROM w${k - 1} p LEFT JOIN g$k g USING (dim))""".stripMargin
+
+  /** Deterministic distributed linear-probe training
+    * ([[LinearProbe.trainedWeights]]): least-squares probe on the
+    * embedding table against the binary target `label % 2`, 3
+    * full-batch GD iterations. The gated weights are bit-reproducible
+    * because every cross-row float sum is rounded to integer micro
+    * PER ROW first (the t32 discipline applied to training); the
+    * oracle replays all iterations unrolled. */
+  val t71_linear_probe: Q = Q(
+    run = (spark, dir) =>
+      LinearProbe.trainedWeights(spark, t(spark, dir, "embeddings"),
+          "embedding", col("label") % 2, iters = ProbeIters, lr = ProbeLr)
+        .orderBy("dim"),
+    oracle = Some {
+      val iterBlocks = (1 to ProbeIters).map(duckProbeIter).mkString(",\n")
+      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e,
+         |    CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+         |dims AS (SELECT unnest(range(1, (SELECT max(len(e)) FROM v) + 1)) AS i),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+         |w0 AS (SELECT i AS dim, 0.0 AS w FROM dims),
+         |$iterBlocks
+         |SELECT CAST(dim AS INT) AS dim,
+         |  CAST(round(w * 1000000) AS BIGINT) AS w_micro
+         |FROM w$ProbeIters ORDER BY dim""".stripMargin
+    })
+
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
   // ---------------------------------------------------------------------
@@ -4930,7 +4973,8 @@ object Queries {
     "t67_bpe_encode" -> t67_bpe_encode,
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
-    "t70_collocations" -> t70_collocations)
+    "t70_collocations" -> t70_collocations,
+    "t71_linear_probe" -> t71_linear_probe)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(
