@@ -1260,23 +1260,50 @@ object Queries {
     * because every cross-row float sum is rounded to integer micro
     * PER ROW first (the t32 discipline applied to training); the
     * oracle replays all iterations unrolled. */
+  /** The shared t71/t72 training replay: labeled vector table, dim
+    * spine, and all [[ProbeIters]] unrolled GD iterations ending in
+    * `w$ProbeIters`. */
+  private lazy val duckProbeChain: String = {
+    val iterBlocks = (1 to ProbeIters).map(duckProbeIter).mkString(",\n")
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
+       |dims AS (SELECT unnest(range(1, (SELECT max(len(e)) FROM v) + 1)) AS i),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
+       |w0 AS (SELECT i AS dim, 0.0 AS w FROM dims),
+       |$iterBlocks""".stripMargin
+  }
+
   val t71_linear_probe: Q = Q(
     run = (spark, dir) =>
       LinearProbe.trainedWeights(spark, t(spark, dir, "embeddings"),
           "embedding", col("label") % 2, iters = ProbeIters, lr = ProbeLr)
         .orderBy("dim"),
-    oracle = Some {
-      val iterBlocks = (1 to ProbeIters).map(duckProbeIter).mkString(",\n")
-      s"""WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e,
-         |    CAST(label % 2 AS DOUBLE) AS y FROM embeddings),
-         |dims AS (SELECT unnest(range(1, (SELECT max(len(e)) FROM v) + 1)) AS i),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM v),
-         |w0 AS (SELECT i AS dim, 0.0 AS w FROM dims),
-         |$iterBlocks
+    oracle = Some(
+      s"""WITH $duckProbeChain
          |SELECT CAST(dim AS INT) AS dim,
          |  CAST(round(w * 1000000) AS BIGINT) AS w_micro
-         |FROM w$ProbeIters ORDER BY dim""".stripMargin
-    })
+         |FROM w$ProbeIters ORDER BY dim""".stripMargin))
+
+  private val ProbeSelectK = 50
+
+  /** Probe-based corpus selection ([[LinearProbe.selectTop]]): train
+    * the t71 probe, score every vector map-side with the trained
+    * weights riding along as a literal, keep the global top-50 by
+    * (score desc, id) via TakeOrderedAndProject — the
+    * train-on-seed → score-corpus → select curation workflow as one
+    * operator, with the scoring pass map-only at any corpus size. */
+  val t72_probe_select: Q = Q(
+    run = (spark, dir) =>
+      LinearProbe.selectTop(t(spark, dir, "embeddings"), "vec_id",
+        "embedding", col("label") % 2, iters = ProbeIters, lr = ProbeLr,
+        k = ProbeSelectK),
+    oracle = Some(
+      s"""WITH $duckProbeChain
+         |SELECT vec_id, CAST(y AS INT) AS y,
+         |  CAST(round(list_dot_product(e,
+         |    (SELECT list(w ORDER BY dim) FROM w$ProbeIters)) * 1000000) AS BIGINT) AS score_micro
+         |FROM v ORDER BY score_micro DESC, vec_id LIMIT $ProbeSelectK""".stripMargin),
+    bench = true)
 
   // ---------------------------------------------------------------------
   // Training-data dedup family (documents / embeddings tables)
@@ -4974,7 +5001,8 @@ object Queries {
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,
-    "t71_linear_probe" -> t71_linear_probe)
+    "t71_linear_probe" -> t71_linear_probe,
+    "t72_probe_select" -> t72_probe_select)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

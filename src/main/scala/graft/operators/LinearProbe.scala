@@ -62,6 +62,29 @@ object LinearProbe {
     (trail.result(), n)
   }
 
+  /**
+   * Probe-based corpus selection — the actual curation use of a
+   * trained probe: train on the labeled table, then score EVERY vector
+   * map-side (`round(w·x·1e6)` — the trained weights ride along as a
+   * literal, no join) and keep the global top-k by
+   * (score desc, id asc). The cut is `orderBy.limit` =
+   * TakeOrderedAndProject: per-partition top-k heaps, k rows to the
+   * driver — never a global sort, so the selection pass is one
+   * map-only scan at any corpus size.
+   */
+  def selectTop(df: DataFrame, idCol: String, vecCol: String,
+      yExpr: org.apache.spark.sql.Column, iters: Int, lr: Double,
+      k: Int): DataFrame = {
+    val (trail, _) = train(df, vecCol, yExpr, iters, lr)
+    val wl = typedLit(trail.last.toSeq)
+    df.select(col(idCol), yExpr.cast("int").as("y"),
+        round(graft.functions.DotProduct(
+          col(vecCol).cast("array<double>"), wl) * lit(1e6))
+          .cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Gated rendering: final weights as (dim 1-based, w_micro). The
     * micro rounding goes through Spark's `round` expression — NOT
     * Scala's `math.round`, whose half-up tie rule differs from SQL's

@@ -44,4 +44,24 @@ class LinearProbeSpec extends SparkSpec {
     val predDiff = (w(0) * 1.0 + w(1) * 0.25) - (w(0) * -1.0 + w(1) * 0.25)
     assert(predDiff > 0.5)
   }
+
+  test("selectTop skews the selection toward the positive class") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val sel = LinearProbe.selectTop(emb, "vec_id", "embedding",
+      col("label") % 2, iters = 3, lr = 0.1, k = 50).cache()
+    try {
+      val rows = sel.collect()
+      assert(rows.length === 50)
+      val frac = rows.map(_.getInt(1)).sum / 50.0
+      val base = emb.agg(avg(col("label") % 2)).head.getDouble(0)
+      assert(frac > base, s"selected class-1 fraction $frac <= base rate $base")
+      // the cut is the global top-k: every selected score >= every excluded
+      val minSel = rows.map(_.getLong(2)).min
+      val above = emb.select(col("vec_id")).count() - 50
+      val excludedMax = LinearProbe.selectTop(emb, "vec_id", "embedding",
+        col("label") % 2, iters = 3, lr = 0.1, k = emb.count().toInt)
+        .collect().drop(50).map(_.getLong(2)).max
+      assert(excludedMax <= minSel)
+    } finally sel.unpersist()
+  }
 }
