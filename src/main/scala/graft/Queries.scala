@@ -3983,6 +3983,47 @@ object Queries {
         |ORDER BY user_id""".stripMargin),
     bench = true)
 
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  /** CEP ordered-funnel matching ([[Funnel.funnel]]): per-user greedy
+    * stage progression view → click → purchase in the total
+    * (event-time, event_id) order. One user-keyed hash-agg + an
+    * expression fold — no per-stage self-join, no window; the oracle
+    * replays the greedy-earliest witness as a chain of row_number=1
+    * picks each strictly after the previous. */
+  val w6_funnel: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnel(t(spark, dir, "events"), "user_id", "event_type",
+          "ts", "event_id", FunnelStages)
+        .orderBy("user_id"),
+    oracle = Some {
+      def pick(k: Int, tp: String, prev: String): String =
+        s"""s$k AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = '${FunnelStages(0)}') WHERE rn = 1),
+         |${pick(2, FunnelStages(1), "s1")},
+         |${pick(3, FunnelStages(2), "s2")}
+         |SELECT u.user_id,
+         |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+         |       WHEN s2.user_id IS NOT NULL THEN 2
+         |       WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  s1.us AS ts1_us, s2.us AS ts2_us, s3.us AS ts3_us
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    },
+    bench = true)
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate it — the event-pipeline staple Spark
     * runs as `get_json_object` inside whole-stage codegen (no UDF, no
@@ -5074,6 +5115,7 @@ object Queries {
     "w3_distinct_users" -> w3_distinct_users,
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
+    "w6_funnel" -> w6_funnel,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,
