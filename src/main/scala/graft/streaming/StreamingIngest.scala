@@ -683,6 +683,83 @@ object StreamingIngest {
   }
 
   // -------------------------------------------------------------------
+  // Streaming CEP: watermark-ordered funnel matching (the w6 twin)
+  // -------------------------------------------------------------------
+
+  final case class FunnelEvent(user_id: Long, usMicros: Long,
+      eventId: Long, tp: String, ts: java.sql.Timestamp)
+  final case class FunnelCepState(stage: Int, witnessUs: Seq[Long],
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelUpdate(user_id: Long, stage_reached: Int,
+      witness_us: Seq[Long])
+
+  /**
+   * Streaming CEP funnel — the [[graft.operators.Funnel]] batch
+   * operator's twin, and the honest answer to CEP's ordering problem
+   * in a streaming runtime: the greedy stage fold is ORDER-SENSITIVE
+   * (an early `view` arriving after a later `click` changes the
+   * verdict), so events cannot be folded in arrival order. Flink's CEP
+   * library buffers by event time behind the watermark; this operator
+   * does exactly that with Spark primitives — per-user state holds a
+   * PENDING buffer of not-yet-mature events, and each invocation folds
+   * only the prefix at or below the current watermark, in (event-time,
+   * event_id) order. An event-time timeout re-invokes the group when
+   * the watermark passes its earliest pending event even if no new
+   * data arrives, so buffered events always flush.
+   *
+   * Contract (spec-asserted): with any on-time arrival order, the last
+   * Update-mode emission per user equals the batch [[graft.operators
+   * .Funnel.funnel]] over the same rows. Emission is delta-style: a
+   * row only when the stage advances (or on first sight of a user).
+   * State is bounded: witness + stage are O(k); pending holds at most
+   * the user's events inside the watermark lag (the same bound as any
+   * event-time buffer); a COMPLETED funnel drops its buffer and stops
+   * emitting. Late events (behind the watermark on arrival) are
+   * dropped by the stream's watermark filter — standard CEP
+   * best-effort lateness.
+   */
+  def updateFunnel(stages: IndexedSeq[String])(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelCepState]): Iterator[FunnelUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelCepState(0, Nil, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var stage = prev.stage
+    var wit = prev.witnessUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      if (stage < k && tp == stages(stage)) { wit = wit :+ us; stage += 1 }
+    }
+    val rest = if (stage == k) Nil else immature
+    state.update(FunnelCepState(stage, wit, rest))
+    if (rest.nonEmpty)
+      state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+    if (first || stage != prev.stage) Iterator(FunnelUpdate(userId, stage, wit))
+    else Iterator.empty
+  }
+
+  /** The streaming funnel over an events stream (`user_id`, `event_id`,
+    * `ts`, `event_type`). `watermark` is the allowed lateness — and
+    * therefore the event-time reordering window the buffer absorbs. */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], watermark: String): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must SURVIVE the projection — the
+      // unsupported-operation checker requires a watermark-tagged
+      // event-time column in the stateful operator's child
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(updateFunnel(stages.toIndexedSeq))
+  }
+
+  // -------------------------------------------------------------------
   // Streaming AS-OF enrichment (the j3 batch temporal join's twin)
   // -------------------------------------------------------------------
 

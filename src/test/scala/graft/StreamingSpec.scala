@@ -650,6 +650,72 @@ class StreamingSpec extends SparkSpec {
     assert(probeStream.nonEmpty)
   }
 
+  test("streaming CEP funnel: event-time ordering via watermark buffer equals the batch funnel") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // THE CEP ordering trap, on purpose: u1's click (event time 10:01)
+    // ARRIVES AFTER its view (event time 10:05). Folding in arrival
+    // order would see view→click and wrongly reach stage 2; the correct
+    // event-time order is click→view = stage 1. u2 mirrors it with both
+    // rows in one wave. Waves 2 and 4 are watermark pushers (2h lag).
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:05:00"), "view"),
+        Row(2L, 10L, t("2024-01-01 10:00:00"), "click"),
+        Row(2L, 11L, t("2024-01-01 10:01:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(1L, 3L, t("2024-01-01 12:30:00"), "click"),
+        Row(1L, 4L, t("2024-01-01 13:00:00"), "purchase")),
+      Seq(Row(9L, 91L, t("2024-01-01 16:00:00"), "error")))
+    val src = tmp("funnel-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq("view", "click", "purchase")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val updates = StreamingIngest.streamingFunnel(spark, stream, stages, "2 hours")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long])]
+    val q = updates.toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // final emission per user == the batch funnel over the same rows
+    val batch = graft.operators.Funnel.funnel(
+        spark.createDataFrame(spark.sparkContext.parallelize(waves.flatten), schema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), (2 to 4).map(r.get).filter(_ != null).map(_.asInstanceOf[Long]))))
+      .toMap
+    val lastByUser = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    assert(lastByUser.keySet === batch.keySet)
+    lastByUser.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the trap specifically: u1 completes, but its stage-2 witness is the
+    // 12:30 click — an arrival-order fold would have claimed the 10:01
+    // click that in EVENT time precedes the first view
+    assert(lastByUser(1L) === ((3, Seq(t("2024-01-01 10:05:00"),
+      t("2024-01-01 12:30:00"), t("2024-01-01 13:00:00"))
+      .map(_.getTime * 1000L))))
+    assert(lastByUser(2L)._1 === 1)
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
