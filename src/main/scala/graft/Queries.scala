@@ -3177,6 +3177,38 @@ object Queries {
     },
     oracle = t55_pq_index_append.oracle)
 
+  /** Snapshot time travel on the persisted ANN index
+    * ([[VectorOps.loadIndexAsOf]]): base build + two committed append
+    * batches, probed AS OF batch 0 — batch 1's rows must be invisible.
+    * The oracle replays the frozen-quantizer probe with the corpus
+    * restricted to base ∪ batch 0 (train = base, data = base ∪ even
+    * appends), so the gate proves probe(asOf N) ≡
+    * probe(appends-stopped-at-N) value-exactly. History reaches back
+    * to the last compaction (= expire_snapshots); delete rewind is the
+    * documented Iceberg v2 delete-file seam. */
+  val t73_ann_index_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_ann_asof"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, kClusters = IvfClusters, iters = IvfIters,
+        numBuckets = 8)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      VectorOps.appendToIndexCommitted(batch.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", table, batchId = 0L)
+      VectorOps.appendToIndexCommitted(batch.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table, batchId = 1L)
+      val idx = VectorOps.loadIndexAsOf(spark, table, asOfBatch = 0L)
+      VectorOps.ivfSq8TopKFromIndex(idx, col("id") < 10, k = 5,
+          nprobe = IvfNprobe, candidates = Sq8Candidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(
+      s"""${ivfSq8OracleCtes(trainPredSql = Some(AppendTrainSql),
+             dataPredSql = Some(s"($AppendTrainSql OR vec_id % 2 = 0)"))}
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   /** PQ index DELETE ([[VectorOps.deleteFromPqIndex]]) — t56 one memory
     * tier down, restoring three-modality symmetry (ANN t56, BM25 t57,
     * PQ here): the PQ index is built on the full corpus, ids ≡ 2
@@ -5043,7 +5075,8 @@ object Queries {
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,
     "t71_linear_probe" -> t71_linear_probe,
-    "t72_probe_select" -> t72_probe_select)
+    "t72_probe_select" -> t72_probe_select,
+    "t73_ann_index_asof" -> t73_ann_index_asof)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

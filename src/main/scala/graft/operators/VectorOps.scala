@@ -782,14 +782,42 @@ object VectorOps {
   /** Load a [[writeIndex]] index: metadata is collected (the same k·dim
     * doubles every IVF implementation broadcasts); the coded corpus
     * stays a lazy bucketed relation. */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): AnnIndex = {
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, table: String): AnnIndex =
+    loadIndexBatches(spark, table, _ => true)
+
+  /**
+   * [[loadIndex]] AS OF a committed batch id — snapshot time travel
+   * over the append history, the Iceberg-snapshot read re-expressed on
+   * the CommitLog stand-in: because every streamed append is an
+   * immutable, atomically-renamed `b<id>` directory, "the index as the
+   * reader saw it after batch N committed" is simply the base table
+   * unioned with the side directories `id ≤ N` — no snapshot manifest
+   * needed, the filesystem state IS the version history. Probing the
+   * asOf index equals probing an index whose appends stopped at N
+   * (same frozen quantizers — they never change after the build), and
+   * that is exactly what the t73 oracle gates.
+   *
+   * History bounds, stated honestly: COMPACTION folds side batches
+   * into the base and deletes their directories — it is
+   * `expire_snapshots`, so time travel reaches back only to the last
+   * compaction. Tombstone deletes are NOT versioned (the delete list
+   * is a flat id table) and apply to every snapshot; rewinding deletes
+   * needs per-batch delete files — the documented Iceberg v2 seam.
+   */
+  def loadIndexAsOf(spark: org.apache.spark.sql.SparkSession, table: String,
+      asOfBatch: Long): AnnIndex =
+    loadIndexBatches(spark, table, _ <= asOfBatch)
+
+  private def loadIndexBatches(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Long => Boolean): AnnIndex = {
     val cent = spark.table(s"${table}_centroids").orderBy("label").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val st = spark.table(s"${table}_stats").orderBy("pos").collect()
     // streamed side batches (atomic CommitLog appends) union with the
     // bucketed base; absent commits keep the exact base-table plan
     val base = spark.table(table)
-    val all = CommitLog.sideRows(spark, table, base.schema)
+    val ids = CommitLog.committedBatches(spark, table).filter(keep)
+    val all = CommitLog.sideRowsFor(spark, table, base.schema, ids)
       .map(base.unionByName(_)).getOrElse(base)
     AnnIndex(cent, st.map(_.getDouble(1)), st.map(_.getDouble(2)),
       Ddl.withoutDeleted(spark, table, all, "id"))

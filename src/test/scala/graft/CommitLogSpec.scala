@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.CommitLog
 
 /** Unit contract of the atomic batch-commit protocol, independent of
@@ -97,5 +99,35 @@ class CommitLogSpec extends SparkSpec {
     CommitLog.deleteBatches(spark, table, Seq(1L, 99L))
     assert(CommitLog.committedBatches(spark, table) === Seq(3L))
     CommitLog.clear(spark, table)
+  }
+
+  test("loadIndexAsOf: snapshot sees appends <= N; full load sees all; compaction expires history") {
+    import graft.operators.{Staging, VectorOps}
+    val table = "graft_ann_asof_spec"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Staging.scoped {
+      VectorOps.writeIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, kClusters = 4, iters = 2, numBuckets = 4)
+    }
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    assert(VectorOps.appendToIndexCommitted(
+      batch.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", table, 0L))
+    assert(VectorOps.appendToIndexCommitted(
+      batch.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", table, 1L))
+    def ids(idx: VectorOps.AnnIndex): Set[Long] =
+      idx.coded.select("id").collect().map(_.getLong(0)).toSet
+    val baseIds = emb.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val b0 = batch.filter(col("vec_id") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val b1 = batch.filter(col("vec_id") % 2 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(VectorOps.loadIndexAsOf(spark, table, -1L)) === baseIds)
+    assert(ids(VectorOps.loadIndexAsOf(spark, table, 0L)) === baseIds ++ b0)
+    assert(ids(VectorOps.loadIndexAsOf(spark, table, 1L)) === baseIds ++ b0 ++ b1)
+    assert(ids(VectorOps.loadIndex(spark, table)) === baseIds ++ b0 ++ b1)
+    // compaction = expire_snapshots: history collapses into the base
+    VectorOps.compactIndex(spark, table)
+    assert(ids(VectorOps.loadIndexAsOf(spark, table, -1L)) === baseIds ++ b0 ++ b1)
   }
 }
