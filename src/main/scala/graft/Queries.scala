@@ -3209,6 +3209,29 @@ object Queries {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  /** [[t73_ann_index_asof]] one memory tier down
+    * ([[VectorOps.loadPqIndexAsOf]]): snapshot time travel on the PQ
+    * index, gated on the frozen-codebook oracle with the corpus
+    * restricted to base ∪ batch 0. */
+  val t74_pq_index_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_pq_asof"
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.writePqIndex(emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", table, m = PqM, ksub = PqKsub, iters = PqIters)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      VectorOps.appendToPqIndexCommitted(batch.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", table, batchId = 0L)
+      VectorOps.appendToPqIndexCommitted(batch.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table, batchId = 1L)
+      val idx = VectorOps.loadPqIndexAsOf(spark, table, asOfBatch = 0L)
+      VectorOps.pqTopKFromIndex(idx, col("id") < 10, k = 5,
+          candidates = PqCandidates)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(pqOracleSql(Some(AppendTrainSql),
+      Some(s"($AppendTrainSql OR vec_id % 2 = 0)"))))
+
   /** PQ index DELETE ([[VectorOps.deleteFromPqIndex]]) — t56 one memory
     * tier down, restoring three-modality symmetry (ANN t56, BM25 t57,
     * PQ here): the PQ index is built on the full corpus, ids ≡ 2
@@ -5076,7 +5099,8 @@ object Queries {
     "t70_collocations" -> t70_collocations,
     "t71_linear_probe" -> t71_linear_probe,
     "t72_probe_select" -> t72_probe_select,
-    "t73_ann_index_asof" -> t73_ann_index_asof)
+    "t73_ann_index_asof" -> t73_ann_index_asof,
+    "t74_pq_index_asof" -> t74_pq_index_asof)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -1200,7 +1200,18 @@ object VectorOps {
   /** Load a [[writePqIndex]] index: codebooks are collected (broadcast-
     * sized metadata); the coded corpus stays a lazy relation. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String): PqIndex = {
+      table: String): PqIndex =
+    loadPqIndexBatches(spark, table, _ => true)
+
+  /** [[loadIndexAsOf]] one memory tier down: the PQ index as of
+    * committed batch `asOfBatch` — same CommitLog snapshot semantics,
+    * same history bounds (compaction expires, deletes unversioned). */
+  def loadPqIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String, asOfBatch: Long): PqIndex =
+    loadPqIndexBatches(spark, table, _ <= asOfBatch)
+
+  private def loadPqIndexBatches(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Long => Boolean): PqIndex = {
     val rows = spark.table(s"${table}_codebooks")
       .orderBy("si", "code").collect()
     val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
@@ -1209,7 +1220,8 @@ object VectorOps {
           .map(r => (r.getInt(1), r.getSeq[Double](2).toArray)).toSeq
     }
     val base = spark.table(table)
-    val all = CommitLog.sideRows(spark, table, base.schema)
+    val ids = CommitLog.committedBatches(spark, table).filter(keep)
+    val all = CommitLog.sideRowsFor(spark, table, base.schema, ids)
       .map(base.unionByName(_)).getOrElse(base)
     PqIndex(books, Ddl.withoutDeleted(spark, table, all, "id"))
   }
