@@ -2712,6 +2712,35 @@ object Queries {
            |FROM documents ORDER BY asset_id""".stripMargin)
     })
 
+  private val FrameBytes = 128
+  private val FrameStride = 2
+
+  /** Video frame sampling ([[Multimodal.frameSample]]): every 2nd
+    * 128-byte frame window of each video payload, sliced map-side on
+    * the binary column (no decode, no UDF; the fixed frame size is the
+    * stub for a container-index parse). Fingerprints are md5 over the
+    * hex rendering — the cross-engine byte currency. */
+  val m2_frame_sample: Q = Q(
+    run = (spark, dir) =>
+      Multimodal.frameSample(
+          Multimodal.assetsFromDocuments(t(spark, dir, "documents")),
+          frameBytes = FrameBytes, stride = FrameStride)
+        .orderBy("asset_id", "frame_idx"),
+    oracle = Some(
+      s"""WITH v AS (
+         |  SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+         |f AS (SELECT asset_id, hx, n_bytes,
+         |    unnest([{'s': i, 'f': r[i+1]}
+         |            for i in range(len(r))]) AS u
+         |  FROM (SELECT *, range(0, CAST((n_bytes - 1) // $FrameBytes AS INT) + 1,
+         |                        $FrameStride) AS r FROM v))
+         |SELECT asset_id, n_bytes, CAST(u.s AS INT) AS sample_idx,
+         |  CAST(u.f AS INT) AS frame_idx,
+         |  md5(substr(hx, CAST(u.f * ${2 * FrameBytes} + 1 AS BIGINT), ${2 * FrameBytes})) AS frame_md5
+         |FROM f ORDER BY asset_id, frame_idx""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Event-stream analytics (batch equivalents of the streaming surface;
   // streaming execution itself is exercised in StreamingSpec)
@@ -5167,6 +5196,7 @@ object Queries {
     "t53_fuzzy_paragraph_dedup" -> t53_fuzzy_paragraph_dedup,
     "t49_gopher_rules" -> t49_gopher_rules,
     "m1_multimodal_features" -> m1_multimodal_features,
+    "m2_frame_sample" -> m2_frame_sample,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
     "w3_distinct_users" -> w3_distinct_users,

@@ -85,4 +85,37 @@ object Multimodal {
     withMetadata(assets).drop("payload")
       .join(extractFeatures(spark, assets), Seq("asset_id"))
   }
+
+  /**
+   * Frame sampling over video payloads — the "every k-th frame" cut of
+   * a video-curation pipeline, on the opaque-binary representation:
+   * each payload is treated as a sequence of fixed-size frames
+   * (`frameBytes` — a real pipeline reads the container's frame index;
+   * the fixed stride is the STUB standing in for that parse, exactly
+   * like [[decodeBatch]]'s fake features), and every `stride`-th frame
+   * is sliced out map-side with `substring` on the binary column — no
+   * decode, no UDF, whole-stage codegen end to end.
+   *
+   * The gated fingerprint is `md5(lower(hex(frame_bytes)))`: the hex
+   * rendering is the cross-engine byte currency (DuckDB's md5/substr
+   * are VARCHAR-only, and hex-slicing ≡ byte-slicing at 2 chars per
+   * byte), binary-exact for ANY payload bytes. The trailing partial
+   * frame is kept, shorter — both engines slice past-end the same way.
+   */
+  def frameSample(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "need frameBytes > 0 and stride > 0")
+    assets.filter(col("modality") === "video")
+      .select(col("asset_id"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .select(col("asset_id"), col("n_bytes"), col("payload"),
+        posexplode(sequence(lit(0),
+          expr(s"CAST((n_bytes - 1) div $frameBytes AS INT)"),
+          lit(stride))).as(Seq("sample_idx", "frame_idx")))
+      .select(col("asset_id"), col("n_bytes"),
+        col("sample_idx").cast("int").as("sample_idx"), col("frame_idx"),
+        md5(lower(hex(col("payload").substr(
+          col("frame_idx") * frameBytes + 1, lit(frameBytes)))))
+          .as("frame_md5"))
+  }
 }
