@@ -45,4 +45,35 @@ class FunnelSpec extends SparkSpec {
       (6L, 1, Some(10 * s), None, None),
       (7L, 2, Some(10 * s), Some(20 * s), None)))
   }
+
+  test("property: funnel fold equals an in-memory greedy reference on random logs") {
+    val rnd = new scala.util.Random(4242L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    // dense timestamp collisions on purpose: the (ts, event_id) total
+    // order is the contract under test
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      var stage = 0
+      val wit = scala.collection.mutable.ArrayBuffer.empty[Long]
+      es.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+        if (stage < stages.length && e._4 == stages(stage)) {
+          wit += e._3.getTime * 1000L; stage += 1
+        }
+      }
+      (stage, wit.toSeq)
+    }.toMap
+    val got = Funnel.funnel(events.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map { x =>
+        x.getLong(0) -> ((x.getInt(1),
+          (2 to 4).map(x.get).filter(_ != null).map(_.asInstanceOf[Long]).toSeq))
+      }.toMap
+    assert(got === expected)
+    // the generator must exercise full completion (400 events, 12 users)
+    assert(expected.values.exists(_._1 == 3))
+  }
 }
