@@ -157,4 +157,19 @@ class CorpusStatsSpec extends SparkSpec {
     assert(all.length === 2)
     assert(all.contains(("y", "z"))) // z is rare → highest association
   }
+
+  test("collocations plan gate: broadcast unigram joins, per-partition top-k") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.operators.Staging.scoped {
+      val q = CorpusStats.collocations(docs, "text", minCount = 5L, k = 100)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k must be per-partition heaps, not a global sort:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+        s"both unigram lookups must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(q.count() > 0)
+    }
+  }
 }

@@ -76,4 +76,14 @@ class FunnelSpec extends SparkSpec {
     // the generator must exercise full completion (400 events, 12 users)
     assert(expected.values.exists(_._1 == 3))
   }
+
+  test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle (partial+final agg):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"k-stage funnel must not plan per-stage joins or windows:\n$plan")
+  }
 }

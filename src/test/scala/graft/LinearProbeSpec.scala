@@ -64,4 +64,15 @@ class LinearProbeSpec extends SparkSpec {
       assert(excludedMax <= minSel)
     } finally sel.unpersist()
   }
+
+  test("plan gate: the scoring pass is map-only with a per-partition top-k cut") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val plan = LinearProbe.selectTop(emb, "vec_id", "embedding",
+        col("label") % 2, iters = 1, lr = 0.1, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition heaps, not a sort:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring with literal weights must not shuffle or join:\n$plan")
+  }
 }
