@@ -102,6 +102,14 @@ object GraftExtensions {
       require(children.length == 1,
         "graft_kmv_distinct expects exactly 1 argument")
       graft.functions.KmvAgg(children.head, 256)
+    },
+    // hashed linear classifier micro-logit over a TOKEN ARRAY (round
+    // 11, the t68 kernel); compose as
+    // graft_classifier_logit(graft_tokens(text)) from raw text
+    "graft_classifier_logit" -> { children =>
+      require(children.length == 1,
+        "graft_classifier_logit expects exactly 1 argument")
+      graft.functions.ClassifierLogit(children.head)
     })
 
   /** Registry-path registration for an ALREADY-RUNNING session (the

@@ -160,4 +160,18 @@ class DotProductSpec extends SparkSpec {
     assert(kmv.getAs[Long]("est_e6") === 3000000L)
     assert(kmv.getAs[Seq[String]]("sketch").length === 3)
   }
+
+  test("SQL classifier logit composes over graft_tokens and matches the Column API") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_classifier_logit(graft_tokens('the quick brown fox')) AS l")
+      .head.getLong(0)
+    val viaCol = Seq("the quick brown fox").toDF("text")
+      .select(graft.functions.ClassifierLogit(
+        graft.operators.TextDedup.tokens(col("text"))))
+      .head.getLong(0)
+    assert(viaSql === viaCol)
+    assert(viaSql !== 0L) // 7 features actually scored
+  }
 }
