@@ -1682,6 +1682,45 @@ object Queries {
          |  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Leakage-safe train/val/test split ([[TextDedup.leakageSafeSplit]]):
+    * the split is assigned per NEAR-DUP CLUSTER (t16's components;
+    * singletons are their own cluster), so near-duplicates never
+    * straddle the train/test boundary — the per-document hash split's
+    * silent contamination leak, closed. 80/10/10 on the md5-prefix
+    * bucket of the cluster id; oracle = the recursive-CTE closure plus
+    * the same bucket arithmetic. */
+  val t75_leakage_safe_split: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      TextDedup.leakageSafeSplit(docs, "doc_id",
+          TextDedup.connectedComponents(pairs), trainPct = 80, valPct = 10)
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |assigned AS (SELECT d.doc_id, COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+         |b AS (SELECT doc_id, cluster_id,
+         |    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket
+         |  FROM assigned)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin))
+
   /** The composed corpus-dedup PIPELINE as one gated query: documents →
     * LSH pairs → connected components → survivors-only corpus (each
     * duplicate cluster contributes exactly its min-id doc; singletons
@@ -5129,7 +5168,8 @@ object Queries {
     "t71_linear_probe" -> t71_linear_probe,
     "t72_probe_select" -> t72_probe_select,
     "t73_ann_index_asof" -> t73_ann_index_asof,
-    "t74_pq_index_asof" -> t74_pq_index_asof)
+    "t74_pq_index_asof" -> t74_pq_index_asof,
+    "t75_leakage_safe_split" -> t75_leakage_safe_split)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

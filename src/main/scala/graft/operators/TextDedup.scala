@@ -1026,6 +1026,37 @@ object TextDedup {
   }
 
   /**
+   * Leakage-safe train/val/test split — the evaluation-hygiene twin of
+   * the dedup pipeline: the split is assigned per NEAR-DUP CLUSTER,
+   * not per document, so two near-duplicates can never straddle the
+   * train/test boundary (the classic benchmark-contamination leak that
+   * per-document hash splits silently commit). Documents outside any
+   * cluster are their own singleton cluster.
+   *
+   * Deterministic by construction: the bucket is the repo's md5-prefix
+   * hash of the cluster id mod 100, cut at `trainPct` /
+   * `trainPct + valPct` — rerunning on the same corpus reproduces the
+   * split bit-for-bit, and appending new documents never moves an
+   * existing cluster (hash of a stable id). The cluster table is
+   * pair-participant-sized (≪ corpus); the assignment join is
+   * doc-keyed and AQE-broadcastable.
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct($trainPct) and trainPct+valPct < 100")
+    val bucket = conv(substring(md5(col("cluster_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /**
    * Cross-document duplicate n-gram fraction — the RefinedWeb /
    * MassiveText `dup_ngram` corpus-quality metric: for each document,
    * the share of its DISTINCT word n-grams that also occur in at least

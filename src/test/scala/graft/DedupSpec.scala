@@ -722,6 +722,34 @@ class DedupSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; every doc assigned") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 16, bandSize = 4, numBands = 4, threshold = 0.5)
+      .select("id_a", "id_b").cache()
+    try {
+      val split = TextDedup.leakageSafeSplit(docs, "doc_id",
+        TextDedup.connectedComponents(pairs), trainPct = 80, valPct = 10)
+      val rows = split.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.length === docs.count())
+      // the leakage guarantee itself: one split per cluster…
+      val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      assert(byCluster.values.forall(_.size == 1))
+      // …and therefore per LSH near-dup pair
+      val splitOf = rows.map(r => r._1 -> r._3).toMap
+      pairs.collect().foreach { p =>
+        assert(splitOf(p.getLong(0)) === splitOf(p.getLong(1)),
+          s"pair ${p.getLong(0)}/${p.getLong(1)} straddles splits")
+      }
+      // proportions in the hash-split ballpark (cluster granularity)
+      val frac = rows.count(_._3 == "train").toDouble / rows.length
+      assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+      assert(Set("train", "val", "test").subsetOf(rows.map(_._3).toSet))
+    } finally pairs.unpersist()
+  }
+
   test("dupGramFractions: cross-doc duplicate share; short docs emit no row") {
     import spark.implicits._
     val docs = Seq(
