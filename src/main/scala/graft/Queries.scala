@@ -4147,6 +4147,21 @@ object Queries {
     },
     bench = true)
 
+  /** [[w6_funnel]] through the SKEW-SAFE bucketed monoid
+    * ([[Funnel.funnelBucketed]], 1-hour segments): each segment's
+    * effect is a (k+1)-slot transition vector, composed in bucket
+    * order — value-identical to the single fold by the composition
+    * law, so it gates against w6's oracle VERBATIM (the p12a-style
+    * strongest twin check). Per-group memory is bounded by the bucket
+    * width, the power-user answer the w6 scaladoc promises. */
+  val w7_funnel_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w6_funnel.oracle)
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate it — the event-pipeline staple Spark
     * runs as `get_json_object` inside whole-stage codegen (no UDF, no
@@ -5243,6 +5258,7 @@ object Queries {
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
     "w6_funnel" -> w6_funnel,
+    "w7_funnel_bucketed" -> w7_funnel_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

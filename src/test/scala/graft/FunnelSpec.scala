@@ -77,6 +77,28 @@ class FunnelSpec extends SparkSpec {
     assert(expected.values.exists(_._1 == 3))
   }
 
+  test("bucketed monoid funnel == single fold on random logs (1-second segments)") {
+    val rnd = new scala.util.Random(999L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    // 1-second buckets against second-granularity timestamps force MANY
+    // multi-segment users, including segments entered mid-funnel
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(45)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val single = Funnel.funnel(df, "user_id", "event_type", "ts", "event_id",
+      stages).orderBy("user_id").collect()
+    val bucketed = Funnel.funnelBucketed(df, "user_id", "event_type", "ts",
+      "event_id", stages, bucketSeconds = 1L).orderBy("user_id").collect()
+    assert(bucketed === single)
+    // and the degenerate one-bucket case is the single fold trivially
+    val coarse = Funnel.funnelBucketed(df, "user_id", "event_type", "ts",
+      "event_id", stages, bucketSeconds = 86400L).orderBy("user_id").collect()
+    assert(coarse === single)
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
