@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew audit for the CEP funnel pair: synthesizes one power user with
+ * `N` events (the pathological key the w6 scaladoc warns about) plus a
+ * flat background population, then times [[operators.Funnel.funnel]]
+ * (single per-user fold) against [[operators.Funnel.funnelBucketed]]
+ * (segment monoid) and asserts value equality. Prints ONE JSON line.
+ *
+ * Usage: runMain graft.SkewAudit [powerEvents] [bucketSeconds]
+ */
+object SkewAudit {
+  def main(args: Array[String]): Unit = {
+    val powerN = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val bucketSeconds = args.lift(1).map(_.toLong).getOrElse(3600L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-skew-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val types = Seq("view", "click", "purchase", "error")
+    val tp = element_at(array(types.map(lit): _*),
+      (pmod(col("id"), lit(4)) + 1).cast("int")).as("event_type")
+    // power user: powerN events over ~30 days; background: 1000 users × 50
+    val power = spark.range(powerN).select(lit(0L).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        col("id") * lit(2592000000000L / powerN)).as("ts"), tp)
+    val bg = spark.range(50000).select((col("id") % 1000 + 1).as("user_id"),
+      (col("id") + powerN + 1).as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * lit(51840000L)).as("ts"), tp)
+    val ev = power.unionByName(bg).cache()
+    ev.count()
+    val stages = Seq("view", "click", "purchase")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime; val r = f; (r, (System.nanoTime - t0) / 1e9)
+    }
+    val (single, tSingle) = time(operators.Funnel.funnel(ev, "user_id",
+      "event_type", "ts", "event_id", stages).collect())
+    val (bucketed, tBucketed) = time(operators.Funnel.funnelBucketed(ev,
+      "user_id", "event_type", "ts", "event_id", stages,
+      bucketSeconds).collect())
+    val equal = single.map(_.toString).sorted.sameElements(
+      bucketed.map(_.toString).sorted)
+    // scalastyle:off println
+    println(s"""{"metric":"skew_funnel","power_events":$powerN,""" +
+      s""""bucket_seconds":$bucketSeconds,"single_sec":$tSingle,""" +
+      s""""bucketed_sec":$tBucketed,"rows":${single.length},"equal":$equal}""")
+    // scalastyle:on println
+    spark.stop()
+  }
+}
