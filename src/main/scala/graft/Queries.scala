@@ -1235,6 +1235,40 @@ object Queries {
          |ORDER BY pmi_micro DESC, left_tok, right_tok LIMIT $CollocTopK""".stripMargin),
     bench = true)
 
+  /** Bigram-LM coherence ([[TextAnalysis.bigramLmQuality]]): add-half
+    * smoothed bigram conditionals in integer micro (the t32 discipline
+    * one order up — local fluency, not just word frequency). The
+    * oracle replays counts → smoothed score table → per-doc integer
+    * sum with the identical single-division float spelling. */
+  val t76_bigram_lm: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.bigramLmQuality(t(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, u.l AS l, u.r AS r
+         |  FROM (SELECT doc_id, unnest([{'l': t[i+1], 'r': t[i+2]} for i in range(len(t)-1)]) AS u
+         |        FROM toks)),
+         |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+         |sc AS (SELECT b.l, b.r,
+         |    CAST(round(log10((b.c * 2 + 1) * 1.0 / (c1.c * 2 + (SELECT v FROM vn))) * 1000000) AS BIGINT) AS lp
+         |  FROM (SELECT l, r, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY l, r) b
+         |  JOIN c1 ON c1.w = b.l),
+         |scored AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(sc.lp) AS BIGINT) AS sum_lp_micro
+         |  FROM bg JOIN sc ON sc.l = bg.l AND sc.r = bg.r GROUP BY bg.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(s.sum_lp_micro, 0) AS sum_lp_micro
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+    bench = true)
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -5184,7 +5218,8 @@ object Queries {
     "t72_probe_select" -> t72_probe_select,
     "t73_ann_index_asof" -> t73_ann_index_asof,
     "t74_pq_index_asof" -> t74_pq_index_asof,
-    "t75_leakage_safe_split" -> t75_leakage_safe_split)
+    "t75_leakage_safe_split" -> t75_leakage_safe_split,
+    "t76_bigram_lm" -> t76_bigram_lm)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -677,6 +677,54 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /**
+   * Bigram-LM coherence scoring — the local-fluency signal the unigram
+   * [[lmQuality]] cannot see (a bag of common words scores well
+   * unigram-wise however scrambled; the bigram conditional punishes
+   * unseen transitions). The production reference is CCNet's 5-gram
+   * KenLM; this is the distributed in-engine shape of the same idea,
+   * self-trained on the corpus in one extra aggregate.
+   *
+   * Smoothed conditional in the t32 integer discipline:
+   * `lp(w|prev) = round(log10((2·c₂+1) / (2·c₁(prev)+V)) · 1e6)` —
+   * add-half smoothing with all-integer numerator/denominator, ONE
+   * division, one log10, rounded to BIGINT micro BEFORE the per-doc
+   * sum, so the aggregate is order-independent integer arithmetic.
+   *
+   * Scale shape: two corpus-pass aggregates (unigram + bigram counts,
+   * map-side combined), the score table = observed-bigram-sized joined
+   * back onto the exploded doc bigrams by (l, r) — the same key both
+   * sides, AQE-broadcastable while the bigram table is small; V is one
+   * driver scalar. Docs shorter than 2 tokens score (0, 0) via the
+   * final left join.
+   */
+  def bigramLmQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    val uni = Staging.barrier(
+      toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1")))
+    val v = uni.count()
+    val bg = Staging.barrier(
+      toks.filter(size(col("t")) >= 2)
+        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("l"),
+            element_at(col("t"), i + 2).as("r")))).as("p"))
+        .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
+    val sc = bg.groupBy("l", "r").agg(count(lit(1)).as("c2"))
+      .join(uni.withColumnRenamed("w", "l"), Seq("l"))
+      .select(col("l"), col("r"),
+        round(log10((col("c2") * 2 + 1) * lit(1.0) / (col("c1") * 2 + lit(v)))
+          * lit(1e6)).cast("long").as("lp"))
+    val scored = bg.join(sc, Seq("l", "r"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_micro"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+  }
+
   // -------------------------------------------------------------------
   // Hashed linear quality classifier (fastText-shaped inference)
   // -------------------------------------------------------------------

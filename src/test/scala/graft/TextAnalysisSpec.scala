@@ -422,6 +422,28 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, true, false, false, true, false)))
   }
 
+  test("bigramLmQuality: smoothed conditionals match a JVM replay; short docs score zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c"), (4L, "  "))
+      .toDF("doc_id", "text")
+    // replay: V=3 (a,b,c); c1(a)=2, c1(b)=2; c2(a,b)=2, c2(b,c)=1
+    def lp(c2: Long, c1: Long, v: Long): Long =
+      math.round(math.log10((c2 * 2 + 1) * 1.0 / (c1 * 2 + v)) * 1e6)
+    val lpAB = lp(2, 2, 3)
+    val lpBC = lp(1, 2, 3)
+    val r = TextAnalysis.bigramLmQuality(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r === Array(
+      (1L, 2L, lpAB + lpBC),
+      (2L, 1L, lpAB),
+      (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+    // the coherence property the unigram LM cannot see: same bag of
+    // words, common transition vs rare one
+    assert(lpAB > lpBC)
+  }
+
   /** Independent JVM-side replay of the classifier model: md5 prefix →
     * bucket → weight, centered sum — checks Spark's conv/md5/aggregate
     * chain against java.security MessageDigest arithmetic. */
