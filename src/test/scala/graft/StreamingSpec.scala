@@ -716,6 +716,67 @@ class StreamingSpec extends SparkSpec {
     assert(lastByUser(2L)._1 === 1)
   }
 
+  test("streaming CEP funnel property: ARBITRARY on-time arrival order equals batch") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val rnd = new scala.util.Random(31337L)
+    val types = Array("view", "click", "purchase", "error")
+    // 120 events over one hour, SHUFFLED into 6 random waves — with a
+    // 2-day watermark nothing is ever late, so every arrival order is
+    // on-time and the buffer must reorder ALL of it; a final far-future
+    // pusher advances the watermark past everything and flushes
+    val events = (0 until 120).map { i =>
+      Row(rnd.nextInt(8).toLong, i.toLong,
+        t(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        types(rnd.nextInt(types.length)))
+    }
+    val waves = rnd.shuffle(events).grouped(20).toSeq :+
+      Seq(Row(99L, 9999L, t("2024-01-05 10:00:00"), "error"))
+    val src = tmp("funnel-prop-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-prop-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq("view", "click", "purchase")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val updates = StreamingIngest.streamingFunnel(spark, stream, stages, "2 days")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long])]
+    val q = updates.toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batch = graft.operators.Funnel.funnel(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), schema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), (2 to 4).map(r.get).filter(_ != null)
+          .map(_.asInstanceOf[Long]))))
+      .toMap
+    val lastByUser = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    assert(lastByUser.keySet === batch.keySet)
+    lastByUser.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the shuffle must actually have exercised completion somewhere
+    assert(batch.values.exists(_._1 == 3))
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
