@@ -1235,6 +1235,30 @@ object Queries {
          |ORDER BY pmi_micro DESC, left_tok, right_tok LIMIT $CollocTopK""".stripMargin),
     bench = true)
 
+  /** Vocabulary-growth curve ([[CorpusStats.vocabGrowth]]): new words
+    * per ingestion-order decile + cumulative vocabulary — the Heaps-law
+    * corpus-diversity probe, with no corpus-scale window (bucketed
+    * prefix-sum rank; the cumulative sum runs over 10 metadata rows).
+    * All-integer gate. */
+  val p14_vocab_growth: Q = Q(
+    run = (spark, dir) =>
+      CorpusStats.vocabGrowth(t(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("decile"),
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |fw AS (SELECT w, min(doc_id) AS fd
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY w),
+         |dr AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+         |wd AS (SELECT w, CAST((rn - 1) * 10 // (SELECT c FROM nn) AS INT) AS decile
+         |  FROM fw JOIN dr ON dr.doc_id = fw.fd),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_words FROM wd GROUP BY decile)
+         |SELECT decile, new_words,
+         |  CAST(sum(new_words) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
+         |FROM g ORDER BY decile""".stripMargin))
+
   /** Bigram-LM coherence ([[TextAnalysis.bigramLmQuality]]): add-half
     * smoothed bigram conditionals in integer micro (the t32 discipline
     * one order up — local fluency, not just word frequency). The
@@ -5219,7 +5243,8 @@ object Queries {
     "t73_ann_index_asof" -> t73_ann_index_asof,
     "t74_pq_index_asof" -> t74_pq_index_asof,
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
-    "t76_bigram_lm" -> t76_bigram_lm)
+    "t76_bigram_lm" -> t76_bigram_lm,
+    "p14_vocab_growth" -> p14_vocab_growth)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -217,6 +217,52 @@ object CorpusStats {
           .otherwise("middle"))
       .select(col("id"), col("lang"), col("n_tokens"), col("lp_key"),
         col("bucket"))
+  }
+
+  /**
+   * Vocabulary-growth curve (the empirical Heaps-law measurement):
+   * per ingestion-order decile, how many NEVER-BEFORE-SEEN words the
+   * corpus contributed, plus the cumulative vocabulary — the standard
+   * corpus-diversity probe (a flattening curve means new data is
+   * repeating the old; a straight one means the domain is still
+   * yielding novelty; the decile ratios estimate the Heaps exponent).
+   *
+   * Distributed shape — no corpus-scale window: each word's FIRST
+   * occurrence is one `min(doc_id)` aggregate (vocab-sized result);
+   * the ingestion rank of those first-occurrence docs uses the
+   * bucketed prefix-sum rank (order-aligned `div`-buckets over the id
+   * range, per-bucket counts prefix-summed in a ≤1024-row broadcast
+   * table, residual `row_number` per bucket — the [[perplexityBuckets]]
+   * pattern), and the decile rollup is 10 rows of metadata.
+   */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    val docs = Staging.barrier(df.select(col(idCol).cast("long").as("doc_id")))
+    val n = docs.count()
+    require(n > 0, "vocabGrowth needs a non-empty corpus")
+    val Row(minId: Long, maxId: Long) =
+      docs.agg(min("doc_id"), max("doc_id")).head
+    val w = math.max(1L, (maxId - minId + 1) / 1024L)
+    val keyed = Staging.barrier(
+      docs.withColumn("kb", expr(s"(doc_id - $minId) div $w")))
+    val cnts = keyed.groupBy("kb").agg(count(lit(1)).as("c"))
+    val pre = cnts
+      .withColumn("cum", coalesce(sum("c").over(
+        Window.orderBy("kb").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("kb", "cum")
+    val ranked = keyed.join(broadcast(pre), Seq("kb"))
+      .withColumn("rn", col("cum") + row_number()
+        .over(Window.partitionBy("kb").orderBy("doc_id")).cast(LongType))
+    val firstDocs = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+    firstDocs.join(ranked.select(col("doc_id").as("fd"), col("rn")), Seq("fd"))
+      .withColumn("decile", expr(s"CAST((rn - 1) * $buckets div ${n}L AS INT)"))
+      .groupBy("decile").agg(count(lit(1)).as("new_words"))
+      .withColumn("cum_vocab", sum("new_words")
+        .over(Window.orderBy("decile")).cast(LongType))
   }
 
   /**

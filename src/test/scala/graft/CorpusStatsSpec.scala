@@ -158,6 +158,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(all.contains(("y", "z"))) // z is rare → highest association
   }
 
+  test("vocabGrowth: first occurrences land in the right ingestion deciles") {
+    import spark.implicits._
+    // 100 docs; doc i carries common filler plus ONE word unique to it,
+    // and every doc repeats the previous doc's unique word (so repeats
+    // never count). Sparse non-contiguous ids stress the value-bucketed
+    // rank (rank != id).
+    val docs = (0 until 100).map { i =>
+      val id = i.toLong * 7 + 3 // sparse, increasing
+      (id, s"common filler u$i " + (if (i > 0) s"u${i - 1}" else "common"))
+    }.toDF("doc_id", "text")
+    val r = CorpusStats.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("decile").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    // decile 0 introduces common+filler plus u0..u9 = 12; every other
+    // decile exactly its 10 unique words; cumulative ends at 102
+    assert(r(0) === ((0, 12L, 12L)))
+    (1 until 10).foreach(d => assert(r(d) === ((d, 10L, 12L + 10L * d))))
+    assert(r.last._3 === 102L)
+  }
+
   test("collocations plan gate: broadcast unigram joins, per-partition top-k") {
     import spark.implicits._
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
