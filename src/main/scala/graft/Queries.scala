@@ -1235,6 +1235,40 @@ object Queries {
          |ORDER BY pmi_micro DESC, left_tok, right_tok LIMIT $CollocTopK""".stripMargin),
     bench = true)
 
+  private val PsiBoundaries = Seq(200L, 260L, 300L, 340L, 400L)
+
+  /** Distribution-drift PSI ([[CorpusStats.driftPsi]]): the even-id
+    * half of the corpus as reference vs the odd-id half as candidate,
+    * bucketed on `n_chars` — per-bucket counts (exact integers) plus
+    * the add-one-smoothed PSI term in fixed-order micro (the t70
+    * float discipline: one assembly order, one ln, round before the
+    * gate). */
+  val p15_drift_psi: Q = Q(
+    run = (spark, dir) =>
+      CorpusStats.driftPsi(t(spark, dir, "documents"), col("n_chars"),
+          col("doc_id") % 2 === 1, PsiBoundaries)
+        .orderBy("bucket"),
+    oracle = Some {
+      val nb = PsiBoundaries.length + 1
+      val cases = PsiBoundaries.zipWithIndex
+        .map { case (b, i) => s"WHEN n_chars < $b THEN $i" }.mkString(" ")
+      def p(c: String, n: String) =
+        s"($c + 1) * 1.0 / ((SELECT $n FROM tot) + $nb)"
+      s"""WITH c AS (SELECT CASE $cases ELSE ${nb - 1} END AS bucket,
+         |    doc_id % 2 = 1 AS is_b FROM documents),
+         |g AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM c GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+         |    CAST(sum(c_b) AS BIGINT) AS nbt FROM g)
+         |SELECT bucket, c_a, c_b,
+         |  CAST(round((${p("c_a", "na")} - ${p("c_b", "nbt")})
+         |    * ln((${p("c_a", "na")}) / (${p("c_b", "nbt")})) * 1000000) AS BIGINT)
+         |    AS psi_term_micro
+         |FROM g ORDER BY bucket""".stripMargin
+    })
+
   /** Vocabulary-growth curve ([[CorpusStats.vocabGrowth]]): new words
     * per ingestion-order decile + cumulative vocabulary — the Heaps-law
     * corpus-diversity probe, with no corpus-scale window (bucketed
@@ -5244,7 +5278,8 @@ object Queries {
     "t74_pq_index_asof" -> t74_pq_index_asof,
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
     "t76_bigram_lm" -> t76_bigram_lm,
-    "p14_vocab_growth" -> p14_vocab_growth)
+    "p14_vocab_growth" -> p14_vocab_growth,
+    "p15_drift_psi" -> p15_drift_psi)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(

@@ -158,6 +158,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(all.contains(("y", "z"))) // z is rare → highest association
   }
 
+  test("driftPsi: identical slices score ~0; an injected shift crosses the 0.25 alarm") {
+    import spark.implicits._
+    val bounds = Seq(25L, 50L, 75L)
+    def psiTotal(df: org.apache.spark.sql.DataFrame): Double =
+      CorpusStats.driftPsi(df, col("f"), col("doc_id") % 2 === 1, bounds)
+        .agg(sum("psi_term_micro")).head.getLong(0) / 1e6
+    // identical distributions in both slices
+    val same = (0 until 2000).map(i => (i.toLong, (i / 2 % 100).toLong))
+      .toDF("doc_id", "f")
+    assert(math.abs(psiTotal(same)) < 0.01)
+    // candidate slice squeezed into [0, 50): a real shift
+    val shifted = (0 until 2000).map { i =>
+      (i.toLong, if (i % 2 == 0) (i / 2 % 100).toLong else (i / 2 % 50).toLong)
+    }.toDF("doc_id", "f")
+    assert(psiTotal(shifted) > 0.25)
+  }
+
   test("vocabGrowth: first occurrences land in the right ingestion deciles") {
     import spark.implicits._
     // 100 docs; doc i carries common filler plus ONE word unique to it,
