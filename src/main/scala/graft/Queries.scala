@@ -3392,6 +3392,46 @@ object Queries {
     oracle = Some(pqOracleSql(Some(AppendTrainSql),
       Some(s"($AppendTrainSql OR vec_id % 2 = 0)"))))
 
+  /** EMBEDDING-space drift ([[CorpusStats.driftPsi]] over quantizer
+    * cells): the k-means quantizer trains on the even-id half (the
+    * reference snapshot — deterministic Lloyd, the t12 chain), BOTH
+    * halves assign to its cells map-side, and the PSI ledger runs over
+    * the cell populations — the vector-database answer to "has the
+    * embedding distribution moved since the index was built", with the
+    * cells doubling as the drift histogram. Composition of two gated
+    * machines (trained k-means + the p15 ledger); the oracle chains
+    * the Lloyd replay into the PSI arithmetic. */
+  val p16_embedding_drift: Q = Q(
+    run = (spark, dir) => {
+      val p = Staging.barrier(VectorOps.prepared(
+        t(spark, dir, "embeddings"), "vec_id", "embedding"))
+      val cent = VectorOps.kmeansCentroidsPrepared(
+        p.filter(col("id") % 2 === 0), IvfClusters, IvfIters)
+      val cells = p.select(col("id"),
+        VectorOps.assignCell(col("v"), col("nrm"), cent).as("cell"))
+      CorpusStats.driftPsi(cells, col("cell"), col("id") % 2 === 1,
+          (1L until IvfClusters).toSeq)
+        .orderBy("bucket")
+    },
+    oracle = Some {
+      val nb = IvfClusters
+      def p(c: String, n: String) =
+        s"($c + 1) * 1.0 / ((SELECT $n FROM tot) + $nb)"
+      s"""${kmeansCtePrefix(trainPredSql = Some("vec_id % 2 = 0"))},
+         |cdf AS (SELECT CAST(cell AS INT) AS bucket, vec_id % 2 = 1 AS is_b FROM corpus),
+         |g AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM cdf GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+         |    CAST(sum(c_b) AS BIGINT) AS nbt FROM g)
+         |SELECT bucket, c_a, c_b,
+         |  CAST(round((${p("c_a", "na")} - ${p("c_b", "nbt")})
+         |    * ln((${p("c_a", "na")}) / (${p("c_b", "nbt")})) * 1000000) AS BIGINT)
+         |    AS psi_term_micro
+         |FROM g ORDER BY bucket""".stripMargin
+    })
+
   /** PQ index DELETE ([[VectorOps.deleteFromPqIndex]]) — t56 one memory
     * tier down, restoring three-modality symmetry (ANN t56, BM25 t57,
     * PQ here): the PQ index is built on the full corpus, ids ≡ 2
@@ -5279,7 +5319,8 @@ object Queries {
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
     "t76_bigram_lm" -> t76_bigram_lm,
     "p14_vocab_growth" -> p14_vocab_growth,
-    "p15_drift_psi" -> p15_drift_psi)
+    "p15_drift_psi" -> p15_drift_psi,
+    "p16_embedding_drift" -> p16_embedding_drift)
 
   /** Training-data pipeline extensions. */
   def pipelineQueries: Map[String, Q] = Map(
