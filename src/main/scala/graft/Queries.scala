@@ -4238,6 +4238,35 @@ object Queries {
         |ORDER BY user_id""".stripMargin),
     bench = true)
 
+  /** Absence detection ([[TemporalJoin.notFollowedBy]]): every view
+    * flagged with whether a purchase by the same user follows strictly
+    * within one hour — Flink CEP's `notFollowedBy`, batch-shaped as a
+    * one-sided interval join (window-width buckets, two-bucket probe,
+    * per-event max-hit dedup). The `followed = false` rows are the
+    * alert stream. */
+  val j6_not_followed_by: Q = Q(
+    run = (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      TemporalJoin.notFollowedBy(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "ts", "ts",
+          windowMicros = 3600000000L)
+        .select(col("k").as("user_id"), col("lid").as("event_id"),
+          col("lus").as("ts_us"), col("followed"))
+        .orderBy("event_id")
+    },
+    oracle = Some(
+      """WITH v AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id, v.us AS ts_us,
+        |  EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |          AND p.us > v.us AND p.us <= v.us + 3600000000) AS followed
+        |FROM v ORDER BY event_id""".stripMargin),
+    bench = true)
+
   private val FunnelStages = Seq("view", "click", "purchase")
 
   /** CEP ordered-funnel matching ([[Funnel.funnel]]): per-user greedy
@@ -5393,6 +5422,7 @@ object Queries {
     "w3_distinct_users" -> w3_distinct_users,
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
+    "j6_not_followed_by" -> j6_not_followed_by,
     "w6_funnel" -> w6_funnel,
     "w7_funnel_bucketed" -> w7_funnel_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,

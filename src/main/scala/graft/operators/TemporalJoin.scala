@@ -252,4 +252,44 @@ object TemporalJoin {
     intervalJoin(left, leftStart, leftEnd, right, rightStart, rightEnd,
       c => floor(c.cast("double") / g).cast("long"))
   }
+
+  /**
+   * Follow/absence detection — Flink CEP's `followedBy` /
+   * `notFollowedBy` as one batch operator: every left event flagged
+   * with whether SOME right event of the same key falls STRICTLY
+   * inside `(l.ts, l.ts + window]`. The absent rows (`followed =
+   * false`) are the alert stream (view with no purchase, request with
+   * no response, handshake with no close).
+   *
+   * Plan — the interval-join bucketing specialized to a one-sided
+   * window: bucket width = the window, the left side probes its own
+   * bucket and the next (a (ts, ts+w] window can only span two),
+   * right rows land in exactly one bucket — an equi-join on
+   * (key, bucket) with the time predicate applied post-match, then a
+   * per-left-event `max(hit)` aggregate that also deduplicates the
+   * two-bucket probe. Two key-local shuffles, no per-row window scan,
+   * AQE-eligible; candidate fan-out is bounded by per-(key, window)
+   * density exactly like [[intervalJoin]].
+   */
+  def notFollowedBy(left: DataFrame, right: DataFrame, keyCol: String,
+      leftIdCol: String, leftTsCol: String, rightTsCol: String,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val l = left.select(col(keyCol).as("k"), col(leftIdCol).as("lid"),
+        unix_micros(col(leftTsCol).cast("timestamp")).as("lus"))
+      .withColumn("b", explode(array(
+        expr(s"lus div ${windowMicros}L"),
+        expr(s"lus div ${windowMicros}L + 1"))))
+    val r = right.select(col(keyCol).as("k"),
+        unix_micros(col(rightTsCol).cast("timestamp")).as("rus"))
+      .withColumn("b", expr(s"rus div ${windowMicros}L"))
+    l.join(r, Seq("k", "b"), "left")
+      .groupBy("k", "lid", "lus")
+      .agg(max(when(col("rus").isNotNull &&
+          col("rus") > col("lus") &&
+          col("rus") <= col("lus") + windowMicros, 1L).otherwise(0L))
+        .as("hit"))
+      .select(col("k"), col("lid"), col("lus"),
+        (col("hit") === 1L).as("followed"))
+  }
 }

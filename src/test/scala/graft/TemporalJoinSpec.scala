@@ -200,4 +200,28 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.except(naive).count() === 0L)
     assert(naive.except(got).count() === 0L)
   }
+
+  test("notFollowedBy: strict start, inclusive end, cross-bucket follow, key isolation") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")), // purchase at SAME instant: not followed
+      (1L, 11L, t("2024-01-01 11:00:00")), // purchase exactly +1h: inclusive end
+      (2L, 20L, t("2024-01-01 10:50:00")), // purchase 10:55 in the NEXT hour-bucket? no — same... cross-bucket at 11:05
+      (3L, 30L, t("2024-01-01 10:00:00")), // other user's purchase must not count
+      (4L, 40L, t("2024-01-01 10:00:00"))  // no purchases at all
+    ).toDF("user_id", "event_id", "ts")
+    val purchases = Seq(
+      (1L, t("2024-01-01 10:00:00")), // == view 10's instant: strict start excludes
+      (1L, t("2024-01-01 12:00:00")), // == view 11 + 1h exactly: inclusive end
+      (2L, t("2024-01-01 11:05:00")), // 15 min after view 20, next bucket
+      (9L, t("2024-01-01 10:30:00"))  // wrong user for view 30
+    ).toDF("user_id", "ts")
+    val r = TemporalJoin.notFollowedBy(views, purchases, "user_id",
+        "event_id", "ts", "ts", windowMicros = 3600000000L)
+      .orderBy("lid").collect()
+      .map(x => (x.getLong(1), x.getBoolean(3)))
+    assert(r === Array((10L, false), (11L, true), (20L, true),
+      (30L, false), (40L, false)))
+  }
 }
