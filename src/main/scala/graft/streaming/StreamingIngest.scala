@@ -760,6 +760,77 @@ object StreamingIngest {
   }
 
   // -------------------------------------------------------------------
+  // Streaming absence detection (the j6 batch notFollowedBy's twin)
+  // -------------------------------------------------------------------
+
+  final case class AbsenceState(pendingViews: Seq[(Long, Long)],
+      purchases: Seq[Long])
+  final case class AbsenceVerdict(user_id: Long, event_id: Long,
+      ts_us: Long, followed: Boolean)
+
+  /**
+   * Timer-based absence alerts — Flink CEP's `notFollowedBy` with a
+   * timer per pattern head, on Spark primitives: each left event
+   * ("view") registers an event-time deadline `ts + window`; when the
+   * WATERMARK passes the deadline, every on-time right event
+   * ("purchase") that could discharge it has arrived, so the verdict
+   * is final — emit `(view, followed)` exactly once and drop the view
+   * from state. Right events buffer just long enough to serve
+   * undecided and future views: a pending view has `lus > wm − W` and
+   * a future (on-time) view has `lus > wm`, so any purchase with
+   * `rus ≤ wm − W` can never match again and is pruned — state is
+   * bounded by the (lateness + window) horizon per key.
+   *
+   * Ordering care: verdicts are computed against the UNPRUNED buffer
+   * (a matching purchase may sit exactly in the slice the new
+   * watermark is about to prune), then the prune runs for the next
+   * state. Decided views emit in (ts, event_id) order for
+   * deterministic artifacts. Late views/purchases are dropped by the
+   * stream's watermark filter — standard CEP best-effort lateness.
+   */
+  def updateAbsence(windowMicros: Long)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[AbsenceState]): Iterator[AbsenceVerdict] = {
+    val st = state.getOption.getOrElse(AbsenceState(Nil, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val evs = rows.toSeq
+    val buffered = st.purchases ++
+      evs.filter(_.tp == "purchase").map(_.usMicros)
+    val allViews = st.pendingViews ++
+      evs.filter(_.tp == "view").map(e => (e.eventId, e.usMicros))
+    val (decided, pending) =
+      allViews.partition { case (_, lus) => lus + windowMicros <= wmUs }
+    val out = decided.sortBy { case (lid, lus) => (lus, lid) }
+      .map { case (lid, lus) =>
+        AbsenceVerdict(userId, lid, lus,
+          buffered.exists(r => r > lus && r <= lus + windowMicros))
+      }
+    state.update(AbsenceState(pending,
+      buffered.filter(_ > wmUs - windowMicros)))
+    if (pending.nonEmpty)
+      state.setTimeoutTimestamp(
+        (pending.map(_._2).min + windowMicros) / 1000L + 1L)
+    out.iterator
+  }
+
+  /** The streaming absence detector over an events stream; emits one
+    * final verdict per "view" once its window closes under the
+    * watermark. */
+  def streamingNotFollowedBy(spark: SparkSession, events: DataFrame,
+      windowMicros: Long, watermark: String): Dataset[AbsenceVerdict] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateAbsence(windowMicros))
+  }
+
+  // -------------------------------------------------------------------
   // Streaming AS-OF enrichment (the j3 batch temporal join's twin)
   // -------------------------------------------------------------------
 

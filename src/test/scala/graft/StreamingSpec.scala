@@ -777,6 +777,65 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(_._1 == 3))
   }
 
+  test("streaming notFollowedBy: timer-based absence verdicts equal the batch join") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val rnd = new scala.util.Random(777L)
+    // random views and purchases over an hour, shuffled into waves —
+    // including purchases that ARRIVE before their view; 2-day
+    // watermark keeps everything on-time, the pusher closes all windows
+    val events = (0 until 150).map { i =>
+      Row(rnd.nextInt(6).toLong, i.toLong,
+        t(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        if (rnd.nextBoolean()) "view" else "purchase")
+    }
+    val waves = rnd.shuffle(events).grouped(30).toSeq :+
+      Seq(Row(99L, 9999L, t("2024-01-08 10:00:00"), "purchase"))
+    val src = tmp("absence-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"absence-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val windowMicros = 10L * 60 * 1000000 // 10 minutes
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val verdicts = StreamingIngest.streamingNotFollowedBy(spark, stream,
+      windowMicros, "2 days")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Boolean)]
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), schema)
+    val batch = graft.operators.TemporalJoin.notFollowedBy(
+        all.filter(col("event_type") === "view"),
+        all.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts", "ts", windowMicros)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // the pusher's own view-less purchase emits nothing; every real view
+    // got exactly ONE final verdict equal to the batch join's
+    assert(emitted.size === emitted.toSet.size, "duplicate verdicts")
+    assert(emitted.toSet === batch)
+    assert(batch.exists(_._4) && batch.exists(!_._4))
+  }
+
   test("streaming paragraph dedup (chunk-hash claims) equals the batch t48 reassembly") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
