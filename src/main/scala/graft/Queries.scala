@@ -4267,6 +4267,47 @@ object Queries {
         |FROM v ORDER BY event_id""".stripMargin),
     bench = true)
 
+  /** Conversion-latency quantiles ([[TemporalJoin.followLag]] +
+    * [[Quality.quantilesApproxByKey]]): the time from each followed
+    * view to its EARLIEST purchase, summarized at the p9 percentile
+    * grid — the funnel-health metric paired with j6's absence alarm,
+    * and a demonstration that the sketch machinery composes over a
+    * join result (exact under capacity, so the rank-percentile oracle
+    * gates it). */
+  val j7_conversion_latency: Q = Q(
+    run = (spark, dir) => {
+      val ev = t(spark, dir, "events")
+      val lags = TemporalJoin.followLag(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "event_id", "ts", "ts",
+          windowMicros = 3600000000L)
+        .withColumn("grp", lit("all"))
+      Quality.quantilesApproxByKey(lags, key = "grp", c = "lag_us",
+          P9Probs, capacity = 8192)
+        .orderBy("p")
+    },
+    oracle = Some {
+      val perQ = P9Probs.map { q =>
+        s"""SELECT 'all' AS grp, CAST($q AS DOUBLE) AS p,
+           |  MIN(v) FILTER (WHERE rn >= GREATEST(1,
+           |    CAST(CEIL(CAST($q AS DOUBLE) * n) AS BIGINT))) AS value
+           |FROM r""".stripMargin
+      }
+      s"""WITH v AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events WHERE event_type = 'view'),
+         |pu AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events WHERE event_type = 'purchase'),
+         |lag AS (SELECT v.event_id, CAST(min(pu.us - v.us) AS DOUBLE) AS lag
+         |  FROM v JOIN pu ON pu.user_id = v.user_id
+         |    AND pu.us > v.us AND pu.us <= v.us + 3600000000
+         |  GROUP BY v.event_id),
+         |r AS (SELECT lag AS v, row_number() OVER (ORDER BY lag) AS rn,
+         |    COUNT(*) OVER () AS n FROM lag)
+         |${perQ.mkString("\nUNION ALL\n")}
+         |ORDER BY p""".stripMargin
+    })
+
   private val FunnelStages = Seq("view", "click", "purchase")
 
   /** CEP ordered-funnel matching ([[Funnel.funnel]]): per-user greedy
@@ -5423,6 +5464,7 @@ object Queries {
     "w4_session_window" -> w4_session_window,
     "w5_latest_state" -> w5_latest_state,
     "j6_not_followed_by" -> j6_not_followed_by,
+    "j7_conversion_latency" -> j7_conversion_latency,
     "w6_funnel" -> w6_funnel,
     "w7_funnel_bucketed" -> w7_funnel_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,

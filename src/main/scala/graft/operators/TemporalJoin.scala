@@ -273,6 +273,38 @@ object TemporalJoin {
    */
   def notFollowedBy(left: DataFrame, right: DataFrame, keyCol: String,
       leftIdCol: String, leftTsCol: String, rightTsCol: String,
+      windowMicros: Long): DataFrame =
+    windowJoin(left, right, keyCol, leftIdCol, leftTsCol, rightTsCol,
+      windowMicros)
+      .groupBy("k", "lid", "lus")
+      .agg(max(when(qualified(windowMicros), 1L).otherwise(0L)).as("hit"))
+      .select(col("k"), col("lid"), col("lus"),
+        (col("hit") === 1L).as("followed"))
+
+  /** First-follow latency — the conversion-time metric paired with
+    * [[notFollowedBy]]: for each followed left event, the lag in
+    * micros to the EARLIEST qualifying right event (unfollowed events
+    * drop out). Same bucketed plan; the min aggregate also dedups the
+    * two-bucket probe. */
+  def followLag(left: DataFrame, right: DataFrame, keyCol: String,
+      leftIdCol: String, leftTsCol: String, rightTsCol: String,
+      windowMicros: Long): DataFrame =
+    windowJoin(left, right, keyCol, leftIdCol, leftTsCol, rightTsCol,
+      windowMicros)
+      .groupBy("k", "lid", "lus")
+      .agg(min(when(qualified(windowMicros), col("rus") - col("lus")))
+        .as("lag_us"))
+      .filter(col("lag_us").isNotNull)
+
+  private def qualified(windowMicros: Long) =
+    col("rus").isNotNull && col("rus") > col("lus") &&
+      col("rus") <= col("lus") + windowMicros
+
+  /** The shared one-sided-window candidate frame: left rows probe
+    * their own window-width bucket and the next; right rows land in
+    * one. */
+  private def windowJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftIdCol: String, leftTsCol: String, rightTsCol: String,
       windowMicros: Long): DataFrame = {
     require(windowMicros > 0, "windowMicros must be positive")
     val l = left.select(col(keyCol).as("k"), col(leftIdCol).as("lid"),
@@ -284,12 +316,5 @@ object TemporalJoin {
         unix_micros(col(rightTsCol).cast("timestamp")).as("rus"))
       .withColumn("b", expr(s"rus div ${windowMicros}L"))
     l.join(r, Seq("k", "b"), "left")
-      .groupBy("k", "lid", "lus")
-      .agg(max(when(col("rus").isNotNull &&
-          col("rus") > col("lus") &&
-          col("rus") <= col("lus") + windowMicros, 1L).otherwise(0L))
-        .as("hit"))
-      .select(col("k"), col("lid"), col("lus"),
-        (col("hit") === 1L).as("followed"))
   }
 }

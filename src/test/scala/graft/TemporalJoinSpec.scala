@@ -223,5 +223,11 @@ class TemporalJoinSpec extends SparkSpec {
       .map(x => (x.getLong(1), x.getBoolean(3)))
     assert(r === Array((10L, false), (11L, true), (20L, true),
       (30L, false), (40L, false)))
+    // followLag: the EARLIEST qualifying lag; unfollowed views drop out
+    val lags = TemporalJoin.followLag(views, purchases, "user_id",
+        "event_id", "ts", "ts", windowMicros = 3600000000L)
+      .orderBy("lid").collect()
+      .map(x => (x.getLong(1), x.getLong(3)))
+    assert(lags === Array((11L, 3600000000L), (20L, 900000000L)))
   }
 }
