@@ -777,6 +777,77 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(_._1 == 3))
   }
 
+  test("streaming CEP funnel survives a checkpoint restart: resumed state equals batch") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // u1's funnel spans the RESTART: view+click land before the stop,
+    // the purchase after it — the resumed state must carry stage 2
+    val preWaves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 2L, t("2024-01-01 10:01:00"), "view")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:10:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error"))) // wm → 12:00
+    val postWaves = Seq(
+      Seq(Row(1L, 4L, t("2024-01-01 14:30:00"), "purchase"),
+        Row(2L, 5L, t("2024-01-01 14:31:00"), "click")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error"))) // wm → 18:00
+    val src = tmp("funnel-restart-src")
+    val ckpt = tmp("funnel-restart-ckpt")
+    def writeWaves(waves: Seq[Seq[Row]], offset: Int): Unit =
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val staging = tmp(s"funnel-restart-wave${offset + i}")
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave${offset + i}.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + (offset + i) * 60000L)
+      }
+    val stages = Seq("view", "click", "purchase")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Seq[Long])]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = StreamingIngest.streamingFunnel(spark, stream, stages, "2 hours")
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeWaves(preWaves, 0)
+    runOnce() // first life: u1 reaches stage 2, u2 stage 1 (flushed at wm 12:00)
+    writeWaves(postWaves, preWaves.length)
+    runOnce() // second life resumes the SAME state store
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((preWaves ++ postWaves).flatten), schema)
+    val batch = graft.operators.Funnel.funnel(all, "user_id", "event_type",
+        "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), (2 to 4).map(r.get).filter(_ != null)
+          .map(_.asInstanceOf[Long]))))
+      .toMap
+    val lastByUser = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => { val e = es.maxBy(_._2)._1; (e._2, e._3) }).toMap
+    assert(lastByUser.keySet === batch.keySet)
+    lastByUser.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the cross-restart funnel really completed: u1 at stage 3 with the
+    // pre-restart view/click witnesses intact
+    assert(lastByUser(1L)._1 === 3)
+    assert(lastByUser(1L)._2.take(2) === Seq(t("2024-01-01 10:00:00"),
+      t("2024-01-01 10:10:00")).map(_.getTime * 1000L))
+  }
+
   test("streaming notFollowedBy: timer-based absence verdicts equal the batch join") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
