@@ -447,6 +447,44 @@ object Queries {
     * (mod 11) are deleted (seq 3). The congruence overlaps exercise
     * latest-wins: a key ≡0 (mod 35) is inserted then updated (update
     * survives), ≡0 (mod 55/77) is deleted whatever else happened. */
+  /** SCD type-2 history ([[Cdc.scd2]]): the full change log (base as
+    * I@0, the c1 updates@2 and deletes@3) materialized as version
+    * intervals — one `lead(seq)` window per key, D closing the last
+    * version without contributing a row. The temporal-table answer to
+    * "what did this order look like at seq s". */
+  val c3_scd2_history: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val baseI = ord.withColumn("op", lit("I")).withColumn("seq", lit(0L))
+      val updates = ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val deletes = ord.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      Cdc.scd2(baseI.unionByName(updates).unionByName(deletes),
+          Seq("o_orderkey"), "op", "seq")
+        .orderBy("o_orderkey", "valid_from")
+    },
+    oracle = Some(
+      """WITH log AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'I' AS op, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'R', o_totalprice * 2,
+        |    o_orderdate, o_orderpriority, 'U', 2
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D', 3
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |v AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS vt
+        |  FROM log)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(vt AS BIGINT) AS valid_to, vt IS NULL AS is_current
+        |FROM v WHERE op <> 'D' ORDER BY o_orderkey, valid_from""".stripMargin))
+
   val c1_cdc_merge: Q = Q(
     run = (spark, dir) => {
       val ord = t(spark, dir, "orders")
@@ -5363,6 +5401,7 @@ object Queries {
     "e2e_jdbc_roundtrip" -> e2e_jdbc_roundtrip,
     "c1_cdc_merge" -> c1_cdc_merge,
     "c2_snapshot_diff" -> c2_snapshot_diff,
+    "c3_scd2_history" -> c3_scd2_history,
     "p3_profile" -> p3_profile,
     "p4_quality_checks" -> p4_quality_checks,
     "p5_histogram" -> p5_histogram,

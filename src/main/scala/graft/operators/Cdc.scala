@@ -135,4 +135,30 @@ object Cdc {
       .filter(col(opCol) =!= "D")
       .drop(opCol)
   }
+
+  /**
+   * SCD type-2 history materialization — the lakehouse-standard
+   * temporal table built from the change log: every I/U image becomes
+   * a VERSION row valid over `[its seq, the key's next change)`,
+   * `valid_to` NULL + `is_current` on the open head, and a D closes
+   * the last version without contributing one (the key has no current
+   * row — exactly [[applyChanges]]' delete semantics, but with the
+   * full history retained for AS-OF queries and audits).
+   *
+   * Plan: ONE per-key window (`lead(seq)`) — the partition is a key's
+   * change count (bounded by churn, not corpus size), the classic
+   * SCD2 shape; no self-join, no global sort.
+   */
+  def scd2(changes: DataFrame, keyCols: Seq[String], opCol: String,
+      seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "SCD2 needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumnRenamed(seqCol, "valid_from")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol)
+  }
 }

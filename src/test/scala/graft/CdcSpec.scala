@@ -75,4 +75,22 @@ class CdcSpec extends SparkSpec {
       Cdc.applyChanges(base, bad, Seq("k"), "op", "seq"))
     assert(e.getMessage.contains("v"))
   }
+
+  test("scd2: version intervals chain, deletes close without contributing, head is current") {
+    val log = Seq(
+      (1L, "a1", "I", 0L), (1L, "a2", "U", 2L), (1L, "a3", "U", 5L),
+      (2L, "b1", "I", 0L), (2L, "b1", "D", 3L),
+      (3L, "c1", "I", 1L)
+    ).toDF("k", "v", "op", "seq")
+    val r = Cdc.scd2(log, Seq("k"), "op", "seq")
+      .orderBy("k", "valid_from").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]), x.getBoolean(4)))
+    assert(r === Array(
+      (1L, "a1", 0L, Some(2L), false),
+      (1L, "a2", 2L, Some(5L), false),
+      (1L, "a3", 5L, None, true),
+      (2L, "b1", 0L, Some(3L), false), // closed by the delete, no current row
+      (3L, "c1", 1L, None, true)))
+  }
 }
