@@ -485,6 +485,35 @@ object Queries {
         |  CAST(vt AS BIGINT) AS valid_to, vt IS NULL AS is_current
         |FROM v WHERE op <> 'D' ORDER BY o_orderkey, valid_from""".stripMargin))
 
+  /** AS-OF read over the SCD2 history — the consumer side of c3: the
+    * table at seq 2 is the versions with `valid_from ≤ 2 <
+    * coalesce(valid_to, ∞)` — one filter over the history, no log
+    * replay. (At seq 2 the updates are visible and the seq-3 deletes
+    * are not.) */
+  val c4_scd2_asof: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val baseI = ord.withColumn("op", lit("I")).withColumn("seq", lit(0L))
+      val updates = ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val deletes = ord.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      Cdc.scd2(baseI.unionByName(updates).unionByName(deletes),
+          Seq("o_orderkey"), "op", "seq")
+        .filter(col("valid_from") <= 2 &&
+          (col("valid_to").isNull || col("valid_to") > 2))
+        .drop("valid_from", "valid_to", "is_current")
+        .orderBy("o_orderkey")
+    },
+    oracle = Some(
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val c1_cdc_merge: Q = Q(
     run = (spark, dir) => {
       val ord = t(spark, dir, "orders")
@@ -5402,6 +5431,7 @@ object Queries {
     "c1_cdc_merge" -> c1_cdc_merge,
     "c2_snapshot_diff" -> c2_snapshot_diff,
     "c3_scd2_history" -> c3_scd2_history,
+    "c4_scd2_asof" -> c4_scd2_asof,
     "p3_profile" -> p3_profile,
     "p4_quality_checks" -> p4_quality_checks,
     "p5_histogram" -> p5_histogram,
