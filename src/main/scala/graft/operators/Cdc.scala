@@ -152,8 +152,11 @@ object Cdc {
   def scd2(changes: DataFrame, keyCols: Seq[String], opCol: String,
       seqCol: String): DataFrame = {
     require(keyCols.nonEmpty, "SCD2 needs at least one key column")
+    // op as the tie-break keeps the window deterministic if a producer
+    // ever emits two changes for one key at the same seq (D sorts after
+    // I/U, so the delete still closes the interval)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol), col(opCol))
     changes
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .filter(col(opCol) =!= "D")

@@ -39,8 +39,9 @@ object LinearProbe {
       iters: Int, lr: Double): (Seq[Array[Double]], Long) = {
     val v = Staging.barrier(df.select(
       col(vecCol).cast("array<double>").as("e"), yExpr.cast("double").as("y")))
-    val first = v.select(size(col("e"))).head.getInt(0)
     val n = v.count()
+    require(n > 0, "LinearProbe.train needs a non-empty labeled table")
+    val first = v.select(size(col("e"))).head.getInt(0)
     var w = Array.fill(first)(0.0)
     val trail = Seq.newBuilder[Array[Double]]
     (1 to iters).foreach { _ =>
