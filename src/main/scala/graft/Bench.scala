@@ -61,6 +61,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // split small multi-row-group files across tasks: the default
+      // 128 MB per partition makes every sub-128MB scan a SINGLE task,
+      // silently serializing map-dominated measurements (the official
+      // driver corpus is one row group per file, so this only affects
+      // multi-group inputs like the scale-audit corpora)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,7 +42,13 @@ object TextAnalysis {
     * pick tree reads array slots. */
   def langId(text: Column): Column = {
     val pick = TextDedup.bound(TextDedup.tokens(text)) { toks =>
-      TextDedup.bound(array(langScores(toks).map(_._2): _*)) { ss =>
+      // the score vector is the FUSED kernel (one walk, bitmask hash
+      // lookup per token) — contract-identical to the composed
+      // array(langScores(toks)) it replaced (KernelPropertySpec);
+      // measured: the 5 interpreted isin-filter walks were the last
+      // linear-constant hot spot at 100× data
+      TextDedup.bound(graft.functions.LangMarkerScores(toks,
+          LangMarkers.map(_._2))) { ss =>
         val scores = LangMarkers.map(_._1).zipWithIndex.map {
           case (lang, i) => lang -> element_at(ss, i + 1)
         }

@@ -110,6 +110,28 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: fused lang-marker scores == composed isin-filter ratios") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // marker-dense token generator: real markers mixed with noise,
+    // empties, nulls, and a word ("es") that is a marker in TWO sets
+    val markerTok: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("the", "a", "der", "und", "le", "et", "el", "y", "es", "is"),
+      3 -> Gen.oneOf("zzz", "", "ß", "中"),
+      1 -> Gen.const(null))
+    val mArr: Gen[Seq[String]] = Gen.frequency(
+      9 -> Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, markerTok)),
+      1 -> Gen.const(null))
+    val df = sample(mArr).toDF("t")
+    val both = df.select(
+      graft.functions.LangMarkerScores(col("t"),
+        TextAnalysis.LangMarkers.map(_._2)).as("fused"),
+      array(TextAnalysis.langScores(col("t")).map(_._2): _*).as("composed"))
+    val bad = both.filter(!(col("fused") <=> col("composed")))
+    assert(bad.count() === 0L, bad.take(3).mkString("; "))
+    assert(both.filter(element_at(col("fused"), 1) > 0).count() > 0L)
+  }
+
   test("property: fused classifier logit == composed feature-bag fold") {
     import spark.implicits._
     import graft.operators.TextAnalysis

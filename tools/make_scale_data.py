@@ -100,7 +100,10 @@ def main():
                     cols[name] = c
             reps.append(pa.table(cols))
         out = pa.concat_tables(reps)
-        pq.write_table(out, f"{OUT}/{t}.parquet")
+        # bounded row groups: a single mega-row-group serializes Spark's
+        # scan (one task decodes everything) and silently turns every
+        # map-dominated audit row into a single-thread measurement
+        pq.write_table(out, f"{OUT}/{t}.parquet", row_group_size=16384)
         print(f"{t}: {src.num_rows} -> {out.num_rows}")
 
 
