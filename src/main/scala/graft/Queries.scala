@@ -1323,10 +1323,15 @@ object Queries {
         s"($c + 1) * 1.0 / ((SELECT $n FROM tot) + $nb)"
       s"""WITH c AS (SELECT CASE $cases ELSE ${nb - 1} END AS bucket,
          |    doc_id % 2 = 1 AS is_b FROM documents),
-         |g AS (SELECT bucket,
+         |g0 AS (SELECT bucket,
          |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
          |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_b
          |  FROM c GROUP BY bucket),
+         |g AS (SELECT CAST(s.bucket AS INT) AS bucket,
+         |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+         |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+         |  FROM (SELECT unnest(generate_series(0, ${nb - 1})) AS bucket) s
+         |  LEFT JOIN g0 ON g0.bucket = s.bucket),
          |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
          |    CAST(sum(c_b) AS BIGINT) AS nbt FROM g)
          |SELECT bucket, c_a, c_b,
@@ -3486,10 +3491,15 @@ object Queries {
         s"($c + 1) * 1.0 / ((SELECT $n FROM tot) + $nb)"
       s"""${kmeansCtePrefix(trainPredSql = Some("vec_id % 2 = 0"))},
          |cdf AS (SELECT CAST(cell AS INT) AS bucket, vec_id % 2 = 1 AS is_b FROM corpus),
-         |g AS (SELECT bucket,
+         |g0 AS (SELECT bucket,
          |    CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
          |    CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS c_b
          |  FROM cdf GROUP BY bucket),
+         |g AS (SELECT CAST(s.bucket AS INT) AS bucket,
+         |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+         |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+         |  FROM (SELECT unnest(generate_series(0, ${nb - 1})) AS bucket) s
+         |  LEFT JOIN g0 ON g0.bucket = s.bucket),
          |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
          |    CAST(sum(c_b) AS BIGINT) AS nbt FROM g)
          |SELECT bucket, c_a, c_b,

@@ -152,11 +152,14 @@ object Cdc {
   def scd2(changes: DataFrame, keyCols: Seq[String], opCol: String,
       seqCol: String): DataFrame = {
     require(keyCols.nonEmpty, "SCD2 needs at least one key column")
-    // op as the tie-break keeps the window deterministic if a producer
-    // ever emits two changes for one key at the same seq (D sorts after
-    // I/U, so the delete still closes the interval)
+    // op RANK as the tie-break keeps the window deterministic if a producer
+    // ever emits two changes for one key at the same seq: D must sort AFTER
+    // I/U so the delete still closes the interval (raw ASCII order would put
+    // 'D' first — the delete would close nothing, be filtered, and the I/U
+    // would wrongly survive as the current row of a deleted key)
+    val opRank = when(col(opCol) === "D", lit(1)).otherwise(lit(0))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol), col(opCol))
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol), opRank)
     changes
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .filter(col(opCol) =!= "D")

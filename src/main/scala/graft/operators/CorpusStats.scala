@@ -147,9 +147,21 @@ object CorpusStats {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       cap: Long, rateNum: Long, rateDen: Long): DataFrame = {
     require(rateNum > 0 && rateDen > 0 && cap > 0)
+    // DECIMAL(38,0) domain, checked in BigInt so the CHECK can't overflow:
+    // both comparison sides are ≤ 2^64 · (rate factor) · cap and must fit
+    // 38 digits — silently overflowing Long here (rateDen·cap > 2^63)
+    // would corrupt the inclusion decision despite the decimal discipline
+    val dec38 = BigInt(10).pow(38)
+    val h = BigInt(1) << 64
+    require(h * BigInt(rateDen) * BigInt(cap) < dec38 &&
+      h * BigInt(rateNum) * BigInt(cap) < dec38,
+      s"rateDen*cap and rateNum*cap must stay below ${dec38 / h} " +
+        "to keep both DECIMAL(38,0) comparison sides exact")
     val w = least(greatest(col(weightCol).cast(LongType), lit(0L)), lit(cap))
+    // BigInt product: rateDen * cap can exceed Long even when each factor
+    // is valid on its own — the all-decimal discipline must start here
     val lhs = hexUint(hex16(col(idCol).cast(StringType))) *
-      lit(new java.math.BigDecimal(rateDen * cap))
+      lit(new java.math.BigDecimal((BigInt(rateDen) * BigInt(cap)).bigInteger))
     val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger)) *
       lit(new java.math.BigDecimal(rateNum)) * w.cast(DecimalType(38, 0))
     df.filter(lhs < rhs).withColumn("w", w)
@@ -246,13 +258,23 @@ object CorpusStats {
     val bucket = boundaries.zipWithIndex.foldRight(lit(boundaries.length)) {
       case ((b, i), acc) => when(featureCol < b, i).otherwise(acc)
     }
+    // left-join the observed counts onto a full 0..nb-1 bucket spine:
+    // a bucket empty in BOTH slices still owes its add-one-smoothed term
+    // whenever the slice totals differ — dropping it understates the PSI
+    val spine = df.sparkSession.range(nb.toLong)
+      .select(col("id").cast("int").as("bucket"))
     val counts = Staging.barrier(
-      df.select(bucket.cast("int").as("bucket"), splitCol.as("is_b"))
-        .groupBy("bucket")
-        .agg(sum(when(!col("is_b"), 1L).otherwise(0L)).as("c_a"),
-          sum(when(col("is_b"), 1L).otherwise(0L)).as("c_b")))
+      spine.join(
+        df.select(bucket.cast("int").as("bucket"), splitCol.as("is_b"))
+          .groupBy("bucket")
+          .agg(sum(when(!col("is_b"), 1L).otherwise(0L)).as("c_a"),
+            sum(when(col("is_b"), 1L).otherwise(0L)).as("c_b")),
+        Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+          coalesce(col("c_b"), lit(0L)).as("c_b")))
     val Row(na: Long, nbTot: Long) =
       counts.agg(sum("c_a"), sum("c_b")).head
+    require(na + nbTot > 0, "driftPsi needs a non-empty input")
     val pa = (col("c_a") + 1) * lit(1.0) / lit(na + nb.toDouble)
     val pb = (col("c_b") + 1) * lit(1.0) / lit(nbTot + nb.toDouble)
     counts.select(col("bucket"), col("c_a"), col("c_b"),

@@ -300,6 +300,20 @@ object TemporalJoin {
     col("rus").isNotNull && col("rus") > col("lus") &&
       col("rus") <= col("lus") + windowMicros
 
+  /** Integer FLOOR division of an epoch-micros column by the window
+    * width. `div` truncates toward zero, so a pre-1970 (negative)
+    * timestamp's bucket shifts by +1 whenever it leaves a remainder;
+    * floor keeps the invariant "a (ts, ts+W] window spans exactly
+    * buckets {q, q+1}" by construction, with no reliance on the
+    * truncation shift happening to pair up across the two sides.
+    * Floating `floor()` is no substitute (micros exceed 2^53); the
+    * pure-integer form decrements the truncated quotient when a
+    * negative dividend leaves a remainder. Pre-1970 correctness is
+    * spec-pinned (TemporalJoinSpec). */
+  private def floorDivMicros(c: String, w: Long) =
+    expr(s"$c div ${w}L - (CASE WHEN $c < 0 AND $c % ${w}L != 0 " +
+      "THEN 1 ELSE 0 END)")
+
   /** The shared one-sided-window candidate frame: left rows probe
     * their own window-width bucket and the next; right rows land in
     * one. */
@@ -310,11 +324,11 @@ object TemporalJoin {
     val l = left.select(col(keyCol).as("k"), col(leftIdCol).as("lid"),
         unix_micros(col(leftTsCol).cast("timestamp")).as("lus"))
       .withColumn("b", explode(array(
-        expr(s"lus div ${windowMicros}L"),
-        expr(s"lus div ${windowMicros}L + 1"))))
+        floorDivMicros("lus", windowMicros),
+        floorDivMicros("lus", windowMicros) + lit(1L))))
     val r = right.select(col(keyCol).as("k"),
         unix_micros(col(rightTsCol).cast("timestamp")).as("rus"))
-      .withColumn("b", expr(s"rus div ${windowMicros}L"))
+      .withColumn("b", floorDivMicros("rus", windowMicros))
     l.join(r, Seq("k", "b"), "left")
   }
 }

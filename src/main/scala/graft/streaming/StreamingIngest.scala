@@ -711,20 +711,40 @@ object StreamingIngest {
    * Update-mode emission per user equals the batch [[graft.operators
    * .Funnel.funnel]] over the same rows. Emission is delta-style: a
    * row only when the stage advances (or on first sight of a user).
-   * State is bounded: witness + stage are O(k); pending holds at most
-   * the user's events inside the watermark lag (the same bound as any
-   * event-time buffer); a COMPLETED funnel drops its buffer and stops
-   * emitting. Late events (behind the watermark on arrival) are
-   * dropped by the stream's watermark filter — standard CEP
-   * best-effort lateness.
+   * State is bounded per ACTIVE user: witness + stage are O(k);
+   * pending holds at most the user's events inside the watermark lag
+   * (the same bound as any event-time buffer); a COMPLETED funnel
+   * drops its buffer and stops emitting. Late events (behind the
+   * watermark on arrival) are dropped by the stream's watermark
+   * filter — standard CEP best-effort lateness.
+   *
+   * State RETENTION: an informationally-empty entry (stage 0, no
+   * witnesses, no buffer) is removed immediately — losslessly, since
+   * re-creating it from scratch folds identically (dormant users cost
+   * nothing). In-progress funnels must keep their witnesses. Completed
+   * funnels keep a k-sized tombstone so post-completion stragglers
+   * don't restart the pattern; with the default infinite
+   * `matchRetentionMs` that tombstone lives for the stream's life
+   * (one O(k) entry per COMPLETED user — the documented trade for
+   * exactly-once match semantics). A finite `matchRetentionMs` frees
+   * it once the watermark passes `completion + retention` — Flink's
+   * AFTER MATCH SKIP PAST LAST ROW with a TTL: an event arriving
+   * later than that starts a NEW funnel instance (spec-asserted).
    */
-  def updateFunnel(stages: IndexedSeq[String])(
+  def updateFunnel(stages: IndexedSeq[String],
+      matchRetentionMs: Long = Long.MaxValue)(
       userId: Long, rows: Iterator[FunnelEvent],
       state: GroupState[FunnelCepState]): Iterator[FunnelUpdate] = {
     val k = stages.length
     val first = state.getOption.isEmpty
     val prev = state.getOption.getOrElse(FunnelCepState(0, Nil, Nil))
     val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // cleanup timer on a completed funnel: retention elapsed, free the
+    // tombstone (any later event for this user starts a new instance)
+    if (prev.stage == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
     val (mature, immature) = all.partition(_._1 <= wmUs)
     var stage = prev.stage
@@ -733,9 +753,20 @@ object StreamingIngest {
       if (stage < k && tp == stages(stage)) { wit = wit :+ us; stage += 1 }
     }
     val rest = if (stage == k) Nil else immature
-    state.update(FunnelCepState(stage, wit, rest))
-    if (rest.nonEmpty)
-      state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+    if (stage == 0 && wit.isEmpty && rest.isEmpty) {
+      // nothing worth remembering — drop (or never create) the entry
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelCepState(stage, wit, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (stage == k && matchRetentionMs != Long.MaxValue)
+        // EventTimeTimeout rejects timestamps at/behind the watermark —
+        // clamp for funnels completing long after their last witness
+        state.setTimeoutTimestamp(math.max(
+          wit.last / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
     if (first || stage != prev.stage) Iterator(FunnelUpdate(userId, stage, wit))
     else Iterator.empty
   }
@@ -744,7 +775,8 @@ object StreamingIngest {
     * `ts`, `event_type`). `watermark` is the allowed lateness — and
     * therefore the event-time reordering window the buffer absorbs. */
   def streamingFunnel(spark: SparkSession, events: DataFrame,
-      stages: Seq[String], watermark: String): Dataset[FunnelUpdate] = {
+      stages: Seq[String], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelUpdate] = {
     import spark.implicits._
     events
       .withWatermark("ts", watermark)
@@ -756,7 +788,8 @@ object StreamingIngest {
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.EventTimeTimeout)(updateFunnel(stages.toIndexedSeq))
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnel(stages.toIndexedSeq, matchRetentionMs))
   }
 
   // -------------------------------------------------------------------

@@ -93,4 +93,21 @@ class CdcSpec extends SparkSpec {
       (2L, "b1", 0L, Some(3L), false), // closed by the delete, no current row
       (3L, "c1", 1L, None, true)))
   }
+
+  test("scd2: a same-seq U+D tie deletes the key (D ranks after I/U, not by ASCII)") {
+    // 'D' < 'I' < 'U' in ASCII — a raw (seq, op) sort would put the
+    // delete FIRST, it would close nothing, and the U would wrongly
+    // survive as the current row of a deleted key
+    val log = Seq(
+      (1L, "a1", "I", 0L), (1L, "a2", "U", 2L), (1L, "a2d", "D", 2L),
+      (2L, "b1", "U", 1L), (2L, "b2", "I", 1L) // I/U tie: stable, head current
+    ).toDF("k", "v", "op", "seq")
+    val r = Cdc.scd2(log, Seq("k"), "op", "seq")
+      .orderBy("k", "valid_from").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        Option(x.get(3)).map(_.asInstanceOf[Long]), x.getBoolean(4)))
+    // key 1: both versions closed, no current row; key 2 keeps a head
+    assert(r.filter(_._1 == 1L).forall(v => v._4.isDefined && !v._5))
+    assert(r.count(v => v._1 == 2L && v._5) === 1)
+  }
 }

@@ -175,6 +175,48 @@ class CorpusStatsSpec extends SparkSpec {
     assert(psiTotal(shifted) > 0.25)
   }
 
+  test("driftPsi: empty buckets still emit their smoothed term; empty input fails loudly") {
+    import spark.implicits._
+    // bucket 1 ([10, 20)) has NO rows in either slice, yet the slice
+    // totals differ (3 vs 1) so add-one smoothing gives it a nonzero
+    // term — dropping the row would understate the PSI total
+    val df = Seq((0L, 5L), (2L, 5L), (4L, 25L), (1L, 5L))
+      .toDF("doc_id", "f") // even ids → A (3 rows), odd → B (1 row)
+    val r = CorpusStats.driftPsi(df, col("f"), col("doc_id") % 2 === 1,
+        Seq(10L, 20L))
+      .orderBy("bucket").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).toSeq === Seq(0, 1, 2))
+    val (_, ca1, cb1, term1) = r(1)
+    assert(ca1 === 0L && cb1 === 0L)
+    // replay: p_a = 1/6, p_b = 1/4 → (p_a-p_b)·ln(p_a/p_b) in micro
+    val expected = math.round(
+      (1.0 / 6 - 1.0 / 4) * math.log((1.0 / 6) / (1.0 / 4)) * 1e6)
+    assert(term1 === expected)
+    val e = intercept[IllegalArgumentException](
+      CorpusStats.driftPsi(df.filter(lit(false)), col("f"),
+        col("doc_id") % 2 === 1, Seq(10L)).collect())
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("weightedSample: rateDen*cap beyond the DECIMAL(38,0) domain fails loudly, not silently") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, 1000000L)).toDF("id", "w0")
+    // rateDen * cap = 4e18 * 1e6 = 4e24: the old Long product overflowed
+    // SILENTLY and corrupted the inclusion decision; now the BigInt domain
+    // check rejects it before any comparison runs
+    val e = intercept[IllegalArgumentException](
+      CorpusStats.weightedSample(docs, "id", "w0",
+        cap = 1000000L, rateNum = 1L, rateDen = 4000000000000000000L))
+    assert(e.getMessage.contains("DECIMAL(38,0)"))
+    // near the top of the legal domain (≈5.4e18 / cap) the decision is
+    // exact: rate 1 with w = cap includes everything
+    val top = 5000000000000000000L
+    val all = CorpusStats.weightedSample(docs.withColumn("w0", lit(1L)),
+      "id", "w0", cap = 1L, rateNum = top, rateDen = top)
+    assert(all.count() === 100L)
+  }
+
   test("vocabGrowth: first occurrences land in the right ingestion deciles") {
     import spark.implicits._
     // 100 docs; doc i carries common filler plus ONE word unique to it,

@@ -777,6 +777,64 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(_._1 == 3))
   }
 
+  test("streaming CEP funnel: finite match retention frees completed state; a later event starts a new instance") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // u1 completes at 10:10; retention 30 min ⇒ tombstone freed once the
+    // watermark passes 10:40 in a batch with no u1 data (timers only fire
+    // for data-less keys). The 15:30 pusher's batch carries wm 13:00 and
+    // fires the cleanup; u1's 14:00 view then finds NO state and starts a
+    // NEW funnel instance (AFTER MATCH SKIP + TTL semantics). Without
+    // removal the view would be absorbed silently (stage already k).
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:05:00"), "click"),
+        Row(1L, 3L, t("2024-01-01 10:10:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 12:30:00"), "error")), // next wm 10:30
+      Seq(Row(9L, 91L, t("2024-01-01 15:00:00"), "error")), // wm 10:30: u1 flushes, completes
+      Seq(Row(9L, 92L, t("2024-01-01 15:30:00"), "error")), // wm 13:00: cleanup fires
+      Seq(Row(1L, 4L, t("2024-01-01 14:00:00"), "view")),   // fresh instance, buffered
+      Seq(Row(9L, 93L, t("2024-01-01 17:00:00"), "error"))) // wm 15:00 flushes the view
+    val src = tmp("funnel-ttl-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-ttl-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq("view", "click", "purchase")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val updates = StreamingIngest.streamingFunnel(spark, stream, stages,
+      "2 hours", matchRetentionMs = 30L * 60 * 1000)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long])]
+    val q = updates.toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val u1 = emitted.filter(_._2 == 1L).sortBy(_._1)
+    // first instance completes at stage 3…
+    assert(u1.exists(_._3 == 3))
+    // …and the post-retention view RE-EMITS as a fresh stage-1 instance
+    // (retained completed state would have absorbed it with no emission)
+    val last = u1.last
+    assert(last._3 === 1)
+    assert(last._4 === Seq(t("2024-01-01 14:00:00").getTime * 1000L))
+  }
+
   test("streaming CEP funnel survives a checkpoint restart: resumed state equals batch") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row

@@ -230,4 +230,39 @@ class TemporalJoinSpec extends SparkSpec {
       .map(x => (x.getLong(1), x.getLong(3)))
     assert(lags === Array((11L, 3600000000L), (20L, 900000000L)))
   }
+
+  test("notFollowedBy: pre-1970 timestamps bucket on floor division, no dropped matches") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val W = 3600000000L // 1 hour
+    // all event times negative epoch-micros; each view's follower sits at
+    // a different alignment vs the bucket grid (same bucket, next bucket,
+    // exactly on a boundary, exactly at the window end)
+    val views = Seq(
+      (1L, 10L, t("1969-12-31 22:30:00")), // follower in the next floor bucket
+      (1L, 11L, t("1969-12-31 20:00:00")), // ON a boundary; follower mid-bucket
+      (2L, 20L, t("1969-12-30 12:30:00")), // follower exactly at ts+W
+      (2L, 21L, t("1969-12-30 18:10:00")), // follower 1us past the window: miss
+      (3L, 30L, t("1969-12-31 23:30:00"))  // window crosses the 1970 epoch
+    ).toDF("user_id", "event_id", "ts")
+    val purchases = Seq(
+      (1L, t("1969-12-31 23:15:00")),
+      (1L, t("1969-12-31 20:20:00")),
+      (2L, t("1969-12-30 13:30:00")),
+      (2L, new java.sql.Timestamp(t("1969-12-30 19:10:00").getTime + 1L)),
+      (3L, t("1970-01-01 00:15:00"))
+    ).toDF("user_id", "ts")
+    val r = TemporalJoin.notFollowedBy(views, purchases, "user_id",
+        "event_id", "ts", "ts", windowMicros = W)
+      .orderBy("lid").collect()
+      .map(x => (x.getLong(1), x.getBoolean(3)))
+    assert(r === Array((10L, true), (11L, true), (20L, true),
+      (21L, false), (30L, true)))
+    val lags = TemporalJoin.followLag(views, purchases, "user_id",
+        "event_id", "ts", "ts", windowMicros = W)
+      .orderBy("lid").collect()
+      .map(x => (x.getLong(1), x.getLong(3)))
+    assert(lags === Array((10L, 2700000000L), (11L, 1200000000L),
+      (20L, 3600000000L), (30L, 2700000000L)))
+  }
 }
