@@ -1100,7 +1100,7 @@ object Queries {
   // t66: distributed BPE merge-rule training
   // ---------------------------------------------------------------------
 
-  private val BpeRounds = 8
+  private val BpeRounds = 64
 
   /** One unrolled training round of the BPE oracle. Every CTE is
     * `MATERIALIZED`: DuckDB inlines multiply-referenced CTEs by
@@ -1150,13 +1150,16 @@ object Queries {
     s"$base,\n$blocks"
   }
 
-  /** Distributed BPE merge-rule training ([[BpeTrain.train]]): the
-    * corpus is touched ONCE (the word-frequency groupBy); all 8 rounds
-    * run on the vocab-sized symbol table, each collecting exactly one
-    * argmax row. The oracle replays all rounds unrolled; the Spark
-    * fold's greedy non-overlapping semantics ("aaaa" + (a,a) →
-    * [aa, aa]) are mirrored by the oracle's island-parity windows, and
-    * the winner rule (max count, lexicographically smallest pair) is
+  /** BPE merge-rule training ([[BpeTrain.train]]): the corpus is
+    * touched ONCE (the word-frequency groupBy); all 64 gated rounds
+    * run on the vocab-sized symbol table — on the DRIVER when the
+    * table fits [[BpeTrain.LocalWordBound]] (the production path: a
+    * real tokenizer's ~30k merges must not cost one distributed
+    * barrier each), distributed otherwise, the two paths spec-proven
+    * merge-identical. The oracle replays all rounds unrolled; the
+    * greedy non-overlapping semantics ("aaaa" + (a,a) → [aa, aa]) are
+    * mirrored by the oracle's island-parity windows, and the winner
+    * rule (max count, lexicographically smallest pair) is
     * integer/binary-string deterministic cross-engine. */
   val t66_bpe_merges: Q = Q(
     run = (spark, dir) => {

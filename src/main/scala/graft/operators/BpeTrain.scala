@@ -96,17 +96,131 @@ object BpeTrain {
       .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
         sum("nc").as("n_chars"))
 
+  /** Word-table size under which the merge rounds run on the DRIVER.
+    * A production tokenizer's ~30k merges would otherwise cost one
+    * distributed pair-count barrier + one rewrite per round — ~60k
+    * Spark jobs of pure scheduler overhead on a table that, after the
+    * single corpus pass, is vocab-sized and usually fits locally. Same
+    * bounded-local-fast-path pattern as `kmeansCentroidsLocal` and the
+    * ≤2M-edge union-find: 2M words × ~200 B ≈ 400 MB of driver heap,
+    * and the distributed loop stays as the over-bound fallback. */
+  val LocalWordBound = 2000000L
+
+  /** Unsigned UTF-8 byte-order comparison — Spark/DuckDB's binary
+    * string ordering. `String.compareTo` is UTF-16 code-unit order,
+    * which DISAGREES above the BMP (a supplementary-plane character
+    * sorts below U+E000.. in UTF-16 but above it in UTF-8), so the
+    * local argmax tie-break must compare the encoded bytes. */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The greedy fold of [[applyMerge]], replayed on the driver —
+    * byte-equal by construction (same left-to-right, non-overlapping
+    * walk; BpeTrainSpec proves local ≡ distributed end to end). */
+  private def applyMergeLocal(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** All merge rounds on the collected word table. One pair-count map
+    * + one argmax + one rewrite per round, all driver-local — the
+    * per-round cost is microseconds-per-vocab-row instead of a Spark
+    * job barrier. Semantics identical to the distributed loop: counts
+    * weighted by word frequency with overlapping adjacents, winner =
+    * (max count, UTF-8-smallest left, then right), greedy
+    * non-overlapping application. */
+  private def trainLocal(collected: Array[(String, Long, Array[String])],
+      rounds: Int): (Seq[Merge], Array[(String, Long, Array[String])]) = {
+    var words = collected
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var continue = true
+    while (r <= rounds && continue) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (_, cnt, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) { continue = false }
+      else {
+        var bl: String = null; var br: String = null; var bn = 0L
+        counts.foreach { case ((l0, r0), n) =>
+          if (bl == null || n > bn || (n == bn && (utf8Less(l0, bl) ||
+              (l0 == bl && utf8Less(r0, br))))) {
+            bl = l0; br = r0; bn = n
+          }
+        }
+        merges += Merge(r, bl, br, bn)
+        words = words.map { case (w, cnt, syms) =>
+          (w, cnt, applyMergeLocal(syms, bl, br))
+        }
+        r += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
   /**
    * Learn the first `rounds` merge rules. Returns (merges, final word
-   * table). The word table is re-barriered each round (it is vocab-
-   * sized); the per-round driver pull is the single argmax row.
+   * table).
+   *
+   * The corpus is touched exactly once (the word-frequency groupBy).
+   * When the resulting vocab-sized table fits `maxLocalWords`, it is
+   * collected and ALL merge rounds run on the driver (see
+   * [[LocalWordBound]]) — at a real tokenizer's ~30k merges that turns
+   * ~60k distributed barriers into one collect + local loop + one
+   * parallelize. Over the bound, the distributed loop runs instead:
+   * the word table is re-barriered each round and the per-round driver
+   * pull is the single argmax row. Both paths are merge-for-merge
+   * identical (spec-gated on a shared prefix, tie-breaks included).
    */
-  def train(df: DataFrame, textCol: String, rounds: Int)
-      : (Seq[Merge], DataFrame) = {
-    var words = Staging.barrier(
+  def train(df: DataFrame, textCol: String, rounds: Int,
+      maxLocalWords: Long = LocalWordBound): (Seq[Merge], DataFrame) = {
+    val base = Staging.barrier(
       df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .select(col("w"), col("cnt"), charsOf(col("w")).as("syms")))
+    if (base.count() <= maxLocalWords) {
+      val collected = base.collect().map(r =>
+        (r.getString(0), r.getLong(1),
+          r.getSeq[String](2).toArray))
+      val (merges, words) = trainLocal(collected, rounds)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val out = words.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
+        .toDF("w", "cnt", "syms")
+      (merges, out)
+    } else trainDistributed(base, rounds)
+  }
+
+  /** The over-bound fallback: one pair-count aggregation + argmax
+    * collect + map-only rewrite per round over the (barriered,
+    * vocab-sized) word table. */
+  private def trainDistributed(base: DataFrame, rounds: Int)
+      : (Seq[Merge], DataFrame) = {
+    var words = base
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var continue = true

@@ -48,6 +48,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("local fast path ≡ distributed fallback: merges and word tables, ties included") {
+    // tie-heavy corpus: equal-count pairs force the UTF-8 tie-break in
+    // every round; maxLocalWords = 0 forces the distributed loop on the
+    // SAME input so the two paths must produce identical rule sequences
+    val docs = Seq("ab cd ab cd ef", "xy xy ef abab", "cdcd q abab")
+      .toDF("text")
+    val rounds = 6
+    val (lm, lw) = BpeTrain.train(docs, "text", rounds)
+    val (dm, dw) = BpeTrain.train(docs, "text", rounds, maxLocalWords = 0L)
+    assert(lm === dm)
+    assert(lm.nonEmpty)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "cnt", "syms").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+        .sortBy(_._1).toSeq
+    assert(table(lw) === table(dw))
+  }
+
+  test("local fast path runs deep merge schedules: 64 rounds on a small corpus") {
+    // a real tokenizer trains tens of thousands of merges; the local
+    // path must keep chaining until the corpus is fully merged and then
+    // stop early, never burning a distributed barrier per round
+    val docs = Seq("abcdefgh ijklmnop", "abcdefgh qrstuvwx",
+      "ijklmnop qrstuvwx yz").toDF("text")
+    val (merges, words) = BpeTrain.train(docs, "text", rounds = 64)
+    // every word collapses to one symbol: 7 merges per 8-char word ×3 +1
+    assert(merges.size === 22)
+    assert(words.select("syms").as[Seq[String]].collect().forall(_.length == 1))
+    // rounds are consecutively numbered from 1
+    assert(merges.map(_.round) === (1 to merges.size))
+  }
+
   test("encodeStats: per-doc word/symbol/char counts under the trained merges") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     val (merges, words) = BpeTrain.train(docs, "text", rounds = 1)
