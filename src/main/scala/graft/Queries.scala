@@ -4877,6 +4877,39 @@ object Queries {
     oracle = Some(bm25OracleSql(Bm25Terms, Bm25K,
       survivorPredSql = Some("doc_id % 5 <> 2"))))
 
+  /** Snapshot time travel on the persisted BM25 index
+    * ([[Retrieval.loadBm25IndexAsOf]]) — the keyword third of the
+    * as-of family (ANN t73, PQ t74): base build on two thirds of the
+    * corpus, two ATOMIC committed append batches
+    * ([[Retrieval.appendToBm25IndexCommitted]] — postings and docs
+    * land under ONE CommitLog rename), probed AS OF batch 0 — batch
+    * 1's documents must be invisible AND the statistics (n_docs,
+    * avgdl, per-term df) must be the PREFIX corpus's, not the live
+    * ones (BM25 scores move with the stats, so a stale-stats snapshot
+    * read would be numerically wrong everywhere, not just missing
+    * rows). The oracle replays a from-scratch build restricted to
+    * base ∪ batch 0, so the gate proves probe(asOf N) ≡
+    * probe(appends-stopped-at-N) hash-exactly. */
+  val t77_bm25_index_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bm25_asof"
+      val docs = t(spark, dir, "documents")
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", table)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      Retrieval.appendToBm25IndexCommitted(
+        batch.filter(col("doc_id") % 2 === 0), "doc_id", "text", table,
+        batchId = 0L)
+      Retrieval.appendToBm25IndexCommitted(
+        batch.filter(col("doc_id") % 2 === 1), "doc_id", "text", table,
+        batchId = 1L)
+      val idx = Retrieval.loadBm25IndexAsOf(spark, table, asOfBatch = 0L)
+      Retrieval.bm25TopKFromLoaded(idx, Bm25Terms, Bm25K)
+        .withColumnRenamed("id", "doc_id")
+    },
+    oracle = Some(bm25OracleSql(Bm25Terms, Bm25K,
+      survivorPredSql = Some("(doc_id % 3 <> 0 OR doc_id % 2 = 0)"))))
+
   private val HybridN = 50
   private val HybridK = 15
   private val HybridQueryVec = 0L
@@ -5468,6 +5501,7 @@ object Queries {
     "t72_probe_select" -> t72_probe_select,
     "t73_ann_index_asof" -> t73_ann_index_asof,
     "t74_pq_index_asof" -> t74_pq_index_asof,
+    "t77_bm25_index_asof" -> t77_bm25_index_asof,
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
     "t76_bigram_lm" -> t76_bigram_lm,
     "p14_vocab_growth" -> p14_vocab_growth,

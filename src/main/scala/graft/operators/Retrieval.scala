@@ -108,8 +108,123 @@ object Retrieval {
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     Ddl.writeBucketedTable(postings, table, "term", numBuckets)
-    // a fresh build has zero deletes
+    // a fresh build has zero deletes and zero streamed side batches
     Ddl.dropTombstones(spark, table)
+    CommitLog.clear(spark, table)
+  }
+
+  /** [[appendToBm25Index]] with an ATOMIC per-batch commit — the
+    * [[graft.operators.VectorOps.appendToIndexCommitted]] shape for the
+    * keyword index. A BM25 append spans TWO relations (postings and
+    * `_docs`); both land as SUBDIRECTORIES of one [[CommitLog]] staging
+    * directory, so the single rename commits them TOGETHER — closing,
+    * for this path, the multi-table atomicity window the direct append
+    * documents (the third table, `_stats`, disappears entirely: a
+    * loaded probe recomputes (n_docs, avgdl) exactly for the batches it
+    * reads, see [[loadBm25Index]]). A crash anywhere leaves either
+    * nothing or the whole batch; replaying a committed id is a no-op
+    * (returns false). Probes see a committed batch via
+    * [[loadBm25Index]]/[[loadBm25IndexAsOf]]; the base-table-only
+    * [[bm25TopKFromIndex]] keeps its exact pre-existing plan.
+    * Postings side runs are term-clustered (`sortWithinPartitions`) for
+    * tight row-group stats under term predicates. */
+  def appendToBm25IndexCommitted(docs: DataFrame, idCol: String,
+      textCol: String, table: String, batchId: Long): Boolean = {
+    val spark = docs.sparkSession
+    CommitLog.commit(spark, table, batchId) { dir =>
+      val toks = Staging.barrier(docs.select(col(idCol).as("id"),
+        TextDedup.tokens(col(textCol)).as("t"))
+        .select(col("id"), col("t"), size(col("t")).as("dl")))
+      toks.select(col("id"), col("dl"))
+        .write.option("compression", Ddl.ParquetCompression)
+        .parquet(s"$dir/docs")
+      toks.select(col("id"), col("dl"), explode(col("t")).as("term"))
+        .groupBy(col("term"), col("id"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+        .sortWithinPartitions("term")
+        .write.option("compression", Ddl.ParquetCompression)
+        .parquet(s"$dir/postings")
+    }
+  }
+
+  /** A loaded BM25 index snapshot: the postings relation (base table ∪
+    * the selected committed side batches, tombstones applied) plus the
+    * corpus statistics recomputed EXACTLY for that selection — the
+    * keyword twin of [[graft.operators.VectorOps.AnnIndex]]. Unlike the
+    * vector indexes there is no frozen trained state: every statistic
+    * is an exact aggregate of the visible corpus, which is what makes
+    * the as-of read exact (a snapshot probe scores with the snapshot's
+    * own n_docs/avgdl/df, not the live ones). */
+  final case class Bm25Index(posts: DataFrame, nDocs: Long, avgdl: Double)
+
+  /** Load the LIVE index: base build plus every committed side batch. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+      table: String): Bm25Index =
+    loadBm25Batches(spark, table, _ => true)
+
+  /** [[loadBm25Index]] AS OF a committed batch id — snapshot time
+    * travel over the append history ([[graft.operators.VectorOps
+    * .loadIndexAsOf]]'s CommitLog semantics, keyword side): the index
+    * as the reader saw it after batch N committed is the base tables
+    * unioned with side batches `id ≤ N`, with (n_docs, avgdl) — and,
+    * at probe time, per-term df — recomputed exactly for that prefix.
+    * Same history bounds as the vector indexes: compaction is
+    * `expire_snapshots` (time travel reaches back to the last fold),
+    * and tombstone deletes are unversioned (they apply to every
+    * snapshot — per-batch delete files are the documented Iceberg v2
+    * seam). */
+  def loadBm25IndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String, asOfBatch: Long): Bm25Index =
+    loadBm25Batches(spark, table, _ <= asOfBatch)
+
+  private def loadBm25Batches(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Long => Boolean): Bm25Index = {
+    val root = CommitLog.rootPath(spark, table)
+    val ids = CommitLog.committedBatches(spark, table).filter(keep)
+    def side(sub: String,
+        schema: org.apache.spark.sql.types.StructType) = {
+      val dirs = ids.map(id =>
+        new org.apache.hadoop.fs.Path(root, s"b$id/$sub").toString)
+      if (dirs.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(dirs: _*))
+    }
+    val baseP = spark.table(table)
+    val posts = side("postings", baseP.schema)
+      .map(baseP.unionByName(_)).getOrElse(baseP)
+    val baseD = spark.table(s"${table}_docs")
+    val docsAll = side("docs", baseD.schema)
+      .map(baseD.unionByName(_)).getOrElse(baseD)
+    // stats recomputed for EXACTLY the visible documents — integer
+    // token counts sum exactly in double, so this equals a from-scratch
+    // build's stats row bit-for-bit (the refreshBm25Stats argument)
+    val st = Ddl.withoutDeleted(spark, table, docsAll, "id")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .collect().head
+    Bm25Index(Ddl.withoutDeleted(spark, table, posts, "id"),
+      st.getLong(0), st.getDouble(1))
+  }
+
+  /** [[bm25TopKFromIndex]] over a LOADED snapshot ([[loadBm25Index]] /
+    * [[loadBm25IndexAsOf]]): identical probe plan — bucket-pruned base
+    * postings (side runs term-clustered), broadcast per-term df counted
+    * from the VISIBLE postings, the shared [[TextAnalysis.bm25Contrib]]
+    * float tree with the snapshot's stats as literals — so a snapshot
+    * probe is bit-identical to probing a from-scratch build on the
+    * snapshot's corpus (t77 gates it against the prefix-restricted
+    * oracle). */
+  def bm25TopKFromLoaded(idx: Bm25Index, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopKFromLoaded needs at least one term")
+    val posts = idx.posts.filter(col("term").isin(terms: _*))
+    val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    posts
+      .join(broadcast(dfs), Seq("term"))
+      .select(col("id"), TextAnalysis.bm25Contrib(col("tf"), col("df"),
+        lit(idx.nDocs), lit(idx.avgdl), col("dl"), k1, b).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id").asc)
+      .limit(k)
   }
 
   /** BATCHED multi-query BM25 scoring over a LOADED [[writeBm25Index]]

@@ -93,6 +93,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("BM25 committed append: atomic replay no-op; as-of probe equals a prefix rebuild with prefix stats") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val table = "graft_bm25_asof_spec"
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", table)
+    val b0 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1)
+    assert(Retrieval.appendToBm25IndexCommitted(b0, "doc_id", "text", table, 0L))
+    assert(Retrieval.appendToBm25IndexCommitted(b1, "doc_id", "text", table, 1L))
+    // replaying a committed batch id runs nothing and changes nothing
+    assert(!Retrieval.appendToBm25IndexCommitted(b1, "doc_id", "text", table, 1L))
+    // base tables untouched by committed appends: the base-only probe
+    // still answers exactly for the BUILD corpus
+    val baseProbe = Retrieval.bm25TopKFromIndex(spark, table,
+      Seq("data", "model"), k = 15).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val baseOracle = operators.TextAnalysis.bm25TopK(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      Seq("data", "model"), k = 15).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(baseProbe === baseOracle)
+    // as-of batch 0: scores AND stats must be the prefix corpus's —
+    // compare against the independent in-query scorer on base ∪ b0
+    val prefix = docs.filter(col("doc_id") % 3 =!= 0 ||
+      col("doc_id") % 2 === 0)
+    for (terms <- Seq(Seq("data", "model"), Seq("join", "window", "the"))) {
+      val asOf = Retrieval.bm25TopKFromLoaded(
+        Retrieval.loadBm25IndexAsOf(spark, table, 0L), terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rebuilt = operators.TextAnalysis.bm25TopK(prefix, "doc_id",
+        "text", terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(asOf === rebuilt, s"asOf(0) terms=$terms")
+      // and the LIVE load sees every batch = the full-corpus scorer
+      val live = Retrieval.bm25TopKFromLoaded(
+        Retrieval.loadBm25Index(spark, table), terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val full = operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(live === full, s"live terms=$terms")
+    }
+    // a fresh build clears the commit log: rebuilding leaves no batches
+    Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", table)
+    assert(operators.CommitLog.committedBatches(spark, table).isEmpty)
+  }
+
   test("ANN append: existing cell buckets untouched, frozen metadata unchanged") {
     import graft.operators.VectorOps
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
