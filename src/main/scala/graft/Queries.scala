@@ -514,6 +514,31 @@ object Queries {
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** INCREMENTAL SCD2 maintenance ([[Cdc.scd2Step]]): the c3 history
+    * built in three seq-guarded steps (base inserts, then updates,
+    * then deletes — the micro-batch shape of the streaming
+    * materializer) must equal the one-shot [[Cdc.scd2]] fold, so the
+    * gate is c3's oracle VERBATIM. Each step re-folds only the
+    * touched keys' history; untouched keys pass through one
+    * anti-join. */
+  val c5_scd2_incremental: Q = Q(
+    run = (spark, dir) => {
+      val ord = t(spark, dir, "orders")
+      val baseI = ord.withColumn("op", lit("I")).withColumn("seq", lit(0L))
+      val updates = ord.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val deletes = ord.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val h1 = Staging.barrier(Cdc.scd2(baseI, Seq("o_orderkey"), "op", "seq"))
+      val h2 = Staging.barrier(
+        Cdc.scd2Step(h1, updates, Seq("o_orderkey"), "op", "seq"))
+      Cdc.scd2Step(h2, deletes, Seq("o_orderkey"), "op", "seq")
+        .orderBy("o_orderkey", "valid_from")
+    },
+    oracle = c3_scd2_history.oracle)
+
   val c1_cdc_merge: Q = Q(
     run = (spark, dir) => {
       val ord = t(spark, dir, "orders")
@@ -5478,6 +5503,7 @@ object Queries {
     "c2_snapshot_diff" -> c2_snapshot_diff,
     "c3_scd2_history" -> c3_scd2_history,
     "c4_scd2_asof" -> c4_scd2_asof,
+    "c5_scd2_incremental" -> c5_scd2_incremental,
     "p3_profile" -> p3_profile,
     "p4_quality_checks" -> p4_quality_checks,
     "p5_histogram" -> p5_histogram,

@@ -167,4 +167,73 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop(opCol)
   }
+
+  /**
+   * One INCREMENTAL SCD2 maintenance step — the building block of the
+   * streaming history materializer
+   * ([[graft.streaming.StreamingIngest.scd2Materialize]]), closing the
+   * batch/stream asymmetry c1 never had (its merge got [[mergeStep]];
+   * [[scd2]] had no incremental form). `history` is a previously
+   * materialized [[scd2]] output; `changes` is the next change slice.
+   *
+   * Law (CdcSpec, any split): folding a change log through scd2Step in
+   * ANY batch partitioning (per-key seq-ordered across batches, as a
+   * CDC log read in offset order delivers) equals one [[scd2]] over
+   * the whole log.
+   *
+   * Seq-guarded: each key's applied frontier is
+   * `max(coalesce(valid_to, valid_from))` over its history — a closing
+   * seq is remembered even though the close contributed no version —
+   * so replayed batches and late duplicates (seq ≤ frontier) are
+   * ignored, exactly [[mergeStep]]'s replay discipline.
+   *
+   * Shape: keys untouched by the batch pass through with ONE anti-join
+   * (broadcast when the batch is small — the common case); only the
+   * touched keys' history (bounded by batch-key churn, not corpus
+   * size) is re-folded, by re-expressing it as its generating change
+   * log (each version an upsert at `valid_from`; a key with no open
+   * row additionally a delete at its closing seq) and running [[scd2]]
+   * over reconstruction ∪ fresh changes.
+   */
+  def scd2Step(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String): DataFrame = {
+    require(Seq("valid_from", "valid_to", "is_current")
+        .forall(history.columns.contains),
+      "history must be an scd2 output (valid_from, valid_to, is_current)")
+    val payload = changes.columns.toSeq
+      .filterNot(c => c == opCol || c == seqCol)
+    val keys = keyCols.map(col)
+    val touched = changes.select(keys: _*).distinct()
+    val untouched = history.join(touched, keyCols, "left_anti")
+    val ht = history.join(touched, keyCols, "left_semi")
+    val frontier = ht.groupBy(keys: _*)
+      .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__applied"))
+    val fresh = changes.join(frontier, keyCols, "left")
+      .filter(col("__applied").isNull || col(seqCol) > col("__applied"))
+      .drop("__applied")
+      .select((payload.map(col) :+ col(seqCol) :+ col(opCol)): _*)
+    // each history version re-emits as the upsert that opened it …
+    val reopened = ht.select((payload.map(col) :+
+      col("valid_from").as(seqCol) :+ lit("U").as(opCol)): _*)
+    // … and every DELETE is recovered from the interval chain: a
+    // version closed by anything other than the next version's open
+    // (including the key's final close, where there is no next) was
+    // closed by a D at its valid_to — interior deletes included
+    // (delete-then-reinsert leaves [a,d) [r,…) with d ≠ r). The D left
+    // no version, but its seq is the valid_to; payload values on a D
+    // are ignored by scd2. Unique per-key seqs assumed (the CDC log's
+    // LSN), as everywhere in this family.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy("valid_from")
+    val closers = ht
+      .withColumn("__nvf", lead(col("valid_from"), 1).over(wk))
+      .filter(col("valid_to").isNotNull &&
+        (col("__nvf").isNull || col("valid_to") =!= col("__nvf")))
+      .select((payload.map(col) :+ col("valid_to").as(seqCol) :+
+        lit("D").as(opCol)): _*)
+    val refolded = scd2(
+      reopened.unionByName(closers).unionByName(fresh),
+      keyCols, opCol, seqCol)
+    untouched.unionByName(refolded.select(untouched.columns.map(col): _*))
+  }
 }

@@ -597,6 +597,57 @@ object StreamingIngest {
     (q, () => state)
   }
 
+  /** Streaming SCD2 history materializer — the stream twin of
+    * [[graft.operators.Cdc.scd2]], closing the asymmetry where c1's
+    * merge had a streaming counterpart but the type-2 history did not:
+    * consume a change-event stream and maintain the FULL version
+    * history across micro-batches. Each batch runs one seq-guarded
+    * [[graft.operators.Cdc.scd2Step]] (untouched keys pass through an
+    * anti-join; only the batch's keys re-fold; replayed/stale seqs are
+    * ignored via the per-key frontier), then the new history is
+    * `localCheckpoint`ed — the same lineage-truncation and
+    * deterministic block-release discipline as [[cdcMaterialize]]. On
+    * a real cluster the sink is a table write per batch; the step
+    * shape is the same.
+    *
+    * `initial` is a previously materialized history ([[graft.operators
+    * .Cdc.scd2]] output) or None for an empty start. Returns the
+    * running query and a thunk reading the CURRENT history (call after
+    * `processAllAvailable()` for a settled view). Contract
+    * (StreamingSpec): stream-fed history ≡ batch scd2 over the same
+    * rows for ANY micro-batch split, including across a checkpoint
+    * restart re-seeded from the captured history. */
+  def scd2Materialize(changes: DataFrame, initial: Option[DataFrame],
+      keyCols: Seq[String], opCol: String, seqCol: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : (StreamingQuery, () => DataFrame) = {
+    val payload = changes.columns.toSeq
+      .filterNot(c => c == opCol || c == seqCol)
+    val empty = changes.sparkSession.createDataFrame(
+      changes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        changes.select((payload.map(col) :+
+          col(seqCol).cast("long").as("valid_from") :+
+          col(seqCol).cast("long").as("valid_to")): _*).schema.fields :+
+          org.apache.spark.sql.types.StructField("is_current",
+            org.apache.spark.sql.types.BooleanType, nullable = true)))
+    var state = initial.getOrElse(empty).localCheckpoint(eager = true)
+    val q = changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = graft.operators.Cdc
+          .scd2Step(state, batch, keyCols, opCol, seqCol)
+          .localCheckpoint(eager = true)
+        org.apache.spark.sql.graft.bridge.checkpointedRdd(state)
+          .foreach(_.unpersist(blocking = false))
+        state.unpersist(blocking = false)
+        state = next
+      }
+      .trigger(trigger)
+      .start()
+    (q, () => state)
+  }
+
   /** True session-window aggregation (gap-merged event-time windows) —
     * works identically over a stream or a batch frame. */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -110,4 +110,41 @@ class CdcSpec extends SparkSpec {
     assert(r.filter(_._1 == 1L).forall(v => v._4.isDefined && !v._5))
     assert(r.count(v => v._1 == 2L && v._5) === 1)
   }
+
+  test("scd2Step: any batch split of the log equals the one-shot fold; replays are ignored") {
+    // the full log exercises every transition ACROSS batch boundaries:
+    // update chains, delete-closes, delete-then-reinsert, a brand-new
+    // key mid-stream, and an untouched key (5) that must pass through
+    val log = Seq(
+      (1L, "a1", "I", 0L), (1L, "a2", "U", 2L), (1L, "a3", "U", 5L),
+      (2L, "b1", "I", 0L), (2L, "b2", "U", 1L), (2L, "b2", "D", 3L),
+      (3L, "c1", "I", 1L), (3L, "c1", "D", 4L), (3L, "c2", "I", 6L),
+      (4L, "d1", "I", 7L),
+      (5L, "e1", "I", 0L)
+    ).toDF("k", "v", "op", "seq")
+    val oneShot = Cdc.scd2(log, Seq("k"), "op", "seq")
+      .collect().map(_.toString).sorted.toSeq
+    // three different splits, including one that separates a D from the
+    // I it closes and one that splits a key's chain mid-way
+    val splits: Seq[Seq[DataFrame]] = Seq(
+      Seq(log.filter("seq <= 1"), log.filter("seq > 1 AND seq <= 4"),
+        log.filter("seq > 4")),
+      Seq(log.filter("seq = 0"), log.filter("seq IN (1,2)"),
+        log.filter("seq IN (3,4,5)"), log.filter("seq > 5")),
+      Seq(log))
+    splits.zipWithIndex.foreach { case (batches, i) =>
+      val folded = batches.foldLeft(Option.empty[DataFrame]) {
+        case (None, b) => Some(Cdc.scd2(b, Seq("k"), "op", "seq"))
+        case (Some(h), b) => Some(Cdc.scd2Step(h, b, Seq("k"), "op", "seq"))
+      }.get
+      assert(folded.collect().map(_.toString).sorted.toSeq === oneShot,
+        s"split $i")
+    }
+    // replay guard: re-applying an already-folded slice changes nothing
+    val h = Cdc.scd2(log.filter("seq <= 4"), Seq("k"), "op", "seq")
+    val h2 = Cdc.scd2Step(h, log.filter("seq > 4"), Seq("k"), "op", "seq")
+    val h3 = Cdc.scd2Step(h2, log.filter("seq > 1 AND seq <= 4"),
+      Seq("k"), "op", "seq")
+    assert(h3.collect().map(_.toString).sorted.toSeq === oneShot)
+  }
 }

@@ -1142,6 +1142,72 @@ class StreamingSpec extends SparkSpec {
     assert(batch === streamed)
   }
 
+  test("streaming SCD2 materializer equals the batch history across splits and a restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the full log covers update chains, delete-closes, a
+    // delete-then-reinsert SPLIT ACROSS the restart, a new key after
+    // the restart, and a stale replayed change that the seq guard
+    // must ignore
+    val preWaves = Seq(
+      Seq((1L, "a1", "I", 0L), (2L, "b1", "I", 0L), (5L, "e1", "I", 0L)),
+      Seq((1L, "a2", "U", 2L), (2L, "b2", "U", 1L), (3L, "c1", "I", 1L)),
+      Seq((2L, "b2", "D", 3L), (3L, "c1", "D", 4L)))
+    val postWaves = Seq(
+      Seq((1L, "a3", "U", 5L), (3L, "c2", "I", 6L),
+        (1L, "aStale", "U", 2L)), // stale: seq 2 already applied
+      Seq((4L, "d1", "I", 7L)))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("op", StringType),
+      StructField("seq", LongType)))
+    val src = tmp("scd2-src")
+    def writeWaves(waves: Seq[Seq[(Long, String, String, Long)]],
+        offset: Int): Unit =
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val staging = tmp(s"scd2-wave${offset + i}")
+        rows.toDF("k", "v", "op", "seq")
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave${offset + i}.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + (offset + i) * 60000L)
+      }
+    writeWaves(preWaves, 0)
+    val stream1 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val (q1, read1) = StreamingIngest.scd2Materialize(
+      stream1, None, Seq("k"), "op", "seq")
+    q1.processAllAvailable(); q1.stop()
+    val captured = read1().collect()
+    // second life: re-seed from the captured history (the table a real
+    // deployment wrote per batch) and continue over the new waves
+    writeWaves(postWaves, preWaves.length)
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(captured.toSeq), read1().schema)
+    val (q2, read2) = StreamingIngest.scd2Materialize(
+      stream2, Some(seed), Seq("k"), "op", "seq")
+    q2.processAllAvailable(); q2.stop()
+    val streamed = read2().collect().map(_.toString).sorted.toSeq
+    // the batch one-shot over the in-order log, stale replay excluded
+    // by scd2's own semantics? No — scd2 has no dedup; the stream's seq
+    // GUARD dropped it, so the reference log excludes the replayed row
+    val log = (preWaves ++ postWaves).flatten
+      .filterNot(_ == ((1L, "aStale", "U", 2L)))
+      .toDF("k", "v", "op", "seq")
+    val batch = graft.operators.Cdc.scd2(log, Seq("k"), "op", "seq")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    // spot-check the cross-restart chain: key 3 has a closed first
+    // version and an open reincarnation
+    val k3 = read2().filter(col("k") === 3L)
+      .orderBy("valid_from").collect()
+      .map(r => (r.getString(1), Option(r.get(3)), r.getBoolean(4)))
+    assert(k3 === Array(("c1", Some(4L), false), ("c2", None, true)))
+  }
+
   test("streaming decontamination (stream-static foreachBatch) equals the batch operator") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
