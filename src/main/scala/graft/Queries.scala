@@ -4469,6 +4469,71 @@ object Queries {
         .orderBy("user_id"),
     oracle = w6_funnel.oracle)
 
+  private val FunnelWithinMicros = 7200000000L // CEP within(2 hours)
+
+  /** WINDOWED funnel — Flink CEP's signature `within(T)` constraint
+    * ([[Funnel.funnelWithin]]): a match counts only if it completes
+    * within 2 h of its own stage-1 event. Greedy-earliest is WRONG
+    * here (an early view's window can expire while a later restart
+    * converts — FunnelSpec pins the trap), so the operator runs the
+    * max-start DP: per stage, the latest feasible window start — k
+    * nullable longs of state, one user-keyed shuffle, any restart
+    * count. The oracle replays the DP as chained total-order joins
+    * with the window predicate on every hop, pruned by the SAME
+    * max-start dominance (`max(start_us)` per reached event), and
+    * gates (stage_reached, win_start_us) hash-exactly. */
+  val w8_funnel_within: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWithin(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          FunnelWithinMicros)
+        .orderBy("user_id"),
+    oracle = Some {
+      def hop(k: Int, tp: String, prev: String): String =
+        s"""c$k AS (SELECT e.user_id, e.us, e.event_id,
+           |    max(p.start_us) AS start_us
+           |  FROM $prev p JOIN e ON e.user_id = p.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |    AND e.event_type = '$tp'
+           |    AND e.us <= p.start_us + $FunnelWithinMicros
+           |  GROUP BY e.user_id, e.us, e.event_id)""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |c1 AS (SELECT user_id, us, event_id, us AS start_us
+         |  FROM e WHERE event_type = '${FunnelStages(0)}'),
+         |${hop(2, FunnelStages(1), "c1")},
+         |${hop(3, FunnelStages(2), "c2")},
+         |m1 AS (SELECT user_id, max(start_us) AS r FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, max(start_us) AS r FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, max(start_us) AS r FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.r IS NOT NULL THEN 3
+         |       WHEN m2.r IS NOT NULL THEN 2
+         |       WHEN m1.r IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  CAST(coalesce(m3.r, m2.r, m1.r) AS BIGINT) AS win_start_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    },
+    bench = true)
+
+  /** [[w8_funnel_within]] through the SKEW-SAFE bucketed split
+    * ([[Funnel.funnelWithinBucketed]], 1-hour segments): the windowed
+    * DP's segment summary needs the window-start slot the
+    * unconstrained monoid lacked — in-segment DP starts, plus
+    * greedy-earliest i→j completion times that decide whether a
+    * carried start's deadline survives the segment. Value-identical
+    * to the single fold, so it gates against w8's oracle VERBATIM
+    * (the w7-style strongest twin check). */
+  val w9_funnel_within_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWithinBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          FunnelWithinMicros, bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w8_funnel_within.oracle)
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate it — the event-pipeline staple Spark
     * runs as `get_json_object` inside whole-stage codegen (no UDF, no
@@ -5609,6 +5674,8 @@ object Queries {
     "j7_conversion_latency" -> j7_conversion_latency,
     "w6_funnel" -> w6_funnel,
     "w7_funnel_bucketed" -> w7_funnel_bucketed,
+    "w8_funnel_within" -> w8_funnel_within,
+    "w9_funnel_within_bucketed" -> w9_funnel_within_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

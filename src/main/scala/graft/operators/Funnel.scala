@@ -61,6 +61,141 @@ object Funnel {
         (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
   }
 
+  // -------------------------------------------------------------------
+  // Windowed funnel — Flink CEP's `within(T)` time bound
+  // -------------------------------------------------------------------
+
+  /** One event's transition of the windowed-funnel DP state. The state
+    * is `B[1..k]`: the MAX window-start time (stage-1 event time) among
+    * partial matches currently at stage j, NULL when none — max-start
+    * DOMINATES (a later start has a later deadline `start + T`, so
+    * every completion feasible for an earlier start is feasible for it),
+    * which is what makes k nullable longs a lossless state. Greedy
+    * alone is WRONG under a time bound (the earliest stage-1 pick can
+    * expire while a later restart completes — the classic CEP-window
+    * trap, spec-pinned); the DP considers every restart. Transitions
+    * read the PRE-event vector, so an event never extends a chain
+    * containing itself even when the pattern repeats a type. */
+  private def withinStep(st: Column, e: Column, k: Int,
+      stages: Seq[String], windowMicros: Long): Column =
+    array((1 to k).map { j =>
+      val cur = element_at(st, j)
+      if (j == 1)
+        when(e.getField("tp") === lit(stages(0)),
+          greatest(cur, e.getField("us"))).otherwise(cur)
+      else {
+        val prev = element_at(st, j - 1)
+        when(e.getField("tp") === lit(stages(j - 1)) && prev.isNotNull &&
+            e.getField("us") <= prev + lit(windowMicros),
+          greatest(cur, prev)).otherwise(cur)
+      }
+    }: _*)
+
+  /** Project the DP vector to the output struct: `stage_reached` is
+    * the count of non-null slots (set slots are a prefix — stage j
+    * requires stage j-1), `win_start_us` the max feasible window start
+    * among partials reaching that stage (deterministic, integer-exact,
+    * SQL-replayable by k chained picks). */
+  private def withinOut(b: Column, k: Int): Column =
+    TextDedup.bound(b) { v =>
+      TextDedup.bound(size(filter(v, x => x.isNotNull))) { sr =>
+        struct(sr.as("stage_reached"),
+          when(sr > 0, element_at(v, sr)).as("win_start_us"))
+      }
+    }
+
+  /**
+   * [[funnel]] with Flink CEP's `within` constraint: a match counts
+   * only if every stage completes within `windowMicros` of ITS OWN
+   * stage-1 event. `stage_reached` = the longest stage prefix some
+   * in-window chain reaches; `win_start_us` = the latest stage-1 time
+   * among chains reaching it.
+   *
+   * Same scale shape as [[funnel]]: ONE user-keyed shuffle, then a
+   * per-user expression fold — state is k nullable longs whatever the
+   * event count (the window adds restarts, not state). The oracle
+   * replays it as k-1 chained total-order joins with the window
+   * predicate on every hop (w8).
+   */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[String],
+      windowMicros: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && windowMicros > 0, "need stages and windowMicros > 0")
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val init = array_repeat(lit(null).cast("long"), k)
+    val folded = aggregate(col("evs"), init,
+      (b, e) => withinStep(b, e, k, stages, windowMicros))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"), withinOut(folded, k).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
+  /**
+   * [[funnelWithin]] for SKEWED keys — the [[funnelBucketed]] segment
+   * split carried over to the windowed DP. A segment's effect on the
+   * state vector is captured by THREE bounded summaries (the
+   * "window-start slot" the unconstrained monoid lacked):
+   *
+   *   - `S[j]`   — the in-segment windowed DP: max start of a chain
+   *     that BEGINS and reaches stage j inside this segment;
+   *   - `F[i]`   — the greedy-earliest fold from entry stage i
+   *     ([[foldFrom]]): its witnesses give `E[i][j]`, the EARLIEST
+   *     time any i→j chain inside the segment completes. A carried
+   *     partial with start `B[i]` can cross the segment to stage j
+   *     iff `E[i][j] ≤ B[i] + T` (greedy-earliest minimizes every
+   *     prefix's completion time, so the check is exact);
+   *   - composition keeps, per stage, the max start over {carried,
+   *     extended, fresh} — the same dominance argument as the plain
+   *     DP, so bucketed ≡ plain bit-for-bit (spec + w9 gate verbatim).
+   *
+   * Two user-keyed shuffles, per-group memory bounded by the bucket
+   * width; the merge state is k nullable longs and each segment
+   * summary is O(k²) metadata.
+   */
+  def funnelWithinBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], windowMicros: Long,
+      bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && windowMicros > 0 && bucketSeconds > 0,
+      "need stages, windowMicros > 0 and bucketSeconds > 0")
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val init = array_repeat(lit(null).cast("long"), k)
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        aggregate(col("evs"), init,
+          (b, e) => withinStep(b, e, k, stages, windowMicros)).as("sdp"),
+        transform(sequence(lit(1), lit(k - 1).cast("int")),
+          i => foldFrom(col("evs"), i, k, stages)).as("ff"))
+    val merged = aggregate(col("segs"), init, (b, seg) =>
+      array((1 to k).map { j =>
+        val fresh = element_at(seg.getField("sdp"), j)
+        val carried = element_at(b, j)
+        val extended = (1 until j).map { i =>
+          val f = element_at(seg.getField("ff"), i) // entry stage i
+          val bi = element_at(b, i)
+          when(bi.isNotNull && f.getField("s") >= j &&
+              element_at(f.getField("w"), j - i) <= bi + lit(windowMicros),
+            bi)
+        }
+        greatest((Seq(fresh, carried) ++ extended): _*)
+      }: _*))
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("bkt"), col("sdp"), col("ff")))).as("segs"))
+      .select(col("user_id"), withinOut(merged, k).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

@@ -99,6 +99,117 @@ class FunnelSpec extends SparkSpec {
     assert(coarse === single)
   }
 
+  test("funnelWithin: the expired-window restart trap, boundary inclusivity, repeated types") {
+    val W = 15000000L // 15 s in micros
+    val s = 1000000L
+    val ev = Seq(
+      // user 1: the CEP trap — greedy's earliest view (t=0) expires
+      // before the click at t=20; the restart view at t=18 converts.
+      // A windowless greedy fold would report stage 1.
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(18), "view"),
+      (1L, 3L, ts(20), "click"),
+      // user 2: click exactly AT start+W is in-window (inclusive bound)
+      (2L, 4L, ts(5), "view"), (2L, 5L, ts(20), "click"),
+      // user 3: click 1s past the window of the only view → stage 1,
+      // win start stays the view's own time
+      (3L, 6L, ts(2), "view"), (3L, 7L, ts(18), "click"),
+      // user 4: two full chains; win_start is the LATER feasible start
+      (4L, 8L, ts(0), "view"), (4L, 9L, ts(1), "click"),
+      (4L, 10L, ts(2), "purchase"),
+      (4L, 11L, ts(10), "view"), (4L, 12L, ts(11), "click"),
+      (4L, 13L, ts(12), "purchase"),
+      // user 5: an event never extends a chain containing itself even
+      // when the pattern repeats its type (view,view needs TWO events)
+      (5L, 14L, ts(10), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = Funnel.funnelWithin(ev, "user_id", "event_type", "ts",
+        "event_id", Seq("view", "click", "purchase"), W)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long] - us0)))
+    assert(r === Array(
+      (1L, 2, Some(18 * s)),
+      (2L, 2, Some(5 * s)),
+      (3L, 1, Some(2 * s)),
+      (4L, 3, Some(10 * s)),
+      (5L, 1, Some(10 * s))))
+    val rep = Funnel.funnelWithin(ev.filter("user_id = 5"),
+        "user_id", "event_type", "ts", "event_id", Seq("view", "view"), W)
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(rep === Array((5L, 1)))
+  }
+
+  test("property: funnelWithin equals a brute-force all-chains reference; huge window equals the plain funnel") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    val W = 8000000L // 8 s window against 50 s of events: many expiries
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    // brute force: per user, max start per stage over ALL in-window
+    // chains via the same DP recurrence run in plain Scala
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2))
+      val b = Array.fill[Option[Long]](stages.length)(None)
+      sorted.foreach { e =>
+        val us = e._3.getTime * 1000L
+        for (j <- stages.length to 2 by -1)
+          if (e._4 == stages(j - 1) && b(j - 2).exists(us <= _ + W))
+            b(j - 1) = Some(math.max(b(j - 1).getOrElse(Long.MinValue),
+              b(j - 2).get))
+        if (e._4 == stages(0))
+          b(0) = Some(math.max(b(0).getOrElse(Long.MinValue), us))
+      }
+      val sr = b.count(_.isDefined)
+      (sr, if (sr > 0) b(sr - 1) else None)
+    }.toMap
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelWithin(df, "user_id", "event_type", "ts",
+        "event_id", stages, W)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1 == 3)) // completions exercised
+    // with a window wider than the log, stage_reached == plain funnel
+    val wide = Funnel.funnelWithin(df, "user_id", "event_type", "ts",
+        "event_id", stages, 86400000000L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val plain = Funnel.funnel(df, "user_id", "event_type", "ts",
+        "event_id", stages)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(wide.view.mapValues(_._1).toMap === plain)
+    // and the 8 s window actually bit somewhere: some user's verdict
+    // (stage or winning start) differs from the unconstrained one
+    assert(got.exists { case (u, v) => wide(u) != v })
+  }
+
+  test("bucketed windowed funnel == single windowed fold on random logs (1-second segments)") {
+    val rnd = new scala.util.Random(777777L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    val W = 8000000L
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(45)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val single = Funnel.funnelWithin(df, "user_id", "event_type", "ts",
+      "event_id", stages, W).orderBy("user_id").collect()
+    // 1-second buckets: chains cross MANY segment boundaries, windows
+    // expire mid-segment-chain, carried starts extend across segments
+    val bucketed = Funnel.funnelWithinBucketed(df, "user_id", "event_type",
+      "ts", "event_id", stages, W, bucketSeconds = 1L)
+      .orderBy("user_id").collect()
+    assert(bucketed === single)
+    val coarse = Funnel.funnelWithinBucketed(df, "user_id", "event_type",
+      "ts", "event_id", stages, W, bucketSeconds = 86400L)
+      .orderBy("user_id").collect()
+    assert(coarse === single)
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
