@@ -65,8 +65,11 @@ object Bench {
       // 128 MB per partition makes every sub-128MB scan a SINGLE task,
       // silently serializing map-dominated measurements (the official
       // driver corpus is one row group per file, so this only affects
-      // multi-group inputs like the scale-audit corpora)
-      .config("spark.sql.files.maxPartitionBytes", "2m")
+      // multi-group inputs like the scale-audit corpora). Env-tunable
+      // for A/B-ing split-size effects on small scan-bound queries
+      // (the round-11→12 c1 "regression" was exactly this knob).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -130,13 +133,26 @@ object Bench {
       }
       def spread: Double =
         if (times.size < 2) 0.0 else (times.max - times.min) / times.min
+      // a STILL-IMPROVING tail: the latest rep is the best yet and beat
+      // its predecessor by more than JIT jitter — the JVM is still
+      // warming, so the min has not converged
+      def improving: Boolean = times.size >= 2 && {
+        val last = times.last; val prev = times(times.size - 2)
+        last == times.min && (prev - last) / last > 0.05
+      }
       while (!broken && times.size < reps) runOnce()
-      // auto-extension: noisy spread under a loaded host buys extra reps
-      // (a quiet-host spread is code-real and stands as measured; a
-      // sub-floor minimum is already fast enough that extending would
-      // only burn the heavies' wall-clock on JIT noise)
-      while (!broken && times.size < maxReps && spread > spreadBound &&
-        times.min > extendFloor && repLoads.last > highLoad) runOnce()
+      // auto-extension, two triggers:
+      //   1. noisy spread under a loaded host buys extra reps (a
+      //      quiet-host spread is code-real and stands as measured);
+      //   2. a monotone-improving tail extends REGARDLESS of load —
+      //      otherwise min-of-reps depends on the rep count, not the
+      //      code: the round-10→11 c1 "regression" was r10's loaded
+      //      host extending to 9 reps (deep JIT warm, 0.56) while
+      //      r11's quiet host stopped at 3 (0.75), rep-for-rep equal.
+      // A sub-floor minimum never extends (JIT noise, wall-clock guard).
+      while (!broken && times.size < maxReps && times.min > extendFloor &&
+        ((spread > spreadBound && repLoads.last > highLoad) || improving))
+        runOnce()
       name -> ((times.toSeq, repLoads.toSeq))
     }
     def jmap(pairs: Seq[(String, Double)]): String =
