@@ -253,6 +253,37 @@ object StreamingIngest {
       graft.operators.Retrieval.appendToBm25Index(_, idCol, textCol,
         table, numBuckets))
 
+  /** [[appendDocBatch]] WITHOUT the crash window: the atomic
+    * [[graft.operators.Retrieval.appendToBm25IndexCommitted]] commit —
+    * the batch's postings and docs land under ONE CommitLog rename, so
+    * replay idempotence comes from the log itself (no side ledger) and
+    * a crash leaves either nothing or the whole batch. Probes read the
+    * committed batches via `loadBm25Index[AsOf]`; the trade vs the
+    * ledgered path is that the base-table-only
+    * [[graft.operators.Retrieval.bm25TopKFromIndex]] does not see side
+    * batches until a compaction folds them. */
+  def appendDocBatchCommitted(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, table: String): Unit = {
+    graft.operators.Retrieval.appendToBm25IndexCommitted(batch, idCol,
+      textCol, table, batchId)
+    ()
+  }
+
+  /** The streaming BM25 maintenance sink over the atomic committed
+    * path — [[streamingBm25Append]]'s exactly-once-by-rename twin. */
+  def streamingBm25AppendCommitted(stream: DataFrame, idCol: String,
+      textCol: String, table: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Staging.scoped {
+          appendDocBatchCommitted(batch, id, idCol, textCol, table)
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** [[appendVectorBatch]]'s DELETE twin: one idempotent micro-batch of
     * tombstones ([[graft.operators.VectorOps.deleteFromIndex]] under a
     * SEPARATE `<table>_deletes` ledger — append and delete streams have

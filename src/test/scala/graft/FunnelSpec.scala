@@ -219,4 +219,15 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Join"),
       s"k-stage funnel must not plan per-stage joins or windows:\n$plan")
   }
+
+  test("plan gate: the windowed funnel keeps the one-shuffle shape; the DP adds state, not plan") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val plan = Funnel.funnelWithin(ev, "user_id", "event_type", "ts",
+      "event_id", Seq("view", "click", "purchase"), 7200000000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle (partial+final agg):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"the within(T) DP must not plan per-stage joins or windows:\n$plan")
+  }
 }

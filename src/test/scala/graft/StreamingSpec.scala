@@ -650,6 +650,55 @@ class StreamingSpec extends SparkSpec {
     assert(probeStream.nonEmpty)
   }
 
+  test("streaming committed BM25 append: atomic batches, loaded probe equals the full-corpus scorer") {
+    import graft.operators.{CommitLog, Retrieval, Staging}
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val buildSide = docs.filter(col("doc_id") % 3 =!= 0)
+    val appendSide = docs.filter(col("doc_id") % 3 === 0)
+    val terms = Seq("data", "model", "the")
+    val table = "graft_stream_bm25_commit"
+    Staging.scoped {
+      Retrieval.writeBm25Index(buildSide, "doc_id", "text", table)
+    }
+    val src = tmp("bm25-commit-src")
+    Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+      .zipWithIndex.foreach { case (pred, i) =>
+        val staging = tmp(s"bm25-commit-wave$i")
+        appendSide.filter(pred).coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val stream = spark.readStream.schema(appendSide.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIngest.streamingBm25AppendCommitted(stream, "doc_id",
+      "text", table)
+    q.processAllAvailable(); q.stop()
+    // one atomic commit per micro-batch; the base tables are untouched
+    assert(CommitLog.committedBatches(spark, table).size === 2)
+    val baseOnly = Staging.scoped {
+      Retrieval.bm25TopKFromIndex(spark, table, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val buildOracle = operators.TextAnalysis
+      .bm25TopK(buildSide, "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(baseOnly === buildOracle)
+    // the LOADED probe sees both committed batches = full-corpus scorer
+    val loaded = Staging.scoped {
+      Retrieval.bm25TopKFromLoaded(Retrieval.loadBm25Index(spark, table),
+          terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val fullOracle = operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(loaded === fullOracle)
+  }
+
   test("streaming CEP funnel: event-time ordering via watermark buffer equals the batch funnel") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
