@@ -48,10 +48,23 @@ object SkewAudit {
       bucketSeconds).collect())
     val equal = single.map(_.toString).sorted.sameElements(
       bucketed.map(_.toString).sorted)
+    // the WINDOWED pair on the same skewed log (within = 2 bucket widths
+    // so chains and expiries cross segment boundaries)
+    val winMicros = 2L * bucketSeconds * 1000000L
+    val (wSingle, tWSingle) = time(operators.Funnel.funnelWithin(ev,
+      "user_id", "event_type", "ts", "event_id", stages,
+      winMicros).collect())
+    val (wBucketed, tWBucketed) = time(operators.Funnel.funnelWithinBucketed(
+      ev, "user_id", "event_type", "ts", "event_id", stages, winMicros,
+      bucketSeconds).collect())
+    val wEqual = wSingle.map(_.toString).sorted.sameElements(
+      wBucketed.map(_.toString).sorted)
     // scalastyle:off println
     println(s"""{"metric":"skew_funnel","power_events":$powerN,""" +
       s""""bucket_seconds":$bucketSeconds,"single_sec":$tSingle,""" +
-      s""""bucketed_sec":$tBucketed,"rows":${single.length},"equal":$equal}""")
+      s""""bucketed_sec":$tBucketed,"rows":${single.length},"equal":$equal,""" +
+      s""""within_single_sec":$tWSingle,"within_bucketed_sec":$tWBucketed,""" +
+      s""""within_equal":$wEqual}""")
     // scalastyle:on println
     spark.stop()
   }
