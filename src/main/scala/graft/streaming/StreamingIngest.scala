@@ -853,6 +853,104 @@ object StreamingIngest {
     else Iterator.empty
   }
 
+  /** DP-slot sentinel for "no partial match at this stage" — the state
+    * encoder carries plain longs, not options. */
+  private val NoStart = Long.MinValue
+
+  final case class FunnelWinState(b: Seq[Long],
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelWinUpdate(user_id: Long, stage_reached: Int,
+      win_start_us: Option[Long])
+
+  /**
+   * Streaming WINDOWED funnel — [[graft.operators.Funnel.funnelWithin]]'s
+   * twin, completing the CEP family's batch/stream symmetry for the
+   * `within(T)` bound. Same watermark-buffer discipline as
+   * [[updateFunnel]] (the DP is order-sensitive too: a late-but-on-time
+   * stage-1 event can RAISE the max feasible start retroactively), but
+   * the per-user state is the max-start DP vector instead of the greedy
+   * stage pointer: B[j] = the latest stage-1 time among in-window
+   * chains at stage j (NoStart when none) — k longs however many
+   * restarts the user's history holds.
+   *
+   * Emission is delta-style on the OBSERVABLE pair: a row whenever
+   * (stage_reached, win_start_us) changes — the window start can move
+   * to a later restart without the stage changing, and the last
+   * emission must equal the batch operator (spec contract). State
+   * retention mirrors [[updateFunnel]]: empty entries drop losslessly,
+   * completed funnels tombstone with the optional after-match TTL.
+   */
+  def updateFunnelWithin(stages: IndexedSeq[String], windowMicros: Long,
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelWinState]): Iterator[FunnelWinUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(
+      FunnelWinState(Seq.fill(k)(NoStart), Nil))
+    def stageOf(b: Seq[Long]): Int = b.count(_ != NoStart)
+    def winOf(b: Seq[Long]): Option[Long] = {
+      val s = stageOf(b); if (s > 0) Some(b(s - 1)) else None
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    if (stageOf(prev.b) == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val b = prev.b.toArray
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      // pre-event values: an event never extends a chain containing
+      // itself (matches the batch DP's transform-over-pre-state)
+      val pre = b.clone()
+      var j = k
+      while (j >= 2) {
+        if (tp == stages(j - 1) && pre(j - 2) != NoStart &&
+            us <= pre(j - 2) + windowMicros)
+          b(j - 1) = math.max(b(j - 1), pre(j - 2))
+        j -= 1
+      }
+      if (tp == stages(0)) b(0) = math.max(b(0), us)
+    }
+    val stage = stageOf(b)
+    val rest = if (stage == k) Nil else immature
+    if (stage == 0 && rest.isEmpty) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelWinState(b.toSeq, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (stage == k && matchRetentionMs != Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(
+          b(k - 1) / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    val out = (stage, winOf(b.toSeq))
+    if (first || out != ((stageOf(prev.b), winOf(prev.b))))
+      Iterator(FunnelWinUpdate(userId, stage, out._2))
+    else Iterator.empty
+  }
+
+  /** The streaming windowed funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelWithin]]'s DP
+    * state. */
+  def streamingFunnelWithin(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowMicros: Long, watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelWinUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelWithin(stages.toIndexedSeq, windowMicros,
+          matchRetentionMs))
+  }
+
   /** The streaming funnel over an events stream (`user_id`, `event_id`,
     * `ts`, `event_type`). `watermark` is the allowed lateness — and
     * therefore the event-time reordering window the buffer absorbs. */

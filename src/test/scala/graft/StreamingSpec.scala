@@ -955,6 +955,92 @@ class StreamingSpec extends SparkSpec {
       t("2024-01-01 10:10:00")).map(_.getTime * 1000L))
   }
 
+  test("streaming windowed funnel: DP over the watermark buffer equals batch funnelWithin, across a restart") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val W = 3600000000L // within(1 hour)
+    // u1 is the windowed trap ACROSS ARRIVAL ORDER: its restart view
+    // (event time 11:50) arrives BEFORE the original view (10:00) and
+    // the click (12:30) arrives last — only the restart's window
+    // reaches the click, and only event-time folding sees that. u2's
+    // chain spans the RESTART (view+click before, purchase after, all
+    // inside one window). u3 converts pre-restart; its straggler view
+    // after the restart must not re-emit (stage already terminal).
+    val preWaves = Seq(
+      Seq(Row(1L, 10L, t("2024-01-01 11:50:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:30:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 11L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:50:00"), "click"),
+        Row(3L, 31L, t("2024-01-01 10:05:00"), "click"),
+        Row(3L, 32L, t("2024-01-01 10:10:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 13:00:00"), "error"))) // wm → 11:00
+    val postWaves = Seq(
+      Seq(Row(1L, 12L, t("2024-01-01 12:40:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 11:25:00"), "purchase"),
+        Row(3L, 33L, t("2024-01-01 11:10:00"), "view")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error"))) // wm → 18:00
+    val src = tmp("funnel-win-src")
+    val ckpt = tmp("funnel-win-ckpt")
+    def writeWaves(waves: Seq[Seq[Row]], offset: Int): Unit =
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val staging = tmp(s"funnel-win-wave${offset + i}")
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave${offset + i}.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + (offset + i) * 60000L)
+      }
+    val stages = Seq("view", "click", "purchase")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Option[Long])]
+    var batchNo = 0L
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = StreamingIngest.streamingFunnelWithin(spark, stream, stages,
+          W, "2 hours")
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val id = emitted.synchronized { batchNo += 1; batchNo }
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((id, r.getLong(0), r.getInt(1),
+              Option(r.get(2)).map(_.asInstanceOf[Long])))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeWaves(preWaves, 0)
+    runOnce()
+    writeWaves(postWaves, preWaves.length)
+    runOnce() // resumes the same state store
+    val batch = graft.operators.Funnel.funnelWithin(
+        spark.createDataFrame(spark.sparkContext.parallelize(
+          (preWaves ++ postWaves).flatten), schema),
+        "user_id", "event_type", "ts", "event_id", stages, W)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val lastByUser = emitted.zipWithIndex.groupBy(_._1._2).view
+      .mapValues(es => { val e = es.maxBy(x => (x._1._1, x._2))._1
+        (e._3, e._4) }).toMap
+    assert(lastByUser.keySet === batch.keySet)
+    lastByUser.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the trap resolved by event-time order: u1's click is claimed by
+    // the 11:50 restart (the 10:00 window expired), cross-restart
+    def us(s: String) = t(s).getTime * 1000L
+    assert(lastByUser(1L) === ((2, Some(us("2024-01-01 11:50:00")))))
+    assert(lastByUser(2L) === ((3, Some(us("2024-01-01 10:30:00")))))
+    assert(lastByUser(3L) === ((3, Some(us("2024-01-01 10:00:00")))))
+  }
+
   test("streaming notFollowedBy: timer-based absence verdicts equal the batch join") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
