@@ -1160,20 +1160,54 @@ object Queries {
        |  FROM f$k WHERE prev_app = 0 GROUP BY w, cnt)""".stripMargin
 
   /** The full unrolled BPE training chain: word-frequency base table
-    * plus all [[BpeRounds]] rounds. Ends with per-round winner CTEs
-    * `m1..m$BpeRounds` and the final word table `w${BpeRounds+1}` —
-    * shared by t66 (gates the merges) and t67 (gates the encode). */
-  private lazy val duckBpeChain: String = {
+    * (optionally over a train-subset predicate) plus all [[BpeRounds]]
+    * rounds. Ends with per-round winner CTEs `m1..m$BpeRounds` and the
+    * final word table `w${BpeRounds+1}` — shared by t66 (gates the
+    * merges), t67 (gates the encode), and t78 (whose apply chain
+    * replays the winners over a different corpus). */
+  private def duckBpeChainFor(trainPredSql: Option[String]): String = {
+    val where = trainPredSql.map(p => s" WHERE $p").getOrElse("")
     val base =
-      """w1 AS MATERIALIZED (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
-        |    [substr(w, i+1, 1) for i in range(length(w))] AS syms
-        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
-        |        FROM documents)
-        |  GROUP BY w)""".stripMargin
+      s"""w1 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    [substr(w, i+1, 1) for i in range(length(w))] AS syms
+         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |        FROM documents$where)
+         |  GROUP BY w)""".stripMargin
     val blocks = (1 to BpeRounds).map(duckBpeRound).mkString(",\n")
     s"$base,\n$blocks"
   }
+
+  private lazy val duckBpeChain: String = duckBpeChainFor(None)
+
+  /** One APPLY-ONLY round over the inference chain `v$k`: the same
+    * island-parity merge machinery as [[duckBpeRound]], but the rule
+    * comes from the TRAINING chain's winner `m$k` instead of a fresh
+    * argmax, and the chain is keyed by distinct word only (no counts).
+    * An empty `m$k` (training stopped early) makes the round a no-op —
+    * matching the Spark fold over the actual merge list. */
+  private def duckApplyRound(k: Int): String =
+    s"""ve$k AS MATERIALIZED (
+       |  SELECT w, u.pos AS pos, u.sym AS sym
+       |  FROM (SELECT w, unnest([{'pos': i, 'sym': syms[i+1]} for i in range(len(syms))]) AS u
+       |        FROM v$k)),
+       |vc$k AS MATERIALIZED (SELECT w, pos, sym,
+       |    CASE WHEN sym = (SELECT l FROM m$k)
+       |      AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM m$k)
+       |    THEN 1 ELSE 0 END AS cand
+       |  FROM ve$k),
+       |vi$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    THEN pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
+       |  FROM vc$k),
+       |va$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0 THEN 1 ELSE 0 END AS app
+       |  FROM vi$k),
+       |vf$k AS MATERIALIZED (SELECT *, COALESCE(lag(app) OVER (PARTITION BY w ORDER BY pos), 0) AS prev_app,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM va$k),
+       |v${k + 1} AS MATERIALIZED (SELECT w,
+       |    list(CASE WHEN app = 1 THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+       |  FROM vf$k WHERE prev_app = 0 GROUP BY w)""".stripMargin
 
   /** BPE merge-rule training ([[BpeTrain.train]]): the corpus is
     * touched ONCE (the word-frequency groupBy); all 64 gated rounds
@@ -1230,6 +1264,42 @@ object Queries {
          |FROM dw JOIN w${BpeRounds + 1} USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     bench = true)
+
+  /** Rank-order BPE encoding of UNSEEN words
+    * ([[BpeTrain.encodeStatsWithMerges]]) — the tokenizer's INFERENCE
+    * path, which t67's trained-table probe cannot cover: the merges
+    * train on two thirds of the corpus, the FULL corpus encodes by
+    * replaying the learned rules in rank order (chars, then each
+    * rule's greedy pass — Sennrich's `apply_bpe`, and exactly the
+    * transformation training applies round by round, so in-vocab
+    * words reproduce the trained syms bit-for-bit while the held-out
+    * third exercises truly unseen words). The oracle replays the
+    * 64-round training chain on the train subset, then 64 APPLY-ONLY
+    * rounds (same island-parity machinery, rule from the training
+    * winner) over the full corpus's distinct words. */
+  val t78_bpe_encode_unseen: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, _) = BpeTrain.train(docs.filter(col("doc_id") % 3 =!= 0),
+        "text", rounds = BpeRounds)
+      BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH ${duckBpeChainFor(Some("doc_id % 3 <> 0"))},
+         |v1 AS MATERIALIZED (
+         |  SELECT w, [substr(w, i+1, 1) for i in range(length(w))] AS syms
+         |  FROM (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |        FROM documents)),
+         |${(1 to BpeRounds).map(duckApplyRound).mkString(",\n")},
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_syms,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars
+         |FROM dw JOIN v${BpeRounds + 1} USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   private val ClassifierBandHiMicro = 5000L
 
@@ -5585,6 +5655,7 @@ object Queries {
     "t65_perplexity_buckets" -> t65_perplexity_buckets,
     "t66_bpe_merges" -> t66_bpe_merges,
     "t67_bpe_encode" -> t67_bpe_encode,
+    "t78_bpe_encode_unseen" -> t78_bpe_encode_unseen,
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,

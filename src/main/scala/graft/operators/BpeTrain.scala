@@ -40,10 +40,14 @@ object BpeTrain {
   final case class Merge(round: Int, left: String, right: String, count: Long)
 
   /** Character explosion of `w` as an expression — `transform` over an
-    * index sequence with a positional `substring`. */
+    * index sequence with a positional `substring`. Guarded for the
+    * empty string (training never sees one — the tokenizer filters
+    * empties — but [[encodeWords]] accepts caller words, and Spark's
+    * `sequence(0, -1)` counts DOWN instead of yielding []). */
   private def charsOf(w: Column): Column =
-    transform(sequence(lit(0), length(w) - 1),
-      i => substr(w, i + 1, lit(1)))
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length(w) - 1),
+        i => substr(w, i + 1, lit(1))))
 
   /** Greedy left-to-right application of merge rule (a, b) to a symbol
     * array, as a pure expression fold. Non-overlapping by construction:
@@ -95,6 +99,43 @@ object BpeTrain {
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
         sum("nc").as("n_chars"))
+
+  /**
+   * RANK-ORDER BPE ENCODING of arbitrary words — the tokenizer's
+   * INFERENCE path. [[encodeStats]] probes the trained word table, so
+   * it only covers words seen in training; a deployed tokenizer must
+   * encode UNSEEN words too, by replaying the learned merge list in
+   * rank order (Sennrich's `apply_bpe`): chars, then each rule's
+   * greedy non-overlapping pass, rule 1 first. This is EXACTLY the
+   * transformation training applies to its own word table round by
+   * round, so for in-vocab words it reproduces the trained `syms`
+   * bit-for-bit (spec law) — and it extends to any new word. Rule k's
+   * symbols only exist after rules < k ran, so sequential-by-rank
+   * needs no priority queue.
+   *
+   * Shape: one map-only pass over the (distinct-word-sized) input —
+   * the merge list rides in the expression tree (R chained folds,
+   * interpreted higher-order path, per-row cost R·|word|); no shuffle,
+   * no UDF.
+   */
+  def encodeWords(words: DataFrame, wordCol: String,
+      merges: Seq[Merge]): DataFrame =
+    words.select(col(wordCol).as("w"),
+      merges.foldLeft(charsOf(col(wordCol)))((c, m) =>
+        applyMerge(c, m.left, m.right)).as("syms"))
+
+  /** [[encodeStats]] for a corpus that may contain words UNSEEN in
+    * training: distinct words encode once via [[encodeWords]] (rank-
+    * order replay), every occurrence pays one broadcast probe — the
+    * same two-pass shape, with the merge-list replay replacing the
+    * trained-table lookup. */
+  def encodeStatsWithMerges(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = Staging.barrier(encodeWords(
+      df.select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct(),
+      "w", merges))
+    encodeStats(df, idCol, textCol, words)
+  }
 
   /** Word-table size under which the merge rounds run on the DRIVER.
     * A production tokenizer's ~30k merges would otherwise cost one

@@ -80,6 +80,30 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges.map(_.round) === (1 to merges.size))
   }
 
+  test("encodeWords: rank-order replay reproduces trained syms in-vocab and encodes unseen words") {
+    val docs = Seq("ab ab ab abc abc cd").toDF("text")
+    val (merges, trained) = BpeTrain.train(docs, "text", rounds = 4)
+    // law: replaying the merge list over the TRAINING vocab reproduces
+    // the trained word table symbol-for-symbol
+    val replay = BpeTrain.encodeWords(trained.select("w"), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    trained.select("w", "syms").collect()
+      .foreach(r => assert(replay(r.getString(0)) === r.getSeq[String](1),
+        s"word ${r.getString(0)}"))
+    // unseen words: learned pairs merge in rank order, unknown chars
+    // stay singletons
+    val unseen = BpeTrain.encodeWords(
+      Seq("abcd", "xab", "zz", "").toDF("w"), "w", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(merges.map(m => (m.left, m.right)).contains(("a", "b")))
+    assert(unseen("xab") === Seq("x", "ab"))
+    assert(unseen("zz") === Seq("z", "z"))
+    assert(unseen("") === Seq())
+    // "abcd": rank order decides whether abc forms — whatever it is,
+    // concatenating the symbols must reconstruct the word
+    assert(unseen("abcd").mkString === "abcd")
+  }
+
   test("encodeStats: per-doc word/symbol/char counts under the trained merges") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     val (merges, words) = BpeTrain.train(docs, "text", rounds = 1)
