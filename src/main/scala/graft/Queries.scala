@@ -4604,6 +4604,63 @@ object Queries {
         .orderBy("user_id"),
     oracle = w8_funnel_within.oracle)
 
+  /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
+    * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
+    * via chains with NO `error` event strictly between consecutive
+    * matched stages. Greedy is wrong here too (the earliest start can
+    * be poisoned by a blocker while a later restart stays clean), so
+    * the operator runs the NFA existence fold — 2k booleans of state,
+    * one user-keyed shuffle. The oracle replays it as chained
+    * total-order joins with a NOT EXISTS blocker probe on every hop. */
+  val w10_funnel_guarded: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGuarded(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          Seq(Some("error"), Some("error")))
+        .orderBy("user_id"),
+    oracle = Some {
+      def hop(j: Int, tp: String, prev: String): String =
+        s"""c$j AS (SELECT DISTINCT e.user_id, e.us, e.event_id
+           |  FROM $prev p JOIN e ON e.user_id = p.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |    AND e.event_type = '$tp'
+           |  WHERE NOT EXISTS (SELECT 1 FROM e b
+           |    WHERE b.user_id = p.user_id AND b.event_type = 'error'
+           |      AND (b.us > p.us OR (b.us = p.us AND b.event_id > p.event_id))
+           |      AND (b.us < e.us OR (b.us = e.us AND b.event_id < e.event_id))))""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |c1 AS (SELECT user_id, us, event_id FROM e
+         |  WHERE event_type = '${FunnelStages(0)}'),
+         |${hop(2, FunnelStages(1), "c1")},
+         |${hop(3, FunnelStages(2), "c2")},
+         |m1 AS (SELECT DISTINCT user_id FROM c1),
+         |m2 AS (SELECT DISTINCT user_id FROM c2),
+         |m3 AS (SELECT DISTINCT user_id FROM c3)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.user_id IS NOT NULL THEN 3
+         |       WHEN m2.user_id IS NOT NULL THEN 2
+         |       WHEN m1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w10_funnel_guarded]] through the SKEW-SAFE bucketed split
+    * ([[Funnel.funnelGuardedBucketed]], 1-hour segments): the NFA is
+    * a union of independent chains, so a segment's effect is LINEAR
+    * over the entry vector in the boolean semiring — k+1 unit-entry
+    * folds of O(k) metadata per segment, composed in bucket order.
+    * Gates against w10's oracle VERBATIM. */
+  val w11_funnel_guarded_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGuardedBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          Seq(Some("error"), Some("error")), bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w10_funnel_guarded.oracle)
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate it — the event-pipeline staple Spark
     * runs as `get_json_object` inside whole-stage codegen (no UDF, no
@@ -5747,6 +5804,8 @@ object Queries {
     "w7_funnel_bucketed" -> w7_funnel_bucketed,
     "w8_funnel_within" -> w8_funnel_within,
     "w9_funnel_within_bucketed" -> w9_funnel_within_bucketed,
+    "w10_funnel_guarded" -> w10_funnel_guarded,
+    "w11_funnel_guarded_bucketed" -> w11_funnel_guarded_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

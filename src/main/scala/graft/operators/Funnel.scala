@@ -196,6 +196,136 @@ object Funnel {
       .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
   }
 
+  // -------------------------------------------------------------------
+  // Guarded funnel — Flink CEP's notFollowedBy INSIDE a pattern
+  // -------------------------------------------------------------------
+
+  /** One event's transition of the guarded-funnel NFA state: `o[j]` =
+    * some chain is OPEN at stage j with no blocker since its last
+    * matched event; `e[j]` = stage j was EVER reached by a clean
+    * chain (sticky — a blocker after reaching j does not undo it).
+    * Per event: advances read the PRE state (the event that ends a
+    * gap is not "between"), then a gap's blocker kills the still-open
+    * partials at its left stage — including, by the same pre-state
+    * rule, none of the partials this very event just created.
+    * Partials are independent chains, so k booleans per vector are a
+    * lossless state (no witness interaction). */
+  private def guardedStep(st: Column, e: Column, k: Int,
+      stages: Seq[String], notBetween: Seq[Option[String]]): Column = {
+    val tp = e.getField("tp")
+    val op = st.getField("o")
+    val ev = st.getField("e")
+    def adv(j: Int): Column =
+      if (j == 1) tp === lit(stages(0))
+      else tp === lit(stages(j - 1)) && element_at(op, j - 1)
+    val newO = array((1 to k).map { j =>
+      val kill =
+        if (j < k) notBetween(j - 1).map(b => tp === lit(b))
+          .getOrElse(lit(false))
+        else lit(false)
+      adv(j) || (element_at(op, j) && !kill)
+    }: _*)
+    val newE = array((1 to k).map { j =>
+      element_at(ev, j) || adv(j)
+    }: _*)
+    struct(newO.as("o"), newE.as("e"))
+  }
+
+  private def guardedInit(k: Int, openAt: Column): Column = {
+    val o = transform(sequence(lit(1), lit(k)),
+      j => j === openAt)
+    struct(o.as("o"), array_repeat(lit(false), k).as("e"))
+  }
+
+  private def guardedOut(st: Column, k: Int): Column =
+    size(filter(st.getField("e"), x => x))
+
+  /**
+   * [[funnel]] with NEGATIVE conditions between stages — Flink CEP's
+   * `notFollowedBy` inside a pattern: stage j+1 only matches via a
+   * chain whose gap since its stage-j event contains NO event of the
+   * gap's blocker type (`notBetween(j-1)`, None = unguarded). The
+   * canonical "view → click → purchase with no error in between".
+   * Greedy is WRONG here too (the earliest stage-1 pick can be
+   * poisoned by a blocker while a later restart stays clean), so this
+   * runs the NFA existence fold: 2k booleans of state, any restart
+   * count, one user-keyed shuffle. `stage_reached` = the longest
+   * stage prefix some clean chain ever reached. The oracle replays it
+   * as chained total-order joins with a NOT EXISTS blocker probe on
+   * every hop (w10).
+   */
+  def funnelGuarded(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[String],
+      notBetween: Seq[Option[String]]): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && notBetween.length == k - 1,
+      "need stages and one (optional) blocker per gap")
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), guardedInit(k, lit(0)),
+      (st, e) => guardedStep(st, e, k, stages, notBetween))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        guardedOut(folded, k).as("stage_reached"))
+  }
+
+  /**
+   * [[funnelGuarded]] for SKEWED keys. The NFA is a UNION of
+   * independent chains, so a segment's effect is linear over the
+   * entry vector in the boolean semiring: folding the segment from
+   * each unit entry vector (and from zero, for fresh in-segment
+   * starts — `entry 0` below) yields `F_i = (o, e)` with
+   * `out_o[j] = ⋁_i (in_o[i] ∧ F_i.o[j]) ∨ F_0.o[j]` and the sticky
+   * bits accumulating the same way — k+1 folds of O(k) metadata per
+   * segment, composed in bucket order. Gates verbatim on w10's
+   * oracle (w11).
+   */
+  def funnelGuardedBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], notBetween: Seq[Option[String]],
+      bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && notBetween.length == k - 1 && bucketSeconds > 0,
+      "need stages, one (optional) blocker per gap, bucketSeconds > 0")
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(k)), entry =>
+          aggregate(col("evs"), guardedInit(k, entry),
+            (st, e) => guardedStep(st, e, k, stages, notBetween)))
+          .as("f"))
+    // merge state = the same (o, e) pair; F at index entry+1 (entry 0
+    // = fresh starts, entry i = unit vector at stage i)
+    val zero = struct(array_repeat(lit(false), k).as("o"),
+      array_repeat(lit(false), k).as("e"))
+    val merged = aggregate(col("segs"), zero, (st, seg) => {
+      val f = seg.getField("f")
+      def fAt(i: Int) = element_at(f, i + 1)
+      val o = array((1 to k).map { j =>
+        (1 to j).map(i => element_at(st.getField("o"), i) &&
+            element_at(fAt(i).getField("o"), j))
+          .foldLeft(element_at(fAt(0).getField("o"), j))(_ || _)
+      }: _*)
+      val e = array((1 to k).map { j =>
+        (1 to j).map(i => element_at(st.getField("o"), i) &&
+            element_at(fAt(i).getField("e"), j))
+          .foldLeft(element_at(st.getField("e"), j) ||
+            element_at(fAt(0).getField("e"), j))(_ || _)
+      }: _*)
+      struct(o.as("o"), e.as("e"))
+    })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
+      .select(col("user_id"), guardedOut(merged, k).as("stage_reached"))
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

@@ -210,6 +210,91 @@ class FunnelSpec extends SparkSpec {
     assert(coarse === single)
   }
 
+  test("funnelGuarded: poisoned-start restarts, blocker-as-endpoint, per-gap guards, ties") {
+    val nb = Seq(Some("error"), Some("error"))
+    val stages = Seq("view", "click", "purchase")
+    val ev = Seq(
+      // user 1: the guard trap — the first view's gap is poisoned by
+      // the error; the restart view converts. Greedy would report 1.
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "error"),
+      (1L, 3L, ts(10), "view"), (1L, 4L, ts(15), "click"),
+      // user 2: error BETWEEN click and purchase blocks stage 3 only
+      (2L, 5L, ts(0), "view"), (2L, 6L, ts(5), "click"),
+      (2L, 7L, ts(8), "error"), (2L, 8L, ts(12), "purchase"),
+      // user 3: clean full chain; later error undoes nothing (sticky)
+      (3L, 9L, ts(0), "view"), (3L, 10L, ts(5), "click"),
+      (3L, 11L, ts(10), "purchase"), (3L, 12L, ts(15), "error"),
+      // user 4: same-timestamp order — the error's LOWER event id puts
+      // it before the click in the total order: gap poisoned
+      (4L, 13L, ts(0), "view"), (4L, 14L, ts(5), "error"),
+      (4L, 15L, ts(5), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = Funnel.funnelGuarded(ev, "user_id", "event_type", "ts",
+        "event_id", stages, nb)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1)))
+    assert(r === Array((1L, 2), (2L, 2), (3L, 3), (4L, 1)))
+    // a blocker type can BE a stage type: as the matched endpoint it is
+    // not "between" — view then error converts under stages(view,error)
+    // even though error also guards the gap
+    val r2 = Funnel.funnelGuarded(ev.filter("user_id = 1"), "user_id",
+        "event_type", "ts", "event_id", Seq("view", "error"),
+        Seq(Some("error")))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(r2 === Array((1L, 2)))
+    // None = unguarded gap: user 2 completes when only gap 1 is guarded
+    val r3 = Funnel.funnelGuarded(ev.filter("user_id = 2"), "user_id",
+        "event_type", "ts", "event_id", stages,
+        Seq(Some("error"), None))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(r3 === Array((2L, 3)))
+  }
+
+  test("property: funnelGuarded equals a brute-force clean-chain reference; bucketed == single") {
+    val rnd = new scala.util.Random(555555L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    val nb = Seq(Some("error"), Some("error"))
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    // brute force: the same NFA run in plain Scala (pre-state advance,
+    // then blocker kill; sticky ever-bits)
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2))
+      val open = Array.fill(stages.length)(false)
+      val ever = Array.fill(stages.length)(false)
+      sorted.foreach { e =>
+        val pre = open.clone()
+        for (j <- stages.indices) {
+          val adv = e._4 == stages(j) && (j == 0 || pre(j - 1))
+          if (adv) { open(j) = true; ever(j) = true }
+        }
+        for (j <- 0 until stages.length - 1)
+          if (nb(j).contains(e._4) && !(e._4 == stages(j) && (j == 0 || pre(j - 1))))
+            open(j) = false
+      }
+      ever.count(identity)
+    }.toMap
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelGuarded(df, "user_id", "event_type", "ts",
+        "event_id", stages, nb)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_ == 3))
+    val single = Funnel.funnelGuarded(df, "user_id", "event_type", "ts",
+      "event_id", stages, nb).orderBy("user_id").collect()
+    val bucketed = Funnel.funnelGuardedBucketed(df, "user_id",
+      "event_type", "ts", "event_id", stages, nb, bucketSeconds = 1L)
+      .orderBy("user_id").collect()
+    assert(bucketed === single)
+    val coarse = Funnel.funnelGuardedBucketed(df, "user_id",
+      "event_type", "ts", "event_id", stages, nb, bucketSeconds = 86400L)
+      .orderBy("user_id").collect()
+    assert(coarse === single)
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
