@@ -4604,6 +4604,63 @@ object Queries {
         .orderBy("user_id"),
     oracle = w8_funnel_within.oracle)
 
+  /** QUANTIFIED funnel — Flink CEP's `times(n)`
+    * ([[Funnel.funnelTimes]]): two views, then two clicks, then a
+    * purchase. The operator reduces the quantifiers to stage-list
+    * EXPANSION (n ordered occurrences ≡ n consecutive same-type
+    * stages) and reuses the plain fold; the oracle chains the
+    * expanded greedy picks (w6's machinery, five hops) and reads the
+    * full-stage boundaries. `ts<j>_us` gates the n_j-th occurrence
+    * time per completed stage. */
+  val w12_funnel_times: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelTimes(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)))
+        .orderBy("user_id"),
+    oracle = Some {
+      def pick(k: Int, tp: String, prev: String): String =
+        s"""s$k AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      val expanded = Seq("view", "view", "click", "click", "purchase")
+      val hops = (2 to 5).map(k => pick(k, expanded(k - 1), s"s${k - 1}"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |$hops
+         |SELECT u.user_id,
+         |  CASE WHEN s5.user_id IS NOT NULL THEN 3
+         |       WHEN s4.user_id IS NOT NULL THEN 2
+         |       WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  s2.us AS ts1_us, s4.us AS ts2_us, s5.us AS ts3_us
+         |FROM u LEFT JOIN s2 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN s5 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w12_funnel_times]] through the SKEW-SAFE segment monoid — the
+    * expansion composes with [[Funnel.funnelBucketed]] for free (same
+    * expanded stage list, k+1 transition slots per segment), so the
+    * quantified bucketed variant gates against w12's oracle
+    * VERBATIM. */
+  val w13_funnel_times_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelTimes(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)),
+          bucketSeconds = Some(3600L))
+        .orderBy("user_id"),
+    oracle = w12_funnel_times.oracle)
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -5806,6 +5863,8 @@ object Queries {
     "w9_funnel_within_bucketed" -> w9_funnel_within_bucketed,
     "w10_funnel_guarded" -> w10_funnel_guarded,
     "w11_funnel_guarded_bucketed" -> w11_funnel_guarded_bucketed,
+    "w12_funnel_times" -> w12_funnel_times,
+    "w13_funnel_times_bucketed" -> w13_funnel_times_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

@@ -62,6 +62,44 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // Quantified funnel — Flink CEP's `times(n)` stage repetition
+  // -------------------------------------------------------------------
+
+  /**
+   * [[funnel]] with QUANTIFIED stages — Flink CEP's `times(n)`: stage
+   * j completes after `n_j` ordered occurrences of its type ("two
+   * views, then two clicks, then a purchase"). The Spark-first
+   * reduction: n ordered occurrences of one type ARE n consecutive
+   * stages of that type, so the quantified pattern is EXACTLY the
+   * plain funnel over the EXPANDED stage list — greedy-earliest stays
+   * existence-optimal, the fold/monoid machinery is reused wholesale
+   * (pass `bucketSeconds` for the skew-safe segment-monoid variant —
+   * same expansion, [[funnelBucketed]] underneath), and this adapter
+   * only projects the sub-stage results back to full stages:
+   * `stage_reached` counts COMPLETED quantified stages and `ts<j>_us`
+   * is the time of stage j's LAST (n_j-th) occurrence.
+   */
+  def funnelTimes(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[(String, Int)],
+      bucketSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty && stages.forall(_._2 >= 1),
+      "need stages with counts >= 1")
+    val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    val raw = bucketSeconds match {
+      case Some(b) => funnelBucketed(events, userCol, typeCol, tsCol,
+        orderCol, expanded, b)
+      case None => funnel(events, userCol, typeCol, tsCol, orderCol,
+        expanded)
+    }
+    val full = bounds.map(b => when(col("stage_reached") >= b, 1)
+      .otherwise(0)).reduce(_ + _)
+    raw.select(col("user_id") +: full.as("stage_reached") +:
+      stages.indices.map(j =>
+        col(s"ts${bounds(j)}_us").as(s"ts${j + 1}_us")): _*)
+  }
+
+  // -------------------------------------------------------------------
   // Windowed funnel — Flink CEP's `within(T)` time bound
   // -------------------------------------------------------------------
 

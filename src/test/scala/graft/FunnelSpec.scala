@@ -295,6 +295,43 @@ class FunnelSpec extends SparkSpec {
     assert(coarse === single)
   }
 
+  test("funnelTimes: quantified stages via expansion — counts, boundary witnesses, bucketed twin") {
+    val s = 1000000L
+    val ev = Seq(
+      // user 1: exactly two views, two clicks, one purchase in order
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "view"),
+      (1L, 3L, ts(10), "click"), (1L, 4L, ts(15), "click"),
+      (1L, 5L, ts(20), "purchase"),
+      // user 2: only ONE view — quantifier unmet, stage 0 even though
+      // clicks and purchases follow
+      (2L, 6L, ts(0), "view"), (2L, 7L, ts(5), "click"),
+      (2L, 8L, ts(10), "click"), (2L, 9L, ts(15), "purchase"),
+      // user 3: second click never comes → stage 1 only
+      (3L, 10L, ts(0), "view"), (3L, 11L, ts(2), "view"),
+      (3L, 12L, ts(4), "click"), (3L, 13L, ts(6), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(("view", 2), ("click", 2), ("purchase", 1))
+    val r = Funnel.funnelTimes(ev, "user_id", "event_type", "ts",
+        "event_id", stages)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long] - us0),
+        Option(x.get(3)).map(_.asInstanceOf[Long] - us0),
+        Option(x.get(4)).map(_.asInstanceOf[Long] - us0)))
+    assert(r === Array(
+      // witnesses are each stage's LAST (n-th) occurrence
+      (1L, 3, Some(5 * s), Some(15 * s), Some(20 * s)),
+      (2L, 0, None, None, None),
+      (3L, 1, Some(2 * s), None, None)))
+    // bucketed twin (1-second segments over multi-second chains)
+    val single = Funnel.funnelTimes(ev, "user_id", "event_type", "ts",
+      "event_id", stages).orderBy("user_id").collect()
+    val bucketed = Funnel.funnelTimes(ev, "user_id", "event_type", "ts",
+      "event_id", stages, bucketSeconds = Some(1L))
+      .orderBy("user_id").collect()
+    assert(bucketed === single)
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
