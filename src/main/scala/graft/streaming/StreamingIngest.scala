@@ -951,6 +951,121 @@ object StreamingIngest {
           matchRetentionMs))
   }
 
+  final case class FunnelGuardState(o: Seq[Boolean], e: Seq[Boolean],
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelGuardUpdate(user_id: Long, stage_reached: Int)
+
+  /**
+   * Streaming GUARDED funnel — [[graft.operators.Funnel.funnelGuarded]]'s
+   * twin (CEP `notFollowedBy` inside the pattern): per-user state is
+   * the NFA's open-clean and sticky ever-reached bit vectors plus the
+   * event-time pending buffer; mature events fold in watermark order
+   * (blocker kills are order-sensitive). Emission on stage_reached
+   * change (sticky — it only grows). Retention mirrors the family:
+   * lossless empty-entry removal, completed-match tombstone with the
+   * optional after-match TTL.
+   */
+  def updateFunnelGuarded(stages: IndexedSeq[String],
+      notBetween: IndexedSeq[Option[String]],
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelGuardState]): Iterator[FunnelGuardUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(
+      FunnelGuardState(Seq.fill(k)(false), Seq.fill(k)(false), Nil))
+    def stageOf(e: Seq[Boolean]): Int = e.count(identity)
+    if (stageOf(prev.e) == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val o = prev.o.toArray
+    val ev = prev.e.toArray
+    var lastUs = 0L
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      val pre = o.clone()
+      var j = 0
+      while (j < k) {
+        val adv = tp == stages(j) && (j == 0 || pre(j - 1))
+        if (adv) { o(j) = true; ev(j) = true }
+        j += 1
+      }
+      j = 0
+      while (j < k - 1) {
+        if (notBetween(j).contains(tp) &&
+            !(tp == stages(j) && (j == 0 || pre(j - 1))))
+          o(j) = false
+        j += 1
+      }
+      lastUs = us
+    }
+    val stage = stageOf(ev.toSeq)
+    val rest = if (stage == k) Nil else immature
+    if (stage == 0 && !o.exists(identity) && rest.isEmpty) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelGuardState(o.toSeq, ev.toSeq, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (stage == k && matchRetentionMs != Long.MaxValue && lastUs > 0)
+        // only on fresh mature activity — a data-less invocation keeps
+        // the previously registered cleanup timer
+        state.setTimeoutTimestamp(math.max(
+          lastUs / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    if (first || stage != stageOf(prev.e))
+      Iterator(FunnelGuardUpdate(userId, stage))
+    else Iterator.empty
+  }
+
+  /** The streaming guarded funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelGuarded]]'s NFA
+    * state. */
+  def streamingFunnelGuarded(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], notBetween: Seq[Option[String]],
+      watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelGuardUpdate] = {
+    import spark.implicits._
+    require(notBetween.length == stages.length - 1,
+      "need one (optional) blocker per gap")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelGuarded(stages.toIndexedSeq, notBetween.toIndexedSeq,
+          matchRetentionMs))
+  }
+
+  /** Streaming QUANTIFIED funnel — CEP `times(n)` over a stream. The
+    * batch reduction (quantifiers ≡ stage-list expansion,
+    * [[graft.operators.Funnel.funnelTimes]]) composes with
+    * [[streamingFunnel]] unchanged: run the stream over the EXPANDED
+    * stages and project sub-stage results back to full stages. */
+  def streamingFunnelTimes(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int)], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): DataFrame = {
+    require(stages.nonEmpty && stages.forall(_._2 >= 1),
+      "need stages with counts >= 1")
+    val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    val raw = streamingFunnel(spark, events, expanded, watermark,
+      matchRetentionMs).toDF()
+    val full = bounds.map(b => when(col("stage_reached") >= b, 1)
+      .otherwise(0)).reduce(_ + _)
+    raw.select(col("user_id") +: full.as("stage_reached") +:
+      stages.indices.map(j =>
+        when(size(col("witness_us")) >= bounds(j),
+          element_at(col("witness_us"), bounds(j))).as(s"ts${j + 1}_us")): _*)
+  }
+
   /** The streaming funnel over an events stream (`user_id`, `event_id`,
     * `ts`, `event_type`). `watermark` is the allowed lateness — and
     * therefore the event-time reordering window the buffer absorbs. */

@@ -1041,6 +1041,97 @@ class StreamingSpec extends SparkSpec {
     assert(lastByUser(3L) === ((3, Some(us("2024-01-01 10:00:00")))))
   }
 
+  test("streaming guarded and quantified funnels equal their batch operators") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // u1: the guard trap in EVENT time — the error (10:02) ARRIVES
+    // after the click (10:05) but sits between view and click, so the
+    // buffered fold must kill the first chain; the restart (10:10
+    // view, 10:15 click) is clean. u2: quantified counts — two views
+    // and two clicks complete only after the second click arrives in
+    // a later wave.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:05:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:02:00"), "error"),
+        Row(1L, 4L, t("2024-01-01 10:10:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "view"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "click")),
+      Seq(Row(1L, 5L, t("2024-01-01 10:15:00"), "click"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "click"),
+        Row(2L, 24L, t("2024-01-01 10:04:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-gq-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-gq-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), schema)
+    val stages = Seq("view", "click", "purchase")
+    val nb = Seq(Some("error"), Some("error"))
+    // guarded twin
+    val gEmitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    val gq = StreamingIngest.streamingFunnelGuarded(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), stages, nb, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => gEmitted.synchronized {
+          gEmitted += ((id, r.getLong(0), r.getInt(1)))
+        })
+        ()
+      }.start()
+    gq.processAllAvailable(); gq.stop()
+    val gLast = gEmitted.groupBy(_._2).view
+      .mapValues(_.maxBy(_._1)._3).toMap
+    val gBatch = graft.operators.Funnel.funnelGuarded(all, "user_id",
+        "event_type", "ts", "event_id", stages, nb)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gLast === gBatch)
+    assert(gLast(1L) === 2) // the restart chain, not the poisoned one
+    // quantified twin
+    val qstages = Seq(("view", 2), ("click", 2), ("purchase", 1))
+    val qEmitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Option[Long]])]
+    val qq = StreamingIngest.streamingFunnelTimes(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), qstages, "2 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => qEmitted.synchronized {
+          qEmitted += ((id, r.getLong(0), r.getInt(1),
+            (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))))
+        })
+        ()
+      }.start()
+    qq.processAllAvailable(); qq.stop()
+    val qLast = qEmitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val qBatch = graft.operators.Funnel.funnelTimes(all, "user_id",
+        "event_type", "ts", "event_id", qstages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1),
+          (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))))
+      .toMap
+    assert(qLast.keySet === qBatch.keySet)
+    qLast.foreach { case (u, got) => assert(got === qBatch(u), s"user $u") }
+    assert(qLast(2L)._1 === 3) // completed only once the 2nd click landed
+  }
+
   test("streaming notFollowedBy: timer-based absence verdicts equal the batch join") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
