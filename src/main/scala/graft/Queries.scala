@@ -4604,6 +4604,54 @@ object Queries {
         .orderBy("user_id"),
     oracle = w8_funnel_within.oracle)
 
+  /** COMBINED windowed + guarded funnel
+    * ([[Funnel.funnelWithinGuarded]]): convert within 2 h of your own
+    * first view AND with no `error` between consecutive matched
+    * stages — the full production CEP constraint product. The DP
+    * layers guard kills onto the max-start vector (dominance survives
+    * because a blocker kills every alive partial at its stage
+    * equally); the oracle is the w8 chained-hop replay with BOTH the
+    * window predicate and a NOT EXISTS blocker probe on every hop,
+    * pruned by the same max-start dominance. */
+  val w14_funnel_within_guarded: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWithinGuarded(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", FunnelStages,
+          FunnelWithinMicros, Seq(Some("error"), Some("error")))
+        .orderBy("user_id"),
+    oracle = Some {
+      def hop(j: Int, tp: String, prev: String): String =
+        s"""c$j AS (SELECT user_id, us, event_id, max(start_us) AS start_us
+           |  FROM (SELECT e.user_id, e.us, e.event_id, p.start_us
+           |    FROM $prev p JOIN e ON e.user_id = p.user_id
+           |      AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |      AND e.event_type = '$tp'
+           |      AND e.us <= p.start_us + $FunnelWithinMicros
+           |    WHERE NOT EXISTS (SELECT 1 FROM e b
+           |      WHERE b.user_id = p.user_id AND b.event_type = 'error'
+           |        AND (b.us > p.us OR (b.us = p.us AND b.event_id > p.event_id))
+           |        AND (b.us < e.us OR (b.us = e.us AND b.event_id < e.event_id))))
+           |  GROUP BY user_id, us, event_id)""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |c1 AS (SELECT user_id, us, event_id, us AS start_us
+         |  FROM e WHERE event_type = '${FunnelStages(0)}'),
+         |${hop(2, FunnelStages(1), "c1")},
+         |${hop(3, FunnelStages(2), "c2")},
+         |m1 AS (SELECT user_id, max(start_us) AS r FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, max(start_us) AS r FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, max(start_us) AS r FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.r IS NOT NULL THEN 3
+         |       WHEN m2.r IS NOT NULL THEN 2
+         |       WHEN m1.r IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  CAST(coalesce(m3.r, m2.r, m1.r) AS BIGINT) AS win_start_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
   /** QUANTIFIED funnel — Flink CEP's `times(n)`
     * ([[Funnel.funnelTimes]]): two views, then two clicks, then a
     * purchase. The operator reduces the quantifiers to stage-list
@@ -5865,6 +5913,7 @@ object Queries {
     "w11_funnel_guarded_bucketed" -> w11_funnel_guarded_bucketed,
     "w12_funnel_times" -> w12_funnel_times,
     "w13_funnel_times_bucketed" -> w13_funnel_times_bucketed,
+    "w14_funnel_within_guarded" -> w14_funnel_within_guarded,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

@@ -364,6 +364,92 @@ object Funnel {
       .select(col("user_id"), guardedOut(merged, k).as("stage_reached"))
   }
 
+  // -------------------------------------------------------------------
+  // Combined within(T) + guards — the full CEP constraint product
+  // -------------------------------------------------------------------
+
+  /** One event's transition of the COMBINED windowed+guarded DP. The
+    * state is two k-vectors of window starts: `b[j]` — the max start
+    * among chains currently ALIVE at stage j (clean tail gap, all
+    * picks in-window), killable by a gap blocker; `m[j]` — the sticky
+    * max start among chains that EVER reached stage j (the
+    * observable). Max-start dominance survives the guards because a
+    * blocker kills every alive partial at its stage equally — the
+    * start value never discriminates — so k nullable longs per vector
+    * stay lossless. An advance reads the PRE vector (no
+    * self-extension; a gap's matched endpoint is not "between"), and
+    * a killing blocker leaves exactly the partial this event just
+    * advanced (if any), not a max with the dead ones. */
+  private def withinGuardedStep(st: Column, e: Column, k: Int,
+      stages: Seq[String], notBetween: Seq[Option[String]],
+      windowMicros: Long): Column = {
+    val b = st.getField("b")
+    val m = st.getField("m")
+    val tp = e.getField("tp")
+    val us = e.getField("us")
+    def advVal(j: Int): Column =
+      if (j == 1) when(tp === lit(stages(0)), us)
+      else {
+        val prev = element_at(b, j - 1)
+        when(tp === lit(stages(j - 1)) && prev.isNotNull &&
+          us <= prev + lit(windowMicros), prev)
+      }
+    val nb = array((1 to k).map { j =>
+      val kill =
+        if (j < k) notBetween(j - 1).map(x => tp === lit(x))
+          .getOrElse(lit(false))
+        else lit(false)
+      when(kill, advVal(j))
+        .otherwise(greatest(element_at(b, j), advVal(j)))
+    }: _*)
+    val nm = array((1 to k).map { j =>
+      greatest(element_at(m, j), advVal(j))
+    }: _*)
+    struct(nb.as("b"), nm.as("m"))
+  }
+
+  /**
+   * [[funnelWithin]] AND [[funnelGuarded]] composed — the full
+   * production CEP constraint: stages complete within `windowMicros`
+   * of their own stage-1 event AND no gap contains its blocker type
+   * ("convert within 2 h with no error in between"). Both failure
+   * modes demand restart-aware folding, so the DP carries the
+   * windowed max-start vector with guard kills layered on
+   * (see [[withinGuardedStep]]). `stage_reached` counts stages EVER
+   * reached by a clean in-window chain (sticky); `win_start_us` is
+   * the latest start among chains reaching it. One user-keyed
+   * shuffle, 2k longs of state.
+   *
+   * The skew-safe segment-monoid twin is NOT provided for the
+   * combined constraint: a segment summary would need
+   * clean-SUFFIX-aware earliest completions per (entry, exit) pair
+   * (a chain crossing a segment boundary must also leave no blocker
+   * between its last in-segment pick and the boundary), a genuinely
+   * richer summary than either single-constraint twin — documented
+   * future work rather than an unproven shortcut.
+   */
+  def funnelWithinGuarded(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], windowMicros: Long,
+      notBetween: Seq[Option[String]]): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && windowMicros > 0 && notBetween.length == k - 1,
+      "need stages, windowMicros > 0, one (optional) blocker per gap")
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val nulls = array_repeat(lit(null).cast("long"), k)
+    val folded = aggregate(col("evs"),
+      struct(nulls.as("b"), nulls.as("m")),
+      (st, e) => withinGuardedStep(st, e, k, stages, notBetween,
+        windowMicros))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        withinOut(folded.getField("m"), k).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

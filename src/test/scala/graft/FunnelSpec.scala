@@ -332,6 +332,70 @@ class FunnelSpec extends SparkSpec {
     assert(bucketed === single)
   }
 
+  test("funnelWithinGuarded: both constraints bite; property vs a brute-force DP") {
+    val stages = Seq("view", "click", "purchase")
+    val nb = Seq(Some("error"), Some("error"))
+    val W = 15000000L // 15 s
+    val s = 1000000L
+    val ev = Seq(
+      // user 1: the in-window chain is POISONED; the clean restart is
+      // in-window → stage 2 via the restart
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(3), "error"),
+      (1L, 3L, ts(10), "view"), (1L, 4L, ts(12), "click"),
+      // user 2: clean chain but the click is OUT of window → stage 1
+      (2L, 5L, ts(0), "view"), (2L, 6L, ts(20), "click"),
+      // user 3: clean AND in-window full chain
+      (3L, 7L, ts(0), "view"), (3L, 8L, ts(5), "click"),
+      (3L, 9L, ts(10), "purchase"),
+      // user 4: in-window but error between click and purchase → 2
+      (4L, 10L, ts(0), "view"), (4L, 11L, ts(4), "click"),
+      (4L, 12L, ts(6), "error"), (4L, 13L, ts(9), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = Funnel.funnelWithinGuarded(ev, "user_id", "event_type", "ts",
+        "event_id", stages, W, nb)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long] - us0)))
+    assert(r === Array((1L, 2, Some(10 * s)), (2L, 1, Some(0L)),
+      (3L, 3, Some(0L)), (4L, 2, Some(0L))))
+    // property: the combined DP vs a plain-Scala replay on random logs
+    val rnd = new scala.util.Random(424242L)
+    val types = Array("view", "click", "purchase", "error")
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2))
+      val b = Array.fill[Option[Long]](stages.length)(None)
+      val m = Array.fill[Option[Long]](stages.length)(None)
+      sorted.foreach { e =>
+        val us = e._3.getTime * 1000L
+        val adv = Array.tabulate(stages.length) { j =>
+          if (j == 0) { if (e._4 == stages(0)) Some(us) else None }
+          else if (e._4 == stages(j) && b(j - 1).exists(us <= _ + W))
+            b(j - 1)
+          else None
+        }
+        for (j <- stages.indices) {
+          val kill = j < stages.length - 1 && nb(j).contains(e._4)
+          b(j) = if (kill) adv(j)
+            else (b(j) ++ adv(j)).reduceOption(_ max _)
+          m(j) = (m(j) ++ adv(j)).reduceOption(_ max _)
+        }
+      }
+      val sr = m.count(_.isDefined)
+      (sr, if (sr > 0) m(sr - 1) else None)
+    }.toMap
+    val got = Funnel.funnelWithinGuarded(
+        events.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id", stages, W, nb)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), Option(x.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1 == 3))
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
