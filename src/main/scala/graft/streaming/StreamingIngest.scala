@@ -1044,6 +1044,101 @@ object StreamingIngest {
           matchRetentionMs))
   }
 
+  final case class FunnelWinGuardState(b: Seq[Long], m: Seq[Long],
+      pending: Seq[(Long, Long, String)])
+
+  /**
+   * Streaming COMBINED windowed+guarded funnel —
+   * [[graft.operators.Funnel.funnelWithinGuarded]]'s twin, keeping the
+   * family's batch/stream symmetry complete: per-user state is the
+   * alive max-start vector (killable by gap blockers), the sticky
+   * ever-reached max-start vector (the observable), and the
+   * event-time pending buffer; folding is watermark-ordered (both
+   * window expiry and blocker kills are order-sensitive). Emission on
+   * (stage_reached, win_start_us) change; retention as in the rest of
+   * the family.
+   */
+  def updateFunnelWithinGuarded(stages: IndexedSeq[String],
+      windowMicros: Long, notBetween: IndexedSeq[Option[String]],
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelWinGuardState]): Iterator[FunnelWinUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelWinGuardState(
+      Seq.fill(k)(NoStart), Seq.fill(k)(NoStart), Nil))
+    def stageOf(m: Seq[Long]): Int = m.count(_ != NoStart)
+    def winOf(m: Seq[Long]): Option[Long] = {
+      val s = stageOf(m); if (s > 0) Some(m(s - 1)) else None
+    }
+    if (stageOf(prev.m) == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val b = prev.b.toArray
+    val m = prev.m.toArray
+    var lastUs = 0L
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      val pre = b.clone()
+      val adv = Array.tabulate(k) { j =>
+        if (j == 0) { if (tp == stages(0)) us else NoStart }
+        else if (tp == stages(j) && pre(j - 1) != NoStart &&
+          us <= pre(j - 1) + windowMicros) pre(j - 1)
+        else NoStart
+      }
+      var j = 0
+      while (j < k) {
+        val kill = j < k - 1 && notBetween(j).contains(tp)
+        b(j) = if (kill) adv(j) else math.max(b(j), adv(j))
+        m(j) = math.max(m(j), adv(j))
+        j += 1
+      }
+      lastUs = us
+    }
+    val stage = stageOf(m.toSeq)
+    val rest = if (stage == k) Nil else immature
+    if (stage == 0 && !b.exists(_ != NoStart) && rest.isEmpty) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelWinGuardState(b.toSeq, m.toSeq, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (stage == k && matchRetentionMs != Long.MaxValue && lastUs > 0)
+        state.setTimeoutTimestamp(math.max(
+          lastUs / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    val out = (stage, winOf(m.toSeq))
+    if (first || out != ((stageOf(prev.m), winOf(prev.m))))
+      Iterator(FunnelWinUpdate(userId, stage, out._2))
+    else Iterator.empty
+  }
+
+  /** The streaming combined windowed+guarded funnel — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelWithinGuarded]]'s
+    * DP state. */
+  def streamingFunnelWithinGuarded(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], windowMicros: Long,
+      notBetween: Seq[Option[String]], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelWinUpdate] = {
+    import spark.implicits._
+    require(notBetween.length == stages.length - 1,
+      "need one (optional) blocker per gap")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelWithinGuarded(stages.toIndexedSeq, windowMicros,
+          notBetween.toIndexedSeq, matchRetentionMs))
+  }
+
   /** Streaming QUANTIFIED funnel — CEP `times(n)` over a stream. The
     * batch reduction (quantifiers ≡ stage-list expansion,
     * [[graft.operators.Funnel.funnelTimes]]) composes with

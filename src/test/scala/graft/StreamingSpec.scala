@@ -1132,6 +1132,70 @@ class StreamingSpec extends SparkSpec {
     assert(qLast(2L)._1 === 3) // completed only once the 2nd click landed
   }
 
+  test("streaming combined windowed+guarded funnel equals the batch operator") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val W = 3600000000L // within(1 hour)
+    // u1: first chain poisoned by a LATE-ARRIVING error; the restart
+    // (10:30 view) is clean and in-window for the 10:40 click. u2:
+    // clean chain whose purchase lands OUT of window → stage 2 with
+    // the original start.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:40:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:05:00"), "error"),
+        Row(1L, 4L, t("2024-01-01 10:30:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:20:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 11:30:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-wg-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-wg-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq("view", "click", "purchase")
+    val nb = Seq(Some("error"), Some("error"))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Option[Long])]
+    val q = StreamingIngest.streamingFunnelWithinGuarded(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), stages, W, nb, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val batch = graft.operators.Funnel.funnelWithinGuarded(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), schema),
+        "user_id", "event_type", "ts", "event_id", stages, W, nb)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    def us(s: String) = t(s).getTime * 1000L
+    assert(last(1L) === ((2, Some(us("2024-01-01 10:30:00")))))
+    assert(last(2L) === ((2, Some(us("2024-01-01 10:00:00")))))
+  }
+
   test("streaming notFollowedBy: timer-based absence verdicts equal the batch join") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
