@@ -4652,6 +4652,22 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** [[w14_funnel_within_guarded]] through the SKEW-SAFE segment
+    * split ([[Funnel.funnelWithinGuardedBucketed]]): the combined
+    * constraint's segment summary is richer than either single twin's
+    * — the fresh in-segment DP plus per-entry MIN-completion DPs
+    * whose alive vectors carry the clean-suffix requirement through
+    * the boundary, window feasibility tested against the carried
+    * start at merge time. Gates against w14's oracle VERBATIM. */
+  val w15_funnel_within_guarded_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWithinGuardedBucketed(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id", FunnelStages,
+          FunnelWithinMicros, Seq(Some("error"), Some("error")),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w14_funnel_within_guarded.oracle)
+
   /** QUANTIFIED funnel — Flink CEP's `times(n)`
     * ([[Funnel.funnelTimes]]): two views, then two clicks, then a
     * purchase. The operator reduces the quantifiers to stage-list
@@ -5914,6 +5930,7 @@ object Queries {
     "w12_funnel_times" -> w12_funnel_times,
     "w13_funnel_times_bucketed" -> w13_funnel_times_bucketed,
     "w14_funnel_within_guarded" -> w14_funnel_within_guarded,
+    "w15_funnel_within_guarded_bucketed" -> w15_funnel_within_guarded_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

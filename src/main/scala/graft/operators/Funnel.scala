@@ -418,15 +418,8 @@ object Funnel {
    * (see [[withinGuardedStep]]). `stage_reached` counts stages EVER
    * reached by a clean in-window chain (sticky); `win_start_us` is
    * the latest start among chains reaching it. One user-keyed
-   * shuffle, 2k longs of state.
-   *
-   * The skew-safe segment-monoid twin is NOT provided for the
-   * combined constraint: a segment summary would need
-   * clean-SUFFIX-aware earliest completions per (entry, exit) pair
-   * (a chain crossing a segment boundary must also leave no blocker
-   * between its last in-segment pick and the boundary), a genuinely
-   * richer summary than either single-constraint twin — documented
-   * future work rather than an unproven shortcut.
+   * shuffle, 2k longs of state. Skew-safe twin:
+   * [[funnelWithinGuardedBucketed]].
    */
   def funnelWithinGuarded(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
@@ -447,6 +440,141 @@ object Funnel {
       .agg(evs.as("evs"))
       .select(col("user_id"),
         withinOut(folded.getField("m"), k).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
+  /** Sentinel "this alive chain's last pick PRECEDES the segment" for
+    * the entry-seeded min-completion DP below — smaller than any real
+    * epoch-micros, so `least` keeps it as the representative and a
+    * surviving untouched entry is recognizable at segment end. */
+  private val EnteredBefore = Long.MinValue / 2
+
+  /** One event's transition of the ENTRY-SEEDED min-completion DP — the
+    * segment summary [[funnelWithinGuardedBucketed]] needs. For a
+    * partial entering the segment at stage `i`, track per stage j:
+    * `r[j]` = the MIN last-pick time among chains from the entry
+    * currently ALIVE at j (clean tail gap — guard kills null it;
+    * [[EnteredBefore]] for the untouched entry itself), and `ev[j]` =
+    * the sticky min time any such chain EVER reached j. No window
+    * checks here and no fresh stage-1 seeding: every pick of such a
+    * chain is ≤ its last pick, so window feasibility against an entry
+    * start B reduces to `last ≤ B + T` at merge time, and fresh starts
+    * are the separate [[withinGuardedStep]] fold. Min is a lossless
+    * representative because all alive chains at a stage share their
+    * clean tail (kills are uniform and any of them extends at the same
+    * events). */
+  private def entryMinStep(st: Column, e: Column, k: Int,
+      stages: Seq[String], notBetween: Seq[Option[String]]): Column = {
+    val r = st.getField("r")
+    val ev = st.getField("ev")
+    val tp = e.getField("tp")
+    val us = e.getField("us")
+    def advAt(j: Int): Column =
+      if (j == 1) lit(null).cast("long") // no fresh seeding
+      else when(tp === lit(stages(j - 1)) &&
+        element_at(r, j - 1).isNotNull, us)
+    val nr = array((1 to k).map { j =>
+      val kill =
+        if (j < k) notBetween(j - 1).map(x => tp === lit(x))
+          .getOrElse(lit(false))
+        else lit(false)
+      when(kill, advAt(j)).otherwise(least(element_at(r, j), advAt(j)))
+    }: _*)
+    val nev = array((1 to k).map { j =>
+      least(element_at(ev, j), advAt(j))
+    }: _*)
+    struct(nr.as("r"), nev.as("ev"))
+  }
+
+  /**
+   * [[funnelWithinGuarded]] for SKEWED keys — the segment split for
+   * the combined constraint, whose summary is genuinely richer than
+   * either single-constraint twin's:
+   *
+   *   - `fresh` — the plain combined DP from empty state: alive and
+   *     sticky max-start vectors for chains born inside the segment;
+   *   - `ent[i]` (i = 1..k-1) — the [[entryMinStep]] fold seeded at
+   *     stage i: `r[j]` is the min last-pick among entry chains ALIVE
+   *     at j at segment end (so their tail gap is clean through the
+   *     boundary — the clean-suffix requirement a crossing chain
+   *     must satisfy), `ev[j]` the sticky min completion. A carried
+   *     start `B[i]` extends to stage j across the segment iff
+   *     `r[j] ≤ B[i] + T` (alive) / ever-reaches iff `ev[j] ≤ B[i]+T`
+   *     (sticky) — exact, because every pick ≤ the last pick;
+   *   - composition keeps per stage the max start over {fresh,
+   *     surviving carried (entry untouched, [[EnteredBefore]] at its
+   *     own slot; stage-k entries have no gap and always survive),
+   *     extended carried} — max-start dominance survives the guards
+   *     (kills are uniform across starts).
+   *
+   * Gates verbatim on w14's oracle (w15); spec proves bucketed ≡
+   * plain on random logs at 1-second segments.
+   */
+  def funnelWithinGuardedBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], windowMicros: Long,
+      notBetween: Seq[Option[String]], bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && windowMicros > 0 && notBetween.length == k - 1 &&
+      bucketSeconds > 0,
+      "need stages, windowMicros > 0, blockers per gap, bucketSeconds > 0")
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val nulls = array_repeat(lit(null).cast("long"), k)
+    def entryInit(i: Int): Column =
+      struct(array((1 to k).map(j =>
+        if (j == i) lit(EnteredBefore) else lit(null).cast("long")): _*)
+        .as("r"), nulls.as("ev"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        aggregate(col("evs"), struct(nulls.as("b"), nulls.as("m")),
+          (st, e) => withinGuardedStep(st, e, k, stages, notBetween,
+            windowMicros)).as("fresh"),
+        array((1 until k).map(i =>
+          aggregate(col("evs"), entryInit(i),
+            (st, e) => entryMinStep(st, e, k, stages, notBetween))): _*)
+          .as("ent"))
+    val merged = aggregate(col("segs"),
+      struct(nulls.as("b"), nulls.as("m")), (st, seg) => {
+      val b = st.getField("b")
+      val m = st.getField("m")
+      val fresh = seg.getField("fresh")
+      def ent(i: Int) = element_at(seg.getField("ent"), i)
+      val nb = array((1 to k).map { j =>
+        val carried =
+          if (j == k) Seq(element_at(b, k)) // stage-k entries never die
+          else Seq(when(element_at(ent(j).getField("r"), j).isNotNull,
+            element_at(b, j)))
+        val extended = (1 until j).map { i =>
+          val rj = element_at(ent(i).getField("r"), j)
+          val bi = element_at(b, i)
+          when(bi.isNotNull && rj.isNotNull &&
+            rj <= bi + lit(windowMicros), bi)
+        }
+        greatest((element_at(fresh.getField("b"), j) +:
+          (carried ++ extended)): _*)
+      }: _*)
+      val nm = array((1 to k).map { j =>
+        val extended = (1 until j).map { i =>
+          val evj = element_at(ent(i).getField("ev"), j)
+          val bi = element_at(b, i)
+          when(bi.isNotNull && evj.isNotNull &&
+            evj <= bi + lit(windowMicros), bi)
+        }
+        greatest((element_at(m, j) +:
+          element_at(fresh.getField("m"), j) +: extended): _*)
+      }: _*)
+      struct(nb.as("b"), nm.as("m"))
+    })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("bkt"), col("fresh"), col("ent")))).as("segs"))
+      .select(col("user_id"),
+        withinOut(merged.getField("m"), k).as("f"))
       .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
   }
 

@@ -396,6 +396,36 @@ class FunnelSpec extends SparkSpec {
     assert(expected.values.exists(_._1 == 3))
   }
 
+  test("bucketed combined windowed+guarded funnel == single fold on random logs (1-second segments)") {
+    val stages = Seq("view", "click", "purchase")
+    val nb = Seq(Some("error"), Some("error"))
+    val W = 8000000L
+    // two generators: blocker-heavy (kills dominate) and blocker-light
+    // (windows dominate) — chains, kills, expiries and survivals all
+    // cross segment boundaries at 1-second buckets
+    for ((seed, types) <- Seq(
+        (1111L, Array("view", "click", "purchase", "error")),
+        (2222L, Array("view", "click", "purchase", "error",
+          "view", "click", "purchase")))) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 400).map { i =>
+        (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(45)),
+          types(rnd.nextInt(types.length)))
+      }
+      val df = events.toDF("user_id", "event_id", "ts", "event_type")
+      val single = Funnel.funnelWithinGuarded(df, "user_id", "event_type",
+        "ts", "event_id", stages, W, nb).orderBy("user_id").collect()
+      val bucketed = Funnel.funnelWithinGuardedBucketed(df, "user_id",
+        "event_type", "ts", "event_id", stages, W, nb,
+        bucketSeconds = 1L).orderBy("user_id").collect()
+      assert(bucketed === single, s"seed $seed")
+      val coarse = Funnel.funnelWithinGuardedBucketed(df, "user_id",
+        "event_type", "ts", "event_id", stages, W, nb,
+        bucketSeconds = 86400L).orderBy("user_id").collect()
+      assert(coarse === single, s"seed $seed coarse")
+    }
+  }
+
   test("plan gate: the funnel is ONE user-keyed shuffle, no window, no join") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     val plan = Funnel.funnel(ev, "user_id", "event_type", "ts", "event_id",
