@@ -1301,6 +1301,90 @@ object Queries {
          |FROM dw JOIN v${BpeRounds + 1} USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Fuzzy string join ([[FuzzyJoin.fuzzyJoin]]) — PassJoin segment
+    * blocking + levenshtein verify, the record-linkage primitive: a
+    * third of part names, each with its 3rd character deleted
+    * (edit distance 1 from its source), joins back against ALL part
+    * names at distance ≤ 1. The Spark side never cross-joins
+    * (pigeonhole-complete segment keys, candidates only pay the
+    * verify); the oracle IS the length-filtered cross join with the
+    * same predicate, so the gate proves the blocking loses no pair
+    * and Spark's levenshtein ≡ DuckDB's integer-exactly. Part names
+    * draw on ~90 shared color words — a deliberately ADVERSE, heavily
+    * clustered name space — so the gated threshold is d = 1 (two
+    * ~15-char half segments stay discriminative); at d = 2 the TRUE
+    * answer itself grows quadratically on this corpus, an output-size
+    * property no blocking can beat (FuzzyJoinSpec proves d = 2
+    * completeness on diverse strings). */
+  val t79_fuzzy_join: Q = Q(
+    run = (spark, dir) => {
+      val parts = t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 3 === 1)
+        .select(col("p_partkey").as("qid"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("q"))
+      FuzzyJoin.fuzzyJoin(probes, "qid", "q",
+          parts.select(col("p_partkey").as("sid"), col("p_name").as("s")),
+          "sid", "s", maxDist = 1)
+        .orderBy("left_id", "right_id")
+    },
+    benchRun = Some { (spark, dir) =>
+      // comparison-only ORDER BY dropped: the answer on this corpus is
+      // inherently quadratic (64 distinct names in every part table →
+      // ~2.1M id pairs at sf0.1), so the bench measures the join, not
+      // a giant output sort the operator never requires
+      val parts = t(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 3 === 1)
+        .select(col("p_partkey").as("qid"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("q"))
+      FuzzyJoin.fuzzyJoin(probes, "qid", "q",
+          parts.select(col("p_partkey").as("sid"), col("p_name").as("s")),
+          "sid", "s", maxDist = 1)
+    },
+    oracle = Some(
+      """WITH probes AS (
+        |  SELECT p_partkey AS qid,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS q
+        |  FROM part WHERE p_partkey % 3 = 1),
+        |base AS (SELECT p_partkey AS sid, p_name AS s FROM part)
+        |SELECT qid AS left_id, sid AS right_id,
+        |  CAST(levenshtein(q, s) AS BIGINT) AS dist
+        |FROM probes JOIN base
+        |  ON abs(length(q) - length(s)) <= 1 AND levenshtein(q, s) <= 1
+        |ORDER BY left_id, right_id""".stripMargin))
+
+  /** The DISTINCT-STRING fuzzy-join core ([[FuzzyJoin
+    * .fuzzyJoinStrings]]) — the scale-path output: one row per
+    * distinct (probe string, base string) pair within distance 1.
+    * On duplication-heavy corpora this is the metadata-sized answer a
+    * pipeline persists (64 distinct part names at ANY scale factor —
+    * the id expansion t79 gates is quadratic in duplication and
+    * measured 207 s at 10× purely generating its 209M-row answer,
+    * while this core stays sub-second). */
+  val t80_fuzzy_join_strings: Q = Q(
+    run = (spark, dir) => {
+      val parts = t(spark, dir, "part")
+      val probes = parts.filter(col("p_partkey") % 3 === 1)
+        .select(concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("q"))
+      FuzzyJoin.fuzzyJoinStrings(probes,
+          parts.select(col("p_name").as("s")), maxDist = 1)
+        .orderBy("q", "s")
+    },
+    oracle = Some(
+      """WITH probes AS (
+        |  SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS q
+        |  FROM part WHERE p_partkey % 3 = 1),
+        |base AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT q, s, CAST(levenshtein(q, s) AS BIGINT) AS dist
+        |FROM probes JOIN base
+        |  ON abs(length(q) - length(s)) <= 1 AND levenshtein(q, s) <= 1
+        |ORDER BY q, s""".stripMargin),
+    bench = true)
+
   private val ClassifierBandHiMicro = 5000L
 
   /** Hashed linear quality classifier ([[TextAnalysis
@@ -5834,6 +5918,8 @@ object Queries {
     "t66_bpe_merges" -> t66_bpe_merges,
     "t67_bpe_encode" -> t67_bpe_encode,
     "t78_bpe_encode_unseen" -> t78_bpe_encode_unseen,
+    "t79_fuzzy_join" -> t79_fuzzy_join,
+    "t80_fuzzy_join_strings" -> t80_fuzzy_join_strings,
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.FuzzyJoin
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(probes: Seq[(Long, String)], base: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Long)] =
+    FuzzyJoin.fuzzyJoin(
+        probes.toDF("qid", "q"), "qid", "q",
+        base.toDF("sid", "s"), "sid", "s", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Plain-Scala Wagner–Fischer, the independent verify. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("hand cases: deletion, substitution, insertion, transposition, miss") {
+    val base = Seq((1L, "chocolate"), (2L, "lavender"), (3L, "xy"))
+    val probes = Seq(
+      (10L, "chocolte"),   // deletion: dist 1
+      (11L, "lavendor"),   // substitution: dist 1
+      (12L, "chocolatess"), // two insertions: dist 2
+      (13L, "lavedner"),   // transposition = 2 unit edits
+      (14L, "sprinkle"),   // no match within 2
+      (15L, "xyz"))        // short-string path: dist 1 to "xy"
+    val got = run(probes, base, d = 2)
+    assert(got === Set(
+      (10L, 1L, 1L), (11L, 2L, 1L), (12L, 1L, 2L), (13L, 2L, 2L),
+      (15L, 3L, 1L)))
+  }
+
+  test("property: segment blocking loses NO pair vs a brute-force cross join") {
+    val rnd = new scala.util.Random(987654L)
+    val alpha = "abcde"
+    def word(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // base strings of varied length, incl. very short ones; probes are
+    // random edits of base strings plus fresh randoms
+    val base = (0 until 120).map(i =>
+      (i.toLong, word(1 + rnd.nextInt(12))))
+    def mutate(s: String): String = {
+      var r = s
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        if (r.isEmpty) r = word(1)
+        else rnd.nextInt(3) match {
+          case 0 => val p = rnd.nextInt(r.length) // substitute
+            r = r.updated(p, alpha(rnd.nextInt(alpha.length)))
+          case 1 => val p = rnd.nextInt(r.length) // delete
+            r = r.take(p) + r.drop(p + 1)
+          case 2 => val p = rnd.nextInt(r.length + 1) // insert
+            r = r.take(p) + alpha(rnd.nextInt(alpha.length)) + r.drop(p)
+        }
+      }
+      r
+    }
+    val probes = (0 until 120).map(i =>
+      (1000L + i, if (i % 2 == 0) mutate(base(i % base.size)._2)
+        else word(1 + rnd.nextInt(12))))
+    for (d <- Seq(1, 2)) {
+      val expected = (for {
+        (qid, q) <- probes
+        (sid, s) <- base
+        dist = lev(q, s) if dist <= d
+      } yield (qid, sid, dist.toLong)).toSet
+      val got = run(probes, base, d)
+      assert(got === expected, s"d=$d")
+      assert(expected.nonEmpty)
+    }
+  }
+
+  test("plan gate: no cartesian product — candidates meet on an equi-join") {
+    val probes = (0L to 50L).map(i => (i, s"string-number-$i")).toDF("qid", "q")
+    val base = (0L to 50L).map(i => (i, s"string-number-${i * 7 % 50}")).toDF("sid", "s")
+    val plan = FuzzyJoin.fuzzyJoin(probes, "qid", "q", base, "sid", "s", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must block via equi-join keys, not a cross join:\n$plan")
+  }
+}
