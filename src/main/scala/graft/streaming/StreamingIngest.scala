@@ -586,6 +586,30 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Stream-static FUZZY JOIN — [[graft.operators.FuzzyJoin]]'s
+    * streaming twin, the live record-linkage shape: each micro-batch
+    * of arriving records blocks and verifies against the STATIC
+    * reference relation (PassJoin segment keys + levenshtein,
+    * dedupe-before-verify — per-batch cost is the batch's distinct
+    * strings, never the reference corpus re-scanned quadratically).
+    * `onMatches` receives each batch's (left_id, right_id, dist)
+    * matches EAGERLY (the [[streamingDecontaminate]] contract: write
+    * or collect before returning). */
+  def streamingFuzzyJoin(stream: DataFrame, idCol: String, strCol: String,
+      reference: DataFrame, refIdCol: String, refStrCol: String,
+      maxDist: Int, trigger: Trigger = Trigger.AvailableNow())(
+      onMatches: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Staging.scoped {
+          onMatches(graft.operators.FuzzyJoin.fuzzyJoin(
+            batch, idCol, strCol, reference, refIdCol, refStrCol, maxDist))
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming CDC materializer — the stream twin of
     * [[graft.operators.Cdc.applyChanges]]: consume a change-event stream
     * and maintain the merged snapshot across micro-batches. Each batch

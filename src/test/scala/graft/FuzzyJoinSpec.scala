@@ -81,6 +81,39 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("stream-static fuzzy join equals the batch operator over all waves") {
+    import org.apache.spark.sql.types._
+    import java.nio.file.Files
+    val base = Seq((1L, "chocolate"), (2L, "lavender"), (3L, "goldenrod"))
+    val probes = Seq((10L, "chocolte"), (11L, "lavendor"),
+      (12L, "goldenros"), (13L, "nomatch"))
+    val baseDf = base.toDF("sid", "s")
+    val dir = Files.createTempDirectory("fuzzy-stream").toFile
+    dir.deleteOnExit()
+    probes.grouped(2).zipWithIndex.foreach { case (rows, i) =>
+      val staging = Files.createTempDirectory(s"fuzzy-wave$i").toString
+      rows.toDF("qid", "q").coalesce(1)
+        .write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"wave$i.parquet").toPath
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("q", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = graft.streaming.StreamingIngest.streamingFuzzyJoin(
+        stream, "qid", "q", baseDf, "sid", "s", maxDist = 2) { df =>
+      got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    q.processAllAvailable(); q.stop()
+    assert(got.toSet === run(probes, base, d = 2))
+    assert(got.nonEmpty)
+  }
+
   test("plan gate: no cartesian product — candidates meet on an equi-join") {
     val probes = (0L to 50L).map(i => (i, s"string-number-$i")).toDF("qid", "q")
     val base = (0L to 50L).map(i => (i, s"string-number-${i * 7 % 50}")).toDF("sid", "s")
