@@ -212,8 +212,13 @@ object Funnel {
       .select(col("user_id"), col("bkt"),
         aggregate(col("evs"), init,
           (b, e) => withinStep(b, e, k, stages, windowMicros)).as("sdp"),
-        transform(sequence(lit(1), lit(k - 1).cast("int")),
-          i => foldFrom(col("evs"), i, k, stages)).as("ff"))
+        // k == 1 has no crossing chains to summarize — and Spark's
+        // sequence(1, 0) counts DOWN to [1, 0], so the transform must
+        // not run at all (the same descending-sequence trap as
+        // BpeTrain.charsOf)
+        (if (k == 1) array().cast("array<struct<s:int,w:array<bigint>>>")
+         else transform(sequence(lit(1), lit(k - 1).cast("int")),
+           i => foldFrom(col("evs"), i, k, stages))).as("ff"))
     val merged = aggregate(col("segs"), init, (b, seg) =>
       array((1 to k).map { j =>
         val fresh = element_at(seg.getField("sdp"), j)

@@ -200,8 +200,11 @@ object Retrieval {
     val st = Ddl.withoutDeleted(spark, table, docsAll, "id")
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .collect().head
+    // an empty visible snapshot (all docs deleted, or an as-of prefix
+    // before any append) has NULL avg(dl) — return an empty index, not
+    // an NPE
     Bm25Index(Ddl.withoutDeleted(spark, table, posts, "id"),
-      st.getLong(0), st.getDouble(1))
+      st.getLong(0), if (st.isNullAt(1)) 0.0 else st.getDouble(1))
   }
 
   /** [[bm25TopKFromIndex]] over a LOADED snapshot ([[loadBm25Index]] /

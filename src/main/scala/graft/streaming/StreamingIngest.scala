@@ -681,9 +681,12 @@ object StreamingIngest {
     val empty = changes.sparkSession.createDataFrame(
       changes.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(
+        // the seq column's NATIVE type — Cdc.scd2 preserves it, so a
+        // non-long seq (timestamp LSN, decimal) must shape the empty
+        // history identically or the first scd2Step unionByName drifts
         changes.select((payload.map(col) :+
-          col(seqCol).cast("long").as("valid_from") :+
-          col(seqCol).cast("long").as("valid_to")): _*).schema.fields :+
+          col(seqCol).as("valid_from") :+
+          col(seqCol).as("valid_to")): _*).schema.fields :+
           org.apache.spark.sql.types.StructField("is_current",
             org.apache.spark.sql.types.BooleanType, nullable = true)))
     var state = initial.getOrElse(empty).localCheckpoint(eager = true)
@@ -816,7 +819,11 @@ object StreamingIngest {
    * Contract (spec-asserted): with any on-time arrival order, the last
    * Update-mode emission per user equals the batch [[graft.operators
    * .Funnel.funnel]] over the same rows. Emission is delta-style: a
-   * row only when the stage advances (or on first sight of a user).
+   * row only when the stage advances, plus a first-sight stage-0 row
+   * for users whose entry is RETAINED (pending buffer or witnesses) —
+   * users with only non-matching mature events emit nothing (their
+   * entry is never created, so a first-sight row would repeat on
+   * every touching batch; emit-once requires suppressing it).
    * State is bounded per ACTIVE user: witness + stage are O(k);
    * pending holds at most the user's events inside the watermark lag
    * (the same bound as any event-time buffer); a COMPLETED funnel
@@ -859,7 +866,8 @@ object StreamingIngest {
       if (stage < k && tp == stages(stage)) { wit = wit :+ us; stage += 1 }
     }
     val rest = if (stage == k) Nil else immature
-    if (stage == 0 && wit.isEmpty && rest.isEmpty) {
+    val removable = stage == 0 && wit.isEmpty && rest.isEmpty
+    if (removable) {
       // nothing worth remembering — drop (or never create) the entry
       if (!first) state.remove()
     } else {
@@ -873,7 +881,13 @@ object StreamingIngest {
           wit.last / 1000L + matchRetentionMs,
           state.getCurrentWatermarkMs() + 1L))
     }
-    if (first || stage != prev.stage) Iterator(FunnelUpdate(userId, stage, wit))
+    // first-sight stage-0 rows only for RETAINED entries — an
+    // immediately-removable entry leaves no state, so emitting for it
+    // would repeat on every touching batch (at-least-once) instead of
+    // the emit-once delta contract; such users emit nothing until a
+    // stage advances
+    if ((first && !removable) || stage != prev.stage)
+      Iterator(FunnelUpdate(userId, stage, wit))
     else Iterator.empty
   }
 
@@ -939,7 +953,8 @@ object StreamingIngest {
     }
     val stage = stageOf(b)
     val rest = if (stage == k) Nil else immature
-    if (stage == 0 && rest.isEmpty) {
+    val removable = stage == 0 && rest.isEmpty
+    if (removable) {
       if (!first) state.remove()
     } else {
       state.update(FunnelWinState(b.toSeq, rest))
@@ -951,7 +966,8 @@ object StreamingIngest {
           state.getCurrentWatermarkMs() + 1L))
     }
     val out = (stage, winOf(b.toSeq))
-    if (first || out != ((stageOf(prev.b), winOf(prev.b))))
+    // same retained-entry first-sight rule as updateFunnel
+    if ((first && !removable) || out != ((stageOf(prev.b), winOf(prev.b))))
       Iterator(FunnelWinUpdate(userId, stage, out._2))
     else Iterator.empty
   }
@@ -976,7 +992,7 @@ object StreamingIngest {
   }
 
   final case class FunnelGuardState(o: Seq[Boolean], e: Seq[Boolean],
-      pending: Seq[(Long, Long, String)])
+      pending: Seq[(Long, Long, String)], completionUs: Long)
   final case class FunnelGuardUpdate(user_id: Long, stage_reached: Int)
 
   /**
@@ -997,7 +1013,7 @@ object StreamingIngest {
     val k = stages.length
     val first = state.getOption.isEmpty
     val prev = state.getOption.getOrElse(
-      FunnelGuardState(Seq.fill(k)(false), Seq.fill(k)(false), Nil))
+      FunnelGuardState(Seq.fill(k)(false), Seq.fill(k)(false), Nil, 0L))
     def stageOf(e: Seq[Boolean]): Int = e.count(identity)
     if (stageOf(prev.e) == k && state.hasTimedOut) {
       state.remove()
@@ -1008,7 +1024,7 @@ object StreamingIngest {
     val (mature, immature) = all.partition(_._1 <= wmUs)
     val o = prev.o.toArray
     val ev = prev.e.toArray
-    var lastUs = 0L
+    var comp = prev.completionUs
     mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
       val pre = o.clone()
       var j = 0
@@ -1024,24 +1040,28 @@ object StreamingIngest {
           o(j) = false
         j += 1
       }
-      lastUs = us
+      // the stage-k witness time — the NFA carries no witnesses, so
+      // the completion instant is captured here, once, so the cleanup
+      // timer keys to COMPLETION + retention (post-completion
+      // stragglers must not keep pushing the tombstone expiry out)
+      if (comp == 0L && ev(k - 1)) comp = us
     }
     val stage = stageOf(ev.toSeq)
     val rest = if (stage == k) Nil else immature
-    if (stage == 0 && !o.exists(identity) && rest.isEmpty) {
+    val removable = stage == 0 && !o.exists(identity) && rest.isEmpty
+    if (removable) {
       if (!first) state.remove()
     } else {
-      state.update(FunnelGuardState(o.toSeq, ev.toSeq, rest))
+      state.update(FunnelGuardState(o.toSeq, ev.toSeq, rest, comp))
       if (rest.nonEmpty)
         state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
-      else if (stage == k && matchRetentionMs != Long.MaxValue && lastUs > 0)
-        // only on fresh mature activity — a data-less invocation keeps
-        // the previously registered cleanup timer
+      else if (stage == k && matchRetentionMs != Long.MaxValue && comp > 0)
         state.setTimeoutTimestamp(math.max(
-          lastUs / 1000L + matchRetentionMs,
+          comp / 1000L + matchRetentionMs,
           state.getCurrentWatermarkMs() + 1L))
     }
-    if (first || stage != stageOf(prev.e))
+    // same retained-entry first-sight rule as updateFunnel
+    if ((first && !removable) || stage != stageOf(prev.e))
       Iterator(FunnelGuardUpdate(userId, stage))
     else Iterator.empty
   }
@@ -1069,7 +1089,7 @@ object StreamingIngest {
   }
 
   final case class FunnelWinGuardState(b: Seq[Long], m: Seq[Long],
-      pending: Seq[(Long, Long, String)])
+      pending: Seq[(Long, Long, String)], completionUs: Long)
 
   /**
    * Streaming COMBINED windowed+guarded funnel —
@@ -1090,7 +1110,7 @@ object StreamingIngest {
     val k = stages.length
     val first = state.getOption.isEmpty
     val prev = state.getOption.getOrElse(FunnelWinGuardState(
-      Seq.fill(k)(NoStart), Seq.fill(k)(NoStart), Nil))
+      Seq.fill(k)(NoStart), Seq.fill(k)(NoStart), Nil, 0L))
     def stageOf(m: Seq[Long]): Int = m.count(_ != NoStart)
     def winOf(m: Seq[Long]): Option[Long] = {
       val s = stageOf(m); if (s > 0) Some(m(s - 1)) else None
@@ -1104,7 +1124,7 @@ object StreamingIngest {
     val (mature, immature) = all.partition(_._1 <= wmUs)
     val b = prev.b.toArray
     val m = prev.m.toArray
-    var lastUs = 0L
+    var comp = prev.completionUs
     mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
       val pre = b.clone()
       val adv = Array.tabulate(k) { j =>
@@ -1120,23 +1140,26 @@ object StreamingIngest {
         m(j) = math.max(m(j), adv(j))
         j += 1
       }
-      lastUs = us
+      // capture the completion instant once (see updateFunnelGuarded)
+      if (comp == 0L && m(k - 1) != NoStart) comp = us
     }
     val stage = stageOf(m.toSeq)
     val rest = if (stage == k) Nil else immature
-    if (stage == 0 && !b.exists(_ != NoStart) && rest.isEmpty) {
+    val removable = stage == 0 && !b.exists(_ != NoStart) && rest.isEmpty
+    if (removable) {
       if (!first) state.remove()
     } else {
-      state.update(FunnelWinGuardState(b.toSeq, m.toSeq, rest))
+      state.update(FunnelWinGuardState(b.toSeq, m.toSeq, rest, comp))
       if (rest.nonEmpty)
         state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
-      else if (stage == k && matchRetentionMs != Long.MaxValue && lastUs > 0)
+      else if (stage == k && matchRetentionMs != Long.MaxValue && comp > 0)
         state.setTimeoutTimestamp(math.max(
-          lastUs / 1000L + matchRetentionMs,
+          comp / 1000L + matchRetentionMs,
           state.getCurrentWatermarkMs() + 1L))
     }
     val out = (stage, winOf(m.toSeq))
-    if (first || out != ((stageOf(prev.m), winOf(prev.m))))
+    // same retained-entry first-sight rule as updateFunnel
+    if ((first && !removable) || out != ((stageOf(prev.m), winOf(prev.m))))
       Iterator(FunnelWinUpdate(userId, stage, out._2))
     else Iterator.empty
   }

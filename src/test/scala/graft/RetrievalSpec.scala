@@ -139,6 +139,22 @@ class RetrievalSpec extends SparkSpec {
     assert(operators.CommitLog.committedBatches(spark, table).isEmpty)
   }
 
+  test("BM25 load with an EMPTY visible snapshot returns an empty index, not an NPE") {
+    // advisor pin: avg(dl) over zero documents is NULL — the loader
+    // must default avgdl and answer probes with zero rows
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val table = "graft_bm25_empty_spec"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", table)
+    operators.Ddl.appendTombstones(spark, table,
+      docs.select("doc_id"), "doc_id")
+    val idx = Retrieval.loadBm25Index(spark, table)
+    assert(idx.nDocs === 0L)
+    assert(idx.avgdl === 0.0)
+    assert(Retrieval.bm25TopKFromLoaded(idx, Seq("data", "model"), k = 5)
+      .count() === 0L)
+  }
+
   test("ANN append: existing cell buckets untouched, frozen metadata unchanged") {
     import graft.operators.VectorOps
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")

@@ -1498,6 +1498,46 @@ class StreamingSpec extends SparkSpec {
     assert(k3 === Array(("c1", Some(4L), false), ("c2", None, true)))
   }
 
+  test("streaming SCD2 materializer preserves a non-long seq type (timestamp LSN)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // advisor pin: the empty initial history must carry the seq
+    // column's NATIVE type — a hardcoded long would break the first
+    // scd2Step's unionByName for a timestamp LSN
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val waves = Seq(
+      Seq((1L, "a1", "I", t("2024-01-01 10:00:00")),
+        (2L, "b1", "I", t("2024-01-01 10:00:00"))),
+      Seq((1L, "a2", "U", t("2024-01-01 11:00:00")),
+        (2L, "b1", "D", t("2024-01-01 12:00:00"))))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("op", StringType),
+      StructField("seq", TimestampType)))
+    val src = tmp("scd2-ts-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"scd2-ts-wave$i")
+      rows.toDF("k", "v", "op", "seq")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val (q, read) = StreamingIngest.scd2Materialize(
+      stream, None, Seq("k"), "op", "seq")
+    q.processAllAvailable(); q.stop()
+    val hist = read()
+    assert(hist.schema("valid_from").dataType === TimestampType)
+    assert(hist.schema("valid_to").dataType === TimestampType)
+    val batch = graft.operators.Cdc.scd2(
+      waves.flatten.toDF("k", "v", "op", "seq"), Seq("k"), "op", "seq")
+    assert(hist.collect().map(_.toString).sorted.toSeq ===
+      batch.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("streaming decontamination (stream-static foreachBatch) equals the batch operator") {
     import org.apache.spark.sql.types._
     import graft.operators.{Staging, TextDedup}
