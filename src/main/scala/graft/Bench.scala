@@ -133,18 +133,24 @@ object Bench {
       }
       def spread: Double =
         if (times.size < 2) 0.0 else (times.max - times.min) / times.min
-      // a STILL-IMPROVING tail: the latest rep is the best yet and beat
-      // its predecessor by more than JIT jitter — the JVM is still
-      // warming, so the min has not converged
+      // a STILL-IMPROVING tail: the global minimum was set within the
+      // last 3 reps AND was a real improvement (>2%) over the best
+      // before it — the JVM is still warming. JIT descent is NOT
+      // monotone (t33's settles 5.9 → 6.2 → 6.8 → 4.7 → … → 4.5, round
+      // 13), so requiring the LATEST rep to be the best stops mid-
+      // descent; a min that has stood for 3 straight reps has converged.
       def improving: Boolean = times.size >= 2 && {
-        val last = times.last; val prev = times(times.size - 2)
-        last == times.min && (prev - last) / last > 0.05
+        val minIdx = times.indexOf(times.min)
+        minIdx >= times.size - 3 && {
+          val before = times.take(minIdx)
+          before.nonEmpty && (before.min - times.min) / times.min > 0.02
+        }
       }
       while (!broken && times.size < reps) runOnce()
       // auto-extension, two triggers:
       //   1. noisy spread under a loaded host buys extra reps (a
       //      quiet-host spread is code-real and stands as measured);
-      //   2. a monotone-improving tail extends REGARDLESS of load —
+      //   2. a still-improving tail extends REGARDLESS of load —
       //      otherwise min-of-reps depends on the rep count, not the
       //      code: the round-10→11 c1 "regression" was r10's loaded
       //      host extending to 9 reps (deep JIT warm, 0.56) while

@@ -4809,6 +4809,88 @@ object Queries {
         .orderBy("user_id"),
     oracle = w12_funnel_times.oracle)
 
+  /** LOOPING-quantifier funnel — Flink CEP's `oneOrMore` /
+    * `timesOrMore(n)` with GREEDY repetition
+    * ([[Funnel.funnelLoop]]): two-or-more views, then two-or-more
+    * clicks, then one-or-more purchases. The spine is w12's expanded
+    * chained-pick chain (existence is count-only), and each stage's
+    * loop absorbs every own-type event from its first pick up to the
+    * next stage's first pick (the last stage to end of log) —
+    * `reps<j>` and `ts<j>_us` (LAST consumed occurrence) are the
+    * loop observables `times(n)` cannot express. The oracle replays
+    * the spine with w12's five chained picks and adds one interval
+    * COUNT/MAX per stage. */
+  val w16_funnel_loop: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoop(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      def pick(k: Int, tp: String, prev: String): String =
+        s"""s$k AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      // stage j's loop interval: [its first pick, the next stage's
+      // first pick) in the (us, event_id) total order — count and max
+      // over the stage's own type inside it
+      def reps(j: Int, tp: String, first: String, next: Option[String]): String = {
+        val nextJoin = next.map(n =>
+          s"\n  LEFT JOIN $n n ON n.user_id = f.user_id").getOrElse("")
+        val nextPred = next.map(_ =>
+          "\n  WHERE n.user_id IS NULL OR e.us < n.us OR (e.us = n.us AND e.event_id < n.event_id)")
+          .getOrElse("")
+        s"""r$j AS (SELECT f.user_id, count(*) AS reps, max(e.us) AS last_us
+           |  FROM $first f JOIN e ON e.user_id = f.user_id AND e.event_type = '$tp'
+           |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))$nextJoin$nextPred
+           |  GROUP BY f.user_id)""".stripMargin
+      }
+      val expanded = Seq("view", "view", "click", "click", "purchase")
+      val hops = (2 to 5).map(k => pick(k, expanded(k - 1), s"s${k - 1}"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |$hops,
+         |${reps(1, "view", "s1", Some("s3"))},
+         |${reps(2, "click", "s3", Some("s5"))},
+         |${reps(3, "purchase", "s5", None)}
+         |SELECT u.user_id,
+         |  CASE WHEN s5.user_id IS NOT NULL THEN 3
+         |       WHEN s4.user_id IS NOT NULL THEN 2
+         |       WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  coalesce(r1.reps, 0) AS reps1, r1.last_us AS ts1_us,
+         |  coalesce(r2.reps, 0) AS reps2, r2.last_us AS ts2_us,
+         |  coalesce(r3.reps, 0) AS reps3, r3.last_us AS ts3_us
+         |FROM u LEFT JOIN s2 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN s5 USING (user_id)
+         |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+         |  LEFT JOIN r3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w16_funnel_loop]] through the SKEW-SAFE segment monoid — the
+    * loop fold's summary (exit pointer, count DELTAS, last times) is
+    * exact for every entry pointer because increments depend only on
+    * the running pointer, so the bucketed variant gates against w16's
+    * oracle VERBATIM. */
+  val w17_funnel_loop_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w16_funnel_loop.oracle)
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -6017,6 +6099,8 @@ object Queries {
     "w13_funnel_times_bucketed" -> w13_funnel_times_bucketed,
     "w14_funnel_within_guarded" -> w14_funnel_within_guarded,
     "w15_funnel_within_guarded_bucketed" -> w15_funnel_within_guarded_bucketed,
+    "w16_funnel_loop" -> w16_funnel_loop,
+    "w17_funnel_loop_bucketed" -> w17_funnel_loop_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

@@ -100,6 +100,167 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // Looping quantifiers — Flink CEP's `oneOrMore` / `timesOrMore(n)`
+  // -------------------------------------------------------------------
+
+  /** Static tables for the looping-quantifier fold over `stages =
+    * Seq[(type, minReps)]`: the EXPANDED sub-stage list (minReps
+    * mandatory slots per stage — [[funnelTimes]]' reduction), the
+    * cumulative block `bounds`, `subOf(i)` = the 1-based full stage
+    * owning sub-stage i+1, and `loopOf(s)` = the full stage whose loop
+    * is OPEN when the pointer rests exactly at its block boundary
+    * (0 = none): a loop absorbs only between its block's completion
+    * and the next stage's first pick. */
+  private def loopTables(stages: Seq[(String, Int)])
+      : (Seq[String], Seq[Int], Seq[Int], Seq[Int]) = {
+    val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    val subOf = stages.zipWithIndex.flatMap { case ((_, n), j) =>
+      Seq.fill(n)(j + 1) }
+    val loopOf = (0 to expanded.length).map(s => bounds.indexOf(s) + 1)
+    (expanded, bounds, subOf, loopOf)
+  }
+
+  /** One event's transition of the looping-quantifier fold. State:
+    * `s` — the greedy sub-stage pointer over the expanded list (the
+    * SPINE, identical to [[funnelTimes]]' picks: a stage's first pick
+    * is the earliest occurrence after the previous stage's mandatory
+    * block — existence-optimal, so `stage_reached` is exact);
+    * `c[j]`/`l[j]` — the occurrences stage j's GREEDY loop has
+    * consumed and the last one's time. A mandatory advance counts into
+    * its own stage; once a block completes, further same-type events
+    * absorb into the open loop until the NEXT stage takes its first
+    * pick (which closes it — relaxed contiguity lets the loop claim
+    * everything before that pick, so "absorb all until the next
+    * stage's earliest pick" IS the maximal greedy repetition
+    * consistent with the existence-optimal spine). Adjacent stages
+    * must differ in type (advance-vs-absorb would be ambiguous). */
+  private def loopStep(st: Column, e: Column, stages: Seq[(String, Int)])
+      : Column = {
+    val (expanded, _, subOf, loopOf) = loopTables(stages)
+    val kx = expanded.length
+    val s = st.getField("s"); val c = st.getField("c"); val l = st.getField("l")
+    val tp = e.getField("tp"); val us = e.getField("us")
+    // And short-circuits, so element_at never sees an index past the
+    // table (same guard discipline as the plain funnel fold)
+    val adv = s < kx && tp === element_at(typedLit(expanded), s + 1)
+    val jAdv = element_at(typedLit(subOf), s + 1)
+    val jLoop = element_at(typedLit(loopOf), s + 1) // sized kx+1: s ∈ 0..kx
+    val absorb = jLoop > 0 &&
+      tp === element_at(typedLit(stages.map(_._1)), jLoop)
+    def next(sNew: Column, j: Column) = struct(sNew.as("s"),
+      transform(c, (x, i) => when(i === j - 1, x + 1L).otherwise(x)).as("c"),
+      transform(l, (x, i) => when(i === j - 1, us).otherwise(x)).as("l"))
+    when(adv, next(s + 1, jAdv))
+      .otherwise(when(absorb, next(s, jLoop)).otherwise(st))
+  }
+
+  private def loopInit(stages: Seq[(String, Int)], entry: Column): Column =
+    struct(entry.as("s"),
+      array_repeat(lit(0L), stages.length).as("c"),
+      array_repeat(lit(null).cast("long"), stages.length).as("l"))
+
+  private def loopRequire(stages: Seq[(String, Int)]): Unit = {
+    require(stages.nonEmpty && stages.forall(_._2 >= 1),
+      "need stages with minReps >= 1")
+    require(stages.map(_._1).sliding(2).forall(p =>
+        p.length < 2 || p(0) != p(1)),
+      "adjacent stages must differ in type (advance vs loop-absorb " +
+        "would be ambiguous)")
+  }
+
+  private def loopOut(stages: Seq[(String, Int)], f: Column): DataFrame => DataFrame = {
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    df => df
+      .select(col("user_id"), f.as("f"))
+      .select(col("user_id") +:
+        bounds.map(b => when(col("f.s") >= b, 1).otherwise(0))
+          .reduce(_ + _).as("stage_reached") +:
+        stages.indices.flatMap(j => Seq(
+          element_at(col("f.c"), j + 1).as(s"reps${j + 1}"),
+          element_at(col("f.l"), j + 1).as(s"ts${j + 1}_us"))): _*)
+  }
+
+  /**
+   * [[funnel]] with LOOPING quantified stages — Flink CEP's
+   * `oneOrMore` / `timesOrMore(n)` with GREEDY repetition: stage j
+   * matches `minReps_j`-or-more ordered occurrences of its type
+   * ("two-or-more views, then one-or-more clicks, then a purchase"),
+   * and reports how many occurrences the greedy loop consumed
+   * (`reps<j>`) plus the last consumed occurrence's time
+   * (`ts<j>_us`) — the two observables [[funnelTimes]]' exact-count
+   * reduction cannot express.
+   *
+   * Deterministic contract (the SQL-replayable one): the SPINE is the
+   * greedy-earliest mandatory-pick chain over the expanded stage list
+   * (so `stage_reached` equals [[funnelTimes]]' — existence is
+   * quantifier-count-only), and stage j's loop then absorbs EVERY
+   * type-j event from its first pick up to (exclusive) stage j+1's
+   * first pick — the last stage's loop runs to the end of the log.
+   * `reps<j>` counts a stage's events even while its mandatory block
+   * is still partial (a 1-of-2 stage shows reps 1 at stage_reached
+   * j-1), which makes loop progress observable before completion.
+   *
+   * Same scale shape as [[funnel]]: ONE user-keyed shuffle, one
+   * expression fold, state = a pointer + 2K slots. Oracle: the w12
+   * chained-pick spine plus one interval COUNT/MAX per stage (w16).
+   */
+  def funnelLoop(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)]): DataFrame = {
+    loopRequire(stages)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), loopInit(stages, lit(0)),
+      (st, e) => loopStep(st, e, stages))
+    loopOut(stages, folded)(
+      events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
+  }
+
+  /**
+   * [[funnelLoop]] for SKEWED keys — the [[funnelBucketed]] segment
+   * monoid extended with the loop counters: a segment's effect from
+   * entry pointer `s0` is `(exit pointer, per-stage count DELTAS,
+   * per-stage last-consumed times)` — increments depend only on the
+   * running pointer, never on accumulated counts, so the summary is
+   * exact for every entry and composition is pointer lookup + count
+   * add + last-time coalesce. K'+1 folds of O(K) metadata per
+   * segment, two user-keyed shuffles, per-group memory bounded by the
+   * bucket width. Gates on w16's oracle VERBATIM (w17).
+   */
+  def funnelLoopBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], bucketSeconds: Long): DataFrame = {
+    loopRequire(stages)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val kx = stages.map(_._2).sum
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(kx)), s0 =>
+          aggregate(col("evs"), loopInit(stages, s0),
+            (st, e) => loopStep(st, e, stages))).as("f"))
+    val merged = aggregate(col("segs"), loopInit(stages, lit(0)),
+      (st, seg) => TextDedup.bound(
+          element_at(seg.getField("f"), st.getField("s") + 1)) { f =>
+        struct(f.getField("s").as("s"),
+          zip_with(st.getField("c"), f.getField("c"), (a, b) => a + b).as("c"),
+          zip_with(st.getField("l"), f.getField("l"),
+            (a, b) => coalesce(b, a)).as("l"))
+      })
+    loopOut(stages, merged)(
+      segs.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bkt"), col("f"))))
+          .as("segs")))
+  }
+
+  // -------------------------------------------------------------------
   // Windowed funnel — Flink CEP's `within(T)` time bound
   // -------------------------------------------------------------------
 

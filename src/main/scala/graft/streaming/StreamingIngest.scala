@@ -1208,6 +1208,118 @@ object StreamingIngest {
           element_at(col("witness_us"), bounds(j))).as(s"ts${j + 1}_us")): _*)
   }
 
+  final case class FunnelLoopState(s: Int, c: Seq[Long], l: Seq[Long],
+      pending: Seq[(Long, Long, String)], completionUs: Long)
+  final case class FunnelLoopUpdate(user_id: Long, stage_reached: Int,
+      reps: Seq[Long], last_us: Seq[Long])
+
+  /**
+   * Streaming LOOPING-quantifier funnel — [[graft.operators.Funnel
+   * .funnelLoop]]'s twin (CEP `oneOrMore`/`timesOrMore` with greedy
+   * repetition). The times(n) trick (compose with the expanded
+   * [[streamingFunnel]]) does not carry over: the loop counters are
+   * NOT a projection of the expanded witnesses, so this runs the
+   * batch fold's state machine directly — per-user state is the
+   * expanded-list spine pointer plus the per-stage (count, last-time)
+   * loop slots and the event-time pending buffer; mature events fold
+   * in (event-time, event_id) order behind the watermark, exactly the
+   * family's buffer discipline.
+   *
+   * The LAST stage's loop never closes (batch absorbs to end of log),
+   * so a "completed" funnel keeps absorbing its type's mature events
+   * instead of freezing — state stays O(K) (the buffer keeps only
+   * last-stage-type events once the spine is complete), and with the
+   * default infinite retention the final emission equals the batch
+   * operator over the same rows (spec contract). A finite
+   * `matchRetentionMs` frees the entry at completion + retention —
+   * trailing absorptions after that are dropped with the tombstone
+   * (the documented TTL trade, as across the family). Emission:
+   * delta-style on the full observable (stage, counts, last-times),
+   * retained-entry first-sight rule as [[updateFunnel]].
+   */
+  def updateFunnelLoop(stages: IndexedSeq[(String, Int)],
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelLoopState]): Iterator[FunnelLoopUpdate] = {
+    val k = stages.length
+    val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val kx = expanded.length
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelLoopState(0,
+      Seq.fill(k)(0L), Seq.fill(k)(NoStart), Nil, 0L))
+    def stageOf(s: Int): Int = bounds.count(_ <= s)
+    if (stageOf(prev.s) == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var s = prev.s
+    val c = prev.c.toArray
+    val l = prev.l.toArray
+    var comp = prev.completionUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      if (s < kx && tp == expanded(s)) {
+        s += 1
+        val j = bounds.indexWhere(_ >= s)
+        c(j) += 1; l(j) = us
+        if (comp == 0L && s == kx) comp = us
+      } else {
+        val j = bounds.indexOf(s)
+        if (j >= 0 && tp == stages(j)._1) { c(j) += 1; l(j) = us }
+      }
+    }
+    val complete = s == kx
+    // a complete spine can only absorb last-stage-type events — the
+    // rest of the buffer is dead weight
+    val rest =
+      if (complete) immature.filter(_._3 == stages(k - 1)._1)
+      else immature
+    val removable = s == 0 && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelLoopState(s, c.toSeq, l.toSeq, rest, comp))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (complete && matchRetentionMs != Long.MaxValue && comp > 0)
+        state.setTimeoutTimestamp(math.max(
+          comp / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    def obs(sv: Int, cv: Seq[Long], lv: Seq[Long]) =
+      (stageOf(sv), cv, lv.filter(_ != NoStart))
+    val out = obs(s, c.toSeq, l.toSeq)
+    if ((first && !removable) || out != obs(prev.s, prev.c, prev.l))
+      Iterator(FunnelLoopUpdate(userId, out._1, out._2, out._3))
+    else Iterator.empty
+  }
+
+  /** The streaming looping-quantifier funnel over an events stream —
+    * the [[streamingFunnel]] plumbing with [[updateFunnelLoop]]'s
+    * state machine. */
+  def streamingFunnelLoop(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int)], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] = {
+    import spark.implicits._
+    require(stages.nonEmpty && stages.forall(_._2 >= 1),
+      "need stages with minReps >= 1")
+    require(stages.map(_._1).sliding(2).forall(p =>
+        p.length < 2 || p(0) != p(1)),
+      "adjacent stages must differ in type")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelLoop(stages.toIndexedSeq, matchRetentionMs))
+  }
+
   /** The streaming funnel over an events stream (`user_id`, `event_id`,
     * `ts`, `event_type`). `watermark` is the allowed lateness — and
     * therefore the event-time reordering window the buffer absorbs. */

@@ -332,6 +332,93 @@ class FunnelSpec extends SparkSpec {
     assert(bucketed === single)
   }
 
+  /** Independent reference for [[Funnel.funnelLoop]]'s documented
+    * contract: greedy-earliest spine over the expanded list; a
+    * completed block's loop absorbs its type until the next stage's
+    * first pick. */
+  private def loopRef(es: Seq[(Long, Long, Timestamp, String)],
+      stages: Seq[(String, Int)]): (Int, Seq[Long], Seq[Option[Long]]) = {
+    val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    var s = 0
+    val c = Array.fill(stages.length)(0L)
+    val l = Array.fill[Option[Long]](stages.length)(None)
+    es.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+      val us = e._3.getTime * 1000L
+      if (s < expanded.length && e._4 == expanded(s)) {
+        s += 1
+        val j = bounds.indexWhere(_ >= s)
+        c(j) += 1; l(j) = Some(us)
+      } else {
+        val j = bounds.indexOf(s)
+        if (j >= 0 && e._4 == stages(j)._1) { c(j) += 1; l(j) = Some(us) }
+      }
+    }
+    (bounds.count(_ <= s), c.toSeq, l.toSeq)
+  }
+
+  test("funnelLoop: greedy absorption, loop closes at next pick, partial-block counts, trailing tail") {
+    val stages = Seq(("view", 2), ("click", 1), ("purchase", 1))
+    val ev = Seq(
+      // user 1: two mandatory views, one absorbed view, click closes the
+      // view loop, a view AFTER the click is dead, purchase completes,
+      // a trailing purchase absorbs into the last stage's open loop
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"), (1L, 3L, ts(3), "view"),
+      (1L, 4L, ts(4), "click"), (1L, 5L, ts(5), "view"),
+      (1L, 6L, ts(6), "purchase"), (1L, 7L, ts(7), "purchase"),
+      // user 2: partial mandatory block — one view of two: stage 0 but
+      // reps1 counts the partial pick
+      (2L, 8L, ts(1), "view"),
+      // user 3: loop events keep counting while the NEXT stage never
+      // arrives (views absorb to end of log)
+      (3L, 9L, ts(1), "view"), (3L, 10L, ts(2), "view"), (3L, 11L, ts(3), "view"),
+      // user 4: nothing matching → all zeros
+      (4L, 12L, ts(1), "error")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val s = 1000000L
+    val r = Funnel.funnelLoop(ev, "user_id", "event_type", "ts", "event_id",
+        stages)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        (2 to 6 by 2).map(x.getLong).toSeq,
+        (3 to 7 by 2).map(i => Option(x.get(i)).map(_.asInstanceOf[Long] - us0)).toSeq))
+    assert(r === Array(
+      (1L, 3, Seq(3L, 1L, 2L), Seq(Some(3 * s), Some(4 * s), Some(7 * s))),
+      (2L, 0, Seq(1L, 0L, 0L), Seq(Some(1 * s), None, None)),
+      (3L, 1, Seq(3L, 0L, 0L), Seq(Some(3 * s), None, None)),
+      (4L, 0, Seq(0L, 0L, 0L), Seq(None, None, None))))
+  }
+
+  test("property: funnelLoop equals the in-memory reference; bucketed == single (1-second segments)") {
+    val rnd = new scala.util.Random(70707L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq(("view", 1), ("click", 2), ("purchase", 1))
+    val events = (0 until 500).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val expected = events.groupBy(_._1).view
+      .mapValues(loopRef(_, stages)).toMap
+    val single = Funnel.funnelLoop(df, "user_id", "event_type", "ts",
+      "event_id", stages)
+    val got = single.collect().map { x =>
+      x.getLong(0) -> ((x.getInt(1), (2 to 6 by 2).map(x.getLong).toSeq,
+        (3 to 7 by 2).map(i =>
+          Option(x.get(i)).map(_.asInstanceOf[Long])).toSeq))
+    }.toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1 == 3)) // generator reaches completion
+    assert(expected.values.exists(v => v._2.head > 1)) // loops really absorb
+    val singleRows = single.orderBy("user_id").collect()
+    val bucketed = Funnel.funnelLoopBucketed(df, "user_id", "event_type",
+      "ts", "event_id", stages, bucketSeconds = 1L).orderBy("user_id").collect()
+    assert(bucketed === singleRows)
+    val coarse = Funnel.funnelLoopBucketed(df, "user_id", "event_type",
+      "ts", "event_id", stages, bucketSeconds = 86400L).orderBy("user_id").collect()
+    assert(coarse === singleRows)
+  }
+
   test("funnelWithinGuarded: both constraints bite; property vs a brute-force DP") {
     val stages = Seq("view", "click", "purchase")
     val nb = Seq(Some("error"), Some("error"))
