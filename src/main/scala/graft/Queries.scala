@@ -1385,6 +1385,58 @@ object Queries {
         |ORDER BY q, s""".stripMargin),
     bench = true)
 
+  /** [[t80_fuzzy_join_strings]] at maxDist = 2 — the distance where
+    * the PassJoin pigeonhole argument is actually stressed: 3
+    * segments per index string, 75 probe keys per row, the ±2 shift
+    * window, and a deeper short-string route. The probe corpus is a
+    * TWO-character deletion of every third part name (chars 3–4
+    * dropped), so matches genuinely sit at distance 2, not 1;
+    * levenshtein-exact against the length-filtered oracle. */
+  val t81_fuzzy_join_d2: Q = Q(
+    run = (spark, dir) => {
+      val parts = t(spark, dir, "part")
+      val probes = parts.filter(col("p_partkey") % 3 === 1)
+        .select(concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 5)")).as("q"))
+      FuzzyJoin.fuzzyJoinStrings(probes,
+          parts.select(col("p_name").as("s")), maxDist = 2)
+        .orderBy("q", "s")
+    },
+    oracle = Some(
+      """WITH probes AS (
+        |  SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 5) AS q
+        |  FROM part WHERE p_partkey % 3 = 1),
+        |base AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT q, s, CAST(levenshtein(q, s) AS BIGINT) AS dist
+        |FROM probes JOIN base
+        |  ON abs(length(q) - length(s)) <= 2 AND levenshtein(q, s) <= 2
+        |ORDER BY q, s""".stripMargin),
+    bench = true)
+
+  /** Persisted fuzzy-join SEGMENT INDEX
+    * ([[FuzzyJoin.writeSegmentIndex]] / [[FuzzyJoin
+    * .probeSegmentIndex]]) — the string modality's
+    * build-once/probe-many form, closing the retrieval-family
+    * symmetry (BM25 t46, IVF+SQ8 t40, PQ t45 all have one): the
+    * segment entries persist bucketed+sorted by the packed blocking
+    * key so a probe's index side scans exchange-free, the probe
+    * replays the build's split arithmetic from the persisted
+    * max_dist, and the answer is the in-query t80 result VERBATIM —
+    * gated on t80's oracle. */
+  val t82_fuzzy_segment_index_persist: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_fuzzy_seg_index"
+      val parts = t(spark, dir, "part")
+      FuzzyJoin.writeSegmentIndex(parts.select(col("p_name").as("s")),
+        "s", table, maxDist = 1)
+      val probes = parts.filter(col("p_partkey") % 3 === 1)
+        .select(concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("q"))
+      FuzzyJoin.probeSegmentIndex(spark, table, probes)
+        .orderBy("q", "s")
+    },
+    oracle = t80_fuzzy_join_strings.oracle)
+
   private val ClassifierBandHiMicro = 5000L
 
   /** Hashed linear quality classifier ([[TextAnalysis
@@ -6002,6 +6054,8 @@ object Queries {
     "t78_bpe_encode_unseen" -> t78_bpe_encode_unseen,
     "t79_fuzzy_join" -> t79_fuzzy_join,
     "t80_fuzzy_join_strings" -> t80_fuzzy_join_strings,
+    "t81_fuzzy_join_d2" -> t81_fuzzy_join_d2,
+    "t82_fuzzy_segment_index_persist" -> t82_fuzzy_segment_index_persist,
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,

@@ -91,15 +91,28 @@ object FuzzyJoin {
    */
   def fuzzyJoinStrings(left: DataFrame, right: DataFrame,
       maxDist: Int): DataFrame = {
-    val leftStrCol = left.columns.head
-    val rightStrCol = right.columns.head
     require(maxDist >= 1, "maxDist must be >= 1")
+    val rKeys = indexEntries(right, maxDist)
+    val lKeys = probeEntries(left, maxDist)
+    // ---- distinct candidates meet on (tl, slot, seg); verify once
+    // per distinct string pair ----
+    verify(lKeys.join(rKeys, Seq("tl", "slot", "seg")), maxDist)
+  }
+
+  private def verify(candidates: DataFrame, maxDist: Int): DataFrame =
+    candidates
+      .select(col("q"), col("s"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("q"), col("s")).cast("long"))
+      .filter(col("dist") <= maxDist)
+
+  /** The INDEX side's segment entries over the DISTINCT strings of
+    * `right`'s first column: one row per (s, slot, tl, seg) blocking
+    * key — balanced-split arithmetic (segment i, 0-based, has length
+    * base + (i < extra) and 0-based start i*base + min(i, extra)). */
+  private def indexEntries(right: DataFrame, maxDist: Int): DataFrame = {
     val k = maxDist + 1
-    // balanced-split arithmetic over a target length column: segment i
-    // (0-based) has length base + (i < extra) and 0-based start
-    // i*base + min(i, extra)
-    // ---- index side (DISTINCT strings) ----
-    val r = right.select(col(rightStrCol).as("s")).distinct()
+    val r = right.select(col(right.columns.head).as("s")).distinct()
       .withColumn("tl", length(col("s")))
     val rEntries: Seq[Column] = (0 until k).map { i =>
       val b = divI(col("tl"), k)
@@ -111,12 +124,18 @@ object FuzzyJoin {
           substr(col("s"), pi + 1, li).as("seg")))
     } :+ when(col("tl") <= maxDist,
       struct(lit(-1).as("slot"), col("tl").as("tl2"), lit("").as("seg")))
-    val rKeys = r.select(col("s"),
+    r.select(col("s"),
         explode(filter(array(rEntries: _*), e => e.isNotNull)).as("e"))
       .select(col("s"), col("e.slot").as("slot"),
         col("e.tl2").as("tl"), col("e.seg").as("seg"))
-    // ---- probe side (DISTINCT strings) ----
-    val l = left.select(col(leftStrCol).as("q")).distinct()
+  }
+
+  /** The PROBE side's candidate entries over the DISTINCT strings of
+    * `left`'s first column: every (index length, slot, shift)
+    * substring — a CONSTANT ≤ (2d+1)²(d+1) keys per string. */
+  private def probeEntries(left: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val l = left.select(col(left.columns.head).as("q")).distinct()
       .withColumn("lq", length(col("q")))
     val lEntries: Seq[Column] =
       (for {
@@ -137,17 +156,60 @@ object FuzzyJoin {
         when(tl >= 0 && tl <= maxDist,
           struct(lit(-1).as("slot"), tl.as("tl2"), lit("").as("seg")))
       }
-    val lKeys = l.select(col("q"),
+    l.select(col("q"),
         explode(array_distinct(
           filter(array(lEntries: _*), e => e.isNotNull))).as("e"))
       .select(col("q"), col("e.slot").as("slot"),
         col("e.tl2").as("tl"), col("e.seg").as("seg"))
-    // ---- distinct candidates meet on (tl, slot, seg); verify once
-    // per distinct string pair ----
-    lKeys.join(rKeys, Seq("tl", "slot", "seg"))
-      .select(col("q"), col("s"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("q"), col("s")).cast("long"))
-      .filter(col("dist") <= maxDist)
+  }
+
+  /** The packed single-column blocking key — `tl#slot#seg` parses
+    * bijectively (two numeric fields then the raw segment), so
+    * equality on it IS equality on the triple, and ONE key column is
+    * what the bucketed table and its sort order index. */
+  private def packedKey: Column =
+    concat_ws("#", col("tl"), col("slot"), col("seg"))
+
+  /**
+   * Persist the fuzzy-join SEGMENT INDEX — the build-once/probe-many
+   * form the other retrieval modalities already have (BM25 t46,
+   * IVF+SQ8 t40, PQ t45), closing the string modality:
+   *   - `table`: (bkey, s) — one row per segment entry of the
+   *     DISTINCT index strings, `bkey` the packed `tl#slot#seg` key,
+   *     BUCKETED AND SORTED by it ([[Ddl.writeBucketedTable]]) so the
+   *     index side of every probe is pre-hash-partitioned: the probe
+   *     plan shuffles only the (tiny) probe keys, the index scan is
+   *     exchange-free;
+   *   - `table_meta`: the build's `max_dist` (the segment count is a
+   *     BUILD property — a probe must replay the same split
+   *     arithmetic, so it reads the distance from here).
+   * Rerunnable: existing tables are dropped first.
+   */
+  def writeSegmentIndex(right: DataFrame, strCol: String, table: String,
+      maxDist: Int, numBuckets: Int = 8): Unit = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val spark = right.sparkSession
+    val rKeys = indexEntries(right.select(col(strCol)), maxDist)
+      .select(packedKey.as("bkey"), col("s"))
+    Ddl.writeBucketedTable(rKeys, table, "bkey", numBuckets)
+    Ddl.dropTableAndLocation(spark, s"${table}_meta")
+    spark.range(1).select(lit(maxDist).as("max_dist"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Probe a persisted [[writeSegmentIndex]] table with `left`'s
+    * first column: identical candidate generation and levenshtein
+    * verify as the in-query [[fuzzyJoinStrings]] — (q, s, dist), one
+    * row per distinct in-distance string pair, equal to the in-query
+    * answer on the same corpus by construction (t82 gates it against
+    * t80's oracle verbatim). */
+  def probeSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, left: DataFrame): DataFrame = {
+    val maxDist = spark.table(s"${table}_meta")
+      .collect().head.getInt(0)
+    val lKeys = probeEntries(left, maxDist)
+      .select(packedKey.as("bkey"), col("q"))
+    verify(lKeys.join(spark.table(table), Seq("bkey")), maxDist)
   }
 }

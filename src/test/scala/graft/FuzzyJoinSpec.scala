@@ -114,6 +114,45 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("persisted segment index: probe equals the in-query join; index scan stays bucketed") {
+    import graft.operators.FuzzyJoin
+    val rnd = new scala.util.Random(24680L)
+    val alpha = "abcdef"
+    def word(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (0 until 80).map(_ => word(2 + rnd.nextInt(10))).distinct
+    val probes = base.map { s => // one- or two-edit variants + noise
+      if (s.length > 2) s.take(1) + s.drop(2) else s + "x"
+    } ++ (0 until 40).map(_ => word(2 + rnd.nextInt(10)))
+    val baseDf = base.map(Tuple1(_)).toDF("s")
+    val probeDf = probes.map(Tuple1(_)).toDF("q")
+    val table = "graft_fuzzy_seg_spec"
+    try {
+      FuzzyJoin.writeSegmentIndex(baseDf, "s", table, maxDist = 2)
+      val fromIndex = FuzzyJoin.probeSegmentIndex(spark, table, probeDf)
+      val inQuery = FuzzyJoin.fuzzyJoinStrings(probeDf, baseDf, maxDist = 2)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val got = set(fromIndex)
+      assert(got === set(inQuery))
+      assert(got.exists(_._3 == 2L)) // distance-2 matches really occur
+      // the probe's index side must USE the bucket layout (no exchange
+      // over the persisted table); force the join path that would
+      // otherwise broadcast away the evidence
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, "-1")
+      try {
+        val plan = FuzzyJoin.probeSegmentIndex(spark, table, probeDf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"index scan should be bucket-aware:\n$plan")
+      } finally spark.conf.set(thresholdKey, prev)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    }
+  }
+
   test("plan gate: no cartesian product — candidates meet on an equi-join") {
     val probes = (0L to 50L).map(i => (i, s"string-number-$i")).toDF("qid", "q")
     val base = (0L to 50L).map(i => (i, s"string-number-${i * 7 % 50}")).toDF("sid", "s")
