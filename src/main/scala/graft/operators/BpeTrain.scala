@@ -256,25 +256,100 @@ object BpeTrain {
     } else trainDistributed(base, rounds)
   }
 
-  /** The over-bound fallback: one pair-count aggregation + argmax
-    * collect + map-only rewrite per round over the (barriered,
-    * vocab-sized) word table. */
+  /**
+   * The over-bound fallback, with INCREMENTALLY-maintained pair
+   * counts. A full recount per round pays a vocab-wide pair explode +
+   * shuffle every merge; but merging (a, b) only changes words that
+   * CONTAIN that adjacent pair, so each round:
+   *
+   *   - argmax over the MAINTAINED counts table (TakeOrdered -- no
+   *     shuffle, one driver row);
+   *   - one map-only pass applies the merge fold, KEEPING the old
+   *     symbol array alongside the new one -- "touched" is then the
+   *     lambda-free `size(merged) < size(syms)` (the greedy fold
+   *     shrinks a word iff it contained the pair), so every
+   *     higher-order function in the loop sits alone in its own
+   *     operator over cached attributes. (Two lambda-bearing
+   *     expressions in one projection corrupt interpreted
+   *     evaluation -- repro'd: the second HOF reads the first's
+   *     lambda-variable state, index-out-of-bounds on shorter rows;
+   *     this layout is the reliable shape.)
+   *   - the touched words' old pairs (negated) and new pairs
+   *     aggregate into a DELTA -- touched-set-sized, small once the
+   *     head pairs are merged away;
+   *   - the delta FULL-OUTER-joins the counts state on (l, r): the
+   *     state is hash-partitioned by (l, r) from its groupBy birth
+   *     (checkpointing preserves the physical partitioning), so only
+   *     the delta side shuffles, round after round.
+   *
+   * The iterated states MUST truncate lineage, not just persist: a
+   * persist-only barrier keeps the full logical plan, and round r's
+   * counts plan references both the r-deep join chain and the r-deep
+   * word chain, so Catalyst re-analyzes a tree that grows without
+   * bound -- measured per-round cost exploded from 1.4 s at 4 rounds
+   * to a >500 s timeout at 16. Eager `localCheckpoint` pins each
+   * generation as a constant-size LogicalRDD (per-round cost flat in
+   * round count). Its blocks are executor-local -- an executor loss
+   * fails the job instead of recomputing, the standard iterative-
+   * algorithm trade (this is the over-2M-word fallback; swap in
+   * reliable `checkpoint` on a cluster if that matters). Because
+   * checkpointing is eager, a generation retires the moment its
+   * successor materializes, keeping live memory at ~2 word tables +
+   * 2 counts tables regardless of rounds. NOTE: the returned frame is
+   * checkpoint-backed -- valid until the enclosing Staging frame
+   * releases, NOT recomputable afterwards (unlike a persist barrier).
+   *
+   * The algebra is exact -- counts(new) = counts(old) -
+   * pairs(touched_old) + pairs(touched_new), and the merged pair
+   * itself always zeroes out (the greedy fold leaves no adjacent
+   * (a, b)) -- so the merge sequence is bit-identical to a full
+   * recount's; BpeTrainSpec gates it merge-for-merge against the
+   * local path, ties included.
+   */
   private def trainDistributed(base: DataFrame, rounds: Int)
       : (Seq[Merge], DataFrame) = {
+    def ckpt(df: DataFrame): DataFrame =
+      Staging.adopt(df.localCheckpoint(true))
+    def retire(df: DataFrame): Unit = {
+      df.unpersist(blocking = false)
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    }
     var words = base
+    var wordsCk: DataFrame = null // the checkpointed handle to retire
+    var counts = ckpt(pairCounts(base))
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var continue = true
     while (r <= rounds && continue) {
-      val top = pairCounts(words)
-        .orderBy(col("n").desc, col("l"), col("r"))
+      val top = counts.orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty) { continue = false }
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val (a, b, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, n)
-        words = Staging.barrier(words.select(col("w"), col("cnt"),
-          applyMerge(col("syms"), a, b).as("syms")))
+        val next = ckpt(words.select(col("w"), col("cnt"),
+          col("syms"), applyMerge(col("syms"), a, b).as("merged")))
+        if (wordsCk != null) retire(wordsCk) // consumed by next's ckpt
+        def touched = next.filter(size(col("merged")) < size(col("syms")))
+        val delta = pairCounts(
+            touched.select(col("w"), col("cnt"), col("syms")))
+            .select(col("l"), col("r"), (-col("n")).as("n"))
+          .unionByName(pairCounts(touched.select(col("w"), col("cnt"),
+            col("merged").as("syms"))))
+          .groupBy("l", "r").agg(sum("n").as("dn"))
+        val nextCounts = ckpt(
+          counts.join(delta, Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("n"), lit(0L)) +
+                coalesce(col("dn"), lit(0L))).as("n"))
+            .filter(col("n") > 0))
+        retire(counts) // consumed by nextCounts' ckpt
+        counts = nextCounts
+        wordsCk = next
+        words = next.select(col("w"), col("cnt"),
+          col("merged").as("syms"))
         r += 1
       }
     }
