@@ -194,6 +194,24 @@ object Cdc {
    * log (each version an upsert at `valid_from`; a key with no open
    * row additionally a delete at its closing seq) and running [[scd2]]
    * over reconstruction ∪ fresh changes.
+   *
+   * `touched` and `ht` are [[Staging.barrier]]ed: each is referenced
+   * by 2–3 plan branches (anti/semi probes; frontier, reopened,
+   * closers), and without the barrier every reference recomputes its
+   * subtree — for `ht` that is an extra full history scan + semi-join
+   * PER REFERENCE, which at a 100 TB history is the step's whole
+   * cost. Both are churn-bounded (batch keys / their history), so the
+   * cache is small. The caller's Staging frame owns the release —
+   * batch callers run inside a scoped frame; the streaming
+   * materializer scopes each micro-batch. History itself is scanned
+   * exactly twice (anti + semi) — inherent to the split, and both
+   * scans prune to the key columns + touched probe.
+   *
+   * Skew note: the refold windows partition by key, so one partition
+   * is ONE touched key's full version history — a pathological key
+   * with millions of versions serializes in one task (inherent to an
+   * exact per-key `lead`). Untouched hot keys cost nothing (anti-join
+   * pass-through), so the exposure is churn ∩ hot, per batch.
    */
   def scd2Step(history: DataFrame, changes: DataFrame, keyCols: Seq[String],
       opCol: String, seqCol: String): DataFrame = {
@@ -203,9 +221,9 @@ object Cdc {
     val payload = changes.columns.toSeq
       .filterNot(c => c == opCol || c == seqCol)
     val keys = keyCols.map(col)
-    val touched = changes.select(keys: _*).distinct()
+    val touched = Staging.barrier(changes.select(keys: _*).distinct())
     val untouched = history.join(touched, keyCols, "left_anti")
-    val ht = history.join(touched, keyCols, "left_semi")
+    val ht = Staging.barrier(history.join(touched, keyCols, "left_semi"))
     val frontier = ht.groupBy(keys: _*)
       .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__applied"))
     val fresh = changes.join(frontier, keyCols, "left")

@@ -693,13 +693,19 @@ object StreamingIngest {
     val q = changes.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val next = graft.operators.Cdc
-          .scd2Step(state, batch, keyCols, opCol, seqCol)
-          .localCheckpoint(eager = true)
-        org.apache.spark.sql.graft.bridge.checkpointedRdd(state)
-          .foreach(_.unpersist(blocking = false))
-        state.unpersist(blocking = false)
-        state = next
+        // scoped: scd2Step barriers its touched/ht intermediates into
+        // the CURRENT thread's frame, and a micro-batch thread has no
+        // releasing frame of its own — the eager checkpoint inside the
+        // scope materializes `next` before the barriers release
+        graft.operators.Staging.scoped {
+          val next = graft.operators.Cdc
+            .scd2Step(state, batch, keyCols, opCol, seqCol)
+            .localCheckpoint(eager = true)
+          org.apache.spark.sql.graft.bridge.checkpointedRdd(state)
+            .foreach(_.unpersist(blocking = false))
+          state.unpersist(blocking = false)
+          state = next
+        }
       }
       .trigger(trigger)
       .start()
