@@ -1840,6 +1840,42 @@ object Queries {
          |FROM m GROUP BY source_a, source_b
          |ORDER BY source_a, source_b""".stripMargin))
 
+  /** Persisted MinHash-LSH BAND INDEX ([[TextDedup.writeMinhashIndex]]
+    * / [[TextDedup.probeMinhashIndex]]) — the near-dup family's
+    * build-once/probe-many form, closing the retrieval-family symmetry
+    * from the other side (BM25 t46, IVF+SQ8 t40, PQ t45, fuzzy
+    * segments t82): index the corpus once (band entries bucketed+sorted
+    * by the packed `band_idx#hash` key, hashed-shingle arrays bucketed
+    * by id, LSH parameters in a meta table), then dedup every new
+    * batch against it with a probe whose index side scans
+    * exchange-free. Gated: probing the indexed corpus with ITSELF,
+    * restricted to `q_id < id`, must reproduce the in-query t3
+    * self-join — gated on t3's oracle verbatim (the t82 pattern). */
+  val t83_minhash_index_persist: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_minhash_index"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+        k = MinhashK, bandSize = BandSize, numBands = NumBands,
+        threshold = JaccardThreshold, table = table)
+      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = t3_minhash_lsh_pairs.oracle,
+    bench = true,
+    // bench the build+probe, not the gate's row-stability sort
+    benchRun = Some((spark, dir) => {
+      val table = "graft_minhash_index"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+        k = MinhashK, bandSize = BandSize, numBands = NumBands,
+        threshold = JaccardThreshold, table = table)
+      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+    }))
+
   private val SimhashBits = 32
 
   val t4_simhash: Q = Q(
@@ -2657,6 +2693,116 @@ object Queries {
          |hits AS (
          |  SELECT t.query_id, count(*) AS h
          |  FROM truth t JOIN ivf i
+         |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |  GROUP BY t.query_id),
+         |ks AS (SELECT query_id, count(*) AS k FROM truth GROUP BY query_id)
+         |SELECT ks.query_id, COALESCE(h, 0) * 1.0 / k AS recall
+         |FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
+         |ORDER BY ks.query_id""".stripMargin))
+
+  private val RpInDim = 64
+  private val RpOutDim = 16
+
+  /** The DuckDB twin of [[VectorOps.projectionSigns]]: per output
+    * coordinate j, the ±1.0 list over input coordinates i from the
+    * parity of md5("i:j")'s first hex digit — regenerated in SQL so
+    * both engines project with the SAME matrix, no side channel. */
+  private val duckProjSigns =
+    s"""sj AS (
+       |  SELECT j, [CASE WHEN CAST('0x' || substr(md5(i || ':' || j), 1, 1)
+       |      AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END
+       |    for i in range($RpInDim)] AS s
+       |  FROM range($RpOutDim) t(j))""".stripMargin
+
+  /** Random-projection dimensionality reduction
+    * ([[VectorOps.randomProjection]]) — the Johnson–Lindenstrauss
+    * scale path: shrink the embedding column 64→16 dims BEFORE index
+    * build / pair generation, cutting every downstream shuffle and
+    * scan 4×. Map-only (16 fused codegen dot products per row, zero
+    * shuffles); the deterministic md5-seeded ±1 matrix makes the gate
+    * exact — each projected coordinate is a left-to-right double fold
+    * ≡ DuckDB `list_dot_product`, rounded per ROW to micro BIGINT
+    * (the t32/t70 fixed-point discipline). */
+  val t84_random_projection: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      VectorOps.randomProjection(emb, "vec_id", "embedding", RpInDim, RpOutDim)
+        .select(col("id").as("vec_id"), posexplode(col("proj")).as(Seq("j", "pr")))
+        .select(col("vec_id"), col("j"),
+          round(col("pr") * lit(1000000)).cast("bigint").as("p_micro"))
+        .orderBy("vec_id", "j")
+    },
+    // bench the map-only projection kernel, not the gate's sort
+    benchRun = Some((spark, dir) =>
+      VectorOps.randomProjection(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", RpInDim, RpOutDim)),
+    oracle = Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |$duckProjSigns,
+         |p AS (SELECT vec_id, j, list_dot_product(e, s) AS pr FROM v CROSS JOIN sj)
+         |SELECT vec_id, CAST(j AS INT) AS j,
+         |  CAST(round(pr * 1000000) AS BIGINT) AS p_micro
+         |FROM p ORDER BY vec_id, j""".stripMargin),
+    bench = true)
+
+  private val RpCand = 250
+
+  /** Recall@5 of the RP CANDIDATE-FILTER pipeline
+    * ([[VectorOps.rpRerankTopK]]): score in the cheap 16-dim projected
+    * space, keep the top-250 candidates per query, exact-re-rank only
+    * those in the full 64-dim space — the production use of t84 (raw
+    * projected-space top-5-of-5000 is near chance on an iid-ish corpus;
+    * the JL guarantee buys candidate CONTAINMENT, not fine ranks, and
+    * containment is what a re-rank converts to recall — 0.88 measured
+    * at sf0.01). Same recall shape as t13 (IVF); every cosine on both
+    * engines is a deterministic double fold over the SAME projected
+    * lists (DuckDB rebuilds them via `list(pr ORDER BY j)` —
+    * collection, not float aggregation), so ranks compare bit-for-bit
+    * and recall is an exact small-integer division. */
+  val t85_rp_rerank_recall: Q = Q(
+    run = (spark, dir) => {
+      val emb = t(spark, dir, "embeddings")
+      val truth = t6_ann_topk.run(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = VectorOps.rpRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", RpInDim, RpOutDim, nCand = RpCand, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.join(rr, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(truth.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) * lit(1.0) / col("k")).as("recall"))
+        .orderBy("query_id")
+    },
+    oracle = Some(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |$duckProjSigns,
+         |pj AS (SELECT vec_id, j, list_dot_product(e, s) AS pr FROM v CROSS JOIN sj),
+         |pv AS (SELECT vec_id, list(pr ORDER BY j) AS p FROM pj GROUP BY vec_id),
+         |pn AS (SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS nrm FROM pv),
+         |pq AS (SELECT * FROM pn WHERE vec_id < 10),
+         |pscored AS (
+         |  SELECT pq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(pq.p, c.p) / (pq.nrm * c.nrm) AS cos
+         |  FROM pq JOIN pn c ON c.vec_id <> pq.vec_id),
+         |pranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM pscored),
+         |cand AS (SELECT query_id, neighbor_id FROM pranked WHERE rank <= $RpCand),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |rscored AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+         |  FROM cand
+         |  JOIN n c ON c.vec_id = cand.neighbor_id
+         |  JOIN n q ON q.vec_id = cand.query_id),
+         |rranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM rscored),
+         |rr AS (SELECT query_id, neighbor_id FROM rranked WHERE rank <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (${t6_ann_topk.oracle.get})),
+         |hits AS (
+         |  SELECT t.query_id, count(*) AS h
+         |  FROM truth t JOIN rr i
          |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
          |  GROUP BY t.query_id),
          |ks AS (SELECT query_id, count(*) AS k FROM truth GROUP BY query_id)
@@ -6056,6 +6202,9 @@ object Queries {
     "t80_fuzzy_join_strings" -> t80_fuzzy_join_strings,
     "t81_fuzzy_join_d2" -> t81_fuzzy_join_d2,
     "t82_fuzzy_segment_index_persist" -> t82_fuzzy_segment_index_persist,
+    "t83_minhash_index_persist" -> t83_minhash_index_persist,
+    "t84_random_projection" -> t84_random_projection,
+    "t85_rp_rerank_recall" -> t85_rp_rerank_recall,
     "t68_quality_classifier" -> t68_quality_classifier,
     "t69_dup_ngram_fraction" -> t69_dup_ngram_fraction,
     "t70_collocations" -> t70_collocations,

@@ -457,6 +457,82 @@ object TextDedup {
   }
 
   /**
+   * Persist the MinHash-LSH BAND INDEX over a corpus — the near-dup
+   * family's build-once/probe-many form, completing the retrieval-
+   * family symmetry (BM25 t46, IVF+SQ8 t40, PQ t45, fuzzy segments
+   * t82): the production cadence is "index the existing corpus once,
+   * then dedup every NEW batch against it" rather than re-running the
+   * within-corpus self-join per batch. Three tables:
+   *   - `table`: (bkey, id) — one row per band entry of every indexed
+   *     document, `bkey` the packed `band_idx#band_hash` key (both
+   *     fields fixed-width-free but unambiguous: band_idx has no '#'),
+   *     BUCKETED AND SORTED by it ([[Ddl.writeBucketedTable]]) so a
+   *     probe's index side is pre-hash-partitioned — the probe plan
+   *     shuffles only the (new-batch-sized) probe entries, the index
+   *     scan is exchange-free;
+   *   - `table_docs`: (id, s) — the 64-bit hashed-shingle arrays,
+   *     bucketed by id, feeding the exact-Jaccard verification join
+   *     without touching the original text;
+   *   - `table_meta`: the build's (n, k, band_size, num_bands,
+   *     threshold) — LSH parameters are BUILD properties; a probe must
+   *     shingle and band with the identical arithmetic, so it reads
+   *     them from here.
+   * Rerunnable: existing tables are dropped first.
+   */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bandSize: Int, numBands: Int, threshold: Double,
+      table: String, numBuckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    // one shingle+signature pass feeds both writes
+    val staged = Staging.barrier(
+      shingleLshFrame(df, idCol, textCol, n, k, bandSize, numBands))
+    val entries = staged
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      .select(concat_ws("#", col("band_idx"), col("bh")).as("bkey"), col("id"))
+    Ddl.writeBucketedTable(entries, table, "bkey", numBuckets)
+    Ddl.writeBucketedTable(staged.select("id", "s"), s"${table}_docs",
+      "id", numBuckets)
+    Ddl.dropTableAndLocation(spark, s"${table}_meta")
+    spark.range(1).select(lit(n).as("n"), lit(k).as("k"),
+        lit(bandSize).as("band_size"), lit(numBands).as("num_bands"),
+        lit(threshold).as("threshold"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Probe a persisted [[writeMinhashIndex]] corpus with a batch of
+    * documents: identical shingle → signature → band pipeline (built
+    * from the persisted parameters), candidate generation by equi-join
+    * on the packed band key, exact-Jaccard verification against the
+    * persisted hashed-shingle table. Emits every (q_id, id, jaccard ≥
+    * threshold) match INCLUDING q_id = id self-matches when the probe
+    * overlaps the indexed corpus — within-corpus dedup filters
+    * `q_id < id` (t83 gates that restriction against t3's oracle
+    * verbatim); new-batch dedup keeps all matches and drops the
+    * flagged q_ids. */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, probes: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val meta = spark.table(s"${table}_meta").collect().head
+    val (n, k, bandSize, numBands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val threshold = meta.getDouble(4)
+    val pf = Staging.barrier(
+      shingleLshFrame(probes, idCol, textCol, n, k, bandSize, numBands))
+    val pEntries = pf
+      .select(col("id").as("q_id"), posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      .select(concat_ws("#", col("band_idx"), col("bh")).as("bkey"), col("q_id"))
+    val cand = pEntries.join(spark.table(table), Seq("bkey"))
+      .select("q_id", "id").distinct()
+    cand
+      .join(spark.table(s"${table}_docs").select(col("id"), col("s").as("s_b")),
+        Seq("id"))
+      .join(pf.select(col("id").as("q_id"), col("s").as("s_a")), Seq("q_id"))
+      .select(col("q_id"), col("id"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * Train/eval DECONTAMINATION: for every (train doc, eval doc) pair,
    * the shingle CONTAINMENT |S_train ∩ S_eval| / |S_eval| — the standard
    * LLM-pipeline hygiene check that a training corpus does not contain an

@@ -48,6 +48,81 @@ object VectorOps {
     df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Deterministic ±1 sign matrix for [[randomProjection]]:
+    * `signs(j)(i)` is +1.0 when the first hex digit of `md5("i:j")` is
+    * even, else −1.0 — reproducible on any engine from md5 alone (the
+    * DuckDB oracle regenerates the identical matrix in SQL), so a
+    * retried or cross-engine run projects bit-identically. No RNG
+    * state anywhere (the t18/hardNegatives determinism rationale). */
+  def projectionSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val d = md.digest(s"$i:$j".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0
+        if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /**
+   * Random-projection dimensionality reduction (Achlioptas-style ±1
+   * matrix): each output coordinate j is `dot(v, signs_j)` — the
+   * Johnson–Lindenstrauss scale path that shrinks an embedding column
+   * BEFORE index build / pair generation, cutting every downstream
+   * shuffle and scan by inDim/outDim.
+   *
+   * Scale shape: MAP-ONLY — `outDim` fused codegen dot products per
+   * row ([[graft.functions.DotProduct]]), zero shuffles; the sign
+   * matrix is an `inDim × outDim` driver-side literal (metadata scale,
+   * e.g. 64×16 doubles), never a join side. The unscaled sum is kept
+   * (no 1/√outDim factor): downstream cosine is scale-invariant and
+   * the integer-micro gate stays exact.
+   */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    val signs = projectionSigns(inDim, outDim)
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), array((0 until outDim).map(j =>
+        dot(col("v"), typedLit(signs(j).toSeq))): _*).as("proj"))
+  }
+
+  /**
+   * RP-filtered exact search — the production shape for
+   * [[randomProjection]]: score the corpus in the CHEAP projected
+   * space (outDim-wide dot products, inDim/outDim less arithmetic and
+   * shuffle width per comparison), keep the top `nCand` candidates per
+   * query, then re-rank ONLY those candidates with exact full-space
+   * cosine and emit the top `k`. Any true neighbor inside the
+   * candidate set survives the exact re-rank by construction, so
+   * recall@k equals candidate containment — the JL knob is `nCand`
+   * (t85 gates the measured recall against the DuckDB twin).
+   *
+   * At 100 TB the projected pass composes with the IVF/PQ family
+   * (project, then coarse-quantize the projected space); here it is
+   * the one-pass broadcast scan [[bruteForceTopK]] uses, at a quarter
+   * of the width.
+   */
+  def rpRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, inDim: Int, outDim: Int, nCand: Int, k: Int): DataFrame = {
+    val pc = randomProjection(corpus, idCol, vecCol, inDim, outDim)
+    val pq = randomProjection(queries, idCol, vecCol, inDim, outDim)
+    val cand = bruteForceTopK(pc, pq, "id", "proj", nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cand
+      .join(c.select(col("id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All pairs (id_a < id_b) with cosine ≥ threshold — near-duplicate
     * detection by embedding. QUADRATIC (corpus×corpus nested loop):
     * test-only oracle baseline. The gated, scale-safe form is
