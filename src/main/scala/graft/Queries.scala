@@ -1765,38 +1765,47 @@ object Queries {
   private val BandSize = 4
   private val NumBands = 4
 
+  /** t3's DuckDB twin, parameterized by a corpus predicate — the
+    * minhash index lifecycle gates (t86–t89) compare a probe over a
+    * mutated index against the SAME self-join oracle restricted to the
+    * visible survivor set. */
+  private def minhashPairsOracleSql(whereSql: String = ""): String = {
+    val toksSh =
+      if (whereSql.isEmpty) duckToksSh
+      else duckToksSh.replace("FROM documents",
+        s"FROM documents WHERE $whereSql")
+    val sigElems = (0 until MinhashK).map(i =>
+      s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(", ")
+    val bandElems = (0 until NumBands).map(b =>
+      s"md5(array_to_string(list_slice(sig, ${b * BandSize + 1}, ${(b + 1) * BandSize}), ','))")
+      .mkString(", ")
+    s"""WITH $toksSh,
+       |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+       |sig AS (SELECT doc_id, s, [$sigElems] AS sig FROM shf),
+       |bands AS (SELECT doc_id, [$bandElems] AS bands FROM sig),
+       |ex AS (
+       |  SELECT doc_id, r.range AS band_idx, bands[r.range + 1] AS bh
+       |  FROM bands CROSS JOIN range($NumBands) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b
+       |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  len(list_intersect(sa.s, sb.s)) * 1.0
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+       |FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
+       |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+       |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val t3_minhash_lsh_pairs: Q = Q(
     run = (spark, dir) =>
       TextDedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
           n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
         .orderBy("id_a", "id_b"),
-    oracle = {
-      val sigElems = (0 until MinhashK).map(i =>
-        s"list_min(list_transform(s, x -> md5('$i:' || x)))").mkString(", ")
-      val bandElems = (0 until NumBands).map(b =>
-        s"md5(array_to_string(list_slice(sig, ${b * BandSize + 1}, ${(b + 1) * BandSize}), ','))")
-        .mkString(", ")
-      Some(
-        s"""WITH $duckToksSh,
-           |shf AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-           |sig AS (SELECT doc_id, s, [$sigElems] AS sig FROM shf),
-           |bands AS (SELECT doc_id, [$bandElems] AS bands FROM sig),
-           |ex AS (
-           |  SELECT doc_id, r.range AS band_idx, bands[r.range + 1] AS bh
-           |  FROM bands CROSS JOIN range($NumBands) r),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM ex a JOIN ex b
-           |    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b,
-           |  len(list_intersect(sa.s, sb.s)) * 1.0
-           |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-           |FROM cand JOIN shf sa ON sa.doc_id = id_a JOIN shf sb ON sb.doc_id = id_b
-           |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
-           |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= $JaccardThreshold
-           |ORDER BY id_a, id_b""".stripMargin)
-    },
+    oracle = Some(minhashPairsOracleSql()),
     bench = true)
 
   /** Cross-source duplication matrix — the corpus-overlap report a data
@@ -1875,6 +1884,106 @@ object Queries {
       TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
         .filter(col("q_id") < col("id"))
     }))
+
+  /** Minhash index COMMITTED APPEND
+    * ([[TextDedup.appendToMinhashIndexCommitted]]): band entries and
+    * shingle docs land under ONE CommitLog rename (the t62/t63/BM25
+    * atomic-append shape, near-dup side); a live probe over base ∪
+    * committed batch must equal the from-scratch self-join on the full
+    * corpus — t3's oracle verbatim. */
+  val t86_minhash_index_append: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_minhash_append"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", n = 3, k = MinhashK, bandSize = BandSize,
+        numBands = NumBands, threshold = JaccardThreshold, table = table)
+      TextDedup.appendToMinhashIndexCommitted(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table,
+        batchId = 1L)
+      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(minhashPairsOracleSql()))
+
+  /** Minhash index AS-OF read ([[TextDedup.loadMinhashIndexAsOf]]):
+    * snapshot time travel over the append history — the index as seen
+    * after batch 1 committed is base ∪ batch 1, batch 2 invisible;
+    * probing that snapshot with the snapshot's own documents equals
+    * the self-join on the prefix corpus (doc_id % 3 ≠ 0). */
+  val t87_minhash_index_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_minhash_asof"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", n = 3, k = MinhashK, bandSize = BandSize,
+        numBands = NumBands, threshold = JaccardThreshold, table = table)
+      TextDedup.appendToMinhashIndexCommitted(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", table,
+        batchId = 1L)
+      TextDedup.appendToMinhashIndexCommitted(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table,
+        batchId = 2L)
+      val snap = TextDedup.loadMinhashIndexAsOf(spark, table, asOfBatch = 1L)
+      TextDedup.probeMinhashLoaded(snap,
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(minhashPairsOracleSql("doc_id % 3 <> 0")))
+
+  /** Minhash index DELETE ([[TextDedup.deleteFromMinhashIndex]]):
+    * tombstones anti-join both the entry and doc sides at probe time
+    * (merge-on-read), so a probe over the survivors equals a
+    * from-scratch build on them. */
+  val t88_minhash_index_delete: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_minhash_delete"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+        k = MinhashK, bandSize = BandSize, numBands = NumBands,
+        threshold = JaccardThreshold, table = table)
+      TextDedup.deleteFromMinhashIndex(
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", table)
+      TextDedup.probeMinhashIndex(spark, table,
+          docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(minhashPairsOracleSql("doc_id % 5 <> 2")))
+
+  /** FULL minhash index lifecycle
+    * ([[TextDedup.compactMinhashIndex]]): build → committed append →
+    * delete → compact → probe. Compaction folds the committed batch
+    * into both bucketed base tables, drops tombstoned rows physically,
+    * clears exactly the folded batches then the delete list — after
+    * it the probe plan is the fresh-build plan (no side unions, no
+    * anti-joins), and the result equals a from-scratch build on the
+    * survivors. */
+  val t89_minhash_index_compact: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_minhash_compact"
+      val docs = t(spark, dir, "documents")
+      TextDedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", n = 3, k = MinhashK, bandSize = BandSize,
+        numBands = NumBands, threshold = JaccardThreshold, table = table)
+      TextDedup.appendToMinhashIndexCommitted(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", table,
+        batchId = 1L)
+      TextDedup.deleteFromMinhashIndex(
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", table)
+      TextDedup.compactMinhashIndex(spark, table)
+      TextDedup.probeMinhashIndex(spark, table,
+          docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = Some(minhashPairsOracleSql("doc_id % 5 <> 2")))
 
   private val SimhashBits = 32
 
@@ -6203,6 +6312,10 @@ object Queries {
     "t81_fuzzy_join_d2" -> t81_fuzzy_join_d2,
     "t82_fuzzy_segment_index_persist" -> t82_fuzzy_segment_index_persist,
     "t83_minhash_index_persist" -> t83_minhash_index_persist,
+    "t86_minhash_index_append" -> t86_minhash_index_append,
+    "t87_minhash_index_asof" -> t87_minhash_index_asof,
+    "t88_minhash_index_delete" -> t88_minhash_index_delete,
+    "t89_minhash_index_compact" -> t89_minhash_index_compact,
     "t84_random_projection" -> t84_random_projection,
     "t85_rp_rerank_recall" -> t85_rp_rerank_recall,
     "t68_quality_classifier" -> t68_quality_classifier,

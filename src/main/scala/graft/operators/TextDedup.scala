@@ -486,10 +486,7 @@ object TextDedup {
     // one shingle+signature pass feeds both writes
     val staged = Staging.barrier(
       shingleLshFrame(df, idCol, textCol, n, k, bandSize, numBands))
-    val entries = staged
-      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "bh")))
-      .select(concat_ws("#", col("band_idx"), col("bh")).as("bkey"), col("id"))
-    Ddl.writeBucketedTable(entries, table, "bkey", numBuckets)
+    Ddl.writeBucketedTable(minhashEntriesOf(staged), table, "bkey", numBuckets)
     Ddl.writeBucketedTable(staged.select("id", "s"), s"${table}_docs",
       "id", numBuckets)
     Ddl.dropTableAndLocation(spark, s"${table}_meta")
@@ -498,39 +495,161 @@ object TextDedup {
         lit(threshold).as("threshold"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${table}_meta")
+    // a fresh build has zero deletes and zero streamed side batches
+    Ddl.dropTombstones(spark, table)
+    CommitLog.clear(spark, table)
   }
 
-  /** Probe a persisted [[writeMinhashIndex]] corpus with a batch of
-    * documents: identical shingle → signature → band pipeline (built
-    * from the persisted parameters), candidate generation by equi-join
-    * on the packed band key, exact-Jaccard verification against the
-    * persisted hashed-shingle table. Emits every (q_id, id, jaccard ≥
+  /** (bkey, id) band entries of a staged [[shingleLshFrame]] — the
+    * build's and every append's shared relation shape. */
+  private def minhashEntriesOf(frame: DataFrame): DataFrame =
+    frame
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "bh")))
+      .select(concat_ws("#", col("band_idx"), col("bh")).as("bkey"), col("id"))
+
+  /** A loaded minhash-index snapshot: band entries and hashed-shingle
+    * docs (base tables ∪ the selected committed side batches,
+    * tombstones applied) plus the build's LSH parameters — the
+    * near-dup twin of [[Retrieval.Bm25Index]] / [[VectorOps.AnnIndex]].
+    * No trained state beyond the parameters, so every snapshot is
+    * exact by construction. */
+  final case class MinhashIndex(entries: DataFrame, docs: DataFrame,
+      n: Int, k: Int, bandSize: Int, numBands: Int, threshold: Double)
+
+  /** Append a document batch to a persisted [[writeMinhashIndex]]
+    * corpus with an ATOMIC per-batch commit (the
+    * [[VectorOps.appendToIndexCommitted]] /
+    * [[Retrieval.appendToBm25IndexCommitted]] shape): band entries and
+    * hashed-shingle rows land as SUBDIRECTORIES of one [[CommitLog]]
+    * staging directory, so the single rename commits them together —
+    * a crash leaves either nothing or the whole batch, and replaying
+    * a committed batch id is a no-op (returns false). The batch is
+    * shingled/banded with the BUILD's persisted parameters; entry-side
+    * runs are bkey-clustered for tight row-group stats. */
+  def appendToMinhashIndexCommitted(docs: DataFrame, idCol: String,
+      textCol: String, table: String, batchId: Long): Boolean = {
+    val spark = docs.sparkSession
+    val (n, k, bandSize, numBands, _) = minhashParams(spark, table)
+    CommitLog.commit(spark, table, batchId) { dir =>
+      val staged = Staging.barrier(
+        shingleLshFrame(docs, idCol, textCol, n, k, bandSize, numBands))
+      minhashEntriesOf(staged).sortWithinPartitions("bkey")
+        .write.option("compression", Ddl.ParquetCompression)
+        .parquet(s"$dir/entries")
+      staged.select("id", "s")
+        .write.option("compression", Ddl.ParquetCompression)
+        .parquet(s"$dir/docs")
+    }
+  }
+
+  /** DELETE documents from a persisted minhash index: tombstones only
+    * (merge-on-read, the [[VectorOps.deleteFromIndex]] contract) —
+    * probes anti-join the delete list on both the entry and doc sides;
+    * [[compactMinhashIndex]] makes it physical. */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
+      table: String): Unit =
+    Ddl.appendTombstones(ids.sparkSession, table, ids, idCol)
+
+  /** COMPACT a persisted minhash index: fold every committed append
+    * batch into the bucketed base tables, drop tombstoned rows
+    * physically, clear exactly the folded batches then the tombstones
+    * (the [[VectorOps.compactIndex]] snapshot discipline — a batch
+    * committed mid-compaction survives for the next one). After
+    * compaction the probe plan is the fresh-build plan again: one
+    * bucketed scan per side, no side unions, no anti-joins. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    val folded = CommitLog.committedBatches(spark, table)
+    val root = CommitLog.rootPath(spark, table)
+    def side(sub: String, base: DataFrame) = {
+      val dirs = folded.map(id => new org.apache.hadoop.fs.Path(
+        root, s"b$id/$sub").toString)
+      if (dirs.isEmpty) None
+      else Some(spark.read.schema(base.schema).parquet(dirs: _*))
+    }
+    Ddl.compactTable(spark, s"${table}_docs", "id",
+      tombstonesOf = Some(table),
+      sideRows = side("docs", spark.table(s"${table}_docs")))
+    Ddl.compactTable(spark, table, "id",
+      sideRows = side("entries", spark.table(table)))
+    CommitLog.deleteBatches(spark, table, folded)
+    Ddl.dropTombstones(spark, table)
+  }
+
+  private def minhashParams(spark: org.apache.spark.sql.SparkSession,
+      table: String): (Int, Int, Int, Int, Double) = {
+    val meta = spark.table(s"${table}_meta").collect().head
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+      meta.getDouble(4))
+  }
+
+  private def loadMinhashBatches(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Long => Boolean): MinhashIndex = {
+    val (n, k, bandSize, numBands, threshold) = minhashParams(spark, table)
+    val root = CommitLog.rootPath(spark, table)
+    val ids = CommitLog.committedBatches(spark, table).filter(keep)
+    def side(sub: String, base: DataFrame) = {
+      val dirs = ids.map(id => new org.apache.hadoop.fs.Path(
+        root, s"b$id/$sub").toString)
+      if (dirs.isEmpty) base
+      else base.unionByName(spark.read.schema(base.schema).parquet(dirs: _*))
+    }
+    MinhashIndex(
+      Ddl.withoutDeleted(spark, table, side("entries", spark.table(table)), "id"),
+      Ddl.withoutDeleted(spark, table,
+        side("docs", spark.table(s"${table}_docs")), "id"),
+      n, k, bandSize, numBands, threshold)
+  }
+
+  /** Load the LIVE index: base build plus every committed side batch,
+    * minus tombstoned documents. With an empty log and no tombstones
+    * this is exactly the base bucketed tables — the fresh-build probe
+    * plan is unchanged. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String): MinhashIndex =
+    loadMinhashBatches(spark, table, _ => true)
+
+  /** [[loadMinhashIndex]] AS OF a committed batch id — snapshot time
+    * travel over the append history (base ∪ batches `id ≤ N`), the
+    * [[Retrieval.loadBm25IndexAsOf]] semantics on the near-dup side.
+    * Tombstone deletes are unversioned (they apply to every snapshot —
+    * the documented Iceberg v2 seam); compaction is expire_snapshots. */
+  def loadMinhashIndexAsOf(spark: org.apache.spark.sql.SparkSession,
+      table: String, asOfBatch: Long): MinhashIndex =
+    loadMinhashBatches(spark, table, _ <= asOfBatch)
+
+  /** Probe a LOADED minhash snapshot with a batch of documents:
+    * identical shingle → signature → band pipeline (the snapshot's
+    * parameters), candidate generation by equi-join on the packed band
+    * key, exact-Jaccard verification against the snapshot's
+    * hashed-shingle relation. Emits every (q_id, id, jaccard ≥
     * threshold) match INCLUDING q_id = id self-matches when the probe
     * overlaps the indexed corpus — within-corpus dedup filters
     * `q_id < id` (t83 gates that restriction against t3's oracle
     * verbatim); new-batch dedup keeps all matches and drops the
     * flagged q_ids. */
-  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, probes: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val meta = spark.table(s"${table}_meta").collect().head
-    val (n, k, bandSize, numBands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
-    val threshold = meta.getDouble(4)
-    val pf = Staging.barrier(
-      shingleLshFrame(probes, idCol, textCol, n, k, bandSize, numBands))
+  def probeMinhashLoaded(idx: MinhashIndex, probes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val pf = Staging.barrier(shingleLshFrame(probes, idCol, textCol,
+      idx.n, idx.k, idx.bandSize, idx.numBands))
     val pEntries = pf
       .select(col("id").as("q_id"), posexplode(col("bands")).as(Seq("band_idx", "bh")))
       .select(concat_ws("#", col("band_idx"), col("bh")).as("bkey"), col("q_id"))
-    val cand = pEntries.join(spark.table(table), Seq("bkey"))
+    val cand = pEntries.join(idx.entries, Seq("bkey"))
       .select("q_id", "id").distinct()
     cand
-      .join(spark.table(s"${table}_docs").select(col("id"), col("s").as("s_b")),
-        Seq("id"))
+      .join(idx.docs.select(col("id"), col("s").as("s_b")), Seq("id"))
       .join(pf.select(col("id").as("q_id"), col("s").as("s_a")), Seq("q_id"))
       .select(col("q_id"), col("id"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= idx.threshold)
   }
+
+  /** Probe the LIVE persisted index ([[loadMinhashIndex]] ∘
+    * [[probeMinhashLoaded]]). */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, probes: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    probeMinhashLoaded(loadMinhashIndex(spark, table), probes, idCol, textCol)
 
   /**
    * Train/eval DECONTAMINATION: for every (train doc, eval doc) pair,

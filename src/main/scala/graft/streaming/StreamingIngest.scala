@@ -610,6 +610,35 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming near-dup probe against a PERSISTED minhash band index
+    * ([[graft.operators.TextDedup.writeMinhashIndex]]) — the
+    * [[streamingFuzzyJoin]] shape for the LSH modality, and the live
+    * corpus-hygiene cadence: every arriving micro-batch of documents
+    * shingles/bands with the index's persisted build parameters and
+    * probes the bucketed tables, so per-batch cost is the batch's band
+    * entries joined against a pre-partitioned index scan — the corpus
+    * is never re-scanned quadratically. The index is re-loaded per
+    * batch, so committed appends and deletes landing BETWEEN batches
+    * are visible to the next batch (stream-static with a moving static
+    * side, the t33 incremental-dedup contract). `onMatches` receives
+    * each batch's (q_id, id, jaccard) matches EAGERLY (the
+    * [[streamingDecontaminate]] contract: write or collect before
+    * returning). */
+  def streamingMinhashProbe(stream: DataFrame, idCol: String,
+      textCol: String, table: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      onMatches: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Staging.scoped {
+          onMatches(graft.operators.TextDedup.probeMinhashIndex(
+            batch.sparkSession, table, batch, idCol, textCol))
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming CDC materializer — the stream twin of
     * [[graft.operators.Cdc.applyChanges]]: consume a change-event stream
     * and maintain the merged snapshot across micro-batches. Each batch

@@ -825,6 +825,97 @@ class DedupSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("minhash index lifecycle: committed append replay is a no-op; compact restores the fresh-build state") {
+    val table = "graft_minhash_lc_spec"
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val add = docs.filter(col("doc_id") % 3 === 0)
+    TextDedup.writeMinhashIndex(base, "doc_id", "text", n = 3, k = 16,
+      bandSize = 4, numBands = 4, threshold = 0.5, table = table)
+    assert(TextDedup.appendToMinhashIndexCommitted(add, "doc_id", "text",
+      table, batchId = 1L))
+    // replaying the same batch id must refuse (idempotent per-batch)
+    assert(!TextDedup.appendToMinhashIndexCommitted(add, "doc_id", "text",
+      table, batchId = 1L))
+    def probeAll = TextDedup
+      .probeMinhashIndex(spark, table, docs, "doc_id", "text")
+      .filter(col("q_id") < col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeCompact = probeAll
+    // no duplicated rows from the replayed batch: equal the one-shot build
+    val oneShot = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 16, bandSize = 4, numBands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(beforeCompact === oneShot)
+    TextDedup.deleteFromMinhashIndex(docs.filter(col("doc_id") % 5 === 2),
+      "doc_id", table)
+    TextDedup.compactMinhashIndex(spark, table)
+    // compact folded the batch and cleared log + tombstones
+    assert(graft.operators.CommitLog.committedBatches(spark, table).isEmpty)
+    assert(!spark.catalog.tableExists(
+      graft.operators.Ddl.tombstoneTable(table)))
+    // a deleted doc is gone from the INDEX side but remains a legal
+    // probe — restrict the probe to survivors to compare against a
+    // from-scratch survivor build (the t88/t89 gate shape)
+    val afterCompact = TextDedup
+      .probeMinhashIndex(spark, table,
+        docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text")
+      .filter(col("q_id") < col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = TextDedup.minhashLshPairs(
+        docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text",
+        n = 3, k = 16, bandSize = 4, numBands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact === survivors)
+    // and a deleted doc probing the compacted index matches only survivors
+    val delProbe = TextDedup.probeMinhashIndex(spark, table,
+        docs.filter(col("doc_id") % 5 === 2), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(delProbe.forall { case (_, id) => id % 5 != 2 })
+  }
+
+  test("streaming minhash probe: waves against the persisted index equal the one-shot probe") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val table = "graft_minhash_stream_spec"
+    TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3, k = 16,
+      bandSize = 4, numBands = 4, threshold = 0.5, table = table)
+    // probes: actual corpus docs (guaranteed index matches) + noise
+    val probeRows = docs.filter(col("doc_id") % 9 === 1)
+      .select(col("doc_id") + 100000L, col("text")).as[(Long, String)]
+      .collect().toSeq :+ ((999999L, "zz qq xx yy ww vv uu"))
+    val dir = Files.createTempDirectory("mh-stream").toFile
+    dir.deleteOnExit()
+    probeRows.grouped((probeRows.size + 1) / 2).zipWithIndex.foreach {
+      case (rows, i) =>
+        val staging = Files.createTempDirectory(s"mh-wave$i").toString
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, s"wave$i.parquet").toPath
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = graft.streaming.StreamingIngest.streamingMinhashProbe(
+        stream, "doc_id", "text", table) { df =>
+      got ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    q.processAllAvailable(); q.stop()
+    val oneShot = TextDedup.probeMinhashIndex(spark, table,
+        probeRows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot.nonEmpty)
+    assert(got.toSet === oneShot)
+  }
+
   test("RP candidate filter + exact re-rank recovers most true neighbors (JL sanity)") {
     val recalls = Queries.t85_rp_rerank_recall.run(spark, sf("sf0.01"))
       .collect().map(_.getDouble(1))
