@@ -652,6 +652,49 @@ object TextDedup {
     probeMinhashLoaded(loadMinhashIndex(spark, table), probes, idCol, textCol)
 
   /**
+   * ONE step of the incremental near-dup INGEST pipeline — the
+   * operation a growing 100 TB corpus actually runs per arriving
+   * batch, composing the whole index family:
+   *   1. probe the persisted index for cross-batch near-dups of the
+   *      batch (materialized EAGERLY, before the append below can make
+   *      the probe see the batch itself);
+   *   2. drop the flagged documents;
+   *   3. near-dup the REMAINDER within the batch (LSH pairs →
+   *      connected components → min-id survivor, the t16/t19 path);
+   *   4. append the survivors as ONE committed batch
+   *      ([[appendToMinhashIndexCommitted]]).
+   * Returns the cross-batch matches (q_id, id, jaccard).
+   *
+   * Exactly-once under replay: the CommitLog refuses a committed
+   * batchId, so a Structured Streaming restart that replays a batch
+   * appends NOTHING twice — the INDEX is exactly-once while the
+   * returned dup REPORT is at-least-once (a replayed batch re-probes
+   * an index that already contains its own survivors, so its report
+   * additionally self-matches them — the standard foreachBatch
+   * side-output contract).
+   *
+   * Scale shape: per-batch cost is batch-sized everywhere — the probe
+   * shuffles only the batch's band entries against the bucketed index
+   * scan, the within-batch LSH is batch², the append writes the
+   * batch's survivors. The corpus is never re-scanned.
+   */
+  def minhashDedupIngestStep(batch: DataFrame, idCol: String,
+      textCol: String, table: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val matches = Staging.adopt(
+      probeMinhashIndex(spark, table, batch, idCol, textCol)
+        .localCheckpoint(eager = true))
+    val dupIds = matches.select(col("q_id").as("__dup_id")).distinct()
+    val fresh = batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
+    val (n, k, bandSize, numBands, threshold) = minhashParams(spark, table)
+    val pairs = minhashLshPairs(fresh, idCol, textCol, n, k, bandSize,
+      numBands, threshold).select("id_a", "id_b")
+    val survivors = keepSurvivors(fresh, idCol, connectedComponents(pairs))
+    appendToMinhashIndexCommitted(survivors, idCol, textCol, table, batchId)
+    matches
+  }
+
+  /**
    * Train/eval DECONTAMINATION: for every (train doc, eval doc) pair,
    * the shingle CONTAINMENT |S_train ∩ S_eval| / |S_eval| — the standard
    * LLM-pipeline hygiene check that a training corpus does not contain an

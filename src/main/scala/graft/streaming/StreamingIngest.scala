@@ -639,6 +639,31 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
+  /** Streaming incremental near-dup INGEST — the self-building dedup
+    * index: every micro-batch runs
+    * [[graft.operators.TextDedup.minhashDedupIngestStep]] (probe the
+    * persisted index for cross-batch dups → drop them → dedup within
+    * the batch → append the survivors as ONE committed batch keyed by
+    * the STREAMING BATCH ID). The CommitLog refuses a replayed batch
+    * id, so a restart that re-runs a batch appends nothing twice: the
+    * index is exactly-once, the `onDups` report at-least-once (the
+    * step's documented side-output contract). Per-batch cost is
+    * batch-sized everywhere; the corpus is never re-scanned. */
+  def streamingMinhashDedupIngest(stream: DataFrame, idCol: String,
+      textCol: String, table: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      onDups: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.operators.Staging.scoped {
+          onDups(graft.operators.TextDedup.minhashDedupIngestStep(
+            batch, idCol, textCol, table, bid))
+        }
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming CDC materializer — the stream twin of
     * [[graft.operators.Cdc.applyChanges]]: consume a change-event stream
     * and maintain the merged snapshot across micro-batches. Each batch

@@ -916,6 +916,109 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet === oneShot)
   }
 
+  test("incremental near-dup ingest: cross-batch dups dropped, within-batch deduped, replay appends nothing") {
+    import spark.implicits._
+    val table = "graft_minhash_ingest_spec"
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+    TextDedup.writeMinhashIndex(seed, "doc_id", "text", n = 3, k = 16,
+      bandSize = 4, numBands = 4, threshold = 0.5, table = table)
+    val seedTexts = seed.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+    val fresh1 = docs.filter(col("doc_id") % 4 === 1)
+      .select("doc_id", "text")
+    // wave 1: fresh docs + copies of seed texts (cross-batch dups)
+    val wave1 = fresh1.unionByName(seedTexts)
+    val m1 = TextDedup.minhashDedupIngestStep(wave1, "doc_id", "text",
+      table, batchId = 1L)
+    val dup1 = m1.select("q_id").as[Long].collect().toSet
+    // every planted copy is flagged (jaccard 1.0 vs its seed source)
+    val planted1 = seedTexts.select("doc_id").as[Long].collect().toSet
+    assert(planted1.subsetOf(dup1))
+    val docsAfter1 = TextDedup.loadMinhashIndex(spark, table)
+      .docs.select("id").as[Long].collect().toSet
+    // no flagged doc was appended
+    assert(dup1.intersect(docsAfter1).isEmpty)
+    // wave 2: copies of wave-1 FRESH texts (dups vs the grown index) +
+    // a within-batch dup pair (two copies of one unindexed text)
+    val wave1Copies = fresh1.filter(col("doc_id") % 8 === 1)
+      .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+    // synthetic texts that cannot near-dup the corpus; 500001 is a
+    // verbatim twin of 500000 (within-batch dup, min id survives)
+    val novel = Seq(
+      (500000L, "zq wv xk pj mn bd fg hs lt rc"),
+      (500001L, "zq wv xk pj mn bd fg hs lt rc"),
+      (500002L, "aa bb cc dd ee ff gg hh ii jj kk")).toDF("doc_id", "text")
+    val wave2 = wave1Copies.unionByName(novel)
+    val m2 = TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text",
+      table, batchId = 2L)
+    val dup2 = m2.select("q_id").as[Long].collect().toSet
+    val planted2 = wave1Copies.select("doc_id").as[Long].collect().toSet
+    assert(planted2.subsetOf(dup2)) // wave-1 appends are probe-visible
+    val docsAfter2 = TextDedup.loadMinhashIndex(spark, table)
+      .docs.select("id").as[Long].collect().toSet
+    // within-batch dup: only the min id of the twin pair was appended
+    assert(docsAfter2.contains(500000L))
+    assert(!docsAfter2.contains(500001L))
+    assert(docsAfter2.contains(500002L))
+    // replaying batch 2 appends nothing (CommitLog refusal)
+    TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text", table,
+      batchId = 2L).collect()
+    val docsReplay = TextDedup.loadMinhashIndex(spark, table)
+      .docs.select("id").as[Long].collect().toSet
+    assert(docsReplay === docsAfter2)
+  }
+
+  test("streaming near-dup ingest equals the batch-step fold, wave for wave") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val tableS = "graft_minhash_ingest_stream"
+    val tableB = "graft_minhash_ingest_batch"
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+    for (t <- Seq(tableS, tableB))
+      TextDedup.writeMinhashIndex(seed, "doc_id", "text", n = 3, k = 16,
+        bandSize = 4, numBands = 4, threshold = 0.5, table = t)
+    val waves = Seq(
+      docs.filter(col("doc_id") % 4 === 1).limit(30)
+        .select("doc_id", "text"),
+      docs.filter(col("doc_id") % 8 === 0).limit(10)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+    val dir = Files.createTempDirectory("mh-ingest-stream").toFile
+    dir.deleteOnExit()
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val staging = Files.createTempDirectory(s"mh-ingest-wave$i").toString
+      w.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"wave$i.parquet").toPath
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val gotDups = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = graft.streaming.StreamingIngest.streamingMinhashDedupIngest(
+        stream, "doc_id", "text", tableS) { df =>
+      gotDups ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    q.processAllAvailable(); q.stop()
+    val batchDups = scala.collection.mutable.Set.empty[(Long, Long)]
+    waves.zipWithIndex.foreach { case (w, i) =>
+      batchDups ++= TextDedup.minhashDedupIngestStep(w, "doc_id", "text",
+        tableB, batchId = i.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    assert(gotDups.toSet === batchDups.toSet)
+    assert(gotDups.nonEmpty) // wave-2 copies really flagged
+    def indexDocs(t: String) = TextDedup.loadMinhashIndex(spark, t)
+      .docs.select("id").as[Long].collect().toSet
+    assert(indexDocs(tableS) === indexDocs(tableB))
+  }
+
   test("RP candidate filter + exact re-rank recovers most true neighbors (JL sanity)") {
     val recalls = Queries.t85_rp_rerank_recall.run(spark, sf("sf0.01"))
       .collect().map(_.getDouble(1))
