@@ -1885,6 +1885,38 @@ object Queries {
         .filter(col("q_id") < col("id"))
     }))
 
+  /** PROBE-ONLY form of t83 — the build-once/probe-many payoff made
+    * measurable: the index is built once per JVM (dir-keyed table
+    * name; bench rep 1 builds, every later rep hits the catalog and
+    * ONLY probes), so min-of-reps isolates the probe — batch band
+    * entries shuffled against an exchange-free bucketed index scan.
+    * Value-gated identically to t83 (t3's oracle verbatim). */
+  val t90_minhash_index_probe: Q = Q(
+    run = (spark, dir) => {
+      val table = s"graft_minhash_probe_${math.abs(dir.hashCode)}"
+      val docs = t(spark, dir, "documents")
+      if (!spark.catalog.tableExists(table))
+        TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+          k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold, table = table)
+      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    oracle = t3_minhash_lsh_pairs.oracle,
+    bench = true,
+    benchRun = Some((spark, dir) => {
+      val table = s"graft_minhash_probe_${math.abs(dir.hashCode)}"
+      val docs = t(spark, dir, "documents")
+      if (!spark.catalog.tableExists(table))
+        TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+          k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold, table = table)
+      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+    }))
+
   /** Minhash index COMMITTED APPEND
     * ([[TextDedup.appendToMinhashIndexCommitted]]): band entries and
     * shingle docs land under ONE CommitLog rename (the t62/t63/BM25
@@ -6313,6 +6345,7 @@ object Queries {
     "t82_fuzzy_segment_index_persist" -> t82_fuzzy_segment_index_persist,
     "t83_minhash_index_persist" -> t83_minhash_index_persist,
     "t86_minhash_index_append" -> t86_minhash_index_append,
+    "t90_minhash_index_probe" -> t90_minhash_index_probe,
     "t87_minhash_index_asof" -> t87_minhash_index_asof,
     "t88_minhash_index_delete" -> t88_minhash_index_delete,
     "t89_minhash_index_compact" -> t89_minhash_index_compact,
