@@ -825,6 +825,24 @@ class DedupSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("minhash probe: the index scan stays bucketed (no exchange over the persisted table)") {
+    val table = "graft_minhash_bucket_spec"
+    TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3, k = 16,
+      bandSize = 4, numBands = 4, threshold = 0.5, table = table)
+    // force the sort-merge path that would otherwise broadcast away
+    // the evidence (the t82 plan-pin methodology)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val plan = TextDedup
+        .probeMinhashIndex(spark, table, docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan should be bucket-aware:\n${plan.take(4000)}")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("minhash index lifecycle: committed append replay is a no-op; compact restores the fresh-build state") {
     val table = "graft_minhash_lc_spec"
     val base = docs.filter(col("doc_id") % 3 =!= 0)
