@@ -160,7 +160,10 @@ object Funnel {
       array_repeat(lit(0L), stages.length).as("c"),
       array_repeat(lit(null).cast("long"), stages.length).as("l"))
 
-  private def loopRequire(stages: Seq[(String, Int)]): Unit = {
+  /** Shared loop-stage validation — the streaming twin
+    * ([[graft.streaming.StreamingIngest.streamingFunnelLoop]]) calls
+    * this too, so the batch and stream contracts cannot drift. */
+  private[graft] def loopRequire(stages: Seq[(String, Int)]): Unit = {
     require(stages.nonEmpty && stages.forall(_._2 >= 1),
       "need stages with minReps >= 1")
     require(stages.map(_._1).sliding(2).forall(p =>

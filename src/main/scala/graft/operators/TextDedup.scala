@@ -528,8 +528,15 @@ object TextDedup {
     * runs are bkey-clustered for tight row-group stats. */
   def appendToMinhashIndexCommitted(docs: DataFrame, idCol: String,
       textCol: String, table: String, batchId: Long): Boolean = {
+    val (n, k, bandSize, numBands, _) = minhashParams(docs.sparkSession, table)
+    appendMinhashBatch(docs, idCol, textCol, table, batchId,
+      n, k, bandSize, numBands)
+  }
+
+  private def appendMinhashBatch(docs: DataFrame, idCol: String,
+      textCol: String, table: String, batchId: Long,
+      n: Int, k: Int, bandSize: Int, numBands: Int): Boolean = {
     val spark = docs.sparkSession
-    val (n, k, bandSize, numBands, _) = minhashParams(spark, table)
     CommitLog.commit(spark, table, batchId) { dir =>
       val staged = Staging.barrier(
         shingleLshFrame(docs, idCol, textCol, n, k, bandSize, numBands))
@@ -681,16 +688,19 @@ object TextDedup {
   def minhashDedupIngestStep(batch: DataFrame, idCol: String,
       textCol: String, table: String, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // ONE index load serves the probe, the within-batch LSH parameters
+    // and the append — not three meta collects + log listings per batch
+    val idx = loadMinhashIndex(spark, table)
     val matches = Staging.adopt(
-      probeMinhashIndex(spark, table, batch, idCol, textCol)
+      probeMinhashLoaded(idx, batch, idCol, textCol)
         .localCheckpoint(eager = true))
     val dupIds = matches.select(col("q_id").as("__dup_id")).distinct()
     val fresh = batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
-    val (n, k, bandSize, numBands, threshold) = minhashParams(spark, table)
-    val pairs = minhashLshPairs(fresh, idCol, textCol, n, k, bandSize,
-      numBands, threshold).select("id_a", "id_b")
+    val pairs = minhashLshPairs(fresh, idCol, textCol, idx.n, idx.k,
+      idx.bandSize, idx.numBands, idx.threshold).select("id_a", "id_b")
     val survivors = keepSurvivors(fresh, idCol, connectedComponents(pairs))
-    appendToMinhashIndexCommitted(survivors, idCol, textCol, table, batchId)
+    appendMinhashBatch(survivors, idCol, textCol, table, batchId,
+      idx.n, idx.k, idx.bandSize, idx.numBands)
     matches
   }
 

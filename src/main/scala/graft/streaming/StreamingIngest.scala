@@ -1298,21 +1298,29 @@ object StreamingIngest {
    * retained-entry first-sight rule as [[updateFunnel]].
    */
   def updateFunnelLoop(stages: IndexedSeq[(String, Int)],
-      matchRetentionMs: Long = Long.MaxValue)(
-      userId: Long, rows: Iterator[FunnelEvent],
-      state: GroupState[FunnelLoopState]): Iterator[FunnelLoopUpdate] = {
+      matchRetentionMs: Long = Long.MaxValue)
+      : (Long, Iterator[FunnelEvent], GroupState[FunnelLoopState]) =>
+        Iterator[FunnelLoopUpdate] = {
+    // everything derivable from `stages` is computed ONCE here, not
+    // per user per micro-batch (the family's precompute discipline)
     val k = stages.length
     val expanded = stages.flatMap { case (t, n) => Seq.fill(n)(t) }
     val kx = expanded.length
     val bounds = stages.map(_._2).scanLeft(0)(_ + _).tail
+    def stageOf(s: Int): Int = bounds.count(_ <= s)
+    (userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelLoopState]) => {
     val first = state.getOption.isEmpty
     val prev = state.getOption.getOrElse(FunnelLoopState(0,
       Seq.fill(k)(0L), Seq.fill(k)(NoStart), Nil, 0L))
-    def stageOf(s: Int): Int = bounds.count(_ <= s)
-    if (stageOf(prev.s) == k && state.hasTimedOut) {
+    // a timeout on a COMPLETE spine is the retention cleanup ONLY when
+    // nothing is buffered (with pending events the set timer was the
+    // pending-flush timer — fall through and fold the matured buffer,
+    // else trailing absorptions are lost and the tombstone dropped)
+    if (stageOf(prev.s) == k && state.hasTimedOut && prev.pending.isEmpty) {
       state.remove()
-      return Iterator.empty
-    }
+      Iterator.empty
+    } else {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
     val (mature, immature) = all.partition(_._1 <= wmUs)
@@ -1355,6 +1363,8 @@ object StreamingIngest {
     if ((first && !removable) || out != obs(prev.s, prev.c, prev.l))
       Iterator(FunnelLoopUpdate(userId, out._1, out._2, out._3))
     else Iterator.empty
+    }
+    }
   }
 
   /** The streaming looping-quantifier funnel over an events stream —
@@ -1364,11 +1374,7 @@ object StreamingIngest {
       stages: Seq[(String, Int)], watermark: String,
       matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] = {
     import spark.implicits._
-    require(stages.nonEmpty && stages.forall(_._2 >= 1),
-      "need stages with minReps >= 1")
-    require(stages.map(_._1).sliding(2).forall(p =>
-        p.length < 2 || p(0) != p(1)),
-      "adjacent stages must differ in type")
+    graft.operators.Funnel.loopRequire(stages)
     events
       .withWatermark("ts", watermark)
       .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),

@@ -1206,6 +1206,73 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L)._2 === Seq(1L, 1L, 0L))
   }
 
+  test("streaming loop funnel: flush timer on a completed spine folds the buffered trailing absorption") {
+    // the r13 review bug: a COMPLETE spine with a buffered immature
+    // last-stage event sets a pending-flush timer; when that timer
+    // fires on a batch with NO data for the user, the old guard
+    // treated it as the retention cleanup and removed the state —
+    // losing the trailing absorption (and the tombstone). The fold
+    // must run instead: final emission equals the batch operator.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    val waves = Seq(
+      // u1 completes the spine; u9 pushes wm to 11:30
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "purchase"),
+        Row(9L, 90L, t("2024-01-01 13:30:00"), "error")),
+      // trailing purchase above wm (11:30) -> buffered, flush timer set
+      Seq(Row(1L, 4L, t("2024-01-01 12:00:00"), "purchase")),
+      // wm -> 13:00 (> 12:00); u1 gets a timeout invocation, no data
+      Seq(Row(9L, 91L, t("2024-01-01 15:00:00"), "error")),
+      Seq(Row(9L, 92L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-loop-flush-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-loop-flush-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq(("view", 1), ("click", 1), ("purchase", 1))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long], Seq[Long])]
+    val q = StreamingIngest.streamingFunnelLoop(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Long](2), r.getSeq[Long](3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val u1 = emitted.filter(_._2 == 1L).maxBy(_._1)
+    val us = (s: String) => t(s).getTime * 1000L
+    // trailing purchase folded: 2 purchases, last at 12:00
+    assert(u1._3 === 3)
+    assert(u1._4 === Seq(1L, 1L, 2L))
+    assert(u1._5.last === us("2024-01-01 12:00:00"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), schema)
+    val batch = graft.operators.Funnel.funnelLoop(all, "user_id",
+        "event_type", "ts", "event_id", stages)
+      .filter(col("user_id") === 1L).collect().head
+    // flattened (user_id, stage, c1, l1, c2, l2, c3, l3): purchase
+    // count at 6, last purchase time at 7 — batch agrees with stream
+    assert(batch.getLong(6) === 2L)
+    assert(batch.getLong(7) === us("2024-01-01 12:00:00"))
+  }
+
   test("streaming combined windowed+guarded funnel equals the batch operator") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
