@@ -1037,6 +1037,69 @@ class DedupSpec extends SparkSpec {
     assert(indexDocs(tableS) === indexDocs(tableB))
   }
 
+  test("streaming near-dup ingest across a restart: batch ids continue, second-life appends land") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val table = "graft_minhash_ingest_restart"
+    val seed = docs.filter(col("doc_id") % 4 === 0)
+    TextDedup.writeMinhashIndex(seed, "doc_id", "text", n = 3, k = 16,
+      bandSize = 4, numBands = 4, threshold = 0.5, table = table)
+    val dir = Files.createTempDirectory("mh-restart-src").toFile
+    dir.deleteOnExit()
+    val ckpt = Files.createTempDirectory("mh-restart-ckpt").toString
+    def writeWave(w: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val staging = Files.createTempDirectory(s"mh-restart-wave$i").toString
+      w.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, s"wave$i.parquet").toPath
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      // checkpointed foreachBatch: the second life resumes the batch-id
+      // sequence from the checkpoint — if ids RESET, the CommitLog
+      // would refuse the second life's appends as replays
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          graft.operators.Staging.scoped {
+            TextDedup.minhashDedupIngestStep(batch, "doc_id", "text",
+              table, bid).collect()
+          }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    val wave0 = docs.filter(col("doc_id") % 4 === 1).limit(20)
+      .select("doc_id", "text")
+    writeWave(wave0, 0)
+    runOnce()
+    val afterLife1 = TextDedup.loadMinhashIndex(spark, table)
+      .docs.select("id").as[Long].collect().toSet
+    // life 2: a dup of a wave-0 doc (+700000) and a synthetic fresh doc
+    val w0Head = wave0.orderBy("doc_id").limit(1)
+    val wave1 = w0Head
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+      .unionByName(Seq((800000L, "qx wz lv kp jm nh bt fd rs cg"))
+        .toDF("doc_id", "text"))
+    writeWave(wave1, 1)
+    runOnce()
+    val afterLife2 = TextDedup.loadMinhashIndex(spark, table)
+      .docs.select("id").as[Long].collect().toSet
+    val w0HeadId = w0Head.select("doc_id").as[Long].collect().head
+    assert(afterLife2.contains(800000L), "second-life append must land")
+    assert(!afterLife2.contains(w0HeadId + 700000L), "dup still dropped")
+    assert(afterLife1.subsetOf(afterLife2))
+  }
+
   test("RP candidate filter + exact re-rank recovers most true neighbors (JL sanity)") {
     val recalls = Queries.t85_rp_rerank_recall.run(spark, sf("sf0.01"))
       .collect().map(_.getDouble(1))
