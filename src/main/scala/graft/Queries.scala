@@ -2743,7 +2743,13 @@ object Queries {
   private def kmeansCtePrefix(queryPredSql: String = "vec_id < 10",
       trainPredSql: Option[String] = None,
       dataPredSql: Option[String] = None,
-      kSql: String = IvfClusters.toString): String = {
+      kSql: String = IvfClusters.toString,
+      // leading CTE chain that DEFINES `v (vec_id, e)` — override to
+      // train/search the same pipeline over a derived vector space
+      // (t91 passes the random-projection chain)
+      vCtesSql: String =
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)")
+      : String = {
     // Frozen-quantizer variant (t50): seeds and Lloyd iterations read
     // only the TRAINING subset `tn`; assignment/coding/probing (sfin,
     // corpus, probed) always read the full corpus `n`. With no training
@@ -2771,7 +2777,7 @@ object Queries {
          |  SELECT label, pos, SUM(CAST(val AS DECIMAL(27,12))) AS s, COUNT(*) AS cnt
          |  FROM ex$i GROUP BY 1, 2) GROUP BY label)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH $vCtesSql,
        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        |$tnCte${dnCte}c0 AS (SELECT label, c FROM (
        |  SELECT e AS c,
@@ -2790,8 +2796,13 @@ object Queries {
        |  FROM sfin WHERE $queryPredSql) WHERE rn <= $IvfNprobe)""".stripMargin
   }
 
-  private def kmeansIvfOracleSql: String =
-    s"""${kmeansCtePrefix()},
+  private def kmeansIvfOracleSql: String = kmeansIvfOracleSqlOver()
+
+  private def kmeansIvfOracleSqlOver(
+      vCtesSql: String =
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)")
+      : String =
+    s"""${kmeansCtePrefix(vCtesSql = vCtesSql)},
        |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
        |  list_dot_product(p.qv, c.e) / (p.qnrm * c.nrm) AS cos
        |  FROM probed p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id),
@@ -2810,6 +2821,39 @@ object Queries {
           nprobe = IvfNprobe)
         .orderBy("query_id", "rank"),
     oracle = Some(kmeansIvfOracleSql),
+    bench = true)
+
+  /** The leading-CTE chain defining `v (vec_id, e)` as the RANDOM
+    * PROJECTION of the embeddings — drops into [[kmeansCtePrefix]]'s
+    * `vCtesSql` seam so the whole unrolled Lloyd/IVF oracle replays in
+    * the projected space (projected lists built by `list(pr ORDER BY
+    * j)` — collection, not float aggregation, so both engines fold the
+    * same doubles). */
+  private def duckProjVecCtes: String =
+    s"""ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+       |$duckProjSigns,
+       |pj0 AS (SELECT vec_id, j, list_dot_product(e0, s) AS pr FROM ev CROSS JOIN sj),
+       |v AS (SELECT vec_id, list(pr ORDER BY j) AS e FROM pj0 GROUP BY vec_id)""".stripMargin
+
+  /** RP ∘ IVF — the composition t84's scaladoc promises as the 100 TB
+    * scale path: PROJECT the corpus 64→16 dims (map-only), then train
+    * the k-means coarse quantizer and search ENTIRELY in the projected
+    * space — every Lloyd iteration, cell assignment and probe costs
+    * inDim/outDim less arithmetic and shuffle width. Same operator
+    * ([[VectorOps.kmeansIvfTopK]]) over the projected frame — the
+    * composition is pure piping, nothing re-implemented — and the
+    * oracle is the SAME unrolled k-means SQL with its vector prep
+    * swapped to the projection chain (the vCtesSql seam). */
+  val t91_rp_ivf_ann: Q = Q(
+    run = (spark, dir) => {
+      val proj = VectorOps.randomProjection(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", RpInDim, RpOutDim)
+      VectorOps.kmeansIvfTopK(proj, "id", "proj", col("id") < 10,
+          k = 5, kClusters = IvfClusters, iters = IvfIters,
+          nprobe = IvfNprobe)
+        .orderBy("query_id", "rank")
+    },
+    oracle = Some(kmeansIvfOracleSqlOver(duckProjVecCtes)),
     bench = true)
 
   /** ANN quality monitoring: recall@5 of the IVF index against the
@@ -2841,14 +2885,14 @@ object Queries {
          |FROM ks LEFT JOIN hits ON hits.query_id = ks.query_id
          |ORDER BY ks.query_id""".stripMargin))
 
-  private val RpInDim = 64
-  private val RpOutDim = 16
+  private def RpInDim = 64
+  private def RpOutDim = 16
 
   /** The DuckDB twin of [[VectorOps.projectionSigns]]: per output
     * coordinate j, the ±1.0 list over input coordinates i from the
     * parity of md5("i:j")'s first hex digit — regenerated in SQL so
     * both engines project with the SAME matrix, no side channel. */
-  private val duckProjSigns =
+  private def duckProjSigns =
     s"""sj AS (
        |  SELECT j, [CASE WHEN CAST('0x' || substr(md5(i || ':' || j), 1, 1)
        |      AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END
@@ -6346,6 +6390,7 @@ object Queries {
     "t83_minhash_index_persist" -> t83_minhash_index_persist,
     "t86_minhash_index_append" -> t86_minhash_index_append,
     "t90_minhash_index_probe" -> t90_minhash_index_probe,
+    "t91_rp_ivf_ann" -> t91_rp_ivf_ann,
     "t87_minhash_index_asof" -> t87_minhash_index_asof,
     "t88_minhash_index_delete" -> t88_minhash_index_delete,
     "t89_minhash_index_compact" -> t89_minhash_index_compact,
