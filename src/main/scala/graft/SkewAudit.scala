@@ -41,30 +41,60 @@ object SkewAudit {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime; val r = f; (r, (System.nanoTime - t0) / 1e9)
     }
-    val (single, tSingle) = time(operators.Funnel.funnel(ev, "user_id",
+    // a single per-user collect_list fold physically CANNOT process a
+    // key whose event structs exceed the 2 GB UnsafeRow limit (~30M
+    // events) — record that as the failure it is instead of crashing
+    // the audit; the bucketed twin has no such key-sized row
+    def timeTry[A](f: => Array[A]): (Option[Array[A]], Double) = {
+      val t0 = System.nanoTime
+      try { val r = f; (Some(r), (System.nanoTime - t0) / 1e9) }
+      catch { case e: Throwable
+          if Option(e.getMessage).exists(_.contains("BufferHolder")) ||
+             Option(e.getCause).flatMap(c => Option(c.getMessage))
+               .exists(_.contains("BufferHolder")) =>
+        (None, (System.nanoTime - t0) / 1e9)
+      }
+    }
+    def cmp(a: Option[Array[org.apache.spark.sql.Row]],
+        b: Array[org.apache.spark.sql.Row]): String = a match {
+      case Some(rows) => (rows.map(_.toString).sorted
+        .sameElements(b.map(_.toString).sorted)).toString
+      case None => "\"single-exceeded-2GB-row-limit\""
+    }
+    val (single, tSingle) = timeTry(operators.Funnel.funnel(ev, "user_id",
       "event_type", "ts", "event_id", stages).collect())
     val (bucketed, tBucketed) = time(operators.Funnel.funnelBucketed(ev,
       "user_id", "event_type", "ts", "event_id", stages,
       bucketSeconds).collect())
-    val equal = single.map(_.toString).sorted.sameElements(
-      bucketed.map(_.toString).sorted)
+    val equal = cmp(single, bucketed)
     // the WINDOWED pair on the same skewed log (within = 2 bucket widths
     // so chains and expiries cross segment boundaries)
     val winMicros = 2L * bucketSeconds * 1000000L
-    val (wSingle, tWSingle) = time(operators.Funnel.funnelWithin(ev,
+    val (wSingle, tWSingle) = timeTry(operators.Funnel.funnelWithin(ev,
       "user_id", "event_type", "ts", "event_id", stages,
       winMicros).collect())
     val (wBucketed, tWBucketed) = time(operators.Funnel.funnelWithinBucketed(
       ev, "user_id", "event_type", "ts", "event_id", stages, winMicros,
       bucketSeconds).collect())
-    val wEqual = wSingle.map(_.toString).sorted.sameElements(
-      wBucketed.map(_.toString).sorted)
+    val wEqual = cmp(wSingle, wBucketed)
+    // the LOOPING-QUANTIFIER pair (round 13): greedy repetition makes
+    // the per-event fold effect heavier still, so the power key's
+    // serialization hurts more — the segment monoid's win case
+    val loopStages = Seq(("view", 1), ("click", 2), ("purchase", 1))
+    val (lSingle, tLSingle) = timeTry(operators.Funnel.funnelLoop(ev,
+      "user_id", "event_type", "ts", "event_id", loopStages).collect())
+    val (lBucketed, tLBucketed) = time(operators.Funnel.funnelLoopBucketed(
+      ev, "user_id", "event_type", "ts", "event_id", loopStages,
+      bucketSeconds).collect())
+    val lEqual = cmp(lSingle, lBucketed)
     // scalastyle:off println
     println(s"""{"metric":"skew_funnel","power_events":$powerN,""" +
       s""""bucket_seconds":$bucketSeconds,"single_sec":$tSingle,""" +
-      s""""bucketed_sec":$tBucketed,"rows":${single.length},"equal":$equal,""" +
+      s""""bucketed_sec":$tBucketed,"rows":${bucketed.length},"equal":$equal,""" +
       s""""within_single_sec":$tWSingle,"within_bucketed_sec":$tWBucketed,""" +
-      s""""within_equal":$wEqual}""")
+      s""""within_equal":$wEqual,""" +
+      s""""loop_single_sec":$tLSingle,"loop_bucketed_sec":$tLBucketed,""" +
+      s""""loop_equal":$lEqual}""")
     // scalastyle:on println
     spark.stop()
   }

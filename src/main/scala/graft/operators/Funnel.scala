@@ -768,6 +768,14 @@ object Funnel {
    * buckets, each bucket folds independently, and the per-bucket
    * results merge in bucket order.
    *
+   * "Blow" is literal, not rhetorical: a key's whole event log becomes
+   * ONE UnsafeRow under `collect_list`, and Spark's row limit is 2 GB —
+   * measured at ~30M+ events/key every single-fold variant in the
+   * family FAILS (BufferHolder overflow) while the bucketed twins
+   * complete (AUDIT_r13_skew_funnel.json: 50M-event key, single folds
+   * die after 69–159 s, bucketed 31–56 s). Past that boundary the
+   * segment monoid is the only correct plan, not an optimization.
+   *
    * What makes the split CORRECT is that the greedy fold is a MONOID
    * under function composition: a segment's effect is fully described
    * by the transition vector `f[s] = (exit stage, witnesses)` for every
