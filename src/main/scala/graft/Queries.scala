@@ -1891,31 +1891,31 @@ object Queries {
     * ONLY probes), so min-of-reps isolates the probe — batch band
     * entries shuffled against an exchange-free bucketed index scan.
     * Value-gated identically to t83 (t3's oracle verbatim). */
+  /** ONE shared build-if-missing + probe body for t90's gate and bench
+    * paths (no drift surface). The table is keyed by the md5 of the sf
+    * dir — collision-proof and always a valid identifier (hashCode
+    * collides across strings and abs(Int.MinValue) stays negative). */
+  private def t90Probe(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val table = s"graft_minhash_probe_$key"
+    val docs = t(spark, dir, "documents")
+    if (!spark.catalog.tableExists(table))
+      TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+        k = MinhashK, bandSize = BandSize, numBands = NumBands,
+        threshold = JaccardThreshold, table = table)
+    TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
+      .filter(col("q_id") < col("id"))
+  }
+
   val t90_minhash_index_probe: Q = Q(
-    run = (spark, dir) => {
-      val table = s"graft_minhash_probe_${math.abs(dir.hashCode)}"
-      val docs = t(spark, dir, "documents")
-      if (!spark.catalog.tableExists(table))
-        TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
-          k = MinhashK, bandSize = BandSize, numBands = NumBands,
-          threshold = JaccardThreshold, table = table)
-      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
-        .filter(col("q_id") < col("id"))
+    run = (spark, dir) =>
+      t90Probe(spark, dir)
         .select(col("q_id").as("id_a"), col("id").as("id_b"), col("jaccard"))
-        .orderBy("id_a", "id_b")
-    },
+        .orderBy("id_a", "id_b"),
     oracle = t3_minhash_lsh_pairs.oracle,
     bench = true,
-    benchRun = Some((spark, dir) => {
-      val table = s"graft_minhash_probe_${math.abs(dir.hashCode)}"
-      val docs = t(spark, dir, "documents")
-      if (!spark.catalog.tableExists(table))
-        TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
-          k = MinhashK, bandSize = BandSize, numBands = NumBands,
-          threshold = JaccardThreshold, table = table)
-      TextDedup.probeMinhashIndex(spark, table, docs, "doc_id", "text")
-        .filter(col("q_id") < col("id"))
-    }))
+    benchRun = Some((spark, dir) => t90Probe(spark, dir)))
 
   /** Minhash index COMMITTED APPEND
     * ([[TextDedup.appendToMinhashIndexCommitted]]): band entries and
@@ -2798,11 +2798,12 @@ object Queries {
 
   private def kmeansIvfOracleSql: String = kmeansIvfOracleSqlOver()
 
+  // None = kmeansCtePrefix's own default — the historical v-CTE text
+  // lives in exactly ONE place, so it cannot drift between the two defs
   private def kmeansIvfOracleSqlOver(
-      vCtesSql: String =
-        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)")
-      : String =
-    s"""${kmeansCtePrefix(vCtesSql = vCtesSql)},
+      vCtesSql: Option[String] = None): String =
+    s"""${vCtesSql.map(v => kmeansCtePrefix(vCtesSql = v))
+        .getOrElse(kmeansCtePrefix())},
        |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
        |  list_dot_product(p.qv, c.e) / (p.qnrm * c.nrm) AS cos
        |  FROM probed p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id),
@@ -2853,7 +2854,7 @@ object Queries {
           nprobe = IvfNprobe)
         .orderBy("query_id", "rank")
     },
-    oracle = Some(kmeansIvfOracleSqlOver(duckProjVecCtes)),
+    oracle = Some(kmeansIvfOracleSqlOver(Some(duckProjVecCtes))),
     bench = true)
 
   /** ANN quality monitoring: recall@5 of the IVF index against the

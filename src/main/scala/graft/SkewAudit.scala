@@ -45,13 +45,23 @@ object SkewAudit {
     // key whose event structs exceed the 2 GB UnsafeRow limit (~30M
     // events) — record that as the failure it is instead of crashing
     // the audit; the bucketed twin has no such key-sized row
+    def rowLimitHit(e: Throwable): Boolean = {
+      // walk the WHOLE cause chain — the overflow can surface wrapped
+      // arbitrarily deep on the driver
+      var cur = e
+      var seen = List.empty[Throwable]
+      while (cur != null && !seen.exists(_ eq cur)) {
+        if (Option(cur.getMessage).exists(_.contains("BufferHolder")))
+          return true
+        seen ::= cur
+        cur = cur.getCause
+      }
+      false
+    }
     def timeTry[A](f: => Array[A]): (Option[Array[A]], Double) = {
       val t0 = System.nanoTime
       try { val r = f; (Some(r), (System.nanoTime - t0) / 1e9) }
-      catch { case e: Throwable
-          if Option(e.getMessage).exists(_.contains("BufferHolder")) ||
-             Option(e.getCause).flatMap(c => Option(c.getMessage))
-               .exists(_.contains("BufferHolder")) =>
+      catch { case e: Throwable if rowLimitHit(e) =>
         (None, (System.nanoTime - t0) / 1e9)
       }
     }

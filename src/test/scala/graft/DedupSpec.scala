@@ -1078,8 +1078,11 @@ class DedupSpec extends SparkSpec {
         }.start()
       q.processAllAvailable(); q.stop()
     }
+    // materialize ONCE: limit() without orderBy is not stable across
+    // evaluations, and w0Head below must come from the WRITTEN wave
     val wave0 = docs.filter(col("doc_id") % 4 === 1).limit(20)
-      .select("doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .toDF("doc_id", "text")
     writeWave(wave0, 0)
     runOnce()
     val afterLife1 = TextDedup.loadMinhashIndex(spark, table)
