@@ -5275,6 +5275,89 @@ object Queries {
         .orderBy("user_id"),
     oracle = w16_funnel_loop.oracle)
 
+  /** BOUNDED quantifier times(m, n) ([[Funnel.funnelTimesRange]]) —
+    * the last Flink quantifier shape after times(n) (w12) and
+    * oneOrMore/timesOrMore (w16): view×(2..3) → click×(1..2) →
+    * purchase×(1..1). The oracle is w16's pick-chain + loop-interval
+    * replay with the greedy cap applied as a rank cut INSIDE each
+    * stage's interval (`row_number ≤ maxReps` before the count/max —
+    * the fold ignores overflow, so reps and last_us both stop at the
+    * cap'th occurrence while the spine and stage_reached are the
+    * uncapped w16 values on the same mandatory counts). */
+  val w18_funnel_times_range: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelTimesRange(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2, 3), ("click", 1, 2), ("purchase", 1, 1)))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      // expanded = view,view,click,purchase; blocks end at s2/s3/s4
+      def pick(k: Int, tp: String, prev: String): String =
+        s"""s$k AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      def reps(j: Int, tp: String, first: String, next: Option[String],
+          cap: Int): String = {
+        val nextJoin = next.map(n =>
+          s"\n  LEFT JOIN $n n ON n.user_id = f.user_id").getOrElse("")
+        val nextPred = next.map(_ =>
+          "\n  WHERE n.user_id IS NULL OR e.us < n.us OR (e.us = n.us AND e.event_id < n.event_id)")
+          .getOrElse("")
+        s"""r$j AS (SELECT user_id, count(*) AS reps, max(us) AS last_us FROM (
+           |  SELECT f.user_id, e.us,
+           |    row_number() OVER (PARTITION BY f.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM $first f JOIN e ON e.user_id = f.user_id AND e.event_type = '$tp'
+           |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))$nextJoin$nextPred
+           |  ) WHERE rn <= $cap GROUP BY user_id)""".stripMargin
+      }
+      val expanded = Seq("view", "view", "click", "purchase")
+      val hops = (2 to 4).map(k => pick(k, expanded(k - 1), s"s${k - 1}"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |$hops,
+         |${reps(1, "view", "s1", Some("s3"), 3)},
+         |${reps(2, "click", "s3", Some("s4"), 2)},
+         |${reps(3, "purchase", "s4", None, 1)}
+         |SELECT u.user_id,
+         |  CASE WHEN s4.user_id IS NOT NULL THEN 3
+         |       WHEN s3.user_id IS NOT NULL THEN 2
+         |       WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  coalesce(r1.reps, 0) AS reps1, r1.last_us AS ts1_us,
+         |  coalesce(r2.reps, 0) AS reps2, r2.last_us AS ts2_us,
+         |  coalesce(r3.reps, 0) AS reps3, r3.last_us AS ts3_us
+         |FROM u LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |  LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+         |  LEFT JOIN r3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w18_funnel_times_range]] through the SKEW-SAFE segment monoid
+    * ([[Funnel.funnelTimesRangeBucketed]]): with a cap the count-delta
+    * summary is insufficient (a segment's usable absorptions depend on
+    * slots already used), so segments carry per-stage capped
+    * consumed-time LISTS and the merge concatenates-then-truncates —
+    * exact because the pointer trajectory never reads counts. Gated on
+    * w18's oracle VERBATIM. */
+  val w19_funnel_times_range_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelTimesRangeBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2, 3), ("click", 1, 2), ("purchase", 1, 1)),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w18_funnel_times_range.oracle)
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -6392,6 +6475,8 @@ object Queries {
     "t86_minhash_index_append" -> t86_minhash_index_append,
     "t90_minhash_index_probe" -> t90_minhash_index_probe,
     "t91_rp_ivf_ann" -> t91_rp_ivf_ann,
+    "w18_funnel_times_range" -> w18_funnel_times_range,
+    "w19_funnel_times_range_bucketed" -> w19_funnel_times_range_bucketed,
     "t87_minhash_index_asof" -> t87_minhash_index_asof,
     "t88_minhash_index_delete" -> t88_minhash_index_delete,
     "t89_minhash_index_compact" -> t89_minhash_index_compact,

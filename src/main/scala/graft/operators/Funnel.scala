@@ -135,8 +135,8 @@ object Funnel {
     * stage's earliest pick" IS the maximal greedy repetition
     * consistent with the existence-optimal spine). Adjacent stages
     * must differ in type (advance-vs-absorb would be ambiguous). */
-  private def loopStep(st: Column, e: Column, stages: Seq[(String, Int)])
-      : Column = {
+  private def loopStep(st: Column, e: Column, stages: Seq[(String, Int)],
+      caps: Option[Seq[Int]] = None): Column = {
     val (expanded, _, subOf, loopOf) = loopTables(stages)
     val kx = expanded.length
     val s = st.getField("s"); val c = st.getField("c"); val l = st.getField("l")
@@ -146,8 +146,14 @@ object Funnel {
     val adv = s < kx && tp === element_at(typedLit(expanded), s + 1)
     val jAdv = element_at(typedLit(subOf), s + 1)
     val jLoop = element_at(typedLit(loopOf), s + 1) // sized kx+1: s ∈ 0..kx
+    // times(m, n): the open loop absorbs only while the stage's count
+    // is below its cap — overflow events are ignored (the spine and
+    // every later stage are untouched: adv never reads counts)
+    val belowCap = caps.map(cs =>
+      element_at(c, jLoop) < element_at(typedLit(cs.map(_.toLong)), jLoop))
+      .getOrElse(lit(true))
     val absorb = jLoop > 0 &&
-      tp === element_at(typedLit(stages.map(_._1)), jLoop)
+      tp === element_at(typedLit(stages.map(_._1)), jLoop) && belowCap
     def next(sNew: Column, j: Column) = struct(sNew.as("s"),
       transform(c, (x, i) => when(i === j - 1, x + 1L).otherwise(x)).as("c"),
       transform(l, (x, i) => when(i === j - 1, us).otherwise(x)).as("l"))
@@ -221,6 +227,41 @@ object Funnel {
       events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
   }
 
+  /** Shared validation for the RANGE quantifier (times(m, n)). */
+  private[graft] def rangeRequire(stages: Seq[(String, Int, Int)]): Unit = {
+    loopRequire(stages.map { case (t, m, _) => (t, m) })
+    require(stages.forall { case (_, m, n) => n >= m },
+      "need maxReps >= minReps on every stage")
+  }
+
+  /**
+   * Flink CEP's BOUNDED quantifier `times(m, n)` — the last quantifier
+   * shape after times(n) (w12, m = n) and oneOrMore/timesOrMore (w16,
+   * n = ∞): each stage matches its type at least `minReps` times
+   * (mandatory greedy picks, the existence-optimal spine) and
+   * greedily absorbs up to `maxReps` total; overflow occurrences are
+   * IGNORED — they neither extend the loop nor disturb the spine
+   * (greedy bounded repetition with a continue condition, the Flink
+   * `times(m, n).greedy()` reading). Same state and shuffle shape as
+   * [[funnelLoop]]: the cap is one extra conjunct in the absorb branch
+   * (counts never feed the pointer, so every downstream stage is
+   * bit-identical to the unbounded loop's).
+   */
+  def funnelTimesRange(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int, Int)]): DataFrame = {
+    rangeRequire(stages)
+    val mstages = stages.map { case (t, m, _) => (t, m) }
+    val caps = stages.map(_._3)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), loopInit(mstages, lit(0)),
+      (st, e) => loopStep(st, e, mstages, Some(caps)))
+    loopOut(mstages, folded)(
+      events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
+  }
+
   /**
    * [[funnelLoop]] for SKEWED keys — the [[funnelBucketed]] segment
    * monoid extended with the loop counters: a segment's effect from
@@ -258,6 +299,90 @@ object Funnel {
             (a, b) => coalesce(b, a)).as("l"))
       })
     loopOut(stages, merged)(
+      segs.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bkt"), col("f"))))
+          .as("segs")))
+  }
+
+  /** One event's transition of the CAPPED segment fold
+    * ([[funnelTimesRangeBucketed]]). State: the pointer `s` plus, per
+    * stage, the ordered LIST of consumed-event times `ll[j]` truncated
+    * at the stage's cap — lists, not count deltas, because with a cap
+    * a segment's usable absorptions depend on how many slots earlier
+    * segments already used: the merge takes the FIRST (cap − used)
+    * of the segment's own first-cap list, which is exact because the
+    * pointer trajectory (and therefore each segment's eligible-event
+    * sequence) never reads counts. Mandatory advances always record
+    * (a block in progress implies the accumulated count is below
+    * minReps ≤ cap, so truncation can never drop a spine event). */
+  private def rangeSegStep(st: Column, e: Column,
+      stages: Seq[(String, Int)], caps: Seq[Int]): Column = {
+    val (expanded, _, subOf, loopOf) = loopTables(stages)
+    val kx = expanded.length
+    val s = st.getField("s"); val ll = st.getField("ll")
+    val tp = e.getField("tp"); val us = e.getField("us")
+    val adv = s < kx && tp === element_at(typedLit(expanded), s + 1)
+    val jAdv = element_at(typedLit(subOf), s + 1)
+    val jLoop = element_at(typedLit(loopOf), s + 1)
+    val belowCap = jLoop > 0 &&
+      size(element_at(ll, jLoop)) < element_at(typedLit(caps), jLoop)
+    val absorb = belowCap &&
+      tp === element_at(typedLit(stages.map(_._1)), jLoop)
+    def push(j: Column) = transform(ll, (x, i) =>
+      when(i === j - 1, concat(x, array(us))).otherwise(x))
+    when(adv, struct((s + 1).as("s"), push(jAdv).as("ll")))
+      .otherwise(when(absorb, struct(s.as("s"), push(jLoop).as("ll")))
+        .otherwise(st))
+  }
+
+  private def rangeSegInit(stages: Seq[(String, Int)],
+      entry: Column): Column =
+    struct(entry.as("s"),
+      array_repeat(typedLit(Seq.empty[Long]), stages.length).as("ll"))
+
+  /**
+   * [[funnelTimesRange]] for SKEWED keys — the [[funnelLoopBucketed]]
+   * segment monoid with the cap: per-bucket folds precompute the
+   * capped consumed-time lists for every entry pointer, and merging
+   * concatenates-then-truncates each stage's list at its cap (exact —
+   * see [[rangeSegStep]]). Gates on w18's oracle VERBATIM (w19); the
+   * extra state vs the count-delta loop summary is ≤ Σ caps longs per
+   * (segment, entry pointer), still bucket-width-bounded.
+   */
+  def funnelTimesRangeBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int, Int)], bucketSeconds: Long): DataFrame = {
+    rangeRequire(stages)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val mstages = stages.map { case (t, m, _) => (t, m) }
+    val caps = stages.map(_._3)
+    val k = stages.length
+    val kx = mstages.map(_._2).sum
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(kx)), s0 =>
+          aggregate(col("evs"), rangeSegInit(mstages, s0),
+            (st, e) => rangeSegStep(st, e, mstages, caps))).as("f"))
+    val merged = aggregate(col("segs"), rangeSegInit(mstages, lit(0)),
+      (st, seg) => TextDedup.bound(
+          element_at(seg.getField("f"), st.getField("s") + 1)) { f =>
+        struct(f.getField("s").as("s"),
+          transform(sequence(lit(1), lit(k)), j =>
+            slice(concat(element_at(st.getField("ll"), j),
+                element_at(f.getField("ll"), j)),
+              lit(1), element_at(typedLit(caps), j))).as("ll"))
+      })
+    val asLoop = struct(merged.getField("s").as("s"),
+      transform(merged.getField("ll"), x => size(x).cast("long")).as("c"),
+      transform(merged.getField("ll"), x =>
+        when(size(x) > 0, element_at(x, -1))).as("l"))
+    loopOut(mstages, asLoop)(
       segs.groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("bkt"), col("f"))))
           .as("segs")))

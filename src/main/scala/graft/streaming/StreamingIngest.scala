@@ -1298,7 +1298,8 @@ object StreamingIngest {
    * retained-entry first-sight rule as [[updateFunnel]].
    */
   def updateFunnelLoop(stages: IndexedSeq[(String, Int)],
-      matchRetentionMs: Long = Long.MaxValue)
+      matchRetentionMs: Long = Long.MaxValue,
+      caps: Option[IndexedSeq[Int]] = None)
       : (Long, Iterator[FunnelEvent], GroupState[FunnelLoopState]) =>
         Iterator[FunnelLoopUpdate] = {
     // everything derivable from `stages` is computed ONCE here, not
@@ -1336,14 +1337,18 @@ object StreamingIngest {
         if (comp == 0L && s == kx) comp = us
       } else {
         val j = bounds.indexOf(s)
-        if (j >= 0 && tp == stages(j)._1) { c(j) += 1; l(j) = us }
+        // times(m, n): absorb only below the stage's cap (None = ∞)
+        if (j >= 0 && tp == stages(j)._1 &&
+            caps.forall(cs => c(j) < cs(j))) { c(j) += 1; l(j) = us }
       }
     }
     val complete = s == kx
     // a complete spine can only absorb last-stage-type events — the
-    // rest of the buffer is dead weight
+    // rest of the buffer is dead weight (and nothing at all once the
+    // last stage's loop is capped out)
     val rest =
-      if (complete) immature.filter(_._3 == stages(k - 1)._1)
+      if (complete) immature.filter(e => e._3 == stages(k - 1)._1 &&
+        caps.forall(cs => c(k - 1) < cs(k - 1)))
       else immature
     val removable = s == 0 && rest.isEmpty
     if (removable) {
@@ -1384,6 +1389,28 @@ object StreamingIngest {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout)(
         updateFunnelLoop(stages.toIndexedSeq, matchRetentionMs))
+  }
+
+  /** The streaming BOUNDED quantifier times(m, n) — the
+    * [[streamingFunnelLoop]] plumbing with the absorb cap threaded
+    * into [[updateFunnelLoop]] (one extra comparison in the state
+    * machine; pointer and spine untouched, the
+    * [[graft.operators.Funnel.funnelTimesRange]] contract). */
+  def streamingFunnelTimesRange(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int, Int)], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.rangeRequire(stages)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelLoop(stages.map { case (t, m, _) => (t, m) }.toIndexedSeq,
+          matchRetentionMs, Some(stages.map(_._3).toIndexedSeq)))
   }
 
   /** The streaming funnel over an events stream (`user_id`, `event_id`,

@@ -419,6 +419,89 @@ class FunnelSpec extends SparkSpec {
     assert(coarse === singleRows)
   }
 
+  private def rangeRef(es: Seq[(Long, Long, Timestamp, String)],
+      stages: Seq[(String, Int, Int)]): (Int, Seq[Long], Seq[Option[Long]]) = {
+    val mstages = stages.map { case (t, m, _) => (t, m) }
+    val expanded = mstages.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = mstages.map(_._2).scanLeft(0)(_ + _).tail
+    var s = 0
+    val c = Array.fill(stages.length)(0L)
+    val l = Array.fill[Option[Long]](stages.length)(None)
+    es.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+      val us = e._3.getTime * 1000L
+      if (s < expanded.length && e._4 == expanded(s)) {
+        s += 1
+        val j = bounds.indexWhere(_ >= s)
+        c(j) += 1; l(j) = Some(us)
+      } else {
+        val j = bounds.indexOf(s)
+        if (j >= 0 && e._4 == stages(j)._1 && c(j) < stages(j)._3) {
+          c(j) += 1; l(j) = Some(us)
+        }
+      }
+    }
+    (bounds.count(_ <= s), c.toSeq, l.toSeq)
+  }
+
+  test("funnelTimesRange: the cap truncates absorption; overflow never disturbs the spine") {
+    val stages = Seq(("view", 2, 3), ("click", 1, 2), ("purchase", 1, 1))
+    val ev = Seq(
+      // u1: v v v v c c c p p — views cap at 3 (4th ignored), clicks at
+      // 2 (3rd ignored), the second purchase is ignored (cap 1) — and
+      // every ignored event leaves stage_reached and the spine intact
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"), (1L, 3L, ts(3), "view"),
+      (1L, 4L, ts(4), "view"), (1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "click"),
+      (1L, 7L, ts(7), "click"), (1L, 8L, ts(8), "purchase"), (1L, 9L, ts(9), "purchase"),
+      // u2: exactly the minimum reps everywhere
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(2), "view"),
+      (2L, 12L, ts(3), "click"), (2L, 13L, ts(4), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val s = 1000000L
+    val r = Funnel.funnelTimesRange(ev, "user_id", "event_type", "ts",
+        "event_id", stages)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        (2 to 6 by 2).map(x.getLong).toSeq,
+        (3 to 7 by 2).map(i => Option(x.get(i)).map(_.asInstanceOf[Long] - us0)).toSeq))
+    assert(r === Array(
+      (1L, 3, Seq(3L, 2L, 1L), Seq(Some(3 * s), Some(6 * s), Some(8 * s))),
+      (2L, 3, Seq(2L, 1L, 1L), Seq(Some(2 * s), Some(3 * s), Some(4 * s)))))
+  }
+
+  test("property: funnelTimesRange equals the in-memory reference; capped bucketed merge == single") {
+    val rnd = new scala.util.Random(81818L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq(("view", 1, 2), ("click", 2, 3), ("purchase", 1, 1))
+    val events = (0 until 500).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val expected = events.groupBy(_._1).view
+      .mapValues(rangeRef(_, stages)).toMap
+    val single = Funnel.funnelTimesRange(df, "user_id", "event_type", "ts",
+      "event_id", stages)
+    val got = single.collect().map { x =>
+      x.getLong(0) -> ((x.getInt(1), (2 to 6 by 2).map(x.getLong).toSeq,
+        (3 to 7 by 2).map(i =>
+          Option(x.get(i)).map(_.asInstanceOf[Long])).toSeq))
+    }.toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1 == 3)) // completions happen
+    // caps really truncate: some user hits a cap exactly
+    assert(expected.values.exists(v => v._2(0) == 2L || v._2(1) == 3L))
+    val singleRows = single.orderBy("user_id").collect()
+    // 1-second segments force list truncation ACROSS merge boundaries
+    val bucketed = Funnel.funnelTimesRangeBucketed(df, "user_id",
+      "event_type", "ts", "event_id", stages, bucketSeconds = 1L)
+      .orderBy("user_id").collect()
+    assert(bucketed === singleRows)
+    val coarse = Funnel.funnelTimesRangeBucketed(df, "user_id",
+      "event_type", "ts", "event_id", stages, bucketSeconds = 86400L)
+      .orderBy("user_id").collect()
+    assert(coarse === singleRows)
+  }
+
   test("funnelWithinGuarded: both constraints bite; property vs a brute-force DP") {
     val stages = Seq("view", "click", "purchase")
     val nb = Seq(Some("error"), Some("error"))

@@ -1206,6 +1206,75 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L)._2 === Seq(1L, 1L, 0L))
   }
 
+  test("streaming times(m,n) funnel equals the batch operator; caps bite") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    // u1's second out-of-order view (10:01) must absorb (cap 2) while
+    // the third (10:03) overflows; the trailing purchase (10:07) is
+    // ignored by the purchase cap 1 — both across waves
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:06:00"), "purchase"),
+        Row(2L, 21L, t("2024-01-01 10:05:00"), "click")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:03:00"), "view"),
+        Row(1L, 5L, t("2024-01-01 10:05:00"), "click"),
+        Row(1L, 7L, t("2024-01-01 10:07:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-range-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-range-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq(("view", 1, 2), ("click", 1, 2), ("purchase", 1, 1))
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long], Seq[Long])]
+    val q = StreamingIngest.streamingFunnelTimesRange(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src), stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Long](2), r.getSeq[Long](3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4, e._5) }).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), schema)
+    val batch = graft.operators.Funnel.funnelTimesRange(all, "user_id",
+        "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        (2 to 6 by 2).map(r.getLong).toSeq,
+        (3 to 7 by 2).flatMap(i =>
+          Option(r.get(i)).map(_.asInstanceOf[Long])).toSeq)))
+      .toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // caps really bit across waves: u1 kept 2 of 3 views, 1 of 2
+    // purchases, with the capped last-times
+    val us = (s: String) => t(s).getTime * 1000L
+    assert(last(1L) === ((3, Seq(2L, 2L, 1L),
+      Seq(us("2024-01-01 10:01:00"), us("2024-01-01 10:05:00"),
+        us("2024-01-01 10:06:00")))))
+  }
+
   test("streaming loop funnel: flush timer on a completed spine folds the buffered trailing absorption") {
     // the r13 review bug: a COMPLETE spine with a buffered immature
     // last-stage event sets a pending-flush timer; when that timer
