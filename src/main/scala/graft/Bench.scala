@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs the headline queries (Queries.Q.bench = true) on
- * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+ * `SPARK_GRAFT_SF_DIR` and prints a `[bench-details]`-prefixed
+ * diagnostics line followed by ONE compact JSON metric line (the final
+ * line of output — sized to survive a recorder that keeps only the last
+ * ~2 KB of stdout).
  *
  * Honesty notes:
  *   - the action is a noop-format write, which materializes EVERY output
@@ -183,7 +186,18 @@ object Bench {
     // exit) — otherwise a broken headline silently shrinks the total.
     val subsetMarker =
       if (only.isDefined) s""","subset":${headline.length}""" else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreadJson,"times":$timesJson,"rep_loads":$repLoadsJson,"reps_run":$repsRun,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"failed":$failedJson$subsetMarker,"sf":"$sfDir"}""")
+    // Two-line output (round-14 fix): the harness that records this run
+    // keeps only the LAST ~2000 characters of stdout and parses the
+    // metric line out of that window — a single line carrying the full
+    // per-rep diagnostics (~6 KB at 50 queries × 9 reps) gets cut
+    // mid-line and parses as nothing (BENCH_r10–r13 all record
+    // "parsed": null). So: full self-arbitration evidence first, on a
+    // prefixed line that cannot be mistaken for the metric line (and
+    // mostly scrolls out of the window), then ONE compact final line —
+    // metric/value/queries-min/failed/sf — sized to fit the window with
+    // room for the launcher's trailing status line.
+    println(f"""[bench-details] {"times":$timesJson,"rep_loads":$repLoadsJson,"spread":$spreadJson,"reps_run":$repsRun,"reps":$reps,"load":{"start":$loadStart%.2f,"end":$loadEnd%.2f}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson$subsetMarker,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
