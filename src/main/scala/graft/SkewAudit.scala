@@ -65,18 +65,21 @@ object SkewAudit {
         (None, (System.nanoTime - t0) / 1e9)
       }
     }
+    // constant-type JSON pair (round-13 advisor): `equal` is ALWAYS a
+    // boolean and the overflow case is a separate status field — a
+    // mixed bool/string field forces downstream tooling to special-case
     def cmp(a: Option[Array[org.apache.spark.sql.Row]],
-        b: Array[org.apache.spark.sql.Row]): String = a match {
+        b: Array[org.apache.spark.sql.Row]): (Boolean, String) = a match {
       case Some(rows) => (rows.map(_.toString).sorted
-        .sameElements(b.map(_.toString).sorted)).toString
-      case None => "\"single-exceeded-2GB-row-limit\""
+        .sameElements(b.map(_.toString).sorted), "ok")
+      case None => (false, "single-exceeded-2GB-row-limit")
     }
     val (single, tSingle) = timeTry(operators.Funnel.funnel(ev, "user_id",
       "event_type", "ts", "event_id", stages).collect())
     val (bucketed, tBucketed) = time(operators.Funnel.funnelBucketed(ev,
       "user_id", "event_type", "ts", "event_id", stages,
       bucketSeconds).collect())
-    val equal = cmp(single, bucketed)
+    val (equal, singleStatus) = cmp(single, bucketed)
     // the WINDOWED pair on the same skewed log (within = 2 bucket widths
     // so chains and expiries cross segment boundaries)
     val winMicros = 2L * bucketSeconds * 1000000L
@@ -86,7 +89,7 @@ object SkewAudit {
     val (wBucketed, tWBucketed) = time(operators.Funnel.funnelWithinBucketed(
       ev, "user_id", "event_type", "ts", "event_id", stages, winMicros,
       bucketSeconds).collect())
-    val wEqual = cmp(wSingle, wBucketed)
+    val (wEqual, wSingleStatus) = cmp(wSingle, wBucketed)
     // the LOOPING-QUANTIFIER pair (round 13): greedy repetition makes
     // the per-event fold effect heavier still, so the power key's
     // serialization hurts more — the segment monoid's win case
@@ -96,15 +99,16 @@ object SkewAudit {
     val (lBucketed, tLBucketed) = time(operators.Funnel.funnelLoopBucketed(
       ev, "user_id", "event_type", "ts", "event_id", loopStages,
       bucketSeconds).collect())
-    val lEqual = cmp(lSingle, lBucketed)
+    val (lEqual, lSingleStatus) = cmp(lSingle, lBucketed)
     // scalastyle:off println
     println(s"""{"metric":"skew_funnel","power_events":$powerN,""" +
       s""""bucket_seconds":$bucketSeconds,"single_sec":$tSingle,""" +
       s""""bucketed_sec":$tBucketed,"rows":${bucketed.length},"equal":$equal,""" +
+      s""""single_status":"$singleStatus",""" +
       s""""within_single_sec":$tWSingle,"within_bucketed_sec":$tWBucketed,""" +
-      s""""within_equal":$wEqual,""" +
+      s""""within_equal":$wEqual,"within_single_status":"$wSingleStatus",""" +
       s""""loop_single_sec":$tLSingle,"loop_bucketed_sec":$tLBucketed,""" +
-      s""""loop_equal":$lEqual}""")
+      s""""loop_equal":$lEqual,"loop_single_status":"$lSingleStatus"}""")
     // scalastyle:on println
     spark.stop()
   }

@@ -52,7 +52,7 @@ object Funnel {
         .otherwise(st))
     events.groupBy(col(userCol).as("user_id"))
       .agg(evs.as("evs"))
-      .select(col("user_id") +: TextDedup.bound(folded) { f =>
+      .select(col("user_id") +: ExprUtil.bound(folded) { f =>
         struct(f.getField("s").as("stage_reached") +:
           (1 to k).map(i =>
             element_at(f.getField("ts"), i).as(s"ts${i}_us")): _*)
@@ -291,7 +291,7 @@ object Funnel {
           aggregate(col("evs"), loopInit(stages, s0),
             (st, e) => loopStep(st, e, stages))).as("f"))
     val merged = aggregate(col("segs"), loopInit(stages, lit(0)),
-      (st, seg) => TextDedup.bound(
+      (st, seg) => ExprUtil.bound(
           element_at(seg.getField("f"), st.getField("s") + 1)) { f =>
         struct(f.getField("s").as("s"),
           zip_with(st.getField("c"), f.getField("c"), (a, b) => a + b).as("c"),
@@ -370,7 +370,7 @@ object Funnel {
           aggregate(col("evs"), rangeSegInit(mstages, s0),
             (st, e) => rangeSegStep(st, e, mstages, caps))).as("f"))
     val merged = aggregate(col("segs"), rangeSegInit(mstages, lit(0)),
-      (st, seg) => TextDedup.bound(
+      (st, seg) => ExprUtil.bound(
           element_at(seg.getField("f"), st.getField("s") + 1)) { f =>
         struct(f.getField("s").as("s"),
           transform(sequence(lit(1), lit(k)), j =>
@@ -424,8 +424,8 @@ object Funnel {
     * among partials reaching that stage (deterministic, integer-exact,
     * SQL-replayable by k chained picks). */
   private def withinOut(b: Column, k: Int): Column =
-    TextDedup.bound(b) { v =>
-      TextDedup.bound(size(filter(v, x => x.isNotNull))) { sr =>
+    ExprUtil.bound(b) { v =>
+      ExprUtil.bound(size(filter(v, x => x.isNotNull))) { sr =>
         struct(sr.as("stage_reached"),
           when(sr > 0, element_at(v, sr)).as("win_start_us"))
       }
@@ -935,7 +935,7 @@ object Funnel {
           .as("w")))
     segs.groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
-      .select(col("user_id") +: TextDedup.bound(merged) { r =>
+      .select(col("user_id") +: ExprUtil.bound(merged) { r =>
         struct(r.getField("s").as("stage_reached") +:
           (1 to k).map(i =>
             when(size(r.getField("w")) >= i, element_at(r.getField("w"), i))

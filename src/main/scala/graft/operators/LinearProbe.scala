@@ -48,7 +48,7 @@ object LinearProbe {
       val wl = typedLit(w.toSeq)
       // let-bind the dot: the gradient lambda references it per element,
       // and lambda bodies get no subexpression elimination
-      val grads = v.select(posexplode(TextDedup.bound(
+      val grads = v.select(posexplode(ExprUtil.bound(
         graft.functions.DotProduct(col("e"), wl)) { dt =>
           transform(col("e"), x =>
             round((dt - col("y")) * x * lit(1e6)).cast("long"))

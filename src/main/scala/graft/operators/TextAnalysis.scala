@@ -34,20 +34,20 @@ object TextAnalysis {
     * tie-break; all-zero → "und". CJK codepoints short-circuit to "zh".
     *
     * Both the token array AND the score vector are LET-BOUND
-    * ([[TextDedup.bound]]): the argmax-with-tie-break tree references
+    * ([[ExprUtil.bound]]): the argmax-with-tie-break tree references
     * each score ~3× and the max ~5×, and Catalyst performs no CSE —
     * unbound, the tokenizer kernel re-ran ~30× per row (measured: the
     * t8 column at 10× data cost 24.8 s; bound, 2.5 s). The bound form
     * tokenizes once, computes the 5 ratios once into an array, and the
     * pick tree reads array slots. */
   def langId(text: Column): Column = {
-    val pick = TextDedup.bound(TextDedup.tokens(text)) { toks =>
+    val pick = ExprUtil.bound(TextDedup.tokens(text)) { toks =>
       // the score vector is the FUSED kernel (one walk, bitmask hash
       // lookup per token) — contract-identical to the composed
       // array(langScores(toks)) it replaced (KernelPropertySpec);
       // measured: the 5 interpreted isin-filter walks were the last
       // linear-constant hot spot at 100× data
-      TextDedup.bound(graft.functions.LangMarkerScores(toks,
+      ExprUtil.bound(graft.functions.LangMarkerScores(toks,
           LangMarkers.map(_._2))) { ss =>
         val scores = LangMarkers.map(_._1).zipWithIndex.map {
           case (lang, i) => lang -> element_at(ss, i + 1)
@@ -89,7 +89,7 @@ object TextAnalysis {
   }
 
   def qualityScore(text: Column): Column =
-    TextDedup.bound(TextDedup.tokens(text))(qualityScoreFrom(text, _))
+    ExprUtil.bound(TextDedup.tokens(text))(qualityScoreFrom(text, _))
 
   /** The composite score from a caller-supplied token column (bound
     * variable or materialized attribute). */
@@ -334,7 +334,7 @@ object TextAnalysis {
     *
     * Scale shape — ZERO corpus shuffles before the top-k cut:
     *   - per-doc term frequencies are array expressions over ONE
-    *     let-bound token array ([[TextDedup.bound]] — |terms| filter
+    *     let-bound token array ([[ExprUtil.bound]] — |terms| filter
     *     lambdas read the bound slot, the tokenizer runs once per row),
     *     entirely map-side;
     *   - corpus statistics (N, avgdl, per-term document frequencies) are
@@ -382,7 +382,7 @@ object TextAnalysis {
     // tiny (id, dl, tf…) ints frame, not text, so the tokenizer runs
     // once per row, not once per consumer (the family staging rule)
     val perDoc = Staging.barrier(df.select(col(idCol).as("id"),
-      TextDedup.bound(TextDedup.tokens(col(textCol))) { toks =>
+      ExprUtil.bound(TextDedup.tokens(col(textCol))) { toks =>
         struct((size(toks).as("dl") +:
           terms.zipWithIndex.map { case (term, i) =>
             size(filter(toks, x => x === lit(term))).as(s"tf_$i")

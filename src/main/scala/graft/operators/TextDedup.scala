@@ -62,22 +62,6 @@ object TextDedup {
   def tokensComposed(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), x => x =!= lit(""))
 
-  /** let-binding for a single expression: evaluates `value` ONCE per row
-    * and hands the result to `body` as a bound lambda variable.
-    *
-    * This is the expression-level twin of [[Staging.barrier]], for places
-    * a persist() barrier cannot go — streaming plans and single-Column
-    * APIs. The repo's documented lambda-closure trap is that a lambda
-    * body referencing an outer EXPRESSION makes Catalyst re-evaluate that
-    * expression per element (no CSE inside lambdas — quadratic when the
-    * expression itself scans the row's text). A `NamedLambdaVariable`,
-    * by contrast, is a slot holding an already-computed value, so lambdas
-    * in `body` that close over the bound variable read it for free.
-    * `transform` over the 1-element array is that binder: `array(value)`
-    * evaluates `value` once; `element_at(.., 1)` unwraps the result. */
-  def bound(value: Column)(body: Column => Column): Column =
-    element_at(transform(array(value), v => body(v)), 1)
-
   /** Distinct word n-gram shingles. Guarded so docs shorter than n tokens
     * yield an empty set (Spark's `sequence` would otherwise count DOWN for
     * a negative span and throw under ANSI).
@@ -258,7 +242,7 @@ object TextDedup {
     * path never pairs them). */
   def bandedDigests(text: Column, n: Int, k: Int, bandSize: Int,
       numBands: Int): Column =
-    bound(tokens(text)) { t =>
+    ExprUtil.bound(tokens(text)) { t =>
       // size(t) >= n ⟺ the doc has at least one gram ⟺ size(shingles) > 0;
       // the fused kernel evaluates its child once, so only the token stage
       // still needs the let-binding. Bands-ONLY kernel: this path never
@@ -513,8 +497,22 @@ object TextDedup {
     * near-dup twin of [[Retrieval.Bm25Index]] / [[VectorOps.AnnIndex]].
     * No trained state beyond the parameters, so every snapshot is
     * exact by construction. */
+  /** A loaded minhash-LSH index snapshot. NOTE on as-of loads
+    * ([[loadMinhashIndexAsOf]]): tombstone deletes are UNVERSIONED —
+    * they apply to every snapshot, so an as-of read taken after a
+    * delete is the historical append set minus the CURRENT delete set,
+    * not a byte-exact replay of the index as it existed at that batch
+    * (the documented Iceberg v2 seam). */
   final case class MinhashIndex(entries: DataFrame, docs: DataFrame,
       n: Int, k: Int, bandSize: Int, numBands: Int, threshold: Double)
+
+  /** Result of one [[minhashDedupIngestStep]]: the cross-batch dup
+    * report plus whether the survivors' append COMMITTED. `committed
+    * = false` means the CommitLog refused the batch id — expected on a
+    * checkpointed streaming replay, but a signal of misconfiguration
+    * when a NEW stream (fresh checkpoint, ids restarting at 0) writes
+    * to an already-populated table: its batches silently no-op. */
+  final case class IngestStepResult(matches: DataFrame, committed: Boolean)
 
   /** Append a document batch to a persisted [[writeMinhashIndex]]
     * corpus with an ATOMIC per-batch commit (the
@@ -670,7 +668,11 @@ object TextDedup {
    *      connected components → min-id survivor, the t16/t19 path);
    *   4. append the survivors as ONE committed batch
    *      ([[appendToMinhashIndexCommitted]]).
-   * Returns the cross-batch matches (q_id, id, jaccard).
+   * Returns the cross-batch matches (q_id, id, jaccard) PLUS the
+   * append's commit Boolean ([[IngestStepResult]]) — a refused append
+   * is an intended no-op on a checkpointed replay but a
+   * misconfiguration signal on a fresh stream whose ids restart at 0,
+   * and the two are indistinguishable without it.
    *
    * Exactly-once under replay: the CommitLog refuses a committed
    * batchId, so a Structured Streaming restart that replays a batch
@@ -686,7 +688,7 @@ object TextDedup {
    * batch's survivors. The corpus is never re-scanned.
    */
   def minhashDedupIngestStep(batch: DataFrame, idCol: String,
-      textCol: String, table: String, batchId: Long): DataFrame = {
+      textCol: String, table: String, batchId: Long): IngestStepResult = {
     val spark = batch.sparkSession
     // ONE index load serves the probe, the within-batch LSH parameters
     // and the append — not three meta collects + log listings per batch
@@ -699,9 +701,9 @@ object TextDedup {
     val pairs = minhashLshPairs(fresh, idCol, textCol, idx.n, idx.k,
       idx.bandSize, idx.numBands, idx.threshold).select("id_a", "id_b")
     val survivors = keepSurvivors(fresh, idCol, connectedComponents(pairs))
-    appendMinhashBatch(survivors, idCol, textCol, table, batchId,
-      idx.n, idx.k, idx.bandSize, idx.numBands)
-    matches
+    val committed = appendMinhashBatch(survivors, idCol, textCol, table,
+      batchId, idx.n, idx.k, idx.bandSize, idx.numBands)
+    IngestStepResult(matches, committed)
   }
 
   /**
@@ -968,7 +970,7 @@ object TextDedup {
     * bound, and returns the array unchanged. */
   private def guardedTokens(textCol: Column, idCol: Column,
       maxDocTokens: Int, op: String): Column =
-    bound(tokens(textCol)) { tt =>
+    ExprUtil.bound(tokens(textCol)) { tt =>
       when(assert_true(size(tt) <= lit(maxDocTokens),
         concat(lit(s"$op: document "), idCol.cast("string"), lit(" has "),
           size(tt).cast("string"),
@@ -1263,7 +1265,7 @@ object TextDedup {
         coalesce(col("rm"),
           array().cast("array<struct<start:int,last:bigint>>")).as("rm"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-        bound(filter(col("t"), (_, i) =>
+        ExprUtil.bound(filter(col("t"), (_, i) =>
           !exists(col("rm"), r =>
             i >= r.getField("start") && i <= r.getField("last")))) { kept =>
           struct(size(kept).cast("long").as("n_kept"),

@@ -522,7 +522,7 @@ object StreamingIngest {
     * Chunk boundaries are the ONE shared spelling
     * ([[graft.operators.TextAnalysis.chunkStructs]]) the batch operator
     * also explodes — the twins cannot drift apart — here under a
-    * [[graft.operators.TextDedup.bound]] token binding (persist barriers
+    * [[graft.operators.ExprUtil.bound]] token binding (persist barriers
     * are illegal on streams); docs shorter than one token emit nothing,
     * as in batch. Output claims: (id, ts, chunk_idx, chunk_text, h);
     * reassemble with [[paragraphSurvivorText]]. */
@@ -531,7 +531,7 @@ object StreamingIngest {
       watermark: String = "2 hours"): DataFrame =
     docs.withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol),
-        explode(graft.operators.TextDedup.bound(
+        explode(graft.operators.ExprUtil.bound(
           graft.operators.TextDedup.tokens(col(textCol))) { t =>
           graft.operators.TextAnalysis.chunkStructs(t, chunkTokens)
         }).as("c"))
@@ -647,12 +647,17 @@ object StreamingIngest {
     * the STREAMING BATCH ID). The CommitLog refuses a replayed batch
     * id, so a restart that re-runs a batch appends nothing twice: the
     * index is exactly-once, the `onDups` report at-least-once (the
-    * step's documented side-output contract). Per-batch cost is
-    * batch-sized everywhere; the corpus is never re-scanned. */
+    * step's documented side-output contract). `onDups` receives the
+    * step's [[graft.operators.TextDedup.IngestStepResult]] — its
+    * `committed` Boolean distinguishes an intended replay no-op from a
+    * misconfigured fresh stream (ids restarting at 0 against a
+    * populated table) whose appends would otherwise be silently
+    * refused. Per-batch cost is batch-sized everywhere; the corpus is
+    * never re-scanned. */
   def streamingMinhashDedupIngest(stream: DataFrame, idCol: String,
       textCol: String, table: String,
       trigger: Trigger = Trigger.AvailableNow())(
-      onDups: DataFrame => Unit): StreamingQuery =
+      onDups: graft.operators.TextDedup.IngestStepResult => Unit): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, bid: Long) =>

@@ -946,9 +946,10 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text")
     // wave 1: fresh docs + copies of seed texts (cross-batch dups)
     val wave1 = fresh1.unionByName(seedTexts)
-    val m1 = TextDedup.minhashDedupIngestStep(wave1, "doc_id", "text",
+    val r1 = TextDedup.minhashDedupIngestStep(wave1, "doc_id", "text",
       table, batchId = 1L)
-    val dup1 = m1.select("q_id").as[Long].collect().toSet
+    assert(r1.committed) // first life of batch 1 really appended
+    val dup1 = r1.matches.select("q_id").as[Long].collect().toSet
     // every planted copy is flagged (jaccard 1.0 vs its seed source)
     val planted1 = seedTexts.select("doc_id").as[Long].collect().toSet
     assert(planted1.subsetOf(dup1))
@@ -967,9 +968,10 @@ class DedupSpec extends SparkSpec {
       (500001L, "zq wv xk pj mn bd fg hs lt rc"),
       (500002L, "aa bb cc dd ee ff gg hh ii jj kk")).toDF("doc_id", "text")
     val wave2 = wave1Copies.unionByName(novel)
-    val m2 = TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text",
+    val r2 = TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text",
       table, batchId = 2L)
-    val dup2 = m2.select("q_id").as[Long].collect().toSet
+    assert(r2.committed)
+    val dup2 = r2.matches.select("q_id").as[Long].collect().toSet
     val planted2 = wave1Copies.select("doc_id").as[Long].collect().toSet
     assert(planted2.subsetOf(dup2)) // wave-1 appends are probe-visible
     val docsAfter2 = TextDedup.loadMinhashIndex(spark, table)
@@ -978,9 +980,12 @@ class DedupSpec extends SparkSpec {
     assert(docsAfter2.contains(500000L))
     assert(!docsAfter2.contains(500001L))
     assert(docsAfter2.contains(500002L))
-    // replaying batch 2 appends nothing (CommitLog refusal)
-    TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text", table,
-      batchId = 2L).collect()
+    // replaying batch 2 appends nothing (CommitLog refusal) — and the
+    // refusal is now VISIBLE to the caller (round-13 advisor)
+    val replay = TextDedup.minhashDedupIngestStep(wave2, "doc_id", "text",
+      table, batchId = 2L)
+    assert(!replay.committed)
+    replay.matches.collect()
     val docsReplay = TextDedup.loadMinhashIndex(spark, table)
       .docs.select("id").as[Long].collect().toSet
     assert(docsReplay === docsAfter2)
@@ -1020,15 +1025,16 @@ class DedupSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
     val gotDups = scala.collection.mutable.Set.empty[(Long, Long)]
     val q = graft.streaming.StreamingIngest.streamingMinhashDedupIngest(
-        stream, "doc_id", "text", tableS) { df =>
-      gotDups ++= df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        stream, "doc_id", "text", tableS) { res =>
+      assert(res.committed) // fresh checkpoint: every append must land
+      gotDups ++= res.matches.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
     q.processAllAvailable(); q.stop()
     val batchDups = scala.collection.mutable.Set.empty[(Long, Long)]
     waves.zipWithIndex.foreach { case (w, i) =>
       batchDups ++= TextDedup.minhashDedupIngestStep(w, "doc_id", "text",
         tableB, batchId = i.toLong)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .matches.collect().map(r => (r.getLong(0), r.getLong(1)))
     }
     assert(gotDups.toSet === batchDups.toSet)
     assert(gotDups.nonEmpty) // wave-2 copies really flagged
@@ -1072,7 +1078,7 @@ class DedupSpec extends SparkSpec {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
           graft.operators.Staging.scoped {
             TextDedup.minhashDedupIngestStep(batch, "doc_id", "text",
-              table, bid).collect()
+              table, bid).matches.collect()
           }
           ()
         }.start()
