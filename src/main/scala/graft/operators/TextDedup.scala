@@ -496,8 +496,7 @@ object TextDedup {
     * tombstones applied) plus the build's LSH parameters — the
     * near-dup twin of [[Retrieval.Bm25Index]] / [[VectorOps.AnnIndex]].
     * No trained state beyond the parameters, so every snapshot is
-    * exact by construction. */
-  /** A loaded minhash-LSH index snapshot. NOTE on as-of loads
+    * exact by construction. NOTE on as-of loads
     * ([[loadMinhashIndexAsOf]]): tombstone deletes are UNVERSIONED —
     * they apply to every snapshot, so an as-of read taken after a
     * delete is the historical append set minus the CURRENT delete set,
