@@ -5358,6 +5358,288 @@ object Queries {
         .orderBy("user_id"),
     oracle = w18_funnel_times_range.oracle)
 
+  // -------------------------------------------------------------------
+  // CEP contiguity modes (next / notNext / optional) + match
+  // enumeration (after-match-skip) — w20–w27
+  // -------------------------------------------------------------------
+
+  /** The (us, event_id) total-order comparison both engines share —
+    * `a` strictly before `b`. A def, not a val: oracle-fragment
+    * helpers in this file must be order-independent (the p16/t91
+    * val-init trap). */
+  private def sqlBefore(a: String, b: String): String =
+    s"($a.us < $b.us OR ($a.us = $b.us AND $a.event_id < $b.event_id))"
+
+  /** Relaxed hop CTE: every event of `tp` strictly after a member of
+    * `prev`, with an optional immediate-successor blocker guard on the
+    * predecessor (notNext: the chain died if `prev`'s VERY NEXT event
+    * was the blocker and came before the consumer) and an optional
+    * strict-contiguity requirement (next: the consumer IS the
+    * immediate successor). */
+  private def sqlHop(tag: String, tp: String, prev: String,
+      strict: Boolean, notNextBlocker: Option[String]): String = {
+    val strictGuard = if (strict)
+      s"""
+         |    AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = p.user_id
+         |      AND ${sqlBefore("p", "b")} AND ${sqlBefore("b", "e")})""".stripMargin
+    else ""
+    val killGuard = notNextBlocker.map(x =>
+      s"""
+         |    AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = p.user_id
+         |      AND b.event_type = '$x'
+         |      AND ${sqlBefore("p", "b")} AND ${sqlBefore("b", "e")}
+         |      AND NOT EXISTS (SELECT 1 FROM e c WHERE c.user_id = p.user_id
+         |        AND ${sqlBefore("p", "c")} AND ${sqlBefore("c", "b")}))""".stripMargin)
+      .getOrElse("")
+    s"""$tag AS (SELECT DISTINCT e.user_id, e.us, e.event_id
+       |  FROM $prev p JOIN e ON e.user_id = p.user_id
+       |    AND e.event_type = '$tp'
+       |    AND ${sqlBefore("p", "e")}$strictGuard$killGuard)""".stripMargin
+  }
+
+  private def sqlEventsPrefix: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    event_id, event_type FROM events),
+       |u AS (SELECT DISTINCT user_id FROM e),""".stripMargin
+
+  /** STRICT-contiguity funnel — Flink CEP's `next`
+    * ([[Funnel.funnelPattern]] with strict hops): view → click →
+    * purchase where each later stage must be the IMMEDIATE successor
+    * of the previous stage's event in the user's total order. Greedy
+    * is wrong (the first view's successor slot can be dead while a
+    * later view's is live), so the operator runs the l/o contiguity
+    * NFA — 2k booleans + k first-reach longs, one user-keyed shuffle.
+    * The oracle replays each hop as a join with a NOT EXISTS
+    * nothing-strictly-between probe. */
+  val w20_funnel_strict: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPattern(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true),
+            Funnel.PatternStage("purchase", strict = true)))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "click", "c1", strict = true, None)},
+         |${sqlHop("c3", "purchase", "c2", strict = true, None)},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.ts IS NOT NULL THEN 3 WHEN m2.ts IS NOT NULL THEN 2
+         |       WHEN m1.ts IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us, m3.ts AS ts3_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w20_funnel_strict]] through the SKEW-SAFE bucketed split
+    * ([[Funnel.funnelPatternBucketed]], 1-hour segments): chains stay
+    * independent under strict hops, so a segment's effect is linear
+    * over the (l, o) entry vector — 2k+1 unit-entry folds, min-merge
+    * on first-reach times. Cross-boundary adjacency is sound because
+    * time buckets partition the total order contiguously. Gates
+    * against w20's oracle VERBATIM. */
+  val w21_funnel_strict_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true),
+            Funnel.PatternStage("purchase", strict = true)),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w20_funnel_strict.oracle)
+
+  /** OPTIONAL stage — Flink CEP's `optional()`: signup →
+    * error(optional) → purchase. A chain may skip the optional stage
+    * (prefix satisfied, `ts2_us` NULL on the skipping path) while an
+    * actual error match still stamps its first-reach time. With the
+    * middle stage optional, prefix 2 is satisfiable exactly when
+    * prefix 1 is, so `stage_reached` is never 1 — both engines encode
+    * that. */
+  val w22_funnel_optional: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPattern(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("signup"),
+            Funnel.PatternStage("error", optional = true),
+            Funnel.PatternStage("purchase")))
+        .orderBy("user_id"),
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'signup'),
+         |${sqlHop("c2", "error", "c1", strict = false, None)},
+         |eff2 AS (SELECT * FROM c2 UNION SELECT * FROM c1),
+         |${sqlHop("c3", "purchase", "eff2", strict = false, None)},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.ts IS NOT NULL THEN 3
+         |       WHEN m1.ts IS NOT NULL THEN 2 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us, m3.ts AS ts3_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** `notNext` gap guard — view whose IMMEDIATE successor is not an
+    * error, then (relaxed) purchase. Unlike notFollowedBy (w10, any
+    * blocker in the gap kills), only the very next event can poison
+    * the chain here; the already-reached prefix stays counted (sticky
+    * ever). The oracle's kill probe is a doubly-nested NOT EXISTS:
+    * a blocker after the view with nothing between them, before the
+    * consumer. */
+  val w23_funnel_not_next: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPattern(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("purchase")))
+        .orderBy("user_id"),
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "purchase", "c1", strict = false, Some("error"))},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m2.ts IS NOT NULL THEN 2
+         |       WHEN m1.ts IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** The contiguity PRODUCT — all three new combinators in one
+    * pattern: view (immediate successor must not be an error) →
+    * click(optional) → purchase(strict). The strict purchase hop may
+    * ride the optional skip (immediately after the click, or
+    * immediately after the view itself — where the view's notNext
+    * guard can never bite, since the purchase occupies the immediate
+    * slot). */
+  val w24_funnel_pattern_product: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPattern(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "click", "c1", strict = false, Some("error"))},
+         |eff2 AS (SELECT * FROM c2 UNION SELECT * FROM c1),
+         |${sqlHop("c3", "purchase", "eff2", strict = true, None)},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.ts IS NOT NULL THEN 3
+         |       WHEN m1.ts IS NOT NULL THEN 2 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us, m3.ts AS ts3_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w24_funnel_pattern_product]] through the bucketed split —
+    * notNext kills discriminate only by last-ness, which the (l, o)
+    * entry vector carries, so segment linearity survives the full
+    * combinator product. Gated on w24's oracle VERBATIM. */
+  val w25_funnel_pattern_product_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w24_funnel_pattern_product.oracle)
+
+  private def MultiMatchCap = 12 // > the data's max (7 at sf0.01), with headroom
+
+  /** Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
+    * ([[Funnel.funnelMulti]]): every non-overlapping view → click →
+    * purchase match per user, not just the first ([[w6_funnel]]'s
+    * contract). The operator is ONE fold via the witness-stream
+    * reduction (pointer = advances mod k); the oracle replays the
+    * greedy-restart machine literally as cap×k chained first-picks,
+    * where match m's view is picked strictly after match m-1's
+    * purchase. `n_matches` is the TRUE per-user total — exact against
+    * the oracle's windowed count because the cap (12) exceeds the
+    * data's maximum (7 at sf0.01); if a regenerated corpus ever
+    * crosses the cap this gate fails LOUDLY rather than comparing
+    * truncated counts. */
+  val w26_funnel_matches: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelMulti(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), maxMatches = MultiMatchCap)
+        .orderBy("user_id", "match_idx"),
+    bench = true,
+    oracle = Some {
+      val stages = Seq("view", "click", "purchase")
+      def first(tag: String, tp: String, prev: Option[String]): String =
+        prev match {
+          case None =>
+            s"""$tag AS (SELECT user_id, us, event_id FROM (
+               |  SELECT user_id, us, event_id,
+               |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+               |  FROM e WHERE event_type = '$tp') WHERE rn = 1)""".stripMargin
+          case Some(p) =>
+            s"""$tag AS (SELECT user_id, us, event_id FROM (
+               |  SELECT e.user_id, e.us, e.event_id,
+               |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+               |  FROM e JOIN $p p ON p.user_id = e.user_id
+               |    AND ${sqlBefore("p", "e")}
+               |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+        }
+      val ctes = (1 to MultiMatchCap).flatMap { m =>
+        stages.zipWithIndex.map { case (tp, j) =>
+          val prev = if (j > 0) Some(s"s${m}_$j")
+            else if (m > 1) Some(s"s${m - 1}_${stages.length}") else None
+          first(s"s${m}_${j + 1}", tp, prev)
+        }
+      }.mkString(",\n")
+      val rows = (1 to MultiMatchCap).map { m =>
+        s"""SELECT a.user_id, $m AS match_idx, a.us AS ts1_us,
+           |  b.us AS ts2_us, c.us AS ts3_us
+           |FROM s${m}_1 a JOIN s${m}_2 b USING (user_id)
+           |  JOIN s${m}_3 c USING (user_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  ts1_us, ts2_us, ts3_us
+         |FROM ($rows)
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
+  /** [[w26_funnel_matches]] through the SKEW-SAFE segment monoid
+    * ([[Funnel.funnelMultiBucketed]]): the witness-stream reduction
+    * makes the summary (advance count, capped witness list) with
+    * concat-truncate composition — exact because the trajectory reads
+    * the TRUE counter, never the capped list. Gated on w26's oracle
+    * VERBATIM. */
+  val w27_funnel_matches_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelMultiBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), maxMatches = MultiMatchCap,
+          bucketSeconds = 3600L)
+        .orderBy("user_id", "match_idx"),
+    oracle = w26_funnel_matches.oracle)
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -6581,6 +6863,14 @@ object Queries {
     "w15_funnel_within_guarded_bucketed" -> w15_funnel_within_guarded_bucketed,
     "w16_funnel_loop" -> w16_funnel_loop,
     "w17_funnel_loop_bucketed" -> w17_funnel_loop_bucketed,
+    "w20_funnel_strict" -> w20_funnel_strict,
+    "w21_funnel_strict_bucketed" -> w21_funnel_strict_bucketed,
+    "w22_funnel_optional" -> w22_funnel_optional,
+    "w23_funnel_not_next" -> w23_funnel_not_next,
+    "w24_funnel_pattern_product" -> w24_funnel_pattern_product,
+    "w25_funnel_pattern_product_bucketed" -> w25_funnel_pattern_product_bucketed,
+    "w26_funnel_matches" -> w26_funnel_matches,
+    "w27_funnel_matches_bucketed" -> w27_funnel_matches_bucketed,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

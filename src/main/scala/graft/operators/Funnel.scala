@@ -872,6 +872,345 @@ object Funnel {
       .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
   }
 
+  // -------------------------------------------------------------------
+  // Contiguity modes + optional stages — Flink CEP's `next` /
+  // `notNext` / `optional` Pattern combinators
+  // -------------------------------------------------------------------
+
+  /** One stage of a [[funnelPattern]] spec.
+    *
+    *   - `strict`: this stage's event must be the IMMEDIATE successor
+    *     (in the user's `(event-time, event_id)` total order) of the
+    *     previous stage's matched event — Flink's `next` vs the default
+    *     relaxed `followedBy`. The first stage is `begin` and must be
+    *     relaxed.
+    *   - `optional`: the stage may be skipped — a chain at the previous
+    *     stage also satisfies this prefix (Flink `optional()`).
+    *     `ts<j>_us` stays NULL on the skipping chain; `stage_reached`
+    *     counts the stage as satisfied.
+    *   - `notNextAfter`: the event IMMEDIATELY after this stage's
+    *     matched event must not be of this type (Flink `notNext`,
+    *     guarding the gap to the NEXT stage) — a chain whose successor
+    *     is the blocker dies, but its already-reached prefix still
+    *     counts (the w10 sticky-ever rule). A skipped optional stage's
+    *     gap guard does not apply to the skipping chain (it never sat
+    *     at that stage). Disallowed on the last stage, where it could
+    *     never affect the output.
+    */
+  final case class PatternStage(tp: String, strict: Boolean = false,
+      optional: Boolean = false, notNextAfter: Option[String] = None)
+
+  private[graft] def patternRequire(stages: Seq[PatternStage]): Unit = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(!stages.head.strict,
+      "the first stage is `begin` — it has no previous event to be " +
+        "strictly contiguous with")
+    require(stages.last.notNextAfter.isEmpty,
+      "notNextAfter guards the gap to the NEXT stage; on the last " +
+        "stage it can never affect the output")
+  }
+
+  /** One event's transition of the contiguity NFA. State per stage j:
+    * `l[j]` — some chain's prefix-j match ENDS at the immediately
+    * previous event; `o[j]` — some chain alive at stage j matched
+    * STRICTLY BEFORE the previous event; `ts[j]` — the first event
+    * time at which stage j was actually matched (sticky, the
+    * observable). The l/o split is what `next`/`notNext` need and the
+    * plain boolean NFA ([[guardedStep]]) cannot express: a strict hop
+    * may only extend an l-chain, and a notNext blocker kills exactly
+    * the l-chains (an o-chain's successor event has already passed
+    * clean). Advances read the PRE state (the guarded-fold rule: an
+    * event never extends or kills the partials it just created).
+    * Chains are independent, so 2k booleans + k longs are lossless. */
+  private def patternStep(st: Column, e: Column,
+      stages: Seq[PatternStage]): Column = {
+    val k = stages.length
+    val tp = e.getField("tp")
+    val l = st.getField("l")
+    val o = st.getField("o")
+    val ts = st.getField("ts")
+    // prefix-j chains ending at the immediately previous event,
+    // allowing optional-stage skips; j = 0 is the empty prefix, which
+    // ends everywhere
+    def effLast(j: Int): Column =
+      if (j == 0) lit(true)
+      else if (stages(j - 1).optional) element_at(l, j) || effLast(j - 1)
+      else element_at(l, j)
+    // prefix-j chains matched anywhere strictly before this event
+    def effAny(j: Int): Column =
+      if (j == 0) lit(true)
+      else if (stages(j - 1).optional)
+        element_at(l, j) || element_at(o, j) || effAny(j - 1)
+      else element_at(l, j) || element_at(o, j)
+    def adv(j: Int): Column = {
+      val tOk = tp === lit(stages(j - 1).tp)
+      if (j == 1) tOk
+      else if (stages(j - 1).strict) tOk && effLast(j - 1)
+      else tOk && effAny(j - 1)
+    }
+    val newL = array((1 to k).map(adv): _*)
+    val newO = array((1 to k).map { j =>
+      val killed = stages(j - 1).notNextAfter
+        .map(x => tp === lit(x)).getOrElse(lit(false))
+      element_at(o, j) || (element_at(l, j) && !killed)
+    }: _*)
+    val newTs = array((1 to k).map { j =>
+      coalesce(element_at(ts, j), when(adv(j), e.getField("us")))
+    }: _*)
+    struct(newL.as("l"), newO.as("o"), newTs.as("ts"))
+  }
+
+  /** Entry state for the contiguity NFA: 0 = all-empty (fresh starts
+    * only), 1..k = unit l[entry], k+1..2k = unit o[entry-k]. */
+  private def patternInit(k: Int, entry: Column): Column = {
+    val lInit = transform(sequence(lit(1), lit(k)), j => j === entry)
+    val oInit = transform(sequence(lit(1), lit(k)), j => j + lit(k) === entry)
+    struct(lInit.as("l"), oInit.as("o"),
+      array_repeat(lit(null).cast("long"), k).as("ts"))
+  }
+
+  /** Observable projection: `stage_reached` = the longest SATISFIABLE
+    * stage prefix (prefix j is satisfiable when stage j was actually
+    * matched, or stage j is optional and prefix j-1 is satisfiable —
+    * monotone by chain restriction, so the sum is the max prefix) plus
+    * the per-stage first actual-match times. */
+  private def patternOut(f: Column, stages: Seq[PatternStage]): Column = {
+    val k = stages.length
+    val ts = f.getField("ts")
+    def sat(j: Int): Column =
+      if (j == 0) lit(true)
+      else if (stages(j - 1).optional)
+        element_at(ts, j).isNotNull || sat(j - 1)
+      else element_at(ts, j).isNotNull
+    val reached = (1 to k).map(j => when(sat(j), 1).otherwise(0))
+      .reduce(_ + _)
+    struct(reached.as("stage_reached") +:
+      (1 to k).map(j => element_at(ts, j).as(s"ts${j}_us")): _*)
+  }
+
+  /**
+   * [[funnel]] with the remaining Flink CEP Pattern combinators —
+   * STRICT contiguity (`next`), `notNext` gap guards and `optional`
+   * stages, per [[PatternStage]]. Greedy is wrong under every one of
+   * them (the earliest stage-1 pick can sit in a dead immediate slot,
+   * be poisoned by its successor, or force a skip a later restart
+   * doesn't need — FunnelSpec pins each trap), so this runs the l/o
+   * NFA existence fold ([[patternStep]]): 2k booleans + k first-reach
+   * longs of state, any restart count, ONE user-keyed shuffle.
+   * Output: `stage_reached` (longest satisfiable prefix, optional
+   * skips counted) and `ts<j>_us` = the first event time at which
+   * stage j was ACTUALLY matched (NULL when only ever skipped). The
+   * oracle replays it as chained total-order joins whose hop
+   * predicates are immediate-successor probes (NOT EXISTS an event
+   * strictly between) and immediate-successor blocker probes (w20).
+   */
+  def funnelPattern(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String,
+      stages: Seq[PatternStage]): DataFrame = {
+    patternRequire(stages)
+    val k = stages.length
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), patternInit(k, lit(0)),
+      (st, e) => patternStep(st, e, stages))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id") +:
+        ExprUtil.bound(folded)(patternOut(_, stages)).as("f") +: Nil: _*)
+      .select(col("user_id") +: (col("f.stage_reached") +:
+        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+  }
+
+  /**
+   * [[funnelPattern]] for SKEWED keys. Chains stay independent under
+   * strict hops, notNext kills and optional skips, so a segment's
+   * effect is still LINEAR over the entry vector — now in the boolean
+   * semiring over BOTH the l and o coordinates (2k+1 unit-entry folds
+   * of O(k) metadata per segment: zero entry for fresh starts, a unit
+   * l[i] and a unit o[i] per stage) with first-reach times composing
+   * in the min semiring. Cross-boundary adjacency is sound because
+   * time buckets partition the total order contiguously: the entry
+   * l bits refer to exactly the previous segment's last event. Gates
+   * against w20's oracle VERBATIM (w21).
+   */
+  def funnelPatternBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[PatternStage], bucketSeconds: Long): DataFrame = {
+    patternRequire(stages)
+    require(bucketSeconds > 0, "bucketSeconds > 0")
+    val k = stages.length
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(2 * k)), entry =>
+          aggregate(col("evs"), patternInit(k, entry),
+            (st, e) => patternStep(st, e, stages))).as("f"))
+    val zero = struct(array_repeat(lit(false), k).as("l"),
+      array_repeat(lit(false), k).as("o"),
+      array_repeat(lit(null).cast("long"), k).as("ts"))
+    val merged = aggregate(col("segs"), zero, (st, seg) => {
+      val f = seg.getField("f")
+      def fAt(i: Int) = element_at(f, i + 1)
+      // active(i): is unit entry i live at this segment's entry?
+      def active(i: Int): Column =
+        if (i <= k) element_at(st.getField("l"), i)
+        else element_at(st.getField("o"), i - k)
+      def orOver(field: String, j: Int): Column =
+        (1 to 2 * k).map(i => active(i) &&
+            element_at(fAt(i).getField(field), j))
+          .foldLeft(element_at(fAt(0).getField(field), j))(_ || _)
+      val nl = array((1 to k).map(j => orOver("l", j)): _*)
+      val no = array((1 to k).map(j => orOver("o", j)): _*)
+      val nts = array((1 to k).map { j =>
+        coalesce(element_at(st.getField("ts"), j),
+          least(element_at(fAt(0).getField("ts"), j) +:
+            (1 to 2 * k).map(i =>
+              when(active(i), element_at(fAt(i).getField("ts"), j))): _*))
+      }: _*)
+      struct(nl.as("l"), no.as("o"), nts.as("ts"))
+    })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
+      .select(col("user_id") +:
+        ExprUtil.bound(merged)(patternOut(_, stages)).as("f") +: Nil: _*)
+      .select(col("user_id") +: (col("f.stage_reached") +:
+        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
+  // -------------------------------------------------------------------
+
+  /** Shared match-stream output projection: `w` is the flat witness
+    * stream (first `maxMatches*k` advance times), `n` the TRUE total
+    * advance count; match m = witnesses (m-1)k+1..mk. Users with zero
+    * completed matches emit nothing. */
+  private def multiOut(f: Column, k: Int, maxMatches: Int): Column = {
+    val n = f.getField("n")
+    val w = f.getField("w")
+    val nMatches = ((n - pmod(n, lit(k.toLong))) / lit(k.toLong)).cast("long")
+    val emitted = least(nMatches, lit(maxMatches.toLong)).cast("int")
+    when(emitted > 0,
+      transform(sequence(lit(1), emitted), m =>
+        struct((m.cast("long")).as("match_idx") +:
+          nMatches.as("n_matches") +:
+          (1 to k).map(j =>
+            element_at(w, (m - 1) * k + j).as(s"ts${j}_us")): _*)))
+      .otherwise(array().cast(
+        s"array<struct<match_idx:bigint,n_matches:bigint,${
+          (1 to k).map(j => s"ts${j}_us:bigint").mkString(",")}>>"))
+  }
+
+  /**
+   * ALL non-overlapping matches of the ordered pattern, per user —
+   * Flink CEP's match ENUMERATION under AFTER MATCH SKIP PAST LAST
+   * EVENT ([[funnel]] reports only the first match's prefix). The
+   * greedy-restart machine (complete stage k → emit → reset to stage
+   * 0) is the canonical skip-past-last semantics, maximizes the match
+   * count (exchange argument) and is deterministic.
+   *
+   * The Spark-first reduction that keeps it ONE fold: the pointer
+   * after any prefix is `(total advances) mod k`, so the whole machine
+   * is a single witness STREAM — an event advances iff its type is
+   * `stages[len mod k]`, and match m is witnesses (m-1)k+1..mk. State:
+   * one counter + a capped witness list (the list never feeds the
+   * advance condition, so capping it cannot change the trajectory —
+   * the w18 rule). Emits the FIRST `maxMatches` matches as rows
+   * `(user_id, match_idx, n_matches, ts1_us..tsk_us)` with `n_matches`
+   * the TRUE (uncapped) total; zero-match users emit nothing. The
+   * oracle replays it as maxMatches×k chained greedy picks (w22).
+   */
+  def funnelMulti(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[String],
+      maxMatches: Int): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && maxMatches >= 1, "need stages and maxMatches >= 1")
+    val capW = maxMatches * k
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val init = struct(lit(0L).as("n"), array().cast("array<long>").as("w"))
+    val folded = aggregate(col("evs"), init, (st, e) => {
+      val n = st.getField("n")
+      val w = st.getField("w")
+      val advT = e.getField("tp") ===
+        element_at(typedLit(stages), pmod(n, lit(k.toLong)).cast("int") + 1)
+      when(advT, struct((n + 1).as("n"),
+        when(size(w) < capW, concat(w, array(e.getField("us"))))
+          .otherwise(w).as("w")))
+        .otherwise(st)
+    })
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        explode(ExprUtil.bound(folded)(multiOut(_, k, maxMatches))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
+  /**
+   * [[funnelMulti]] for SKEWED keys. The witness-stream reduction
+   * makes the segment monoid trivial: a segment's effect from entry
+   * offset r ∈ 0..k-1 is `(advance count, capped witness list)` under
+   * the advance condition `tp = stages[(r + len) mod k]`, and
+   * composition is counter addition plus concat-truncate of the
+   * witness lists (exact: the trajectory reads the TRUE counter, never
+   * the capped list — the w18 capped-monoid rule). Bit-identical to
+   * the single fold; gates against w22's oracle VERBATIM (w23).
+   */
+  def funnelMultiBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], maxMatches: Int,
+      bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && maxMatches >= 1 && bucketSeconds > 0,
+      "need stages, maxMatches >= 1 and bucketSeconds > 0")
+    val capW = maxMatches * k
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(k - 1)), r =>
+          aggregate(col("evs"),
+            struct(lit(0L).as("n"), array().cast("array<long>").as("w")),
+            (st, e) => {
+              val n = st.getField("n")
+              val w = st.getField("w")
+              val advT = e.getField("tp") === element_at(typedLit(stages),
+                pmod(r + n, lit(k.toLong)).cast("int") + 1)
+              when(advT, struct((n + 1).as("n"),
+                when(size(w) < capW, concat(w, array(e.getField("us"))))
+                  .otherwise(w).as("w")))
+                .otherwise(st)
+            })).as("f"))
+    val zero = struct(lit(0L).as("n"), array().cast("array<long>").as("w"))
+    val merged = aggregate(col("segs"), zero, (st, seg) =>
+      ExprUtil.bound(element_at(seg.getField("f"),
+          pmod(st.getField("n"), lit(k.toLong)).cast("int") + 1)) { slot =>
+        struct((st.getField("n") + slot.getField("n")).as("n"),
+          concat(st.getField("w"),
+            slice(slot.getField("w"), lit(1),
+              greatest(lit(capW) - size(st.getField("w")), lit(0))))
+            .as("w"))
+      })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
+      .select(col("user_id"),
+        explode(ExprUtil.bound(merged)(multiOut(_, k, maxMatches))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

@@ -616,4 +616,262 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("Join"),
       s"the within(T) DP must not plan per-stage joins or windows:\n$plan")
   }
+
+  // -------------------------------------------------------------------
+  // funnelPattern — strict contiguity / notNext / optional
+  // -------------------------------------------------------------------
+
+  import Funnel.PatternStage
+
+  private def runPattern(ev: org.apache.spark.sql.DataFrame,
+      stages: Seq[PatternStage]) =
+    Funnel.funnelPattern(ev, "user_id", "event_type", "ts", "event_id",
+        stages)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        (2 until 2 + stages.length).map(i =>
+          Option(x.get(i)).map(_.asInstanceOf[Long] - us0))))
+
+  test("funnelPattern strict: the greedy-first-pick trap, ties, and immediate-only hops") {
+    val ev = Seq(
+      // user 1: first view's successor is a view — greedy dies; the
+      // SECOND view is immediately followed by click → reached 2
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(20), "view"),
+      (1L, 3L, ts(30), "click"),
+      // user 2: view then a gap event then click — NOT contiguous
+      (2L, 4L, ts(10), "view"), (2L, 5L, ts(20), "error"),
+      (2L, 6L, ts(30), "click"),
+      // user 3: contiguity through a same-timestamp pair (event id
+      // breaks the tie: 8 is the immediate successor of 7)
+      (3L, 7L, ts(10), "view"), (3L, 8L, ts(10), "click"),
+      // user 4: full strict chain view→click→purchase back-to-back
+      (4L, 9L, ts(10), "view"), (4L, 10L, ts(11), "click"),
+      (4L, 11L, ts(12), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(PatternStage("view"),
+      PatternStage("click", strict = true),
+      PatternStage("purchase", strict = true))
+    val s = 1000000L
+    assert(runPattern(ev, stages) === Array(
+      (1L, 2, Seq(Some(10 * s), Some(30 * s), None)),
+      (2L, 1, Seq(Some(10 * s), None, None)),
+      (3L, 2, Seq(Some(10 * s), Some(10 * s), None)),
+      (4L, 3, Seq(Some(10 * s), Some(11 * s), Some(12 * s)))))
+  }
+
+  test("funnelPattern notNext: successor poisoning kills the chain, a later clean start survives") {
+    val ev = Seq(
+      // user 1: the only view's successor is an error → chain dead;
+      // stage 1 still counts (sticky ever)
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(20), "error"),
+      (1L, 3L, ts(30), "purchase"),
+      // user 2: first view poisoned, second view's successor is the
+      // purchase itself → clean restart converts
+      (2L, 4L, ts(10), "view"), (2L, 5L, ts(20), "error"),
+      (2L, 6L, ts(25), "view"), (2L, 7L, ts(40), "purchase"),
+      // user 3: successor is a click (not the blocker) → chain lives
+      // on relaxed to the purchase
+      (3L, 8L, ts(10), "view"), (3L, 9L, ts(20), "click"),
+      (3L, 10L, ts(30), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(
+      PatternStage("view", notNextAfter = Some("error")),
+      PatternStage("purchase"))
+    val s = 1000000L
+    assert(runPattern(ev, stages) === Array(
+      (1L, 1, Seq(Some(10 * s), None)),
+      (2L, 2, Seq(Some(10 * s), Some(40 * s))),
+      (3L, 2, Seq(Some(10 * s), Some(30 * s)))))
+  }
+
+  test("funnelPattern optional: skipped stage leaves a NULL ts but satisfies the prefix; strict hop can ride the skip") {
+    val ev = Seq(
+      // user 1: signup then purchase, no error — prefix 3 satisfied
+      // through the skip, ts2 NULL
+      (1L, 1L, ts(10), "signup"), (1L, 2L, ts(30), "purchase"),
+      // user 2: the error IS present → actual match, ts2 set
+      (2L, 3L, ts(10), "signup"), (2L, 4L, ts(20), "error"),
+      (2L, 5L, ts(30), "purchase"),
+      // user 3: purchase is the IMMEDIATE successor of the signup and
+      // the middle stage is strict-skippable → reached 3
+      (3L, 6L, ts(10), "signup"), (3L, 7L, ts(11), "purchase"),
+      // user 4: strict purchase with a gap event after signup and no
+      // click → the skip cannot bridge a non-immediate hop
+      (4L, 8L, ts(10), "signup"), (4L, 9L, ts(20), "view"),
+      (4L, 10L, ts(30), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val relaxed = Seq(PatternStage("signup"),
+      PatternStage("error", optional = true), PatternStage("purchase"))
+    val s = 1000000L
+    assert(runPattern(ev, relaxed).take(2) === Array(
+      (1L, 3, Seq(Some(10 * s), None, Some(30 * s))),
+      (2L, 3, Seq(Some(10 * s), Some(20 * s), Some(30 * s)))))
+    val strictLast = Seq(PatternStage("signup"),
+      PatternStage("click", optional = true),
+      PatternStage("purchase", strict = true))
+    assert(runPattern(ev, strictLast).drop(2) === Array(
+      (3L, 3, Seq(Some(10 * s), None, Some(11 * s))),
+      // user 4: prefix 2 is satisfiable THROUGH the skip (optional
+      // trailing click), but the strict purchase hop cannot bridge
+      // the gap event → 2, not 3
+      (4L, 2, Seq(Some(10 * s), None, None))))
+  }
+
+  /** Brute-force reach sets for [[Funnel.funnelPattern]]: per stage j,
+    * every event position where an ACTUAL match of stage j ends, by
+    * explicit predecessor enumeration (skips, strict hops and
+    * notNext kills spelled out). */
+  private def patternReference(seq: Seq[(Long, String)],
+      stages: Seq[PatternStage]): (Int, Seq[Option[Long]]) = {
+    val k = stages.length
+    val n = seq.length
+    // preds(j): (position, blocker of the stage matched there);
+    // -1 = the virtual empty prefix (no blocker, ends everywhere)
+    var preds: Seq[(Int, Option[String])] = Seq((-1, None))
+    val endsTs = Array.fill(k)(Option.empty[Long])
+    val ends = Array.fill(k)(Set.empty[Int])
+    for (j <- 1 to k) {
+      val st = stages(j - 1)
+      ends(j - 1) = (0 until n).filter { i =>
+        seq(i)._2 == st.tp && preds.exists { case (p, blk) =>
+          val ord = if (st.strict) p == -1 || i == p + 1 else i > p
+          val clean = blk.forall(x =>
+            !(p + 1 < i && p + 1 < n && seq(p + 1)._2 == x))
+          ord && clean
+        }
+      }.toSet
+      endsTs(j - 1) = ends(j - 1).map(i => seq(i)._1).minOption
+      val own = ends(j - 1).map(i => (i, st.notNextAfter)).toSeq
+      preds = if (st.optional) preds ++ own else own
+    }
+    def sat(j: Int): Boolean =
+      j == 0 || ends(j - 1).nonEmpty || (stages(j - 1).optional && sat(j - 1))
+    ((1 to k).count(sat), endsTs.toSeq)
+  }
+
+  test("property: funnelPattern equals the brute-force reference; bucketed == single (1-second segments)") {
+    val rnd = new scala.util.Random(20260815L)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = (0 until 600).map { i =>
+      (rnd.nextInt(15).toLong, i.toLong, ts(rnd.nextInt(40)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val configs = Seq(
+      Seq(PatternStage("view"), PatternStage("click", strict = true),
+        PatternStage("purchase", strict = true)),
+      Seq(PatternStage("view", notNextAfter = Some("error")),
+        PatternStage("click", optional = true),
+        PatternStage("purchase", strict = true)),
+      Seq(PatternStage("signup"), PatternStage("error", optional = true),
+        PatternStage("purchase")),
+      // all-optional head: a strict hop riding the virtual empty prefix
+      Seq(PatternStage("view", optional = true),
+        PatternStage("click", strict = true),
+        PatternStage("purchase")))
+    for (stages <- configs) {
+      val expected = events.groupBy(_._1).view.mapValues { es =>
+        val seq = es.sortBy(e => (e._3.getTime, e._2))
+          .map(e => (e._3.getTime * 1000L, e._4))
+        patternReference(seq, stages)
+      }.toMap
+      val got = runPattern(df, stages).map(x =>
+        x._1 -> ((x._2, x._3.map(_.map(_ + us0))))).toMap
+      assert(got === expected, s"single fold, config $stages")
+      val gotB = Funnel.funnelPatternBucketed(df, "user_id", "event_type",
+          "ts", "event_id", stages, bucketSeconds = 1L)
+        .orderBy("user_id").collect()
+        .map(x => (x.getLong(0), x.getInt(1),
+          (2 until 2 + stages.length).map(i =>
+            Option(x.get(i)).map(_.asInstanceOf[Long] - us0))))
+      assert(gotB === runPattern(df, stages), s"bucketed twin, config $stages")
+      // the generator must produce non-degenerate variety (reach level
+      // or witness pattern — the all-optional-head config saturates
+      // stage_reached but varies in ts nullability)
+      assert(expected.values.toSet.size >= 2, s"degenerate $stages")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // funnelMulti — match enumeration, AFTER MATCH SKIP PAST LAST EVENT
+  // -------------------------------------------------------------------
+
+  private def runMulti(ev: org.apache.spark.sql.DataFrame,
+      stages: Seq[String], maxMatches: Int, bucket: Option[Long] = None) =
+    (bucket match {
+      case Some(b) => Funnel.funnelMultiBucketed(ev, "user_id",
+        "event_type", "ts", "event_id", stages, maxMatches, b)
+      case None => Funnel.funnelMulti(ev, "user_id", "event_type", "ts",
+        "event_id", stages, maxMatches)
+    }).orderBy("user_id", "match_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        (3 until 3 + stages.length).map(i =>
+          x.get(i).asInstanceOf[Long] - us0)))
+
+  test("funnelMulti: greedy restart enumerates non-overlapping matches; the cap truncates rows, not the count") {
+    val ev = Seq(
+      // user 1: two full matches back to back, a dangling view after
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+      (1L, 3L, ts(3), "purchase"),
+      (1L, 4L, ts(4), "view"), (1L, 5L, ts(5), "click"),
+      (1L, 6L, ts(6), "purchase"), (1L, 7L, ts(7), "view"),
+      // user 2: the second view does NOT restart a match mid-flight
+      // (skip-past-last consumes through the purchase)
+      (2L, 8L, ts(1), "view"), (2L, 9L, ts(2), "view"),
+      (2L, 10L, ts(3), "click"), (2L, 11L, ts(4), "purchase"),
+      // user 3: no completed match → no rows
+      (3L, 12L, ts(1), "view"), (3L, 13L, ts(2), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val s = 1000000L
+    assert(runMulti(ev, stages, maxMatches = 5) === Array(
+      (1L, 1L, 2L, Seq(1 * s, 2 * s, 3 * s)),
+      (1L, 2L, 2L, Seq(4 * s, 5 * s, 6 * s)),
+      (2L, 1L, 1L, Seq(1 * s, 3 * s, 4 * s))))
+    // cap 1: first match only, n_matches still reports the TRUE total
+    assert(runMulti(ev, stages, maxMatches = 1) === Array(
+      (1L, 1L, 2L, Seq(1 * s, 2 * s, 3 * s)),
+      (2L, 1L, 1L, Seq(1 * s, 3 * s, 4 * s))))
+  }
+
+  test("property: funnelMulti equals the in-memory greedy-restart reference; bucketed == single") {
+    val rnd = new scala.util.Random(777214L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    val events = (0 until 800).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(60)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val wit = scala.collection.mutable.ArrayBuffer.empty[Long]
+      es.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+        if (e._4 == stages(wit.length % 3)) wit += e._3.getTime * 1000L - us0
+      }
+      val nm = wit.length / 3
+      (1 to math.min(nm, 4)).map(m =>
+        (u, m.toLong, nm.toLong, wit.slice((m - 1) * 3, m * 3).toSeq))
+    }.sortBy(x => (x._1, x._2))
+    val got = runMulti(df, stages, maxMatches = 4)
+    assert(got.toSeq === expected)
+    assert(expected.exists(_._3 > 4L), "generator must exercise the cap")
+    val gotB = runMulti(df, stages, maxMatches = 4, bucket = Some(1L))
+    assert(gotB.toSeq === got.toSeq)
+  }
+
+  test("plan gate: funnelPattern and funnelMulti keep the one-shuffle no-join shape") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    for (df <- Seq(
+        Funnel.funnelPattern(ev, "user_id", "event_type", "ts", "event_id",
+          Seq(PatternStage("view"), PatternStage("click", strict = true),
+            PatternStage("purchase", strict = true))),
+        Funnel.funnelMulti(ev, "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), maxMatches = 12))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected exactly one shuffle:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("Join"),
+        s"must not plan per-stage joins or windows:\n$plan")
+    }
+  }
 }
