@@ -83,6 +83,28 @@ object StreamDemo {
     nq.processAllAvailable(); nq.stop()
     val survivors = StreamingIngest.nearDupSurvivors(spark.table("neardup"), "doc_id").count()
     println(s"[stream-demo] near-dup survivors: $survivors")
+
+    // contiguity NFA twin (next/notNext/optional) over the events stream
+    val cq = StreamingIngest.streamingFunnelPattern(spark,
+        StreamingIngest.readEvents(spark, dir),
+        Seq(graft.operators.Funnel.PatternStage("view", notNextAfter = Some("error")),
+          graft.operators.Funnel.PatternStage("click", optional = true),
+          graft.operators.Funnel.PatternStage("purchase", strict = true)),
+        watermark = "2 hours")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("pattern_funnel").start()
+    cq.processAllAvailable(); cq.stop()
+    println(s"[stream-demo] contiguity-funnel updates: ${spark.table("pattern_funnel").count()}")
+
+    // match enumeration twin (AFTER MATCH SKIP PAST LAST EVENT)
+    val mmq = StreamingIngest.streamingFunnelMulti(spark,
+        StreamingIngest.readEvents(spark, dir),
+        Seq("view", "click", "purchase"), maxMatches = 12,
+        watermark = "2 hours")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("multi_matches").start()
+    mmq.processAllAvailable(); mmq.stop()
+    println(s"[stream-demo] enumerated matches: ${spark.table("multi_matches").count()}")
     spark.stop()
   }
 }

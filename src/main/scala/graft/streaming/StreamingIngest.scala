@@ -918,7 +918,10 @@ object StreamingIngest {
     val prev = state.getOption.getOrElse(FunnelCepState(0, Nil, Nil))
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     // cleanup timer on a completed funnel: retention elapsed, free the
-    // tombstone (any later event for this user starts a new instance)
+    // tombstone (any later event for this user starts a new instance).
+    // Reachable only via the finite-retention timer: GroupState CLEARS
+    // a pending timeout on every invocation that does not re-set it,
+    // so a pre-completion flush timer cannot fire here stale
     if (prev.stage == k && state.hasTimedOut) {
       state.remove()
       return Iterator.empty
@@ -1437,6 +1440,209 @@ object StreamingIngest {
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout)(
         updateFunnel(stages.toIndexedSeq, matchRetentionMs))
+  }
+
+  // -------------------------------------------------------------------
+  // Streaming contiguity NFA (funnelPattern's twin) + match enumeration
+  // (funnelMulti's twin)
+  // -------------------------------------------------------------------
+
+  /** `ts` slots use [[NoStart]] as the unset sentinel (state encoders
+    * carry plain longs). */
+  final case class FunnelPatternState(l: Seq[Boolean], o: Seq[Boolean],
+      ts: Seq[Long], pending: Seq[(Long, Long, String)], completionUs: Long)
+  final case class FunnelPatternUpdate(user_id: Long, stage_reached: Int,
+      ts_us: Seq[Option[Long]])
+
+  /**
+   * Streaming contiguity funnel —
+   * [[graft.operators.Funnel.funnelPattern]]'s twin (CEP `next` /
+   * `notNext` / `optional`). Per-user state is the l/o NFA (chains
+   * ending at the immediately previous event vs earlier) plus the
+   * family's event-time pending buffer; mature events fold in
+   * watermark order, which preserves IMMEDIATE-successor adjacency
+   * across flushes (the fold's `l` bits always refer to the last
+   * FOLDED event, and maturity is a prefix of the event-time order).
+   * Emission on any (stage_reached, ts vector) change — unlike the
+   * plain funnel, a pattern with an optional stage can stamp that
+   * stage's first actual match AFTER the prefix is already satisfied,
+   * so completion here means reached == k AND every ts slot set; only
+   * then does the buffer drop and the retention tombstone start. Late
+   * events (behind the watermark) are dropped — if a late event sat
+   * between two folded events, batch adjacency would differ: the same
+   * best-effort lateness contract as the rest of the family, here
+   * extended to contiguity.
+   */
+  def updateFunnelPattern(
+      stages: IndexedSeq[graft.operators.Funnel.PatternStage],
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelPatternState]): Iterator[FunnelPatternUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelPatternState(
+      Seq.fill(k)(false), Seq.fill(k)(false), Seq.fill(k)(NoStart), Nil, 0L))
+    def reached(ts: Seq[Long]): Int = {
+      def sat(j: Int): Boolean =
+        j == 0 || ts(j - 1) != NoStart ||
+          (stages(j - 1).optional && sat(j - 1))
+      (1 to k).count(sat)
+    }
+    def isFinal(ts: Seq[Long]): Boolean = ts.forall(_ != NoStart)
+    // reachable only via the finite-retention timer (GroupState
+    // clears an un-renewed timeout on every invocation)
+    if (isFinal(prev.ts) && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val l = prev.l.toArray
+    val o = prev.o.toArray
+    val ts = prev.ts.toArray
+    var comp = prev.completionUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      val preL = l.clone()
+      val preO = o.clone()
+      def effLast(j: Int): Boolean =
+        if (j == 0) true
+        else if (stages(j - 1).optional) preL(j - 1) || effLast(j - 1)
+        else preL(j - 1)
+      def effAny(j: Int): Boolean =
+        if (j == 0) true
+        else if (stages(j - 1).optional)
+          preL(j - 1) || preO(j - 1) || effAny(j - 1)
+        else preL(j - 1) || preO(j - 1)
+      var j = 1
+      while (j <= k) {
+        val st = stages(j - 1)
+        val adv = tp == st.tp &&
+          (j == 1 || (if (st.strict) effLast(j - 1) else effAny(j - 1)))
+        l(j - 1) = adv
+        o(j - 1) = preO(j - 1) ||
+          (preL(j - 1) && !st.notNextAfter.contains(tp))
+        if (adv && ts(j - 1) == NoStart) ts(j - 1) = us
+        j += 1
+      }
+      if (comp == 0L && isFinal(ts.toSeq)) comp = us
+    }
+    val rest = if (isFinal(ts.toSeq)) Nil else immature
+    val removable = !l.exists(identity) && !o.exists(identity) &&
+      ts.forall(_ == NoStart) && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelPatternState(l.toSeq, o.toSeq, ts.toSeq, rest, comp))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (isFinal(ts.toSeq) && matchRetentionMs != Long.MaxValue &&
+          comp > 0)
+        state.setTimeoutTimestamp(math.max(
+          comp / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    val out = FunnelPatternUpdate(userId, reached(ts.toSeq),
+      ts.toSeq.map(v => if (v == NoStart) None else Some(v)))
+    if ((first && !removable) ||
+        reached(ts.toSeq) != reached(prev.ts) || ts.toSeq != prev.ts)
+      Iterator(out)
+    else Iterator.empty
+  }
+
+  /** The streaming contiguity funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelPattern]]'s l/o
+    * NFA state. */
+  def streamingFunnelPattern(spark: SparkSession, events: DataFrame,
+      stages: Seq[graft.operators.Funnel.PatternStage], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelPatternUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.patternRequire(stages)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelPattern(stages.toIndexedSeq, matchRetentionMs))
+  }
+
+  /** `partial` holds the in-progress match's witnesses (length =
+    * advances mod k). */
+  final case class FunnelMultiState(n: Long, partial: Seq[Long],
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelMatchEmit(user_id: Long, match_idx: Long,
+      ts_us: Seq[Long])
+
+  /**
+   * Streaming match ENUMERATION —
+   * [[graft.operators.Funnel.funnelMulti]]'s twin (AFTER MATCH SKIP
+   * PAST LAST EVENT): each completed non-overlapping match emits
+   * exactly ONE `(user_id, match_idx, witnesses)` row at the moment
+   * its last stage matures, up to `maxMatches` per user (later
+   * matches still advance the counter silently, the batch cap
+   * contract; the batch `n_matches` total is the stream's running
+   * high-water mark and is not re-emitted per row). State is O(k)
+   * forever for an active user — the pointer must persist because
+   * skip-past-last matching never "completes" — plus the event-time
+   * buffer; a user whose counter is 0 with nothing buffered is
+   * dropped losslessly.
+   */
+  def updateFunnelMulti(stages: IndexedSeq[String], maxMatches: Int)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelMultiState]): Iterator[FunnelMatchEmit] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelMultiState(0L, Nil, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var n = prev.n
+    var partial = prev.partial
+    val emits = scala.collection.mutable.ArrayBuffer.empty[FunnelMatchEmit]
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      if (tp == stages((n % k).toInt)) {
+        n += 1
+        partial = partial :+ us
+        if (partial.length == k) {
+          val matchIdx = n / k
+          if (matchIdx <= maxMatches)
+            emits += FunnelMatchEmit(userId, matchIdx, partial)
+          partial = Nil
+        }
+      }
+    }
+    val removable = n == 0L && immature.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelMultiState(n, partial, immature))
+      if (immature.nonEmpty)
+        state.setTimeoutTimestamp(immature.map(_._1).min / 1000L + 1L)
+    }
+    emits.iterator
+  }
+
+  /** The streaming match enumerator over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelMulti]]'s
+    * witness-stream state. */
+  def streamingFunnelMulti(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], maxMatches: Int,
+      watermark: String): Dataset[FunnelMatchEmit] = {
+    import spark.implicits._
+    require(stages.nonEmpty && maxMatches >= 1,
+      "need stages and maxMatches >= 1")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelMulti(stages.toIndexedSeq, maxMatches))
   }
 
   // -------------------------------------------------------------------

@@ -1864,4 +1864,189 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.except(batch).count() === 0L)
     assert(batch.except(streamed).count() === 0L)
   }
+
+  // -------------------------------------------------------------------
+  // Contiguity NFA + match-enumeration streaming twins
+  // -------------------------------------------------------------------
+
+  private val funnelWaveSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+  }
+
+  private def writeWaves(src: String,
+      waves: Seq[Seq[org.apache.spark.sql.Row]]): Unit =
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          funnelWaveSchema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+  test("streaming contiguity funnel equals batch funnelPattern, including the post-satisfaction optional stamp") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Funnel.PatternStage
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq(PatternStage("view", notNextAfter = Some("error")),
+      PatternStage("click", optional = true),
+      PatternStage("purchase", strict = true))
+    // u1: first view poisoned by its successor error (which ARRIVES a
+    // wave late — the buffer must reorder); the second view's immediate
+    // successor is the purchase (skip path, reached 3 with ts2 NULL);
+    // the click in the LAST wave then stamps ts2 AFTER the prefix was
+    // already satisfied. u2: actual click match, skip-strict through
+    // the second view. u3: the strict purchase hop dies on a gap event.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:05:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "error"),
+        Row(1L, 4L, t("2024-01-01 10:06:00"), "purchase"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "click"),
+        Row(3L, 32L, t("2024-01-01 10:02:00"), "error")),
+      Seq(Row(1L, 5L, t("2024-01-01 10:20:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "view"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "purchase"),
+        Row(3L, 33L, t("2024-01-01 10:04:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-pattern-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Option[Long]])]
+    val q = StreamingIngest.streamingFunnelPattern(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          // the Option elements encode as a nullable-element array
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Any](2).map(v =>
+              Option(v).map(_.asInstanceOf[Long])).toSeq))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val batch = graft.operators.Funnel.funnelPattern(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1),
+          (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])).toSeq)))
+      .toMap
+    for (u <- Seq(1L, 2L, 3L))
+      assert(last(u) === batch(u), s"user $u")
+    assert(last(1L) === ((3, Seq(Some(us("2024-01-01 10:00:00")),
+      Some(us("2024-01-01 10:20:00")), Some(us("2024-01-01 10:06:00"))))))
+    assert(last(3L)._1 === 2) // strict hop cannot bridge the gap event
+  }
+
+  test("streaming match enumeration: every non-overlapping match emits exactly once, capped like batch") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view", "click", "purchase")
+    // u1: three full matches (the third stays silent under cap 2);
+    // u2: one match with a non-advancing purchase interleaved. Types
+    // arrive OUT of event-time order across waves.
+    val waves = Seq(
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:05:00"), "purchase"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "purchase"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(1L, 7L, t("2024-01-01 10:06:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "purchase"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "click")),
+      Seq(Row(1L, 8L, t("2024-01-01 10:07:00"), "click"),
+        Row(1L, 9L, t("2024-01-01 10:08:00"), "purchase"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-multi-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[Long])]
+    val q = StreamingIngest.streamingFunnelMulti(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, maxMatches = 2, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // exactly-once per match
+    assert(emitted.size === emitted.toSet.size)
+    val batch = graft.operators.Funnel.funnelMulti(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages, maxMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (3 to 5).map(i => r.getLong(i)).toSeq)).toSet
+    assert(emitted.toSet === batch)
+    // the cap really bit (u1 has 3 matches, only 2 emitted)
+    assert(emitted.count(_._1 == 1L) === 2)
+  }
+
+  test("completed funnel's infinite-retention tombstone survives flush timers, no-data batches and stragglers") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // wave 0 buffers the full funnel (immature → flush timer set);
+    // wave 1 pushes the watermark past it; wave 2 is a DATA invocation
+    // for u1 that folds to completion (GroupState clears the un-renewed
+    // flush timer here — the reason no stale timer can fire on the
+    // tombstone); waves 3–4 then probe that the tombstone HOLDS: a
+    // no-data pass plus a post-completion straggler must not restart
+    // the instance or emit a lower-stage row.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 13:00:00"), "error")),
+      Seq(Row(1L, 4L, t("2024-01-01 11:30:00"), "view")),
+      Seq(Row(9L, 91L, t("2024-01-01 13:10:00"), "error")),
+      Seq(Row(1L, 5L, t("2024-01-01 11:45:00"), "view"),
+        Row(9L, 92L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-stale-timer-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    val q = StreamingIngest.streamingFunnel(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        Seq("view", "click", "purchase"), "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val u1 = emitted.filter(_._2 == 1L).sortBy(_._1)
+    assert(u1.nonEmpty && u1.last._3 === 3,
+      s"u1's final emission must stay at the completed stage: $u1")
+    // the straggler after completion must NOT restart the instance
+    val afterComplete = u1.dropWhile(_._3 < 3).drop(1)
+    assert(afterComplete.isEmpty,
+      s"no post-completion re-emission allowed: $u1")
+  }
 }
