@@ -1633,6 +1633,46 @@ object Queries {
          |ORDER BY doc_id""".stripMargin),
     bench = true)
 
+  /** Interpolated Kneser–Ney bigram LM
+    * ([[TextAnalysis.kneserNeyLmQuality]]) — the production smoothing
+    * (KenLM's) next to t76's add-half baseline. Discount 3/4 is kept
+    * exactly rational: both engines build the SAME integer fraction
+    * `[max(4c2−3,0)·B + 3·N1l·N1r] / (4·cl·B)` per observed bigram
+    * from the bigram-TYPE table (left-context totals, continuation
+    * counts, type count B), then one division + log10 rounded to
+    * BIGINT micro per bigram before the per-doc integer sum. */
+  val t92_kneser_ney_lm: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.kneserNeyLmQuality(t(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    bench = true,
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |bg AS (SELECT doc_id, u.l AS l, u.r AS r
+         |  FROM (SELECT doc_id, unnest([{'l': t[i+1], 'r': t[i+2]} for i in range(len(t)-1)]) AS u
+         |        FROM toks)),
+         |bgc AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY l, r),
+         |cl AS (SELECT l, CAST(sum(c2) AS BIGINT) AS cl, CAST(count(*) AS BIGINT) AS n1l
+         |  FROM bgc GROUP BY l),
+         |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n1r FROM bgc GROUP BY r),
+         |bb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bgc),
+         |sc AS (SELECT bgc.l, bgc.r,
+         |    CAST(round(log10(
+         |      (greatest(bgc.c2 * 4 - 3, 0) * (SELECT b FROM bb) + 3 * cl.n1l * nr.n1r) * 1.0
+         |      / (cl.cl * 4 * (SELECT b FROM bb))) * 1000000) AS BIGINT) AS lp
+         |  FROM bgc JOIN cl ON cl.l = bgc.l JOIN nr ON nr.r = bgc.r),
+         |scored AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(sc.lp) AS BIGINT) AS sum_lp_micro
+         |  FROM bg JOIN sc ON sc.l = bg.l AND sc.r = bg.r GROUP BY bg.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(s.sum_lp_micro, 0) AS sum_lp_micro
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -6774,6 +6814,7 @@ object Queries {
     "t77_bm25_index_asof" -> t77_bm25_index_asof,
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
     "t76_bigram_lm" -> t76_bigram_lm,
+    "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
     "p16_embedding_drift" -> p16_embedding_drift)

@@ -731,6 +731,64 @@ object TextAnalysis {
         coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
   }
 
+  /**
+   * Interpolated Kneser–Ney bigram LM scoring — the industry-standard
+   * smoothing ([[bigramLmQuality]]'s add-half is the teaching
+   * baseline; KN is what KenLM/CCNet actually run). Discount d = 3/4,
+   * kept EXACTLY rational so both engines compute one identical
+   * integer fraction per bigram:
+   *
+   *   P(r|l) = max(c(l,r) − d, 0)/c(l·) + d·N1+(l·)/c(l·) · N1+(·r)/B
+   *          = [max(4·c2 − 3, 0)·B + 3·N1l·N1r] / (4·cl·B)
+   *
+   * where `c(l·)` = occurrences of l as a LEFT context, `N1+(l·)` =
+   * distinct continuations of l, `N1+(·r)` = distinct left contexts of
+   * r (the continuation count — KN's insight: "Francisco" is frequent
+   * but follows only "San", so its continuation probability is tiny),
+   * and B = distinct bigram types. The t32/t76 integer discipline:
+   * integer numerator and denominator, ONE division, one log10,
+   * rounded to BIGINT micro per bigram BEFORE the per-doc sum.
+   * Self-trained on the corpus, so every scored bigram is observed
+   * (c2 ≥ 1) and the max() never bites — it stays for the backoff
+   * form's sake.
+   *
+   * Scale shape: one corpus pass to bigram-type counts (map-side
+   * combined); every KN statistic (cl, N1l, N1r, B) derives from that
+   * bigram-TYPE table, not the corpus — three small aggregations and
+   * one driver scalar; per-doc scoring joins doc bigrams to the
+   * type-sized score table on (l, r), AQE-broadcastable.
+   */
+  def kneserNeyLmQuality(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    val bg = Staging.barrier(
+      toks.filter(size(col("t")) >= 2)
+        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("l"),
+            element_at(col("t"), i + 2).as("r")))).as("p"))
+        .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
+    val bgc = Staging.barrier(
+      bg.groupBy("l", "r").agg(count(lit(1)).as("c2")))
+    val b = bgc.count()
+    val cl = bgc.groupBy("l")
+      .agg(sum("c2").as("cl"), count(lit(1)).as("n1l"))
+    val nr = bgc.groupBy("r").agg(count(lit(1)).as("n1r"))
+    val sc = bgc.join(cl, Seq("l")).join(nr, Seq("r"))
+      .select(col("l"), col("r"),
+        round(log10(
+          (greatest(col("c2") * 4 - 3, lit(0L)) * lit(b) +
+            lit(3L) * col("n1l") * col("n1r")) * lit(1.0) /
+          (col("cl") * 4 * lit(b))) * lit(1e6)).cast("long").as("lp"))
+    val scored = bg.join(sc, Seq("l", "r"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_micro"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+  }
+
   // -------------------------------------------------------------------
   // Hashed linear quality classifier (fastText-shaped inference)
   // -------------------------------------------------------------------

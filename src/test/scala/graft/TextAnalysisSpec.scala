@@ -444,6 +444,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lpAB > lpBC)
   }
 
+  test("kneserNeyLmQuality: KN fractions match a JVM replay; continuation counts punish single-context words") {
+    import spark.implicits._
+    // corpus engineered so raw frequency and continuation frequency
+    // DISAGREE: "x" appears 3 times but always after "san" (one left
+    // context); "y" appears twice after two different contexts
+    val docs = Seq(
+      (1L, "san x san x"),
+      (2L, "san x a y"),
+      (3L, "b y"),
+      (4L, "c")).toDF("doc_id", "text")
+    // bigram types: (san,x)c2=3 (x,san)1 (x,a)1 (a,y)1 (b,y)1
+    // cl: san=3,n1l=1; x=2,n1l=2; a=1; b=1. n1r: x=1, san=1, a=1, y=2. B=5
+    def lp(c2: Long, clv: Long, n1l: Long, n1r: Long, b: Long): Long =
+      math.round(math.log10(
+        (math.max(4 * c2 - 3, 0) * b + 3 * n1l * n1r) * 1.0 /
+          (clv * 4 * b)) * 1e6)
+    val lpSanX = lp(3, 3, 1, 1, 5)
+    val lpXSan = lp(1, 2, 2, 1, 5)
+    val lpXA = lp(1, 2, 2, 1, 5)
+    val lpAY = lp(1, 1, 1, 2, 5)
+    val lpBY = lp(1, 1, 1, 2, 5)
+    val r = TextAnalysis.kneserNeyLmQuality(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r === Array(
+      (1L, 3L, lpSanX + lpXSan + lpSanX),
+      (2L, 3L, lpSanX + lpXA + lpAY),
+      (3L, 1L, lpBY),
+      (4L, 0L, 0L)))
+    // KN's defining property: the continuation term gives the
+    // two-context word (y after a, unseen-ish transition weight) MORE
+    // backoff mass than a same-shape one-context transition would get
+    // — concretely, with equal c2/cl/n1l, n1r=2 beats n1r=1
+    assert(lp(1, 1, 1, 2, 5) > lp(1, 1, 1, 1, 5))
+    // observed-probability sanity: per left context the discounted
+    // masses stay below 1 (0.75 of each count is kept at minimum)
+    def p(c2: Long, clv: Long, n1l: Long, n1r: Long, b: Long): Double =
+      ((math.max(4 * c2 - 3, 0) * b + 3.0 * n1l * n1r) / (clv * 4.0 * b))
+    assert(p(3, 3, 1, 1, 5) < 1.0 && p(3, 3, 1, 1, 5) > 0.5)
+  }
+
   /** Independent JVM-side replay of the classifier model: md5 prefix →
     * bucket → weight, centered sum — checks Spark's conv/md5/aggregate
     * chain against java.security MessageDigest arithmetic. */
