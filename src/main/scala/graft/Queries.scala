@@ -5605,6 +5605,77 @@ object Queries {
         .orderBy("user_id"),
     oracle = w24_funnel_pattern_product.oracle)
 
+  /** `followedByAny` MULTIPLICITY ([[Funnel.funnelAnyCount]]): the
+    * number of ALL ordered view → click → purchase combinations per
+    * user (overlapping included — w6 is one witness, w26 the
+    * non-overlapping set, this the full non-deterministic count).
+    * Path counting: one fold, cnt[j] += cnt[j-1] on a type-j event,
+    * O(k) state, no enumeration. The oracle counts the literal 3-way
+    * ordered join. */
+  val w28_funnel_any_count: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelAnyCount(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |m AS (SELECT a.user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM e a
+         |  JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
+         |    AND ${sqlBefore("a", "b")}
+         |  JOIN e c ON c.user_id = b.user_id AND c.event_type = 'purchase'
+         |    AND ${sqlBefore("b", "c")}
+         |  WHERE a.event_type = 'view'
+         |  GROUP BY a.user_id)
+         |SELECT u.user_id, COALESCE(m.n, 0) AS n_any
+         |FROM u LEFT JOIN m USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w28_funnel_any_count]] through the SKEW-SAFE split
+    * ([[Funnel.funnelAnyCountBucketed]]): the count vector evolves
+    * linearly, so a segment summarizes as the (k+1)² unit-triangular
+    * product matrix — the cheapest segment summary in the family —
+    * and merging is one matrix–vector product. Gated on w28's oracle
+    * VERBATIM. */
+  val w29_funnel_any_count_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelAnyCountBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", Seq("view", "click", "purchase"),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w28_funnel_any_count.oracle)
+
+  /** `followedByAny` ENUMERATION ([[Funnel.funnelAnyEnumerate]]): one
+    * row per ordered combination. Answer-size-bound by construction
+    * (the t79 rationale) — the chained user-keyed range join IS the
+    * right distributed plan when the output is the combination set;
+    * the fold-based w28 serves the count-only case. The comparison
+    * form adds a total ORDER BY for row stability; the bench form
+    * drops it. */
+  val w30_funnel_any: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelAnyEnumerate(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", Seq("view", "click", "purchase"))
+        .orderBy("user_id", "ts1_us", "ts2_us", "ts3_us"),
+    bench = true,
+    benchRun = Some((spark, dir) =>
+      Funnel.funnelAnyEnumerate(t(spark, dir, "events"), "user_id",
+        "event_type", "ts", "event_id", Seq("view", "click", "purchase"))),
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |dummy AS (SELECT 1)
+         |SELECT a.user_id, a.us AS ts1_us, b.us AS ts2_us, c.us AS ts3_us
+         |FROM e a
+         |JOIN e b ON b.user_id = a.user_id AND b.event_type = 'click'
+         |  AND ${sqlBefore("a", "b")}
+         |JOIN e c ON c.user_id = b.user_id AND c.event_type = 'purchase'
+         |  AND ${sqlBefore("b", "c")}
+         |WHERE a.event_type = 'view'
+         |ORDER BY 1, 2, 3, 4""".stripMargin
+    })
+
   private def MultiMatchCap = 12 // > the data's max (7 at sf0.01), with headroom
 
   /** Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
@@ -6912,6 +6983,9 @@ object Queries {
     "w25_funnel_pattern_product_bucketed" -> w25_funnel_pattern_product_bucketed,
     "w26_funnel_matches" -> w26_funnel_matches,
     "w27_funnel_matches_bucketed" -> w27_funnel_matches_bucketed,
+    "w28_funnel_any_count" -> w28_funnel_any_count,
+    "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,
+    "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,

@@ -100,6 +100,30 @@ object SkewAudit {
       ev, "user_id", "event_type", "ts", "event_id", loopStages,
       bucketSeconds).collect())
     val (lEqual, lSingleStatus) = cmp(lSingle, lBucketed)
+    // the CONTIGUITY-NFA pair (round 14): the l/o fold is the heaviest
+    // per-event effect in the family (2k+1 unit-entry folds on the
+    // bucketed side), and segment-boundary adjacency is the new
+    // correctness risk the power key stresses
+    val pStages = Seq(
+      operators.Funnel.PatternStage("view", notNextAfter = Some("error")),
+      operators.Funnel.PatternStage("click", optional = true),
+      operators.Funnel.PatternStage("purchase", strict = true))
+    val (pSingle, tPSingle) = timeTry(operators.Funnel.funnelPattern(ev,
+      "user_id", "event_type", "ts", "event_id", pStages).collect())
+    val (pBucketed, tPBucketed) = time(operators.Funnel.funnelPatternBucketed(
+      ev, "user_id", "event_type", "ts", "event_id", pStages,
+      bucketSeconds).collect())
+    val (pEqual, pSingleStatus) = cmp(pSingle, pBucketed)
+    // the MATCH-ENUMERATION pair (round 14): the witness-stream monoid
+    // is counter-addition + concat-truncate — the cheapest summary in
+    // the family, so the bucketed split should win biggest here
+    val (mSingle, tMSingle) = timeTry(operators.Funnel.funnelMulti(ev,
+      "user_id", "event_type", "ts", "event_id", stages,
+      maxMatches = 12).collect())
+    val (mBucketed, tMBucketed) = time(operators.Funnel.funnelMultiBucketed(
+      ev, "user_id", "event_type", "ts", "event_id", stages,
+      maxMatches = 12, bucketSeconds).collect())
+    val (mEqual, mSingleStatus) = cmp(mSingle, mBucketed)
     // scalastyle:off println
     println(s"""{"metric":"skew_funnel","power_events":$powerN,""" +
       s""""bucket_seconds":$bucketSeconds,"single_sec":$tSingle,""" +
@@ -108,7 +132,11 @@ object SkewAudit {
       s""""within_single_sec":$tWSingle,"within_bucketed_sec":$tWBucketed,""" +
       s""""within_equal":$wEqual,"within_single_status":"$wSingleStatus",""" +
       s""""loop_single_sec":$tLSingle,"loop_bucketed_sec":$tLBucketed,""" +
-      s""""loop_equal":$lEqual,"loop_single_status":"$lSingleStatus"}""")
+      s""""loop_equal":$lEqual,"loop_single_status":"$lSingleStatus",""" +
+      s""""pattern_single_sec":$tPSingle,"pattern_bucketed_sec":$tPBucketed,""" +
+      s""""pattern_equal":$pEqual,"pattern_single_status":"$pSingleStatus",""" +
+      s""""multi_single_sec":$tMSingle,"multi_bucketed_sec":$tMBucketed,""" +
+      s""""multi_equal":$mEqual,"multi_single_status":"$mSingleStatus"}""")
     // scalastyle:on println
     spark.stop()
   }

@@ -1211,6 +1211,130 @@ object Funnel {
         (1 to k).map(j => col(s"m.ts${j}_us")): _*)
   }
 
+  // -------------------------------------------------------------------
+  // followedByAny — non-deterministic relaxed contiguity
+  // -------------------------------------------------------------------
+
+  /**
+   * Flink CEP's `followedByAny` match MULTIPLICITY, as the scalable
+   * aggregate: the number of DISTINCT ordered event combinations
+   * matching the pattern per user (every stage may pick ANY later
+   * event, not just the first — w6 reports one witness chain, w26
+   * enumerates non-overlapping ones; this counts them all, including
+   * overlaps). Path counting in the event DAG: one fold holding
+   * `cnt[j]` = combinations completing the first j stages; an event of
+   * type t_j adds `cnt[j-1]` (every prefix combination extends through
+   * it exactly once), processed HIGH stage first so an event never
+   * extends the combinations it just created (the pre-state rule,
+   * built into the simultaneous array rebuild). ONE user-keyed
+   * shuffle, O(k) state, no enumeration blow-up — the count can still
+   * be combinatorially LARGE (it is the answer); it overflows Long
+   * beyond ~9e18 combinations, long past any enumerable regime.
+   * Output: (user_id, n_any) with n_any = cnt[k], 0 included.
+   */
+  def funnelAnyCount(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[String]): DataFrame = {
+    val k = stages.length
+    require(k >= 1, "need at least one stage")
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val init = array_repeat(lit(0L), k)
+    val folded = aggregate(col("evs"), init, (c, e) =>
+      array((1 to k).map { j =>
+        val add = if (j == 1) when(e.getField("tp") === lit(stages(0)), lit(1L))
+            .otherwise(lit(0L))
+          else when(e.getField("tp") === lit(stages(j - 1)),
+            element_at(c, j - 1)).otherwise(lit(0L))
+        element_at(c, j) + add
+      }: _*))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"), element_at(folded, k).as("n_any"))
+  }
+
+  /**
+   * [[funnelAnyCount]] for SKEWED keys: the count vector evolves
+   * LINEARLY (each event is a unit-triangular integer matrix acting on
+   * the homogenized vector [1, cnt1..cntk]), so a segment's effect is
+   * the (k+1)×(k+1) product matrix — the cheapest summary in the whole
+   * funnel family — and composition is one matrix–vector product per
+   * segment. Bit-identical to the single fold; gates on w28's oracle
+   * VERBATIM.
+   */
+  def funnelAnyCountBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && bucketSeconds > 0, "need stages and bucketSeconds > 0")
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    // segment summary: fold the homogenized matrix rows — row i of the
+    // product matrix = the fold started from unit vector e_i (i = 0 is
+    // the constant-1 slot, i.e. fresh combinations)
+    def foldRow(entry: Int): Column = {
+      val init = array((0 to k).map(j =>
+        lit(if (j == entry) 1L else 0L)): _*)
+      aggregate(col("evs"), init, (c, e) =>
+        array(element_at(c, 1) +: (1 to k).map { j =>
+          val add = when(e.getField("tp") === lit(stages(j - 1)),
+            element_at(c, j)).otherwise(lit(0L))
+          element_at(c, j + 1) + add
+        }: _*))
+    }
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        array((0 to k).map(foldRow): _*).as("m"))
+    // merged state = homogenized vector [1, cnt1..cntk]
+    val zero = array(lit(1L) +: Seq.fill(k)(lit(0L)): _*)
+    val merged = aggregate(col("segs"), zero, (v, seg) =>
+      array((0 to k).map { j =>
+        (0 to k).map(i => element_at(v, i + 1) *
+            element_at(element_at(seg.getField("m"), i + 1), j + 1))
+          .reduce(_ + _)
+      }: _*))
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("m")))).as("segs"))
+      .select(col("user_id"), element_at(merged, k + 1).as("n_any"))
+  }
+
+  /**
+   * `followedByAny` match ENUMERATION: every ordered event combination
+   * matching the pattern, one row per match. Inherently
+   * answer-size-bound (the t79 rationale) — the output IS the
+   * combination set, so the right plan is the chained equi-join on
+   * user with a range predicate per hop, which Spark distributes and
+   * AQE sizes; a fold cannot beat the output's own cardinality. Use
+   * [[funnelAnyCount]] when only multiplicity is needed. Columns:
+   * (user_id, ts1_us .. tsk_us), ordered combinations in the
+   * (event-time, event_id) total order.
+   */
+  def funnelAnyEnumerate(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String]): DataFrame = {
+    val k = stages.length
+    require(k >= 1, "need at least one stage")
+    val base = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))
+    def side(j: Int) = base.filter(col("tp") === lit(stages(j - 1)))
+      .select(col("user_id"), col("us").as(s"ts${j}_us"),
+        col("oid").as(s"o$j"))
+    var acc = side(1)
+    for (j <- 2 to k) {
+      val nxt = side(j)
+      acc = acc.join(nxt, Seq("user_id"))
+        .filter(col(s"ts${j}_us") > col(s"ts${j - 1}_us") ||
+          (col(s"ts${j}_us") === col(s"ts${j - 1}_us") &&
+            col(s"o$j") > col(s"o${j - 1}")))
+    }
+    acc.select(col("user_id") +: (1 to k).map(j => col(s"ts${j}_us")): _*)
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

@@ -859,6 +859,46 @@ class FunnelSpec extends SparkSpec {
     assert(gotB.toSeq === got.toSeq)
   }
 
+  test("property: funnelAnyCount equals brute-force combination counting; bucketed matrix monoid == single") {
+    val rnd = new scala.util.Random(91412L)
+    val types = Array("view", "click", "purchase", "error")
+    val stages = Seq("view", "click", "purchase")
+    val events = (0 until 700).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(rnd.nextInt(50)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      // brute force: DP replay with explicit pre-state
+      val c = Array.fill(stages.length)(0L)
+      seq.foreach { tp =>
+        val pre = c.clone()
+        stages.indices.foreach { j =>
+          if (tp == stages(j)) c(j) += (if (j == 0) 1L else pre(j - 1))
+        }
+      }
+      c.last
+    }.toMap
+    val got = Funnel.funnelAnyCount(df, "user_id", "event_type", "ts",
+        "event_id", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_ > 100L), "combinatorial counts exercised")
+    val gotB = Funnel.funnelAnyCountBucketed(df, "user_id", "event_type",
+        "ts", "event_id", stages, bucketSeconds = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB === got)
+    // sanity against literal enumeration on the same data
+    val enumerated = Funnel.funnelAnyEnumerate(df, "user_id", "event_type",
+        "ts", "event_id", stages)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.filter(_._2 > 0).foreach { case (u, n) =>
+      assert(enumerated(u) === n, s"user $u")
+    }
+  }
+
   test("plan gate: funnelPattern and funnelMulti keep the one-shuffle no-join shape") {
     val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
     for (df <- Seq(
