@@ -5605,6 +5605,106 @@ object Queries {
         .orderBy("user_id"),
     oracle = w24_funnel_pattern_product.oracle)
 
+  /** Loop boundary condition — Flink CEP's `until`
+    * ([[Funnel.funnelLoopUntil]]): view(1+, until `signup`) →
+    * click(2+) → purchase(1+, until `error`). A close during a
+    * stage's mandatory block stalls the pattern (u's with a signup
+    * before their first view report 0); a close while the loop is
+    * open truncates absorption only — the spine still advances. The
+    * oracle replays the machine as the w16 pick chain with each
+    * stage's repetition interval additionally truncated at its first
+    * until event (stage 1's measured from the log start — the machine
+    * is current in stage 1 before its first pick), and the whole row
+    * zeroed when stage 1 closed unstarted. */
+  val w31_funnel_loop_until: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopUntil(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 1, Some("signup")), ("click", 2, None),
+            ("purchase", 1, Some("error"))))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      def pick(tag: String, tp: String, prev: String): String =
+        s"""$tag AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND ${sqlBefore("p", "e")}
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      s"""$sqlEventsPrefix
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |u1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'signup') WHERE rn = 1),
+         |v1 AS (SELECT s1.user_id FROM s1 LEFT JOIN u1 USING (user_id)
+         |  WHERE u1.user_id IS NULL OR ${sqlBefore("s1", "u1")}),
+         |${pick("s2", "click", "s1")},
+         |${pick("s3", "click", "s2")},
+         |${pick("s4", "purchase", "s3")},
+         |e3 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT e.user_id, e.us, e.event_id,
+         |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+         |  FROM e JOIN s4 p ON p.user_id = e.user_id
+         |    AND ${sqlBefore("p", "e")}
+         |  WHERE e.event_type = 'error') WHERE rn = 1),
+         |r1 AS (SELECT f.user_id, count(*) AS reps, max(e.us) AS last_us
+         |  FROM s1 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'view'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN s2 n ON n.user_id = f.user_id
+         |  LEFT JOIN u1 x ON x.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |    AND (x.user_id IS NULL OR ${sqlBefore("e", "x")})
+         |  GROUP BY f.user_id),
+         |r2 AS (SELECT f.user_id, count(*) AS reps, max(e.us) AS last_us
+         |  FROM s2 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'click'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN s4 n ON n.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |  GROUP BY f.user_id),
+         |r3 AS (SELECT f.user_id, count(*) AS reps, max(e.us) AS last_us
+         |  FROM s4 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'purchase'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN e3 n ON n.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |  GROUP BY f.user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN v1.user_id IS NULL THEN 0
+         |       WHEN s4.user_id IS NOT NULL THEN 3
+         |       WHEN s3.user_id IS NOT NULL THEN 2
+         |       ELSE 1 END AS stage_reached,
+         |  coalesce(r1.reps, 0) AS reps1, r1.last_us AS ts1_us,
+         |  coalesce(r2.reps, 0) AS reps2, r2.last_us AS ts2_us,
+         |  coalesce(r3.reps, 0) AS reps3, r3.last_us AS ts3_us
+         |FROM u LEFT JOIN v1 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+         |  LEFT JOIN r3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w31_funnel_loop_until]] through the SKEW-SAFE split
+    * ([[Funnel.funnelLoopUntilBucketed]]): the loop monoid's entry
+    * state doubles to (pointer, closed-bit) — 2·(K'+1) slots per
+    * segment, count deltas still exact (absorption reads the pointer
+    * and the bit, never counts). Gated on w31's oracle VERBATIM. */
+  val w32_funnel_loop_until_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopUntilBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 1, Some("signup")), ("click", 2, None),
+            ("purchase", 1, Some("error"))),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w31_funnel_loop_until.oracle)
+
   /** `followedByAny` MULTIPLICITY ([[Funnel.funnelAnyCount]]): the
     * number of ALL ordered view → click → purchase combinations per
     * user (overlapping included — w6 is one witness, w26 the
@@ -6983,6 +7083,8 @@ object Queries {
     "w25_funnel_pattern_product_bucketed" -> w25_funnel_pattern_product_bucketed,
     "w26_funnel_matches" -> w26_funnel_matches,
     "w27_funnel_matches_bucketed" -> w27_funnel_matches_bucketed,
+    "w31_funnel_loop_until" -> w31_funnel_loop_until,
+    "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,
     "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

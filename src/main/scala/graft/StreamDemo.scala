@@ -105,6 +105,17 @@ object StreamDemo {
       .queryName("multi_matches").start()
     mmq.processAllAvailable(); mmq.stop()
     println(s"[stream-demo] enumerated matches: ${spark.table("multi_matches").count()}")
+
+    // loop-until twin (greedy repetition with a boundary condition)
+    val luq = StreamingIngest.streamingFunnelLoopUntil(spark,
+        StreamingIngest.readEvents(spark, dir),
+        Seq(("view", 1, Some("signup")), ("click", 2, None),
+          ("purchase", 1, Some("error"))),
+        watermark = "2 hours")
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("loop_until").start()
+    luq.processAllAvailable(); luq.stop()
+    println(s"[stream-demo] loop-until updates: ${spark.table("loop_until").count()}")
     spark.stop()
   }
 }

@@ -304,6 +304,162 @@ object Funnel {
           .as("segs")))
   }
 
+  // -------------------------------------------------------------------
+  // Loop boundary condition — Flink CEP's `until`
+  // -------------------------------------------------------------------
+
+  /** Which FULL stage the machine is "in" at pointer `s`: the stage
+    * whose loop is open at a block boundary, else the stage owning the
+    * next mandatory slot. Stage 1 is current from the log's start
+    * (the pointer begins inside its block); every later stage becomes
+    * current at its own first pick — an event in the gap before that
+    * pick belongs to the PREVIOUS stage's open loop. */
+  private def curOfTable(stages: Seq[(String, Int)]): Seq[Int] = {
+    val (expanded, _, subOf, loopOf) = loopTables(stages)
+    (0 to expanded.length).map(s =>
+      if (loopOf(s) > 0) loopOf(s) else subOf(s))
+  }
+
+  /** One event's transition of the loop fold WITH `until` boundaries.
+    * State = [[loopStep]]'s (s, c, l) plus one boolean `x`: the
+    * CURRENT stage's repetition is closed. An until event of the
+    * current stage sets it; crossing into a new full stage clears it.
+    * While set: mid-block mandatory advances are blocked (the pattern
+    * STALLS — the block can never complete) and boundary absorption
+    * stops; a boundary advance into the NEXT stage stays allowed
+    * (Flink's `until` ends the loop, not the pattern). The until
+    * check runs AFTER the advance on the pre-state pointer's event,
+    * so an event that advances into stage j and is also stage j's
+    * until type closes j immediately — deterministic, spec-pinned. */
+  private def loopUntilStep(st: Column, e: Column,
+      stages: Seq[(String, Int)], untils: Seq[Option[String]]): Column = {
+    val (expanded, _, subOf, loopOf) = loopTables(stages)
+    val kx = expanded.length
+    val curOf = curOfTable(stages)
+    val untilOf = untils.map(_.getOrElse(""))
+    val s = st.getField("s"); val c = st.getField("c")
+    val l = st.getField("l"); val x = st.getField("x")
+    val tp = e.getField("tp"); val us = e.getField("us")
+    val curJ = element_at(typedLit(curOf), s + 1)
+    val advT = s < kx && tp === element_at(typedLit(expanded), s + 1)
+    val jAdv = element_at(typedLit(subOf), s + 1)
+    // a mid-block advance targets the current stage itself — blocked
+    // once the stage's repetition is closed; a boundary advance
+    // targets the next stage and stays allowed
+    val adv = advT && (jAdv =!= curJ || !x)
+    val jLoop = element_at(typedLit(loopOf), s + 1)
+    val absorb = jLoop > 0 && !x &&
+      tp === element_at(typedLit(stages.map(_._1)), jLoop)
+    def next(sNew: Column, j: Column) = (sNew,
+      transform(c, (v, i) => when(i === j - 1, v + 1L).otherwise(v)),
+      transform(l, (v, i) => when(i === j - 1, us).otherwise(v)))
+    val (s1, c1, l1) =
+      (when(adv, s + 1).otherwise(s),
+        when(adv, next(s + 1, jAdv)._2)
+          .otherwise(when(absorb, next(s, jLoop)._2).otherwise(c)),
+        when(adv, next(s + 1, jAdv)._3)
+          .otherwise(when(absorb, next(s, jLoop)._3).otherwise(l)))
+    val newCurJ = element_at(typedLit(curOf), s1 + 1)
+    val xCarried = when(newCurJ === curJ, x).otherwise(lit(false))
+    val x1 = xCarried ||
+      tp === element_at(typedLit(untilOf), newCurJ)
+    struct(s1.as("s"), c1.as("c"), l1.as("l"), x1.as("x"))
+  }
+
+  private def loopUntilInit(stages: Seq[(String, Int)], entry: Column,
+      entryX: Column): Column =
+    struct(entry.as("s"),
+      array_repeat(lit(0L), stages.length).as("c"),
+      array_repeat(lit(null).cast("long"), stages.length).as("l"),
+      entryX.as("x"))
+
+  private[graft] def untilRequire(
+      stages: Seq[(String, Int, Option[String])]): Unit = {
+    loopRequire(stages.map { case (t, m, _) => (t, m) })
+    require(stages.forall { case (t, _, u) => !u.contains(t) },
+      "a stage's until type must differ from its own type " +
+        "(close-vs-absorb would be ambiguous)")
+  }
+
+  /**
+   * [[funnelLoop]] with Flink CEP's `until` boundary condition —
+   * `oneOrMore().until(cond)`: stage j's greedy repetition also CLOSES
+   * at the first `untilType_j` event while the stage is current
+   * ([[curOfTable]]'s interval — from the stage's first pick, or the
+   * log's start for stage 1, to the next stage's first pick). A close
+   * during the mandatory block STALLS the pattern at that stage (the
+   * block can never complete — Flink's reading: the loop stops
+   * accepting, and a partial block is unfinishable); a close while
+   * the loop is open only stops absorption — the spine still advances.
+   * Output schema identical to [[funnelLoop]]; same ONE user-keyed
+   * shuffle, state = pointer + 2K slots + one boolean.
+   */
+  def funnelLoopUntil(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String,
+      stages: Seq[(String, Int, Option[String])]): DataFrame = {
+    untilRequire(stages)
+    val mstages = stages.map { case (t, m, _) => (t, m) }
+    val untils = stages.map(_._3)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"),
+      loopUntilInit(mstages, lit(0), lit(false)),
+      (st, e) => loopUntilStep(st, e, mstages, untils))
+    loopOut(mstages, folded)(
+      events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
+  }
+
+  /**
+   * [[funnelLoopUntil]] for SKEWED keys — the [[funnelLoopBucketed]]
+   * count-delta segment monoid with the entry state DOUBLED: a
+   * segment's effect is a function of (entry pointer, entry
+   * closed-bit), so each bucket folds 2·(K'+1) slots and the merge
+   * indexes by both. Count deltas stay exact (absorption decisions
+   * read the pointer and the bit, never accumulated counts). Gates on
+   * w31's oracle VERBATIM (w32).
+   */
+  def funnelLoopUntilBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int, Option[String])],
+      bucketSeconds: Long): DataFrame = {
+    untilRequire(stages)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val mstages = stages.map { case (t, m, _) => (t, m) }
+    val untils = stages.map(_._3)
+    val kx = mstages.map(_._2).sum
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    // slot layout: entry = 2*s0 + xBit, for s0 in 0..kx
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(2 * kx + 1)), entry =>
+          aggregate(col("evs"),
+            loopUntilInit(mstages,
+              ((entry - pmod(entry, lit(2))) / lit(2)).cast("int"),
+              pmod(entry, lit(2)) === 1),
+            (st, e) => loopUntilStep(st, e, mstages, untils))).as("f"))
+    val merged = aggregate(col("segs"),
+      loopUntilInit(mstages, lit(0), lit(false)),
+      (st, seg) => ExprUtil.bound(
+          element_at(seg.getField("f"),
+            st.getField("s") * 2 + when(st.getField("x"), 1).otherwise(0) + 1)) { f =>
+        struct(f.getField("s").as("s"),
+          zip_with(st.getField("c"), f.getField("c"), (a, b) => a + b).as("c"),
+          zip_with(st.getField("l"), f.getField("l"),
+            (a, b) => coalesce(b, a)).as("l"),
+          f.getField("x").as("x"))
+      })
+    loopOut(mstages, merged)(
+      segs.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bkt"), col("f"))))
+          .as("segs")))
+  }
+
   /** One event's transition of the CAPPED segment fold
     * ([[funnelTimesRangeBucketed]]). State: the pointer `s` plus, per
     * stage, the ordered LIST of consumed-event times `ll[j]` truncated

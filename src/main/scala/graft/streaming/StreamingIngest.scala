@@ -1399,6 +1399,121 @@ object StreamingIngest {
         updateFunnelLoop(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  final case class FunnelLoopUntilState(s: Int, c: Seq[Long], l: Seq[Long],
+      x: Boolean, pending: Seq[(Long, Long, String)], completionUs: Long)
+
+  /**
+   * Streaming loop funnel WITH Flink's `until` boundary —
+   * [[graft.operators.Funnel.funnelLoopUntil]]'s twin. State adds one
+   * boolean to the loop machine: the CURRENT stage's repetition is
+   * closed (set by the stage's until event, cleared on crossing into
+   * a new stage). Three terminal shapes instead of one:
+   *   - complete spine, last loop open — keeps absorbing last-stage
+   *     events AND watching for the last stage's until type (closing
+   *     the loop changes FUTURE observables, so both stay buffered);
+   *   - complete spine, last loop closed — fully final, buffer drops;
+   *   - STALLED (closed during a mandatory block) — frozen forever,
+   *     buffer drops, and the entry is a tombstone even at stage 0
+   *     (dropping a stage-0 stall would forget that the pattern can
+   *     never start — the one case where an "empty-looking" entry is
+   *     informationally LOADED). Retention TTL applies to completed
+   *     funnels only; stalled tombstones live for the stream's life.
+   */
+  def updateFunnelLoopUntil(
+      stages: IndexedSeq[(String, Int, Option[String])],
+      matchRetentionMs: Long = Long.MaxValue)
+      : (Long, Iterator[FunnelEvent], GroupState[FunnelLoopUntilState]) =>
+        Iterator[FunnelLoopUpdate] = {
+    val mst = stages.map { case (t, m, _) => (t, m) }
+    val k = stages.length
+    val expanded = mst.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val kx = expanded.length
+    val bounds = mst.map(_._2).scanLeft(0)(_ + _).tail
+    val subOf = mst.zipWithIndex.flatMap { case ((_, n), j) =>
+      Seq.fill(n)(j + 1) }
+    val loopOf = (0 to kx).map(s => bounds.indexOf(s) + 1)
+    val curOf = (0 to kx).map(s => if (loopOf(s) > 0) loopOf(s) else subOf(s))
+    def stageOf(s: Int): Int = bounds.count(_ <= s)
+    (userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelLoopUntilState]) => {
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelLoopUntilState(0,
+      Seq.fill(k)(0L), Seq.fill(k)(NoStart), x = false, Nil, 0L))
+    if (stageOf(prev.s) == k && state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      Iterator.empty
+    } else {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var s = prev.s
+    var x = prev.x
+    val c = prev.c.toArray
+    val l = prev.l.toArray
+    var comp = prev.completionUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      val curJ = curOf(s)
+      val advT = s < kx && tp == expanded(s)
+      val jAdv = if (s < kx) subOf(s) else 0
+      val adv = advT && (jAdv != curJ || !x)
+      val jLoop = loopOf(s)
+      val absorb = !adv && jLoop > 0 && !x && tp == mst(jLoop - 1)._1
+      if (adv) {
+        c(jAdv - 1) += 1; l(jAdv - 1) = us; s += 1
+        if (comp == 0L && s == kx) comp = us
+      } else if (absorb) { c(jLoop - 1) += 1; l(jLoop - 1) = us }
+      val newCurJ = curOf(s)
+      if (newCurJ != curJ) x = false
+      if (stages(newCurJ - 1)._3.contains(tp)) x = true
+    }
+    val complete = s == kx
+    val frozen = x && (loopOf(s) == 0 || complete)
+    val rest =
+      if (frozen) Nil
+      else if (complete) immature.filter(e =>
+        e._3 == mst(k - 1)._1 || stages(k - 1)._3.contains(e._3))
+      else immature
+    val removable = s == 0 && !x && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelLoopUntilState(s, c.toSeq, l.toSeq, x, rest, comp))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (complete && matchRetentionMs != Long.MaxValue && comp > 0)
+        state.setTimeoutTimestamp(math.max(
+          comp / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    def obs(sv: Int, cv: Seq[Long], lv: Seq[Long]) =
+      (stageOf(sv), cv, lv.filter(_ != NoStart))
+    val out = obs(s, c.toSeq, l.toSeq)
+    if ((first && !removable) || out != obs(prev.s, prev.c, prev.l))
+      Iterator(FunnelLoopUpdate(userId, out._1, out._2, out._3))
+    else Iterator.empty
+    }
+    }
+  }
+
+  /** The streaming loop-until funnel over an events stream — the
+    * [[streamingFunnelLoop]] plumbing with [[updateFunnelLoopUntil]]'s
+    * closed-bit state machine. */
+  def streamingFunnelLoopUntil(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int, Option[String])], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.untilRequire(stages)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelLoopUntil(stages.toIndexedSeq, matchRetentionMs))
+  }
+
   /** The streaming BOUNDED quantifier times(m, n) — the
     * [[streamingFunnelLoop]] plumbing with the absorb cap threaded
     * into [[updateFunnelLoop]] (one extra comparison in the state

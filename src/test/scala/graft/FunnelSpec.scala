@@ -859,6 +859,107 @@ class FunnelSpec extends SparkSpec {
     assert(gotB.toSeq === got.toSeq)
   }
 
+  /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
+    * counters, closed-bit), mirroring the Catalyst step decision for
+    * decision. */
+  private def untilReference(seq: Seq[(Long, String)],
+      stages: Seq[(String, Int, Option[String])])
+      : (Int, Seq[(Long, Option[Long])]) = {
+    val mst = stages.map { case (t, m, _) => (t, m) }
+    val expanded = mst.flatMap { case (t, n) => Seq.fill(n)(t) }
+    val bounds = mst.map(_._2).scanLeft(0)(_ + _).tail
+    val subOf = mst.zipWithIndex.flatMap { case ((_, n), j) =>
+      Seq.fill(n)(j + 1) }
+    val loopOf = (0 to expanded.length).map(s => bounds.indexOf(s) + 1)
+    val curOf = (0 to expanded.length).map(s =>
+      if (loopOf(s) > 0) loopOf(s) else subOf(s))
+    var s = 0; var x = false
+    val c = Array.fill(stages.length)(0L)
+    val l = Array.fill(stages.length)(Option.empty[Long])
+    for ((us, tp) <- seq) {
+      val curJ = curOf(s)
+      val advT = s < expanded.length && tp == expanded(s)
+      val jAdv = if (s < expanded.length) subOf(s) else 0
+      val adv = advT && (jAdv != curJ || !x)
+      val jLoop = loopOf(s)
+      val absorb = !adv && jLoop > 0 && !x && tp == mst(jLoop - 1)._1
+      if (adv) { c(jAdv - 1) += 1; l(jAdv - 1) = Some(us); s += 1 }
+      else if (absorb) { c(jLoop - 1) += 1; l(jLoop - 1) = Some(us) }
+      val newCurJ = curOf(s)
+      if (newCurJ != curJ) x = false
+      if (stages(newCurJ - 1)._3.contains(tp)) x = true
+    }
+    (bounds.count(b => s >= b), stages.indices.map(j => (c(j), l(j))))
+  }
+
+  test("funnelLoopUntil: stalls on a mid-block close, truncates absorption on a loop-open close") {
+    val ev = Seq(
+      // u1: signup BEFORE the first view → stage 1 closed unstarted,
+      // pattern stalls at 0 with zero reps
+      (1L, 1L, ts(5), "signup"), (1L, 2L, ts(10), "view"),
+      (1L, 3L, ts(20), "click"), (1L, 4L, ts(25), "click"),
+      (1L, 5L, ts(30), "purchase"),
+      // u2: the full trace — absorption truncation on stages 1 and 3,
+      // post-close views ignored, spine unaffected
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(2), "view"),
+      (2L, 12L, ts(3), "signup"), (2L, 13L, ts(4), "view"),
+      (2L, 14L, ts(5), "click"), (2L, 15L, ts(6), "click"),
+      (2L, 16L, ts(7), "purchase"), (2L, 17L, ts(8), "purchase"),
+      (2L, 18L, ts(9), "error"), (2L, 19L, ts(10), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(("view", 1, Some("signup")), ("click", 2, None),
+      ("purchase", 1, Some("error")))
+    val r = Funnel.funnelLoopUntil(ev, "user_id", "event_type", "ts",
+        "event_id", stages)
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        (0 until 3).map(j => (x.getLong(2 + 2 * j),
+          Option(x.get(3 + 2 * j)).map(_.asInstanceOf[Long] - us0)))))
+    val s = 1000000L
+    assert(r(0) === ((1L, 0, Seq((0L, None), (0L, None), (0L, None)))))
+    assert(r(1) === ((2L, 3, Seq((2L, Some(2 * s)), (2L, Some(6 * s)),
+      (2L, Some(8 * s))))))
+  }
+
+  test("property: funnelLoopUntil equals the machine replay; bucketed (pointer, closed-bit) monoid == single") {
+    val rnd = new scala.util.Random(31114L)
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val events = (0 until 700).map { i =>
+      (rnd.nextInt(15).toLong, i.toLong, ts(rnd.nextInt(45)),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val configs = Seq(
+      Seq(("view", 1, Some("signup")), ("click", 2, None),
+        ("purchase", 1, Some("error"))),
+      // until types that are OTHER stages' types, and a mid-block
+      // close on the 2-slot stage
+      Seq(("view", 1, None), ("click", 2, Some("error")),
+        ("purchase", 1, Some("view"))),
+      Seq(("signup", 2, Some("purchase")), ("error", 1, None)))
+    for (stages <- configs) {
+      val expected = events.groupBy(_._1).view.mapValues { es =>
+        val seq = es.sortBy(e => (e._3.getTime, e._2))
+          .map(e => (e._3.getTime * 1000L, e._4))
+        untilReference(seq, stages)
+      }.toMap
+      def read(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map { x =>
+          x.getLong(0) -> ((x.getInt(1), (0 until stages.length).map(j =>
+            (x.getLong(2 + 2 * j),
+              Option(x.get(3 + 2 * j)).map(_.asInstanceOf[Long])))))
+        }.toMap
+      val got = read(Funnel.funnelLoopUntil(df, "user_id", "event_type",
+        "ts", "event_id", stages))
+      assert(got === expected, s"single fold, config $stages")
+      val gotB = read(Funnel.funnelLoopUntilBucketed(df, "user_id",
+        "event_type", "ts", "event_id", stages, bucketSeconds = 1L))
+      assert(gotB === got, s"bucketed twin, config $stages")
+      // the generator must exercise stalls AND completions
+      assert(expected.values.map(_._1).toSet.size >= 2, s"degenerate $stages")
+    }
+  }
+
   test("property: funnelAnyCount equals brute-force combination counting; bucketed matrix monoid == single") {
     val rnd = new scala.util.Random(91412L)
     val types = Array("view", "click", "purchase", "error")

@@ -2006,6 +2006,71 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) === 2)
   }
 
+  test("streaming loop-until funnel equals the batch operator, including late-arriving stalls") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq(("view", 1, Some("signup")), ("click", 2, None),
+      ("purchase", 1, Some("error")))
+    // u1: the stall — the signup (10:00) ARRIVES a wave after the
+    // views; the buffered fold must reorder and freeze the pattern at
+    // 0 despite a full event chain following. u2: loop-open close —
+    // the error truncates the purchase loop; the later purchase must
+    // NOT count (and the error itself arrives out of order). u3:
+    // clean completion.
+    val waves = Seq(
+      Seq(Row(1L, 2L, t("2024-01-01 10:05:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:10:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "signup"),
+        Row(1L, 4L, t("2024-01-01 10:15:00"), "click"),
+        Row(1L, 5L, t("2024-01-01 10:20:00"), "purchase"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "click"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(2L, 23L, t("2024-01-01 10:03:00"), "purchase"),
+        Row(2L, 25L, t("2024-01-01 10:05:00"), "error"),
+        Row(2L, 24L, t("2024-01-01 10:04:00"), "purchase"),
+        Row(2L, 26L, t("2024-01-01 10:06:00"), "purchase"),
+        Row(3L, 32L, t("2024-01-01 10:02:00"), "click"),
+        Row(3L, 33L, t("2024-01-01 10:03:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "signup")))
+    val src = tmp("funnel-until-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long], Seq[Long])]
+    val q = StreamingIngest.streamingFunnelLoopUntil(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Long](2), r.getSeq[Long](3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4, e._5) }).toMap
+    val batch = graft.operators.Funnel.funnelLoopUntil(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          (0 until 3).map(j => r.getLong(2 + 2 * j)).toSeq,
+          (0 until 3).flatMap(j =>
+            Option(r.get(3 + 2 * j)).map(_.asInstanceOf[Long])).toSeq))
+      }.toMap
+    for (u <- Seq(1L, 2L, 3L))
+      assert(last(u) === batch(u), s"user $u")
+    assert(last(1L)._1 === 0) // the late signup really stalled it
+    assert(last(2L)._2 === Seq(1L, 2L, 2L)) // error cut the 3rd purchase
+    assert(last(3L)._1 === 3)
+  }
+
   test("completed funnel's infinite-retention tombstone survives flush timers, no-data batches and stragglers") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
