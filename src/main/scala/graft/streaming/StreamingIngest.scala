@@ -1684,6 +1684,69 @@ object StreamingIngest {
         updateFunnelPattern(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  final case class FunnelAnyState(c: Seq[Long],
+      pending: Seq[(Long, Long, String)])
+  final case class FunnelAnyUpdate(user_id: Long, n_any: Long)
+
+  /**
+   * Streaming `followedByAny` combination COUNT —
+   * [[graft.operators.Funnel.funnelAnyCount]]'s twin: per-user state
+   * is the k-slot path-counting vector plus the family's event-time
+   * buffer; mature events fold in watermark order with the same
+   * pre-state rule (an event never extends the combinations it just
+   * created). Emission on count change (monotone — it only grows).
+   * A user whose vector is all-zero with nothing buffered drops
+   * losslessly; an active user's state is k longs forever (the count
+   * never "completes" — the same persistence contract as the match
+   * enumerator).
+   */
+  def updateFunnelAnyCount(stages: IndexedSeq[String])(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelAnyState]): Iterator[FunnelAnyUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelAnyState(Seq.fill(k)(0L), Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val c = prev.c.toArray
+    mature.sortBy(e => (e._1, e._2)).foreach { case (_, _, tp) =>
+      val pre = c.clone()
+      stages.indices.foreach { j =>
+        if (tp == stages(j)) c(j) += (if (j == 0) 1L else pre(j - 1))
+      }
+    }
+    val removable = c.forall(_ == 0L) && immature.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelAnyState(c.toSeq, immature))
+      if (immature.nonEmpty)
+        state.setTimeoutTimestamp(immature.map(_._1).min / 1000L + 1L)
+    }
+    if ((first && !removable) || c(k - 1) != prev.c(k - 1))
+      Iterator(FunnelAnyUpdate(userId, c(k - 1)))
+    else Iterator.empty
+  }
+
+  /** The streaming combination counter over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelAnyCount]]'s
+    * path-counting state. */
+  def streamingFunnelAnyCount(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], watermark: String): Dataset[FunnelAnyUpdate] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "need at least one stage")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelAnyCount(stages.toIndexedSeq))
+  }
+
   /** `partial` holds the in-progress match's witnesses (length =
     * advances mod k). */
   final case class FunnelMultiState(n: Long, partial: Seq[Long],

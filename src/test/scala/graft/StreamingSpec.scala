@@ -2006,6 +2006,51 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) === 2)
   }
 
+  test("streaming followedByAny count equals the batch path-counting fold across out-of-order waves") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view", "click", "purchase")
+    // u1: 2 views × 2 clicks × 1 purchase, every view before every
+    // click → 4 combinations; one click ARRIVES before its views, so
+    // the buffer must reorder or the count undershoots
+    val waves = Seq(
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "click"),
+        Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "purchase"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-any-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val q = StreamingIngest.streamingFunnelAnyCount(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getLong(1)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(_.maxBy(_._1)._3).toMap
+    val batch = graft.operators.Funnel.funnelAnyCount(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (u <- Seq(1L, 2L)) assert(last.get(u).contains(batch(u)), s"user $u")
+    // the out-of-order click really counted: 2 views × 2 clicks × 1
+    assert(last(1L) === 4L)
+    assert(last(2L) === 0L) // view then purchase, no click — count 0, retained via buffer then emitted once
+  }
+
   test("streaming loop-until funnel equals the batch operator, including late-arriving stalls") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
