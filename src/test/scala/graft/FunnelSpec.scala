@@ -1007,7 +1007,12 @@ class FunnelSpec extends SparkSpec {
           Seq(PatternStage("view"), PatternStage("click", strict = true),
             PatternStage("purchase", strict = true))),
         Funnel.funnelMulti(ev, "user_id", "event_type", "ts", "event_id",
-          Seq("view", "click", "purchase"), maxMatches = 12))) {
+          Seq("view", "click", "purchase"), maxMatches = 12),
+        Funnel.funnelAnyCount(ev, "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase")),
+        Funnel.funnelLoopUntil(ev, "user_id", "event_type", "ts", "event_id",
+          Seq(("view", 1, Some("signup")), ("click", 2, None),
+            ("purchase", 1, Some("error")))))) {
       val plan = df.queryExecution.executedPlan.toString
       assert("Exchange".r.findAllIn(plan).size == 1,
         s"expected exactly one shuffle:\n$plan")
