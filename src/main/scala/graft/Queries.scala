@@ -1673,6 +1673,59 @@ object Queries {
          |FROM documents d LEFT JOIN scored s USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** TRIGRAM interpolated Kneser–Ney
+    * ([[TextAnalysis.kneserNeyTrigramQuality]]) — the full KenLM-shape
+    * recursion (continuation backoff through the bigram level, all
+    * statistics from the trigram-type table). A single common integer
+    * denominator would overflow BIGINT, so the gate rides IEEE
+    * determinism of the IDENTICAL division/add/multiply tree spelled
+    * verbatim in both engines (the t76 log10 contract extended to the
+    * arithmetic), rounded to BIGINT micro per trigram before the
+    * per-doc integer sum. */
+  val t93_kneser_ney_trigram: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.kneserNeyTrigramQuality(t(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    bench = true,
+    oracle = Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |tg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3
+         |  FROM (SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2], 'w3': t[i+3]} for i in range(len(t)-2)]) AS u
+         |        FROM toks WHERE len(t) >= 3)),
+         |tgc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tg GROUP BY w1, w2, w3),
+         |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12, CAST(count(*) AS BIGINT) AS n1l
+         |  FROM tgc GROUP BY w1, w2),
+         |bg23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cc23 FROM tgc GROUP BY w2, w3),
+         |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS m2 FROM tgc GROUP BY w2),
+         |k2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS k2 FROM bg23 GROUP BY w2),
+         |r3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS r3 FROM bg23 GROUP BY w3),
+         |b2 AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg23),
+         |sc AS (SELECT tgc.w1, tgc.w2, tgc.w3,
+         |    CAST(round(log10(
+         |      (greatest(tgc.c3 * 4 - 3, 0) / (c12.c12 * 4.0)) +
+         |      ((3.0 * c12.n1l) / (c12.c12 * 4.0)) *
+         |      ((greatest(bg23.cc23 * 4 - 3, 0) / (m2.m2 * 4.0)) +
+         |       ((3.0 * k2.k2) / (m2.m2 * 4.0)) *
+         |       (r3.r3 * 1.0 / (SELECT b FROM b2)))
+         |    ) * 1000000) AS BIGINT) AS lp
+         |  FROM tgc JOIN c12 ON c12.w1 = tgc.w1 AND c12.w2 = tgc.w2
+         |  JOIN bg23 ON bg23.w2 = tgc.w2 AND bg23.w3 = tgc.w3
+         |  JOIN m2 ON m2.w2 = tgc.w2
+         |  JOIN k2 ON k2.w2 = tgc.w2
+         |  JOIN r3 ON r3.w3 = tgc.w3),
+         |scored AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |    CAST(sum(sc.lp) AS BIGINT) AS sum_lp_micro
+         |  FROM tg JOIN sc ON sc.w1 = tg.w1 AND sc.w2 = tg.w2 AND sc.w3 = tg.w3
+         |  GROUP BY tg.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_trigrams, 0) AS n_trigrams,
+         |  COALESCE(s.sum_lp_micro, 0) AS sum_lp_micro
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -6986,6 +7039,7 @@ object Queries {
     "t75_leakage_safe_split" -> t75_leakage_safe_split,
     "t76_bigram_lm" -> t76_bigram_lm,
     "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
+    "t93_kneser_ney_trigram" -> t93_kneser_ney_trigram,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
     "p16_embedding_drift" -> p16_embedding_drift)

@@ -789,6 +789,74 @@ object TextAnalysis {
         coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
   }
 
+  /**
+   * TRIGRAM interpolated Kneser–Ney — the full KenLM-shape recursion
+   * one order up from [[kneserNeyLmQuality]]:
+   *
+   *   P(w3|w1w2) = max(c123−d,0)/c12 + d·N1+(w1w2·)/c12 · Pc(w3|w2)
+   *   Pc(w3|w2)  = max(N1+(·w2w3)−d,0)/N1+(·w2·)
+   *                + d·N1+(w2·)/N1+(·w2·) · N1+(·w3)/B2
+   *
+   * with d = 3/4 and every statistic derived from the TRIGRAM-TYPE
+   * table (the standard continuation construction: the lower order is
+   * counted over distinct higher-order types, not raw occurrences).
+   * The value is assembled in ONE agreed IEEE expression order shared
+   * verbatim with the oracle — integer numerators (exact in double),
+   * then the fixed division/add/multiply tree, then log10 → BIGINT
+   * micro per trigram before the per-doc integer sum. Unlike the
+   * bigram case a single common denominator would overflow Long, so
+   * cross-engine equality rides IEEE determinism of the IDENTICAL
+   * operation tree (the t76/t92 log10 contract, extended to the
+   * arithmetic).
+   *
+   * Scale shape: one corpus pass to trigram-type counts; c12/N1l by
+   * (w1,w2), the continuation relation (w2,w3) and its three
+   * aggregates all from the type table; B2 one driver scalar. Doc
+   * scoring joins the type-sized score table on (w1,w2,w3).
+   */
+  def kneserNeyTrigramQuality(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    val tg = Staging.barrier(
+      toks.filter(size(col("t")) >= 3)
+        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 3),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2"),
+            element_at(col("t"), i + 3).as("w3")))).as("p"))
+        .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.w3").as("w3")))
+    val tgc = Staging.barrier(
+      tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val c12 = tgc.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n1l"))
+    // continuation relation: distinct (w2, w3) with its distinct-w1
+    // count — the bigram "type of types" level
+    val bg23 = Staging.barrier(
+      tgc.groupBy("w2", "w3").agg(count(lit(1)).as("cc23")))
+    val m2 = tgc.groupBy("w2").agg(count(lit(1)).as("m2"))
+    val k2 = bg23.groupBy("w2").agg(count(lit(1)).as("k2"))
+    val r3 = bg23.groupBy("w3").agg(count(lit(1)).as("r3"))
+    val b2 = bg23.count()
+    val sc = tgc.join(c12, Seq("w1", "w2")).join(bg23, Seq("w2", "w3"))
+      .join(m2, Seq("w2")).join(k2, Seq("w2")).join(r3, Seq("w3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log10(
+          (greatest(col("c3") * 4 - 3, lit(0L)) / (col("c12") * lit(4.0))) +
+          ((lit(3.0) * col("n1l")) / (col("c12") * lit(4.0))) *
+          ((greatest(col("cc23") * 4 - 3, lit(0L)) / (col("m2") * lit(4.0))) +
+           ((lit(3.0) * col("k2")) / (col("m2") * lit(4.0))) *
+           (col("r3") * lit(1.0) / lit(b2)))
+        ) * lit(1e6)).cast("long").as("lp"))
+    val scored = tg.join(sc, Seq("w1", "w2", "w3"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("lp").as("sum_lp_micro"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+  }
+
   // -------------------------------------------------------------------
   // Hashed linear quality classifier (fastText-shaped inference)
   // -------------------------------------------------------------------

@@ -485,6 +485,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p(3, 3, 1, 1, 5) < 1.0 && p(3, 3, 1, 1, 5) > 0.5)
   }
 
+  test("kneserNeyTrigramQuality: recursion matches a JVM replay; short docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b d"),
+      (3L, "x y"),
+      (4L, "z")).toDF("doc_id", "text")
+    // trigram types: (a,b,c)2 (b,c,a)1 (c,a,b)1 (a,b,d)1
+    // c12: (a,b): c12=3,n1l=2; (b,c): 1,1; (c,a): 1,1
+    // bg23 (w2,w3,cc23): (b,c)1 (c,a)1 (a,b)1 (b,d)1
+    // m2 (per w2 over tgc): b->2 ((a,c),(a,d)), c->1, a->1
+    // k2 (per w2 over bg23): b->2 (c,d), c->1 (a), a->1 (b)
+    // r3 (per w3 over bg23): c->1 (b), a->1 (c), b->1 (a), d->1 (b)
+    // B2 = 4
+    def lp(c3: Long, c12v: Long, n1l: Long, cc23: Long, m2v: Long,
+        k2v: Long, r3v: Long, b2: Long): Long =
+      math.round(math.log10(
+        (math.max(c3 * 4 - 3, 0).toDouble / (c12v * 4.0)) +
+        ((3.0 * n1l) / (c12v * 4.0)) *
+        ((math.max(cc23 * 4 - 3, 0).toDouble / (m2v * 4.0)) +
+         ((3.0 * k2v) / (m2v * 4.0)) * (r3v * 1.0 / b2))) * 1e6)
+    val lpABC = lp(2, 3, 2, 1, 2, 2, 1, 4)
+    val lpBCA = lp(1, 1, 1, 1, 1, 1, 1, 4)
+    val lpCAB = lp(1, 1, 1, 1, 1, 1, 1, 4)
+    val lpABD = lp(1, 3, 2, 1, 2, 2, 1, 4)
+    val r = TextAnalysis.kneserNeyTrigramQuality(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r === Array(
+      (1L, 4L, lpABC + lpBCA + lpCAB + lpABC),
+      (2L, 1L, lpABD),
+      (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+    // the repeated trigram scores above its single-occurrence peers
+    assert(lpABC > lpABD)
+  }
+
   /** Independent JVM-side replay of the classifier model: md5 prefix →
     * bucket → weight, centered sum — checks Spark's conv/md5/aggregate
     * chain against java.security MessageDigest arithmetic. */
