@@ -1726,6 +1726,33 @@ object Queries {
          |FROM documents d LEFT JOIN scored s USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Z-ORDER clustering key ([[Layout.zValue]]): Morton interleave of
+    * (l_orderkey, l_partkey), the layout-maintenance primitive a
+    * 100 TB table uses so a TWO-dimensional box predicate prunes from
+    * parquet footer stats (AUDIT_r14_zorder measures the effect; this
+    * gate proves the bit arithmetic — pure shift/and/or, whole-stage
+    * codegen — against a DuckDB bit-op replay). */
+  val t94_zorder_key: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 21)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 21)),
+            bits = 21).as("z_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    bench = true,
+    oracle = Some {
+      val m = 1L << 21
+      def side(expr: String, off: Int): Seq[String] =
+        (0 until 21).map(i => s"((($expr >> $i) & 1) << ${2 * i + off})")
+      val z = (side(s"(l_orderkey % $m)", 0) ++
+        side(s"(l_partkey % $m)", 1)).mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z_key
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -7040,6 +7067,7 @@ object Queries {
     "t76_bigram_lm" -> t76_bigram_lm,
     "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
     "t93_kneser_ney_trigram" -> t93_kneser_ney_trigram,
+    "t94_zorder_key" -> t94_zorder_key,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
     "p16_embedding_drift" -> p16_embedding_drift)

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-LAYOUT operators: multi-dimensional clustering for file/row-group
+ * pruning — the piece of a 100 TB deployment that lives BELOW the query:
+ * a table range-partitioned on one key prunes only that key's
+ * predicates, while a Z-ORDER (Morton) clustering interleaves the bits
+ * of several keys so that every file's min/max envelope is tight in ALL
+ * of them at once, and a multi-dimensional box predicate skips most
+ * files from parquet footer stats alone.
+ *
+ * Reference behavior: the reference engine writes Iceberg tables whose
+ * maintenance story (rewrite_data_files with a sort order) is exactly
+ * this operation; Iceberg itself being sandbox-blocked (DESIGN.md), the
+ * clustering is expressed on the parquet layout the repo's Ddl module
+ * manages. The z-value is a pure Catalyst bit expression (shift/and/or
+ * — whole-stage codegen, no UDF), so it also serves as a clustering KEY
+ * for bucketing, range partitioning, or sort-based compaction.
+ */
+object Layout {
+
+  /** Morton/Z interleave of two non-negative keys, `bits` low bits
+    * each (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1): one long
+    * whose sort order is the Z space-filling curve over (a, b).
+    * Callers bound the domain (`pmod`, `div`-bucketing or a
+    * monotonic cast) — `requireBounded` guards the contract at plan
+    * build time where statically checkable. bits ≤ 31 keeps the
+    * result in the positive Long range (2·31 = 62 bits). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[zValue]] generalized to N keys (round-robin bit interleave,
+    * key j's bit i lands at position i·n + j). n·bits must stay ≤ 62. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "interleave needs at least two keys")
+    require(bits >= 1 && n * bits <= 62, s"need 1 <= bits and $n*bits <= 62")
+    (for (i <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(cols(j), i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Write `df` Z-ORDER-CLUSTERED on two key columns: range-partition on
+   * the z-value into `numFiles` output files, sort within each by the
+   * z-value, drop the helper column, write parquet. After this, every
+   * file's footer min/max on BOTH keys is a tight box (the Z curve
+   * visits space in nested quadrants), so a conjunctive range predicate
+   * on the two keys prunes files/row-groups that a single-key layout
+   * must scan — the 100 TB effect AUDIT_r14_zorder measures at sf0.1.
+   * Keys are bounded into the bit domain by `pmod` (order-preserving
+   * whenever the caller's domain already fits — pass `bits` large
+   * enough for the real range; for skewed/huge domains bucket with
+   * `div` first).
+   */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, bits: Int,
+      path: String, numFiles: Int): Unit = {
+    val z = zValue(pmod(col(colA).cast("long"), lit(1L << bits)),
+      pmod(col(colB).cast("long"), lit(1L << bits)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.option("compression", Ddl.ParquetCompression)
+      .mode("overwrite").parquet(path)
+  }
+
+  /** The comparison baseline: the same data linearly clustered on ONE
+    * key (range-partition + sort on `colA`) — what a single-dimension
+    * layout gives the same box predicate. */
+  def linearWrite(df: DataFrame, colA: String, path: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(colA))
+      .sortWithinPartitions(colA)
+      .write.option("compression", Ddl.ParquetCompression)
+      .mode("overwrite").parquet(path)
+
+  /** Stats-pruning effectiveness of a layout for a 2-key box
+    * predicate, measured the way parquet pruning actually works: per
+    * FILE, the (min, max) envelope of each key; a file is PRUNABLE iff
+    * its envelope misses the box in at least one dimension. Returns
+    * (files total, files that must be read). Driver-side per-file
+    * aggregation over file-sized stats only. */
+  def boxScanFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): (Long, Long) = {
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(colA)).as("minA"), max(col(colA)).as("maxA"),
+        min(col(colB)).as("minB"), max(col(colB)).as("maxB"))
+    val total = stats.count()
+    val mustRead = stats.filter(
+      col("maxA") >= loA && col("minA") <= hiA &&
+        col("maxB") >= loB && col("minB") <= hiB).count()
+    (total, mustRead)
+  }
+}

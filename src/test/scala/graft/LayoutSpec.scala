@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def jvmZ(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+      .reduce(_ | _)
+
+  test("zValue matches a JVM bit-interleave replay; quadrant nesting orders the curve") {
+    val rnd = new scala.util.Random(94L)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 21).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) === jvmZ(a, b, 21), s"($a, $b)")
+    }
+    // quadrant nesting: the high bit of EITHER key dominates the sort —
+    // every point of the low quadrant precedes every point of the
+    // quadrant above it in both dimensions
+    val hi = 1L << 20
+    assert(jvmZ(hi - 1, hi - 1, 21) < jvmZ(hi, hi, 21))
+    assert(jvmZ(hi - 1, 0, 21) < jvmZ(hi, 0, 21))
+    assert(jvmZ(0, hi - 1, 21) < jvmZ(0, hi, 21))
+  }
+
+  test("zValueN: round-robin interleave of three keys, JVM replay") {
+    def jvm3(ks: Seq[Long], bits: Int): Long =
+      (for (i <- 0 until bits; j <- ks.indices) yield
+        ((ks(j) >> i) & 1L) << (i * ks.length + j)).reduce(_ | _)
+    val rnd = new scala.util.Random(943L)
+    val rows = (0 until 200).map(_ => (rnd.nextInt(1 << 20).toLong,
+      rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 20).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    rows.foreach { case (a, b, c) =>
+      assert(got((a, b, c)) === jvm3(Seq(a, b, c), 20))
+    }
+  }
+
+  test("z-ordered layout prunes a 2-dim box from file stats where the linear layout cannot") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zOrderWrite(li, "l_orderkey", "l_partkey", bits = 21,
+      s"$dir/z", numFiles = 16)
+    Layout.linearWrite(li, "l_orderkey", s"$dir/lin", numFiles = 16)
+    // the second-dimension stress: any orderkey, a NARROW partkey
+    // stripe — the linear layout's every file spans all partkeys (it
+    // must read everything), the z layout's quadrant envelopes carve
+    // the stripe out
+    val (loA, hiA) = (0L, 1500L)
+    val (loB, hiB) = (40L, 60L)
+    val (zTotal, zRead) = Layout.boxScanFiles(spark, s"$dir/z",
+      "l_orderkey", loA, hiA, "l_partkey", loB, hiB)
+    val (lTotal, lRead) = Layout.boxScanFiles(spark, s"$dir/lin",
+      "l_orderkey", loA, hiA, "l_partkey", loB, hiB)
+    assert(zTotal === 16L && lTotal === 16L)
+    assert(zRead < lRead,
+      s"z-order must read fewer files ($zRead) than linear ($lRead)")
+    // layouts are content-identical: the box returns the same rows
+    def boxRows(p: String) = spark.read.parquet(p)
+      .filter(col("l_orderkey").between(loA, hiA) &&
+        col("l_partkey").between(loB, hiB))
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .collect().map(_.toString).sorted.toSeq
+    assert(boxRows(s"$dir/z") === boxRows(s"$dir/lin"))
+    assert(boxRows(s"$dir/z").nonEmpty)
+  }
+}
