@@ -6396,6 +6396,84 @@ object Queries {
     oracle = Some(bm25OracleSql(Bm25Terms, Bm25K,
       survivorPredSql = Some("doc_id % 5 <> 2"))))
 
+  /** Cross-modality DELETE PROPAGATION ([[Forget.forgetEverywhere]]):
+    * build all four index modalities, forget ids ≡ 2 (mod 5) in ONE
+    * operation per id space, then probe EVERY modality in one unified
+    * result — each block must equal its from-scratch survivor-built
+    * oracle (the union of the four restricted oracles t56/t60/t57/t88
+    * gate individually). Placeholder −1 instead of NULL in the k2/rank
+    * slots keeps cross-engine row ordering deterministic. */
+  val t95_forget_everywhere: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val emb = t(spark, dir, "embeddings")
+      val annT = "graft_forget_ann"
+      val pqT = "graft_forget_pq"
+      val bmT = "graft_forget_bm25"
+      val mhT = "graft_forget_minhash"
+      VectorOps.writeIndex(emb, "vec_id", "embedding", annT,
+        kClusters = IvfClusters, iters = IvfIters, numBuckets = 8)
+      VectorOps.writePqIndex(emb, "vec_id", "embedding", pqT,
+        m = PqM, ksub = PqKsub, iters = PqIters)
+      Retrieval.writeBm25Index(docs, "doc_id", "text", bmT)
+      TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
+        k = MinhashK, bandSize = BandSize, numBands = NumBands,
+        threshold = JaccardThreshold, table = mhT)
+      Forget.forgetEverywhere(emb.filter(col("vec_id") % 5 === 2),
+        "vec_id", Forget.CorpusIndexes(ann = Some(annT), pq = Some(pqT)))
+      Forget.forgetEverywhere(docs.filter(col("doc_id") % 5 === 2),
+        "doc_id", Forget.CorpusIndexes(bm25 = Some(bmT), minhash = Some(mhT)))
+      val none = lit(-1L)
+      val ann = VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, annT),
+          col("id") < 10, k = 5, nprobe = IvfNprobe,
+          candidates = Sq8Candidates)
+        .select(lit("ann").as("modality"), col("query_id").as("k1"),
+          col("neighbor_id").as("k2"), col("rank").cast("long").as("rank"),
+          col("cos").cast("double").as("metric"))
+      val pq = VectorOps.pqTopKFromIndex(VectorOps.loadPqIndex(spark, pqT),
+          col("id") < 10, k = 5, candidates = PqCandidates)
+        .select(lit("pq").as("modality"), col("query_id").as("k1"),
+          col("neighbor_id").as("k2"), col("rank").cast("long").as("rank"),
+          col("cos").cast("double").as("metric"))
+      val bm = Retrieval.bm25TopKFromIndex(spark, bmT, Bm25Terms, Bm25K)
+        .select(lit("bm25").as("modality"), col("id").as("k1"),
+          none.as("k2"), none.as("rank"),
+          col("score_micro").cast("double").as("metric"))
+      val mh = TextDedup.probeMinhashIndex(spark, mhT,
+          docs.filter(col("doc_id") % 5 =!= 2), "doc_id", "text")
+        .filter(col("q_id") < col("id"))
+        .select(lit("minhash").as("modality"), col("q_id").as("k1"),
+          col("id").as("k2"), none.as("rank"),
+          col("jaccard").cast("double").as("metric"))
+      ann.unionByName(pq).unionByName(bm).unionByName(mh)
+        .orderBy("modality", "k1", "k2", "rank")
+    },
+    oracle = Some {
+      val annFull =
+        s"""${ivfSq8OracleCtes(dataPredSql = Some(DeleteSurvivorSql))}
+           |SELECT query_id, neighbor_id, cos, rank
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      val pqFull = pqOracleSql(dataPredSql = Some(DeleteSurvivorSql))
+      val bmFull = bm25OracleSql(Bm25Terms, Bm25K,
+        survivorPredSql = Some("doc_id % 5 <> 2"))
+      val mhFull = minhashPairsOracleSql("doc_id % 5 <> 2")
+      s"""SELECT 'ann' AS modality, query_id AS k1, neighbor_id AS k2,
+         |  CAST(rank AS BIGINT) AS rank, CAST(cos AS DOUBLE) AS metric
+         |FROM ($annFull)
+         |UNION ALL
+         |SELECT 'pq', query_id, neighbor_id, CAST(rank AS BIGINT),
+         |  CAST(cos AS DOUBLE)
+         |FROM ($pqFull)
+         |UNION ALL
+         |SELECT 'bm25', doc_id, -1, -1, CAST(score_micro AS DOUBLE)
+         |FROM ($bmFull)
+         |UNION ALL
+         |SELECT 'minhash', id_a, id_b, -1, CAST(jaccard AS DOUBLE)
+         |FROM ($mhFull)
+         |ORDER BY modality, k1, k2, rank""".stripMargin
+    })
+
+
   /** FULL index lifecycle, keyword side ([[Retrieval.compactBm25Index]]):
     * build → append → delete → compact → probe, gated on the
     * survivor-restricted t42 oracle. Compaction rewrites both the
@@ -7068,6 +7146,7 @@ object Queries {
     "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
     "t93_kneser_ney_trigram" -> t93_kneser_ney_trigram,
     "t94_zorder_key" -> t94_zorder_key,
+    "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
     "p16_embedding_drift" -> p16_embedding_drift)
