@@ -1742,6 +1742,13 @@ object Queries {
             bits = 21).as("z_key"))
         .orderBy("l_orderkey", "l_linenumber"),
     bench = true,
+    benchRun = Some((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 21)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 21)),
+            bits = 21).as("z_key"))),
     oracle = Some {
       val m = 1L << 21
       def side(expr: String, off: Int): Seq[String] =
@@ -3629,6 +3636,50 @@ object Queries {
          |  CAST(u.f AS INT) AS frame_idx,
          |  md5(substr(hx, CAST(u.f * ${2 * FrameBytes} + 1 AS BIGINT), ${2 * FrameBytes})) AS frame_md5
          |FROM f ORDER BY asset_id, frame_idx""".stripMargin))
+
+  /** REAL container-header parsing ([[Multimodal.pngDimensions]] /
+    * [[Multimodal.jpegDimensions]]): per document a VALID container is
+    * synthesized byte-for-byte to the actual format spec — PNG
+    * signature + IHDR (even ids) or JPEG SOI + real APP0/JFIF + a
+    * variable-length COM segment + SOF0 (odd ids, COM length varying
+    * by id so the marker WALK lands at a different offset per row) —
+    * and the parsers must recover the planted dimensions through the
+    * genuine layout (big-endian fields, self-counting segment
+    * lengths). The oracle computes the planted values arithmetically:
+    * round-tripping the real byte layout IS the parse check. This
+    * retires the image half of the "container parse is a stub" seam;
+    * video containers (frame indexes) remain the documented
+    * environment-blocked stub (m2). */
+  val m3_container_headers: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val w = lit(64) + (col("doc_id") % 8).cast("int") * 16
+      val h = lit(48) + (col("doc_id") % 6).cast("int") * 16
+      val comN = (col("doc_id") % 5).cast("int") + 3
+      val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val jpegHex = concat(lit("ffd8" + "ffe00010" + "4a46494600" + "00" * 9),
+        lit("fffe"), lpad(hex(comN + 2), 4, "0"),
+        substring(lit("0" * 20), lit(1), comN * 2),
+        lit("ffc0000b08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("01011100" + "ffd9"))
+      val even = col("doc_id") % 2 === 0
+      val payload = unhex(when(even, pngHex).otherwise(jpegHex))
+      docs.select(col("doc_id").as("asset_id"),
+          when(even, "png").otherwise("jpeg").as("fmt"),
+          when(even, Multimodal.pngDimensions(payload))
+            .otherwise(Multimodal.jpegDimensions(payload)).as("d"))
+        .select(col("asset_id"), col("fmt"), col("d.valid").as("valid"),
+          col("d.width").as("width"), col("d.height").as("height"))
+        .orderBy("asset_id")
+    },
+    oracle = Some(
+      s"""SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         |  TRUE AS valid,
+         |  CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+         |  CAST(48 + (doc_id % 6) * 16 AS INT) AS height
+         |FROM documents ORDER BY asset_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Event-stream analytics (batch equivalents of the streaming surface;
@@ -7217,6 +7268,7 @@ object Queries {
     "t49_gopher_rules" -> t49_gopher_rules,
     "m1_multimodal_features" -> m1_multimodal_features,
     "m2_frame_sample" -> m2_frame_sample,
+    "m3_container_headers" -> m3_container_headers,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
     "w3_distinct_users" -> w3_distinct_users,

@@ -118,4 +118,67 @@ object Multimodal {
           col("frame_idx") * frameBytes + 1, lit(frameBytes)))))
           .as("frame_md5"))
   }
+
+  // -------------------------------------------------------------------
+  // REAL container-header parsing (no codec needed — pure byte layout)
+  // -------------------------------------------------------------------
+
+  /** PNG dimensions from the REAL container layout (ISO/IEC 15948 /
+    * RFC 2083): the 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then
+    * the IHDR chunk whose type sits at bytes 13–16 and whose first two
+    * fields are width and height as 4-byte big-endian at offsets 17
+    * and 21 (1-based). Pure Catalyst binary slicing + hex→int — no
+    * codec, whole-stage codegen; unlike [[decodeBatch]]'s feature stub,
+    * THIS parse is the real format. Returns
+    * `struct(valid, width, height)`; a payload failing the signature
+    * or IHDR check yields (false, NULL, NULL). */
+  def pngDimensions(bin: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sigOk = length(bin) >= 24 &&
+      lower(hex(substring(bin, 1, 8))) === lit("89504e470d0a1a0a") &&
+      lower(hex(substring(bin, 13, 4))) === lit("49484452") // "IHDR"
+    def be4(pos: Int) = conv(hex(substring(bin, pos, 4)), 16, 10).cast("int")
+    struct(sigOk.as("valid"),
+      when(sigOk, be4(17)).as("width"),
+      when(sigOk, be4(21)).as("height"))
+  }
+
+  /** JPEG dimensions by the REAL marker-segment WALK (ITU-T T.81): from
+    * the SOI (`FF D8`), each segment is `FF <marker>` + a 2-byte
+    * big-endian length that counts itself; the walk advances by
+    * `2 + len` until it reaches a start-of-frame marker (SOF0/1/2 —
+    * baseline, extended sequential, progressive), whose payload is
+    * `precision(1) height(2) width(2) …`. A bounded expression fold
+    * (`maxSegments` iterations) over dynamic `substr` positions — this
+    * is a genuine variable-offset parse, NOT a fixed-stride stub:
+    * APP/COM segments of any length are stepped over byte-exactly.
+    * Returns `struct(valid, width, height)`; non-JPEG signatures,
+    * truncated files, or no SOF within `maxSegments` yield
+    * (false, NULL, NULL). */
+  def jpegDimensions(bin: org.apache.spark.sql.Column,
+      maxSegments: Int = 16): org.apache.spark.sql.Column = {
+    val sigOk = length(bin) >= 4 &&
+      lower(hex(substring(bin, 1, 2))) === lit("ffd8")
+    val init = struct(lit(3).as("pos"),
+      lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
+    val walked = aggregate(sequence(lit(1), lit(maxSegments)), init,
+      (st, _) => ExprUtil.bound(st.getField("pos")) { pos =>
+        val done = st.getField("w").isNotNull || pos + 8 > length(bin)
+        val mk = lower(hex(substr(bin, pos, lit(2))))
+        val isSof = mk.isin("ffc0", "ffc1", "ffc2")
+        def be2(off: Int) =
+          conv(hex(substr(bin, pos + off, lit(2))), 16, 10).cast("int")
+        when(done, st)
+          .otherwise(when(isSof,
+            struct(pos.as("pos"), be2(7).as("w"), be2(5).as("h")))
+            .otherwise(struct((pos + 2 + be2(2)).as("pos"),
+              st.getField("w"), st.getField("h"))))
+      })
+    ExprUtil.bound(walked) { r =>
+      val ok = sigOk && r.getField("w").isNotNull
+      struct(ok.as("valid"),
+        when(ok, r.getField("w")).as("width"),
+        when(ok, r.getField("h")).as("height"))
+    }
+  }
 }

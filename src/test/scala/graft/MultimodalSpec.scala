@@ -32,4 +32,59 @@ class MultimodalSpec extends SparkSpec {
       (2L, 10L, 0, 0, h("abcd")),
       (2L, 10L, 1, 2, h("ij"))))   // trailing partial frame, shorter
   }
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("pngDimensions parses the real IHDR layout; corrupt signatures fail closed") {
+    // a REAL minimal PNG prefix (signature + IHDR for a 257x65 image —
+    // widths crossing a byte boundary so endianness is actually tested)
+    val good = "89504e470d0a1a0a" + "0000000d" + "49484452" +
+      "00000101" + "00000041" + "0806000000"
+    val badSig = "88504e470d0a1a0a" + "0000000d" + "49484452" +
+      "00000101" + "00000041" + "0806000000"
+    val notIhdr = "89504e470d0a1a0a" + "0000000d" + "49484453" +
+      "00000101" + "00000041" + "0806000000"
+    val truncated = "89504e470d0a1a0a" + "0000000d" + "4948"
+    val df = Seq((1L, bytes(good)), (2L, bytes(badSig)),
+      (3L, bytes(notIhdr)), (4L, bytes(truncated)))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.pngDimensions(col("payload")).as("d"))
+      .select(col("id"), col("d.valid"), col("d.width"), col("d.height"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1),
+        Option(x.get(2)), Option(x.get(3))))
+    assert(df === Array(
+      (1L, true, Some(257), Some(65)),
+      (2L, false, None, None),
+      (3L, false, None, None),
+      (4L, false, None, None)))
+  }
+
+  test("jpegDimensions walks real marker segments (APP0 + variable COM) to SOF; truncation and missing SOF fail closed") {
+    def jfif(comPayload: Int, sof: String, w: Int, h: Int): String =
+      "ffd8" +
+        "ffe0" + "0010" + "4a46494600" + "00" * 9 + // real APP0/JFIF, len 16
+        "fffe" + f"${comPayload + 2}%04x" + "00" * comPayload + // COM, varies
+        sof + "000b" + "08" + f"$h%04x" + f"$w%04x" + "01" + "011100" +
+        "ffd9"
+    val df = Seq(
+      (1L, bytes(jfif(3, "ffc0", 640, 480))),   // baseline SOF0
+      (2L, bytes(jfif(11, "ffc2", 257, 65))),   // progressive SOF2, longer COM
+      (3L, bytes("ffd8" + "ffe0" + "0010" + "4a46494600" + "00" * 9 + "ffd9")), // no SOF
+      (4L, bytes("ffd9ffd8")),                   // wrong signature
+      (5L, bytes(jfif(3, "ffc0", 640, 480).take(24))) // truncated mid-walk
+    ).toDF("id", "payload")
+      .select(col("id"), Multimodal.jpegDimensions(col("payload")).as("d"))
+      .select(col("id"), col("d.valid"), col("d.width"), col("d.height"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1),
+        Option(x.get(2)), Option(x.get(3))))
+    assert(df === Array(
+      (1L, true, Some(640), Some(480)),
+      (2L, true, Some(257), Some(65)),
+      (3L, false, None, None),
+      (4L, false, None, None),
+      (5L, false, None, None)))
+  }
 }
