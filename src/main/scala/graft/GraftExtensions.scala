@@ -110,7 +110,19 @@ object GraftExtensions {
       require(children.length == 1,
         "graft_classifier_logit expects exactly 1 argument")
       graft.functions.ClassifierLogit(children.head)
-    })
+    },
+    // round 14: the Z-ORDER clustering key (21 bits/key — the t94
+    // gated configuration; the Column API exposes bits and the N-key
+    // form) and the REAL container-header parsers
+    "graft_zvalue" -> { children =>
+      require(children.length == 2, "graft_zvalue expects exactly 2 arguments")
+      bridge.expressionEager(operators.Layout.zValue(
+        bridge.column(children.head), bridge.column(children(1)), 21))
+    },
+    "graft_png_dims" -> unary("graft_png_dims")(
+      operators.Multimodal.pngDimensions),
+    "graft_jpeg_dims" -> unary("graft_jpeg_dims")(
+      operators.Multimodal.jpegDimensions(_)))
 
   /** Registry-path registration for an ALREADY-RUNNING session (the
     * builder path only applies at session construction). */

@@ -74,6 +74,19 @@ class DotProductSpec extends SparkSpec {
     new GraftExtensions().apply(exts) // must not throw; builder wired
   }
 
+  test("SQL layout/container functions: graft_zvalue interleaves, graft_png_dims parses") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_zvalue(3L, 5L) AS z,
+        |  graft_png_dims(unhex(concat('89504e470d0a1a0a0000000d49484452',
+        |    '00000101', '00000041', '0806000000'))) AS d""".stripMargin).head
+    // a=3 (bits 0,1 -> even slots 0,2), b=5 (bits 0,2 -> odd slots 1,5):
+    // 1 + 4 + 2 + 32 = 39
+    assert(r.getLong(0) === 39L)
+    val d = r.getStruct(1)
+    assert(d.getBoolean(0) && d.getInt(1) === 257 && d.getInt(2) === 65)
+  }
+
   test("SQL text macros expand to the Column-API expression trees") {
     GraftExtensions.register(spark)
     val r = spark.sql(
