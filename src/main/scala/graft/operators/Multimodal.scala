@@ -154,7 +154,10 @@ object Multimodal {
     * APP/COM segments of any length are stepped over byte-exactly.
     * Returns `struct(valid, width, height)`; non-JPEG signatures,
     * truncated files, or no SOF within `maxSegments` yield
-    * (false, NULL, NULL). */
+    * (false, NULL, NULL). Scope note: optional 0xFF fill bytes
+    * between segments (T.81 §B.1.1.2, rarely emitted by JFIF
+    * writers) are not skipped — a stream using them parses as
+    * invalid rather than wrong. */
   def jpegDimensions(bin: org.apache.spark.sql.Column,
       maxSegments: Int = 16): org.apache.spark.sql.Column = {
     val sigOk = length(bin) >= 4 &&
