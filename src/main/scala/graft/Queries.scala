@@ -6792,6 +6792,49 @@ object Queries {
     * per-row argmax that explodes |clicks|×|purchases| per user. The
     * oracle is a plain LATERAL top-1 (no DuckDB ASOF dialect
     * dependence) so the tie-break is explicit and identical. */
+  /** [[j3_asof_join]] with a 30-minute TOLERANCE
+    * ([[TemporalJoin.asOfTolerance]], the pandas `merge_asof
+    * (tolerance=…)` semantics): the last purchase older than 30 min
+    * is STALE — the click row survives with a NULL payload. One
+    * staleness check on the as-of winner ≡ restricting the lateral's
+    * candidates, which is exactly how the oracle spells it. */
+  val j8_asof_tolerance: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("last_purchase_id"),
+          col("ts").as("last_purchase_ts"),
+          col("value").as("last_purchase_value"))
+      TemporalJoin.asOfTolerance(clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("last_purchase_id", "last_purchase_ts",
+            "last_purchase_value"),
+          tieBreak = Seq("last_purchase_id"),
+          toleranceMicros = 30L * 60 * 1000000)
+        .orderBy("event_id")
+    },
+    bench = true,
+    oracle = Some(
+      """SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS ts,
+        |  p.last_purchase_id, p.last_purchase_ts, p.last_purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS last_purchase_id,
+        |         CAST(ts AS TIMESTAMP) AS last_purchase_ts,
+        |         value AS last_purchase_value
+        |  FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |    AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+        |  ORDER BY CAST(p.ts AS TIMESTAMP) DESC, event_id DESC LIMIT 1
+        |) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin))
+
   private def asOfFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsWithTs(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -7304,6 +7347,7 @@ object Queries {
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,
+    "j8_asof_tolerance" -> j8_asof_tolerance,
     "j4_range_join" -> j4_range_join,
     "j5_interval_join" -> j5_interval_join,
     "j5a_interval_join_auto" -> j5a_interval_join_auto,

@@ -94,6 +94,37 @@ object TemporalJoin {
         rightPayload.map(f => col(pay).getField(f).as(f)): _*)
   }
 
+  /** [[asOf]] with a TOLERANCE bound (pandas `merge_asof(tolerance=…)`
+    * / a sensor-fusion staleness cutoff): the matched right row must
+    * additionally satisfy `leftTs − rightTs ≤ toleranceMicros`, else
+    * the payload is NULL (the row survives — left-outer semantics).
+    * Because the as-of match is the LATEST at-or-before row, it being
+    * outside the tolerance means every candidate is — so one
+    * staleness check on the winner is exactly the candidate-restricted
+    * join, with no change to the single sort-merge-shaped window pass.
+    * The matched right timestamp rides inside the payload struct as a
+    * hidden field and is dropped on output. */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tieBreak: Seq[String],
+      toleranceMicros: Long): DataFrame = {
+    require(toleranceMicros >= 0, "asOfTolerance: tolerance must be >= 0")
+    val rts = "__asof_rts"
+    val joined = asOf(left, right.withColumn(rts, col(rightTs)),
+      leftKey, rightKey, leftTs, rightTs, rightPayload :+ rts, tieBreak)
+    val fresh = col(rts).isNotNull &&
+      unix_micros(col(leftTs).cast("timestamp")) -
+        unix_micros(col(rts).cast("timestamp")) <= toleranceMicros
+    joined.select(left.columns.map(col).toSeq ++
+      rightPayload.map(f => when(fresh, col(f)).as(f)): _*)
+  }
+
   /** Bucketed range join (inner): pair every point with every interval
     * `[startCol, endCol)` that contains it, WITHOUT an equi-key and
     * without a cross product.

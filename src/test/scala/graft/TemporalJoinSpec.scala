@@ -73,6 +73,38 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got.filter(col("m_id").isNull).count() === 2L)
   }
 
+  test("asOfTolerance: boundary-inclusive staleness cutoff nulls the payload but keeps the row") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, 10L, t("2024-01-01 10:30:00")), // match at 10:00 → exactly 30 min: FRESH
+      (2L, 10L, t("2024-01-01 10:31:00")), // 31 min: stale → NULL payload, row kept
+      (3L, 10L, t("2024-01-01 10:05:00")), // 5 min: fresh
+      (4L, 99L, t("2024-01-01 10:30:00"))  // no right row at all
+    ).toDF("l_id", "k", "ts")
+    val r = Seq((7L, 10L, t("2024-01-01 10:00:00"), 42L))
+      .toDF("m_id", "k", "ts", "m_val")
+      .select(col("k"), col("ts"), col("m_id"), col("m_val"))
+    val got = TemporalJoin.asOfTolerance(l, r, "k", "k", "ts", "ts",
+        rightPayload = Seq("m_id", "m_val"), tieBreak = Seq("m_id"),
+        toleranceMicros = 30L * 60 * 1000000)
+      .orderBy("l_id")
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Long])))
+    assert(got === Array(
+      (1L, Some(7L), Some(42L)),
+      (2L, None, None),
+      (3L, Some(7L), Some(42L)),
+      (4L, None, None)))
+    // staleness must null the WHOLE payload atomically, never a slice
+    val mixed = TemporalJoin.asOfTolerance(l, r, "k", "k", "ts", "ts",
+      rightPayload = Seq("m_id", "m_val"), tieBreak = Seq("m_id"),
+      toleranceMicros = 30L * 60 * 1000000)
+    assert(mixed.filter(col("m_id").isNull =!= col("m_val").isNull)
+      .count() === 0L)
+  }
+
   test("rangeJoin equals the naive theta-join and emits no duplicates") {
     val ranges = spark.range(0, 300).select(
       col("id").as("range_id"),
