@@ -3641,11 +3641,13 @@ object Queries {
     * [[Multimodal.jpegDimensions]]): per document a VALID container is
     * synthesized byte-for-byte to the actual format spec — PNG
     * signature + IHDR (even ids) or JPEG SOI + real APP0/JFIF + a
-    * variable-length COM segment + SOF0 (odd ids, COM length varying
-    * by id so the marker WALK lands at a different offset per row) —
-    * and the parsers must recover the planted dimensions through the
-    * genuine layout (big-endian fields, self-counting segment
-    * lengths). The oracle computes the planted values arithmetically:
+    * variable-length COM segment + a 0–3-byte 0xFF FILL run (T.81
+    * §B.1.1.2, varying by id — round 15) + SOF0 (odd ids, COM length
+    * varying by id so the marker WALK lands at a different offset per
+    * row) — and the parsers must recover the planted dimensions
+    * through the genuine layout (big-endian fields, self-counting
+    * segment lengths, fill-byte skipping). The oracle computes the
+    * planted values arithmetically:
     * round-tripping the real byte layout IS the parse check. This
     * retires the image half of the "container parse is a stub" seam;
     * video containers (frame indexes) remain the documented
@@ -3658,9 +3660,11 @@ object Queries {
       val comN = (col("doc_id") % 5).cast("int") + 3
       val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
         lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val fillN = (col("doc_id") % 4).cast("int")
       val jpegHex = concat(lit("ffd8" + "ffe00010" + "4a46494600" + "00" * 9),
         lit("fffe"), lpad(hex(comN + 2), 4, "0"),
         substring(lit("0" * 20), lit(1), comN * 2),
+        substring(lit("ff" * 3), lit(1), fillN * 2),
         lit("ffc0000b08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
         lit("01011100" + "ffd9"))
       val even = col("doc_id") % 2 === 0

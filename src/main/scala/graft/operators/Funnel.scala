@@ -1280,7 +1280,7 @@ object Funnel {
    * the w18 rule). Emits the FIRST `maxMatches` matches as rows
    * `(user_id, match_idx, n_matches, ts1_us..tsk_us)` with `n_matches`
    * the TRUE (uncapped) total; zero-match users emit nothing. The
-   * oracle replays it as maxMatches×k chained greedy picks (w22).
+   * oracle replays it as maxMatches×k chained greedy picks (w26).
    */
   def funnelMulti(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, orderCol: String, stages: Seq[String],
@@ -1318,7 +1318,7 @@ object Funnel {
    * composition is counter addition plus concat-truncate of the
    * witness lists (exact: the trajectory reads the TRUE counter, never
    * the capped list — the w18 capped-monoid rule). Bit-identical to
-   * the single fold; gates against w22's oracle VERBATIM (w23).
+   * the single fold; gates against w26's oracle VERBATIM (w27).
    */
   def funnelMultiBucketed(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,

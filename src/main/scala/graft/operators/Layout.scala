@@ -25,10 +25,15 @@ object Layout {
   /** Morton/Z interleave of two non-negative keys, `bits` low bits
     * each (bit i of `a` → bit 2i, bit i of `b` → bit 2i+1): one long
     * whose sort order is the Z space-filling curve over (a, b).
-    * Callers bound the domain (`pmod`, `div`-bucketing or a
-    * monotonic cast) — `requireBounded` guards the contract at plan
-    * build time where statically checkable. bits ≤ 31 keeps the
-    * result in the positive Long range (2·31 = 62 bits). */
+    * Caller contract: inputs must already lie in `[0, 2^bits)` —
+    * bound them with `pmod`, `div`-bucketing or a monotonic cast;
+    * out-of-domain bits are silently ignored (only the low `bits`
+    * bits of each key are read), which FOLDS the key space and
+    * degrades clustering quality without affecting pruning
+    * correctness. [[requireBounded]] is the loud runtime audit of
+    * that contract; [[zOrderWrite]] runs it when `audit = true`.
+    * bits ≤ 31 keeps the result in the positive Long range
+    * (2·31 = 62 bits). */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
     (0 until bits).map { i =>
@@ -49,6 +54,33 @@ object Layout {
       .reduce(_ bitwiseOR _)
   }
 
+  /** Loud runtime audit of the [[zValue]]/[[zValueN]] domain contract:
+    * ONE aggregate over the key columns asserting every value lies in
+    * `[0, 2^bits)`. Throws `IllegalArgumentException` naming the first
+    * offending column and its observed (min, max) — the alternative is
+    * `pmod` silently folding the key space and quietly destroying
+    * clustering quality (pruning stays correct — it reads real footer
+    * stats — but the z layout degrades toward noise with no signal).
+    * Cost: one scan of the audited columns; opt in where the domain is
+    * not known by construction. */
+  def requireBounded(df: DataFrame, keys: Seq[String], bits: Int): Unit = {
+    require(bits >= 1 && bits <= 62, "need 1 <= bits <= 62")
+    val bound = 1L << bits
+    val row = df.select(keys.flatMap(k => Seq(
+      min(col(k).cast("long")).as(s"min_$k"),
+      max(col(k).cast("long")).as(s"max_$k"))): _*).head()
+    keys.zipWithIndex.foreach { case (k, i) =>
+      if (!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1)) {
+        val (lo, hi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+        if (lo < 0 || hi >= bound) throw new IllegalArgumentException(
+          s"zValue domain violation: column '$k' has range [$lo, $hi], " +
+            s"outside [0, $bound) for bits=$bits — bucket with div/pmod " +
+            "first or raise bits; folding it silently would destroy " +
+            "clustering quality")
+      }
+    }
+  }
+
   /**
    * Write `df` Z-ORDER-CLUSTERED on two key columns: range-partition on
    * the z-value into `numFiles` output files, sort within each by the
@@ -60,10 +92,12 @@ object Layout {
    * Keys are bounded into the bit domain by `pmod` (order-preserving
    * whenever the caller's domain already fits — pass `bits` large
    * enough for the real range; for skewed/huge domains bucket with
-   * `div` first).
+   * `div` first). `audit = true` runs [[requireBounded]] first: one
+   * extra scan, loud failure instead of a silently folded layout.
    */
   def zOrderWrite(df: DataFrame, colA: String, colB: String, bits: Int,
-      path: String, numFiles: Int): Unit = {
+      path: String, numFiles: Int, audit: Boolean = false): Unit = {
+    if (audit) requireBounded(df, Seq(colA, colB), bits)
     val z = zValue(pmod(col(colA).cast("long"), lit(1L << bits)),
       pmod(col(colB).cast("long"), lit(1L << bits)), bits)
     df.withColumn("__z", z)

@@ -154,10 +154,13 @@ object Multimodal {
     * APP/COM segments of any length are stepped over byte-exactly.
     * Returns `struct(valid, width, height)`; non-JPEG signatures,
     * truncated files, or no SOF within `maxSegments` yield
-    * (false, NULL, NULL). Scope note: optional 0xFF fill bytes
-    * between segments (T.81 §B.1.1.2, rarely emitted by JFIF
-    * writers) are not skipped — a stream using them parses as
-    * invalid rather than wrong. */
+    * (false, NULL, NULL). Optional 0xFF fill bytes before a marker
+    * (T.81 §B.1.1.2: "any marker may optionally be preceded by any
+    * number of fill bytes") ARE skipped: each step counts the
+    * leading FF run in a 64-byte window (one let-bound regexp over
+    * the hex rendering, not per-reference) and reads the marker as
+    * the run's LAST FF plus the following byte — runs longer than
+    * 62 fill bytes (beyond any real writer) parse as invalid. */
   def jpegDimensions(bin: org.apache.spark.sql.Column,
       maxSegments: Int = 16): org.apache.spark.sql.Column = {
     val sigOk = length(bin) >= 4 &&
@@ -166,16 +169,26 @@ object Multimodal {
       lit(null).cast("int").as("w"), lit(null).cast("int").as("h"))
     val walked = aggregate(sequence(lit(1), lit(maxSegments)), init,
       (st, _) => ExprUtil.bound(st.getField("pos")) { pos =>
-        val done = st.getField("w").isNotNull || pos + 8 > length(bin)
-        val mk = lower(hex(substr(bin, pos, lit(2))))
-        val isSof = mk.isin("ffc0", "ffc1", "ffc2")
-        def be2(off: Int) =
-          conv(hex(substr(bin, pos + off, lit(2))), 16, 10).cast("int")
-        when(done, st)
-          .otherwise(when(isSof,
-            struct(pos.as("pos"), be2(7).as("w"), be2(5).as("h")))
-            .otherwise(struct((pos + 2 + be2(2)).as("pos"),
-              st.getField("w"), st.getField("h"))))
+        // fill-byte run length at pos (in BYTES): count of leading
+        // "ff" pairs in the hex of a 64-byte window; the marker is
+        // the run's last FF + the next byte, so its position is
+        // pos + max(fills-1, 0) (fills = 1 ⇒ no fill bytes, today's
+        // layout; fills = 0 ⇒ malformed, unchanged fall-through).
+        val fills = (length(regexp_extract(
+          lower(hex(substr(bin, pos, lit(64)))), "^((?:ff)*)", 1))
+          .cast("int") / 2).cast("int")
+        ExprUtil.bound(pos + greatest(fills - 1, lit(0))) { posM =>
+          val done = st.getField("w").isNotNull || posM + 8 > length(bin)
+          val mk = lower(hex(substr(bin, posM, lit(2))))
+          val isSof = mk.isin("ffc0", "ffc1", "ffc2")
+          def be2(off: Int) =
+            conv(hex(substr(bin, posM + off, lit(2))), 16, 10).cast("int")
+          when(done, st)
+            .otherwise(when(isSof,
+              struct(posM.as("pos"), be2(7).as("w"), be2(5).as("h")))
+              .otherwise(struct((posM + 2 + be2(2)).as("pos"),
+                st.getField("w"), st.getField("h"))))
+        }
       })
     ExprUtil.bound(walked) { r =>
       val ok = sigOk && r.getField("w").isNotNull

@@ -98,6 +98,12 @@ object TemporalJoin {
     * / a sensor-fusion staleness cutoff): the matched right row must
     * additionally satisfy `leftTs − rightTs ≤ toleranceMicros`, else
     * the payload is NULL (the row survives — left-outer semantics).
+    * Units contract: timestamp/string-datetime ts columns are measured
+    * in real microseconds via `unix_micros`; NUMERIC ts columns (the
+    * `*_us` epoch-micros convention) are compared RAW, in whatever
+    * epoch unit the caller ordered by — `toleranceMicros` is then in
+    * that same unit. Mixing a numeric side with a datetime side is
+    * rejected at plan build (incompatible clocks).
     * Because the as-of match is the LATEST at-or-before row, it being
     * outside the tolerance means every candidate is — so one
     * staleness check on the winner is exactly the candidate-restricted
@@ -118,9 +124,31 @@ object TemporalJoin {
     val rts = "__asof_rts"
     val joined = asOf(left, right.withColumn(rts, col(rightTs)),
       leftKey, rightKey, leftTs, rightTs, rightPayload :+ rts, tieBreak)
-    val fresh = col(rts).isNotNull &&
-      unix_micros(col(leftTs).cast("timestamp")) -
-        unix_micros(col(rts).cast("timestamp")) <= toleranceMicros
+    // Freshness in the SAME units the caller ordered by: numeric
+    // timestamp columns (the *_us epoch-micros convention used by the
+    // funnel family) are compared RAW — casting a LONG to timestamp
+    // interprets it as SECONDS and would inflate the difference by 1e6
+    // versus toleranceMicros, i.e. silently wrong tolerance semantics.
+    // Datetime/string columns go through unix_micros as before. Mixed
+    // numeric/datetime sides are rejected loudly: the subtraction
+    // would compare incompatible clocks.
+    import org.apache.spark.sql.types.NumericType
+    val leftNumeric =
+      left.schema(leftTs).dataType.isInstanceOf[NumericType]
+    val rightNumeric =
+      right.schema(rightTs).dataType.isInstanceOf[NumericType]
+    require(leftNumeric == rightNumeric,
+      s"asOfTolerance: ts columns must both be numeric (raw epoch units) " +
+        s"or both datetime-like; got $leftTs numeric=$leftNumeric, " +
+        s"$rightTs numeric=$rightNumeric")
+    val fresh =
+      if (leftNumeric)
+        col(rts).isNotNull &&
+          col(leftTs).cast("long") - col(rts).cast("long") <= toleranceMicros
+      else
+        col(rts).isNotNull &&
+          unix_micros(col(leftTs).cast("timestamp")) -
+            unix_micros(col(rts).cast("timestamp")) <= toleranceMicros
     joined.select(left.columns.map(col).toSeq ++
       rightPayload.map(f => when(fresh, col(f)).as(f)): _*)
   }

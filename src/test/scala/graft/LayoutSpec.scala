@@ -49,6 +49,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("requireBounded passes in-domain keys, names the offending column out-of-domain; zValue folds silently without it") {
+    val ok = Seq((0L, 0L), ((1L << 10) - 1, 5L)).toDF("a", "b")
+    Layout.requireBounded(ok, Seq("a", "b"), bits = 10) // no throw
+    val over = Seq((5L, (1L << 10).toLong)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException](
+      Layout.requireBounded(over, Seq("a", "b"), bits = 10))
+    assert(e1.getMessage.contains("'b'") && e1.getMessage.contains("1024"))
+    val neg = Seq((-3L, 1L)).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](
+      Layout.requireBounded(neg, Seq("a", "b"), bits = 10))
+    assert(e2.getMessage.contains("'a'"))
+    // the behavior the guard exists to catch: without it, zValue reads
+    // only the low bits — an out-of-domain key ALIASES onto an
+    // in-domain one (pruning stays correct, clustering quality dies)
+    val aliased = Seq((5L, 7L), (5L + (1L << 10), 7L)).toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(aliased(0) === aliased(1))
+  }
+
   test("z-ordered layout prunes a 2-dim box from file stats where the linear layout cannot") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")

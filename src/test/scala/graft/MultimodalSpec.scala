@@ -87,4 +87,31 @@ class MultimodalSpec extends SparkSpec {
       (4L, false, None, None),
       (5L, false, None, None)))
   }
+
+  test("jpegDimensions skips T.81 §B.1.1.2 fill bytes before any marker; over-long runs fail closed") {
+    // fill bytes (extra 0xFF) may precede ANY marker: plant runs before
+    // the COM marker, before SOF, and before both at once.
+    def jfif(fillCom: Int, com: Int, fillSof: Int, w: Int, h: Int): String =
+      "ffd8" +
+        "ffe0" + "0010" + "4a46494600" + "00" * 9 +
+        "ff" * fillCom + "fffe" + f"${com + 2}%04x" + "00" * com +
+        "ff" * fillSof + "ffc0" + "000b" + "08" + f"$h%04x" + f"$w%04x" +
+        "01" + "011100" + "ffd9"
+    val df = Seq(
+      (1L, bytes(jfif(0, 3, 1, 640, 480))),  // one fill before SOF
+      (2L, bytes(jfif(2, 3, 0, 257, 65))),   // run of 2 before COM
+      (3L, bytes(jfif(3, 5, 3, 33, 17))),    // runs before both
+      (4L, bytes(jfif(0, 3, 70, 640, 480)))  // beyond the 64-byte window
+    ).toDF("id", "payload")
+      .select(col("id"), Multimodal.jpegDimensions(col("payload")).as("d"))
+      .select(col("id"), col("d.valid"), col("d.width"), col("d.height"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1),
+        Option(x.get(2)), Option(x.get(3))))
+    assert(df === Array(
+      (1L, true, Some(640), Some(480)),
+      (2L, true, Some(257), Some(65)),
+      (3L, true, Some(33), Some(17)),
+      (4L, false, None, None)))
+  }
 }
