@@ -5986,6 +5986,137 @@ object Queries {
         .orderBy("user_id", "match_idx"),
     oracle = w26_funnel_matches.oracle)
 
+  /** Oracle for the after-match-skip family ([[Funnel.funnelSkip]]):
+    * per-start greedy chains as k-1 chained first-after picks (one
+    * row_number-1 hop per expanded stage, each strictly after the
+    * previous bound event in the (us, event_id) total order), then the
+    * completion-order pruning scan as a RECURSIVE CTE walking each
+    * user's chains in completion order and carrying the running anchor
+    * threshold — the data-dependent running max that plain window
+    * functions cannot express. `anchor` = 1-based expanded witness
+    * index (None = no pruning), `inclusive` = survivor keeps start >=
+    * threshold (vs strictly > for past-last). */
+  private def sqlSkipOracle(types: Seq[String], anchor: Option[Int],
+      inclusive: Boolean, cap: Int): String = {
+    val k = types.length
+    val hops = (2 to k).map { j =>
+      val prevCols = (1 to j - 1).flatMap(i => Seq(s"u$i", s"g$i"))
+        .map("c." + _).mkString(", ")
+      s"""c$j AS (SELECT * EXCLUDE (rn) FROM (
+         |  SELECT c.user_id, $prevCols, e.us AS u$j, e.event_id AS g$j,
+         |    row_number() OVER (PARTITION BY c.user_id, c.u1, c.g1
+         |      ORDER BY e.us, e.event_id) AS rn
+         |  FROM c${j - 1} c JOIN e ON e.user_id = c.user_id
+         |    AND e.event_type = '${types(j - 1)}'
+         |    AND (e.us > c.u${j - 1} OR (e.us = c.u${j - 1}
+         |         AND e.event_id > c.g${j - 1}))) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val survOp = if (inclusive) ">=" else ">"
+    val (thr, surv) = anchor match {
+      case None => (
+        "s.mu AS mu, s.mo AS mo",
+        "TRUE")
+      case Some(a) => (
+        s"""CASE WHEN (c.u1 > s.mu OR (c.u1 = s.mu AND c.g1 $survOp s.mo))
+           |      AND (c.u$a > s.mu OR (c.u$a = s.mu AND c.g$a > s.mo))
+           |    THEN c.u$a ELSE s.mu END AS mu,
+           |  CASE WHEN (c.u1 > s.mu OR (c.u1 = s.mu AND c.g1 $survOp s.mo))
+           |      AND (c.u$a > s.mu OR (c.u$a = s.mu AND c.g$a > s.mo))
+           |    THEN c.g$a ELSE s.mo END AS mo""".stripMargin,
+        s"(c.u1 > s.mu OR (c.u1 = s.mu AND c.g1 $survOp s.mo))")
+    }
+    val uCols = (1 to k).map(j => s"c.u$j").mkString(", ")
+    val tsCols = (1 to k).map(j => s"u$j AS ts${j}_us").mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type
+       |  FROM events),
+       |c1 AS (SELECT user_id, us AS u1, event_id AS g1 FROM e
+       |  WHERE event_type = '${types.head}'),
+       |$hops,
+       |ch AS (SELECT *,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY u$k, g$k, u1, g1) AS rk
+       |  FROM c$k),
+       |sel AS (
+       |  SELECT user_id, CAST(0 AS BIGINT) AS rk,
+       |    CAST(-1 AS BIGINT) AS mu, CAST(-1 AS BIGINT) AS mo,
+       |    FALSE AS emit,
+       |    ${(1 to k).map(j => s"CAST(NULL AS BIGINT) AS u$j").mkString(", ")}
+       |  FROM (SELECT DISTINCT user_id FROM ch)
+       |  UNION ALL
+       |  SELECT c.user_id, CAST(c.rk AS BIGINT) AS rk,
+       |    $thr,
+       |    $surv AS emit,
+       |    $uCols
+       |  FROM sel s JOIN ch c ON c.user_id = s.user_id AND c.rk = s.rk + 1)
+       |SELECT * FROM (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY rk)
+       |      AS BIGINT) AS match_idx,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+       |    $tsCols
+       |  FROM sel WHERE emit)
+       |WHERE match_idx <= $cap
+       |ORDER BY user_id, match_idx""".stripMargin
+  }
+
+  /** After-match skip SKIP_TO_LAST ([[Funnel.funnelSkip]] with
+    * [[Funnel.SkipToLast]]): view → click×2 → purchase, an emitted
+    * match discards partial matches started strictly before its LAST
+    * click — the quantified middle stage is what makes FIRST and LAST
+    * anchors differ (w34 is the same pattern re-anchored). The machine
+    * is the per-start branch NFA (one greedy chain per view, branch
+    * buckets advancing together — O(k) buckets, one user-keyed
+    * shuffle) plus the completion-order pruning scan; the oracle
+    * replays the chains as chained first-after hop joins and the
+    * pruning as a recursive CTE carrying the running anchor
+    * threshold. */
+  val w33_funnel_skip_to_last: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkip(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 2, "purchase" -> 1),
+          Funnel.SkipToLast(2), maxMatches = MultiMatchCap)
+        .orderBy("user_id", "match_idx"),
+    bench = true,
+    oracle = Some(sqlSkipOracle(
+      Seq("view", "click", "click", "purchase"),
+      anchor = Some(3), inclusive = true, cap = MultiMatchCap)))
+
+  /** After-match skip SKIP_TO_FIRST ([[Funnel.SkipToFirst]]): w33's
+    * pattern anchored at the FIRST click of the emitted match — a
+    * strictly weaker threshold, so it emits a superset of w33's
+    * matches (both gated independently; the pair is what proves the
+    * first/last anchors are genuinely different machines). */
+  val w34_funnel_skip_to_first: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkip(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 2, "purchase" -> 1),
+          Funnel.SkipToFirst(2), maxMatches = MultiMatchCap)
+        .orderBy("user_id", "match_idx"),
+    oracle = Some(sqlSkipOracle(
+      Seq("view", "click", "click", "purchase"),
+      anchor = Some(2), inclusive = true, cap = MultiMatchCap)))
+
+  /** After-match skip SKIP_TO_NEXT ([[Funnel.SkipToNext]]): EVERY view
+    * event's greedy chain emits (an emitted match discards only
+    * branches sharing its own start) — the full per-start enumeration,
+    * where w26's skip-past-last emits only non-overlapping matches.
+    * The output cap is exercised here (users with more starts than
+    * `maxMatches` report the true n_matches with the first
+    * `maxMatches` rows). */
+  val w35_funnel_skip_to_next: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkip(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 1, "purchase" -> 1),
+          Funnel.SkipToNext, maxMatches = MultiMatchCap)
+        .orderBy("user_id", "match_idx"),
+    oracle = Some(sqlSkipOracle(
+      Seq("view", "click", "purchase"),
+      anchor = None, inclusive = true, cap = MultiMatchCap)))
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -7343,6 +7474,9 @@ object Queries {
     "w25_funnel_pattern_product_bucketed" -> w25_funnel_pattern_product_bucketed,
     "w26_funnel_matches" -> w26_funnel_matches,
     "w27_funnel_matches_bucketed" -> w27_funnel_matches_bucketed,
+    "w33_funnel_skip_to_last" -> w33_funnel_skip_to_last,
+    "w34_funnel_skip_to_first" -> w34_funnel_skip_to_first,
+    "w35_funnel_skip_to_next" -> w35_funnel_skip_to_next,
     "w31_funnel_loop_until" -> w31_funnel_loop_until,
     "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,

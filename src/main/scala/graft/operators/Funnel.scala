@@ -1368,6 +1368,202 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // AFTER MATCH SKIP strategies — Flink CEP's AfterMatchSkipStrategy
+  // -------------------------------------------------------------------
+
+  /** Flink CEP `AfterMatchSkipStrategy` counterpart for ordered-pattern
+    * match enumeration (the reference has no CEP; the Flink API surface
+    * is the north-star this family closes — [[funnelMulti]] covered
+    * SKIP_PAST_LAST_EVENT as a greedy-restart machine, this closes the
+    * remaining strategies on a per-start-branch reduction). */
+  sealed trait SkipStrategy
+  /** Flink `skipToNext`: an emitted match discards only partial matches
+    * sharing its OWN start event — for deterministic per-start
+    * `followedBy` branches that is the emitting branch itself, so every
+    * start event's completed chain emits. */
+  case object SkipToNext extends SkipStrategy
+  /** Flink `skipPastLastEvent`: an emitted match discards every partial
+    * match started at or before its LAST event ([[funnelMulti]]'s
+    * semantics, re-derived here as the pruning scan for cross-checking —
+    * the greedy-restart pointer machine is the cheaper plan for it). */
+  case object SkipPastLast extends SkipStrategy
+  /** Flink `skipToFirst(stage)`: an emitted match discards partial
+    * matches started strictly BEFORE the FIRST event it bound to
+    * `stage` (1-based, pre-expansion); branches started AT the anchor
+    * survive. Flink forbids anchoring the strategy at the pattern's
+    * first stage (infinite-loop guard); here stage 1 is simply a
+    * no-op threshold (anchor = own start) and degenerates to
+    * [[SkipToNext]]. */
+  final case class SkipToFirst(stage: Int) extends SkipStrategy
+  /** Flink `skipToLast(stage)`: as [[SkipToFirst]] but anchored at the
+    * LAST event bound to `stage` — the two differ exactly when `stage`
+    * is quantified (`times`). */
+  final case class SkipToLast(stage: Int) extends SkipStrategy
+
+  private val ChainType = "array<struct<us:bigint,oid:bigint>>"
+
+  private def emptyChains = array().cast(s"array<$ChainType>")
+
+  /** One event through the per-start BRANCH NFA: bucket j (1-based)
+    * holds the witness prefixes of every branch that has matched stages
+    * 1..j, in start order; all branches in a bucket advance TOGETHER on
+    * the bucket's next stage type (greedy `followedBy` binds the first
+    * qualifying event, which is the same event for every branch waiting
+    * on it — this coalescing is what keeps per-start enumeration
+    * linear). New buckets are built from the PRE-event state
+    * simultaneously, so a branch advances at most one stage per event
+    * even when consecutive stage types repeat; bucket monotonicity
+    * (earlier starts sit in higher buckets) makes `stay ++ arrive`
+    * start-ordered. Completions append to `done` in completion order,
+    * start order within one completing event — exactly the order Flink
+    * emits matches in. */
+  private def chainsStep(st: Column, e: Column, types: Seq[String]): Column = {
+    val k = types.length
+    val wit = array(struct(e.getField("us").as("us"),
+      e.getField("oid").as("oid")))
+    def bktOf(j: Int) = element_at(st.getField("bkt"), j)
+    def tpIs(stage: Int) = e.getField("tp") === lit(types(stage - 1))
+    val newBkt = (1 to k - 1).map { j =>
+      val stay = when(tpIs(j + 1), emptyChains).otherwise(bktOf(j))
+      val arrive =
+        if (j == 1) when(tpIs(1), array(wit)).otherwise(emptyChains)
+        else when(tpIs(j), transform(bktOf(j - 1), c => concat(c, wit)))
+          .otherwise(emptyChains)
+      concat(stay, arrive)
+    }
+    val completions =
+      when(tpIs(k), transform(bktOf(k - 1), c => concat(c, wit)))
+        .otherwise(emptyChains)
+    struct(array(newBkt: _*).as("bkt"),
+      concat(st.getField("done"), completions).as("done"))
+  }
+
+  /** Completion-order PRUNING scan — the after-match skip applied the
+    * way Flink applies it: matches complete in event order (the branch
+    * NFA appends them that way); each EMITTED match raises the kill
+    * threshold to its anchor event's total-order position, and a later
+    * completion emits iff its start is at-or-after (strictly after for
+    * [[SkipPastLast]]) the threshold — a branch killed while partial is
+    * exactly a completion whose start fails the check. `anchor` is the
+    * 1-based EXPANDED witness index (None = no pruning); the output
+    * list caps at `maxMatches` while `n` counts the TRUE emitted total
+    * (the cap never feeds the threshold — the w18 capped-monoid rule). */
+  private def pruneChains(done: Column, anchor: Option[Int],
+      inclusive: Boolean, maxMatches: Int): Column = {
+    val init = struct(lit(Long.MinValue).as("mu"),
+      lit(Long.MinValue).as("mo"), lit(0L).as("n"), emptyChains.as("out"))
+    aggregate(done, init, (s, c) => {
+      val (mu, mo) = (s.getField("mu"), s.getField("mo"))
+      val su = element_at(c, 1).getField("us")
+      val so = element_at(c, 1).getField("oid")
+      val surv =
+        if (inclusive) su > mu || (su === mu && so >= mo)
+        else su > mu || (su === mu && so > mo)
+      val (nmu, nmo) = anchor match {
+        case None => (mu, mo)
+        case Some(a) =>
+          val au = element_at(c, a).getField("us")
+          val ao = element_at(c, a).getField("oid")
+          val grow = au > mu || (au === mu && ao > mo)
+          (when(surv && grow, au).otherwise(mu),
+            when(surv && grow, ao).otherwise(mo))
+      }
+      struct(nmu.as("mu"), nmo.as("mo"),
+        (s.getField("n") + when(surv, 1L).otherwise(0L)).as("n"),
+        when(surv && size(s.getField("out")) < maxMatches,
+          concat(s.getField("out"), array(c)))
+          .otherwise(s.getField("out")).as("out"))
+    })
+  }
+
+  /** Emitted-match projection: first `maxMatches` surviving chains as
+    * `(match_idx, n_matches, ts1_us..tsk_us)` rows, `n_matches` the
+    * TRUE post-prune total; zero-match users emit nothing. */
+  private def skipOut(p: Column, k: Int): Column = {
+    val n = p.getField("n")
+    val out = p.getField("out")
+    when(size(out) > 0,
+      transform(sequence(lit(1), size(out)), m =>
+        struct(m.cast("long").as("match_idx") +: n.as("n_matches") +:
+          (1 to k).map(j => element_at(element_at(out, m), j)
+            .getField("us").as(s"ts${j}_us")): _*)))
+      .otherwise(array().cast(
+        s"array<struct<match_idx:bigint,n_matches:bigint,${
+          (1 to k).map(j => s"ts${j}_us:bigint").mkString(",")}>>"))
+  }
+
+  /** `stages` as (type, repetition) pairs expanded to the flat stage
+    * list — `times(r)` on a stage is r copies of its type. */
+  private[graft] def expandStages(stages: Seq[(String, Int)]): Seq[String] =
+    stages.flatMap { case (t, r) => Seq.fill(r)(t) }
+
+  /** (anchor expanded-index, inclusive?) for a strategy: FIRST anchors
+    * at the quantified block's first copy, LAST at its last,
+    * PAST_LAST exclusive at the final stage. */
+  private def skipAnchor(stages: Seq[(String, Int)],
+      skip: SkipStrategy): (Option[Int], Boolean) = {
+    def lo(s: Int) = 1 + stages.take(s - 1).map(_._2).sum
+    skip match {
+      case SkipToNext => (None, true)
+      case SkipPastLast => (Some(stages.map(_._2).sum), false)
+      case SkipToFirst(s) => (Some(lo(s)), true)
+      case SkipToLast(s) => (Some(lo(s) + stages(s - 1)._2 - 1), true)
+    }
+  }
+
+  private def skipRequire(stages: Seq[(String, Int)],
+      skip: SkipStrategy, maxMatches: Int): Unit = {
+    require(stages.nonEmpty && stages.forall(_._2 >= 1) && maxMatches >= 1,
+      "need stages with repetitions >= 1 and maxMatches >= 1")
+    require(expandStages(stages).length >= 2, "need an expanded length >= 2")
+    val anchored = skip match {
+      case SkipToFirst(s) => Some(s); case SkipToLast(s) => Some(s)
+      case _ => None
+    }
+    anchored.foreach(s => require(s >= 1 && s <= stages.length,
+      s"anchor stage $s out of range 1..${stages.length}"))
+  }
+
+  /**
+   * Match enumeration of the ordered pattern under a chosen Flink
+   * after-match skip strategy. The Spark-first reduction: the NFA's
+   * branch set is ONE GREEDY CHAIN PER START EVENT (deterministic
+   * `followedBy` binds each next stage to the first qualifying event),
+   * chains are monotone in their start (an earlier start never binds a
+   * later event at any stage), so completions arrive in start order
+   * and the whole machine is the [[chainsStep]] bucket fold — O(k)
+   * buckets whose total chain count is bounded by the user's
+   * stage-1-type event count (the same O(events-per-user) class as the
+   * event array the family already collects; skewed keys take the
+   * bucketed twin). The strategy is then EXACTLY the [[pruneChains]]
+   * completion-order scan — Flink emits matches as they complete and
+   * prunes live partials against each emission's anchor. ONE user-keyed
+   * shuffle; output rows `(user_id, match_idx, n_matches,
+   * ts1_us..tsk_us)` over the EXPANDED stage list.
+   */
+  def funnelSkip(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[(String, Int)],
+      skip: SkipStrategy, maxMatches: Int): DataFrame = {
+    skipRequire(stages, skip, maxMatches)
+    val types = expandStages(stages)
+    val k = types.length
+    val (anchor, inclusive) = skipAnchor(stages, skip)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val init = struct(array(Seq.fill(k - 1)(emptyChains): _*).as("bkt"),
+      emptyChains.as("done"))
+    val folded = aggregate(col("evs"), init, chainsStep(_, _, types))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"), explode(ExprUtil.bound(
+        pruneChains(folded.getField("done"), anchor, inclusive, maxMatches))(
+        skipOut(_, k))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
+  // -------------------------------------------------------------------
   // followedByAny — non-deterministic relaxed contiguity
   // -------------------------------------------------------------------
 

@@ -859,6 +859,118 @@ class FunnelSpec extends SparkSpec {
     assert(gotB.toSeq === got.toSeq)
   }
 
+  private def runSkip(ev: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Int)], skip: Funnel.SkipStrategy,
+      maxMatches: Int) =
+    Funnel.funnelSkip(ev, "user_id", "event_type", "ts", "event_id",
+        stages, skip, maxMatches)
+      .orderBy("user_id", "match_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        (3 until 3 + stages.map(_._2).sum).map(i =>
+          x.get(i).asInstanceOf[Long] - us0)))
+
+  /** In-memory reference for [[Funnel.funnelSkip]]: per-start greedy
+    * chains by direct scan, completion-order sort, pruning scan. */
+  private def skipReference(events: Seq[(Long, Long, java.sql.Timestamp, String)],
+      types: Seq[String], anchorIdx: Option[Int], inclusive: Boolean,
+      cap: Int): Seq[(Long, Long, Long, Seq[Long])] = {
+    events.groupBy(_._1).toSeq.flatMap { case (u, raw) =>
+      val es = raw.map(e => (e._3.getTime * 1000L, e._2, e._4))
+        .sortBy(e => (e._1, e._2))
+      val chains = es.indices.filter(i => es(i)._3 == types.head).flatMap { i0 =>
+        var cur = i0
+        val w = scala.collection.mutable.ArrayBuffer((es(i0)._1, es(i0)._2))
+        var ok = true
+        types.tail.foreach { t =>
+          if (ok) es.indexWhere(_._3 == t, cur + 1) match {
+            case -1 => ok = false
+            case j => w += ((es(j)._1, es(j)._2)); cur = j
+          }
+        }
+        if (ok) Some(w.toSeq) else None
+      }.sortBy(c => (c.last, c.head))
+      var (mu, mo) = (Long.MinValue, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+      var n = 0L
+      chains.foreach { c =>
+        val (su, so) = c.head
+        val surv = if (inclusive) su > mu || (su == mu && so >= mo)
+          else su > mu || (su == mu && so > mo)
+        if (surv) {
+          n += 1
+          if (out.size < cap) out += c
+          anchorIdx.foreach { a =>
+            val (au, ao) = c(a - 1)
+            if (au > mu || (au == mu && ao > mo)) { mu = au; mo = ao }
+          }
+        }
+      }
+      out.zipWithIndex.map { case (c, m) =>
+        (u, (m + 1).toLong, n, c.map(_._1 - us0)) }
+    }.sortBy(x => (x._1, x._2))
+  }
+
+  test("funnelSkip: the four strategies partition the chain set differently on one log") {
+    // user 1: chains A=(1,2,4,6), B=(3,4,5,6) overlap sharing click(4)
+    // and purchase(6); C=(7,8,9,10) is disjoint. B starts BETWEEN A's
+    // first click (2) and last click (4) — the case where FIRST and
+    // LAST anchors genuinely differ.
+    val ev = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+      (1L, 3L, ts(3), "view"), (1L, 4L, ts(4), "click"),
+      (1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "purchase"),
+      (1L, 7L, ts(7), "view"), (1L, 8L, ts(8), "click"),
+      (1L, 9L, ts(9), "click"), (1L, 10L, ts(10), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
+    val s = 1000000L
+    val A = Seq(1 * s, 2 * s, 4 * s, 6 * s)
+    val B = Seq(3 * s, 4 * s, 5 * s, 6 * s)
+    val C = Seq(7 * s, 8 * s, 9 * s, 10 * s)
+    assert(runSkip(ev, stages, Funnel.SkipToNext, 5).toSeq === Seq(
+      (1L, 1L, 3L, A), (1L, 2L, 3L, B), (1L, 3L, 3L, C)))
+    // FIRST anchors at A's first click (2): B's start (3) survives
+    assert(runSkip(ev, stages, Funnel.SkipToFirst(2), 5).toSeq === Seq(
+      (1L, 1L, 3L, A), (1L, 2L, 3L, B), (1L, 3L, 3L, C)))
+    // LAST anchors at A's last click (4): B's start (3) is killed
+    assert(runSkip(ev, stages, Funnel.SkipToLast(2), 5).toSeq === Seq(
+      (1L, 1L, 2L, A), (1L, 2L, 2L, C)))
+    assert(runSkip(ev, stages, Funnel.SkipPastLast, 5).toSeq === Seq(
+      (1L, 1L, 2L, A), (1L, 2L, 2L, C)))
+    // cap truncates rows, never the true count
+    assert(runSkip(ev, stages, Funnel.SkipToNext, 1).toSeq === Seq(
+      (1L, 1L, 3L, A)))
+  }
+
+  test("property: funnelSkip(SkipPastLast) == funnelMulti on random logs; all strategies match the reference") {
+    val rnd = new scala.util.Random(1533L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 900).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(60)),
+        typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    // cross-machine: the pruning-scan SkipPastLast equals the
+    // greedy-restart pointer machine, simple and quantified patterns
+    val simple = Seq("view" -> 1, "click" -> 1, "purchase" -> 1)
+    assert(runSkip(df, simple, Funnel.SkipPastLast, 4).toSeq ===
+      runMulti(df, Seq("view", "click", "purchase"), 4).toSeq)
+    val quant = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
+    assert(runSkip(df, quant, Funnel.SkipPastLast, 4).toSeq ===
+      runMulti(df, Seq("view", "click", "click", "purchase"), 4).toSeq)
+    // reference: every strategy on the quantified pattern
+    val qTypes = Seq("view", "click", "click", "purchase")
+    for ((skip, anchor, incl) <- Seq(
+        (Funnel.SkipToNext, None, true),
+        (Funnel.SkipToFirst(2), Some(2), true),
+        (Funnel.SkipToLast(2), Some(3), true),
+        (Funnel.SkipPastLast, Some(4), false))) {
+      val got = runSkip(df, quant, skip, 4).toSeq
+      val exp = skipReference(events, qTypes, anchor, incl, 4)
+      assert(got === exp, s"strategy $skip")
+    }
+  }
+
   /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
     * counters, closed-bit), mirroring the Catalyst step decision for
     * decision. */
