@@ -6117,6 +6117,36 @@ object Queries {
       Seq("view", "click", "purchase"),
       anchor = None, inclusive = true, cap = MultiMatchCap)))
 
+  /** [[w33_funnel_skip_to_last]] through the SKEW-SAFE bucketed split
+    * ([[Funnel.funnelSkipBucketed]]): per-segment entry-bucket scalar
+    * simulations + an internal machine run, carried buckets
+    * re-distributed through the entry table, completions re-sorted on
+    * (completion, start) before the identical pruning scan. Gated on
+    * w33's oracle VERBATIM. */
+  val w36_funnel_skip_to_last_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkipBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 2, "purchase" -> 1),
+          Funnel.SkipToLast(2), maxMatches = MultiMatchCap,
+          bucketSeconds = 3600L)
+        .orderBy("user_id", "match_idx"),
+    oracle = w33_funnel_skip_to_last.oracle)
+
+  /** [[w35_funnel_skip_to_next]] through the bucketed split — the
+    * no-pruning case exercises the pure chain-enumeration monoid
+    * (entry-table composition with nothing killed). Gated on w35's
+    * oracle VERBATIM. */
+  val w37_funnel_skip_to_next_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkipBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 1, "purchase" -> 1),
+          Funnel.SkipToNext, maxMatches = MultiMatchCap,
+          bucketSeconds = 3600L)
+        .orderBy("user_id", "match_idx"),
+    oracle = w35_funnel_skip_to_next.oracle)
+
   /** GUARDED funnel — Flink CEP's `notFollowedBy` INSIDE a pattern
     * ([[Funnel.funnelGuarded]]): view → click → purchase counts only
     * via chains with NO `error` event strictly between consecutive
@@ -7477,6 +7507,8 @@ object Queries {
     "w33_funnel_skip_to_last" -> w33_funnel_skip_to_last,
     "w34_funnel_skip_to_first" -> w34_funnel_skip_to_first,
     "w35_funnel_skip_to_next" -> w35_funnel_skip_to_next,
+    "w36_funnel_skip_to_last_bucketed" -> w36_funnel_skip_to_last_bucketed,
+    "w37_funnel_skip_to_next_bucketed" -> w37_funnel_skip_to_next_bucketed,
     "w31_funnel_loop_until" -> w31_funnel_loop_until,
     "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,

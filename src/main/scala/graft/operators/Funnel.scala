@@ -1500,7 +1500,7 @@ object Funnel {
   /** (anchor expanded-index, inclusive?) for a strategy: FIRST anchors
     * at the quantified block's first copy, LAST at its last,
     * PAST_LAST exclusive at the final stage. */
-  private def skipAnchor(stages: Seq[(String, Int)],
+  private[graft] def skipAnchor(stages: Seq[(String, Int)],
       skip: SkipStrategy): (Option[Int], Boolean) = {
     def lo(s: Int) = 1 + stages.take(s - 1).map(_._2).sum
     skip match {
@@ -1511,7 +1511,7 @@ object Funnel {
     }
   }
 
-  private def skipRequire(stages: Seq[(String, Int)],
+  private[graft] def skipRequire(stages: Seq[(String, Int)],
       skip: SkipStrategy, maxMatches: Int): Unit = {
     require(stages.nonEmpty && stages.forall(_._2 >= 1) && maxMatches >= 1,
       "need stages with repetitions >= 1 and maxMatches >= 1")
@@ -1558,6 +1558,95 @@ object Funnel {
       .agg(evs.as("evs"))
       .select(col("user_id"), explode(ExprUtil.bound(
         pruneChains(folded.getField("done"), anchor, inclusive, maxMatches))(
+        skipOut(_, k))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
+  /**
+   * [[funnelSkip]] for SKEWED keys — the time-bucketed split. The
+   * segment summary exploits the same coalescing that keeps the single
+   * fold linear: every branch in a bucket moves TOGETHER, so a
+   * segment's effect on the chains that ENTER it at bucket r is one
+   * scalar simulation (final bucket index + the witness suffix all of
+   * them append — k-1 simulations total), plus the full machine run
+   * from empty state for the segment's INTERNAL starts (partials per
+   * exit bucket + internal completions). Composition re-distributes
+   * the carried buckets through the entry table (higher entry buckets
+   * first — start monotonicity makes `carried ++ internal` start-
+   * ordered) and concatenates completions; the global completion
+   * order is restored at the end by ONE sort on (completion, start)
+   * — total, because starts are unique — and the pruning scan then
+   * runs identically to the single fold. Exact, not approximate:
+   * nothing is capped before the sort (chain counts are bounded by
+   * per-segment start counts, the same class as the event arrays).
+   */
+  def funnelSkipBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], skip: SkipStrategy, maxMatches: Int,
+      bucketSeconds: Long): DataFrame = {
+    skipRequire(stages, skip, maxMatches)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val types = expandStages(stages)
+    val k = types.length
+    val (anchor, inclusive) = skipAnchor(stages, skip)
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val initEmpty = struct(
+      array(Seq.fill(k - 1)(emptyChains): _*).as("bkt"),
+      emptyChains.as("done"))
+    val segSummary = ExprUtil.bound(
+      aggregate(col("evs"), initEmpty, chainsStep(_, _, types))) { full =>
+      struct(
+        transform(sequence(lit(1), lit(k - 1)), r =>
+          aggregate(col("evs"),
+            struct(r.cast("int").as("idx"),
+              array().cast(ChainType).as("suf")),
+            (st, e) => {
+              val idx = st.getField("idx")
+              val adv = idx < k &&
+                e.getField("tp") === element_at(typedLit(types), idx + 1)
+              when(adv, struct((idx + 1).as("idx"),
+                concat(st.getField("suf"), array(struct(
+                  e.getField("us").as("us"), e.getField("oid").as("oid"))))
+                  .as("suf")))
+                .otherwise(st)
+            })).as("ent"),
+        full.getField("bkt").as("part"),
+        full.getField("done").as("done"))
+    }
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"), segSummary.as("f"))
+    val merged = aggregate(col("segs"), initEmpty, (st, s) => {
+      val seg = s.getField("f")
+      def entIdx(r: Int) = element_at(seg.getField("ent"), r).getField("idx")
+      def grp(r: Int) = transform(element_at(st.getField("bkt"), r),
+        c => concat(c, element_at(seg.getField("ent"), r).getField("suf")))
+      val newBkt = (1 to k - 1).map { b =>
+        concat(((k - 1) to 1 by -1).map(r =>
+          when(entIdx(r) === b, grp(r)).otherwise(emptyChains)) :+
+          element_at(seg.getField("part"), b): _*)
+      }
+      val doneAdd = concat(((k - 1) to 1 by -1).map(r =>
+        when(entIdx(r) === k, grp(r)).otherwise(emptyChains)) :+
+        seg.getField("done"): _*)
+      struct(array(newBkt: _*).as("bkt"),
+        concat(st.getField("done"), doneAdd).as("done"))
+    })
+    val doneSorted = transform(
+      sort_array(transform(merged.getField("done"), c => struct(
+        element_at(c, -1).getField("us").as("cu"),
+        element_at(c, -1).getField("oid").as("co"),
+        c.as("ch")))),
+      x => x.getField("ch"))
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
+      .select(col("user_id"), explode(ExprUtil.bound(
+        pruneChains(doneSorted, anchor, inclusive, maxMatches))(
         skipOut(_, k))).as("m"))
       .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
         (1 to k).map(j => col(s"m.ts${j}_us")): _*)

@@ -1823,6 +1823,114 @@ object StreamingIngest {
         updateFunnelMulti(stages.toIndexedSeq, maxMatches))
   }
 
+  /** Chains are flat `Seq[Long]` of interleaved (us, oid) pairs;
+    * `buckets(j-1)` holds the prefixes that matched stages 1..j.
+    * (mu, mo) is the running after-match-skip threshold. */
+  final case class FunnelSkipState(n: Long, mu: Long, mo: Long,
+      buckets: Seq[Seq[Seq[Long]]], pending: Seq[(Long, Long, String)])
+
+  /**
+   * Streaming after-match-skip enumeration —
+   * [[graft.operators.Funnel.funnelSkip]]'s twin: per-user state is
+   * the per-start branch NFA's buckets (all branches in a bucket
+   * advance together) plus the running anchor threshold, so the
+   * pruning scan happens ONLINE — each completion is checked against
+   * the threshold the moment its last stage matures, which is exactly
+   * the batch completion-order scan because mature events fold in
+   * watermark order. Each surviving match emits exactly ONE
+   * `(user_id, match_idx, witnesses)` row, up to `maxMatches` (later
+   * survivors advance the counter silently, the batch cap contract).
+   * Branches whose start falls behind the threshold can never emit
+   * and are garbage-collected from the buckets at each flush — under
+   * an anchored strategy the live state is bounded by the branches
+   * started since the last emitted match's anchor (SkipToNext keeps
+   * every live branch, the batch contract). A user with no branches,
+   * no count and nothing buffered drops losslessly.
+   */
+  def updateFunnelSkip(stages: Seq[(String, Int)],
+      skip: graft.operators.Funnel.SkipStrategy, maxMatches: Int)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelSkipState]): Iterator[FunnelMatchEmit] = {
+    val types = graft.operators.Funnel.expandStages(stages)
+    val k = types.length
+    val (anchor, inclusive) = graft.operators.Funnel.skipAnchor(stages, skip)
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelSkipState(0L, Long.MinValue,
+      Long.MinValue, Seq.fill(k - 1)(Nil), Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var n = prev.n
+    var mu = prev.mu
+    var mo = prev.mo
+    val buckets = prev.buckets.toArray
+    val emits = scala.collection.mutable.ArrayBuffer.empty[FunnelMatchEmit]
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, oid, tp) =>
+      val pre = buckets.clone()
+      (1 to k - 1).foreach { j =>
+        val stay = if (tp == types(j)) Nil else pre(j - 1)
+        val arrive =
+          if (j == 1) { if (tp == types.head) Seq(Seq(us, oid)) else Nil }
+          else if (tp == types(j - 1)) pre(j - 2).map(_ :+ us :+ oid)
+          else Nil
+        buckets(j - 1) = stay ++ arrive
+      }
+      val completions =
+        if (tp == types(k - 1)) pre(k - 2).map(_ :+ us :+ oid) else Nil
+      completions.foreach { c =>
+        val (su, so) = (c(0), c(1))
+        val surv = if (inclusive) su > mu || (su == mu && so >= mo)
+          else su > mu || (su == mu && so > mo)
+        if (surv) {
+          n += 1
+          if (n <= maxMatches)
+            emits += FunnelMatchEmit(userId, n,
+              c.indices.collect { case i if i % 2 == 0 => c(i) })
+          anchor.foreach { a =>
+            val (au, ao) = (c(2 * (a - 1)), c(2 * (a - 1) + 1))
+            if (au > mu || (au == mu && ao > mo)) { mu = au; mo = ao }
+          }
+        }
+      }
+    }
+    // semantic GC: a branch whose start is behind the threshold can
+    // never survive the pruning scan — drop it (output-invariant)
+    val gcd = buckets.map(_.filter { c =>
+      val (su, so) = (c(0), c(1))
+      if (inclusive) su > mu || (su == mu && so >= mo)
+      else su > mu || (su == mu && so > mo)
+    })
+    val removable = n == 0L && gcd.forall(_.isEmpty) && immature.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelSkipState(n, mu, mo, gcd.toSeq, immature))
+      if (immature.nonEmpty)
+        state.setTimeoutTimestamp(immature.map(_._1).min / 1000L + 1L)
+    }
+    emits.iterator
+  }
+
+  /** The streaming after-match-skip enumerator over an events stream —
+    * the [[streamingFunnel]] plumbing with [[updateFunnelSkip]]'s
+    * branch-bucket state. */
+  def streamingFunnelSkip(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int)],
+      skip: graft.operators.Funnel.SkipStrategy, maxMatches: Int,
+      watermark: String): Dataset[FunnelMatchEmit] = {
+    import spark.implicits._
+    graft.operators.Funnel.skipRequire(stages, skip, maxMatches)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelSkip(stages, skip, maxMatches))
+  }
+
   // -------------------------------------------------------------------
   // Streaming absence detection (the j6 batch notFollowedBy's twin)
   // -------------------------------------------------------------------

@@ -971,6 +971,28 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("property: funnelSkipBucketed == funnelSkip for every strategy (1-second segments)") {
+    val rnd = new scala.util.Random(4411L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 900).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, ts(rnd.nextInt(50)),
+        typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val quant = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
+    for (skip <- Seq[Funnel.SkipStrategy](Funnel.SkipToNext,
+        Funnel.SkipToFirst(2), Funnel.SkipToLast(2), Funnel.SkipPastLast)) {
+      val single = runSkip(df, quant, skip, 4).toSeq
+      val bucketed = Funnel.funnelSkipBucketed(df, "user_id", "event_type",
+          "ts", "event_id", quant, skip, 4, bucketSeconds = 1L)
+        .orderBy("user_id", "match_idx").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          (3 until 7).map(i => x.get(i).asInstanceOf[Long] - us0))).toSeq
+      assert(bucketed === single, s"strategy $skip")
+      assert(single.nonEmpty)
+    }
+  }
+
   /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
     * counters, closed-bit), mirroring the Catalyst step decision for
     * decision. */

@@ -2006,6 +2006,63 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) === 2)
   }
 
+  test("streaming after-match skip equals batch funnelSkip across out-of-order waves, online pruning included") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
+    // u1 re-creates the A/B/C chain overlap (B starts between A's first
+    // and last click, so SkipToLast(2) kills it ONLINE when A completes);
+    // events arrive OUT of event-time order across waves. u2: a single
+    // chain split across waves.
+    val waves = Seq(
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:05:00"), "purchase"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(1L, 7L, t("2024-01-01 10:06:00"), "view"),
+        Row(1L, 8L, t("2024-01-01 10:07:00"), "click"),
+        Row(1L, 9L, t("2024-01-01 10:08:00"), "click"),
+        Row(1L, 10L, t("2024-01-01 10:09:00"), "purchase"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "click"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-skip-src")
+    writeWaves(src, waves)
+    for (skip <- Seq[graft.operators.Funnel.SkipStrategy](
+        graft.operators.Funnel.SkipToLast(2),
+        graft.operators.Funnel.SkipToFirst(2),
+        graft.operators.Funnel.SkipToNext)) {
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Seq[Long])]
+      val q = StreamingIngest.streamingFunnelSkip(spark,
+          spark.readStream.schema(funnelWaveSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          stages, skip, maxMatches = 8, "2 hours")
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      assert(emitted.size === emitted.toSet.size, s"$skip exactly-once")
+      val batch = graft.operators.Funnel.funnelSkip(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+          "user_id", "event_type", "ts", "event_id", stages, skip,
+          maxMatches = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          (3 to 6).map(i => r.getLong(i)).toSeq)).toSet
+      assert(emitted.toSet === batch, s"$skip")
+      assert(batch.nonEmpty, s"$skip must have matches")
+    }
+  }
+
   test("streaming followedByAny count equals the batch path-counting fold across out-of-order waves") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
