@@ -5751,6 +5751,83 @@ object Queries {
     * until event (stage 1's measured from the log start — the machine
     * is current in stage 1 before its first pick), and the whole row
     * zeroed when stage 1 closed unstarted. */
+  /** Loop-internal CONTIGUITY — Flink CEP's `oneOrMore.consecutive()`
+    * ([[Funnel.funnelLoopConsecutive]]): view{2+ consecutive} →
+    * click{2+ consecutive}, each repetition block a run of IMMEDIATELY
+    * adjacent same-type events (any intervening event resets a partial
+    * block, permanently closes a completed one); between stages
+    * contiguity stays relaxed. The oracle is the chained
+    * immediate-successor formulation: per-type maximal runs via
+    * gaps-and-islands, the earliest island of length ≥ minReps after
+    * the previous stage's completion index per stage, and the island
+    * containing the user's last event for the trailing partial run. */
+  val w38_funnel_loop_consecutive: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutive(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |ei AS (SELECT user_id, us, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS idx FROM e),
+        |isl AS (SELECT *, idx - row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY idx) AS grp FROM ei),
+        |islands AS (SELECT user_id, event_type, grp, min(idx) AS s,
+        |    max(idx) AS e2, CAST(count(*) AS BIGINT) AS len, max(us) AS lus
+        |  FROM isl GROUP BY 1, 2, 3),
+        |lastidx AS (SELECT user_id, max(idx) AS mx FROM ei GROUP BY user_id),
+        |c1 AS (SELECT user_id, s, len, lus FROM (
+        |  SELECT user_id, s, len, lus,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn
+        |  FROM islands WHERE event_type = 'view' AND len >= 2) WHERE rn = 1),
+        |c2 AS (SELECT user_id, s, len, lus FROM (
+        |  SELECT i.user_id, i.s, i.len, i.lus,
+        |    row_number() OVER (PARTITION BY i.user_id ORDER BY i.s) AS rn
+        |  FROM islands i JOIN c1 ON c1.user_id = i.user_id
+        |  WHERE i.event_type = 'click' AND i.len >= 2 AND i.s > c1.s + 1)
+        |  WHERE rn = 1),
+        |tr AS (SELECT i.user_id, i.event_type AS ttp, i.s AS tst,
+        |    i.len AS tlen, i.lus AS tlus
+        |  FROM islands i JOIN lastidx x ON x.user_id = i.user_id
+        |    AND i.e2 = x.mx)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN c2.s IS NOT NULL THEN 2
+        |            WHEN c1.s IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS stage_reached,
+        |  CAST(CASE WHEN c1.s IS NOT NULL THEN c1.len
+        |            WHEN tr.ttp = 'view' THEN tr.tlen
+        |            ELSE 0 END AS BIGINT) AS reps1,
+        |  CASE WHEN c1.s IS NOT NULL THEN c1.lus
+        |       WHEN tr.ttp = 'view' THEN tr.tlus ELSE NULL END AS ts1_us,
+        |  CAST(CASE WHEN c2.s IS NOT NULL THEN c2.len
+        |            WHEN c1.s IS NOT NULL AND tr.ttp = 'click'
+        |              AND tr.tst > c1.s + 1 THEN tr.tlen
+        |            ELSE 0 END AS BIGINT) AS reps2,
+        |  CASE WHEN c2.s IS NOT NULL THEN c2.lus
+        |       WHEN c1.s IS NOT NULL AND tr.ttp = 'click'
+        |         AND tr.tst > c1.s + 1 THEN tr.tlus ELSE NULL END AS ts2_us
+        |FROM u LEFT JOIN c1 USING (user_id) LEFT JOIN c2 USING (user_id)
+        |  LEFT JOIN tr USING (user_id)
+        |ORDER BY user_id""".stripMargin))
+
+  /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
+    * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
+    * per entry state (stage × partial-run-count-or-open), composed by
+    * table lookup with replace-vs-add merge. Gated on w38's oracle
+    * VERBATIM. */
+  val w40_funnel_loop_consecutive_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutiveBucketed(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2), bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w38_funnel_loop_consecutive.oracle)
+
   val w31_funnel_loop_until: Q = Q(
     run = (spark, dir) =>
       Funnel.funnelLoopUntil(t(spark, dir, "events"), "user_id",
@@ -7510,6 +7587,8 @@ object Queries {
     "w36_funnel_skip_to_last_bucketed" -> w36_funnel_skip_to_last_bucketed,
     "w37_funnel_skip_to_next_bucketed" -> w37_funnel_skip_to_next_bucketed,
     "w31_funnel_loop_until" -> w31_funnel_loop_until,
+    "w38_funnel_loop_consecutive" -> w38_funnel_loop_consecutive,
+    "w40_funnel_loop_consecutive_bucketed" -> w40_funnel_loop_consecutive_bucketed,
     "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,
     "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,

@@ -305,6 +305,234 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // Loop-internal contiguity — Flink CEP's `consecutive()` inside
+  // oneOrMore / timesOrMore
+  // -------------------------------------------------------------------
+
+  /** One event's transition of the CONSECUTIVE-loop machine. State:
+    * `j` — the stage the machine is working on (1..K+1, K+1 = done);
+    * `open` — stage j's mandatory block is complete and its loop is
+    * still unbroken; `c[i]`/`l[i]` — occurrences consumed / last
+    * occurrence time per stage. Run phase (`!open`): a type-j event
+    * extends the current RUN (reaching `m_j` opens the loop); any
+    * other event RESETS the partial run to zero (strict contiguity
+    * inside the block — the l/o lesson applies within the
+    * repetition: greedy-earliest over non-consecutive picks would be
+    * wrong, so the machine counts maximal runs and the earliest run
+    * of length `m_j` is existence-optimal). Open phase: a type-j
+    * event absorbs; any other event closes the loop PERMANENTLY and
+    * is immediately offered to stage j+1 (relaxed contiguity BETWEEN
+    * stages — the breaker may be the next stage's first pick). */
+  private def consecStep(st: Column, e: Column,
+      stages: Seq[(String, Int)]): Column = {
+    val types = stages.map(_._1)
+    val m = stages.map(_._2.toLong)
+    val K = types.length
+    val j = st.getField("j"); val open = st.getField("open")
+    val c = st.getField("c"); val l = st.getField("l")
+    val tp = e.getField("tp"); val us = e.getField("us")
+    def setC(v: Column, at: Column) =
+      transform(c, (x, i) => when(i === at - 1, v).otherwise(x))
+    def setL(v: Column, at: Column) =
+      transform(l, (x, i) => when(i === at - 1, v).otherwise(x))
+    // sentinel row at K+1 keeps element_at in range while done
+    val typesX = typedLit(types :+ "")
+    val mX = typedLit(m :+ 0L)
+    val tpCur = element_at(typesX, j)
+    val closeStart = {
+      val nj = j + 1
+      val tpN = element_at(typesX, least(nj, lit(K + 1)))
+      when(nj > K, struct(nj.as("j"), lit(false).as("open"),
+        c.as("c"), l.as("l")))
+        .otherwise(when(tp === tpN,
+          struct(nj.as("j"),
+            (element_at(mX, nj) === 1L).as("open"),
+            setC(lit(1L), nj).as("c"), setL(us, nj).as("l")))
+          .otherwise(struct(nj.as("j"), lit(false).as("open"),
+            c.as("c"), l.as("l"))))
+    }
+    val runStep = {
+      val nc = element_at(c, j) + 1L
+      when(tp === tpCur,
+        struct(j.as("j"), (nc === element_at(mX, j)).as("open"),
+          setC(nc, j).as("c"), setL(us, j).as("l")))
+        .otherwise(struct(j.as("j"), lit(false).as("open"),
+          setC(lit(0L), j).as("c"),
+          setL(lit(null).cast("long"), j).as("l")))
+    }
+    when(j > K, st)
+      .otherwise(when(open,
+        when(tp === tpCur,
+          struct(j.as("j"), open.as("open"),
+            setC(element_at(c, j) + 1L, j).as("c"), setL(us, j).as("l")))
+          .otherwise(closeStart))
+        .otherwise(runStep))
+  }
+
+  private def consecInit(stages: Seq[(String, Int)]): Column =
+    struct(lit(1).as("j"), lit(false).as("open"),
+      array_repeat(lit(0L), stages.length).as("c"),
+      array_repeat(lit(null).cast("long"), stages.length).as("l"))
+
+  private def consecOut(stages: Seq[(String, Int)],
+      f: Column): DataFrame => DataFrame = df => df
+    .select(col("user_id"), f.as("f"))
+    .select(col("user_id") +:
+      (col("f.j") - 1 + when(col("f.open"), 1).otherwise(0))
+        .as("stage_reached") +:
+      stages.indices.flatMap(i => Seq(
+        element_at(col("f.c"), i + 1).as(s"reps${i + 1}"),
+        element_at(col("f.l"), i + 1).as(s"ts${i + 1}_us"))): _*)
+
+  /**
+   * [[funnelLoop]] with STRICT contiguity INSIDE every repetition
+   * block — Flink CEP's `oneOrMore.consecutive()` /
+   * `timesOrMore(n).consecutive()` (between stages contiguity stays
+   * relaxed, Flink's default): stage j matches `minReps_j`-or-more
+   * IMMEDIATELY CONSECUTIVE occurrences of its type in the user's
+   * total event order — a single intervening event of any other type
+   * resets a partial block and permanently closes a completed one.
+   *
+   * Deterministic contract: stage j completes at the EARLIEST run of
+   * `minReps_j` consecutive type-j events entirely after stage j-1's
+   * block completion (earliest completion is existence-optimal — it
+   * only enlarges what later stages can use), then absorbs the rest
+   * of that run; the breaker is offered to stage j+1 in the same
+   * step. `reps_j` reports the completed stage's full run length, or
+   * the CURRENT unbroken partial run for the stage in progress (0
+   * after a break — progress is observable, resets included).
+   * Oracle: per-type maximal-run islands (gaps-and-islands), one
+   * earliest-qualifying-island pick per stage chained on the
+   * previous completion index, and the island containing the last
+   * event for the trailing partial. Same scale shape as
+   * [[funnelLoop]]: ONE user-keyed shuffle, O(K) state.
+   */
+  def funnelLoopConsecutive(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)]): DataFrame = {
+    loopRequire(stages)
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), consecInit(stages),
+      (st, e) => consecStep(st, e, stages))
+    consecOut(stages, folded)(
+      events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
+  }
+
+  /** Entry-state table for the consecutive-loop segment split: per
+    * stage j, run states with partial count r = 0..m_j-1, then the
+    * open-loop state; DONE last. The partial count is part of the
+    * entry state (the run may straddle a segment boundary and the
+    * completion test reads the absolute count), which is what bounds
+    * the table at Σ(m_j + 1) + 1 entries — counts beyond m_j only
+    * occur in the open phase, whose behavior never reads them. */
+  private def consecStates(stages: Seq[(String, Int)])
+      : Seq[(Int, Int, Boolean)] =
+    stages.zipWithIndex.flatMap { case ((_, m), i) =>
+      (0 until m).map(r => (i + 1, r, false)) :+ ((i + 1, 0, true))
+    } :+ ((stages.length + 1, 0, false))
+
+  /**
+   * [[funnelLoopConsecutive]] for SKEWED keys — the segment split.
+   * A segment's summary is one [[consecStep]] fold per ENTRY STATE
+   * (stage × partial-run-count-or-open — adjacency across segment
+   * boundaries is automatic because time buckets partition the ordered
+   * stream with nothing in between). Composition is a table lookup
+   * plus per-stage merge with REPLACE-vs-ADD semantics derived from
+   * the entry state: stages before the entry stage are frozen (keep),
+   * the entry stage composes by count-add + last-time-coalesce when
+   * entered OPEN (absorption is a pure delta) and by replacement when
+   * entered mid-run (the entry partial count seeds the fold, so its
+   * outputs are already absolute — and every event in run phase
+   * either extends or resets, so the segment always determines the
+   * slot), and later stages replace outright (they were untouched
+   * zeros at entry, a machine invariant). Bit-identical to the single
+   * fold; gates on w38's oracle VERBATIM (w40).
+   */
+  def funnelLoopConsecutiveBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], bucketSeconds: Long): DataFrame = {
+    loopRequire(stages)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val K = stages.length
+    val m = stages.map(_._2)
+    val states = consecStates(stages)
+    val S = states.length
+    val base = stages.map(_._2 + 1).scanLeft(0)(_ + _) // base(j-1) for stage j
+    def exitSid(f: Column): Column =
+      (1 to K).foldRight(lit(S - 1): Column) { (jj, els) =>
+        when(f.getField("j") === jj,
+          lit(base(jj - 1)) + when(f.getField("open"), lit(m(jj - 1)))
+            .otherwise(element_at(f.getField("c"), jj).cast("int")))
+          .otherwise(els)
+      }
+    val base_ = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val summaries = array(states.map { case (j0, r0, open0) =>
+      val init = struct(lit(j0).as("j"), lit(open0).as("open"),
+        array(stages.indices.map(i =>
+          lit(if (i == j0 - 1 && !open0 && j0 <= K) r0.toLong else 0L))
+          : _*).as("c"),
+        array_repeat(lit(null).cast("long"), K).as("l"))
+      ExprUtil.bound(aggregate(col("evs"), init,
+        (st, e) => consecStep(st, e, stages))) { f =>
+        struct(exitSid(f).as("x"), f.getField("c").as("c"),
+          f.getField("l").as("l"))
+      }
+    }: _*)
+    val segs = base_.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"), summaries.as("f"))
+    val zero = struct(lit(0).as("sid"),
+      array_repeat(lit(0L), K).as("c"),
+      array_repeat(lit(null).cast("long"), K).as("l"))
+    val merged = aggregate(col("segs"), zero, (st, seg) =>
+      ExprUtil.bound(element_at(seg.getField("f"),
+          st.getField("sid") + 1)) { sel =>
+        def ruleFor(s: Int): Column = {
+          val (j0, _, open0) = states(s)
+          val cs = (1 to K).map { i =>
+            if (i < j0) element_at(st.getField("c"), i)
+            else if (i == j0 && open0)
+              element_at(st.getField("c"), i) +
+                element_at(sel.getField("c"), i)
+            else element_at(sel.getField("c"), i)
+          }
+          val ls = (1 to K).map { i =>
+            if (i < j0) element_at(st.getField("l"), i)
+            else if (i == j0 && open0)
+              coalesce(element_at(sel.getField("l"), i),
+                element_at(st.getField("l"), i))
+            else element_at(sel.getField("l"), i)
+          }
+          struct(sel.getField("x").as("sid"),
+            array(cs: _*).as("c"), array(ls: _*).as("l"))
+        }
+        states.indices.tail.foldLeft(ruleFor(0)) { (acc, s) =>
+          when(st.getField("sid") === s, ruleFor(s)).otherwise(acc)
+        }
+      })
+    // decode (j, open) back from the final sid for the shared output
+    val decoded = ExprUtil.bound(merged) { mg =>
+      val sid = mg.getField("sid")
+      val j = states.indices.tail.foldLeft(lit(states(0)._1): Column) {
+        (acc, s) => when(sid === s, lit(states(s)._1)).otherwise(acc) }
+      val open = states.indices.tail.foldLeft(lit(states(0)._3): Column) {
+        (acc, s) => when(sid === s, lit(states(s)._3)).otherwise(acc) }
+      struct(j.as("j"), open.as("open"), mg.getField("c").as("c"),
+        mg.getField("l").as("l"))
+    }
+    consecOut(stages, decoded)(
+      segs.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bkt"), col("f"))))
+          .as("segs")))
+  }
+
+  // -------------------------------------------------------------------
   // Loop boundary condition — Flink CEP's `until`
   // -------------------------------------------------------------------
 

@@ -1399,6 +1399,97 @@ object StreamingIngest {
         updateFunnelLoop(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  final case class FunnelConsecState(j: Int, open: Boolean, c: Seq[Long],
+      l: Seq[Long], pending: Seq[(Long, Long, String)])
+
+  /**
+   * Streaming CONSECUTIVE-loop funnel —
+   * [[graft.operators.Funnel.funnelLoopConsecutive]]'s twin (CEP
+   * `oneOrMore.consecutive()`): per-user state is the run machine
+   * (stage pointer, open-loop bit, per-stage count/last-time) plus the
+   * event-time pending buffer; mature events fold in watermark order,
+   * which preserves run ADJACENCY across flushes for the same reason
+   * the contiguity NFA's does — maturity is a prefix of the event-time
+   * total order, so "immediately consecutive" means the same thing
+   * batch and streamed. Late events are dropped (a late event inside
+   * a run would break it retroactively — the family's best-effort
+   * lateness contract). A machine past its last stage (`j > K`) is
+   * final: the buffer drops; an open LAST loop keeps the full buffer
+   * (the next event either absorbs or permanently closes, and the
+   * close silently changes future absorption). Emission: delta-style
+   * on the observable (stage_reached, counts, last-times).
+   */
+  def updateFunnelConsecutive(stages: IndexedSeq[(String, Int)])(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelConsecState]): Iterator[FunnelLoopUpdate] = {
+    val types = stages.map(_._1)
+    val m = stages.map(_._2)
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelConsecState(1, false,
+      Seq.fill(k)(0L), Seq.fill(k)(NoStart), Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var j = prev.j
+    var open = prev.open
+    val c = prev.c.toArray
+    val l = prev.l.toArray
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      if (j <= k) {
+        if (open) {
+          if (tp == types(j - 1)) { c(j - 1) += 1; l(j - 1) = us }
+          else {
+            j += 1
+            open = false
+            if (j <= k && tp == types(j - 1)) {
+              c(j - 1) = 1; l(j - 1) = us; open = m(j - 1) == 1
+            }
+          }
+        } else {
+          if (tp == types(j - 1)) {
+            c(j - 1) += 1; l(j - 1) = us
+            if (c(j - 1) == m(j - 1)) open = true
+          } else { c(j - 1) = 0; l(j - 1) = NoStart }
+        }
+      }
+    }
+    val rest = if (j > k) Nil else immature
+    val removable = j == 1 && !open && c.forall(_ == 0L) && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelConsecState(j, open, c.toSeq, l.toSeq, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+    }
+    def obs(jv: Int, ov: Boolean, cv: Seq[Long], lv: Seq[Long]) =
+      (jv - 1 + (if (ov) 1 else 0), cv, lv.filter(_ != NoStart))
+    val out = obs(j, open, c.toSeq, l.toSeq)
+    if ((first && !removable) || out != obs(prev.j, prev.open, prev.c, prev.l))
+      Iterator(FunnelLoopUpdate(userId, out._1, out._2, out._3))
+    else Iterator.empty
+  }
+
+  /** The streaming consecutive-loop funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelConsecutive]]'s
+    * run machine. */
+  def streamingFunnelConsecutive(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int)],
+      watermark: String): Dataset[FunnelLoopUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.loopRequire(stages)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelConsecutive(stages.toIndexedSeq))
+  }
+
   final case class FunnelLoopUntilState(s: Int, c: Seq[Long], l: Seq[Long],
       x: Boolean, pending: Seq[(Long, Long, String)], completionUs: Long)
 

@@ -993,6 +993,115 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  /** In-memory reference for [[Funnel.funnelLoopConsecutive]] —
+    * independent run/island formulation (NOT a machine transcription):
+    * per stage, the earliest maximal same-type run of length >= minReps
+    * starting after the previous stage's completion index; trailing
+    * partial = the run containing the final event. */
+  private def consecReference(seq: Seq[(Long, String)],
+      stages: Seq[(String, Int)]): (Int, Seq[(Long, Option[Long])]) = {
+    // islands: (type, startIdx, endIdx, lastUs)
+    val islands = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Long)]
+    seq.zipWithIndex.foreach { case ((us, tp), i) =>
+      if (islands.nonEmpty && islands.last._1 == tp && islands.last._3 == i - 1) {
+        val l = islands.last; islands(islands.size - 1) = (l._1, l._2, i, us)
+      } else islands += ((tp, i, i, us))
+    }
+    var prevComp = -1 // completion index of the previous stage
+    var reached = 0
+    var live = true
+    val out = stages.map { case (t, m) =>
+      if (!live) (0L, Option.empty[Long])
+      else islands.find(isl => isl._1 == t && isl._2 > prevComp &&
+          isl._3 - isl._2 + 1 >= m) match {
+        case Some(isl) =>
+          reached += 1
+          val comp = isl._2 + m - 1
+          prevComp = comp
+          (isl._3 - isl._2 + 1L, Some(isl._4))
+        case None =>
+          // trailing partial: the island containing the last event
+          val r = islands.lastOption match {
+            case Some(isl) if isl._1 == t && isl._2 > prevComp &&
+                isl._3 == seq.length - 1 =>
+              (isl._3 - isl._2 + 1L, Some(isl._4))
+            case _ => (0L, Option.empty[Long])
+          }
+          live = false
+          r
+      }
+    }
+    (reached, out)
+  }
+
+  test("funnelLoopConsecutive: resets on a break, permanent loop close, breaker feeds the next stage") {
+    val ev = Seq(
+      // u1: v v(complete) v(absorb) c(close loop 1 + start stage 2)
+      //     c(complete 2) v(close loop 2 -> done; stage-2 reps stay 2)
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "view"), (1L, 4L, ts(4), "click"),
+      (1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "view"),
+      (1L, 7L, ts(7), "click"),
+      // u2: v e v v — the error RESETS the partial block; the later
+      // adjacent pair completes; trailing click run of 1 is observable
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(2), "error"),
+      (2L, 12L, ts(3), "view"), (2L, 13L, ts(4), "view"),
+      (2L, 14L, ts(5), "click"),
+      // u3: views never adjacent -> stage 0, trailing partial run 1
+      (3L, 20L, ts(1), "view"), (3L, 21L, ts(2), "error"),
+      (3L, 22L, ts(3), "view")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelLoopConsecutive(ev, "user_id", "event_type",
+        "ts", "event_id", Seq("view" -> 2, "click" -> 2))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long] - us0),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long] - us0)))
+    val s = 1000000L
+    assert(got === Array(
+      (1L, 2, 3L, Some(3 * s), 2L, Some(5 * s)),
+      (2L, 1, 2L, Some(4 * s), 1L, Some(5 * s)),
+      (3L, 0, 1L, Some(3 * s), 0L, None)))
+  }
+
+  test("property: funnelLoopConsecutive equals the island reference on random logs") {
+    val rnd = new scala.util.Random(90211L)
+    val typesPool = Array("view", "click", "error")
+    val stages = Seq("view" -> 2, "click" -> 2)
+    val events = (0 until 900).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong, ts(i / 15), // dense: runs form
+        typesPool(rnd.nextInt(typesPool.length)))
+    } ++ Seq( // a user whose views are never adjacent: stage 0 by design
+      (99L, 1000L, ts(1), "view"), (99L, 1001L, ts(2), "error"),
+      (99L, 1002L, ts(3), "view"), (99L, 1003L, ts(4), "error"))
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelLoopConsecutive(df, "user_id", "event_type",
+        "ts", "event_id", stages)
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        Seq((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])),
+          (r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]))))))
+      .toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2))
+        .map(e => (e._3.getTime * 1000L, e._4))
+      val (reached, slots) = consecReference(seq, stages)
+      assert(got(u) === ((reached, slots)), s"user $u")
+    }
+    assert(got.values.exists(_._1 == 2), "generator must complete some")
+    assert(got.values.exists(_._1 == 0), "generator must fail some")
+    // the segment split is bit-identical at 1-second buckets (runs
+    // straddle boundaries: the entry-state table carries partial counts)
+    val bucketed = Funnel.funnelLoopConsecutiveBucketed(df, "user_id",
+        "event_type", "ts", "event_id", stages, bucketSeconds = 1L)
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        Seq((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])),
+          (r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]))))))
+      .toMap
+    assert(bucketed === got)
+  }
+
   /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
     * counters, closed-bit), mirroring the Catalyst step decision for
     * decision. */

@@ -2173,6 +2173,73 @@ class StreamingSpec extends SparkSpec {
     assert(last(3L)._1 === 3)
   }
 
+  test("streaming consecutive-loop funnel equals batch across out-of-order waves: run breaks, loop closes") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq("view" -> 2, "click" -> 2)
+    // u1: an out-of-order error lands BETWEEN two views — the buffered
+    // fold must reorder and RESET the run (batch adjacency); the later
+    // adjacent view pair completes, clicks follow. u2: loop-open close
+    // arrives out of order (the error truncates view absorption). u3:
+    // never-adjacent views — stage 0 with a trailing partial.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "error"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "view"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "view"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "view"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "error")),
+      Seq(Row(1L, 6L, t("2024-01-01 10:05:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "error"),
+        Row(2L, 24L, t("2024-01-01 10:04:00"), "click"),
+        Row(3L, 32L, t("2024-01-01 10:02:00"), "view")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "signup")))
+    val src = tmp("funnel-consec-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long], Seq[Long])]
+    val q = StreamingIngest.streamingFunnelConsecutive(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Long](2), r.getSeq[Long](3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4, e._5) }).toMap
+    val batch = graft.operators.Funnel.funnelLoopConsecutive(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1),
+          (0 until 2).map(j => r.getLong(2 + 2 * j)).toSeq,
+          (0 until 2).flatMap(j =>
+            Option(r.get(3 + 2 * j)).map(_.asInstanceOf[Long])).toSeq))
+      }.toMap
+    for (u <- Seq(1L, 2L, 3L))
+      assert(last(u) === batch(u), s"user $u")
+    // the out-of-order error really reset u1's first pair
+    assert(last(1L) === ((2, Seq(2L, 2L),
+      Seq(us("2024-01-01 10:03:00"), us("2024-01-01 10:05:00")))))
+    // u2's error closed the view loop at 2, the later view ignored —
+    // wait: the later views RESTART nothing (loop closed); the click
+    // run is the trailing partial
+    assert(last(2L)._1 === 1)
+    assert(last(3L) === ((0, Seq(1L, 0L), Seq(us("2024-01-01 10:02:00")))))
+  }
+
   test("completed funnel's infinite-retention tombstone survives flush timers, no-data batches and stragglers") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
