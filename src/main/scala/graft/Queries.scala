@@ -6137,6 +6137,54 @@ object Queries {
        |ORDER BY user_id, match_idx""".stripMargin
   }
 
+  /** Loop-stage COMBINATIONS multiplicity — Flink CEP's
+    * `oneOrMore().allowCombinations()` ([[Funnel.funnelCombinations]]):
+    * view → click+(combinations) → purchase counts every (view, click
+    * subset, purchase) match — the loop stage may pick ANY non-empty
+    * ordered subset of clicks between the anchors. The fold is linear
+    * (loop stage = diagonal 2), the count is the answer; the oracle is
+    * the closed form Σ over (view, purchase) pairs of
+    * `2^{clicks between} − 1`, exact in BIGINT via a shift. */
+  val w39_funnel_combinations: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelCombinations(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> false, "click" -> true, "purchase" -> false))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, us, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |pairs AS (SELECT v.user_id,
+        |    (SELECT count(*) FROM e c WHERE c.user_id = v.user_id
+        |      AND c.event_type = 'click'
+        |      AND (c.us > v.us OR (c.us = v.us AND c.event_id > v.event_id))
+        |      AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id)))
+        |      AS nb
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND (v.us < p.us OR (v.us = p.us AND v.event_id < p.event_id)))
+        |SELECT u.user_id,
+        |  CAST(coalesce(sum((CAST(1 AS BIGINT) << nb) - 1), 0) AS BIGINT)
+        |    AS n_combi
+        |FROM u LEFT JOIN pairs USING (user_id)
+        |GROUP BY u.user_id ORDER BY user_id""".stripMargin))
+
+  /** [[w39_funnel_combinations]] through the SKEW-SAFE matrix-monoid
+    * split ([[Funnel.funnelCombinationsBucketed]] — the w29 machinery
+    * with diagonal-2 loop rows). Gated on w39's oracle VERBATIM. */
+  val w41_funnel_combinations_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelCombinationsBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> false, "click" -> true, "purchase" -> false),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w39_funnel_combinations.oracle)
+
   /** After-match skip SKIP_TO_LAST ([[Funnel.funnelSkip]] with
     * [[Funnel.SkipToLast]]): view → click×2 → purchase, an emitted
     * match discards partial matches started strictly before its LAST
@@ -7589,6 +7637,8 @@ object Queries {
     "w31_funnel_loop_until" -> w31_funnel_loop_until,
     "w38_funnel_loop_consecutive" -> w38_funnel_loop_consecutive,
     "w40_funnel_loop_consecutive_bucketed" -> w40_funnel_loop_consecutive_bucketed,
+    "w39_funnel_combinations" -> w39_funnel_combinations,
+    "w41_funnel_combinations_bucketed" -> w41_funnel_combinations_bucketed,
     "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,
     "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,

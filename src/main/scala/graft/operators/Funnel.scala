@@ -1971,6 +1971,92 @@ object Funnel {
       .select(col("user_id"), element_at(merged, k + 1).as("n_any"))
   }
 
+  /** Shared step of the combinations path-count: homogenized vector
+    * `[1, cnt1..cntk]`; a type-j event adds `cnt[j-1]` (extend every
+    * prefix combination through it — the followedByAny rule) and, when
+    * stage j is a LOOP (`oneOrMore().allowCombinations()`), ALSO adds
+    * `cnt[j]` (every existing stage-j combination may take this event
+    * as one more member — all its members precede it by induction), so
+    * a loop stage's diagonal coefficient is 2. All reads are
+    * PRE-state (simultaneous rebuild — an event never extends the
+    * combinations it just created). */
+  private def combiStep(c: Column, e: Column,
+      stages: Seq[(String, Boolean)]): Column =
+    array(element_at(c, 1) +: (1 to stages.length).map { j =>
+      val (t, loop) = stages(j - 1)
+      val add = when(e.getField("tp") === lit(t),
+        element_at(c, j) +
+          (if (loop) element_at(c, j + 1) else lit(0L)))
+        .otherwise(lit(0L))
+      element_at(c, j + 1) + add
+    }: _*)
+
+  /**
+   * Flink CEP's `oneOrMore().allowCombinations()` match MULTIPLICITY —
+   * [[funnelAnyCount]] extended with LOOPING stages: a loop stage
+   * matches every non-empty ordered SUBSET of its type's events
+   * between the surrounding stages (Flink's non-deterministic relaxed
+   * contiguity inside the repetition), so the count for `a b+ c` is
+   * Σ over (a, c) pairs of `2^{#b between} − 1`. Same scale shape as
+   * the path counter: ONE user-keyed shuffle, k+1 longs of state, the
+   * count is the answer (enumeration would be the blow-up). `stages`
+   * = (type, isCombinationsLoop). Output: (user_id, n_combi), 0
+   * included.
+   */
+  def funnelCombinations(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Boolean)]): DataFrame = {
+    val k = stages.length
+    require(k >= 1, "need at least one stage")
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val init = array(lit(1L) +: Seq.fill(k)(lit(0L)): _*)
+    val folded = aggregate(col("evs"), init, combiStep(_, _, stages))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"), element_at(folded, k + 1).as("n_combi"))
+  }
+
+  /**
+   * [[funnelCombinations]] for SKEWED keys: the combinations vector
+   * evolves LINEARLY too (a loop stage's event matrix carries 2 on
+   * its diagonal — still integer, still exact), so the segment
+   * summary is the same (k+1)×(k+1) product matrix as
+   * [[funnelAnyCountBucketed]]'s. Bit-identical to the single fold;
+   * gates on w39's oracle VERBATIM.
+   */
+  def funnelCombinationsBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Boolean)], bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && bucketSeconds > 0, "need stages and bucketSeconds > 0")
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    def foldRow(entry: Int): Column = {
+      val init = array((0 to k).map(j =>
+        lit(if (j == entry) 1L else 0L)): _*)
+      aggregate(col("evs"), init, combiStep(_, _, stages))
+    }
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        array((0 to k).map(foldRow): _*).as("m"))
+    val zero = array(lit(1L) +: Seq.fill(k)(lit(0L)): _*)
+    val merged = aggregate(col("segs"), zero, (v, seg) =>
+      array((0 to k).map { j =>
+        (0 to k).map(i => element_at(v, i + 1) *
+            element_at(element_at(seg.getField("m"), i + 1), j + 1))
+          .reduce(_ + _)
+      }: _*))
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("m")))).as("segs"))
+      .select(col("user_id"), element_at(merged, k + 1).as("n_combi"))
+  }
+
   /**
    * `followedByAny` match ENUMERATION: every ordered event combination
    * matching the pattern, one row per match. Inherently

@@ -1820,6 +1820,63 @@ object StreamingIngest {
     else Iterator.empty
   }
 
+  /**
+   * Streaming `allowCombinations()` loop-stage multiplicity —
+   * [[graft.operators.Funnel.funnelCombinations]]'s twin: the
+   * [[updateFunnelAnyCount]] fold with the loop rule (a loop-stage
+   * event also re-adds the stage's own pre-count — every existing
+   * combination may absorb it), same buffer discipline, emission on
+   * count change.
+   */
+  def updateFunnelCombinations(stages: IndexedSeq[(String, Boolean)])(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelAnyState]): Iterator[FunnelAnyUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelAnyState(Seq.fill(k)(0L), Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val c = prev.c.toArray
+    mature.sortBy(e => (e._1, e._2)).foreach { case (_, _, tp) =>
+      val pre = c.clone()
+      stages.indices.foreach { j =>
+        val (t, loop) = stages(j)
+        if (tp == t)
+          c(j) += (if (j == 0) 1L else pre(j - 1)) +
+            (if (loop) pre(j) else 0L)
+      }
+    }
+    val removable = c.forall(_ == 0L) && immature.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelAnyState(c.toSeq, immature))
+      if (immature.nonEmpty)
+        state.setTimeoutTimestamp(immature.map(_._1).min / 1000L + 1L)
+    }
+    if ((first && !removable) || c(k - 1) != prev.c(k - 1))
+      Iterator(FunnelAnyUpdate(userId, c(k - 1)))
+    else Iterator.empty
+  }
+
+  /** The streaming combinations counter over an events stream. */
+  def streamingFunnelCombinations(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Boolean)],
+      watermark: String): Dataset[FunnelAnyUpdate] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "need at least one stage")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelCombinations(stages.toIndexedSeq))
+  }
+
   /** The streaming combination counter over an events stream — the
     * [[streamingFunnel]] plumbing with [[updateFunnelAnyCount]]'s
     * path-counting state. */

@@ -1102,6 +1102,51 @@ class FunnelSpec extends SparkSpec {
     assert(bucketed === got)
   }
 
+  test("funnelCombinations: loop stage counts every non-empty subset; property vs closed form; bucketed == single") {
+    val stages = Seq("view" -> false, "click" -> true, "purchase" -> false)
+    // hand case: v c c p — subsets {c1},{c2},{c1,c2} → 3;
+    // interleaved: v c p c p → (v,p1): 1; (v,p2): 3 → 4
+    val ev1 = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+      (1L, 3L, ts(3), "click"), (1L, 4L, ts(4), "purchase"),
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(2), "click"),
+      (2L, 12L, ts(3), "purchase"), (2L, 13L, ts(4), "click"),
+      (2L, 14L, ts(5), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got1 = Funnel.funnelCombinations(ev1, "user_id", "event_type",
+        "ts", "event_id", stages)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got1 === Array((1L, 3L), (2L, 4L)))
+    // property: random logs vs the closed form sum over (view,
+    // purchase) pairs of 2^{clicks between} - 1
+    val rnd = new scala.util.Random(33417L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 700).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(60)),
+        typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelCombinations(df, "user_id", "event_type",
+        "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2))
+      val expected = (for {
+        (v, vi) <- seq.zipWithIndex if v._4 == "view"
+        (p, pi) <- seq.zipWithIndex if p._4 == "purchase" && pi > vi
+      } yield {
+        val nb = (vi + 1 until pi).count(seq(_)._4 == "click")
+        (1L << nb) - 1
+      }).sum
+      assert(got(u) === expected, s"user $u")
+    }
+    assert(got.values.exists(_ > 100L), "generator must hit real blow-up")
+    val gotB = Funnel.funnelCombinationsBucketed(df, "user_id",
+        "event_type", "ts", "event_id", stages, bucketSeconds = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB === got)
+  }
+
   /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
     * counters, closed-bit), mirroring the Catalyst step decision for
     * decision. */

@@ -2108,6 +2108,50 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) === 0L) // view then purchase, no click — count 0, retained via buffer then emitted once
   }
 
+  test("streaming combinations count equals the batch loop fold across out-of-order waves") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view" -> false, "click" -> true, "purchase" -> false)
+    // u1: v c c p with the SECOND click arriving before the first —
+    // the buffer must reorder or the subset count undershoots (order
+    // changes nothing for the count of subsets, but the pre-state rule
+    // does: a click processed before its view would not extend it)
+    val waves = Seq(
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "click"),
+        Row(1L, 1L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "purchase"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-combi-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val q = StreamingIngest.streamingFunnelCombinations(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getLong(1)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(_.maxBy(_._1)._3).toMap
+    val batch = graft.operators.Funnel.funnelCombinations(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", stages)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (u <- Seq(1L, 2L)) assert(last.get(u).contains(batch(u)), s"user $u")
+    assert(last(1L) === 3L) // {c1},{c2},{c1,c2}
+    assert(last(2L) === 0L) // no click between
+  }
+
   test("streaming loop-until funnel equals the batch operator, including late-arriving stalls") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
