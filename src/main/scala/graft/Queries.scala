@@ -5740,6 +5740,77 @@ object Queries {
         .orderBy("user_id"),
     oracle = w24_funnel_pattern_product.oracle)
 
+  /** The CONTIGUITY × WITHIN product
+    * ([[Funnel.funnelPatternWithin]]): w24's full combinator pattern —
+    * view (notNext `error`) → click (optional) → purchase (strict) —
+    * under a 2-hour `within` window, Flink's `Pattern.within(T)` on a
+    * next/notNext/optional pattern. The machine lifts the l/o NFA's
+    * booleans to max-start slot values with the deadline checked per
+    * advance; the oracle carries each chain's START through the w24
+    * hop joins and bounds every hop at `start + T`, then aggregates
+    * max-start per stage (the skip-realizer rule makes reached-2's
+    * winner the stage-1 max). */
+  val w42_funnel_pattern_within: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternWithin(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)),
+          windowMicros = 7200L * 1000000L)
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      val T = 7200L * 1000000L
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us AS su, event_id AS so, us, event_id
+         |  FROM e WHERE event_type = 'view'),
+         |c2 AS (SELECT DISTINCT p.user_id, p.su, p.so, e.us, e.event_id
+         |  FROM c1 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'click'
+         |    AND ${sqlBefore("p", "e")}
+         |    AND e.us - p.su <= $T
+         |    AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = p.user_id
+         |      AND b.event_type = 'error'
+         |      AND ${sqlBefore("p", "b")} AND ${sqlBefore("b", "e")}
+         |      AND NOT EXISTS (SELECT 1 FROM e c WHERE c.user_id = p.user_id
+         |        AND ${sqlBefore("p", "c")} AND ${sqlBefore("c", "b")}))),
+         |eff2 AS (SELECT * FROM c2 UNION SELECT * FROM c1),
+         |c3 AS (SELECT DISTINCT p.user_id, p.su, p.so, e.us, e.event_id
+         |  FROM eff2 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'purchase'
+         |    AND ${sqlBefore("p", "e")}
+         |    AND e.us - p.su <= $T
+         |    AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = p.user_id
+         |      AND ${sqlBefore("p", "b")} AND ${sqlBefore("b", "e")})),
+         |m1 AS (SELECT user_id, max(su) AS v FROM c1 GROUP BY user_id),
+         |m3 AS (SELECT user_id, max(su) AS v FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CAST(CASE WHEN m3.v IS NOT NULL THEN 3
+         |            WHEN m1.v IS NOT NULL THEN 2 ELSE 0 END AS INT)
+         |    AS stage_reached,
+         |  CASE WHEN m3.v IS NOT NULL THEN m3.v ELSE m1.v END
+         |    AS win_start_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w42_funnel_pattern_within]] through the SKEW-SAFE split
+    * ([[Funnel.funnelPatternWithinBucketed]]): fresh product-NFA fold
+    * plus 2k entry folds carrying first-reach times per (stage, l/o)
+    * slot; composition applies the deadline once per target against
+    * the carried max-start. Gated on w42's oracle VERBATIM. */
+  val w43_funnel_pattern_within_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternWithinBucketed(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)),
+          windowMicros = 7200L * 1000000L, bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w42_funnel_pattern_within.oracle)
+
   /** Loop boundary condition — Flink CEP's `until`
     * ([[Funnel.funnelLoopUntil]]): view(1+, until `signup`) →
     * click(2+) → purchase(1+, until `error`). A close during a
@@ -7636,6 +7707,8 @@ object Queries {
     "w37_funnel_skip_to_next_bucketed" -> w37_funnel_skip_to_next_bucketed,
     "w31_funnel_loop_until" -> w31_funnel_loop_until,
     "w38_funnel_loop_consecutive" -> w38_funnel_loop_consecutive,
+    "w42_funnel_pattern_within" -> w42_funnel_pattern_within,
+    "w43_funnel_pattern_within_bucketed" -> w43_funnel_pattern_within_bucketed,
     "w40_funnel_loop_consecutive_bucketed" -> w40_funnel_loop_consecutive_bucketed,
     "w39_funnel_combinations" -> w39_funnel_combinations,
     "w41_funnel_combinations_bucketed" -> w41_funnel_combinations_bucketed,

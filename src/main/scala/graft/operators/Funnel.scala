@@ -1406,6 +1406,250 @@ object Funnel {
         (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
   }
 
+  /** null-tolerant max (Spark `greatest` skips NULLs); single-arg safe. */
+  private def gmax(cs: Seq[Column]): Column =
+    if (cs.length == 1) cs.head else greatest(cs: _*)
+
+  /** One event's transition of the WITHIN × contiguity product NFA —
+    * [[patternStep]]'s l/o booleans lifted to MAX-START values (the w8
+    * dominance: among chains occupying the same (stage, l/o) slot, the
+    * latest start has the latest deadline and identical continuations,
+    * so one long per slot is lossless), with the `within` deadline
+    * checked at every advance against the max eligible predecessor —
+    * the max is also the EASIEST to satisfy, so if it fails every
+    * dominated chain fails too. `m[j]` is the sticky max start ever to
+    * actually match stage j (the observable). Kills and strict hops
+    * stay uniform across starts, which is what lets dominance survive
+    * the full combinator product. */
+  private def patternWithinStep(st: Column, e: Column,
+      stages: Seq[PatternStage], windowMicros: Long): Column = {
+    val k = stages.length
+    val tp = e.getField("tp"); val us = e.getField("us")
+    val L = st.getField("l"); val O = st.getField("o")
+    val M = st.getField("m")
+    def effLastS(j: Int): Column =
+      if (j == 0) lit(null).cast("long")
+      else if (stages(j - 1).optional)
+        gmax(Seq(element_at(L, j), effLastS(j - 1)))
+      else element_at(L, j)
+    def effAnyS(j: Int): Column =
+      if (j == 0) lit(null).cast("long")
+      else if (stages(j - 1).optional)
+        gmax(Seq(element_at(L, j), element_at(O, j), effAnyS(j - 1)))
+      else gmax(Seq(element_at(L, j), element_at(O, j)))
+    def adv(j: Int): Column = {
+      val tOk = tp === lit(stages(j - 1).tp)
+      if (j == 1) when(tOk, us)
+      else {
+        val base = if (stages(j - 1).strict) effLastS(j - 1)
+          else effAnyS(j - 1)
+        val pred = when(base.isNotNull &&
+          us - base <= windowMicros, base)
+        // stages 1..j-1 all optional: a chain may START here (its
+        // first matched event IS this one — deadline trivially holds)
+        val cands = if (stages.take(j - 1).forall(_.optional))
+          Seq(pred, us) else Seq(pred)
+        when(tOk, gmax(cands))
+      }
+    }
+    val newL = array((1 to k).map(adv): _*)
+    val newO = array((1 to k).map { j =>
+      val killed = stages(j - 1).notNextAfter
+        .map(x => tp === lit(x)).getOrElse(lit(false))
+      when(killed, element_at(O, j))
+        .otherwise(gmax(Seq(element_at(O, j), element_at(L, j))))
+    }: _*)
+    val newM = array((1 to k).map(j =>
+      gmax(Seq(element_at(M, j), adv(j)))): _*)
+    struct(newL.as("l"), newO.as("o"), newM.as("m"))
+  }
+
+  private def patternWithinInit(k: Int): Column = {
+    val nulls = array_repeat(lit(null).cast("long"), k)
+    struct(nulls.as("l"), nulls.as("o"), nulls.as("m"))
+  }
+
+  /** Observable projection of the product NFA: `stage_reached` = the
+    * longest satisfiable prefix (a stage counts when actually matched
+    * within the window, or optional atop a satisfied prefix) and
+    * `win_start_us` = the MAX start among chains realizing that
+    * prefix — for a prefix ending in skipped optional stages the
+    * realizer sits at the last actually-matched stage, so the max
+    * ranges over every stage whose trailing-optional run covers the
+    * reached prefix. */
+  private def patternWithinOut(f: Column,
+      stages: Seq[PatternStage]): Column = {
+    val k = stages.length
+    val M = f.getField("m")
+    def sat(j: Int): Column =
+      if (j == 0) lit(true)
+      else if (stages(j - 1).optional)
+        element_at(M, j).isNotNull || sat(j - 1)
+      else element_at(M, j).isNotNull
+    val reached = (1 to k).map(j => when(sat(j), 1).otherwise(0))
+      .reduce(_ + _)
+    ExprUtil.bound(reached) { r =>
+      val tOpt = (1 to k).map(j =>
+        stages.drop(j).takeWhile(_.optional).length)
+      val win = gmax((1 to k).map(j =>
+        when(r <= lit(j + tOpt(j - 1)), element_at(M, j))))
+      struct(r.as("stage_reached"), win.as("win_start_us"))
+    }
+  }
+
+  /** Entry fold for [[funnelPatternWithinBucketed]]: the l/o NFA with
+    * FIRST-REACH times per slot and NO fresh seeding (fresh chains are
+    * the fresh fold's job — mixing them in would understate an entry
+    * chain's reach times and mis-validate its deadline). `l[j]` = the
+    * match time when a chain from the entry matched stage j at the
+    * CURRENT event (clears next event), `o[j]` = MIN match time among
+    * earlier matches still alive (min is the deadline-easiest — hops
+    * on the min-reach path are all ≤ its last hop), `m[j]` = min time
+    * stage j was ever matched (sticky, for the M composition). No
+    * deadline inside: the entry's start is unknown here; composition
+    * applies `reach ≤ start + T` once per target slot, sound because
+    * reach times on the realizing path are monotone. */
+  private def patternEntryStep(st: Column, e: Column,
+      stages: Seq[PatternStage]): Column = {
+    val k = stages.length
+    val tp = e.getField("tp"); val us = e.getField("us")
+    val L = st.getField("l"); val O = st.getField("o")
+    val M = st.getField("m")
+    def reachLast(j: Int): Column =
+      if (j == 0) lit(false)
+      else if (stages(j - 1).optional)
+        element_at(L, j).isNotNull || reachLast(j - 1)
+      else element_at(L, j).isNotNull
+    def reachAny(j: Int): Column =
+      if (j == 0) lit(false)
+      else if (stages(j - 1).optional)
+        element_at(L, j).isNotNull || element_at(O, j).isNotNull ||
+          reachAny(j - 1)
+      else element_at(L, j).isNotNull || element_at(O, j).isNotNull
+    def adv(j: Int): Column = {
+      val tOk = tp === lit(stages(j - 1).tp)
+      if (j == 1) lit(null).cast("long") // no fresh seeding
+      else when(tOk &&
+        (if (stages(j - 1).strict) reachLast(j - 1) else reachAny(j - 1)),
+        us)
+    }
+    val newL = array((1 to k).map(adv): _*)
+    val newO = array((1 to k).map { j =>
+      val killed = stages(j - 1).notNextAfter
+        .map(x => tp === lit(x)).getOrElse(lit(false))
+      when(killed, element_at(O, j))
+        .otherwise(least(element_at(O, j), element_at(L, j)))
+    }: _*)
+    val newM = array((1 to k).map(j =>
+      least(element_at(M, j), adv(j))): _*)
+    struct(newL.as("l"), newO.as("o"), newM.as("m"))
+  }
+
+  /**
+   * [[funnelPatternWithin]] for SKEWED keys — the segment split whose
+   * summary combines the w21 and w15 machineries: the FRESH fold (the
+   * product NFA itself, deadlines applied — its starts are known) plus
+   * 2k ENTRY folds carrying first-reach times per (stage, l/o) slot
+   * ([[patternEntryStep]], [[EnteredBefore]] at the entry's own slot
+   * for the carried-through case). Composition: an entry slot holding
+   * max-start `b` contributes `b` to target slot (j, class) iff the
+   * entry fold reached it with `reach ≤ b + windowMicros` — sound
+   * because reach times along the realizing path are monotone, so the
+   * min-reach path's every hop meets the deadline, and max-start
+   * dominance survives (the check is monotone in b). Bit-identical to
+   * the single fold; gates on w42's oracle VERBATIM (w43).
+   */
+  def funnelPatternWithinBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[PatternStage], windowMicros: Long,
+      bucketSeconds: Long): DataFrame = {
+    patternRequire(stages)
+    require(windowMicros > 0 && bucketSeconds > 0,
+      "need windowMicros > 0 and bucketSeconds > 0")
+    val k = stages.length
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val nulls = array_repeat(lit(null).cast("long"), k)
+    def entryInit(slot: Int): Column = { // 1..k = l[slot], k+1..2k = o[slot-k]
+      def unit(at: Int) = array((1 to k).map(j =>
+        if (j == at) lit(EnteredBefore) else lit(null).cast("long")): _*)
+      if (slot <= k) struct(unit(slot).as("l"), nulls.as("o"), nulls.as("m"))
+      else struct(nulls.as("l"), unit(slot - k).as("o"), nulls.as("m"))
+    }
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
+        .as("evs"))
+      .select(col("user_id"), col("bkt"),
+        aggregate(col("evs"), patternWithinInit(k),
+          (st, e) => patternWithinStep(st, e, stages, windowMicros))
+          .as("fresh"),
+        array((1 to 2 * k).map(slot =>
+          aggregate(col("evs"), entryInit(slot),
+            (st, e) => patternEntryStep(st, e, stages))): _*).as("ent"))
+    val merged = aggregate(col("segs"), patternWithinInit(k), (st, seg) => {
+      val fresh = seg.getField("fresh")
+      def ent(slot: Int) = element_at(seg.getField("ent"), slot)
+      def entryVal(slot: Int) = // the carried max-start for this slot
+        if (slot <= k) element_at(st.getField("l"), slot)
+        else element_at(st.getField("o"), slot - k)
+      def contrib(slot: Int, field: String, j: Int): Column = {
+        val r = element_at(ent(slot).getField(field), j)
+        val b = entryVal(slot)
+        when(b.isNotNull && r.isNotNull && r <= b + lit(windowMicros), b)
+      }
+      def mergeField(field: String): Column = array((1 to k).map { j =>
+        gmax(element_at(fresh.getField(field), j) +:
+          (1 to 2 * k).map(slot => contrib(slot, field, j)))
+      }: _*)
+      struct(mergeField("l").as("l"), mergeField("o").as("o"),
+        array((1 to k).map { j =>
+          gmax(element_at(st.getField("m"), j) +:
+            element_at(fresh.getField("m"), j) +:
+            (1 to 2 * k).map(slot => contrib(slot, "m", j)))
+        }: _*).as("m"))
+    })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("bkt"), col("fresh"), col("ent")))).as("segs"))
+      .select(col("user_id"),
+        ExprUtil.bound(merged)(patternWithinOut(_, stages)).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
+  /**
+   * The CONTIGUITY × WITHIN product — Flink allows `within(T)` on any
+   * pattern, including one using `next` / `notNext` / `optional`
+   * ([[funnelPattern]]'s combinators): the match's last event must
+   * fall within `windowMicros` of its FIRST matched event. Greedy is
+   * doubly wrong here (both the w8 expiry trap and the w20 dead-slot
+   * trap), so the machine is the l/o NFA with max-start slot values
+   * ([[patternWithinStep]]): 3k longs of state, ONE user-keyed
+   * shuffle. Output: (user_id, stage_reached, win_start_us) — the w8
+   * observable over the combinator pattern. Oracle: chained
+   * total-order hop joins CARRYING the chain's start, each hop
+   * additionally bounded by `start + windowMicros` (the strict /
+   * blocker probes unchanged), max-start aggregation per stage.
+   */
+  def funnelPatternWithin(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[PatternStage], windowMicros: Long): DataFrame = {
+    patternRequire(stages)
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = stages.length
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), patternWithinInit(k),
+      (st, e) => patternWithinStep(st, e, stages, windowMicros))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        ExprUtil.bound(folded)(patternWithinOut(_, stages)).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.win_start_us"))
+  }
+
   /**
    * [[funnelPattern]] for SKEWED keys. Chains stay independent under
    * strict hops, notNext kills and optional skips, so a segment's

@@ -1147,6 +1147,113 @@ class FunnelSpec extends SparkSpec {
     assert(gotB === got)
   }
 
+  /** Set-based NFA reference for [[Funnel.funnelPatternWithin]]: keeps
+    * EVERY chain (stage, start, ended-at-prev) with explicit deadline
+    * checks — no max-start dominance, so it independently tests the
+    * dominance claim the machine relies on. */
+  private def patternWithinReference(seq: Seq[(Long, String)],
+      stages: Seq[Funnel.PatternStage], T: Long): (Int, Option[Long]) = {
+    val k = stages.length
+    var states = Set.empty[(Int, Long, Boolean)]
+    val matched = Array.fill(k)(
+      scala.collection.mutable.Set.empty[Long])
+    for ((us, tp) <- seq) {
+      def effPred(j: Int, lastOnly: Boolean): Set[Long] =
+        if (j == 0) Set(-1L) // fresh-start sentinel (empty prefix)
+        else {
+          val own = states.collect {
+            case (s, st, il) if s == j && (il || !lastOnly) => st }
+          if (stages(j - 1).optional) own ++ effPred(j - 1, lastOnly)
+          else own
+        }
+      val advanced = (1 to k).flatMap { j =>
+        if (tp != stages(j - 1).tp) Nil
+        else {
+          val preds = if (j == 1) Set(-1L)
+            else effPred(j - 1, stages(j - 1).strict)
+          preds.flatMap { s =>
+            if (s == -1L) {
+              if (j == 1 || stages.take(j - 1).forall(_.optional))
+                Some((j, us))
+              else None
+            } else if (us - s <= T) Some((j, s)) else None
+          }
+        }
+      }
+      val kept = states.flatMap { case (j, s, il) =>
+        if (il && stages(j - 1).notNextAfter.contains(tp)) None
+        else Some((j, s, false))
+      }
+      states = kept ++ advanced.map { case (j, s) => (j, s, true) }
+      advanced.foreach { case (j, s) => matched(j - 1) += s }
+    }
+    def sat(j: Int): Boolean = j == 0 || matched(j - 1).nonEmpty ||
+      (stages(j - 1).optional && sat(j - 1))
+    val reached = (1 to k).count(sat)
+    val tOpt = (1 to k).map(j => stages.drop(j).takeWhile(_.optional).length)
+    val win = (1 to k).flatMap(j =>
+      if (matched(j - 1).nonEmpty && reached <= j + tOpt(j - 1))
+        Some(matched(j - 1).max) else None)
+    (reached, win.maxOption)
+  }
+
+  test("funnelPatternWithin: the expiry trap — an expired early chain loses to a later restart; skip realizer reported") {
+    val stages = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", optional = true),
+      Funnel.PatternStage("purchase", strict = true))
+    val T = 3000000L // 3 s
+    val ev = Seq(
+      // u1: v(1) c(2) ... p(10): the early chain EXPIRES (10-1 > 3s);
+      // v(9) p(10) completes via the optional skip + strict hop —
+      // greedy-on-first-view would report the dead chain
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "click"),
+      (1L, 3L, ts(9), "view"), (1L, 4L, ts(10), "purchase"),
+      // u2: within makes it UNREACHABLE: only one view, purchase too
+      // late (strict hop holds, deadline does not)
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(10), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelPatternWithin(ev, "user_id", "event_type",
+        "ts", "event_id", stages, T)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long] - us0)))
+    val s = 1000000L
+    assert(got === Array(
+      (1L, 3, Some(9 * s)),
+      (2L, 2, Some(1 * s)))) // prefix 2 via the optional skip, start=view
+  }
+
+  test("property: funnelPatternWithin equals the set-NFA reference; bucketed == single (1-second segments)") {
+    val stages = Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+      Funnel.PatternStage("click", optional = true),
+      Funnel.PatternStage("purchase", strict = true))
+    val T = 5000000L // 5 s — tight enough to expire chains
+    val rnd = new scala.util.Random(55108L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 900).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(60)),
+        typesPool(rnd.nextInt(typesPool.length)))
+    } ++ Seq( // a user whose only chain EXPIRES: view ... purchase > T
+      (99L, 1000L, ts(1), "view"), (99L, 1001L, ts(30), "purchase"))
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    def collectOut(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val got = collectOut(Funnel.funnelPatternWithin(df, "user_id",
+      "event_type", "ts", "event_id", stages, T))
+    events.groupBy(_._1).foreach { case (u, es) =>
+      val seq = es.sortBy(e => (e._3.getTime, e._2))
+        .map(e => (e._3.getTime * 1000L, e._4))
+      assert(got(u) === patternWithinReference(seq, stages, T), s"user $u")
+    }
+    assert(got.values.exists(_._1 == 3) && got.values.exists(_._1 < 3),
+      "generator must produce both full and expired chains")
+    val gotB = collectOut(Funnel.funnelPatternWithinBucketed(df, "user_id",
+      "event_type", "ts", "event_id", stages, T, bucketSeconds = 1L))
+    assert(gotB === got)
+  }
+
   /** Literal machine replay of [[Funnel.funnelLoopUntil]] (pointer,
     * counters, closed-bit), mirroring the Catalyst step decision for
     * decision. */
