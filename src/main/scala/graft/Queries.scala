@@ -1760,6 +1760,39 @@ object Queries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     })
 
+  /** N-key Morton interleave ([[graft.operators.Layout.zValueN]], the
+    * t94 2-key gate's 3-key sibling — round 15): round-robin bit
+    * interleave of (l_orderkey, l_partkey, l_suppkey) at 20 bits/key
+    * (3·20 = 60 ≤ 62), the clustering key [[graft.operators.Layout
+    * .zOrderWriteN]] sorts by. Oracle spells the identical shift/and/
+    * or tree in DuckDB integer bit ops. */
+  val t96_zorder_key_3d: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValueN(
+            Seq("l_orderkey", "l_partkey", "l_suppkey").map(c =>
+              pmod(col(c).cast("long"), lit(1L << 20))),
+            bits = 20).as("z_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    bench = true,
+    benchRun = Some((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValueN(
+            Seq("l_orderkey", "l_partkey", "l_suppkey").map(c =>
+              pmod(col(c).cast("long"), lit(1L << 20))),
+            bits = 20).as("z_key"))),
+    oracle = Some {
+      val m = 1L << 20
+      val keys = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val z = (for (i <- 0 until 20; j <- keys.indices) yield
+        s"((((${keys(j)} % $m) >> $i) & 1) << ${i * 3 + j})").mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($z AS BIGINT) AS z_key
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -7601,6 +7634,7 @@ object Queries {
     "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
     "t93_kneser_ney_trigram" -> t93_kneser_ney_trigram,
     "t94_zorder_key" -> t94_zorder_key,
+    "t96_zorder_key_3d" -> t96_zorder_key_3d,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,

@@ -108,6 +108,22 @@ object Layout {
       .mode("overwrite").parquet(path)
   }
 
+  /** [[zOrderWrite]] generalized to N keys via [[zValueN]] (n·bits ≤
+    * 62); same pmod bounding, same range-partition + sort-within
+    * layout, same optional [[requireBounded]] audit. */
+  def zOrderWriteN(df: DataFrame, cols: Seq[String], bits: Int,
+      path: String, numFiles: Int, audit: Boolean = false): Unit = {
+    if (audit) requireBounded(df, cols, bits)
+    val z = zValueN(cols.map(c =>
+      pmod(col(c).cast("long"), lit(1L << bits))), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.option("compression", Ddl.ParquetCompression)
+      .mode("overwrite").parquet(path)
+  }
+
   /** The comparison baseline: the same data linearly clustered on ONE
     * key (range-partition + sort on `colA`) — what a single-dimension
     * layout gives the same box predicate. */
@@ -135,6 +151,24 @@ object Layout {
     val mustRead = stats.filter(
       col("maxA") >= loA && col("minA") <= hiA &&
         col("maxB") >= loB && col("minB") <= hiB).count()
+    (total, mustRead)
+  }
+
+  /** [[boxScanFiles]] generalized to an N-dimensional box: per-file
+    * (min, max) envelope on every key; a file is prunable iff its
+    * envelope misses the box in at least one dimension. */
+  def boxScanFilesN(spark: org.apache.spark.sql.SparkSession, path: String,
+      box: Seq[(String, Long, Long)]): (Long, Long) = {
+    val aggs = box.zipWithIndex.flatMap { case ((c, _, _), i) => Seq(
+      min(col(c)).as(s"min_$i"), max(col(c)).as(s"max_$i")) }
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val total = stats.count()
+    val mustRead = stats.filter(box.zipWithIndex.map {
+      case ((_, lo, hi), i) =>
+        col(s"max_$i") >= lo && col(s"min_$i") <= hi
+    }.reduce(_ && _)).count()
     (total, mustRead)
   }
 }

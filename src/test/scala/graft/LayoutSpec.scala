@@ -69,6 +69,35 @@ class LayoutSpec extends SparkSpec {
     assert(aliased(0) === aliased(1))
   }
 
+  test("3-key z-order layout prunes a 3-dim box where the linear layout cannot; contents identical") {
+    // comparable per-key domains (the documented contract: right-size
+    // `bits` to the real range, div/pmod-bucket skewed domains first —
+    // TPC-H's 13-vs-4-bit key spread starves a raw interleave)
+    val rnd = new scala.util.Random(157L)
+    val li = (0 until 40000).map(_ => (rnd.nextInt(128).toLong,
+        rnd.nextInt(128).toLong, rnd.nextInt(128).toLong, rnd.nextInt(100)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    Layout.zOrderWriteN(li, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      bits = 7, s"$dir/z3", numFiles = 16, audit = true)
+    Layout.linearWrite(li, "l_orderkey", s"$dir/lin", numFiles = 16)
+    // any orderkey, narrow partkey AND suppkey stripes — the second
+    // and third dimensions are where the interleave earns its keep
+    val box = Seq(("l_orderkey", 0L, 127L),
+      ("l_partkey", 40L, 70L), ("l_suppkey", 2L, 30L))
+    val (zTotal, zRead) = Layout.boxScanFilesN(spark, s"$dir/z3", box)
+    val (lTotal, lRead) = Layout.boxScanFilesN(spark, s"$dir/lin", box)
+    assert(zTotal === 16L && lTotal === 16L)
+    assert(zRead < lRead,
+      s"3-key z-order must read fewer files ($zRead) than linear ($lRead)")
+    def boxRows(p: String) = spark.read.parquet(p)
+      .filter(box.map { case (c, lo, hi) =>
+        col(c).between(lo, hi) }.reduce(_ && _))
+      .collect().map(_.toString).sorted.toSeq
+    assert(boxRows(s"$dir/z3") === boxRows(s"$dir/lin"))
+    assert(boxRows(s"$dir/z3").nonEmpty)
+  }
+
   test("z-ordered layout prunes a 2-dim box from file stats where the linear layout cannot") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
