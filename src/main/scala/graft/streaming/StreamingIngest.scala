@@ -439,6 +439,44 @@ object StreamingIngest {
       }
       .start()
 
+  /** [[deleteVectorBatch]]'s minhash twin: idempotent micro-batch
+    * tombstones against a persisted near-dup index
+    * ([[graft.operators.TextDedup.deleteFromMinhashIndex]] under the
+    * same separate `<table>_deletes` ledger). */
+  def deleteMinhashBatch(batch: DataFrame, batchId: Long, idCol: String,
+      table: String): Unit =
+    ledgered(batch, batchId, s"${table}_deletes")(
+      graft.operators.TextDedup.deleteFromMinhashIndex(_, idCol, table))
+
+  /** CONTINUOUS forget-everywhere — the t95 takedown operation
+    * ([[graft.operators.Forget.forgetEverywhere]]) as a streaming sink,
+    * because takedown requests arrive as a stream in production (a
+    * GDPR erasure feed, a trust-and-safety queue): each micro-batch of
+    * ids is tombstoned across EVERY configured index of the corpus
+    * under one foreachBatch, each modality guarded by its own
+    * per-table batch-id ledger — so a replayed batch is a no-op per
+    * modality, and a crash between modality writes completes exactly
+    * the missing ones on replay (per-modality exactly-once; the
+    * composition is idempotent because tombstone writes are). Per-batch
+    * cost stays O(|ids|) × modalities, never index-sized. All
+    * configured indexes must share the stream's id space — run one
+    * sink per id space when corpora differ (the t95 rule). */
+  def streamingForget(stream: DataFrame, idCol: String,
+      ix: graft.operators.Forget.CorpusIndexes,
+      checkpoint: String): StreamingQuery = {
+    require(ix.productIterator.exists(_ != None),
+      "streamingForget with no indexes is a no-op — pass at least one")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ix.ann.foreach(deleteVectorBatch(batch, batchId, idCol, _))
+        ix.pq.foreach(deletePqBatch(batch, batchId, idCol, _))
+        ix.bm25.foreach(deleteDocBatch(batch, batchId, idCol, _))
+        ix.minhash.foreach(deleteMinhashBatch(batch, batchId, idCol, _))
+      }
+      .start()
+  }
+
   /** Streaming exact deduplication — the dedup family's streaming twin:
     * drops rows whose digest was already seen, with state expired by the
     * watermark (`dropDuplicatesWithinWatermark`), so the dedup table

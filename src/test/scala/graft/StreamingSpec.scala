@@ -608,6 +608,100 @@ class StreamingSpec extends SparkSpec {
     assert(probe === inQuery)
   }
 
+  test("streaming forget-everywhere equals one-shot batch forget across all four modalities; replay is a no-op") {
+    import graft.operators.{Ddl, Forget, Retrieval, Staging, TextDedup, VectorOps}
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val doomedVec = emb.filter(col("vec_id") % 5 === 2).select("vec_id")
+    val doomedDoc = docs.filter(col("doc_id") % 5 === 2).select("doc_id")
+    def buildAll(sfx: String): (String, String, String, String) = {
+      val (annT, pqT, bmT, mhT) = (s"graft_sforget_ann$sfx",
+        s"graft_sforget_pq$sfx", s"graft_sforget_bm25$sfx",
+        s"graft_sforget_mh$sfx")
+      Staging.scoped {
+        VectorOps.writeIndex(emb, "vec_id", "embedding", annT,
+          kClusters = 8, iters = 2, numBuckets = 8)
+        VectorOps.writePqIndex(emb, "vec_id", "embedding", pqT,
+          m = 4, ksub = 16, iters = 2)
+        Retrieval.writeBm25Index(docs, "doc_id", "text", bmT)
+        TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3, k = 16,
+          bandSize = 4, numBands = 4, threshold = 0.5, table = mhT)
+      }
+      (annT, pqT, bmT, mhT)
+    }
+    // reference: the t95 one-shot path
+    val (rAnn, rPq, rBm, rMh) = buildAll("_ref")
+    Forget.forgetEverywhere(doomedVec, "vec_id",
+      Forget.CorpusIndexes(ann = Some(rAnn), pq = Some(rPq)))
+    Forget.forgetEverywhere(doomedDoc, "doc_id",
+      Forget.CorpusIndexes(bm25 = Some(rBm), minhash = Some(rMh)))
+    // stream: one sink per id space, ids split across two waves
+    val (sAnn, sPq, sBm, sMh) = buildAll("_str")
+    def waves(ids: org.apache.spark.sql.DataFrame, keyCol: String,
+        dirName: String): String = {
+      val src = tmp(dirName)
+      Seq(col(keyCol) % 2 === 0, col(keyCol) % 2 === 1)
+        .zipWithIndex.foreach { case (pred, i) =>
+          val staging = tmp(s"$dirName-wave$i")
+          ids.filter(pred).coalesce(1)
+            .write.mode("overwrite").parquet(staging)
+          val part = new java.io.File(staging).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+          Files.copy(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+      src
+    }
+    val q1 = StreamingIngest.streamingForget(
+      spark.readStream.schema(doomedVec.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(waves(doomedVec, "vec_id", "sforget-vec-src")),
+      "vec_id", Forget.CorpusIndexes(ann = Some(sAnn), pq = Some(sPq)),
+      tmp("sforget-vec-ckpt"))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = StreamingIngest.streamingForget(
+      spark.readStream.schema(doomedDoc.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(waves(doomedDoc, "doc_id", "sforget-doc-src")),
+      "doc_id", Forget.CorpusIndexes(bm25 = Some(sBm), minhash = Some(sMh)),
+      tmp("sforget-doc-ckpt"))
+    q2.processAllAvailable(); q2.stop()
+    // every modality's tombstone set equals the one-shot reference's
+    for ((r, s) <- Seq(rAnn -> sAnn, rPq -> sPq, rBm -> sBm, rMh -> sMh)) {
+      val ref = spark.table(Ddl.tombstoneTable(r))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val got = spark.table(Ddl.tombstoneTable(s))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === ref, s"tombstones $s")
+      assert(got.nonEmpty)
+    }
+    // probes agree end-to-end (merge-on-read anti-join picks them up)
+    val probeRef = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, rAnn),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20)
+        .collect().map(_.toString).toSet
+    }
+    val probeStr = Staging.scoped {
+      VectorOps.ivfSq8TopKFromIndex(VectorOps.loadIndex(spark, sAnn),
+        col("id") < 10, k = 5, nprobe = 2, candidates = 20)
+        .collect().map(_.toString).toSet
+    }
+    assert(probeStr === probeRef && probeStr.nonEmpty)
+    val bmRef = Retrieval.bm25TopKFromIndex(spark, rBm,
+      Seq("data", "model"), k = 20).collect().map(_.toString).toSeq
+    val bmStr = Retrieval.bm25TopKFromIndex(spark, sBm,
+      Seq("data", "model"), k = 20).collect().map(_.toString).toSeq
+    assert(bmStr === bmRef && bmStr.nonEmpty)
+    // replay: re-running wave 0's batch id across the composed sink
+    // leaves every tombstone list untouched (per-modality ledgers)
+    val before = Seq(sAnn, sPq).map(t => spark.table(Ddl.tombstoneTable(t)).count())
+    StreamingIngest.deleteVectorBatch(doomedVec, batchId = 0L, "vec_id", sAnn)
+    StreamingIngest.deletePqBatch(doomedVec, batchId = 0L, "vec_id", sPq)
+    val after = Seq(sAnn, sPq).map(t => spark.table(Ddl.tombstoneTable(t)).count())
+    assert(after === before)
+  }
+
   test("streaming BM25 append equals one-shot batch append on arbitrary probes") {
     import graft.operators.{Retrieval, Staging}
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
