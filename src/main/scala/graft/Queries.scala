@@ -1726,6 +1726,97 @@ object Queries {
          |FROM documents d LEFT JOIN scored s USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** 4-gram MODIFIED Kneser–Ney
+    * ([[TextAnalysis.kneserNeyModified4gramQuality]]): the full KenLM
+    * configuration — three count-dependent discounts per order
+    * (D1 = Y, D2 = 2−3Y·n3/n2, D3+ = 3−4Y·n4/n3 from each level's
+    * count-of-counts), applied through the 4-gram → continuation
+    * trigram → continuation bigram → unigram-tail recursion. Every
+    * statistic is an integer type-table aggregate; the discounts and
+    * the score ride ONE identical IEEE expression tree in both engines
+    * (the t93 contract — the oracle recomputes the same count-of-
+    * counts and spells the same division/multiply parenthesization). */
+  val t97_kneser_ney_modified_4gram: Q = Q(
+    run = (spark, dir) =>
+      TextAnalysis.kneserNeyModified4gramQuality(t(spark, dir, "documents"),
+          "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    bench = true,
+    oracle = Some {
+      def ddCte(name: String, src: String, cCol: String): String =
+        s"""$name AS (SELECT
+           |    CAST(n1 AS DOUBLE)/(n1 + 2*n2) AS d1,
+           |    2.0 - 3.0*(CAST(n1 AS DOUBLE)/(n1 + 2*n2))*n3/n2 AS d2,
+           |    3.0 - 4.0*(CAST(n1 AS DOUBLE)/(n1 + 2*n2))*n4/n3 AS d3
+           |  FROM (SELECT
+           |    sum(CASE WHEN $cCol = 1 THEN 1 ELSE 0 END) AS n1,
+           |    sum(CASE WHEN $cCol = 2 THEN 1 ELSE 0 END) AS n2,
+           |    sum(CASE WHEN $cCol = 3 THEN 1 ELSE 0 END) AS n3,
+           |    sum(CASE WHEN $cCol = 4 THEN 1 ELSE 0 END) AS n4
+           |  FROM $src))""".stripMargin
+      def dSel(dd: String, cExpr: String): String =
+        s"""CASE WHEN $cExpr = 1 THEN (SELECT d1 FROM $dd)
+           |     WHEN $cExpr = 2 THEN (SELECT d2 FROM $dd)
+           |     ELSE (SELECT d3 FROM $dd) END""".stripMargin
+      def clsCte(name: String, src: String, cCol: String, keys: String,
+          pfx: String): String =
+        s"""$name AS (SELECT $keys, CAST(sum($cCol) AS BIGINT) AS ${pfx}m,
+           |    CAST(sum(CASE WHEN $cCol = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ${pfx}1,
+           |    CAST(sum(CASE WHEN $cCol = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ${pfx}2,
+           |    CAST(sum(CASE WHEN $cCol >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ${pfx}3
+           |  FROM $src GROUP BY $keys)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |fg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, u.w4 AS w4
+         |  FROM (SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2], 'w3': t[i+3], 'w4': t[i+4]} for i in range(len(t)-3)]) AS u
+         |        FROM toks WHERE len(t) >= 4)),
+         |fgc AS (SELECT w1, w2, w3, w4, CAST(count(*) AS BIGINT) AS c4
+         |  FROM fg GROUP BY w1, w2, w3, w4),
+         |cc234 AS (SELECT w2, w3, w4, CAST(count(*) AS BIGINT) AS cc234
+         |  FROM fgc GROUP BY w2, w3, w4),
+         |cc34 AS (SELECT w3, w4, CAST(count(*) AS BIGINT) AS cc34
+         |  FROM cc234 GROUP BY w3, w4),
+         |${ddCte("dd4", "fgc", "c4")},
+         |${ddCte("dd3", "cc234", "cc234")},
+         |${ddCte("dd2", "cc34", "cc34")},
+         |${clsCte("ca", "fgc", "c4", "w1, w2, w3", "a")},
+         |${clsCte("cb", "cc234", "cc234", "w2, w3", "b")},
+         |${clsCte("cg", "cc34", "cc34", "w3", "g")},
+         |r4 AS (SELECT w4, CAST(count(*) AS BIGINT) AS r4 FROM cc34 GROUP BY w4),
+         |b3t AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cc34),
+         |sc AS (SELECT fgc.w1, fgc.w2, fgc.w3, fgc.w4,
+         |    CAST(round(log10(
+         |      ((fgc.c4 - ${dSel("dd4", "fgc.c4")}) / ca.am) +
+         |      (((SELECT d1 FROM dd4)*ca.a1 + (SELECT d2 FROM dd4)*ca.a2 +
+         |        (SELECT d3 FROM dd4)*ca.a3) / ca.am) * (
+         |        ((cc234.cc234 - ${dSel("dd3", "cc234.cc234")}) / cb.bm) +
+         |        (((SELECT d1 FROM dd3)*cb.b1 + (SELECT d2 FROM dd3)*cb.b2 +
+         |          (SELECT d3 FROM dd3)*cb.b3) / cb.bm) * (
+         |          ((cc34.cc34 - ${dSel("dd2", "cc34.cc34")}) / cg.gm) +
+         |          (((SELECT d1 FROM dd2)*cg.g1 + (SELECT d2 FROM dd2)*cg.g2 +
+         |            (SELECT d3 FROM dd2)*cg.g3) / cg.gm) *
+         |          (r4.r4 * 1.0 / (SELECT b FROM b3t))))
+         |    ) * 1000000) AS BIGINT) AS lp
+         |  FROM fgc
+         |  JOIN ca ON ca.w1 = fgc.w1 AND ca.w2 = fgc.w2 AND ca.w3 = fgc.w3
+         |  JOIN cc234 ON cc234.w2 = fgc.w2 AND cc234.w3 = fgc.w3 AND cc234.w4 = fgc.w4
+         |  JOIN cb ON cb.w2 = fgc.w2 AND cb.w3 = fgc.w3
+         |  JOIN cc34 ON cc34.w3 = fgc.w3 AND cc34.w4 = fgc.w4
+         |  JOIN cg ON cg.w3 = fgc.w3
+         |  JOIN r4 ON r4.w4 = fgc.w4),
+         |scored AS (SELECT fg.doc_id, CAST(count(*) AS BIGINT) AS n_4grams,
+         |    CAST(sum(sc.lp) AS BIGINT) AS sum_lp_micro
+         |  FROM fg JOIN sc ON sc.w1 = fg.w1 AND sc.w2 = fg.w2
+         |    AND sc.w3 = fg.w3 AND sc.w4 = fg.w4
+         |  GROUP BY fg.doc_id)
+         |SELECT d.doc_id, COALESCE(s.n_4grams, 0) AS n_4grams,
+         |  COALESCE(s.sum_lp_micro, 0) AS sum_lp_micro
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Z-ORDER clustering key ([[Layout.zValue]]): Morton interleave of
     * (l_orderkey, l_partkey), the layout-maintenance primitive a
     * 100 TB table uses so a TWO-dimensional box predicate prunes from
@@ -6063,6 +6154,20 @@ object Queries {
         .orderBy("user_id"),
     oracle = w28_funnel_any_count.oracle)
 
+  /** [[Funnel.funnelAnyCountAuto]] — the measured-crossover router
+    * (round 15): probe the peak per-key event count once, take the
+    * single fold below [[Funnel.AutoBucketKeyEvents]] and the matrix
+    * monoid above it (the single fold's ~2 GB collected-row wall,
+    * AUDIT_r15_cep_crossover). Routes to the single fold at sf0.01;
+    * FunnelSpec forces both routes and proves them equal. Gated on
+    * w28's oracle VERBATIM. */
+  val w44_funnel_any_count_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelAnyCountAuto(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id", Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+    oracle = w28_funnel_any_count.oracle)
+
   /** `followedByAny` ENUMERATION ([[Funnel.funnelAnyEnumerate]]): one
     * row per ordered combination. Answer-size-bound by construction
     * (the t79 rationale) — the chained user-keyed range join IS the
@@ -7633,6 +7738,7 @@ object Queries {
     "t76_bigram_lm" -> t76_bigram_lm,
     "t92_kneser_ney_lm" -> t92_kneser_ney_lm,
     "t93_kneser_ney_trigram" -> t93_kneser_ney_trigram,
+    "t97_kneser_ney_modified_4gram" -> t97_kneser_ney_modified_4gram,
     "t94_zorder_key" -> t94_zorder_key,
     "t96_zorder_key_3d" -> t96_zorder_key_3d,
     "t95_forget_everywhere" -> t95_forget_everywhere,
@@ -7749,6 +7855,7 @@ object Queries {
     "w32_funnel_loop_until_bucketed" -> w32_funnel_loop_until_bucketed,
     "w28_funnel_any_count" -> w28_funnel_any_count,
     "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,
+    "w44_funnel_any_count_auto" -> w44_funnel_any_count_auto,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

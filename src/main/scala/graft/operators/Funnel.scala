@@ -2301,6 +2301,54 @@ object Funnel {
       .select(col("user_id"), element_at(merged, k + 1).as("n_combi"))
   }
 
+  /** Default per-key event-count bound above which the auto-routers
+    * pick the segment-monoid twin: the single per-key fold physically
+    * dies at the ~2 GB UnsafeRow limit on the collected event array
+    * (AUDIT_r15_cep_crossover measures the boundary between 30M and
+    * 40M events of (us, oid, tp) structs, and that single stays
+    * FASTER on uniform data right up to it — the monoid's win is
+    * feasibility plus skew, not constants), so the default routes
+    * with ~2× headroom below the wall. */
+  val AutoBucketKeyEvents: Long = 16000000L
+
+  /** Peak per-key event count — ONE count-by-key aggregation (map-side
+    * partial combine, metadata-sized result), the probe the
+    * auto-routers pay before choosing a plan. */
+  private def peakKeyEvents(events: DataFrame, userCol: String): Long = {
+    val row = events.groupBy(col(userCol)).count()
+      .agg(max("count")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** [[funnelAnyCount]] with AUTOMATIC skew routing (the j5a
+    * precedent): probe the peak per-key event count, run the single
+    * fold under `maxKeyEvents` and the matrix-monoid split
+    * ([[funnelAnyCountBucketed]]) above it. Values are
+    * plan-independent (the twins are bit-equal), so the router only
+    * moves cost/feasibility. */
+  def funnelAnyCountAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents): DataFrame =
+    if (peakKeyEvents(events, userCol) > maxKeyEvents)
+      funnelAnyCountBucketed(events, userCol, typeCol, tsCol, orderCol,
+        stages, bucketSeconds)
+    else funnelAnyCount(events, userCol, typeCol, tsCol, orderCol, stages)
+
+  /** [[funnelMulti]]'s auto-router — same probe, same rationale (the
+    * round-14 audit's honest loss: the multi monoid costs ~1.2× at a
+    * 20M-event power key, so routing on FEASIBILITY rather than a
+    * phantom perf crossover is the correct policy). */
+  def funnelMultiAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], maxMatches: Int, bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents): DataFrame =
+    if (peakKeyEvents(events, userCol) > maxKeyEvents)
+      funnelMultiBucketed(events, userCol, typeCol, tsCol, orderCol,
+        stages, maxMatches, bucketSeconds)
+    else funnelMulti(events, userCol, typeCol, tsCol, orderCol, stages,
+      maxMatches)
+
   /**
    * `followedByAny` match ENUMERATION: every ordered event combination
    * matching the pattern, one row per match. Inherently

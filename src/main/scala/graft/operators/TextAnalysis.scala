@@ -857,6 +857,115 @@ object TextAnalysis {
         coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
   }
 
+  /**
+   * 4-GRAM MODIFIED Kneser–Ney — the full KenLM configuration
+   * (Chen & Goodman 1999's modified KN): one order above
+   * [[kneserNeyTrigramQuality]] and, instead of the single rational
+   * discount, THREE count-dependent discounts per order derived from
+   * that order's count-of-counts n1..n4:
+   *
+   *   Y    = n1/(n1 + 2·n2)
+   *   D1   = Y                      (applies to types with count 1)
+   *   D2   = 2 − 3·Y·n3/n2          (count 2)
+   *   D3+  = 3 − 4·Y·n4/n3          (count ≥ 3)
+   *   γ(ctx) = (D1·N1(ctx·) + D2·N2(ctx·) + D3+·N3+(ctx·)) / c(ctx)
+   *
+   * applied at every level of the continuation recursion (4-gram raw
+   * counts → trigram continuation types → bigram continuation types →
+   * the unigram continuation tail r4/B3, the t93 shape one order up).
+   * All n_i are exact integer aggregates of the level's TYPE table, so
+   * each discount is one IEEE division/multiply chain over exact-in-
+   * double integers, embedded as the IDENTICAL expression tree in both
+   * engines (the t93 contract: basic double arithmetic is IEEE-
+   * deterministic; only libm beyond log10 is off-limits). Discount
+   * denominators require n2 > 0 and n3 > 0 at every level — true for
+   * any natural corpus; enforced LOUDLY (a corpus of only-singleton
+   * types has no modified-KN discounts by definition).
+   *
+   * Scale shape: one corpus pass to 4-gram-type counts; every other
+   * statistic (context sums, N-class counts, continuation tables,
+   * count-of-counts) derives from type tables that grow far slower
+   * than rows; the three count-of-counts rows are driver scalars.
+   * Doc scoring joins the type-sized score table on (w1..w4).
+   */
+  def kneserNeyModified4gramQuality(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = Staging.barrier(
+      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    val fg = Staging.barrier(
+      toks.filter(size(col("t")) >= 4)
+        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 4),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2"),
+            element_at(col("t"), i + 3).as("w3"),
+            element_at(col("t"), i + 4).as("w4")))).as("p"))
+        .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.w3").as("w3"), col("p.w4").as("w4")))
+    val fgc = Staging.barrier(
+      fg.groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4")))
+    val cc234 = Staging.barrier(
+      fgc.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("cc234")))
+    val cc34 = Staging.barrier(
+      cc234.groupBy("w3", "w4").agg(count(lit(1)).as("cc34")))
+    // modified discounts per level, from the level's count-of-counts
+    def discounts(types: DataFrame, cCol: String): (Double, Double, Double) = {
+      val r = types.agg(
+        sum(when(col(cCol) === 1, 1L).otherwise(0L)),
+        sum(when(col(cCol) === 2, 1L).otherwise(0L)),
+        sum(when(col(cCol) === 3, 1L).otherwise(0L)),
+        sum(when(col(cCol) === 4, 1L).otherwise(0L))).head()
+      val (n1, n2, n3, n4) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      require(n1 > 0 && n2 > 0 && n3 > 0,
+        s"modified KN needs n1..n3 > 0 at every level; got " +
+          s"($n1, $n2, $n3, $n4) for $cCol")
+      val y = n1.toDouble / (n1 + 2 * n2)
+      (y, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
+    }
+    val (d41, d42, d43) = discounts(fgc, "c4")
+    val (d31, d32, d33) = discounts(cc234, "cc234")
+    val (d21, d22, d23) = discounts(cc34, "cc34")
+    def dOf(c: Column, d1: Double, d2: Double, d3: Double): Column =
+      when(c === 1, lit(d1)).when(c === 2, lit(d2)).otherwise(lit(d3))
+    def classes(g: org.apache.spark.sql.RelationalGroupedDataset,
+        cCol: String, pfx: String) = g.agg(
+      sum(cCol).as(s"${pfx}m"),
+      sum(when(col(cCol) === 1, 1L).otherwise(0L)).as(s"${pfx}1"),
+      sum(when(col(cCol) === 2, 1L).otherwise(0L)).as(s"${pfx}2"),
+      sum(when(col(cCol) >= 3, 1L).otherwise(0L)).as(s"${pfx}3"))
+    val ctx123 = classes(fgc.groupBy("w1", "w2", "w3"), "c4", "a")
+    val ctx23 = classes(cc234.groupBy("w2", "w3"), "cc234", "b")
+    val ctx3 = classes(cc34.groupBy("w3"), "cc34", "g")
+    val r4 = cc34.groupBy("w4").agg(count(lit(1)).as("r4"))
+    val b3Total = cc34.count()
+    val sc = fgc.join(ctx123, Seq("w1", "w2", "w3"))
+      .join(cc234, Seq("w2", "w3", "w4"))
+      .join(ctx23, Seq("w2", "w3"))
+      .join(cc34, Seq("w3", "w4"))
+      .join(ctx3, Seq("w3"))
+      .join(r4, Seq("w4"))
+      .select(col("w1"), col("w2"), col("w3"), col("w4"),
+        round(log10(
+          ((col("c4") - dOf(col("c4"), d41, d42, d43)) / col("am")) +
+          ((lit(d41) * col("a1") + lit(d42) * col("a2") +
+            lit(d43) * col("a3")) / col("am")) * (
+            ((col("cc234") - dOf(col("cc234"), d31, d32, d33)) / col("bm")) +
+            ((lit(d31) * col("b1") + lit(d32) * col("b2") +
+              lit(d33) * col("b3")) / col("bm")) * (
+              ((col("cc34") - dOf(col("cc34"), d21, d22, d23)) / col("gm")) +
+              ((lit(d21) * col("g1") + lit(d22) * col("g2") +
+                lit(d23) * col("g3")) / col("gm")) *
+              (col("r4") * lit(1.0) / lit(b3Total))))
+        ) * lit(1e6)).cast("long").as("lp"))
+    val scored = fg.join(sc, Seq("w1", "w2", "w3", "w4"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_4grams"), sum("lp").as("sum_lp_micro"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_4grams"), lit(0L)).as("n_4grams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+  }
+
   // -------------------------------------------------------------------
   // Hashed linear quality classifier (fastText-shaped inference)
   // -------------------------------------------------------------------

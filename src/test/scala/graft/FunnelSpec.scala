@@ -1102,6 +1102,42 @@ class FunnelSpec extends SparkSpec {
     assert(bucketed === got)
   }
 
+  test("auto-routers: both routes produce identical values; the threshold picks the monoid on a skewed key") {
+    val rnd = new scala.util.Random(7211L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 600).map { i =>
+      // user 0 is the power key (half the log)
+      (if (i % 2 == 0) 0L else rnd.nextInt(8).toLong + 1L, i.toLong,
+        ts(rnd.nextInt(60)), typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    def anyOut(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = anyOut(Funnel.funnelAnyCount(df, "user_id", "event_type",
+      "ts", "event_id", stages))
+    // threshold above the power key: routes single; threshold below:
+    // routes the monoid — both must equal the plain fold
+    assert(anyOut(Funnel.funnelAnyCountAuto(df, "user_id", "event_type",
+      "ts", "event_id", stages, maxKeyEvents = 1000000L)) === single)
+    assert(anyOut(Funnel.funnelAnyCountAuto(df, "user_id", "event_type",
+      "ts", "event_id", stages, bucketSeconds = 1L,
+      maxKeyEvents = 10L)) === single)
+    def multiOutR(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("user_id", "match_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          (3 to 5).map(r.getLong).toSeq)).toSeq
+    val m = multiOutR(Funnel.funnelMulti(df, "user_id", "event_type",
+      "ts", "event_id", stages, maxMatches = 4))
+    assert(multiOutR(Funnel.funnelMultiAuto(df, "user_id", "event_type",
+      "ts", "event_id", stages, maxMatches = 4,
+      maxKeyEvents = 1000000L)) === m)
+    assert(multiOutR(Funnel.funnelMultiAuto(df, "user_id", "event_type",
+      "ts", "event_id", stages, maxMatches = 4, bucketSeconds = 1L,
+      maxKeyEvents = 10L)) === m)
+  }
+
   test("funnelCombinations: loop stage counts every non-empty subset; property vs closed form; bucketed == single") {
     val stages = Seq("view" -> false, "click" -> true, "purchase" -> false)
     // hand case: v c c p — subsets {c1},{c2},{c1,c2} → 3;

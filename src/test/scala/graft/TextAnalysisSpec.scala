@@ -522,6 +522,91 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lpABC > lpABD)
   }
 
+  test("kneserNeyModified4gramQuality: three-discount recursion matches an independent JVM replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8841L)
+    val vocab = (0 until 16).map(i => s"w$i")
+    // random docs give each level its singleton mass; the crafted
+    // single-4-gram docs (length exactly 4 → one gram each, dedicated
+    // tokens → no interference) plant exact multiplicities so every
+    // level's count-of-counts n1..n3 is populated (the discount guard):
+    // raw-count 2/3/4 types for fgc, 2- and 3-distinct-w1 contexts for
+    // cc234, 2- and 3-distinct-w2 contexts for cc34
+    val crafted = Seq(
+      "k1 k2 k3 k4", "k1 k2 k3 k4",
+      "k5 k6 k7 k8", "k5 k6 k7 k8", "k5 k6 k7 k8",
+      "m1 m2 m3 m4", "m1 m2 m3 m4", "m1 m2 m3 m4", "m1 m2 m3 m4",
+      "u1 c1 c2 c3", "u2 c1 c2 c3",
+      "v1 d1 d2 d3", "v2 d1 d2 d3", "v3 d1 d2 d3",
+      "z1 e1 f1 f2", "z1 e2 f1 f2",
+      "z1 g1 h1 h2", "z1 g2 h1 h2", "z1 g3 h1 h2")
+    val docs = ((1L to 60L).map(i => (i,
+      (0 until 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))) ++
+      crafted.zipWithIndex.map { case (s, i) => (200L + i, s) })
+      .toDF("doc_id", "text")
+    // ---- independent JVM replay ----
+    val toksByDoc = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val fgByDoc = toksByDoc.view.mapValues(t =>
+      if (t.length < 4) Seq.empty
+      else t.sliding(4).map(s => (s(0), s(1), s(2), s(3))).toSeq).toMap
+    val fgc = fgByDoc.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cc234 = fgc.keys.groupBy(k => (k._2, k._3, k._4))
+      .view.mapValues(_.size.toLong).toMap
+    val cc34 = cc234.keys.groupBy(k => (k._2, k._3))
+      .view.mapValues(_.size.toLong).toMap
+    def disc(cs: Iterable[Long]): (Double, Double, Double) = {
+      def n(i: Long) = cs.count(_ == i).toLong
+      val (n1, n2, n3, n4) = (n(1), n(2), n(3), n(4))
+      assert(n1 > 0 && n2 > 0 && n3 > 0, s"generator gap: $n1 $n2 $n3 $n4")
+      val y = n1.toDouble / (n1 + 2 * n2)
+      (y, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
+    }
+    val (d41, d42, d43) = disc(fgc.values)
+    val (d31, d32, d33) = disc(cc234.values)
+    val (d21, d22, d23) = disc(cc34.values)
+    def dOf(c: Long, d1: Double, d2: Double, d3: Double) =
+      if (c == 1) d1 else if (c == 2) d2 else d3
+    def cls(cs: Iterable[Long]) = (cs.sum, cs.count(_ == 1).toLong,
+      cs.count(_ == 2).toLong, cs.count(_ >= 3).toLong)
+    val aT = fgc.groupBy(k => (k._1._1, k._1._2, k._1._3))
+      .view.mapValues(m => cls(m.values)).toMap
+    val bT = cc234.groupBy(k => (k._1._1, k._1._2))
+      .view.mapValues(m => cls(m.values)).toMap
+    val gT = cc34.groupBy(_._1._1).view.mapValues(m => cls(m.values)).toMap
+    val r4 = cc34.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b3t = cc34.size.toLong
+    def lp(k: (String, String, String, String)): Long = {
+      val c4 = fgc(k); val cc2 = cc234((k._2, k._3, k._4))
+      val cc3 = cc34((k._3, k._4))
+      val (am, a1, a2, a3) = aT((k._1, k._2, k._3))
+      val (bm, b1, b2, b3) = bT((k._2, k._3))
+      val (gm, g1, g2, g3) = gT(k._3)
+      math.round(math.log10(
+        ((c4 - dOf(c4, d41, d42, d43)) / am) +
+        ((d41 * a1 + d42 * a2 + d43 * a3) / am) * (
+          ((cc2 - dOf(cc2, d31, d32, d33)) / bm) +
+          ((d31 * b1 + d32 * b2 + d33 * b3) / bm) * (
+            ((cc3 - dOf(cc3, d21, d22, d23)) / gm) +
+            ((d21 * g1 + d22 * g2 + d23 * g3) / gm) *
+            (r4(k._4) * 1.0 / b3t)))) * 1e6)
+    }
+    val expected = toksByDoc.keys.map { id =>
+      val grams = fgByDoc(id)
+      (id, grams.size.toLong, grams.map(lp).sum)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.kneserNeyModified4gramQuality(docs, "doc_id",
+        "text")
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got === expected)
+    // the discounts are genuinely three-valued on this corpus
+    assert(Set(d41, d42, d43).size === 3)
+    assert(got.exists(_._3 != 0L))
+  }
+
   /** Independent JVM-side replay of the classifier model: md5 prefix →
     * bucket → weight, centered sum — checks Spark's conv/md5/aggregate
     * chain against java.security MessageDigest arithmetic. */
