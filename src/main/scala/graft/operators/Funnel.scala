@@ -1910,42 +1910,93 @@ object Funnel {
       concat(st.getField("done"), completions).as("done"))
   }
 
-  /** Completion-order PRUNING scan — the after-match skip applied the
-    * way Flink applies it: matches complete in event order (the branch
-    * NFA appends them that way); each EMITTED match raises the kill
+  /** One completed chain through the pruning-scan state
+    * `(mu, mo, n, out)` — shared by the fused single fold (which
+    * prunes completions the moment they emerge) and the bucketed
+    * twin's post-sort scan: each EMITTED match raises the kill
     * threshold to its anchor event's total-order position, and a later
     * completion emits iff its start is at-or-after (strictly after for
-    * [[SkipPastLast]]) the threshold — a branch killed while partial is
-    * exactly a completion whose start fails the check. `anchor` is the
-    * 1-based EXPANDED witness index (None = no pruning); the output
-    * list caps at `maxMatches` while `n` counts the TRUE emitted total
-    * (the cap never feeds the threshold — the w18 capped-monoid rule). */
-  private def pruneChains(done: Column, anchor: Option[Int],
+    * [[SkipPastLast]]) the threshold — a branch killed while partial
+    * is exactly a completion whose start fails the check. `anchor` is
+    * the 1-based EXPANDED witness index (None = no pruning); the
+    * output list caps at `maxMatches` while `n` counts the TRUE
+    * emitted total (the cap never feeds the threshold — the w18
+    * capped-monoid rule). */
+  private def pruneStep(s: Column, c: Column, anchor: Option[Int],
       inclusive: Boolean, maxMatches: Int): Column = {
-    val init = struct(lit(Long.MinValue).as("mu"),
-      lit(Long.MinValue).as("mo"), lit(0L).as("n"), emptyChains.as("out"))
-    aggregate(done, init, (s, c) => {
-      val (mu, mo) = (s.getField("mu"), s.getField("mo"))
-      val su = element_at(c, 1).getField("us")
-      val so = element_at(c, 1).getField("oid")
-      val surv =
-        if (inclusive) su > mu || (su === mu && so >= mo)
-        else su > mu || (su === mu && so > mo)
-      val (nmu, nmo) = anchor match {
-        case None => (mu, mo)
-        case Some(a) =>
-          val au = element_at(c, a).getField("us")
-          val ao = element_at(c, a).getField("oid")
-          val grow = au > mu || (au === mu && ao > mo)
-          (when(surv && grow, au).otherwise(mu),
-            when(surv && grow, ao).otherwise(mo))
-      }
-      struct(nmu.as("mu"), nmo.as("mo"),
-        (s.getField("n") + when(surv, 1L).otherwise(0L)).as("n"),
-        when(surv && size(s.getField("out")) < maxMatches,
-          concat(s.getField("out"), array(c)))
-          .otherwise(s.getField("out")).as("out"))
-    })
+    val (mu, mo) = (s.getField("mu"), s.getField("mo"))
+    val su = element_at(c, 1).getField("us")
+    val so = element_at(c, 1).getField("oid")
+    val surv =
+      if (inclusive) su > mu || (su === mu && so >= mo)
+      else su > mu || (su === mu && so > mo)
+    val (nmu, nmo) = anchor match {
+      case None => (mu, mo)
+      case Some(a) =>
+        val au = element_at(c, a).getField("us")
+        val ao = element_at(c, a).getField("oid")
+        val grow = au > mu || (au === mu && ao > mo)
+        (when(surv && grow, au).otherwise(mu),
+          when(surv && grow, ao).otherwise(mo))
+    }
+    struct(nmu.as("mu"), nmo.as("mo"),
+      (s.getField("n") + when(surv, 1L).otherwise(0L)).as("n"),
+      when(surv && size(s.getField("out")) < maxMatches,
+        concat(s.getField("out"), array(c)))
+        .otherwise(s.getField("out")).as("out"))
+  }
+
+  private def pruneInit: Column =
+    struct(lit(Long.MinValue).as("mu"), lit(Long.MinValue).as("mo"),
+      lit(0L).as("n"), emptyChains.as("out"))
+
+  /** Completion-order pruning scan over an assembled chain list (the
+    * bucketed twin's path — the single fold fuses [[pruneStep]] into
+    * the event fold instead, so no per-user completion list is ever
+    * materialized there). */
+  private def pruneChains(done: Column, anchor: Option[Int],
+      inclusive: Boolean, maxMatches: Int): Column =
+    aggregate(done, pruneInit,
+      pruneStep(_, _, anchor, inclusive, maxMatches))
+
+  /** The FUSED single-fold step: [[chainsStep]]'s bucket moves with
+    * the pruning scan applied to each event's completions as they
+    * emerge (they emerge exactly in scan order — completion order,
+    * start order within one event), so the fold never materializes a
+    * per-user completion list: state = k-1 buckets + the 4-field scan
+    * state, and the output list is capped. Without the fusion a
+    * match-heavy key pays quadratic list copying on an unbounded
+    * `done` array — the same reason [[funnelMulti]] caps its witness
+    * list. */
+  private def skipStep(st: Column, e: Column, types: Seq[String],
+      anchor: Option[Int], inclusive: Boolean, maxMatches: Int): Column = {
+    val k = types.length
+    val wit = array(struct(e.getField("us").as("us"),
+      e.getField("oid").as("oid")))
+    def bktOf(j: Int) = element_at(st.getField("bkt"), j)
+    def tpIs(stage: Int) = e.getField("tp") === lit(types(stage - 1))
+    val newBkt = (1 to k - 1).map { j =>
+      val stay = when(tpIs(j + 1), emptyChains).otherwise(bktOf(j))
+      val arrive =
+        if (j == 1) when(tpIs(1), array(wit)).otherwise(emptyChains)
+        else when(tpIs(j), transform(bktOf(j - 1), c => concat(c, wit)))
+          .otherwise(emptyChains)
+      concat(stay, arrive)
+    }
+    val completions =
+      when(tpIs(k), transform(bktOf(k - 1), c => concat(c, wit)))
+        .otherwise(emptyChains)
+    // let-bound: the scan is read field-by-field and lambda bodies get
+    // no CSE — unbound, the completion aggregate would re-run 4× per
+    // event (each re-walking the bucket transform)
+    ExprUtil.bound(aggregate(completions,
+      struct(st.getField("mu").as("mu"), st.getField("mo").as("mo"),
+        st.getField("n").as("n"), st.getField("out").as("out")),
+      pruneStep(_, _, anchor, inclusive, maxMatches))) { scan =>
+      struct(array(newBkt: _*).as("bkt"), scan.getField("mu").as("mu"),
+        scan.getField("mo").as("mo"), scan.getField("n").as("n"),
+        scan.getField("out").as("out"))
+    }
   }
 
   /** Emitted-match projection: first `maxMatches` surviving chains as
@@ -2007,9 +2058,12 @@ object Funnel {
    * buckets whose total chain count is bounded by the user's
    * stage-1-type event count (the same O(events-per-user) class as the
    * event array the family already collects; skewed keys take the
-   * bucketed twin). The strategy is then EXACTLY the [[pruneChains]]
+   * bucketed twin). The strategy is then EXACTLY the [[pruneStep]]
    * completion-order scan — Flink emits matches as they complete and
-   * prunes live partials against each emission's anchor. ONE user-keyed
+   * prunes live partials against each emission's anchor — FUSED into
+   * the event fold ([[skipStep]]): completions emerge in scan order,
+   * so no per-user completion list is ever materialized and the only
+   * unbounded state is the pending-branch buckets. ONE user-keyed
    * shuffle; output rows `(user_id, match_idx, n_matches,
    * ts1_us..tsk_us)` over the EXPANDED stage list.
    */
@@ -2024,13 +2078,14 @@ object Funnel {
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       col(orderCol).as("oid"), col(typeCol).as("tp"))))
     val init = struct(array(Seq.fill(k - 1)(emptyChains): _*).as("bkt"),
-      emptyChains.as("done"))
-    val folded = aggregate(col("evs"), init, chainsStep(_, _, types))
+      lit(Long.MinValue).as("mu"), lit(Long.MinValue).as("mo"),
+      lit(0L).as("n"), emptyChains.as("out"))
+    val folded = aggregate(col("evs"), init,
+      skipStep(_, _, types, anchor, inclusive, maxMatches))
     events.groupBy(col(userCol).as("user_id"))
       .agg(evs.as("evs"))
-      .select(col("user_id"), explode(ExprUtil.bound(
-        pruneChains(folded.getField("done"), anchor, inclusive, maxMatches))(
-        skipOut(_, k))).as("m"))
+      .select(col("user_id"),
+        explode(ExprUtil.bound(folded)(skipOut(_, k))).as("m"))
       .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
         (1 to k).map(j => col(s"m.ts${j}_us")): _*)
   }
@@ -2304,11 +2359,12 @@ object Funnel {
   /** Default per-key event-count bound above which the auto-routers
     * pick the segment-monoid twin: the single per-key fold physically
     * dies at the ~2 GB UnsafeRow limit on the collected event array
-    * (AUDIT_r15_cep_crossover measures the boundary between 30M and
-    * 40M events of (us, oid, tp) structs, and that single stays
-    * FASTER on uniform data right up to it — the monoid's win is
-    * feasibility plus skew, not constants), so the default routes
-    * with ~2× headroom below the wall. */
+    * (AUDIT_r15_cep_crossover: every pair's single fold is alive at 40M
+    * and dead at 48M events of (us, oid, tp) structs while every
+    * bucketed twin completes; below the wall the winner is
+    * pair-specific — the multi monoid wins from ~20M, the pattern
+    * NFA's single fold keeps winning — so the default routes on
+    * FEASIBILITY with ~2.5× headroom below the wall). */
   val AutoBucketKeyEvents: Long = 16000000L
 
   /** Peak per-key event count — ONE count-by-key aggregation (map-side
