@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
  * contiguity × within product ([[operators.Funnel.funnelPatternWithin]]
  * / bucketed) — one power key with `N` events plus a flat background,
  * single vs segment split timed, values asserted equal. The power
- * key's purchases are RARE (1/100003) so the skip pair's match count
- * stays answer-sized (enumeration on a key with millions of matches is
- * answer-size-bound by definition — the w30 rationale); the fold still
- * walks every event. Prints ONE JSON line.
+ * key's purchases are RARE (1/4999) so pending-branch buckets stay
+ * ~100 deep and the skip pair's match count stays answer-sized
+ * (enumeration on a key with millions of matches is answer-size-bound
+ * by definition — the w30 rationale; and the single fold's per-event
+ * bucket copy makes EXTREME pending depth — purchases rarer than
+ * ~1/10k — infeasible for it long before the 2 GB wall, which is
+ * itself a recorded scale boundary); the fold still walks every
+ * event. Prints ONE JSON line.
  *
  * Usage: runMain graft.SkewAuditR15 [powerEvents] [bucketSeconds]
  */
@@ -35,7 +39,7 @@ object SkewAuditR15 {
     val m16 = pmod(col("id"), lit(16))
     val tpPower = when(m16 === 0, "view")
       .when(m16 === 1 || m16 === 2, "click")
-      .when(pmod(col("id"), lit(100003)) === 3, "purchase")
+      .when(pmod(col("id"), lit(4999)) === 3, "purchase")
       .otherwise("error").as("event_type")
     val power = spark.range(powerN).select(lit(0L).as("user_id"),
       col("id").as("event_id"),

@@ -2058,7 +2058,11 @@ object Funnel {
    * buckets whose total chain count is bounded by the user's
    * stage-1-type event count (the same O(events-per-user) class as the
    * event array the family already collects; skewed keys take the
-   * bucketed twin). The strategy is then EXACTLY the [[pruneStep]]
+   * bucketed twin; and per-event cost scales with the PENDING branch
+   * count — AUDIT_r15_skew_newops records 885 s single / 343 s
+   * bucketed at a 20M-event power key with ~160 branches pending,
+   * so deep-pending keys want the bucketed twin well before the
+   * 2 GB wall). The strategy is then EXACTLY the [[pruneStep]]
    * completion-order scan — Flink emits matches as they complete and
    * prunes live partials against each emission's anchor — FUSED into
    * the event fold ([[skipStep]]): completions emerge in scan order,
