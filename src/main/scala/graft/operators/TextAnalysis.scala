@@ -879,8 +879,9 @@ object TextAnalysis {
    * engines (the t93 contract: basic double arithmetic is IEEE-
    * deterministic; only libm beyond log10 is off-limits). Discount
    * denominators require n2 > 0 and n3 > 0 at every level — true for
-   * any natural corpus; enforced LOUDLY (a corpus of only-singleton
-   * types has no modified-KN discounts by definition).
+   * any natural corpus; enforced LOUDLY. n1 = 0 (a level with no
+   * singleton types — dense corpora) is fine: Y = 0 zeroes the
+   * singleton discount, which is exactly right.
    *
    * Scale shape: one corpus pass to 4-gram-type counts; every other
    * statistic (context sums, N-class counts, continuation tables,
@@ -916,8 +917,11 @@ object TextAnalysis {
         sum(when(col(cCol) === 4, 1L).otherwise(0L))).head()
       val (n1, n2, n3, n4) = (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))
-      require(n1 > 0 && n2 > 0 && n3 > 0,
-        s"modified KN needs n1..n3 > 0 at every level; got " +
+      // only n2 and n3 sit in denominators (and Y's n1+2n2); n1 = 0
+      // (no singleton types at a level — dense corpora) gives Y = 0,
+      // a zero singleton discount, which is exactly right
+      require(n1 + 2 * n2 > 0 && n2 > 0 && n3 > 0,
+        s"modified KN needs n2 > 0 and n3 > 0 at every level; got " +
           s"($n1, $n2, $n3, $n4) for $cCol")
       val y = n1.toDouble / (n1 + 2 * n2)
       (y, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)

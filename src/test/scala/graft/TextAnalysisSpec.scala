@@ -560,7 +560,7 @@ class TextAnalysisSpec extends SparkSpec {
     def disc(cs: Iterable[Long]): (Double, Double, Double) = {
       def n(i: Long) = cs.count(_ == i).toLong
       val (n1, n2, n3, n4) = (n(1), n(2), n(3), n(4))
-      assert(n1 > 0 && n2 > 0 && n3 > 0, s"generator gap: $n1 $n2 $n3 $n4")
+      assert(n2 > 0 && n3 > 0, s"generator gap: $n1 $n2 $n3 $n4")
       val y = n1.toDouble / (n1 + 2 * n2)
       (y, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
     }
