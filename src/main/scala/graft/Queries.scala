@@ -7334,6 +7334,54 @@ object Queries {
         |WHERE c.event_type = 'click'
         |ORDER BY c.event_id""".stripMargin))
 
+  /** [[j8_asof_tolerance]]'s NUMERIC-timestamp twin (round 15 —
+    * the advisor-fix path): both sides carry epoch-micros LONG
+    * columns (the funnel family's `*_us` convention), so
+    * [[TemporalJoin.asOfTolerance]] compares RAW values —
+    * `toleranceMicros` is in the caller's own epoch unit and no
+    * long→timestamp cast (which would read micros as seconds) ever
+    * happens. Oracle does the same micros arithmetic. */
+  val j9_asof_tolerance_us: Q = Q(
+    run = (spark, dir) => {
+      val ev = eventsWithTs(spark, dir)
+        .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"),
+          col("event_id").as("last_purchase_id"),
+          col("us").as("last_purchase_us"),
+          col("value").as("last_purchase_value"))
+      TemporalJoin.asOfTolerance(clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "us", rightTs = "us",
+          rightPayload = Seq("last_purchase_id", "last_purchase_us",
+            "last_purchase_value"),
+          tieBreak = Seq("last_purchase_id"),
+          toleranceMicros = 30L * 60 * 1000000)
+        .orderBy("event_id")
+    },
+    oracle = Some(
+      """SELECT c.event_id, c.user_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS us,
+        |  p.last_purchase_id, p.last_purchase_us, p.last_purchase_value
+        |FROM events c
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS last_purchase_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS last_purchase_us,
+        |         value AS last_purchase_value
+        |  FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |    AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |        <= epoch_us(CAST(c.ts AS TIMESTAMP))
+        |    AND epoch_us(CAST(p.ts AS TIMESTAMP))
+        |        >= epoch_us(CAST(c.ts AS TIMESTAMP)) - 1800000000
+        |  ORDER BY epoch_us(CAST(p.ts AS TIMESTAMP)) DESC, event_id DESC
+        |  LIMIT 1
+        |) p ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id""".stripMargin))
+
   private def asOfFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsWithTs(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -7861,6 +7909,7 @@ object Queries {
     "j2_json_extract" -> j2_json_extract,
     "j3_asof_join" -> j3_asof_join,
     "j8_asof_tolerance" -> j8_asof_tolerance,
+    "j9_asof_tolerance_us" -> j9_asof_tolerance_us,
     "j4_range_join" -> j4_range_join,
     "j5_interval_join" -> j5_interval_join,
     "j5a_interval_join_auto" -> j5a_interval_join_auto,

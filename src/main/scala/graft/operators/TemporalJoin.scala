@@ -121,17 +121,16 @@ object TemporalJoin {
       tieBreak: Seq[String],
       toleranceMicros: Long): DataFrame = {
     require(toleranceMicros >= 0, "asOfTolerance: tolerance must be >= 0")
-    val rts = "__asof_rts"
-    val joined = asOf(left, right.withColumn(rts, col(rightTs)),
-      leftKey, rightKey, leftTs, rightTs, rightPayload :+ rts, tieBreak)
     // Freshness in the SAME units the caller ordered by: numeric
     // timestamp columns (the *_us epoch-micros convention used by the
     // funnel family) are compared RAW — casting a LONG to timestamp
     // interprets it as SECONDS and would inflate the difference by 1e6
     // versus toleranceMicros, i.e. silently wrong tolerance semantics.
     // Datetime/string columns go through unix_micros as before. Mixed
-    // numeric/datetime sides are rejected loudly: the subtraction
-    // would compare incompatible clocks.
+    // numeric/datetime sides are rejected loudly (BEFORE plan
+    // construction — asOf's union would otherwise fail analysis with
+    // an incomprehensible type error): the subtraction would compare
+    // incompatible clocks.
     import org.apache.spark.sql.types.NumericType
     val leftNumeric =
       left.schema(leftTs).dataType.isInstanceOf[NumericType]
@@ -141,6 +140,9 @@ object TemporalJoin {
       s"asOfTolerance: ts columns must both be numeric (raw epoch units) " +
         s"or both datetime-like; got $leftTs numeric=$leftNumeric, " +
         s"$rightTs numeric=$rightNumeric")
+    val rts = "__asof_rts"
+    val joined = asOf(left, right.withColumn(rts, col(rightTs)),
+      leftKey, rightKey, leftTs, rightTs, rightPayload :+ rts, tieBreak)
     val fresh =
       if (leftNumeric)
         col(rts).isNotNull &&

@@ -105,6 +105,37 @@ class TemporalJoinSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("asOfTolerance numeric ts: raw epoch-micros units, no seconds-misread; mixed sides rejected") {
+    import spark.implicits._
+    // epoch-micros longs — the cast path would read these as SECONDS
+    // and inflate the staleness difference by 1e6 (the round-14
+    // advisor finding); the raw path must match the timestamp twin
+    val base = 1700000000000000L
+    val l = Seq(
+      (1L, 10L, base + 30L * 60 * 1000000), // exactly 30 min: FRESH
+      (2L, 10L, base + 31L * 60 * 1000000), // 31 min: stale
+      (3L, 10L, base + 5L * 60 * 1000000)   // fresh
+    ).toDF("l_id", "k", "us")
+    val r = Seq((7L, 10L, base, 42L)).toDF("m_id", "k", "us", "m_val")
+      .select(col("k"), col("us"), col("m_id"), col("m_val"))
+    val got = TemporalJoin.asOfTolerance(l, r, "k", "k", "us", "us",
+        rightPayload = Seq("m_id", "m_val"), tieBreak = Seq("m_id"),
+        toleranceMicros = 30L * 60 * 1000000)
+      .orderBy("l_id")
+      .collect().map(x => (x.getLong(0),
+        Option(x.get(3)).map(_.asInstanceOf[Long])))
+    assert(got === Array((1L, Some(7L)), (2L, None), (3L, Some(7L))))
+    // a numeric left against a datetime right is incompatible clocks
+    val rTs = Seq((7L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L))
+      .toDF("m_id", "k", "ts", "m_val")
+      .select(col("k"), col("ts"), col("m_id"), col("m_val"))
+    val e = intercept[IllegalArgumentException](
+      TemporalJoin.asOfTolerance(l, rTs, "k", "k", "us", "ts",
+        rightPayload = Seq("m_id", "m_val"), tieBreak = Seq("m_id"),
+        toleranceMicros = 1L))
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("rangeJoin equals the naive theta-join and emits no duplicates") {
     val ranges = spark.range(0, 300).select(
       col("id").as("range_id"),
