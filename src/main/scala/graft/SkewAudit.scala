@@ -45,19 +45,7 @@ object SkewAudit {
     // key whose event structs exceed the 2 GB UnsafeRow limit (~30M
     // events) — record that as the failure it is instead of crashing
     // the audit; the bucketed twin has no such key-sized row
-    def rowLimitHit(e: Throwable): Boolean = {
-      // walk the WHOLE cause chain — the overflow can surface wrapped
-      // arbitrarily deep on the driver
-      var cur = e
-      var seen = List.empty[Throwable]
-      while (cur != null && !seen.exists(_ eq cur)) {
-        if (Option(cur.getMessage).exists(_.contains("BufferHolder")))
-          return true
-        seen ::= cur
-        cur = cur.getCause
-      }
-      false
-    }
+    def rowLimitHit(e: Throwable): Boolean = AuditUtil.rowLimitHit(e)
     def timeTry[A](f: => Array[A]): (Option[Array[A]], Double) = {
       val t0 = System.nanoTime
       try { val r = f; (Some(r), (System.nanoTime - t0) / 1e9) }

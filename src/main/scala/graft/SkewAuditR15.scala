@@ -57,15 +57,7 @@ object SkewAuditR15 {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime; val r = f; (r, (System.nanoTime - t0) / 1e9)
     }
-    def rowLimitHit(e: Throwable): Boolean = {
-      var cur = e; var seen = List.empty[Throwable]
-      while (cur != null && !seen.exists(_ eq cur)) {
-        if (Option(cur.getMessage).exists(_.contains("BufferHolder")))
-          return true
-        seen ::= cur; cur = cur.getCause
-      }
-      false
-    }
+    def rowLimitHit(e: Throwable): Boolean = AuditUtil.rowLimitHit(e)
     def timeTry[A](f: => Array[A]): (Option[Array[A]], Double) = {
       val t0 = System.nanoTime
       try { val r = f; (Some(r), (System.nanoTime - t0) / 1e9) }

@@ -56,22 +56,46 @@ object Layout {
 
   /** Loud runtime audit of the [[zValue]]/[[zValueN]] domain contract:
     * ONE aggregate over the key columns asserting every value lies in
-    * `[0, 2^bits)`. Throws `IllegalArgumentException` naming the first
-    * offending column and its observed (min, max) — the alternative is
-    * `pmod` silently folding the key space and quietly destroying
-    * clustering quality (pruning stays correct — it reads real footer
-    * stats — but the z layout degrades toward noise with no signal).
-    * Cost: one scan of the audited columns; opt in where the domain is
-    * not known by construction. */
+    * `[0, 2^bits)` AND actually reaches the interleave as a number.
+    * Throws `IllegalArgumentException` naming the first offending
+    * column with its observed (min, max) — or, ahead of the range
+    * check, any NULL the interleave would see: a key value whose
+    * cast-to-long yields NULL (unparseable string key) and a key that
+    * is NULL outright both produce a NULL z-key that `zOrderWrite`
+    * would write with no signal, which is exactly the malformed-key
+    * case this audit exists to catch (a min/max-only check would
+    * quietly pass it — every cast failing leaves min = max = NULL).
+    * The alternative to the range check is `pmod` silently folding the
+    * key space and quietly destroying clustering quality (pruning
+    * stays correct — it reads real footer stats — but the z layout
+    * degrades toward noise). Cost: one scan of the audited columns;
+    * opt in where the domain is not known by construction. */
   def requireBounded(df: DataFrame, keys: Seq[String], bits: Int): Unit = {
     require(bits >= 1 && bits <= 62, "need 1 <= bits <= 62")
     val bound = 1L << bits
-    val row = df.select(keys.flatMap(k => Seq(
-      min(col(k).cast("long")).as(s"min_$k"),
-      max(col(k).cast("long")).as(s"max_$k"))): _*).head()
+    // try_cast, not cast: under ANSI a malformed key would abort the
+    // probe with a generic CAST_INVALID_INPUT instead of this audit's
+    // named error (and under non-ANSI plain cast nulls silently — the
+    // exact case being audited)
+    def tc(k: String) = expr(s"try_cast(`$k` AS BIGINT)")
+    val row = df.select(count(lit(1)).as("n") +: keys.flatMap(k => Seq(
+      min(tc(k)).as(s"min_$k"),
+      max(tc(k)).as(s"max_$k"),
+      count(col(k)).as(s"nz_$k"),
+      count(tc(k)).as(s"nc_$k"))): _*).head()
+    val n = row.getLong(0)
     keys.zipWithIndex.foreach { case (k, i) =>
-      if (!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1)) {
-        val (lo, hi) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+      val (nz, nc) = (row.getLong(4 * i + 3), row.getLong(4 * i + 4))
+      if (nc < nz) throw new IllegalArgumentException(
+        s"zValue domain violation: column '$k' has ${nz - nc} value(s) " +
+          "whose cast to long is NULL (unparseable key) — the interleave " +
+          "would emit a NULL z-key for them with no signal")
+      if (nz < n) throw new IllegalArgumentException(
+        s"zValue domain violation: column '$k' is NULL on ${n - nz} " +
+          s"of $n row(s) — NULL keys produce a NULL z-key and fall out " +
+          "of the clustered layout; filter or default them first")
+      if (!row.isNullAt(4 * i + 1) && !row.isNullAt(4 * i + 2)) {
+        val (lo, hi) = (row.getLong(4 * i + 1), row.getLong(4 * i + 2))
         if (lo < 0 || hi >= bound) throw new IllegalArgumentException(
           s"zValue domain violation: column '$k' has range [$lo, $hi], " +
             s"outside [0, $bound) for bits=$bits — bucket with div/pmod " +

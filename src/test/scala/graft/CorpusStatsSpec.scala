@@ -147,7 +147,7 @@ class CorpusStatsSpec extends SparkSpec {
     val docs = Seq("x y x y", "x y z").toDF("text")
     val r = CorpusStats.collocations(docs, "text", minCount = 2L, k = 10)
       .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
-    val expectedPmi = math.round(
+    val expectedPmi = roundHalf(
       math.log10((3.0 * 7 * 7) / (5.0 * 3 * 3)) * 1e6)
     assert(r === Array(("x", "y", 3L, expectedPmi)))
     // k cuts on (pmi desc, left, right): with minCount=1 all three pairs
@@ -190,7 +190,7 @@ class CorpusStatsSpec extends SparkSpec {
     val (_, ca1, cb1, term1) = r(1)
     assert(ca1 === 0L && cb1 === 0L)
     // replay: p_a = 1/6, p_b = 1/4 → (p_a-p_b)·ln(p_a/p_b) in micro
-    val expected = math.round(
+    val expected = roundHalf(
       (1.0 / 6 - 1.0 / 4) * math.log((1.0 / 6) / (1.0 / 4)) * 1e6)
     assert(term1 === expected)
     val e = intercept[IllegalArgumentException](

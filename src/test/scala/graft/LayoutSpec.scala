@@ -69,6 +69,31 @@ class LayoutSpec extends SparkSpec {
     assert(aliased(0) === aliased(1))
   }
 
+  test("requireBounded catches NULL-producing keys: unparseable string casts and NULL key values (round-15 advisor)") {
+    // a string key whose EVERY value fails the cast used to slip
+    // through: min = max = NULL skipped the range check entirely
+    val unparseable = Seq(("k-1", 1L), ("k-2", 2L)).toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException](
+      Layout.requireBounded(unparseable, Seq("a", "b"), bits = 10))
+    assert(e1.getMessage.contains("'a'") &&
+      e1.getMessage.contains("cast to long is NULL"))
+    // a PARTIALLY unparseable key is also named (min/max exist here)
+    val partial = Seq(("7", 1L), ("oops", 2L)).toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException](
+      Layout.requireBounded(partial, Seq("a", "b"), bits = 10))
+    assert(e2.getMessage.contains("'a'") &&
+      e2.getMessage.contains("cast to long is NULL"))
+    // a NULL key value would z-order to a NULL key silently
+    val withNull = Seq((Some(3L), 1L), (None, 2L)).toDF("a", "b")
+    val e3 = intercept[IllegalArgumentException](
+      Layout.requireBounded(withNull, Seq("a", "b"), bits = 10))
+    assert(e3.getMessage.contains("'a'") && e3.getMessage.contains("NULL on 1"))
+    // parseable strings in-domain still pass (cast is the documented
+    // normalization path)
+    Layout.requireBounded(Seq(("7", 1L), ("1023", 2L)).toDF("a", "b"),
+      Seq("a", "b"), bits = 10)
+  }
+
   test("3-key z-order layout prunes a 3-dim box where the linear layout cannot; contents identical") {
     // comparable per-key domains (the documented contract: right-size
     // `bits` to the real range, div/pmod-bucket skewed domains first —

@@ -13,7 +13,7 @@ class RetrievalSpec extends SparkSpec {
     val fused = Retrieval.rrfFuse(Seq(kw, vec), k = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     def nano(ranks: Seq[Int]): Long =
-      math.round(1e9 * ranks.map(r => 1.0 / (60.0 + r)).sum)
+      roundHalf(1e9 * ranks.map(r => 1.0 / (60.0 + r)).sum)
     // doc 20: ranks (2,1); doc 10: ranks (1,3); doc 30: kw-only 3; doc 40: vec-only 2
     assert(fused.toSeq === Seq(
       (20L, nano(Seq(2, 1)), 1),

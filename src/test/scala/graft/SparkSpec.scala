@@ -22,4 +22,12 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Spark/DuckDB `round` semantics — HALF_UP away from zero — for JVM
+    * replays of micro-fixed-point scores. Scala `math.round` is
+    * `floor(x + 0.5)`, which differs on negative exact halves (the
+    * round-15 advisor's latent-flake finding); every replay that can
+    * see a negative score must round through this instead. */
+  def roundHalf(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
 }

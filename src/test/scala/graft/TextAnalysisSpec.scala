@@ -356,7 +356,7 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "the the dog cat")).toDF("doc_id", "text")
     val got = TextAnalysis.lmQuality(docs, "doc_id", "text", vocab = 3)
       .orderBy("id").collect()
-    def lp(p: Double): Long = math.round(math.log10(p) * 1e6)
+    def lp(p: Double): Long = roundHalf(math.log10(p) * 1e6)
     val (lpThe, lpCat, lpDog, lpOov) =
       (lp(6 / 10.0), lp(2 / 10.0), lp(1 / 10.0), lp(0.5 / 10.0))
     assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
@@ -386,7 +386,7 @@ class TextAnalysisSpec extends SparkSpec {
     def score(tf: Double, dl: Double): Long = {
       val idf = math.log10(1.0 + (5 - 4.0 + 0.5) / (4.0 + 0.5))
       val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
-      math.round(1e6 * idf * tfn)
+      roundHalf(1e6 * idf * tfn)
     }
     val expected = Seq(
       1L -> score(3, 4), 4L -> score(1, 1), 2L -> score(1, 4),
@@ -428,7 +428,7 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // replay: V=3 (a,b,c); c1(a)=2, c1(b)=2; c2(a,b)=2, c2(b,c)=1
     def lp(c2: Long, c1: Long, v: Long): Long =
-      math.round(math.log10((c2 * 2 + 1) * 1.0 / (c1 * 2 + v)) * 1e6)
+      roundHalf(math.log10((c2 * 2 + 1) * 1.0 / (c1 * 2 + v)) * 1e6)
     val lpAB = lp(2, 2, 3)
     val lpBC = lp(1, 2, 3)
     val r = TextAnalysis.bigramLmQuality(docs, "doc_id", "text")
@@ -457,7 +457,7 @@ class TextAnalysisSpec extends SparkSpec {
     // bigram types: (san,x)c2=3 (x,san)1 (x,a)1 (a,y)1 (b,y)1
     // cl: san=3,n1l=1; x=2,n1l=2; a=1; b=1. n1r: x=1, san=1, a=1, y=2. B=5
     def lp(c2: Long, clv: Long, n1l: Long, n1r: Long, b: Long): Long =
-      math.round(math.log10(
+      roundHalf(math.log10(
         (math.max(4 * c2 - 3, 0) * b + 3 * n1l * n1r) * 1.0 /
           (clv * 4 * b)) * 1e6)
     val lpSanX = lp(3, 3, 1, 1, 5)
@@ -501,7 +501,7 @@ class TextAnalysisSpec extends SparkSpec {
     // B2 = 4
     def lp(c3: Long, c12v: Long, n1l: Long, cc23: Long, m2v: Long,
         k2v: Long, r3v: Long, b2: Long): Long =
-      math.round(math.log10(
+      roundHalf(math.log10(
         (math.max(c3 * 4 - 3, 0).toDouble / (c12v * 4.0)) +
         ((3.0 * n1l) / (c12v * 4.0)) *
         ((math.max(cc23 * 4 - 3, 0).toDouble / (m2v * 4.0)) +
@@ -584,7 +584,7 @@ class TextAnalysisSpec extends SparkSpec {
       val (am, a1, a2, a3) = aT((k._1, k._2, k._3))
       val (bm, b1, b2, b3) = bT((k._2, k._3))
       val (gm, g1, g2, g3) = gT(k._3)
-      math.round(math.log10(
+      roundHalf(math.log10(
         ((c4 - dOf(c4, d41, d42, d43)) / am) +
         ((d41 * a1 + d42 * a2 + d43 * a3) / am) * (
           ((cc2 - dOf(cc2, d31, d32, d33)) / bm) +
