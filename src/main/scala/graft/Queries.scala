@@ -5864,6 +5864,22 @@ object Queries {
         .orderBy("user_id"),
     oracle = w24_funnel_pattern_product.oracle)
 
+  /** [[Funnel.funnelPatternAuto]] — the contiguity-NFA pair through
+    * the round-16 feasibility router (the w44 recipe extended to the
+    * pattern family): one peak-per-key probe, single NFA fold below
+    * [[Funnel.AutoBucketKeyEvents]], the (l, o) segment split above
+    * it. Routes single at sf0.01; FunnelSpec forces both routes and
+    * proves them equal. Gated on w24's oracle VERBATIM. */
+  val w47_funnel_pattern_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternAuto(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)))
+        .orderBy("user_id"),
+    oracle = w24_funnel_pattern_product.oracle)
+
   /** The CONTIGUITY × WITHIN product
     * ([[Funnel.funnelPatternWithin]]): w24's full combinator pattern —
     * view (notNext `error`) → click (optional) → purchase (strict) —
@@ -5932,6 +5948,22 @@ object Queries {
             Funnel.PatternStage("click", optional = true),
             Funnel.PatternStage("purchase", strict = true)),
           windowMicros = 7200L * 1000000L, bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w42_funnel_pattern_within.oracle)
+
+  /** [[Funnel.funnelPatternWithinAuto]] — w42's product NFA through
+    * the feasibility router (twins were flat at the 20M power key, so
+    * the threshold only guards the 2 GB wall). Routes single at
+    * sf0.01; FunnelSpec forces both routes. Gated on w42's oracle
+    * VERBATIM. */
+  val w48_funnel_pattern_within_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelPatternWithinAuto(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+            Funnel.PatternStage("click", optional = true),
+            Funnel.PatternStage("purchase", strict = true)),
+          windowMicros = 7200L * 1000000L)
         .orderBy("user_id"),
     oracle = w42_funnel_pattern_within.oracle)
 
@@ -6020,6 +6052,20 @@ object Queries {
       Funnel.funnelLoopConsecutiveBucketed(t(spark, dir, "events"),
           "user_id", "event_type", "ts", "event_id",
           Seq("view" -> 2, "click" -> 2), bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w38_funnel_loop_consecutive.oracle)
+
+  /** [[Funnel.funnelLoopConsecutiveAuto]] — w38's consecutive-run
+    * machine through the feasibility router (this split honestly
+    * LOSES ~1.5× on skew, so the default threshold routes single
+    * until the 2 GB wall makes the split the only runnable plan).
+    * Routes single at sf0.01; FunnelSpec forces both routes. Gated on
+    * w38's oracle VERBATIM. */
+  val w46_funnel_loop_consecutive_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutiveAuto(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2))
         .orderBy("user_id"),
     oracle = w38_funnel_loop_consecutive.oracle)
 
@@ -6464,6 +6510,21 @@ object Queries {
           Seq("view" -> 1, "click" -> 2, "purchase" -> 1),
           Funnel.SkipToLast(2), maxMatches = MultiMatchCap,
           bucketSeconds = 3600L)
+        .orderBy("user_id", "match_idx"),
+    oracle = w33_funnel_skip_to_last.oracle)
+
+  /** [[Funnel.funnelSkipAuto]] — w33's after-match-skip machine
+    * through the feasibility router: the family where routing matters
+    * most (bucketed WON 2.6× at the 20M power key and the single fold
+    * dies at ~48M events — before the router the caller had to know
+    * both facts). Routes single at sf0.01; FunnelSpec forces both
+    * routes. Gated on w33's oracle VERBATIM. */
+  val w45_funnel_skip_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelSkipAuto(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view" -> 1, "click" -> 2, "purchase" -> 1),
+          Funnel.SkipToLast(2), maxMatches = MultiMatchCap)
         .orderBy("user_id", "match_idx"),
     oracle = w33_funnel_skip_to_last.oracle)
 
@@ -7904,6 +7965,10 @@ object Queries {
     "w28_funnel_any_count" -> w28_funnel_any_count,
     "w29_funnel_any_count_bucketed" -> w29_funnel_any_count_bucketed,
     "w44_funnel_any_count_auto" -> w44_funnel_any_count_auto,
+    "w45_funnel_skip_auto" -> w45_funnel_skip_auto,
+    "w46_funnel_loop_consecutive_auto" -> w46_funnel_loop_consecutive_auto,
+    "w47_funnel_pattern_auto" -> w47_funnel_pattern_auto,
+    "w48_funnel_pattern_within_auto" -> w48_funnel_pattern_within_auto,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

@@ -2372,42 +2372,133 @@ object Funnel {
   val AutoBucketKeyEvents: Long = 16000000L
 
   /** Peak per-key event count — ONE count-by-key aggregation (map-side
-    * partial combine, metadata-sized result), the probe the
-    * auto-routers pay before choosing a plan. */
-  private def peakKeyEvents(events: DataFrame, userCol: String): Long = {
+    * partial combine, metadata-sized result): the probe every
+    * `*Auto` router pays before choosing a plan. PUBLIC because the
+    * probe is reusable — a pipeline calling SEVERAL routed operators
+    * on the same events table should compute it ONCE (ideally on the
+    * cached/staged table) and pass it to each router via
+    * `precomputedPeak`, instead of paying one aggregation pass per
+    * router call. */
+  def peakKeyEvents(events: DataFrame, userCol: String): Long = {
     val row = events.groupBy(col(userCol)).count()
       .agg(max("count")).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
+
+  /** The routing decision shared by every `*Auto` constructor: take
+    * the caller-supplied peak when present, otherwise run
+    * [[peakKeyEvents]] EAGERLY — note this is a full count-by-key
+    * Spark job at CALL time, before (and regardless of whether) the
+    * returned DataFrame is ever executed, and the probe plus the
+    * chosen plan scan `events` twice; callers composing pipelines
+    * should `persist`/stage `events` or pass `precomputedPeak`. */
+  private def routeBucketed(events: DataFrame, userCol: String,
+      maxKeyEvents: Long, precomputedPeak: Option[Long]): Boolean =
+    precomputedPeak.getOrElse(peakKeyEvents(events, userCol)) > maxKeyEvents
 
   /** [[funnelAnyCount]] with AUTOMATIC skew routing (the j5a
     * precedent): probe the peak per-key event count, run the single
     * fold under `maxKeyEvents` and the matrix-monoid split
     * ([[funnelAnyCountBucketed]]) above it. Values are
     * plan-independent (the twins are bit-equal), so the router only
-    * moves cost/feasibility. */
+    * moves cost/feasibility. The probe is EAGER — a count-by-key job
+    * runs at call time unless `precomputedPeak` is supplied (compute
+    * it once via [[peakKeyEvents]] when several routed operators
+    * share one events table). */
   def funnelAnyCountAuto(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[String], bucketSeconds: Long = 3600L,
-      maxKeyEvents: Long = AutoBucketKeyEvents): DataFrame =
-    if (peakKeyEvents(events, userCol) > maxKeyEvents)
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelAnyCountBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, bucketSeconds)
     else funnelAnyCount(events, userCol, typeCol, tsCol, orderCol, stages)
 
-  /** [[funnelMulti]]'s auto-router — same probe, same rationale (the
-    * round-14 audit's honest loss: the multi monoid costs ~1.2× at a
-    * 20M-event power key, so routing on FEASIBILITY rather than a
-    * phantom perf crossover is the correct policy). */
+  /** [[funnelMulti]]'s auto-router — same eager probe (or
+    * `precomputedPeak`), same rationale (the round-14 audit's honest
+    * loss: the multi monoid costs ~1.2× at a 20M-event power key, so
+    * routing on FEASIBILITY rather than a phantom perf crossover is
+    * the correct policy). */
   def funnelMultiAuto(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[String], maxMatches: Int, bucketSeconds: Long = 3600L,
-      maxKeyEvents: Long = AutoBucketKeyEvents): DataFrame =
-    if (peakKeyEvents(events, userCol) > maxKeyEvents)
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelMultiBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, maxMatches, bucketSeconds)
     else funnelMulti(events, userCol, typeCol, tsCol, orderCol, stages,
       maxMatches)
+
+  /** [[funnelSkip]]'s auto-router. This is the family where routing
+    * has the most upside BEYOND feasibility: per-event cost scales
+    * with the pending branch count, and the bucketed twin won 2.6× at
+    * a 20M-event power key (AUDIT_r15_skew_newops, 885 → 343 s) while
+    * the single fold provably dies at ~48M events
+    * (AUDIT_r15_cep_crossover) — before this router the caller had to
+    * know both facts. Same eager probe / `precomputedPeak` contract
+    * as [[funnelAnyCountAuto]]; twins bit-equal, so routing only
+    * moves cost/feasibility. */
+  def funnelSkipAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], skip: SkipStrategy, maxMatches: Int,
+      bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelSkipBucketed(events, userCol, typeCol, tsCol, orderCol,
+        stages, skip, maxMatches, bucketSeconds)
+    else funnelSkip(events, userCol, typeCol, tsCol, orderCol, stages,
+      skip, maxMatches)
+
+  /** [[funnelLoopConsecutive]]'s auto-router — feasibility only: the
+    * consecutive segment split honestly LOSES ~1.5× at a 20M power
+    * key (AUDIT_r15_skew_newops), its value being the 2 GB boundary
+    * itself, so the default threshold routes single as long as the
+    * single fold can physically run. Same eager probe /
+    * `precomputedPeak` contract as [[funnelAnyCountAuto]]. */
+  def funnelLoopConsecutiveAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelLoopConsecutiveBucketed(events, userCol, typeCol, tsCol,
+        orderCol, stages, bucketSeconds)
+    else funnelLoopConsecutive(events, userCol, typeCol, tsCol, orderCol,
+      stages)
+
+  /** [[funnelPattern]]'s auto-router — feasibility routing over the
+    * contiguity-NFA pair (the single NFA fold kept winning below the
+    * wall in AUDIT_r15_cep_crossover, so the threshold only guards
+    * the 2 GB death). Same eager probe / `precomputedPeak` contract
+    * as [[funnelAnyCountAuto]]. */
+  def funnelPatternAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[PatternStage], bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelPatternBucketed(events, userCol, typeCol, tsCol, orderCol,
+        stages, bucketSeconds)
+    else funnelPattern(events, userCol, typeCol, tsCol, orderCol, stages)
+
+  /** [[funnelPatternWithin]]'s auto-router — the product NFA's twins
+    * were flat at the 20M power key (AUDIT_r15_skew_newops), so this
+    * too routes on feasibility. Same eager probe / `precomputedPeak`
+    * contract as [[funnelAnyCountAuto]]. */
+  def funnelPatternWithinAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[PatternStage], windowMicros: Long,
+      bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame =
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelPatternWithinBucketed(events, userCol, typeCol, tsCol,
+        orderCol, stages, windowMicros, bucketSeconds)
+    else funnelPatternWithin(events, userCol, typeCol, tsCol, orderCol,
+      stages, windowMicros)
 
   /**
    * `followedByAny` match ENUMERATION: every ordered event combination

@@ -1138,6 +1138,99 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L)) === m)
   }
 
+  test("round-16 auto-routers: skip/consecutive/pattern/within route both ways to identical values") {
+    val rnd = new scala.util.Random(1613L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 600).map { i =>
+      (if (i % 2 == 0) 0L else rnd.nextInt(8).toLong + 1L, i.toLong,
+        ts(rnd.nextInt(60)), typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    def rows(d: org.apache.spark.sql.DataFrame, keys: String*) =
+      d.orderBy(keys.head, keys.tail: _*).collect().map(_.toString).toSeq
+    // skip family (the one where bucketed wins on skew)
+    val skipStages = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
+    val skipRef = rows(Funnel.funnelSkip(df, "user_id", "event_type",
+      "ts", "event_id", skipStages, Funnel.SkipToLast(2), 8),
+      "user_id", "match_idx")
+    assert(rows(Funnel.funnelSkipAuto(df, "user_id", "event_type", "ts",
+      "event_id", skipStages, Funnel.SkipToLast(2), 8,
+      maxKeyEvents = 1000000L), "user_id", "match_idx") === skipRef)
+    assert(rows(Funnel.funnelSkipAuto(df, "user_id", "event_type", "ts",
+      "event_id", skipStages, Funnel.SkipToLast(2), 8, bucketSeconds = 1L,
+      maxKeyEvents = 10L), "user_id", "match_idx") === skipRef)
+    // consecutive loop
+    val consecStages = Seq("view" -> 2, "click" -> 2)
+    val consecRef = rows(Funnel.funnelLoopConsecutive(df, "user_id",
+      "event_type", "ts", "event_id", consecStages), "user_id")
+    assert(rows(Funnel.funnelLoopConsecutiveAuto(df, "user_id",
+      "event_type", "ts", "event_id", consecStages,
+      maxKeyEvents = 1000000L), "user_id") === consecRef)
+    assert(rows(Funnel.funnelLoopConsecutiveAuto(df, "user_id",
+      "event_type", "ts", "event_id", consecStages, bucketSeconds = 1L,
+      maxKeyEvents = 10L), "user_id") === consecRef)
+    // contiguity NFA and its within product
+    val pat = Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
+      Funnel.PatternStage("click", optional = true),
+      Funnel.PatternStage("purchase", strict = true))
+    val patRef = rows(Funnel.funnelPattern(df, "user_id", "event_type",
+      "ts", "event_id", pat), "user_id")
+    assert(rows(Funnel.funnelPatternAuto(df, "user_id", "event_type",
+      "ts", "event_id", pat, maxKeyEvents = 1000000L), "user_id") === patRef)
+    assert(rows(Funnel.funnelPatternAuto(df, "user_id", "event_type",
+      "ts", "event_id", pat, bucketSeconds = 1L,
+      maxKeyEvents = 10L), "user_id") === patRef)
+    val winRef = rows(Funnel.funnelPatternWithin(df, "user_id",
+      "event_type", "ts", "event_id", pat, windowMicros = 10L * 1000000L),
+      "user_id")
+    assert(rows(Funnel.funnelPatternWithinAuto(df, "user_id", "event_type",
+      "ts", "event_id", pat, windowMicros = 10L * 1000000L,
+      maxKeyEvents = 1000000L), "user_id") === winRef)
+    assert(rows(Funnel.funnelPatternWithinAuto(df, "user_id", "event_type",
+      "ts", "event_id", pat, windowMicros = 10L * 1000000L,
+      bucketSeconds = 1L, maxKeyEvents = 10L), "user_id") === winRef)
+  }
+
+  test("auto-router probe cost: precomputedPeak skips the count-by-key job entirely; without it the probe is eager at call time") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a DataFrame that THROWS if any job ever scans it — the probe's
+    // single evaluation is observable as exactly this failure
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("event_type", StringType)))
+    val failing = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(1), 1)
+        .mapPartitions[Row](_ => throw new RuntimeException("probe ran")),
+      schema)
+    def chain(e: Throwable): List[String] = {
+      var cur = e; var acc = List.empty[String]
+      var seen = List.empty[Throwable]
+      while (cur != null && !seen.exists(_ eq cur)) {
+        acc ::= Option(cur.getMessage).getOrElse(""); seen ::= cur
+        cur = cur.getCause
+      }
+      acc
+    }
+    val stages = Seq("view" -> 1, "click" -> 1)
+    // precomputed peak: plan construction must run NO Spark job —
+    // a single probe shared by many routed operators is the contract
+    Funnel.funnelSkipAuto(failing, "user_id", "event_type", "ts",
+      "event_id", stages, Funnel.SkipToLast(1), 4,
+      precomputedPeak = Some(5L))
+    Funnel.funnelLoopConsecutiveAuto(failing, "user_id", "event_type",
+      "ts", "event_id", Seq("view" -> 1, "click" -> 1),
+      precomputedPeak = Some(1L << 60))
+    Funnel.funnelAnyCountAuto(failing, "user_id", "event_type", "ts",
+      "event_id", Seq("view"), precomputedPeak = Some(5L))
+    // no precomputed peak: the probe is EAGER — the count-by-key job
+    // runs at CALL time (the documented contract), hence the throw
+    val e = intercept[Throwable](
+      Funnel.funnelSkipAuto(failing, "user_id", "event_type", "ts",
+        "event_id", stages, Funnel.SkipToLast(1), 4))
+    assert(chain(e).exists(_.contains("probe ran")))
+  }
+
   test("funnelCombinations: loop stage counts every non-empty subset; property vs closed form; bucketed == single") {
     val stages = Seq("view" -> false, "click" -> true, "purchase" -> false)
     // hand case: v c c p — subsets {c1},{c2},{c1,c2} → 3;
