@@ -5657,6 +5657,86 @@ object Queries {
         .orderBy("user_id"),
     oracle = w18_funnel_times_range.oracle)
 
+  /** RELUCTANT consume mode ([[Funnel.funnelLoopMode]] with
+    * [[Funnel.Reluctant]]) on w16's loop pattern — Flink's DEFAULT
+    * loop mode, where each stage consumes EXACTLY its mandatory
+    * occurrences (`greedy()` being the opt-in w16 measures): same
+    * spine and stage_reached as w16 (the adjacent-types contract
+    * makes existence mode-independent) but reps stop at minReps and
+    * ts<j>_us is the minReps-th pick, not the last absorption. The
+    * oracle is w16's pick-chain replay with each stage's repetition
+    * interval rank-cut at its own minReps (the w18 cap recipe at the
+    * floor m = n). FunnelSpec proves the two modes genuinely differ
+    * on a crafted corpus. */
+  val w49_funnel_loop_reluctant: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)),
+          Funnel.Reluctant)
+        .orderBy("user_id"),
+    oracle = Some {
+      def pick(k: Int, tp: String, prev: String): String =
+        s"""s$k AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND (e.us > p.us OR (e.us = p.us AND e.event_id > p.event_id))
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      def reps(j: Int, tp: String, first: String, next: Option[String],
+          cap: Int): String = {
+        val nextJoin = next.map(n =>
+          s"\n  LEFT JOIN $n n ON n.user_id = f.user_id").getOrElse("")
+        val nextPred = next.map(_ =>
+          "\n  WHERE n.user_id IS NULL OR e.us < n.us OR (e.us = n.us AND e.event_id < n.event_id)")
+          .getOrElse("")
+        s"""r$j AS (SELECT user_id, count(*) AS reps, max(us) AS last_us FROM (
+           |  SELECT f.user_id, e.us,
+           |    row_number() OVER (PARTITION BY f.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM $first f JOIN e ON e.user_id = f.user_id AND e.event_type = '$tp'
+           |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))$nextJoin$nextPred
+           |  ) WHERE rn <= $cap GROUP BY user_id)""".stripMargin
+      }
+      val expanded = Seq("view", "view", "click", "click", "purchase")
+      val hops = (2 to 5).map(k => pick(k, expanded(k - 1), s"s${k - 1}"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |$hops,
+         |${reps(1, "view", "s1", Some("s3"), 2)},
+         |${reps(2, "click", "s3", Some("s5"), 2)},
+         |${reps(3, "purchase", "s5", None, 1)}
+         |SELECT u.user_id,
+         |  CASE WHEN s5.user_id IS NOT NULL THEN 3
+         |       WHEN s4.user_id IS NOT NULL THEN 2
+         |       WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  coalesce(r1.reps, 0) AS reps1, r1.last_us AS ts1_us,
+         |  coalesce(r2.reps, 0) AS reps2, r2.last_us AS ts2_us,
+         |  coalesce(r3.reps, 0) AS reps3, r3.last_us AS ts3_us
+         |FROM u LEFT JOIN s2 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN s5 USING (user_id)
+         |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+         |  LEFT JOIN r3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w49_funnel_loop_reluctant]] through the SKEW-SAFE twin the
+    * mode flag routes to (the w19 list-carrying monoid at the m = n
+    * floor). Gated on w49's oracle VERBATIM. */
+  val w49b_funnel_loop_reluctant_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 2), ("click", 2), ("purchase", 1)),
+          Funnel.Reluctant, bucketSeconds = Some(3600L))
+        .orderBy("user_id"),
+    oracle = w49_funnel_loop_reluctant.oracle)
+
   // -------------------------------------------------------------------
   // CEP contiguity modes (next / notNext / optional) + match
   // enumeration (after-match-skip) — w20–w27
@@ -7969,6 +8049,8 @@ object Queries {
     "w46_funnel_loop_consecutive_auto" -> w46_funnel_loop_consecutive_auto,
     "w47_funnel_pattern_auto" -> w47_funnel_pattern_auto,
     "w48_funnel_pattern_within_auto" -> w48_funnel_pattern_within_auto,
+    "w49_funnel_loop_reluctant" -> w49_funnel_loop_reluctant,
+    "w49b_funnel_loop_reluctant_bucketed" -> w49b_funnel_loop_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

@@ -262,6 +262,64 @@ object Funnel {
       events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
   }
 
+  // -------------------------------------------------------------------
+  // Quantifier CONSUME MODES — Flink CEP's `greedy()` modifier
+  // -------------------------------------------------------------------
+
+  /** Loop-quantifier CONSUME MODE — which match the machine prefers
+    * when a repetition COULD absorb one more occurrence. Flink CEP's
+    * loops are reluctant by default and `greedy()` opts into maximal
+    * consumption; the repo's [[funnelLoop]] family had historically
+    * fixed the greedy policy — this ADT makes it selectable. */
+  sealed trait ConsumeMode
+  /** Maximal repetition: stage j's loop absorbs EVERY type-j event
+    * from its block's completion up to the next stage's first pick
+    * (Flink `oneOrMore.greedy()`). */
+  case object Greedy extends ConsumeMode
+  /** Minimal repetition: stage j consumes EXACTLY its `minReps_j`
+    * mandatory occurrences and ignores further type-j events (Flink's
+    * default loop mode). */
+  case object Reluctant extends ConsumeMode
+
+  /**
+   * [[funnelLoop]] with a SELECTABLE consume mode. Under
+   * [[loopRequire]]'s adjacent-stages-differ contract the mode can
+   * never change EXISTENCE — the mandatory pick spine is
+   * mode-independent because a loop absorption can never consume an
+   * event the next stage could pick (types differ), so
+   * `stage_reached` is identical under both modes; what changes is
+   * the MATCH CONTENT, observable as `reps<j>` (greedy: the full
+   * absorbed run; reluctant: exactly `minReps_j` once complete) and
+   * `ts<j>_us` (greedy: the last absorbed occurrence; reluctant: the
+   * `minReps_j`-th pick). This mirrors Flink, where greedy vs
+   * reluctant on non-overlapping adjacent conditions likewise moves
+   * only which events the emitted match CONTAINS. The reluctant
+   * machine is exactly the bounded quantifier at its floor —
+   * `times(m, m)` ([[funnelTimesRange]] with maxReps = minReps):
+   * "stop absorbing at the cap" with cap = m IS "consume as few as
+   * allowed", so the mode flag reuses that fold (and its
+   * list-carrying segment monoid for the bucketed variant) rather
+   * than growing a third machine. Pass `bucketSeconds` for the
+   * skew-safe twins; gate: greedy ≡ w16 by construction, reluctant
+   * gated by w49.
+   */
+  def funnelLoopMode(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, orderCol: String, stages: Seq[(String, Int)],
+      mode: ConsumeMode, bucketSeconds: Option[Long] = None): DataFrame =
+    (mode, bucketSeconds) match {
+      case (Greedy, None) =>
+        funnelLoop(events, userCol, typeCol, tsCol, orderCol, stages)
+      case (Greedy, Some(b)) =>
+        funnelLoopBucketed(events, userCol, typeCol, tsCol, orderCol,
+          stages, b)
+      case (Reluctant, None) =>
+        funnelTimesRange(events, userCol, typeCol, tsCol, orderCol,
+          stages.map { case (tp, m) => (tp, m, m) })
+      case (Reluctant, Some(b)) =>
+        funnelTimesRangeBucketed(events, userCol, typeCol, tsCol,
+          orderCol, stages.map { case (tp, m) => (tp, m, m) }, b)
+    }
+
   /**
    * [[funnelLoop]] for SKEWED keys — the [[funnelBucketed]] segment
    * monoid extended with the loop counters: a segment's effect from

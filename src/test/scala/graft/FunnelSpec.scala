@@ -10,6 +10,7 @@ class FunnelSpec extends SparkSpec {
 
   private def ts(s: Int) = Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
   private val us0 = ts(0).getTime * 1000L
+  private def tsUs(s: Int): Long = us0 + s * 1000000L
 
   test("funnel: ordered progression, out-of-order rejection, ties break on event id") {
     val ev = Seq(
@@ -1136,6 +1137,44 @@ class FunnelSpec extends SparkSpec {
     assert(multiOutR(Funnel.funnelMultiAuto(df, "user_id", "event_type",
       "ts", "event_id", stages, maxMatches = 4, bucketSeconds = 1L,
       maxKeyEvents = 10L)) === m)
+  }
+
+  test("consume modes: greedy and reluctant genuinely differ on reps/ts, agree on stage_reached; arms delegate to the gated machines") {
+    // v@1 v@2 v@3 c@4 c@5 p@6 with view{2+} click{1+} purchase{1+}:
+    // both modes complete; greedy's view loop absorbs v@3 and click
+    // loop absorbs c@5, reluctant stops at the mandatory picks
+    val ev = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "view"), (1L, 4L, ts(4), "click"),
+      (1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(("view", 2), ("click", 1), ("purchase", 1))
+    def one(mode: Funnel.ConsumeMode, b: Option[Long] = None) = {
+      val r = Funnel.funnelLoopMode(ev, "user_id", "event_type", "ts",
+        "event_id", stages, mode, b).collect()
+      assert(r.length === 1)
+      (r(0).getInt(1), (0 until 3).map(j =>
+        (r(0).getLong(2 + 2 * j), r(0).getLong(3 + 2 * j))))
+    }
+    val (gReached, gLoops) = one(Funnel.Greedy)
+    val (rReached, rLoops) = one(Funnel.Reluctant)
+    assert(gReached === 3 && rReached === 3) // existence is mode-free
+    assert(gLoops === Seq((3L, tsUs(3)), (2L, tsUs(5)), (1L, tsUs(6))))
+    assert(rLoops === Seq((2L, tsUs(2)), (1L, tsUs(4)), (1L, tsUs(6))))
+    assert(gLoops !== rLoops) // the modes are genuinely different
+    // bucketed twins bit-equal at 1-second buckets (blocks straddle)
+    assert(one(Funnel.Greedy, Some(1L)) === ((gReached, gLoops)))
+    assert(one(Funnel.Reluctant, Some(1L)) === ((rReached, rLoops)))
+    // arm delegation: greedy IS funnelLoop, reluctant IS times(m, m)
+    assert(Funnel.funnelLoopMode(ev, "user_id", "event_type", "ts",
+        "event_id", stages, Funnel.Greedy).collect().map(_.toString).toSeq
+      === Funnel.funnelLoop(ev, "user_id", "event_type", "ts",
+        "event_id", stages).collect().map(_.toString).toSeq)
+    assert(Funnel.funnelLoopMode(ev, "user_id", "event_type", "ts",
+        "event_id", stages, Funnel.Reluctant).collect().map(_.toString).toSeq
+      === Funnel.funnelTimesRange(ev, "user_id", "event_type", "ts",
+        "event_id", stages.map { case (t, m) => (t, m, m) })
+        .collect().map(_.toString).toSeq)
   }
 
   test("round-16 auto-routers: skip/consecutive/pattern/within route both ways to identical values") {
