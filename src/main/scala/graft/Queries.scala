@@ -5737,6 +5737,126 @@ object Queries {
         .orderBy("user_id"),
     oracle = w49_funnel_loop_reluctant.oracle)
 
+  /** Events with the `value` column converted ONCE to integer cents —
+    * the fixed-point domain every iterative-condition predicate runs
+    * in (cross-engine exact: `value * 100` is one IEEE product and
+    * both engines round half-away-from-zero). */
+  private def eventsWithCents(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    t(spark, dir, "events").withColumn("v_cents",
+      org.apache.spark.sql.functions.expr(
+        "CAST(round(value * 100) AS BIGINT)"))
+
+  private val iterStagesFirst = Seq(Funnel.IterStage("view"),
+    Funnel.IterStage("click", Some(Funnel.RelGt(11, 10))),
+    Funnel.IterStage("purchase", Some(Funnel.RelGt(6, 5))))
+
+  /** ITERATIVE conditions, first-anchored
+    * ([[Funnel.funnelIterative]] with [[Funnel.AnchorFirst]]) —
+    * Flink CEP's `IterativeCondition`, the canonical relative
+    * threshold: view → click whose value exceeds 1.1× the FIRST
+    * view's → purchase exceeding 1.2× that first view. Greedy is
+    * wrong (the earliest view can carry a hopeless anchor) and the
+    * general NFA tracks every partial chain; the num ≥ 0
+    * monotonicity contract collapses the state to ONE min anchor per
+    * stage. The oracle carries the first value through chained hop
+    * joins with the identical integer predicate on every hop, then
+    * takes min time per stage. */
+  val w50_funnel_iterative_first: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelIterative(eventsWithCents(spark, dir), "user_id",
+          "event_type", "ts", "event_id", "v_cents", iterStagesFirst,
+          Funnel.AnchorFirst)
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |c1 AS (SELECT user_id, us, event_id, v AS f FROM e
+         |  WHERE event_type = 'view'),
+         |c2 AS (SELECT DISTINCT e.user_id, e.us, e.event_id, p.f
+         |  FROM c1 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'click' AND ${sqlBefore("p", "e")}
+         |    AND e.v * 10 > p.f * 11),
+         |c3 AS (SELECT DISTINCT e.user_id, e.us, e.event_id, p.f
+         |  FROM c2 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'purchase' AND ${sqlBefore("p", "e")}
+         |    AND e.v * 5 > p.f * 6),
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.ts IS NOT NULL THEN 3
+         |       WHEN m2.ts IS NOT NULL THEN 2
+         |       WHEN m1.ts IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us, m3.ts AS ts3_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** ITERATIVE conditions, previous-anchored
+    * ([[Funnel.AnchorPrev]]): each later stage's value must exceed
+    * 1.1× the PREVIOUS matched value — chained relative growth, the
+    * loop-previous-element flavor of Flink iterative conditions.
+    * Dominance tracks the min stage-j matched value (every extension
+    * rebases the anchor to the hop's own value, so the reachable-set
+    * min is the running min of joining events). Oracle: the hop joins
+    * carry the hop event's OWN value forward. */
+  val w51_funnel_iterative_prev: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelIterative(eventsWithCents(spark, dir), "user_id",
+          "event_type", "ts", "event_id", "v_cents",
+          Seq(Funnel.IterStage("view"),
+            Funnel.IterStage("click", Some(Funnel.RelGt(11, 10))),
+            Funnel.IterStage("purchase", Some(Funnel.RelGt(11, 10)))),
+          Funnel.AnchorPrev)
+        .orderBy("user_id"),
+    oracle = Some {
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |c1 AS (SELECT user_id, us, event_id, v AS pv FROM e
+         |  WHERE event_type = 'view'),
+         |c2 AS (SELECT DISTINCT e.user_id, e.us, e.event_id, e.v AS pv
+         |  FROM c1 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'click' AND ${sqlBefore("p", "e")}
+         |    AND e.v * 10 > p.pv * 11),
+         |c3 AS (SELECT DISTINCT e.user_id, e.us, e.event_id, e.v AS pv
+         |  FROM c2 p JOIN e ON e.user_id = p.user_id
+         |    AND e.event_type = 'purchase' AND ${sqlBefore("p", "e")}
+         |    AND e.v * 10 > p.pv * 11),
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN m3.ts IS NOT NULL THEN 3
+         |       WHEN m2.ts IS NOT NULL THEN 2
+         |       WHEN m1.ts IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  m1.ts AS ts1_us, m2.ts AS ts2_us, m3.ts AS ts3_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w50_funnel_iterative_first]] through the SKEW-SAFE plan
+    * ([[Funnel.funnelIterativeSorted]]): iterative conditions break
+    * the segment monoid (a segment's effect depends on entry anchors
+    * through value comparisons — no O(k) summary), so the skew path
+    * is the sort-based fold: one hash exchange, spill-backed
+    * secondary sort, O(k) memory per key with NO 2 GB collected-row
+    * wall. Gated on w50's oracle VERBATIM. */
+  val w52_funnel_iterative_sorted: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelIterativeSorted(eventsWithCents(spark, dir),
+          "user_id", "event_type", "ts", "event_id", "v_cents",
+          iterStagesFirst, Funnel.AnchorFirst)
+        .orderBy("user_id"),
+    oracle = w50_funnel_iterative_first.oracle)
+
   // -------------------------------------------------------------------
   // CEP contiguity modes (next / notNext / optional) + match
   // enumeration (after-match-skip) — w20–w27
@@ -8051,6 +8171,9 @@ object Queries {
     "w48_funnel_pattern_within_auto" -> w48_funnel_pattern_within_auto,
     "w49_funnel_loop_reluctant" -> w49_funnel_loop_reluctant,
     "w49b_funnel_loop_reluctant_bucketed" -> w49b_funnel_loop_reluctant_bucketed,
+    "w50_funnel_iterative_first" -> w50_funnel_iterative_first,
+    "w51_funnel_iterative_prev" -> w51_funnel_iterative_prev,
+    "w52_funnel_iterative_sorted" -> w52_funnel_iterative_sorted,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

@@ -2558,6 +2558,232 @@ object Funnel {
     else funnelPatternWithin(events, userCol, typeCol, tsCol, orderCol,
       stages, windowMicros)
 
+  // -------------------------------------------------------------------
+  // ITERATIVE conditions — Flink CEP's IterativeCondition
+  // -------------------------------------------------------------------
+
+  /** A relative threshold over the chain's ANCHOR value: the stage's
+    * event passes iff `v * den > anchor * num` — integer fixed-point
+    * throughout (callers convert float columns once, e.g.
+    * `CAST(round(value * 100) AS BIGINT)`), so the predicate is
+    * cross-engine exact. `num = den = 1` is "strictly greater than
+    * the anchor"; `num = 11, den = 10` is Flink's canonical
+    * IterativeCondition example `value > first.value * 1.1`.
+    * `num >= 0` is REQUIRED — it is what makes feasibility monotone
+    * in the anchor (smaller anchor is never harder), the property the
+    * min-dominance fold rests on. */
+  case class RelGt(num: Long, den: Long) {
+    require(num >= 0 && den >= 1,
+      "need num >= 0 (anchor monotonicity — the dominance argument) " +
+        "and den >= 1")
+  }
+
+  /** A stage of the iterative-condition funnel: its event type plus
+    * the optional [[RelGt]] its event's value must clear against the
+    * chain's anchor. The FIRST stage must be unconditioned (there is
+    * no previously-matched event to anchor on). */
+  case class IterStage(tp: String, cond: Option[RelGt] = None)
+
+  /** Which previously-matched event an [[IterStage]] condition reads —
+    * the two anchors Flink iterative conditions overwhelmingly use
+    * (`ctx.getEventsForPattern("first")` / the loop's previous
+    * element). One anchor mode per PATTERN, not per stage: dominance
+    * keeps a single representative value per stage, which is lossless
+    * only while every downstream condition reads the same anchor
+    * family. */
+  sealed trait IterAnchor
+  /** Conditions compare against the chain's FIRST matched value. */
+  case object AnchorFirst extends IterAnchor
+  /** Conditions compare against the PREVIOUS stage's matched value
+    * (chained — "each step strictly above the last" at num = den). */
+  case object AnchorPrev extends IterAnchor
+
+  /** Shared validation — the streaming twin calls this too. */
+  private[graft] def iterRequire(stages: Seq[IterStage]): Unit = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.head.cond.isEmpty,
+      "the first stage has no previously-matched event to anchor a " +
+        "condition on")
+  }
+
+  /** One event's transition of the min-anchor dominance fold. State:
+    * `d[j]` — the MINIMAL anchor value among chains that have
+    * completed stage j (AnchorFirst: min first value; AnchorPrev: min
+    * stage-j matched value; NULL = no chain); `ts[j]` — sticky first
+    * event time stage j was matched by ANY valid chain.
+    *
+    * Why one value per stage is lossless (the dominance argument that
+    * keeps Flink's exponential SharedBuffer out of the state): with
+    * `num >= 0`, an event's feasibility `v·den > a·num` is MONOTONE in
+    * the anchor `a` — the min-anchor chain can extend whenever any
+    * chain can. Under AnchorFirst an extension PRESERVES the anchor,
+    * so the extended set's min is the old min; under AnchorPrev every
+    * extension's new anchor is the same `v`, so the stage-(j+1) set
+    * is rebuilt from the events that ever joined and its min is the
+    * running min of those. Either way the reachable-set min IS the
+    * tracked value, and `adv(j)` fires iff the true NFA has some
+    * chain advance — which also makes `ts[j]` exact. Advances read
+    * the PRE state (an event never extends the chains it creates). */
+  private def iterStep(st: Column, e: Column, stages: Seq[IterStage],
+      anchorFirst: Boolean): Column = {
+    val k = stages.length
+    val d = st.getField("d"); val ts = st.getField("ts")
+    val tp = e.getField("tp"); val us = e.getField("us")
+    val v = e.getField("v")
+    def adv(j: Int): Column = {
+      val tOk = tp === lit(stages(j - 1).tp)
+      if (j == 1) tOk
+      else {
+        val prev = element_at(d, j - 1)
+        val cOk = stages(j - 1).cond match {
+          case Some(RelGt(num, den)) => v * lit(den) > prev * lit(num)
+          case None => lit(true)
+        }
+        tOk && prev.isNotNull && cOk
+      }
+    }
+    val newD = array((1 to k).map { j =>
+      val cand = if (j == 1 || !anchorFirst) v else element_at(d, j - 1)
+      when(adv(j), least(element_at(d, j), cand))
+        .otherwise(element_at(d, j))
+    }: _*)
+    val newTs = array((1 to k).map(j =>
+      coalesce(element_at(ts, j), when(adv(j), us))): _*)
+    struct(newD.as("d"), newTs.as("ts"))
+  }
+
+  /**
+   * [[funnel]] with ITERATIVE stage conditions — Flink CEP's
+   * `IterativeCondition`, where a stage's predicate reads
+   * PREVIOUSLY-MATCHED events ("the click's value must exceed 1.1×
+   * the first view's"): each [[IterStage]]'s event must clear its
+   * [[RelGt]] against the chain's anchor ([[IterAnchor]]). Greedy is
+   * wrong here in a new way (the earliest stage-1 pick can carry a
+   * HOPELESS anchor while a later, lower-valued restart succeeds —
+   * FunnelSpec pins the trap), and the general NFA must track every
+   * partial chain; the `num >= 0` monotonicity contract collapses
+   * that to ONE dominant anchor per stage ([[iterStep]]'s argument),
+   * so the whole operator is the usual single fold: ONE user-keyed
+   * shuffle, 2k longs of state. Output `(user_id, stage_reached,
+   * ts1_us..tsk_us)` — `ts<j>_us` the first event time stage j was
+   * matched by any valid chain. `valCol` must already be integer
+   * fixed-point. Oracle: chained total-order hop joins CARRYING the
+   * anchor (first value, or the hop event's own value), the hop
+   * predicate `v·den > anchor·num` verbatim, min-time per stage.
+   */
+  def funnelIterative(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String, valCol: String,
+      stages: Seq[IterStage],
+      anchor: IterAnchor = AnchorFirst): DataFrame = {
+    iterRequire(stages)
+    val k = stages.length
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"),
+      col(valCol).cast("long").as("v"))))
+    val init = struct(
+      array_repeat(lit(null).cast("long"), k).as("d"),
+      array_repeat(lit(null).cast("long"), k).as("ts"))
+    val folded = aggregate(col("evs"), init,
+      (st, e) => iterStep(st, e, stages, anchor == AnchorFirst))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id") +: ExprUtil.bound(folded) { f =>
+        val ts = f.getField("ts")
+        struct((1 to k).map(j =>
+            when(element_at(ts, j).isNotNull, 1).otherwise(0))
+          .reduce(_ + _).as("stage_reached") +:
+          (1 to k).map(j => element_at(ts, j).as(s"ts${j}_us")): _*)
+      }.as("f") +: Nil: _*)
+      .select(col("user_id") +: (col("f.stage_reached") +:
+        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+  }
+
+  /**
+   * [[funnelIterative]] for SKEWED keys — and an honest departure
+   * from the family's segment-monoid recipe: an iterative condition
+   * makes a segment's effect depend on the entry anchors through
+   * VALUE comparisons (`v·den > a·num` with `a` unknown at summary
+   * time), so the exit state is a step function of each entry value
+   * with breakpoints at the segment's own events — no O(k) summary
+   * exists, which is the same reason Flink evaluates iterative
+   * conditions sequentially per key. The skew-safe plan is therefore
+   * the SORT-BASED fold: ONE hash exchange on the user key, an
+   * external (spill-backed) secondary sort on (user, time, id), and
+   * a streaming per-key pass holding just the 2k-long state — no
+   * per-key collected array, so the ~2 GB UnsafeRow wall does not
+   * exist on this path and memory is O(k) whatever the key's event
+   * count (a 48M-event power key streams from the sorter's spill
+   * files; wall-clock concentrates on that key's task, which no
+   * correct plan for a sequential-condition fold can avoid).
+   * Bit-identical to [[funnelIterative]] by construction — same
+   * integer ops in the same total order (spec-asserted; gated on the
+   * same oracle VERBATIM).
+   */
+  def funnelIterativeSorted(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String, valCol: String,
+      stages: Seq[IterStage], anchor: IterAnchor = AnchorFirst,
+      numPartitions: Int = 0): DataFrame = {
+    iterRequire(stages)
+    val k = stages.length
+    val spark = events.sparkSession
+    val base = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).cast("long").as("oid"),
+      col(typeCol).as("tp"), col(valCol).cast("long").as("v"))
+    val parted =
+      (if (numPartitions > 0) base.repartition(numPartitions, col("user_id"))
+       else base.repartition(col("user_id")))
+        .sortWithinPartitions("user_id", "us", "oid")
+    val userType = base.schema("user_id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("user_id", userType) +:
+        org.apache.spark.sql.types.StructField("stage_reached",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        (1 to k).map(j => org.apache.spark.sql.types.StructField(
+          s"ts${j}_us", org.apache.spark.sql.types.LongType)))
+    val anchorFirst = anchor == AnchorFirst
+    val tps = stages.map(_.tp).toArray
+    val conds = stages.map(_.cond).toArray
+    val folded = parted.rdd.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val user = buf.head.get(0)
+          val d = new Array[Long](k); val dSet = new Array[Boolean](k)
+          val ts = new Array[Long](k); val tsSet = new Array[Boolean](k)
+          while (buf.hasNext && buf.head.get(0) == user) {
+            val r = buf.next()
+            val us = r.getLong(1); val tp = r.getString(3)
+            val v = r.getLong(4)
+            val preD = d.clone(); val preSet = dSet.clone()
+            var idx = 0
+            while (idx < k) {
+              val passes = tp == tps(idx) && (idx == 0 ||
+                (preSet(idx - 1) && (conds(idx) match {
+                  case Some(RelGt(num, den)) => v * den > preD(idx - 1) * num
+                  case None => true
+                })))
+              if (passes) {
+                val cand = if (idx == 0 || !anchorFirst) v else preD(idx - 1)
+                d(idx) = if (dSet(idx)) math.min(d(idx), cand) else cand
+                dSet(idx) = true
+                if (!tsSet(idx)) { ts(idx) = us; tsSet(idx) = true }
+              }
+              idx += 1
+            }
+          }
+          val reached = tsSet.count(identity)
+          org.apache.spark.sql.Row.fromSeq(user +: reached +:
+            (0 until k).map(j =>
+              if (tsSet(j)) ts(j) else null.asInstanceOf[Any]))
+        }
+      }
+    }
+    spark.createDataFrame(folded, outSchema)
+  }
+
   /**
    * `followedByAny` match ENUMERATION: every ordered event combination
    * matching the pattern, one row per match. Inherently

@@ -1139,6 +1139,71 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L)) === m)
   }
 
+  test("funnelIterative: the greedy-earliest anchor trap; AnchorPrev increasing chains; first-stage condition rejected") {
+    // AnchorFirst trap: the earliest view carries a HOPELESS anchor
+    // (100) — greedy-earliest would fail the click; the min-first
+    // dominance lets the later view(5) restart carry the chain
+    val trap = Seq(
+      (1L, 1L, ts(1), "view", 100L), (1L, 2L, ts(2), "view", 5L),
+      (1L, 3L, ts(3), "click", 50L))
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    val stages2 = Seq(Funnel.IterStage("view"),
+      Funnel.IterStage("click", Some(Funnel.RelGt(1, 1))))
+    val r1 = Funnel.funnelIterative(trap, "user_id", "event_type", "ts",
+      "event_id", "v", stages2, Funnel.AnchorFirst).collect()
+    assert(r1.length === 1 && r1(0).getInt(1) === 2)
+    assert(r1(0).getLong(2) === tsUs(1)) // first view MATCH is still @1
+    assert(r1(0).getLong(3) === tsUs(3)) // the click that greedy loses
+    // AnchorPrev: strictly-increasing 3-chain over ONE type (LIS-like;
+    // same-type stages are legal here — no loop-absorb ambiguity)
+    val inc = Seq(
+      (1L, 1L, ts(1), "x", 5L), (1L, 2L, ts(2), "x", 3L),
+      (1L, 3L, ts(3), "x", 4L), (1L, 4L, ts(4), "x", 6L))
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    val stages3 = Seq(Funnel.IterStage("x"),
+      Funnel.IterStage("x", Some(Funnel.RelGt(1, 1))),
+      Funnel.IterStage("x", Some(Funnel.RelGt(1, 1))))
+    val r2 = Funnel.funnelIterative(inc, "user_id", "event_type", "ts",
+      "event_id", "v", stages3, Funnel.AnchorPrev).collect()
+    assert(r2.length === 1 && r2(0).getInt(1) === 3)
+    assert((2 to 4).map(r2(0).getLong) === Seq(tsUs(1), tsUs(3), tsUs(4)))
+    // the first stage cannot carry a condition
+    val e = intercept[IllegalArgumentException](
+      Funnel.funnelIterative(inc, "user_id", "event_type", "ts",
+        "event_id", "v",
+        Seq(Funnel.IterStage("x", Some(Funnel.RelGt(1, 1))))))
+    assert(e.getMessage.contains("first stage"))
+  }
+
+  test("funnelIterativeSorted == funnelIterative on random corpora, both anchors, multi-partition") {
+    val rnd = new scala.util.Random(5016L)
+    val typesPool = Array("view", "click", "purchase")
+    val events = (0 until 400).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, ts(rnd.nextInt(60)),
+        typesPool(rnd.nextInt(typesPool.length)), rnd.nextInt(2000).toLong)
+    }.toDF("user_id", "event_id", "ts", "event_type", "v")
+    val stages = Seq(Funnel.IterStage("view"),
+      Funnel.IterStage("click", Some(Funnel.RelGt(3, 1))),
+      Funnel.IterStage("purchase", Some(Funnel.RelGt(2, 1))))
+    for (anchor <- Seq(Funnel.AnchorFirst, Funnel.AnchorPrev)) {
+      val fold = Funnel.funnelIterative(events, "user_id", "event_type",
+          "ts", "event_id", "v", stages, anchor)
+        .orderBy("user_id").collect().map(_.toString).toSeq
+      val sorted = Funnel.funnelIterativeSorted(events, "user_id",
+          "event_type", "ts", "event_id", "v", stages, anchor,
+          numPartitions = 3)
+        .orderBy("user_id").collect().map(_.toString).toSeq
+      assert(sorted === fold, s"anchor $anchor")
+      // some user must actually exercise each depth for the corpus to
+      // mean anything
+      val reached = Funnel.funnelIterative(events, "user_id",
+        "event_type", "ts", "event_id", "v", stages, anchor)
+        .collect().map(_.getInt(1)).toSet
+      assert(reached.contains(3) && reached.size >= 2,
+        s"corpus must mix depths, got $reached")
+    }
+  }
+
   test("consume modes: greedy and reluctant genuinely differ on reps/ts, agree on stage_reached; arms delegate to the gated machines") {
     // v@1 v@2 v@3 c@4 c@5 p@6 with view{2+} click{1+} purchase{1+}:
     // both modes complete; greedy's view loop absorbs v@3 and click
