@@ -1813,6 +1813,113 @@ object StreamingIngest {
         updateFunnelPattern(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  /** [[FunnelEvent]] with the stage-condition VALUE (integer
+    * fixed-point, the caller's conversion) — the iterative-condition
+    * twin's event shape. */
+  final case class FunnelValueEvent(user_id: Long, usMicros: Long,
+      eventId: Long, tp: String, v: Long, ts: java.sql.Timestamp)
+  /** `d` is valid exactly where `ts != NoStart` (the set flags
+    * coincide: both are first written by the same advance). */
+  final case class FunnelIterState(d: Seq[Long], ts: Seq[Long],
+      pending: Seq[(Long, Long, String, Long)])
+  final case class FunnelIterUpdate(user_id: Long, stage_reached: Int,
+      ts_us: Seq[Option[Long]])
+
+  /**
+   * Streaming ITERATIVE-condition funnel —
+   * [[graft.operators.Funnel.funnelIterative]]'s twin: per-user state
+   * is the min-anchor dominance vector (`d[j]` = minimal anchor among
+   * chains completing stage j, lossless under the `num >= 0`
+   * monotonicity contract — the batch fold's argument verbatim) plus
+   * the family's event-time pending buffer; mature events fold in
+   * watermark order with the pre-state rule. Emission on any ts-slot
+   * change (stage progress; `d`-only improvements move no
+   * observable). The ts slots fill strictly in stage order, so
+   * completion is `reached == k`; completed funnels drop their buffer
+   * and tombstone with the family's optional retention TTL. Late
+   * events drop — best-effort lateness, as everywhere in the family.
+   */
+  def updateFunnelIterative(
+      stages: IndexedSeq[graft.operators.Funnel.IterStage],
+      anchorFirst: Boolean, matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelValueEvent],
+      state: GroupState[FunnelIterState]): Iterator[FunnelIterUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(
+      FunnelIterState(Seq.fill(k)(0L), Seq.fill(k)(NoStart), Nil))
+    def reached(ts: Seq[Long]): Int = ts.count(_ != NoStart)
+    if (reached(prev.ts) == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp, e.v))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val d = prev.d.toArray
+    val ts = prev.ts.toArray
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp, v) =>
+      val preD = d.clone()
+      val preTs = ts.clone()
+      var j = 0
+      while (j < k) {
+        val passes = tp == stages(j).tp && (j == 0 ||
+          (preTs(j - 1) != NoStart && (stages(j).cond match {
+            case Some(graft.operators.Funnel.RelGt(num, den)) =>
+              v * den > preD(j - 1) * num
+            case None => true
+          })))
+        if (passes) {
+          val cand = if (j == 0 || !anchorFirst) v else preD(j - 1)
+          d(j) = if (ts(j) != NoStart) math.min(d(j), cand) else cand
+          if (ts(j) == NoStart) ts(j) = us
+        }
+        j += 1
+      }
+    }
+    val done = reached(ts.toSeq) == k
+    val rest = if (done) Nil else immature
+    val removable = ts.forall(_ == NoStart) && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelIterState(d.toSeq, ts.toSeq, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (done && matchRetentionMs != Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(
+          ts(k - 1) / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    if ((first && !removable) || ts.toSeq != prev.ts)
+      Iterator(FunnelIterUpdate(userId, reached(ts.toSeq),
+        ts.toSeq.map(x => if (x == NoStart) None else Some(x))))
+    else Iterator.empty
+  }
+
+  /** The streaming iterative-condition funnel over an events stream —
+    * the [[streamingFunnel]] plumbing with [[updateFunnelIterative]]'s
+    * dominance state; `valCol` must already be integer fixed-point
+    * (the batch operator's contract). */
+  def streamingFunnelIterative(spark: SparkSession, events: DataFrame,
+      valCol: String, stages: Seq[graft.operators.Funnel.IterStage],
+      anchor: graft.operators.Funnel.IterAnchor, watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelIterUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.iterRequire(stages)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"),
+        col(valCol).cast("long").as("v"), col("ts"))
+      .as[FunnelValueEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelIterative(stages.toIndexedSeq,
+          anchor == graft.operators.Funnel.AnchorFirst, matchRetentionMs))
+  }
+
   final case class FunnelAnyState(c: Seq[Long],
       pending: Seq[(Long, Long, String)])
   final case class FunnelAnyUpdate(user_id: Long, n_any: Long)

@@ -920,6 +920,73 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.exists(_._1 == 3))
   }
 
+  test("streaming iterative funnel: arbitrary on-time arrival order equals batch for both anchors") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("v", LongType)))
+    val rnd = new scala.util.Random(5088L)
+    val types = Array("view", "click", "purchase", "error")
+    val events = (0 until 120).map { i =>
+      Row(rnd.nextInt(8).toLong, i.toLong,
+        t(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        types(rnd.nextInt(types.length)), rnd.nextInt(2000).toLong)
+    }
+    val waves = rnd.shuffle(events).grouped(20).toSeq :+
+      Seq(Row(99L, 9999L, t("2024-01-05 10:00:00"), "error", 0L))
+    val src = tmp("funnel-iter-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-iter-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stages = Seq(graft.operators.Funnel.IterStage("view"),
+      graft.operators.Funnel.IterStage("click",
+        Some(graft.operators.Funnel.RelGt(3, 1))),
+      graft.operators.Funnel.IterStage("purchase",
+        Some(graft.operators.Funnel.RelGt(2, 1))))
+    for (anchor <- Seq(graft.operators.Funnel.AnchorFirst,
+        graft.operators.Funnel.AnchorPrev)) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val updates = StreamingIngest.streamingFunnelIterative(spark,
+        stream, "v", stages, anchor, "2 days")
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Seq[Option[Long]])]
+      val q = updates.toDF().writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((id, r.getLong(0), r.getInt(1),
+              r.getSeq[Any](2).map(x =>
+                Option(x).map(_.asInstanceOf[Long]))))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      val batch = graft.operators.Funnel.funnelIterative(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(waves.flatten), schema),
+          "user_id", "event_type", "ts", "event_id", "v", stages, anchor)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), (2 to 4).map(r.get)
+            .map(Option(_).map(_.asInstanceOf[Long])))))
+        .toMap
+      val lastByUser = emitted.groupBy(_._2).view
+        .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+      assert(lastByUser.keySet === batch.keySet, s"anchor $anchor")
+      lastByUser.foreach { case (u, got) =>
+        assert(got === batch(u), s"anchor $anchor user $u") }
+      assert(batch.values.exists(_._1 >= 2), "corpus must advance somewhere")
+    }
+  }
+
   test("streaming CEP funnel: finite match retention frees completed state; a later event starts a new instance") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
