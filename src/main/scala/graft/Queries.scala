@@ -1884,6 +1884,57 @@ object Queries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     })
 
+  /** HILBERT clustering key ([[Layout.hilbertValue]]): the Morton
+    * upgrade at the same bit budget — consecutive key values are
+    * always grid-adjacent, so equal key ranges give tighter per-file
+    * envelopes (t94/t96 gate the Z family; AUDIT_r16_hilbert measures
+    * the pruning delta). The oracle replays the identical xy2d
+    * quadrant-rotation recurrence level by level as chained CTEs —
+    * every DuckDB bit op fully parenthesized (single flat precedence
+    * level), xor via the function form. All-integer arithmetic, so
+    * the gate is hash-exact by construction. */
+  val t98_hilbert_key: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValue(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 16)),
+            bits = 16).as("h_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    bench = true,
+    benchRun = Some((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValue(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 16)),
+            bits = 16).as("h_key"))),
+    oracle = Some {
+      val bits = 16
+      val m = 1L << bits
+      def lvl(i: Int, s: Long, prev: String): String =
+        s"""h$i AS (SELECT l_orderkey, l_linenumber,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+           |    d + ${s * s} * xor(3 * rx, ry) AS d
+           |  FROM (SELECT *,
+           |      CASE WHEN ((x & $s)) > 0 THEN 1 ELSE 0 END AS rx,
+           |      CASE WHEN ((y & $s)) > 0 THEN 1 ELSE 0 END AS ry
+           |    FROM $prev))""".stripMargin
+      val levels = (1 to bits).map(i =>
+        lvl(i, 1L << (bits - i), s"h${i - 1}")).mkString(",\n")
+      s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+         |    CAST((l_orderkey % $m) AS BIGINT) AS x,
+         |    CAST((l_partkey % $m) AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |$levels
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h_key
+         |FROM h$bits
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -8050,6 +8101,7 @@ object Queries {
     "t97_kneser_ney_modified_4gram" -> t97_kneser_ney_modified_4gram,
     "t94_zorder_key" -> t94_zorder_key,
     "t96_zorder_key_3d" -> t96_zorder_key_3d,
+    "t98_hilbert_key" -> t98_hilbert_key,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,

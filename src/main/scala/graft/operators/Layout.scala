@@ -148,6 +148,82 @@ object Layout {
       .mode("overwrite").parquet(path)
   }
 
+  /** HILBERT curve index of two non-negative keys in `[0, 2^bits)` —
+    * the Morton upgrade: the Hilbert curve visits every cell of the
+    * 2^bits × 2^bits grid so that CONSECUTIVE indexes are always
+    * grid-adjacent (Morton's Z jumps across quadrant seams), which
+    * strictly improves the locality of a range of the key and hence
+    * the tightness of per-file min/max envelopes at the same bit
+    * budget (Hamilton 2006; Butz 1971 — the classical per-bit
+    * quadrant-rotation recurrence). The walk is a `bits`-level LOOP
+    * whose (x, y) state rewrites every level — the one shape
+    * expression trees cannot express compactly — so this is the
+    * native codegen'd [[graft.functions.HilbertIndex]] expression
+    * (AUDIT_r16_hilbert measures the staged-projection alternative,
+    * [[hilbertKeyed]], at ~16× its cost and the nested-lambda tree at
+    * ~60×). Same caller contract as [[zValue]]: inputs already in
+    * `[0, 2^bits)` ([[requireBounded]] audits it); bits ≤ 31 keeps
+    * the index in the positive Long range. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    graft.functions.HilbertIndex(x.cast("long"), y.cast("long"), bits)
+  }
+
+  /** [[hilbertValue]] built from STOCK operators only — the
+    * no-custom-Expression alternative, kept as the measured
+    * comparison point (AUDIT_r16_hilbert's `keys` row: ~16× the
+    * native loop's cost) and as the recipe for engines where
+    * registering an expression is off the table: each xy2d level's
+    * (rx, ry) and then (x, y, d) become real columns referenced by
+    * the next level, which whole-stage codegen compiles to
+    * straight-line locals (CollapseProject keeps multi-use non-cheap
+    * aliases staged, so the plan stays LINEAR in `bits`). Appends
+    * `out` to `df`'s columns; helper column names are reserved.
+    * Bit-identical to [[hilbertValue]] (spec-asserted). */
+  def hilbertKeyed(df: DataFrame, x: Column, y: Column, bits: Int,
+      out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val orig = df.columns.toSeq.map(col)
+    var cur = df.select(orig :+ x.cast("long").as("__hx") :+
+      y.cast("long").as("__hy") :+ lit(0L).as("__hd"): _*)
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur.select(orig :+ col("__hx") :+ col("__hy") :+ col("__hd") :+
+        when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("__rx") :+
+        when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+          .as("__ry"): _*)
+      cur = cur.select(orig :+
+        when(col("__ry") === 0, when(col("__rx") === 1,
+          lit(s - 1L) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")).as("__hx") :+
+        when(col("__ry") === 0, when(col("__rx") === 1,
+          lit(s - 1L) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")).as("__hy") :+
+        (col("__hd") + lit(s * s) *
+          (lit(3L) * col("__rx")).bitwiseXOR(col("__ry"))).as("__hd"): _*)
+    }
+    cur.select(orig :+ col("__hd").as(out): _*)
+  }
+
+  /** [[zOrderWrite]] with the HILBERT key — range-partition + sort on
+    * [[hilbertValue]]; same pmod bounding, same optional
+    * [[requireBounded]] audit. AUDIT_r16_hilbert compares its file
+    * pruning against the Morton and linear layouts on equal boxes. */
+  def hilbertOrderWrite(df: DataFrame, colA: String, colB: String,
+      bits: Int, path: String, numFiles: Int,
+      audit: Boolean = false): Unit = {
+    if (audit) requireBounded(df, Seq(colA, colB), bits)
+    val h = hilbertValue(pmod(col(colA).cast("long"), lit(1L << bits)),
+      pmod(col(colB).cast("long"), lit(1L << bits)), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.option("compression", Ddl.ParquetCompression)
+      .mode("overwrite").parquet(path)
+  }
+
   /** The comparison baseline: the same data linearly clustered on ONE
     * key (range-partition + sort on `colA`) — what a single-dimension
     * layout gives the same box predicate. */
