@@ -128,6 +128,18 @@ object GraftExtensions {
         org.apache.spark.sql.functions.pmod(
           bridge.column(children(1)).cast("long"), bound), 21))
     },
+    // round 16: the HILBERT clustering key at the same gated 21-bit
+    // configuration and pmod bounding as graft_zvalue — the native
+    // loop expression underneath (functions.HilbertIndex)
+    "graft_hilbert" -> { children =>
+      require(children.length == 2, "graft_hilbert expects exactly 2 arguments")
+      val bound = org.apache.spark.sql.functions.lit(1L << 21)
+      bridge.expressionEager(operators.Layout.hilbertValue(
+        org.apache.spark.sql.functions.pmod(
+          bridge.column(children.head).cast("long"), bound),
+        org.apache.spark.sql.functions.pmod(
+          bridge.column(children(1)).cast("long"), bound), 21))
+    },
     "graft_png_dims" -> unary("graft_png_dims")(
       operators.Multimodal.pngDimensions),
     "graft_jpeg_dims" -> unary("graft_jpeg_dims")(

@@ -85,6 +85,20 @@ class DotProductSpec extends SparkSpec {
     assert(r.getLong(0) === 39L)
     val d = r.getStruct(1)
     assert(d.getBoolean(0) && d.getInt(1) === 257 && d.getInt(2) === 65)
+    // graft_hilbert: the SQL macro matches the gated Column path
+    // (same 21-bit, pmod-bounded configuration)
+    val h = spark.sql("SELECT graft_hilbert(3L, 5L) AS h").head.getLong(0)
+    val hCol = spark.range(1)
+      .select(graft.operators.Layout.hilbertValue(
+        org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.lit(5L), 21))
+      .head.getLong(0)
+    assert(h === hCol)
+    // negative input wraps via pmod instead of two's-complement noise
+    assert(spark.sql("SELECT graft_hilbert(-1L, 0L)").head.getLong(0) ===
+      spark.range(1).select(graft.operators.Layout.hilbertValue(
+        org.apache.spark.sql.functions.lit((1L << 21) - 1L),
+        org.apache.spark.sql.functions.lit(0L), 21)).head.getLong(0))
   }
 
   test("SQL text macros expand to the Column-API expression trees") {
