@@ -5893,6 +5893,73 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** Per-stage SIMPLE conditions ([[Funnel.funnelWhere]]) — Flink
+    * CEP's `where(SimpleCondition)`: view worth ≥ $5 → click worth
+    * ≥ $8 → any purchase, each stage an arbitrary event-local
+    * predicate (type AND value here) rather than bare type equality.
+    * Greedy-earliest stays optimal (conditions read only the current
+    * event); the oracle replays the chained greedy picks with each
+    * hop's WHERE spelling the same predicate. */
+  val w53_funnel_where: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWhere(eventsWithCents(spark, dir), "user_id", "ts",
+          "event_id", Seq("event_type", "v_cents"),
+          Seq(
+            e => e.getField("event_type") === "view" &&
+              e.getField("v_cents") >= 500L,
+            e => e.getField("event_type") === "click" &&
+              e.getField("v_cents") >= 800L,
+            e => e.getField("event_type") === "purchase"))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      def pick(j: Int, cond: String, prev: Option[String]): String = {
+        val from = prev.map(p =>
+          s"""FROM e JOIN $p p ON p.user_id = e.user_id
+             |    AND ${sqlBefore("p", "e")}""".stripMargin)
+          .getOrElse("FROM e")
+        s"""s$j AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  $from
+           |  WHERE $cond) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |${pick(1, "e.event_type = 'view' AND e.v >= 500", None)},
+         |${pick(2, "e.event_type = 'click' AND e.v >= 800", Some("s1"))},
+         |${pick(3, "e.event_type = 'purchase'", Some("s2"))}
+         |SELECT u.user_id,
+         |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+         |       WHEN s2.user_id IS NOT NULL THEN 2
+         |       WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  s1.us AS ts1_us, s2.us AS ts2_us, s3.us AS ts3_us
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w53_funnel_where]] through the SKEW-SAFE split
+    * ([[Funnel.funnelWhereBucketed]]): the funnel segment monoid never
+    * read WHAT the advance test is — (exit stage, witnesses) per entry
+    * stage summarizes a segment under any event-local predicate.
+    * Gated on w53's oracle VERBATIM. */
+  val w54_funnel_where_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWhereBucketed(eventsWithCents(spark, dir), "user_id",
+          "ts", "event_id", Seq("event_type", "v_cents"),
+          Seq(
+            e => e.getField("event_type") === "view" &&
+              e.getField("v_cents") >= 500L,
+            e => e.getField("event_type") === "click" &&
+              e.getField("v_cents") >= 800L,
+            e => e.getField("event_type") === "purchase"),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w53_funnel_where.oracle)
+
   /** [[w50_funnel_iterative_first]] through the SKEW-SAFE plan
     * ([[Funnel.funnelIterativeSorted]]): iterative conditions break
     * the segment monoid (a segment's effect depends on entry anchors
@@ -8226,6 +8293,8 @@ object Queries {
     "w50_funnel_iterative_first" -> w50_funnel_iterative_first,
     "w51_funnel_iterative_prev" -> w51_funnel_iterative_prev,
     "w52_funnel_iterative_sorted" -> w52_funnel_iterative_sorted,
+    "w53_funnel_where" -> w53_funnel_where,
+    "w54_funnel_where_bucketed" -> w54_funnel_where_bucketed,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

@@ -2817,6 +2817,126 @@ object Funnel {
     acc.select(col("user_id") +: (1 to k).map(j => col(s"ts${j}_us")): _*)
   }
 
+  // -------------------------------------------------------------------
+  // Per-stage SIMPLE conditions — Flink CEP's where(SimpleCondition) /
+  // subtype(...)
+  // -------------------------------------------------------------------
+
+  /** The advance test of the PREDICATE funnel: does event `e` satisfy
+    * the CURRENT stage's condition? One CASE over the stage pointer —
+    * predicates are arbitrary per-stage Columns over the event
+    * struct, so there is no lookup table to index. */
+  private def whereAdv(s: Column, e: Column,
+      stages: Seq[Column => Column]): Column =
+    stages.zipWithIndex.foldLeft(lit(false)) { case (acc, (p, i)) =>
+      when(s === i, p(e)).otherwise(acc)
+    }
+
+  /**
+   * [[funnel]] with per-stage PREDICATES instead of type equality —
+   * Flink CEP's `where(SimpleCondition)` and `subtype(...)`: stage j
+   * advances on the first event satisfying an ARBITRARY event-local
+   * condition (any Column over the carried event fields — a value
+   * threshold, a type-prefix "subtype" test, a conjunction). Greedy-
+   * earliest stays existence-optimal for exactly the reason the typed
+   * funnel's does: conditions read ONLY the current event, so taking
+   * the earliest qualifying event never forecloses a later stage
+   * (contrast [[funnelIterative]], where conditions read the matched
+   * prefix and greedy breaks). Same scale shape as [[funnel]]: ONE
+   * user-keyed shuffle, one expression fold, pointer + k timestamps
+   * of state.
+   *
+   * `carryCols` names the event columns the predicates may read
+   * (each becomes a field of the struct handed to every predicate,
+   * alongside `us` and `oid`); carrying only what conditions need
+   * keeps the collected array narrow. Output identical to [[funnel]]:
+   * `(user_id, stage_reached, ts1_us..tsk_us)`. Oracle: the w12
+   * chained greedy row_number-1 picks with each hop's WHERE spelling
+   * the same predicate.
+   */
+  def funnelWhere(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, carryCols: Seq[String],
+      stages: Seq[Column => Column]): DataFrame = {
+    val k = stages.length
+    require(k >= 1, "need at least one stage")
+    require(carryCols.nonEmpty, "need at least one carried event column")
+    val init = struct(lit(0).as("s"),
+      array_repeat(lit(null).cast("long"), k).as("ts"))
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us") +:
+        col(orderCol).as("oid") +:
+        carryCols.map(c => col(c).as(c)): _*)))
+    val folded = aggregate(col("evs"), init, (st, e) =>
+      when(st.getField("s") < k && whereAdv(st.getField("s"), e, stages),
+        struct((st.getField("s") + 1).as("s"),
+          transform(st.getField("ts"), (x, i) =>
+            when(i === st.getField("s"), e.getField("us")).otherwise(x))
+            .as("ts")))
+        .otherwise(st))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id") +: ExprUtil.bound(folded) { f =>
+        struct(f.getField("s").as("stage_reached") +:
+          (1 to k).map(i =>
+            element_at(f.getField("ts"), i).as(s"ts${i}_us")): _*)
+      }.as("f") +: Nil: _*)
+      .select(col("user_id") +: (col("f.stage_reached") +:
+        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+  }
+
+  /**
+   * [[funnelWhere]] for SKEWED keys — [[funnelBucketed]]'s segment
+   * monoid verbatim: the monoid argument never used WHAT the advance
+   * test is, only that it is a function of (event, stage), which a
+   * per-stage predicate still is — a segment's effect from any entry
+   * stage remains (exit stage, witnesses), k+2 slots of metadata.
+   * Bit-identical to the single fold (spec-asserted); gated on w53's
+   * oracle VERBATIM (w54).
+   */
+  def funnelWhereBucketed(events: DataFrame, userCol: String,
+      tsCol: String, orderCol: String, carryCols: Seq[String],
+      stages: Seq[Column => Column], bucketSeconds: Long): DataFrame = {
+    val k = stages.length
+    require(k >= 1 && bucketSeconds > 0, "need stages and bucketSeconds > 0")
+    require(carryCols.nonEmpty, "need at least one carried event column")
+    val base = events.select(col(userCol).as("user_id") +:
+        unix_micros(col(tsCol).cast("timestamp")).as("us") +:
+        col(orderCol).as("oid") +: carryCols.map(c => col(c).as(c)): _*)
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    def foldFromWhere(evs: Column, entry: Column): Column =
+      aggregate(evs,
+        struct(entry.as("s"), array().cast("array<long>").as("w")),
+        (st, e) => when(st.getField("s") < k &&
+            whereAdv(st.getField("s"), e, stages),
+          struct((st.getField("s") + 1).as("s"),
+            concat(st.getField("w"), array(e.getField("us"))).as("w")))
+          .otherwise(st))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us") +: col("oid") +:
+        carryCols.map(col): _*))).as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(0), lit(k)),
+          s => foldFromWhere(col("evs"), s)).as("f"))
+    val zero = struct(lit(0).as("s"), array().cast("array<long>").as("w"))
+    val merged = aggregate(col("segs"), zero, (st, seg) =>
+      struct(
+        element_at(seg.getField("f"), st.getField("s") + 1)
+          .getField("s").as("s"),
+        concat(st.getField("w"),
+          element_at(seg.getField("f"), st.getField("s") + 1).getField("w"))
+          .as("w")))
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
+      .select(col("user_id") +: ExprUtil.bound(merged) { r =>
+        struct(r.getField("s").as("stage_reached") +:
+          (1 to k).map(i =>
+            when(size(r.getField("w")) >= i, element_at(r.getField("w"), i))
+              .as(s"ts${i}_us")): _*)
+      }.as("f") +: Nil: _*)
+      .select(col("user_id") +: (col("f.stage_reached") +:
+        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+  }
+
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
     * event array — the building block of [[funnelBucketed]]'s segment
     * monoid. Witnesses are the event times of the stages advanced

@@ -1139,6 +1139,48 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L)) === m)
   }
 
+  test("funnelWhere: value-gated and subtype-style predicates; low-value events are skipped, not consumed; bucketed == single") {
+    // the value gate: view(v=3) must NOT advance stage 1 (threshold 5)
+    // and must NOT block the later view(v=9) from doing so
+    val ev = Seq(
+      (1L, 1L, ts(1), "view", 3L), (1L, 2L, ts(2), "view", 9L),
+      (1L, 3L, ts(3), "click", 1L),
+      (2L, 10L, ts(1), "view.promo", 7L), (2L, 11L, ts(2), "click", 1L),
+      (3L, 20L, ts(1), "view", 9L))
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    // subtype-style: stage 1 matches ANY view* type (Flink subtype()),
+    // with the value gate; stage 2 any click
+    val stages: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(
+        e => e.getField("event_type").startsWith("view") &&
+          e.getField("v") >= 5L,
+        e => e.getField("event_type") === "click")
+    val got = Funnel.funnelWhere(ev, "user_id", "ts", "event_id",
+        Seq("event_type", "v"), stages)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (1L, 2, Some(tsUs(2)), Some(tsUs(3))), // v=3 view skipped, v=9 picked
+      (2L, 2, Some(tsUs(1)), Some(tsUs(2))), // subtype view.promo matches
+      (3L, 1, Some(tsUs(1)), None)))
+    // bucketed twin bit-equal on a random corpus at 1-second buckets
+    val rnd = new scala.util.Random(5316L)
+    val types = Array("view", "view.promo", "click", "purchase")
+    val big = (0 until 500).map { i =>
+      (rnd.nextInt(10).toLong, i.toLong, ts(rnd.nextInt(60)),
+        types(rnd.nextInt(types.length)), rnd.nextInt(12).toLong)
+    }.toDF("user_id", "event_id", "ts", "event_type", "v")
+    val single = Funnel.funnelWhere(big, "user_id", "ts", "event_id",
+        Seq("event_type", "v"), stages)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val bucketed = Funnel.funnelWhereBucketed(big, "user_id", "ts",
+        "event_id", Seq("event_type", "v"), stages, bucketSeconds = 1L)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(bucketed === single)
+  }
+
   test("funnelIterative: the greedy-earliest anchor trap; AnchorPrev increasing chains; first-stage condition rejected") {
     // AnchorFirst trap: the earliest view carries a HOPELESS anchor
     // (100) — greedy-earliest would fail the click; the min-first
