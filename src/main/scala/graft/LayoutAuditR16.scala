@@ -72,6 +72,32 @@ object LayoutAuditR16 {
       ("square", 100000L, 160000L, 4000L, 7000L),
       ("narrow_a", 0L, 1500L, 0L, 2000000L),
       ("tiny_both", 5000L, 9000L, 100L, 400L))
+    // 3-key layouts: hilbert3 (Skilling) vs 3-key Morton vs linear on
+    // 3-dim boxes — the t96/t99 configuration at sf0.1
+    val li3 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val keys3 = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    Layout.hilbertOrderWrite3(li3, keys3, 16, s"$outDir/h3", n)
+    Layout.zOrderWriteN(li3, keys3, 16, s"$outDir/z3", n)
+    Layout.linearWrite(li3, "l_orderkey", s"$outDir/lin3", n)
+    val boxes3 = Seq(
+      ("stripe_bc", Seq(("l_orderkey", 0L, 600000L),
+        ("l_partkey", 100L, 2000L), ("l_suppkey", 10L, 200L))),
+      ("cube", Seq(("l_orderkey", 100000L, 200000L),
+        ("l_partkey", 2000L, 8000L), ("l_suppkey", 100L, 400L))))
+    boxes3.foreach { case (name, box) =>
+      val (ht, hr) = Layout.boxScanFilesN(spark, s"$outDir/h3", box)
+      val (_, zr) = Layout.boxScanFilesN(spark, s"$outDir/z3", box)
+      val (_, lr) = Layout.boxScanFilesN(spark, s"$outDir/lin3", box)
+      def cnt(p: String) = spark.read.parquet(p)
+        .filter(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+          .reduce(_ && _)).count()
+      val (ch, cz) = (cnt(s"$outDir/h3"), cnt(s"$outDir/z3"))
+      println(s"""{"audit":"layout_r16_box3d","box":"$name",""" +
+        s""""files_total":$ht,"files_read":{"hilbert3":$hr,""" +
+        s""""zorder3":$zr,"linear":$lr},"rows":$ch,""" +
+        s""""rows_equal":${ch == cz}}""")
+    }
     boxes.foreach { case (name, loA, hiA, loB, hiB) =>
       def read(p: String) = Layout.boxScanFiles(spark, p,
         "l_orderkey", loA, hiA, "l_partkey", loB, hiB)

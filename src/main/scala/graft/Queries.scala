@@ -1935,6 +1935,90 @@ object Queries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     })
 
+  /** 3-KEY Hilbert clustering key ([[Layout.hilbertValue3]], the t96
+    * 3-key Morton configuration's locality upgrade): Skilling's
+    * transpose algorithm — per-level undo rotations, Gray encode,
+    * last-axis parity smear, MSB-first round-robin interleave. The
+    * oracle replays the identical integer recurrence as chained
+    * DuckDB CTEs (one per (level, axis) sequential step — the C
+    * loop's in-place updates become simultaneous two-column CASEs
+    * reading the previous CTE), every bit op fully parenthesized.
+    * All-integer, hash-exact by construction. */
+  val t99_hilbert_key_3d: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValue3(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_suppkey").cast("long"), lit(1L << 16)),
+            bits = 16).as("h_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    bench = true,
+    benchRun = Some((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValue3(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 16)),
+            pmod(col("l_suppkey").cast("long"), lit(1L << 16)),
+            bits = 16).as("h_key"))),
+    oracle = Some {
+      val bits = 16
+      val m = 1L << bits
+      val xs = Seq("x0", "x1", "x2")
+      var ctes = Seq(
+        s"""h0 AS (SELECT l_orderkey, l_linenumber,
+           |    CAST((l_orderkey % $m) AS BIGINT) AS x0,
+           |    CAST((l_partkey % $m) AS BIGINT) AS x1,
+           |    CAST((l_suppkey % $m) AS BIGINT) AS x2
+           |  FROM lineitem)""".stripMargin)
+      var idx = 0
+      // undo-excess-work rotations: q = 2^(bits-1) .. 2, axes 0..2
+      for (sh <- (bits - 1) to 1 by -1; i <- 0 to 2) {
+        val (q, p) = (1L << sh, (1L << sh) - 1L)
+        val prev = s"h$idx"; idx += 1
+        val cols = xs.map { c =>
+          val xi = xs(i)
+          if (i == 0) {
+            if (c == "x0")
+              s"CASE WHEN ((x0 & $q)) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+            else s"$c"
+          } else if (c == "x0")
+            s"CASE WHEN (($xi & $q)) <> 0 THEN xor(x0, $p) " +
+              s"ELSE xor(x0, ((xor(x0, $xi)) & $p)) END AS x0"
+          else if (c == xi)
+            s"CASE WHEN (($xi & $q)) <> 0 THEN $xi " +
+              s"ELSE xor($xi, ((xor(x0, $xi)) & $p)) END AS $xi"
+          else s"$c"
+        }
+        ctes :+= s"""h$idx AS (SELECT l_orderkey, l_linenumber,
+           |    ${cols.mkString(",\n    ")} FROM $prev)""".stripMargin
+      }
+      // gray encode (sequential X[i] ^= X[i-1], spelled simultaneous)
+      val prevG = s"h$idx"; idx += 1
+      ctes :+= s"""h$idx AS (SELECT l_orderkey, l_linenumber, x0,
+         |    xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2
+         |  FROM $prevG)""".stripMargin
+      // parity smear from the last axis
+      val tExpr = ((bits - 1) to 1 by -1).map { sh =>
+        s"(CASE WHEN ((x2 & ${1L << sh})) <> 0 THEN ${(1L << sh) - 1L} ELSE 0 END)"
+      }.reduce((a, b) => s"xor($a, $b)")
+      val prevT = s"h$idx"; idx += 1
+      ctes :+= s"""h$idx AS (SELECT l_orderkey, l_linenumber,
+         |    xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2
+         |  FROM (SELECT *, $tExpr AS t FROM $prevT))""".stripMargin
+      // MSB-first round-robin interleave
+      val d = (for (sh <- (bits - 1) to 0 by -1; i <- 0 to 2) yield {
+        val pos = 3 * bits - 1 - ((bits - 1 - sh) * 3 + i)
+        s"((((${xs(i)} >> $sh)) & 1) << $pos)"
+      }).mkString(" | ")
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber, CAST($d AS BIGINT) AS h_key
+         |FROM h$idx
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -8169,6 +8253,7 @@ object Queries {
     "t94_zorder_key" -> t94_zorder_key,
     "t96_zorder_key_3d" -> t96_zorder_key_3d,
     "t98_hilbert_key" -> t98_hilbert_key,
+    "t99_hilbert_key_3d" -> t99_hilbert_key_3d,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,

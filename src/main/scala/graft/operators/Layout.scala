@@ -169,6 +169,37 @@ object Layout {
     graft.functions.HilbertIndex(x.cast("long"), y.cast("long"), bits)
   }
 
+  /** 3-KEY Hilbert index ([[zValueN]]'s locality upgrade at n = 3,
+    * the t96 configuration) — Skilling's transpose algorithm as the
+    * native codegen'd [[graft.functions.HilbertIndex3]] loop. Same
+    * caller contract as [[zValueN]]: inputs in `[0, 2^bits)`,
+    * `3·bits ≤ 62`. Note the 3-D curve is Skilling's orientation, a
+    * different (equally valid) Hilbert curve family than the 2-D
+    * [[hilbertValue]]'s classical xy2d orientation — each gates
+    * against its own cross-engine replay. */
+  def hilbertValue3(x: Column, y: Column, z: Column, bits: Int): Column = {
+    require(bits >= 1 && 3 * bits <= 62, "need 1 <= bits and 3*bits <= 62")
+    graft.functions.HilbertIndex3(x.cast("long"), y.cast("long"),
+      z.cast("long"), bits)
+  }
+
+  /** [[zOrderWriteN]]'s 3-key Hilbert sibling — range-partition +
+    * sort on [[hilbertValue3]], same pmod bounding, same optional
+    * audit. */
+  def hilbertOrderWrite3(df: DataFrame, cols: Seq[String], bits: Int,
+      path: String, numFiles: Int, audit: Boolean = false): Unit = {
+    require(cols.length == 3, "hilbertOrderWrite3 takes exactly 3 keys")
+    if (audit) requireBounded(df, cols, bits)
+    val Seq(a, b, c) = cols.map(k =>
+      pmod(col(k).cast("long"), lit(1L << bits)))
+    df.withColumn("__h", hilbertValue3(a, b, c, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.option("compression", Ddl.ParquetCompression)
+      .mode("overwrite").parquet(path)
+  }
+
   /** [[hilbertValue]] built from STOCK operators only — the
     * no-custom-Expression alternative, kept as the measured
     * comparison point (AUDIT_r16_hilbert's `keys` row: ~16× the

@@ -228,6 +228,56 @@ class LayoutSpec extends SparkSpec {
     }, "Morton must exhibit a seam jump for the comparison to mean anything")
   }
 
+  test("hilbertValue3: Skilling walk matches the JVM replay; full 8x8x8 grid is a bijection with unit steps; 3-dim pruning beats Morton's") {
+    import graft.functions.HilbertIndex3
+    val rnd = new scala.util.Random(1699L)
+    val rows = (0 until 300).map(_ => (rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(Layout.hilbertValue3(col("a"), col("b"), col("c"), 16).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === rows.map { case (a, b, c) =>
+      HilbertIndex3.index(Array(a, b, c), 16) })
+    // structure on the full 8x8x8 grid: bijection + every step moves
+    // exactly ONE cell in ONE dimension (Morton jumps at octant seams)
+    val cells = (0L until 512L).map(HilbertIndex3.axes(_, 3, 3).toSeq)
+    assert(cells.toSet.size === 512)
+    cells.sliding(2).foreach { case Seq(p1, p2) =>
+      assert(p1.zip(p2).map { case (u, v) => math.abs(u - v) }.sum === 1L,
+        s"$p1 -> $p2 not adjacent")
+    }
+    // forward really inverts the inverse
+    (0L until 512L).foreach { d =>
+      assert(HilbertIndex3.index(HilbertIndex3.axes(d, 3, 3), 3) === d)
+    }
+    // 3-dim box pruning: hilbert3 layout reads no more files than the
+    // 3-key Morton layout on the t96 box shape, fewer than linear
+    val li = (0 until 40000).map(_ => (rnd.nextInt(128).toLong,
+        rnd.nextInt(128).toLong, rnd.nextInt(128).toLong, rnd.nextInt(100)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("hilbert3").toString
+    Layout.hilbertOrderWrite3(li,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), bits = 7,
+      s"$dir/h3", numFiles = 16, audit = true)
+    Layout.zOrderWriteN(li, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      bits = 7, s"$dir/z3", numFiles = 16)
+    Layout.linearWrite(li, "l_orderkey", s"$dir/lin", numFiles = 16)
+    val box = Seq(("l_orderkey", 0L, 127L), ("l_partkey", 10L, 30L),
+      ("l_suppkey", 100L, 120L))
+    val (hT, hR) = Layout.boxScanFilesN(spark, s"$dir/h3", box)
+    val (_, zR) = Layout.boxScanFilesN(spark, s"$dir/z3", box)
+    val (_, lR) = Layout.boxScanFilesN(spark, s"$dir/lin", box)
+    assert(hT === 16L)
+    assert(hR <= zR, s"hilbert3 read $hR files vs morton3 $zR")
+    assert(hR < lR, s"hilbert3 must beat linear ($hR vs $lR)")
+    def boxRows(p: String) = spark.read.parquet(p)
+      .filter(box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+        .reduce(_ && _))
+      .collect().map(_.toString).sorted.toSeq
+    assert(boxRows(s"$dir/h3") === boxRows(s"$dir/z3"))
+    assert(boxRows(s"$dir/h3").nonEmpty)
+  }
+
   test("hilbert layout prunes the 2-dim box at least as well as z-order; contents identical across all three layouts") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
