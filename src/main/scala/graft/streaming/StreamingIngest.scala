@@ -1920,6 +1920,84 @@ object StreamingIngest {
           anchor == graft.operators.Funnel.AnchorFirst, matchRetentionMs))
   }
 
+  /** State of the PREDICATE funnel twin — the greedy pointer +
+    * witnesses, with the pending buffer carrying the value the
+    * predicates read. */
+  final case class FunnelWhereState(stage: Int, witnessUs: Seq[Long],
+      pending: Seq[(Long, Long, String, Long)])
+
+  /**
+   * Streaming PREDICATE funnel —
+   * [[graft.operators.Funnel.funnelWhere]]'s twin for per-stage
+   * SIMPLE conditions (Flink `where(SimpleCondition)` / `subtype`):
+   * stage j advances on the first mature event satisfying an
+   * arbitrary SERIALIZABLE predicate over (event type, value) — the
+   * streaming surface trades the batch side's Column predicates for
+   * Scala functions of the standard [[FunnelValueEvent]] fields,
+   * since a closure must ship to the state store where a Column
+   * cannot. Same watermark-buffer, emission and retention discipline
+   * as [[updateFunnel]] (greedy pointer + witnesses; conditions are
+   * event-local, so greedy-earliest stays exact).
+   */
+  def updateFunnelWhere(stages: IndexedSeq[(String, Long) => Boolean],
+      matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelValueEvent],
+      state: GroupState[FunnelWhereState]): Iterator[FunnelUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelWhereState(0, Nil, Nil))
+    if (prev.stage == k && state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp, e.v))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var stage = prev.stage
+    var wit = prev.witnessUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp, v) =>
+      if (stage < k && stages(stage)(tp, v)) { wit = wit :+ us; stage += 1 }
+    }
+    val rest = if (stage == k) Nil else immature
+    val removable = stage == 0 && wit.isEmpty && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelWhereState(stage, wit, rest))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (stage == k && matchRetentionMs != Long.MaxValue)
+        state.setTimeoutTimestamp(math.max(
+          wit.last / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    if ((first && !removable) || stage != prev.stage)
+      Iterator(FunnelUpdate(userId, stage, wit))
+    else Iterator.empty
+  }
+
+  /** The streaming predicate funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelWhere]]'s
+    * pointer; `valCol` is the one carried value column (integer
+    * domain, the batch contract). */
+  def streamingFunnelWhere(spark: SparkSession, events: DataFrame,
+      valCol: String, stages: Seq[(String, Long) => Boolean],
+      watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "need at least one stage")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"),
+        col(valCol).cast("long").as("v"), col("ts"))
+      .as[FunnelValueEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelWhere(stages.toIndexedSeq, matchRetentionMs))
+  }
+
   final case class FunnelAnyState(c: Seq[Long],
       pending: Seq[(Long, Long, String)])
   final case class FunnelAnyUpdate(user_id: Long, n_any: Long)

@@ -987,6 +987,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming predicate funnel: shuffled on-time arrival equals the batch funnelWhere with the same conditions") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("v", LongType)))
+    val rnd = new scala.util.Random(5328L)
+    val types = Array("view", "view.promo", "click", "purchase")
+    val events = (0 until 120).map { i =>
+      Row(rnd.nextInt(8).toLong, i.toLong,
+        t(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        types(rnd.nextInt(types.length)), rnd.nextInt(12).toLong)
+    }
+    val waves = rnd.shuffle(events).grouped(20).toSeq :+
+      Seq(Row(99L, 9999L, t("2024-01-05 10:00:00"), "error", 0L))
+    val src = tmp("funnel-where-src")
+    waves.zipWithIndex.foreach { case (rows, i) =>
+      val staging = tmp(s"funnel-where-wave$i")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$src/wave$i.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    // subtype + value gate, then a plain click — the w53 shape
+    val scalaStages: Seq[(String, Long) => Boolean] = Seq(
+      (tp, v) => tp.startsWith("view") && v >= 5L,
+      (tp, v) => tp == "click")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val updates = StreamingIngest.streamingFunnelWhere(spark, stream,
+      "v", scalaStages, "2 days")
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long])]
+    val q = updates.toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val colStages: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(
+        e => e.getField("event_type").startsWith("view") &&
+          e.getField("v") >= 5L,
+        e => e.getField("event_type") === "click")
+    val batch = graft.operators.Funnel.funnelWhere(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), schema),
+        "user_id", "ts", "event_id", Seq("event_type", "v"), colStages)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), (2 to 3).map(r.get).filter(_ != null)
+          .map(_.asInstanceOf[Long]))))
+      .toMap
+    val lastByUser = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    assert(lastByUser.keySet === batch.keySet)
+    lastByUser.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    assert(batch.values.exists(_._1 == 2), "corpus must complete somewhere")
+    assert(batch.values.exists(_._1 < 2), "corpus must also fail somewhere")
+  }
+
   test("streaming CEP funnel: finite match retention frees completed state; a later event starts a new instance") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
