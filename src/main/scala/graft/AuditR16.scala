@@ -90,6 +90,7 @@ object AuditR16 {
       ev.unpersist(blocking = true)
     }
     // ---- claim 2: routers pick each side on the DEFAULT threshold ----
+    if (claims("router")) {
     val skipStages = Seq("view" -> 1, "click" -> 2, "purchase" -> 1)
     val consecStages = Seq("view" -> 2, "click" -> 2)
     val pat = Seq(Funnel.PatternStage("view", notNextAfter = Some("error")),
@@ -142,6 +143,7 @@ object AuditR16 {
     println(s"""{"metric":"r16_router_above_threshold","peak":17000000,""" +
       s""""picked":{${aboveRows.mkString(",")}}}""")
     big.unpersist(blocking = true)
+    }
     // scalastyle:on println
     spark.stop()
   }

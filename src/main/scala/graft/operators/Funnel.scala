@@ -2467,11 +2467,17 @@ object Funnel {
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[String], bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    // validation BEFORE the eager probe (the asOfTolerance rule): a
+    // bad-stage call must fail with the contract message, not after a
+    // full count-by-key job
+    require(stages.nonEmpty && bucketSeconds > 0,
+      "need stages and bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelAnyCountBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, bucketSeconds)
     else funnelAnyCount(events, userCol, typeCol, tsCol, orderCol, stages)
+  }
 
   /** [[funnelMulti]]'s auto-router — same eager probe (or
     * `precomputedPeak`), same rationale (the round-14 audit's honest
@@ -2482,12 +2488,15 @@ object Funnel {
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[String], maxMatches: Int, bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty && maxMatches >= 1 && bucketSeconds > 0,
+      "need stages, maxMatches >= 1 and bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelMultiBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, maxMatches, bucketSeconds)
     else funnelMulti(events, userCol, typeCol, tsCol, orderCol, stages,
       maxMatches)
+  }
 
   /** [[funnelSkip]]'s auto-router. This is the family where routing
     * has the most upside BEYOND feasibility: per-event cost scales
@@ -2503,12 +2512,15 @@ object Funnel {
       stages: Seq[(String, Int)], skip: SkipStrategy, maxMatches: Int,
       bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    skipRequire(stages, skip, maxMatches) // before the eager probe
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelSkipBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, skip, maxMatches, bucketSeconds)
     else funnelSkip(events, userCol, typeCol, tsCol, orderCol, stages,
       skip, maxMatches)
+  }
 
   /** [[funnelLoopConsecutive]]'s auto-router — feasibility only: the
     * consecutive segment split honestly LOSES ~1.5× at a 20M power
@@ -2520,12 +2532,15 @@ object Funnel {
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[(String, Int)], bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    loopRequire(stages) // before the eager probe
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelLoopConsecutiveBucketed(events, userCol, typeCol, tsCol,
         orderCol, stages, bucketSeconds)
     else funnelLoopConsecutive(events, userCol, typeCol, tsCol, orderCol,
       stages)
+  }
 
   /** [[funnelPattern]]'s auto-router — feasibility routing over the
     * contiguity-NFA pair (the single NFA fold kept winning below the
@@ -2536,11 +2551,14 @@ object Funnel {
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[PatternStage], bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    patternRequire(stages) // before the eager probe
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelPatternBucketed(events, userCol, typeCol, tsCol, orderCol,
         stages, bucketSeconds)
     else funnelPattern(events, userCol, typeCol, tsCol, orderCol, stages)
+  }
 
   /** [[funnelPatternWithin]]'s auto-router — the product NFA's twins
     * were flat at the 20M power key (AUDIT_r15_skew_newops), so this
@@ -2551,12 +2569,16 @@ object Funnel {
       stages: Seq[PatternStage], windowMicros: Long,
       bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame =
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    patternRequire(stages) // before the eager probe
+    require(windowMicros > 0 && bucketSeconds > 0,
+      "need windowMicros > 0 and bucketSeconds > 0")
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
       funnelPatternWithinBucketed(events, userCol, typeCol, tsCol,
         orderCol, stages, windowMicros, bucketSeconds)
     else funnelPatternWithin(events, userCol, typeCol, tsCol, orderCol,
       stages, windowMicros)
+  }
 
   // -------------------------------------------------------------------
   // ITERATIVE conditions — Flink CEP's IterativeCondition
@@ -2605,6 +2627,19 @@ object Funnel {
       "the first stage has no previously-matched event to anchor a " +
         "condition on")
   }
+
+  /** `valCol` read with the NON-NULL contract enforced LOUDLY: an
+    * iterative condition cannot evaluate against a NULL value, and
+    * the three surfaces (array fold / sorted fold / streaming) must
+    * agree — a silent per-surface default would break their
+    * bit-identity (the sorted path would read 0, the streaming
+    * encoder would crash opaquely; round-16 review). One branch per
+    * row. */
+  private[graft] def iterVal(valCol: String): Column =
+    coalesce(col(valCol).cast("long"),
+      raise_error(lit(s"funnelIterative: NULL in value column " +
+        s"'$valCol' — iterative conditions require a non-null integer " +
+        "fixed-point value; filter or default NULLs first")).cast("long"))
 
   /** One event's transition of the min-anchor dominance fold. State:
     * `d[j]` — the MINIMAL anchor value among chains that have
@@ -2680,7 +2715,7 @@ object Funnel {
     val evs = sort_array(collect_list(struct(
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       col(orderCol).as("oid"), col(typeCol).as("tp"),
-      col(valCol).cast("long").as("v"))))
+      iterVal(valCol).as("v"))))
     val init = struct(
       array_repeat(lit(null).cast("long"), k).as("d"),
       array_repeat(lit(null).cast("long"), k).as("ts"))
@@ -2727,10 +2762,14 @@ object Funnel {
     iterRequire(stages)
     val k = stages.length
     val spark = events.sparkSession
+    // oid keeps the order column's NATIVE type: the array fold's
+    // sort_array ties break in that type's own ordering, and a cast
+    // here (e.g. string "9"/"10") would re-order ties and break the
+    // twins' bit-identity (round-16 review)
     val base = events.select(col(userCol).as("user_id"),
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
-      col(orderCol).cast("long").as("oid"),
-      col(typeCol).as("tp"), col(valCol).cast("long").as("v"))
+      col(orderCol).as("oid"),
+      col(typeCol).as("tp"), iterVal(valCol).as("v"))
     val parted =
       (if (numPartitions > 0) base.repartition(numPartitions, col("user_id"))
        else base.repartition(col("user_id")))
@@ -2757,21 +2796,24 @@ object Funnel {
             val r = buf.next()
             val us = r.getLong(1); val tp = r.getString(3)
             val v = r.getLong(4)
-            val preD = d.clone(); val preSet = dSet.clone()
-            var idx = 0
-            while (idx < k) {
+            // DESCENDING stage order = the pre-state rule with zero
+            // allocations: stage idx reads only slot idx-1, which a
+            // descending walk has not yet written (round-16 review —
+            // clone-per-event was ~100M arrays at the 48M power key)
+            var idx = k - 1
+            while (idx >= 0) {
               val passes = tp == tps(idx) && (idx == 0 ||
-                (preSet(idx - 1) && (conds(idx) match {
-                  case Some(RelGt(num, den)) => v * den > preD(idx - 1) * num
+                (dSet(idx - 1) && (conds(idx) match {
+                  case Some(RelGt(num, den)) => v * den > d(idx - 1) * num
                   case None => true
                 })))
               if (passes) {
-                val cand = if (idx == 0 || !anchorFirst) v else preD(idx - 1)
+                val cand = if (idx == 0 || !anchorFirst) v else d(idx - 1)
                 d(idx) = if (dSet(idx)) math.min(d(idx), cand) else cand
                 dSet(idx) = true
                 if (!tsSet(idx)) { ts(idx) = us; tsSet(idx) = true }
               }
-              idx += 1
+              idx -= 1
             }
           }
           val reached = tsSet.count(identity)
@@ -2832,6 +2874,22 @@ object Funnel {
       when(s === i, p(e)).otherwise(acc)
     }
 
+  /** Column names the predicate-funnel internals own — a carried
+    * event column by one of these names would be silently shadowed
+    * (the `bkt` helper overwrite being the nastiest: predicates would
+    * read bucket indexes), so the surface rejects them loudly. */
+  private val WhereReserved = Set("us", "oid", "bkt", "user_id")
+
+  private def whereRequire(carryCols: Seq[String],
+      stages: Seq[Column => Column]): Unit = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(carryCols.nonEmpty, "need at least one carried event column")
+    val clash = carryCols.filter(WhereReserved)
+    require(clash.isEmpty,
+      s"carried column name(s) ${clash.mkString(", ")} collide with the " +
+        "funnel's internal us/oid/bkt/user_id columns — rename them first")
+  }
+
   /**
    * [[funnel]] with per-stage PREDICATES instead of type equality —
    * Flink CEP's `where(SimpleCondition)` and `subtype(...)`: stage j
@@ -2858,8 +2916,7 @@ object Funnel {
       orderCol: String, carryCols: Seq[String],
       stages: Seq[Column => Column]): DataFrame = {
     val k = stages.length
-    require(k >= 1, "need at least one stage")
-    require(carryCols.nonEmpty, "need at least one carried event column")
+    whereRequire(carryCols, stages)
     val init = struct(lit(0).as("s"),
       array_repeat(lit(null).cast("long"), k).as("ts"))
     val evs = sort_array(collect_list(struct(
@@ -2897,8 +2954,8 @@ object Funnel {
       tsCol: String, orderCol: String, carryCols: Seq[String],
       stages: Seq[Column => Column], bucketSeconds: Long): DataFrame = {
     val k = stages.length
-    require(k >= 1 && bucketSeconds > 0, "need stages and bucketSeconds > 0")
-    require(carryCols.nonEmpty, "need at least one carried event column")
+    whereRequire(carryCols, stages)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
     val base = events.select(col(userCol).as("user_id") +:
         unix_micros(col(tsCol).cast("timestamp")).as("us") +:
         col(orderCol).as("oid") +: carryCols.map(c => col(c).as(c)): _*)
@@ -2938,9 +2995,11 @@ object Funnel {
   }
 
   /** The greedy stage fold from an ARBITRARY entry stage, over a sorted
-    * event array — the building block of [[funnelBucketed]]'s segment
-    * monoid. Witnesses are the event times of the stages advanced
-    * WITHIN this fold, in order. */
+    * event array — the segment building block [[funnelWithinBucketed]]
+    * composes its crossing-chain summaries from. Witnesses are the
+    * event times of the stages advanced WITHIN this fold, in order.
+    * (The plain bucketed funnel now shares the predicate family's
+    * generalization of this fold instead — see [[funnelBucketed]].) */
   private def foldFrom(evs: Column, entry: Column, k: Int,
       stages: Seq[String]): Column =
     aggregate(evs,
@@ -2975,38 +3034,23 @@ object Funnel {
    * (spec-asserted on random logs with 1-second buckets), two
    * user-keyed shuffles instead of one, per-group memory bounded by
    * the bucket width instead of the user's lifetime.
+   *
+   * Since round 16 this DELEGATES to [[funnelWhereBucketed]] — the
+   * segment monoid never read what the advance test is, so the typed
+   * family is the predicate family at `e.tp === stage` (one shared
+   * implementation instead of two byte-similar copies); the columns
+   * are renamed to the family's internal names first, which also
+   * makes caller-name collisions with us/oid/bkt impossible here.
    */
   def funnelBucketed(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, orderCol: String, stages: Seq[String],
       bucketSeconds: Long): DataFrame = {
-    val k = stages.length
-    require(k >= 1 && bucketSeconds > 0, "need stages and bucketSeconds > 0")
-    val base = events.select(col(userCol).as("user_id"),
-        unix_micros(col(tsCol).cast("timestamp")).as("us"),
-        col(orderCol).as("oid"), col(typeCol).as("tp"))
-      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
-    val segs = base.groupBy("user_id", "bkt")
-      .agg(sort_array(collect_list(struct(col("us"), col("oid"), col("tp"))))
-        .as("evs"))
-      .select(col("user_id"), col("bkt"),
-        transform(sequence(lit(0), lit(k)),
-          s => foldFrom(col("evs"), s, k, stages)).as("f"))
-    val zero = struct(lit(0).as("s"), array().cast("array<long>").as("w"))
-    val merged = aggregate(col("segs"), zero, (st, seg) =>
-      struct(
-        element_at(seg.getField("f"), st.getField("s") + 1).getField("s").as("s"),
-        concat(st.getField("w"),
-          element_at(seg.getField("f"), st.getField("s") + 1).getField("w"))
-          .as("w")))
-    segs.groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
-      .select(col("user_id") +: ExprUtil.bound(merged) { r =>
-        struct(r.getField("s").as("stage_reached") +:
-          (1 to k).map(i =>
-            when(size(r.getField("w")) >= i, element_at(r.getField("w"), i))
-              .as(s"ts${i}_us")): _*)
-      }.as("f") +: Nil: _*)
-      .select(col("user_id") +: (col("f.stage_reached") +:
-        (1 to k).map(i => col(s"f.ts${i}_us"))): _*)
+    require(stages.nonEmpty, "need at least one stage")
+    val prepared = events.select(col(userCol).as("__u"),
+      col(tsCol).as("__ts"), col(orderCol).as("__oid"),
+      col(typeCol).as("tp"))
+    funnelWhereBucketed(prepared, "__u", "__ts", "__oid", Seq("tp"),
+      stages.map(t => (e: Column) => e.getField("tp") === lit(t)),
+      bucketSeconds)
   }
 }

@@ -1859,22 +1859,22 @@ object StreamingIngest {
     val d = prev.d.toArray
     val ts = prev.ts.toArray
     mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp, v) =>
-      val preD = d.clone()
-      val preTs = ts.clone()
-      var j = 0
-      while (j < k) {
+      // descending stage order = the pre-state rule with zero
+      // allocations (stage j reads only slot j-1, not yet written)
+      var j = k - 1
+      while (j >= 0) {
         val passes = tp == stages(j).tp && (j == 0 ||
-          (preTs(j - 1) != NoStart && (stages(j).cond match {
+          (ts(j - 1) != NoStart && (stages(j).cond match {
             case Some(graft.operators.Funnel.RelGt(num, den)) =>
-              v * den > preD(j - 1) * num
+              v * den > d(j - 1) * num
             case None => true
           })))
         if (passes) {
-          val cand = if (j == 0 || !anchorFirst) v else preD(j - 1)
+          val cand = if (j == 0 || !anchorFirst) v else d(j - 1)
           d(j) = if (ts(j) != NoStart) math.min(d(j), cand) else cand
           if (ts(j) == NoStart) ts(j) = us
         }
-        j += 1
+        j -= 1
       }
     }
     val done = reached(ts.toSeq) == k
@@ -1909,9 +1909,12 @@ object StreamingIngest {
     graft.operators.Funnel.iterRequire(stages)
     events
       .withWatermark("ts", watermark)
+      // iterVal raises LOUDLY on a NULL value — the typed encoder
+      // would otherwise fail opaquely and the batch twins would
+      // diverge (the shared non-null contract)
       .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
         col("event_id").as("eventId"), col("event_type").as("tp"),
-        col(valCol).cast("long").as("v"), col("ts"))
+        graft.operators.Funnel.iterVal(valCol).as("v"), col("ts"))
       .as[FunnelValueEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -1217,6 +1217,45 @@ class FunnelSpec extends SparkSpec {
     assert(e.getMessage.contains("first stage"))
   }
 
+  test("funnelIterative contracts: NULL value fails LOUDLY on all surfaces; string order columns tie-break identically (round-16 review)") {
+    // NULL value: a silent per-surface default (0 on the sorted path)
+    // would fabricate a minimal anchor — the contract is a loud error
+    val withNull = Seq(
+      (1L, 1L, ts(1), "view", Some(100L)), (1L, 2L, ts(2), "view", None),
+      (1L, 3L, ts(3), "click", Some(50L)))
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    val stages = Seq(Funnel.IterStage("view"),
+      Funnel.IterStage("click", Some(Funnel.RelGt(1, 1))))
+    def chainHas(e: Throwable, s: String): Boolean = {
+      var cur = e; var seen = List.empty[Throwable]
+      while (cur != null && !seen.exists(_ eq cur)) {
+        if (Option(cur.getMessage).exists(_.contains(s))) return true
+        seen ::= cur; cur = cur.getCause
+      }
+      false
+    }
+    val e1 = intercept[Throwable](Funnel.funnelIterative(withNull,
+      "user_id", "event_type", "ts", "event_id", "v", stages).collect())
+    assert(chainHas(e1, "NULL in value column"))
+    val e2 = intercept[Throwable](Funnel.funnelIterativeSorted(withNull,
+      "user_id", "event_type", "ts", "event_id", "v", stages).collect())
+    assert(chainHas(e2, "NULL in value column"))
+    // string order column: same-us ties must break in the STRING order
+    // on both plans ("10" < "9" lexicographically)
+    val tied = Seq(
+      (1L, "9", ts(1), "view", 5L), (1L, "10", ts(1), "click", 50L))
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    val fold = Funnel.funnelIterative(tied, "user_id", "event_type",
+      "ts", "event_id", "v", stages).collect().map(_.toString).toSeq
+    val sorted = Funnel.funnelIterativeSorted(tied, "user_id",
+      "event_type", "ts", "event_id", "v", stages).collect()
+      .map(_.toString).toSeq
+    assert(sorted === fold)
+    // and the string order genuinely matters: click "10" precedes view
+    // "9", so the funnel must NOT complete
+    assert(fold.length === 1 && fold(0).contains(",1,"))
+  }
+
   test("funnelIterativeSorted == funnelIterative on random corpora, both anchors, multi-partition") {
     val rnd = new scala.util.Random(5016L)
     val typesPool = Array("view", "click", "purchase")
