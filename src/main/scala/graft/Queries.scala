@@ -5977,6 +5977,19 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** [[Funnel.funnelIterativeAuto]] — the iterative machine through
+    * the feasibility router (single array fold below the threshold,
+    * the wall-free sorted fold above it — AUDIT_r16_newops' measured
+    * pair). Routes single at sf0.01; FunnelSpec forces both routes.
+    * Gated on w50's oracle VERBATIM. */
+  val w55_funnel_iterative_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelIterativeAuto(eventsWithCents(spark, dir), "user_id",
+          "event_type", "ts", "event_id", "v_cents", iterStagesFirst,
+          Funnel.AnchorFirst)
+        .orderBy("user_id"),
+    oracle = w50_funnel_iterative_first.oracle)
+
   /** Per-stage SIMPLE conditions ([[Funnel.funnelWhere]]) — Flink
     * CEP's `where(SimpleCondition)`: view worth ≥ $5 → click worth
     * ≥ $8 → any purchase, each stage an arbitrary event-local
@@ -8380,6 +8393,7 @@ object Queries {
     "w52_funnel_iterative_sorted" -> w52_funnel_iterative_sorted,
     "w53_funnel_where" -> w53_funnel_where,
     "w54_funnel_where_bucketed" -> w54_funnel_where_bucketed,
+    "w55_funnel_iterative_auto" -> w55_funnel_iterative_auto,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

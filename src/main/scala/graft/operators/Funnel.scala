@@ -2826,6 +2826,29 @@ object Funnel {
     spark.createDataFrame(folded, outSchema)
   }
 
+  /** [[funnelIterative]]'s auto-router — the family rule applied to
+    * the iterative machine, whose skew twin is the SORT-BASED fold
+    * rather than a segment monoid: below `maxKeyEvents` take the
+    * single array fold (cheapest at ordinary key sizes), above it the
+    * sorted fold, which has no ~2 GB collected-row wall
+    * (AUDIT_r16_newops: single dies at a 48M-event key, sorted
+    * completes in 27 s — and already wins 3.2× at 10M, so the
+    * threshold errs safe). Same eager probe / `precomputedPeak`
+    * contract as [[funnelAnyCountAuto]]. */
+  def funnelIterativeAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String, valCol: String,
+      stages: Seq[IterStage], anchor: IterAnchor = AnchorFirst,
+      numPartitions: Int = 0,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    iterRequire(stages) // before the eager probe
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelIterativeSorted(events, userCol, typeCol, tsCol, orderCol,
+        valCol, stages, anchor, numPartitions)
+    else funnelIterative(events, userCol, typeCol, tsCol, orderCol,
+      valCol, stages, anchor)
+  }
+
   /**
    * `followedByAny` match ENUMERATION: every ordered event combination
    * matching the pattern, one row per match. Inherently

@@ -1374,6 +1374,19 @@ class FunnelSpec extends SparkSpec {
     assert(rows(Funnel.funnelPatternWithinAuto(df, "user_id", "event_type",
       "ts", "event_id", pat, windowMicros = 10L * 1000000L,
       bucketSeconds = 1L, maxKeyEvents = 10L), "user_id") === winRef)
+    // iterative: single array fold below, the sorted fold above
+    val evV = events.map { case (u, i, t, tp) => (u, i, t, tp, i % 97L) }
+      .toDF("user_id", "event_id", "ts", "event_type", "v")
+    val iterStages = Seq(Funnel.IterStage("view"),
+      Funnel.IterStage("click", Some(Funnel.RelGt(1, 1))))
+    val iterRef = rows(Funnel.funnelIterative(evV, "user_id",
+      "event_type", "ts", "event_id", "v", iterStages), "user_id")
+    assert(rows(Funnel.funnelIterativeAuto(evV, "user_id", "event_type",
+      "ts", "event_id", "v", iterStages,
+      maxKeyEvents = 1000000L), "user_id") === iterRef)
+    assert(rows(Funnel.funnelIterativeAuto(evV, "user_id", "event_type",
+      "ts", "event_id", "v", iterStages, numPartitions = 3,
+      maxKeyEvents = 10L), "user_id") === iterRef)
   }
 
   test("auto-router probe cost: precomputedPeak skips the count-by-key job entirely; without it the probe is eager at call time") {
