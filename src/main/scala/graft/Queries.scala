@@ -6457,6 +6457,90 @@ object Queries {
         |  LEFT JOIN tr USING (user_id)
         |ORDER BY user_id""".stripMargin))
 
+  /** RELUCTANT consume mode × loop-internal contiguity
+    * ([[Funnel.funnelLoopConsecutiveMode]] with [[Funnel.Reluctant]])
+    * on w38's pattern — the consume-mode axis completed on the
+    * consecutive machine: the spine and stage_reached are
+    * mode-independent (the run's remainder is same-type, so
+    * absorption never touches the next stage's pick), but a completed
+    * stage reports exactly minReps and the mandatory block's m-th
+    * occurrence time instead of the full run. The oracle is w38's
+    * gaps-and-islands replay with each completed stage's reps
+    * literal-capped and its time read from the island's (s+m-1)-th
+    * event (one idx join); trailing-partial branches are unchanged —
+    * a partial run consumes identically under both modes. The
+    * bucketed twin gates on the same oracle (w56b): the entry-state
+    * machinery is mode-independent (a reluctant open segment's count
+    * delta is zero). */
+  val w56_funnel_loop_consecutive_reluctant: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutiveMode(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2), Funnel.Reluctant)
+        .orderBy("user_id"),
+    oracle = Some(
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_id, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |ei AS (SELECT user_id, us, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS idx FROM e),
+        |isl AS (SELECT *, idx - row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY idx) AS grp FROM ei),
+        |islands AS (SELECT user_id, event_type, grp, min(idx) AS s,
+        |    max(idx) AS e2, CAST(count(*) AS BIGINT) AS len, max(us) AS lus
+        |  FROM isl GROUP BY 1, 2, 3),
+        |lastidx AS (SELECT user_id, max(idx) AS mx FROM ei GROUP BY user_id),
+        |c1 AS (SELECT user_id, s, len, lus FROM (
+        |  SELECT user_id, s, len, lus,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn
+        |  FROM islands WHERE event_type = 'view' AND len >= 2) WHERE rn = 1),
+        |c2 AS (SELECT user_id, s, len, lus FROM (
+        |  SELECT i.user_id, i.s, i.len, i.lus,
+        |    row_number() OVER (PARTITION BY i.user_id ORDER BY i.s) AS rn
+        |  FROM islands i JOIN c1 ON c1.user_id = i.user_id
+        |  WHERE i.event_type = 'click' AND i.len >= 2 AND i.s > c1.s + 1)
+        |  WHERE rn = 1),
+        |r1 AS (SELECT c1.user_id, ei.us FROM c1
+        |  JOIN ei ON ei.user_id = c1.user_id AND ei.idx = c1.s + 1),
+        |r2 AS (SELECT c2.user_id, ei.us FROM c2
+        |  JOIN ei ON ei.user_id = c2.user_id AND ei.idx = c2.s + 1),
+        |tr AS (SELECT i.user_id, i.event_type AS ttp, i.s AS tst,
+        |    i.len AS tlen, i.lus AS tlus
+        |  FROM islands i JOIN lastidx x ON x.user_id = i.user_id
+        |    AND i.e2 = x.mx)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN c2.s IS NOT NULL THEN 2
+        |            WHEN c1.s IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS stage_reached,
+        |  CAST(CASE WHEN c1.s IS NOT NULL THEN 2
+        |            WHEN tr.ttp = 'view' THEN tr.tlen
+        |            ELSE 0 END AS BIGINT) AS reps1,
+        |  CASE WHEN c1.s IS NOT NULL THEN r1.us
+        |       WHEN tr.ttp = 'view' THEN tr.tlus ELSE NULL END AS ts1_us,
+        |  CAST(CASE WHEN c2.s IS NOT NULL THEN 2
+        |            WHEN c1.s IS NOT NULL AND tr.ttp = 'click'
+        |              AND tr.tst > c1.s + 1 THEN tr.tlen
+        |            ELSE 0 END AS BIGINT) AS reps2,
+        |  CASE WHEN c2.s IS NOT NULL THEN r2.us
+        |       WHEN c1.s IS NOT NULL AND tr.ttp = 'click'
+        |         AND tr.tst > c1.s + 1 THEN tr.tlus ELSE NULL END AS ts2_us
+        |FROM u LEFT JOIN c1 USING (user_id) LEFT JOIN c2 USING (user_id)
+        |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+        |  LEFT JOIN tr USING (user_id)
+        |ORDER BY user_id""".stripMargin))
+
+  /** [[w56_funnel_loop_consecutive_reluctant]] through the SKEW-SAFE
+    * segment split. Gated on w56's oracle VERBATIM. */
+  val w56b_funnel_loop_consecutive_reluctant_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutiveMode(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2), Funnel.Reluctant,
+          bucketSeconds = Some(3600L))
+        .orderBy("user_id"),
+    oracle = w56_funnel_loop_consecutive_reluctant.oracle)
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -8394,6 +8478,8 @@ object Queries {
     "w53_funnel_where" -> w53_funnel_where,
     "w54_funnel_where_bucketed" -> w54_funnel_where_bucketed,
     "w55_funnel_iterative_auto" -> w55_funnel_iterative_auto,
+    "w56_funnel_loop_consecutive_reluctant" -> w56_funnel_loop_consecutive_reluctant,
+    "w56b_funnel_loop_consecutive_reluctant_bucketed" -> w56b_funnel_loop_consecutive_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

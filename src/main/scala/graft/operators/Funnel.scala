@@ -380,9 +380,13 @@ object Funnel {
     * of length `m_j` is existence-optimal). Open phase: a type-j
     * event absorbs; any other event closes the loop PERMANENTLY and
     * is immediately offered to stage j+1 (relaxed contiguity BETWEEN
-    * stages — the breaker may be the next stage's first pick). */
+    * stages — the breaker may be the next stage's first pick).
+    * `reluctant` turns the open-phase absorb into a NO-OP — the
+    * consume-mode axis on the consecutive machine: the run phase (and
+    * hence the spine and stage_reached) is mode-independent, only
+    * reps/last-time stop at the mandatory block. */
   private def consecStep(st: Column, e: Column,
-      stages: Seq[(String, Int)]): Column = {
+      stages: Seq[(String, Int)], reluctant: Boolean = false): Column = {
     val types = stages.map(_._1)
     val m = stages.map(_._2.toLong)
     val K = types.length
@@ -418,12 +422,13 @@ object Funnel {
           setC(lit(0L), j).as("c"),
           setL(lit(null).cast("long"), j).as("l")))
     }
+    val absorb =
+      if (reluctant) st
+      else struct(j.as("j"), open.as("open"),
+        setC(element_at(c, j) + 1L, j).as("c"), setL(us, j).as("l"))
     when(j > K, st)
       .otherwise(when(open,
-        when(tp === tpCur,
-          struct(j.as("j"), open.as("open"),
-            setC(element_at(c, j) + 1L, j).as("c"), setL(us, j).as("l")))
-          .otherwise(closeStart))
+        when(tp === tpCur, absorb).otherwise(closeStart))
         .otherwise(runStep))
   }
 
@@ -467,16 +472,43 @@ object Funnel {
    */
   def funnelLoopConsecutive(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
-      stages: Seq[(String, Int)]): DataFrame = {
+      stages: Seq[(String, Int)],
+      reluctant: Boolean = false): DataFrame = {
     loopRequire(stages)
     val evs = sort_array(collect_list(struct(
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       col(orderCol).as("oid"), col(typeCol).as("tp"))))
     val folded = aggregate(col("evs"), consecInit(stages),
-      (st, e) => consecStep(st, e, stages))
+      (st, e) => consecStep(st, e, stages, reluctant))
     consecOut(stages, folded)(
       events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
   }
+
+  /**
+   * [[funnelLoopConsecutive]] with a SELECTABLE consume mode — the
+   * [[funnelLoopMode]] axis applied to the consecutive machine: the
+   * run phase (and hence the spine and `stage_reached`) is
+   * mode-independent because loop absorption can never consume the
+   * next stage's pick (adjacent types differ, the run's remainder is
+   * same-type); [[Reluctant]] stops consuming at the mandatory block,
+   * so `reps<j>` reports `minReps_j` once complete and `ts<j>_us` the
+   * block's m-th (last mandatory) occurrence instead of the run's
+   * last absorbed one. Pass `bucketSeconds` for the segment-split
+   * twins (the entry-state machinery is mode-independent: a reluctant
+   * open-phase segment's count delta is simply zero). Gate: greedy ≡
+   * w38 by construction, reluctant gated by w56.
+   */
+  def funnelLoopConsecutiveMode(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int)], mode: ConsumeMode,
+      bucketSeconds: Option[Long] = None): DataFrame =
+    bucketSeconds match {
+      case None => funnelLoopConsecutive(events, userCol, typeCol,
+        tsCol, orderCol, stages, reluctant = mode == Reluctant)
+      case Some(b) => funnelLoopConsecutiveBucketed(events, userCol,
+        typeCol, tsCol, orderCol, stages, b,
+        reluctant = mode == Reluctant)
+    }
 
   /** Entry-state table for the consecutive-loop segment split: per
     * stage j, run states with partial count r = 0..m_j-1, then the
@@ -510,7 +542,8 @@ object Funnel {
    */
   def funnelLoopConsecutiveBucketed(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
-      stages: Seq[(String, Int)], bucketSeconds: Long): DataFrame = {
+      stages: Seq[(String, Int)], bucketSeconds: Long,
+      reluctant: Boolean = false): DataFrame = {
     loopRequire(stages)
     require(bucketSeconds > 0, "need bucketSeconds > 0")
     val K = stages.length
@@ -536,7 +569,7 @@ object Funnel {
           : _*).as("c"),
         array_repeat(lit(null).cast("long"), K).as("l"))
       ExprUtil.bound(aggregate(col("evs"), init,
-        (st, e) => consecStep(st, e, stages))) { f =>
+        (st, e) => consecStep(st, e, stages, reluctant))) { f =>
         struct(exitSid(f).as("x"), f.getField("c").as("c"),
           f.getField("l").as("l"))
       }

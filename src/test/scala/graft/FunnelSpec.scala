@@ -1139,6 +1139,47 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L)) === m)
   }
 
+  test("consecutive consume modes: reluctant stops at the mandatory block, greedy absorbs the run; spine identical; bucketed == single") {
+    // v v v c c: view{2+ consecutive} -> click{1+ consecutive}
+    // greedy: view run absorbs all 3 (reps 3, ts @3); click completes
+    // at @4 then absorbs @5 (reps 2, ts @5)
+    // reluctant: view stops at the block (reps 2, ts @2); click stops
+    // at 1 (reps 1, ts @4)
+    val ev = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "view"), (1L, 4L, ts(4), "click"),
+      (1L, 5L, ts(5), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(("view", 2), ("click", 1))
+    def one(mode: Funnel.ConsumeMode, b: Option[Long] = None) = {
+      val r = Funnel.funnelLoopConsecutiveMode(ev, "user_id",
+        "event_type", "ts", "event_id", stages, mode, b).collect()
+      assert(r.length === 1)
+      (r(0).getInt(1), (0 until 2).map(j =>
+        (r(0).getLong(2 + 2 * j), r(0).getLong(3 + 2 * j))))
+    }
+    val (gR, gL) = one(Funnel.Greedy)
+    val (rR, rL) = one(Funnel.Reluctant)
+    assert(gR === 2 && rR === 2) // spine is mode-free
+    assert(gL === Seq((3L, tsUs(3)), (2L, tsUs(5))))
+    assert(rL === Seq((2L, tsUs(2)), (1L, tsUs(4))))
+    // bucketed twins bit-equal at 1-second buckets (runs straddle)
+    assert(one(Funnel.Greedy, Some(1L)) === ((gR, gL)))
+    assert(one(Funnel.Reluctant, Some(1L)) === ((rR, rL)))
+    // a mid-run break resets identically under both modes
+    val broken = Seq(
+      (2L, 10L, ts(1), "view"), (2L, 11L, ts(2), "error"),
+      (2L, 12L, ts(3), "view"), (2L, 13L, ts(4), "view"),
+      (2L, 14L, ts(5), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val gB = Funnel.funnelLoopConsecutiveMode(broken, "user_id",
+      "event_type", "ts", "event_id", stages, Funnel.Greedy).collect()(0)
+    val rB = Funnel.funnelLoopConsecutiveMode(broken, "user_id",
+      "event_type", "ts", "event_id", stages, Funnel.Reluctant).collect()(0)
+    assert(gB.getInt(1) === 2 && rB.getInt(1) === 2)
+    assert(gB.getLong(3) === tsUs(4) && rB.getLong(3) === tsUs(4))
+  }
+
   test("funnelWhere: value-gated and subtype-style predicates; low-value events are skipped, not consumed; bucketed == single") {
     // the value gate: view(v=3) must NOT advance stage 1 (threshold 5)
     // and must NOT block the later view(v=9) from doing so
