@@ -6642,6 +6642,109 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** RELUCTANT consume mode × `until` boundary
+    * ([[Funnel.funnelLoopUntilMode]] with [[Funnel.Reluctant]]) on
+    * w31's pattern — the consume-mode product completed across all
+    * three loop machines: the until machinery (mid-block close
+    * STALLS, open close stops absorption) reads only the pointer and
+    * closed-bit, so the spine and stage_reached are mode-independent;
+    * reluctant caps each completed stage's reps at minReps with ts at
+    * the block's last mandatory pick. Oracle: w31's pick-chain +
+    * until-truncated repetition intervals with a rank cut at each
+    * stage's minReps (the w18 cap recipe inside w31's truncation).
+    * The bucketed twin gates on the same oracle (w57b). */
+  val w57_funnel_loop_until_reluctant: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopUntilMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 1, Some("signup")), ("click", 2, None),
+            ("purchase", 1, Some("error"))),
+          Funnel.Reluctant)
+        .orderBy("user_id"),
+    oracle = Some {
+      def pick(tag: String, tp: String, prev: String): String =
+        s"""$tag AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  FROM e JOIN $prev p ON p.user_id = e.user_id
+           |    AND ${sqlBefore("p", "e")}
+           |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      s"""$sqlEventsPrefix
+         |s1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'view') WHERE rn = 1),
+         |u1 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT user_id, us, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         |  FROM e WHERE event_type = 'signup') WHERE rn = 1),
+         |v1 AS (SELECT s1.user_id FROM s1 LEFT JOIN u1 USING (user_id)
+         |  WHERE u1.user_id IS NULL OR ${sqlBefore("s1", "u1")}),
+         |${pick("s2", "click", "s1")},
+         |${pick("s3", "click", "s2")},
+         |${pick("s4", "purchase", "s3")},
+         |e3 AS (SELECT user_id, us, event_id FROM (
+         |  SELECT e.user_id, e.us, e.event_id,
+         |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+         |  FROM e JOIN s4 p ON p.user_id = e.user_id
+         |    AND ${sqlBefore("p", "e")}
+         |  WHERE e.event_type = 'error') WHERE rn = 1),
+         |r1 AS (SELECT user_id, count(*) AS reps, max(us) AS last_us FROM (
+         |  SELECT f.user_id, e.us,
+         |    row_number() OVER (PARTITION BY f.user_id ORDER BY e.us, e.event_id) AS rk
+         |  FROM s1 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'view'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN s2 n ON n.user_id = f.user_id
+         |  LEFT JOIN u1 x ON x.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |    AND (x.user_id IS NULL OR ${sqlBefore("e", "x")})
+         |  ) WHERE rk <= 1 GROUP BY user_id),
+         |r2 AS (SELECT user_id, count(*) AS reps, max(us) AS last_us FROM (
+         |  SELECT f.user_id, e.us,
+         |    row_number() OVER (PARTITION BY f.user_id ORDER BY e.us, e.event_id) AS rk
+         |  FROM s2 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'click'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN s4 n ON n.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |  ) WHERE rk <= 2 GROUP BY user_id),
+         |r3 AS (SELECT user_id, count(*) AS reps, max(us) AS last_us FROM (
+         |  SELECT f.user_id, e.us,
+         |    row_number() OVER (PARTITION BY f.user_id ORDER BY e.us, e.event_id) AS rk
+         |  FROM s4 f JOIN v1 ON v1.user_id = f.user_id
+         |  JOIN e ON e.user_id = f.user_id AND e.event_type = 'purchase'
+         |    AND (e.us > f.us OR (e.us = f.us AND e.event_id >= f.event_id))
+         |  LEFT JOIN e3 n ON n.user_id = f.user_id
+         |  WHERE (n.user_id IS NULL OR ${sqlBefore("e", "n")})
+         |  ) WHERE rk <= 1 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN v1.user_id IS NULL THEN 0
+         |       WHEN s4.user_id IS NOT NULL THEN 3
+         |       WHEN s3.user_id IS NOT NULL THEN 2
+         |       ELSE 1 END AS stage_reached,
+         |  coalesce(r1.reps, 0) AS reps1, r1.last_us AS ts1_us,
+         |  coalesce(r2.reps, 0) AS reps2, r2.last_us AS ts2_us,
+         |  coalesce(r3.reps, 0) AS reps3, r3.last_us AS ts3_us
+         |FROM u LEFT JOIN v1 USING (user_id)
+         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+         |  LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+         |  LEFT JOIN r3 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w57_funnel_loop_until_reluctant]] through the SKEW-SAFE
+    * doubled-entry split. Gated on w57's oracle VERBATIM. */
+  val w57b_funnel_loop_until_reluctant_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopUntilMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(("view", 1, Some("signup")), ("click", 2, None),
+            ("purchase", 1, Some("error"))),
+          Funnel.Reluctant, bucketSeconds = Some(3600L))
+        .orderBy("user_id"),
+    oracle = w57_funnel_loop_until_reluctant.oracle)
+
   /** [[w31_funnel_loop_until]] through the SKEW-SAFE split
     * ([[Funnel.funnelLoopUntilBucketed]]): the loop monoid's entry
     * state doubles to (pointer, closed-bit) — 2·(K'+1) slots per
@@ -8480,6 +8583,8 @@ object Queries {
     "w55_funnel_iterative_auto" -> w55_funnel_iterative_auto,
     "w56_funnel_loop_consecutive_reluctant" -> w56_funnel_loop_consecutive_reluctant,
     "w56b_funnel_loop_consecutive_reluctant_bucketed" -> w56b_funnel_loop_consecutive_reluctant_bucketed,
+    "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
+    "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,
     "t14_sq8_ann" -> t14_sq8_ann,
     "j2_json_extract" -> j2_json_extract,

@@ -651,7 +651,8 @@ object Funnel {
     * so an event that advances into stage j and is also stage j's
     * until type closes j immediately — deterministic, spec-pinned. */
   private def loopUntilStep(st: Column, e: Column,
-      stages: Seq[(String, Int)], untils: Seq[Option[String]]): Column = {
+      stages: Seq[(String, Int)], untils: Seq[Option[String]],
+      reluctant: Boolean = false): Column = {
     val (expanded, _, subOf, loopOf) = loopTables(stages)
     val kx = expanded.length
     val curOf = curOfTable(stages)
@@ -667,7 +668,11 @@ object Funnel {
     // targets the next stage and stays allowed
     val adv = advT && (jAdv =!= curJ || !x)
     val jLoop = element_at(typedLit(loopOf), s + 1)
-    val absorb = jLoop > 0 && !x &&
+    // reluctant consume mode: the open loop never absorbs — the spine
+    // (and the until close/stall machinery, which reads only the
+    // pointer and the bit) is mode-independent
+    val absorb = (if (reluctant) lit(false) else lit(true)) &&
+      jLoop > 0 && !x &&
       tp === element_at(typedLit(stages.map(_._1)), jLoop)
     def next(sNew: Column, j: Column) = (sNew,
       transform(c, (v, i) => when(i === j - 1, v + 1L).otherwise(v)),
@@ -715,7 +720,8 @@ object Funnel {
    */
   def funnelLoopUntil(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, orderCol: String,
-      stages: Seq[(String, Int, Option[String])]): DataFrame = {
+      stages: Seq[(String, Int, Option[String])],
+      reluctant: Boolean = false): DataFrame = {
     untilRequire(stages)
     val mstages = stages.map { case (t, m, _) => (t, m) }
     val untils = stages.map(_._3)
@@ -724,10 +730,33 @@ object Funnel {
       col(orderCol).as("oid"), col(typeCol).as("tp"))))
     val folded = aggregate(col("evs"),
       loopUntilInit(mstages, lit(0), lit(false)),
-      (st, e) => loopUntilStep(st, e, mstages, untils))
+      (st, e) => loopUntilStep(st, e, mstages, untils, reluctant))
     loopOut(mstages, folded)(
       events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")))
   }
+
+  /**
+   * [[funnelLoopUntil]] with a SELECTABLE consume mode — the
+   * [[funnelLoopMode]] axis on the until-bounded loop, completing the
+   * consume-mode product across all three loop machines (relaxed w49,
+   * consecutive w56, until w57). Reluctant keeps the ENTIRE until
+   * machinery — mid-block closes still stall the pattern (they gate
+   * mandatory advances, which both modes make identically) — and only
+   * stops loop absorption, so `reps<j>` caps at `minReps_j` and
+   * `ts<j>_us` is the block's last mandatory pick. Pass
+   * `bucketSeconds` for the doubled-entry segment twins (count deltas
+   * stay exact: a reluctant open segment's delta is zero).
+   */
+  def funnelLoopUntilMode(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[(String, Int, Option[String])], mode: ConsumeMode,
+      bucketSeconds: Option[Long] = None): DataFrame =
+    bucketSeconds match {
+      case None => funnelLoopUntil(events, userCol, typeCol, tsCol,
+        orderCol, stages, reluctant = mode == Reluctant)
+      case Some(b) => funnelLoopUntilBucketed(events, userCol, typeCol,
+        tsCol, orderCol, stages, b, reluctant = mode == Reluctant)
+    }
 
   /**
    * [[funnelLoopUntil]] for SKEWED keys — the [[funnelLoopBucketed]]
@@ -741,7 +770,7 @@ object Funnel {
   def funnelLoopUntilBucketed(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[(String, Int, Option[String])],
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long, reluctant: Boolean = false): DataFrame = {
     untilRequire(stages)
     require(bucketSeconds > 0, "need bucketSeconds > 0")
     val mstages = stages.map { case (t, m, _) => (t, m) }
@@ -761,7 +790,8 @@ object Funnel {
             loopUntilInit(mstages,
               ((entry - pmod(entry, lit(2))) / lit(2)).cast("int"),
               pmod(entry, lit(2)) === 1),
-            (st, e) => loopUntilStep(st, e, mstages, untils))).as("f"))
+            (st, e) => loopUntilStep(st, e, mstages, untils,
+              reluctant))).as("f"))
     val merged = aggregate(col("segs"),
       loopUntilInit(mstages, lit(0), lit(false)),
       (st, seg) => ExprUtil.bound(

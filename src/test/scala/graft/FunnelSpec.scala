@@ -1180,6 +1180,39 @@ class FunnelSpec extends SparkSpec {
     assert(gB.getLong(3) === tsUs(4) && rB.getLong(3) === tsUs(4))
   }
 
+  test("until consume modes: reluctant caps reps at the block, stall and spine identical under both; bucketed == single") {
+    // v v s c c c p with view{1+, until signup} click{2+} purchase{1+}:
+    // greedy: view absorbs v@2 (reps 2, ts@2) until s@3 closes; click
+    // picks @4,@5 then absorbs @6 (reps 3, ts@6); purchase @7
+    // reluctant: view reps 1 ts@1; click reps 2 ts@5; purchase 1 ts@7
+    val ev = Seq(
+      (1L, 1L, ts(1), "view"), (1L, 2L, ts(2), "view"),
+      (1L, 3L, ts(3), "signup"), (1L, 4L, ts(4), "click"),
+      (1L, 5L, ts(5), "click"), (1L, 6L, ts(6), "click"),
+      (1L, 7L, ts(7), "purchase"),
+      // user 2: signup BEFORE the first view stalls BOTH modes
+      (2L, 10L, ts(1), "signup"), (2L, 11L, ts(2), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val stages = Seq(("view", 1, Some("signup")), ("click", 2, None),
+      ("purchase", 1, Some("error")))
+    def run(mode: Funnel.ConsumeMode, b: Option[Long] = None) =
+      Funnel.funnelLoopUntilMode(ev, "user_id", "event_type", "ts",
+        "event_id", stages, mode, b).orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), (0 until 3).map(j =>
+          (r.getLong(2 + 2 * j),
+            Option(r.get(3 + 2 * j)).map(_.asInstanceOf[Long]))))).toSeq
+    val g = run(Funnel.Greedy)
+    val r = run(Funnel.Reluctant)
+    assert(g.map(x => (x._1, x._2)) === r.map(x => (x._1, x._2))) // spine
+    assert(g(0) === ((1L, 3, Seq((2L, Some(tsUs(2))), (3L, Some(tsUs(6))),
+      (1L, Some(tsUs(7)))))))
+    assert(r(0) === ((1L, 3, Seq((1L, Some(tsUs(1))), (2L, Some(tsUs(5))),
+      (1L, Some(tsUs(7)))))))
+    assert(g(1)._2 === 0 && r(1)._2 === 0) // the stall is mode-free
+    assert(run(Funnel.Greedy, Some(1L)) === g)
+    assert(run(Funnel.Reluctant, Some(1L)) === r)
+  }
+
   test("funnelWhere: value-gated and subtype-style predicates; low-value events are skipped, not consumed; bucketed == single") {
     // the value gate: view(v=3) must NOT advance stage 1 (threshold 5)
     // and must NOT block the later view(v=9) from doing so
