@@ -106,12 +106,12 @@ object AuditR16 {
         "ts", "event_id", pat),
       "within" -> Funnel.funnelPatternWithinAuto(ev, "user_id",
         "event_type", "ts", "event_id", pat, win))
-    // the bucketed twins GROUP BY a `bkt` attribute (prints `bkt#id`);
-    // a struct FIELD merely named bkt (the skip fold's state) never
-    // carries an expression id, so `bkt#` is the unambiguous marker
+    // structural route detection: the bucketed twins GROUP BY a `bkt`
+    // ATTRIBUTE (a struct FIELD merely named bkt — the skip fold's
+    // state — is not a grouping attribute); shared with the other
+    // router audits via AuditUtil
     def picked(df: org.apache.spark.sql.DataFrame): String =
-      if (df.queryExecution.analyzed.toString.contains("bkt#"))
-        "bucketed" else "single"
+      if (AuditUtil.groupsByAttr(df, "bkt")) "bucketed" else "single"
     // below threshold: 1M-event peak — execute and value-compare
     val small = corpus(1000000L).cache(); small.count()
     val belowOk = routers(small).map { case (name, auto) =>

@@ -44,4 +44,30 @@ object AuditUtil {
     }
     false
   }
+
+  /**
+   * True iff the plan behind `df` contains an Aggregate whose
+   * GROUPING expressions include an attribute named exactly `name` —
+   * the structural signature of the bucketed CEP twins (they all
+   * `groupBy(user_id, bkt)` in their segment stage), used by the
+   * router audits to report which side an auto-router picked.
+   *
+   * Structural on purpose: the earlier `toString.contains("bkt#")`
+   * sniff could be flipped by any future attribute whose name merely
+   * ends in "bkt" or by a plan-printing change; and a bare name match
+   * without the Aggregate/grouping context false-positives on struct
+   * FIELDS named bkt (the skip fold's state carries one). Attributes
+   * only — a grouping expression that merely ALIASES something to
+   * `name` is not the twins' shape.
+   */
+  def groupsByAttr(df: org.apache.spark.sql.DataFrame,
+      name: String = "bkt"): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists {
+            case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              att.name == name
+            case _ => false
+          } => a
+    }.nonEmpty
 }

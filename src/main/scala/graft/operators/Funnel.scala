@@ -2698,10 +2698,11 @@ object Funnel {
     * bit-identity (the sorted path would read 0, the streaming
     * encoder would crash opaquely; round-16 review). One branch per
     * row. */
-  private[graft] def iterVal(valCol: String): Column =
+  private[graft] def iterVal(valCol: String,
+      op: String = "funnelIterative"): Column =
     coalesce(col(valCol).cast("long"),
-      raise_error(lit(s"funnelIterative: NULL in value column " +
-        s"'$valCol' — iterative conditions require a non-null integer " +
+      raise_error(lit(s"$op: NULL in value column " +
+        s"'$valCol' — value conditions require a non-null integer " +
         "fixed-point value; filter or default NULLs first")).cast("long"))
 
   /** One event's transition of the min-anchor dominance fold. State:

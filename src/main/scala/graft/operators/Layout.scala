@@ -76,12 +76,17 @@ object Layout {
     // try_cast, not cast: under ANSI a malformed key would abort the
     // probe with a generic CAST_INVALID_INPUT instead of this audit's
     // named error (and under non-ANSI plain cast nulls silently — the
-    // exact case being audited)
-    def tc(k: String) = expr(s"try_cast(`$k` AS BIGINT)")
+    // exact case being audited). Both probes (raw non-null count and
+    // cast count) parse the SAME quoted identifier — embedded
+    // backticks doubled, dots literal — so nz and nc always count the
+    // same column (col() would treat dots as nested-field paths).
+    def q(k: String) = "`" + k.replace("`", "``") + "`"
+    def pc(k: String) = expr(q(k))
+    def tc(k: String) = expr(s"try_cast(${q(k)} AS BIGINT)")
     val row = df.select(count(lit(1)).as("n") +: keys.flatMap(k => Seq(
       min(tc(k)).as(s"min_$k"),
       max(tc(k)).as(s"max_$k"),
-      count(col(k)).as(s"nz_$k"),
+      count(pc(k)).as(s"nz_$k"),
       count(tc(k)).as(s"nc_$k"))): _*).head()
     val n = row.getLong(0)
     keys.zipWithIndex.foreach { case (k, i) =>

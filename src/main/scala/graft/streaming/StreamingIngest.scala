@@ -1982,7 +1982,12 @@ object StreamingIngest {
   /** The streaming predicate funnel over an events stream — the
     * [[streamingFunnel]] plumbing with [[updateFunnelWhere]]'s
     * pointer; `valCol` is the one carried value column (integer
-    * domain, the batch contract). */
+    * domain, the batch contract). NULL (or unparseable) values fail
+    * LOUDLY via the family's shared non-null guard
+    * ([[graft.operators.Funnel.iterVal]]) — the typed state encoder
+    * cannot represent a NULL long, and a silent per-surface default
+    * would diverge from the batch predicate's NULL-is-false Column
+    * semantics with no signal; filter or default NULLs first. */
   def streamingFunnelWhere(spark: SparkSession, events: DataFrame,
       valCol: String, stages: Seq[(String, Long) => Boolean],
       watermark: String,
@@ -1993,7 +1998,8 @@ object StreamingIngest {
       .withWatermark("ts", watermark)
       .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
         col("event_id").as("eventId"), col("event_type").as("tp"),
-        col(valCol).cast("long").as("v"), col("ts"))
+        graft.operators.Funnel.iterVal(valCol, "streamingFunnelWhere")
+          .as("v"), col("ts"))
       .as[FunnelValueEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -2,7 +2,29 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-class AuditUtilSpec extends AnyFunSuite {
+class AuditUtilSpec extends AnyFunSuite with SparkSpec {
+
+  test("groupsByAttr keys on a grouping ATTRIBUTE, not struct fields or plan text") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "bkt")
+    // the bucketed-twin shape: groupBy over a real bkt attribute
+    assert(AuditUtil.groupsByAttr(df.groupBy("user_id", "bkt").count()))
+    // the round-16 advisor's false-positive risks: a struct FIELD named
+    // bkt inside an aggregate (the skip fold's state shape) ...
+    assert(!AuditUtil.groupsByAttr(
+      Seq((1L, 10L)).toDF("user_id", "b")
+        .withColumn("st", org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("b").as("bkt")))
+        .groupBy("user_id").agg(
+          org.apache.spark.sql.functions.collect_list("st"))))
+    // ... an attribute merely NAMED like bkt elsewhere in the plan ...
+    assert(!AuditUtil.groupsByAttr(
+      df.withColumnRenamed("bkt", "xbkt").groupBy("user_id").count()))
+    // ... and an ALIAS to bkt in the grouping (not the twins' shape)
+    assert(!AuditUtil.groupsByAttr(
+      df.groupBy(org.apache.spark.sql.functions.col("user_id").as("bkt"))
+        .count()))
+  }
 
   private def withFrame(t: Throwable, cls: String, m: String): Throwable = {
     t.setStackTrace(Array(new StackTraceElement(cls, m, "X.java", 1)))
