@@ -1437,6 +1437,27 @@ object StreamingIngest {
         updateFunnelLoop(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  /** [[streamingFunnelLoop]] with a SELECTABLE consume mode —
+    * [[graft.operators.Funnel.funnelLoopMode]]'s streaming twin.
+    * Reluctant reuses the batch reduction verbatim: the minimal loop
+    * is the bounded quantifier at its floor (`times(m, m)`), so the
+    * reluctant stream IS [[streamingFunnelTimesRange]] with cap =
+    * minReps — no third state machine, exactly as the batch side
+    * reuses [[graft.operators.Funnel.funnelTimesRange]]'s fold. */
+  def streamingFunnelLoopMode(spark: SparkSession, events: DataFrame,
+      stages: Seq[(String, Int)],
+      mode: graft.operators.Funnel.ConsumeMode, watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] =
+    mode match {
+      case graft.operators.Funnel.Greedy =>
+        streamingFunnelLoop(spark, events, stages, watermark,
+          matchRetentionMs)
+      case graft.operators.Funnel.Reluctant =>
+        streamingFunnelTimesRange(spark, events,
+          stages.map { case (t, m) => (t, m, m) }, watermark,
+          matchRetentionMs)
+    }
+
   final case class FunnelConsecState(j: Int, open: Boolean, c: Seq[Long],
       l: Seq[Long], pending: Seq[(Long, Long, String)])
 
@@ -1457,7 +1478,8 @@ object StreamingIngest {
    * close silently changes future absorption). Emission: delta-style
    * on the observable (stage_reached, counts, last-times).
    */
-  def updateFunnelConsecutive(stages: IndexedSeq[(String, Int)])(
+  def updateFunnelConsecutive(stages: IndexedSeq[(String, Int)],
+      reluctant: Boolean = false)(
       userId: Long, rows: Iterator[FunnelEvent],
       state: GroupState[FunnelConsecState]): Iterator[FunnelLoopUpdate] = {
     val types = stages.map(_._1)
@@ -1476,8 +1498,13 @@ object StreamingIngest {
     mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
       if (j <= k) {
         if (open) {
-          if (tp == types(j - 1)) { c(j - 1) += 1; l(j - 1) = us }
-          else {
+          // reluctant consume mode: the open loop never absorbs — the
+          // batch fold's dead absorb branch (consecStep's `absorb =
+          // st`); the run machine and close/start transitions are
+          // mode-independent
+          if (tp == types(j - 1)) {
+            if (!reluctant) { c(j - 1) += 1; l(j - 1) = us }
+          } else {
             j += 1
             open = false
             if (j <= k && tp == types(j - 1)) {
@@ -1492,7 +1519,12 @@ object StreamingIngest {
         }
       }
     }
-    val rest = if (j > k) Nil else immature
+    // a reluctant machine with the LAST stage's block complete is
+    // observationally final even while the loop is formally open: the
+    // open loop never absorbs and a breaker only moves j past k with
+    // c/l untouched — so the buffer is dead weight and drops
+    val rest =
+      if (j > k || (reluctant && j == k && open)) Nil else immature
     val removable = j == 1 && !open && c.forall(_ == 0L) && rest.isEmpty
     if (removable) {
       if (!first) state.remove()
@@ -1514,6 +1546,17 @@ object StreamingIngest {
     * run machine. */
   def streamingFunnelConsecutive(spark: SparkSession, events: DataFrame,
       stages: Seq[(String, Int)],
+      watermark: String): Dataset[FunnelLoopUpdate] =
+    streamingFunnelConsecutiveMode(spark, events, stages,
+      graft.operators.Funnel.Greedy, watermark)
+
+  /** [[streamingFunnelConsecutive]] with a SELECTABLE consume mode —
+    * [[graft.operators.Funnel.funnelLoopConsecutiveMode]]'s streaming
+    * twin: one dead absorb branch in [[updateFunnelConsecutive]]'s
+    * open phase, run machine and spine mode-independent. */
+  def streamingFunnelConsecutiveMode(spark: SparkSession,
+      events: DataFrame, stages: Seq[(String, Int)],
+      mode: graft.operators.Funnel.ConsumeMode,
       watermark: String): Dataset[FunnelLoopUpdate] = {
     import spark.implicits._
     graft.operators.Funnel.loopRequire(stages)
@@ -1525,7 +1568,8 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout)(
-        updateFunnelConsecutive(stages.toIndexedSeq))
+        updateFunnelConsecutive(stages.toIndexedSeq,
+          reluctant = mode == graft.operators.Funnel.Reluctant))
   }
 
   final case class FunnelLoopUntilState(s: Int, c: Seq[Long], l: Seq[Long],
@@ -1550,7 +1594,8 @@ object StreamingIngest {
    */
   def updateFunnelLoopUntil(
       stages: IndexedSeq[(String, Int, Option[String])],
-      matchRetentionMs: Long = Long.MaxValue)
+      matchRetentionMs: Long = Long.MaxValue,
+      reluctant: Boolean = false)
       : (Long, Iterator[FunnelEvent], GroupState[FunnelLoopUntilState]) =>
         Iterator[FunnelLoopUpdate] = {
     val mst = stages.map { case (t, m, _) => (t, m) }
@@ -1586,7 +1631,11 @@ object StreamingIngest {
       val jAdv = if (s < kx) subOf(s) else 0
       val adv = advT && (jAdv != curJ || !x)
       val jLoop = loopOf(s)
-      val absorb = !adv && jLoop > 0 && !x && tp == mst(jLoop - 1)._1
+      // reluctant consume mode: absorption is the one dead branch —
+      // the until close/stall machinery reads only the pointer and
+      // the bit and is mode-independent (the batch fold's contract)
+      val absorb = !reluctant && !adv && jLoop > 0 && !x &&
+        tp == mst(jLoop - 1)._1
       if (adv) {
         c(jAdv - 1) += 1; l(jAdv - 1) = us; s += 1
         if (comp == 0L && s == kx) comp = us
@@ -1599,6 +1648,10 @@ object StreamingIngest {
     val frozen = x && (loopOf(s) == 0 || complete)
     val rest =
       if (frozen) Nil
+      // a complete reluctant spine is observationally final: loop
+      // absorption is dead and a last-stage until close only stops
+      // absorption that already never happens — buffer drops
+      else if (complete && reluctant) Nil
       else if (complete) immature.filter(e =>
         e._3 == mst(k - 1)._1 || stages(k - 1)._3.contains(e._3))
       else immature
@@ -1629,6 +1682,17 @@ object StreamingIngest {
     * closed-bit state machine. */
   def streamingFunnelLoopUntil(spark: SparkSession, events: DataFrame,
       stages: Seq[(String, Int, Option[String])], watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] =
+    streamingFunnelLoopUntilMode(spark, events, stages,
+      graft.operators.Funnel.Greedy, watermark, matchRetentionMs)
+
+  /** [[streamingFunnelLoopUntil]] with a SELECTABLE consume mode —
+    * [[graft.operators.Funnel.funnelLoopUntilMode]]'s streaming twin:
+    * absorption is the one dead branch; the until close/stall
+    * machinery (pointer + bit) is mode-independent. */
+  def streamingFunnelLoopUntilMode(spark: SparkSession,
+      events: DataFrame, stages: Seq[(String, Int, Option[String])],
+      mode: graft.operators.Funnel.ConsumeMode, watermark: String,
       matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelLoopUpdate] = {
     import spark.implicits._
     graft.operators.Funnel.untilRequire(stages)
@@ -1640,7 +1704,8 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout)(
-        updateFunnelLoopUntil(stages.toIndexedSeq, matchRetentionMs))
+        updateFunnelLoopUntil(stages.toIndexedSeq, matchRetentionMs,
+          reluctant = mode == graft.operators.Funnel.Reluctant))
   }
 
   /** The streaming BOUNDED quantifier times(m, n) — the

@@ -2554,4 +2554,213 @@ class StreamingSpec extends SparkSpec {
     assert(afterComplete.isEmpty,
       s"no post-completion re-emission allowed: $u1")
   }
+
+  /** Shared consume-mode harness: run the given streaming query over
+    * out-of-order waves, return the LAST emission per user as
+    * (stage, reps, last-times). */
+  private def runLoopStream(src: String,
+      mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[StreamingIngest.FunnelLoopUpdate])
+      : Map[Long, (Int, Seq[Long], Seq[Long])] = {
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Long], Seq[Long])]
+    val q = mk(spark.readStream.schema(funnelWaveSchema)
+        .option("maxFilesPerTrigger", "1").parquet(src))
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            r.getSeq[Long](2), r.getSeq[Long](3)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4, e._5) }).toMap
+  }
+
+  /** Batch loop-family rows as (stage, reps, last-times) per user —
+    * the [[runLoopStream]] observable. */
+  private def loopObs(df: org.apache.spark.sql.DataFrame, k: Int)
+      : Map[Long, (Int, Seq[Long], Seq[Long])] =
+    df.collect().map { r =>
+      r.getLong(0) -> ((r.getInt(1),
+        (0 until k).map(j => r.getLong(2 + 2 * j)).toSeq,
+        (0 until k).flatMap(j =>
+          Option(r.get(3 + 2 * j)).map(_.asInstanceOf[Long])).toSeq))
+    }.toMap
+
+  test("streaming reluctant loop funnel equals batch funnelLoopMode(Reluctant) across out-of-order waves; greedy genuinely differs") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq(("view", 1), ("click", 2), ("purchase", 1))
+    // u1 offers every absorption: a second view, a third click, a
+    // second purchase — all arriving out of order across waves
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:06:00"), "purchase"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "click")),
+      Seq(Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(1L, 7L, t("2024-01-01 10:07:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-rel-loop-src")
+    writeWaves(src, waves)
+    val last = runLoopStream(src, st =>
+      StreamingIngest.streamingFunnelLoopMode(spark, st, stages,
+        graft.operators.Funnel.Reluctant, "2 hours"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = loopObs(graft.operators.Funnel.funnelLoopMode(all,
+      "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Reluctant), 3)
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // reluctant really bit: exactly the mandatory picks, none of the
+    // absorptions greedy takes
+    assert(last(1L) === ((3, Seq(1L, 2L, 1L),
+      Seq(us("2024-01-01 10:00:00"), us("2024-01-01 10:03:00"),
+        us("2024-01-01 10:06:00")))))
+    val greedy = loopObs(graft.operators.Funnel.funnelLoopMode(all,
+      "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Greedy), 3)
+    assert(greedy(1L) !== last(1L))
+  }
+
+  test("streaming reluctant consecutive-loop funnel equals batch mode twin; open-loop absorption is the one dead branch") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq("view" -> 2, "click" -> 2)
+    // u1: both stages complete their runs and then offer one
+    // absorption each (the third adjacent view / click); events land
+    // out of order so the buffered fold must reorder before folding.
+    // u2: an out-of-order breaker resets a partial run — the run
+    // machine must stay mode-independent.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "view"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "view")),
+      Seq(Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(1L, 6L, t("2024-01-01 10:05:00"), "click"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "error")),
+      Seq(Row(9L, 90L, t("2024-01-01 20:00:00"), "signup")))
+    val src = tmp("funnel-rel-consec-src")
+    writeWaves(src, waves)
+    val last = runLoopStream(src, st =>
+      StreamingIngest.streamingFunnelConsecutiveMode(spark, st, stages,
+        graft.operators.Funnel.Reluctant, "2 hours"))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = loopObs(graft.operators.Funnel.funnelLoopConsecutiveMode(
+      all, "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Reluctant), 2)
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the mandatory blocks, not the absorbed runs
+    assert(last(1L) === ((2, Seq(2L, 2L),
+      Seq(us("2024-01-01 10:01:00"), us("2024-01-01 10:04:00")))))
+    // the breaker reset is mode-independent: u2's trailing partial
+    assert(last(2L) === ((0, Seq(1L, 0L), Seq(us("2024-01-01 10:02:00")))))
+    val greedy = loopObs(graft.operators.Funnel.funnelLoopConsecutiveMode(
+      all, "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Greedy), 2)
+    assert(greedy(1L) === ((2, Seq(3L, 3L),
+      Seq(us("2024-01-01 10:02:00"), us("2024-01-01 10:05:00")))))
+    assert(greedy(1L) !== last(1L))
+  }
+
+  test("streaming reluctant loop-until funnel equals batch mode twin across a checkpoint restart; until close/stall machinery is mode-independent") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq(("view", 1, Some("signup")),
+      ("purchase", 2, Some("error")))
+    // u1 spans the restart: view + first purchase before the stop, the
+    // block's second purchase plus two absorbable purchases and the
+    // closing error after it. u2 stalls (signup lands mid-block,
+    // out of order). u3 completes cleanly pre-restart.
+    val preWaves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "purchase"),
+        Row(2L, 20L, t("2024-01-01 10:05:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "purchase"),
+        Row(3L, 32L, t("2024-01-01 10:02:00"), "purchase")),
+      Seq(Row(2L, 21L, t("2024-01-01 10:00:00"), "signup")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error"))) // wm → 12:00
+    val postWaves = Seq(
+      Seq(Row(1L, 3L, t("2024-01-01 14:30:00"), "purchase"),
+        Row(1L, 5L, t("2024-01-01 14:32:00"), "purchase")),
+      Seq(Row(1L, 4L, t("2024-01-01 14:31:00"), "purchase"),
+        Row(1L, 6L, t("2024-01-01 14:33:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error"))) // wm → 18:00
+    val src = tmp("funnel-rel-until-src")
+    val ckpt = tmp("funnel-rel-until-ckpt")
+    def writeOffsetWaves(waves: Seq[Seq[Row]], offset: Int): Unit =
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val staging = tmp(s"funnel-rel-until-wave${offset + i}")
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+            funnelWaveSchema)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave${offset + i}.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + (offset + i) * 60000L)
+      }
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Seq[Long], Seq[Long])]
+    def runOnce(): Unit = {
+      val q = StreamingIngest.streamingFunnelLoopUntilMode(spark,
+          spark.readStream.schema(funnelWaveSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          stages, graft.operators.Funnel.Reluctant, "2 hours")
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((r.getLong(0), r.getInt(1),
+              r.getSeq[Long](2), r.getSeq[Long](3)))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeOffsetWaves(preWaves, 0)
+    runOnce()
+    writeOffsetWaves(postWaves, preWaves.length)
+    runOnce() // second life resumes the SAME state store
+    val last = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => { val e = es.maxBy(_._2)._1; (e._2, e._3, e._4) })
+      .toMap
+    val all = spark.createDataFrame(spark.sparkContext.parallelize(
+      (preWaves ++ postWaves).flatten), funnelWaveSchema)
+    val batch = loopObs(graft.operators.Funnel.funnelLoopUntilMode(all,
+      "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Reluctant), 2)
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // cross-restart reluctant block: the pre-restart purchase is the
+    // block's first pick, the post-restart one completes it, the two
+    // absorbable purchases are ignored
+    assert(last(1L) === ((2, Seq(1L, 2L),
+      Seq(us("2024-01-01 10:00:00"), us("2024-01-01 14:30:00")))))
+    // the stall is mode-independent (u2 frozen at 0 by the late signup)
+    assert(last(2L)._1 === 0)
+    // greedy absorbs u1's trailing purchases up to the error
+    val greedy = loopObs(graft.operators.Funnel.funnelLoopUntilMode(all,
+      "user_id", "event_type", "ts", "event_id", stages,
+      graft.operators.Funnel.Greedy), 2)
+    assert(greedy(1L) === ((2, Seq(1L, 4L),
+      Seq(us("2024-01-01 10:00:00"), us("2024-01-01 14:32:00")))))
+    assert(greedy(1L) !== last(1L))
+  }
 }
