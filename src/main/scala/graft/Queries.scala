@@ -6541,6 +6541,22 @@ object Queries {
         .orderBy("user_id"),
     oracle = w56_funnel_loop_consecutive_reluctant.oracle)
 
+  /** Consume mode THROUGH the auto-router
+    * ([[Funnel.funnelLoopConsecutiveAuto]] with [[Funnel.Reluctant]]):
+    * `maxKeyEvents = 1` forces the above-threshold route, so this row
+    * proves a reluctant call lands on the reluctant BUCKETED twin —
+    * not a silently-greedy one (the round-16 verdict's router/mode
+    * coverage gap). Gated on w56's oracle VERBATIM; the router audit
+    * (AuditR17) additionally pins the picked route structurally. */
+  val w58_funnel_loop_consecutive_auto_reluctant: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelLoopConsecutiveAuto(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view" -> 2, "click" -> 2), bucketSeconds = 3600L,
+          maxKeyEvents = 1L, mode = Funnel.Reluctant)
+        .orderBy("user_id"),
+    oracle = w56_funnel_loop_consecutive_reluctant.oracle)
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -8583,6 +8599,7 @@ object Queries {
     "w55_funnel_iterative_auto" -> w55_funnel_iterative_auto,
     "w56_funnel_loop_consecutive_reluctant" -> w56_funnel_loop_consecutive_reluctant,
     "w56b_funnel_loop_consecutive_reluctant_bucketed" -> w56b_funnel_loop_consecutive_reluctant_bucketed,
+    "w58_funnel_loop_consecutive_auto_reluctant" -> w58_funnel_loop_consecutive_auto_reluctant,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

@@ -2595,14 +2595,20 @@ object Funnel {
       typeCol: String, tsCol: String, orderCol: String,
       stages: Seq[(String, Int)], bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame = {
+      precomputedPeak: Option[Long] = None,
+      mode: ConsumeMode = Greedy): DataFrame = {
     loopRequire(stages) // before the eager probe
     require(bucketSeconds > 0, "need bucketSeconds > 0")
+    // the mode rides the route orthogonally: both sides of the
+    // feasibility split are mode-selectable ([[funnelLoopConsecutiveMode]]
+    // carries the flag into the single fold AND the bucketed twin), so
+    // a Reluctant call above threshold lands on the reluctant
+    // segment-split twin, not a silently-greedy one
     if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
-      funnelLoopConsecutiveBucketed(events, userCol, typeCol, tsCol,
-        orderCol, stages, bucketSeconds)
-    else funnelLoopConsecutive(events, userCol, typeCol, tsCol, orderCol,
-      stages)
+      funnelLoopConsecutiveMode(events, userCol, typeCol, tsCol,
+        orderCol, stages, mode, Some(bucketSeconds))
+    else funnelLoopConsecutiveMode(events, userCol, typeCol, tsCol,
+      orderCol, stages, mode, None)
   }
 
   /** [[funnelPattern]]'s auto-router — feasibility routing over the

@@ -1463,6 +1463,42 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L), "user_id") === iterRef)
   }
 
+  test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
+    val rnd = new scala.util.Random(1714L)
+    val typesPool = Array("view", "click", "purchase", "error")
+    val events = (0 until 600).map { i =>
+      (if (i % 2 == 0) 0L else rnd.nextInt(8).toLong + 1L, i.toLong,
+        ts(rnd.nextInt(60)), typesPool(rnd.nextInt(typesPool.length)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("user_id").collect().map(_.toString).toSeq
+    val stages = Seq("view" -> 2, "click" -> 2)
+    val relRef = rows(Funnel.funnelLoopConsecutiveMode(df, "user_id",
+      "event_type", "ts", "event_id", stages, Funnel.Reluctant))
+    // above threshold: bucketed route (structurally pinned), reluctant
+    // values — the round-16 gap was exactly a silently-greedy route here
+    val above = Funnel.funnelLoopConsecutiveAuto(df, "user_id",
+      "event_type", "ts", "event_id", stages, bucketSeconds = 1L,
+      maxKeyEvents = 10L, mode = Funnel.Reluctant)
+    assert(AuditUtil.groupsByAttr(above))
+    assert(rows(above) === relRef)
+    // below threshold: single route, same reluctant values
+    val below = Funnel.funnelLoopConsecutiveAuto(df, "user_id",
+      "event_type", "ts", "event_id", stages,
+      maxKeyEvents = 1000000L, mode = Funnel.Reluctant)
+    assert(!AuditUtil.groupsByAttr(below))
+    assert(rows(below) === relRef)
+    // the mode really bit on this corpus (greedy differs)
+    assert(rows(Funnel.funnelLoopConsecutive(df, "user_id",
+      "event_type", "ts", "event_id", stages)) !== relRef)
+    // default mode unchanged: Greedy both ways
+    assert(rows(Funnel.funnelLoopConsecutiveAuto(df, "user_id",
+      "event_type", "ts", "event_id", stages, maxKeyEvents = 1000000L))
+      === rows(Funnel.funnelLoopConsecutive(df, "user_id", "event_type",
+        "ts", "event_id", stages)))
+  }
+
   test("auto-router probe cost: precomputedPeak skips the count-by-key job entirely; without it the probe is eager at call time") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
