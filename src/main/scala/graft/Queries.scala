@@ -6557,6 +6557,93 @@ object Queries {
         .orderBy("user_id"),
     oracle = w56_funnel_loop_consecutive_reluctant.oracle)
 
+  /** GROUP pattern under `times(n)` ([[Funnel.funnelGroupTimes]]) —
+    * Flink CEP's GroupPattern: the quantifier applied to a SEQUENCE
+    * (`begin(begin("view").next("click")).times(2)`). The reduction is
+    * stage-list expansion (w12's rule) composed with the contiguity
+    * NFA: two copies of the group, strict INSIDE each copy, the seam
+    * relaxed (Flink's default `times` contiguity between repetitions).
+    * Oracle: the w20 chained-join replay over the expanded hop list —
+    * immediate-successor guards on the in-copy hops, none at the
+    * seam — projected to repetitions. */
+  val w59_funnel_group_times: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimes(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)), times = 2)
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "click", "c1", strict = true, None)},
+         |${sqlHop("c3", "view", "c2", strict = false, None)},
+         |${sqlHop("c4", "click", "c3", strict = true, None)},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id),
+         |m4 AS (SELECT user_id, min(us) AS ts FROM c4 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CAST(CASE WHEN m4.ts IS NOT NULL THEN 2
+         |            WHEN m2.ts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS reps_completed,
+         |  m1.ts AS ts_r1_s1_us, m2.ts AS ts_r1_s2_us,
+         |  m3.ts AS ts_r2_s1_us, m4.ts AS ts_r2_s2_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id) LEFT JOIN m4 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** [[w59_funnel_group_times]] through the SKEW-SAFE bucketed split
+    * ([[Funnel.funnelGroupTimesBucketed]]): the segment split never
+    * reads what the stage list means, only its length. Gates on w59's
+    * oracle VERBATIM. */
+  val w59b_funnel_group_times_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)), times = 2,
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w59_funnel_group_times.oracle)
+
+  /** [[w59_funnel_group_times]] with CONSECUTIVE seams — Flink's
+    * `consecutive()` on the GROUP: repetitions must be strictly
+    * contiguous with each other, so the seam hop carries the same
+    * immediate-successor guard as the in-copy hops. Gated against the
+    * oracle with the seam guard ADDED — the pair (w59, w60) pins the
+    * seam-contiguity axis cross-engine. */
+  val w60_funnel_group_times_consecutive: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimes(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)), times = 2,
+          consecutiveSeams = true)
+        .orderBy("user_id"),
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "click", "c1", strict = true, None)},
+         |${sqlHop("c3", "view", "c2", strict = true, None)},
+         |${sqlHop("c4", "click", "c3", strict = true, None)},
+         |m1 AS (SELECT user_id, min(us) AS ts FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, min(us) AS ts FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, min(us) AS ts FROM c3 GROUP BY user_id),
+         |m4 AS (SELECT user_id, min(us) AS ts FROM c4 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CAST(CASE WHEN m4.ts IS NOT NULL THEN 2
+         |            WHEN m2.ts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS reps_completed,
+         |  m1.ts AS ts_r1_s1_us, m2.ts AS ts_r1_s2_us,
+         |  m3.ts AS ts_r2_s1_us, m4.ts AS ts_r2_s2_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id) LEFT JOIN m4 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -8600,6 +8687,9 @@ object Queries {
     "w56_funnel_loop_consecutive_reluctant" -> w56_funnel_loop_consecutive_reluctant,
     "w56b_funnel_loop_consecutive_reluctant_bucketed" -> w56b_funnel_loop_consecutive_reluctant_bucketed,
     "w58_funnel_loop_consecutive_auto_reluctant" -> w58_funnel_loop_consecutive_auto_reluctant,
+    "w59_funnel_group_times" -> w59_funnel_group_times,
+    "w59b_funnel_group_times_bucketed" -> w59b_funnel_group_times_bucketed,
+    "w60_funnel_group_times_consecutive" -> w60_funnel_group_times_consecutive,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

@@ -1833,6 +1833,95 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // GROUP patterns — Flink CEP's GroupPattern: a quantifier over a
+  // SEQUENCE (`Pattern.begin(subPattern).times(n)`)
+  // -------------------------------------------------------------------
+
+  /** The group quantifier's stage-list expansion: `times` copies of
+    * the group with each copy's INTERNAL contiguity flags preserved
+    * and the SEAM — each later copy's first stage — connected per
+    * `consecutiveSeams`. Flink joins a group's repetitions with
+    * RELAXED contiguity by default (`times(n)`) and `consecutive()`
+    * opts into strict seams; the trap this encodes (spec-pinned) is
+    * that a group whose internal hops are strict must NOT leak that
+    * strictness across the seam — strict INSIDE, relaxed BETWEEN. */
+  private[graft] def groupExpand(group: Seq[PatternStage], times: Int,
+      consecutiveSeams: Boolean): Seq[PatternStage] =
+    (1 to times).flatMap { r =>
+      group.zipWithIndex.map { case (st, i) =>
+        if (r > 1 && i == 0) st.copy(strict = consecutiveSeams) else st
+      }
+    }
+
+  /** The group contract is the flat pattern contract applied to the
+    * GROUP (head non-strict — `begin` has nothing before it — and no
+    * `notNextAfter` on the last stage). Lifting it keeps the seam
+    * symmetric: the last stage's gap guard would fire on n−1 seams
+    * and silently not on the final copy. The expansion then satisfies
+    * [[patternRequire]] by construction for every `times` and either
+    * seam mode. */
+  private[graft] def groupRequire(group: Seq[PatternStage],
+      times: Int): Unit = {
+    require(times >= 1, "need times >= 1")
+    patternRequire(group)
+  }
+
+  /** Shared output projection from the expanded pattern's flat
+    * observables to the group's: `reps_completed` = completed group
+    * repetitions (the satisfiable prefix in units of whole copies —
+    * optional-skip completion included, exactly the flat
+    * `stage_reached` semantics), and per-copy first-match times
+    * renamed `ts_r<rep>_s<stage>_us`. */
+  private def groupProject(group: Seq[PatternStage], times: Int)(
+      raw: DataFrame): DataFrame = {
+    val k = group.length
+    raw.select(col("user_id") +:
+      expr(s"stage_reached div $k").cast("int").as("reps_completed") +:
+      (for (r <- 1 to times; i <- 1 to k) yield
+        col(s"ts${(r - 1) * k + i}_us").as(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /**
+   * Flink CEP's GROUP pattern under `times(n)` — the quantifier
+   * applied to a SEQUENCE of stages instead of a single one
+   * (`Pattern.begin(Pattern.begin("a").next("b")).times(n)`). The
+   * Spark-first reduction composes two existing recipes: quantifiers
+   * are stage-list expansion (the w12 rule), and a group is just a
+   * stage LIST — so the group quantifier is [[funnelPattern]] over
+   * [[groupExpand]]'s n copies, with the group's internal contiguity
+   * verbatim inside every copy and the seams relaxed
+   * (`consecutiveSeams = true` for Flink's `consecutive()` on the
+   * group). No new machine: same l/o NFA existence fold, 2·n·k
+   * booleans + n·k first-reach longs of state, ONE user-keyed
+   * shuffle. Output: `(user_id, reps_completed, ts_r<r>_s<i>_us…)`.
+   * Oracle: the w20 chained-join replay over the expanded hop list —
+   * strict guards inside copies, none (or all, consecutive) at seams.
+   */
+  def funnelGroupTimes(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], times: Int,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    groupRequire(group, times)
+    groupProject(group, times)(
+      funnelPattern(events, userCol, typeCol, tsCol, orderCol,
+        groupExpand(group, times, consecutiveSeams)))
+  }
+
+  /** [[funnelGroupTimes]] for SKEWED keys — [[funnelPatternBucketed]]
+    * over the same expansion (the segment split never reads what the
+    * stage list MEANS, only its length), same projection. Gates on
+    * the single fold's oracle VERBATIM. */
+  def funnelGroupTimesBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], times: Int, bucketSeconds: Long,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    groupRequire(group, times)
+    groupProject(group, times)(
+      funnelPatternBucketed(events, userCol, typeCol, tsCol, orderCol,
+        groupExpand(group, times, consecutiveSeams), bucketSeconds))
+  }
+
+  // -------------------------------------------------------------------
   // Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
   // -------------------------------------------------------------------
 

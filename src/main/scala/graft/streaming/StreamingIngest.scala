@@ -1878,6 +1878,30 @@ object StreamingIngest {
         updateFunnelPattern(stages.toIndexedSeq, matchRetentionMs))
   }
 
+  /** Streaming GROUP pattern — [[graft.operators.Funnel
+    * .funnelGroupTimes]]'s twin: the batch reduction (group
+    * quantifier ≡ [[graft.operators.Funnel.groupExpand]]'s stage-list
+    * expansion with relaxed-or-consecutive seams) composes with
+    * [[streamingFunnelPattern]] unchanged — run the stream over the
+    * EXPANDED stages and project the flat observables back to
+    * repetitions (`reps_completed` = satisfiable prefix in whole
+    * copies; per-copy first-match times `ts_r<r>_s<i>_us`). */
+  def streamingFunnelGroupTimes(spark: SparkSession, events: DataFrame,
+      group: Seq[graft.operators.Funnel.PatternStage], times: Int,
+      watermark: String, consecutiveSeams: Boolean = false,
+      matchRetentionMs: Long = Long.MaxValue): DataFrame = {
+    graft.operators.Funnel.groupRequire(group, times)
+    val k = group.length
+    val raw = streamingFunnelPattern(spark, events,
+      graft.operators.Funnel.groupExpand(group, times, consecutiveSeams),
+      watermark, matchRetentionMs).toDF()
+    raw.select(col("user_id") +:
+      expr(s"stage_reached div $k").cast("int").as("reps_completed") +:
+      (for (r <- 1 to times; i <- 1 to k) yield
+        element_at(col("ts_us"), (r - 1) * k + i)
+          .as(s"ts_r${r}_s${i}_us")): _*)
+  }
+
   /** [[FunnelEvent]] with the stage-condition VALUE (integer
     * fixed-point, the caller's conversion) — the iterative-condition
     * twin's event shape. */

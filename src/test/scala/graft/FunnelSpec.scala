@@ -1463,6 +1463,71 @@ class FunnelSpec extends SparkSpec {
       maxKeyEvents = 10L), "user_id") === iterRef)
   }
 
+  test("group pattern: strict INSIDE copies, relaxed BETWEEN — the seam never inherits the group's internal strictness") {
+    val group = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", strict = true))
+    val ev = Seq(
+      // u1: SEAM TRAP — an error sits between the first copy's click
+      // and the second copy's view: relaxed seams complete both reps,
+      // consecutive seams stop at 1. A wrong expansion that leaks the
+      // group's internal strict flag onto the seam would also stop at 1.
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "click"),
+      (1L, 3L, ts(12), "error"),
+      (1L, 4L, ts(13), "view"), (1L, 5L, ts(14), "click"),
+      // u2: internal strictness PRESERVED in the second copy — its
+      // view is the click's immediate successor (seam fine either
+      // mode) but an error breaks the copy's own view→click hop.
+      (2L, 6L, ts(10), "view"), (2L, 7L, ts(11), "click"),
+      (2L, 8L, ts(12), "view"), (2L, 9L, ts(13), "error"),
+      (2L, 10L, ts(14), "click"),
+      // u3: adjacent double match — both modes complete
+      (3L, 11L, ts(10), "view"), (3L, 12L, ts(11), "click"),
+      (3L, 13L, ts(12), "view"), (3L, 14L, ts(13), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    def byUser(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        (2 to 5).map(i => Option(r.get(i))
+          .map(_.asInstanceOf[Long])).toSeq))).toMap
+    val relaxed = byUser(Funnel.funnelGroupTimes(ev, "user_id",
+      "event_type", "ts", "event_id", group, times = 2))
+    assert(relaxed(1L) === ((2, Seq(Some(tsUs(10)), Some(tsUs(11)),
+      Some(tsUs(13)), Some(tsUs(14))))))
+    assert(relaxed(2L)._1 === 1)
+    // u2's second copy matched its view (first-reach stamped) but the
+    // strict click hop is dead
+    assert(relaxed(2L)._2 === Seq(Some(tsUs(10)), Some(tsUs(11)),
+      Some(tsUs(12)), None))
+    assert(relaxed(3L)._1 === 2)
+    val consec = byUser(Funnel.funnelGroupTimes(ev, "user_id",
+      "event_type", "ts", "event_id", group, times = 2,
+      consecutiveSeams = true))
+    assert(consec(1L)._1 === 1, "consecutive seams must reject the gap")
+    assert(consec(2L)._1 === 1)
+    assert(consec(3L)._1 === 2)
+    // bucketed twin bit-identical on both seam modes
+    assert(byUser(Funnel.funnelGroupTimesBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", group, times = 2,
+      bucketSeconds = 2L)) === relaxed)
+    assert(byUser(Funnel.funnelGroupTimesBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", group, times = 2,
+      bucketSeconds = 2L, consecutiveSeams = true)) === consec)
+    // contract: the group is a `begin` (non-strict head), no trailing
+    // gap guard, times >= 1
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupTimes(ev, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view", strict = true)), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupTimes(ev, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view",
+          notNextAfter = Some("error"))), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupTimes(ev, "user_id", "event_type", "ts",
+        "event_id", group, 0)
+    }
+  }
+
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
     val rnd = new scala.util.Random(1714L)
     val typesPool = Array("view", "click", "purchase", "error")

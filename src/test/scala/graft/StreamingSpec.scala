@@ -2763,4 +2763,70 @@ class StreamingSpec extends SparkSpec {
       Seq(us("2024-01-01 10:00:00"), us("2024-01-01 14:32:00")))))
     assert(greedy(1L) !== last(1L))
   }
+
+  test("streaming group pattern equals batch funnelGroupTimes across out-of-order waves; the seam stays relaxed") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val group = Seq(graft.operators.Funnel.PatternStage("view"),
+      graft.operators.Funnel.PatternStage("click", strict = true))
+    // u1: the seam trap, with the intervening error ARRIVING LAST —
+    // the buffered fold must reorder it back between the copies where
+    // it is harmless (relaxed seam) yet would break a leaked-strict
+    // seam. u2: the second copy's internal strict hop broken by an
+    // out-of-order error. u3: clean double match split across waves.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "view"),
+        Row(3L, 11L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 6L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 7L, t("2024-01-01 10:01:00"), "click"),
+        Row(2L, 8L, t("2024-01-01 10:02:00"), "view"),
+        Row(2L, 10L, t("2024-01-01 10:04:00"), "click"),
+        Row(3L, 12L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "error"),
+        Row(2L, 9L, t("2024-01-01 10:03:00"), "error"),
+        Row(3L, 13L, t("2024-01-01 10:02:00"), "view"),
+        Row(3L, 14L, t("2024-01-01 10:03:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-group-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Option[Long]])]
+    val q = StreamingIngest.streamingFunnelGroupTimes(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        group, times = 2, watermark = "2 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            (2 to 5).map(i => Option(r.get(i))
+              .map(_.asInstanceOf[Long]))))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupTimes(all, "user_id",
+        "event_type", "ts", "event_id", group, times = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        (2 to 5).map(i => Option(r.get(i))
+          .map(_.asInstanceOf[Long])).toSeq))).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the reordered error landed at the seam and stayed harmless
+    assert(last(1L) === ((2, Seq(Some(us("2024-01-01 10:00:00")),
+      Some(us("2024-01-01 10:01:00")), Some(us("2024-01-01 10:03:00")),
+      Some(us("2024-01-01 10:04:00"))))))
+    // ... but broke u2's in-copy strict hop
+    assert(last(2L)._1 === 1)
+    assert(last(3L)._1 === 2)
+  }
 }
