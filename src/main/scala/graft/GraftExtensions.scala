@@ -140,6 +140,18 @@ object GraftExtensions {
         org.apache.spark.sql.functions.pmod(
           bridge.column(children(1)).cast("long"), bound), 21))
     },
+    // round 17: the N-key Hilbert key (functions.HilbertIndexN) —
+    // variadic; bits = 62 div n keeps the index positive at any
+    // arity, same pmod bounding discipline as the fixed-arity macros
+    "graft_hilbertn" -> { children =>
+      require(children.length >= 2,
+        "graft_hilbertn expects at least 2 arguments")
+      val bits = 62 / children.length
+      val bound = org.apache.spark.sql.functions.lit(1L << bits)
+      bridge.expressionEager(operators.Layout.hilbertValueN(
+        children.map(c => org.apache.spark.sql.functions.pmod(
+          bridge.column(c).cast("long"), bound)), bits))
+    },
     "graft_png_dims" -> unary("graft_png_dims")(
       operators.Multimodal.pngDimensions),
     "graft_jpeg_dims" -> unary("graft_jpeg_dims")(

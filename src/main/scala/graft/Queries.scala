@@ -2019,6 +2019,105 @@ object Queries {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     })
 
+  /** Dimension-generic DuckDB replay of the Skilling transpose walk
+    * ([[graft.functions.HilbertIndexN]]) — t99's CTE chain with the
+    * axis list parameterized: one CTE per (level, axis)
+    * undo-excess-work rotation, a cumulative-xor Gray encode, the
+    * parity smear from the last axis, then the MSB-first round-robin
+    * interleave. `keys` are raw column expressions (bounded here by
+    * `% 2^bits`); every bit-op term fully parenthesized (DuckDB's
+    * flat bitwise precedence, the t96 lesson). A `def`, not a `val` —
+    * the Queries.scala val-order rule. */
+  private def duckHilbertNSql(keys: Seq[String], bits: Int,
+      idCols: Seq[String], table: String): String = {
+    val n = keys.length
+    val m = 1L << bits
+    val xs = (0 until n).map(i => s"x$i")
+    val ids = idCols.mkString(", ")
+    var ctes = Seq(
+      s"""h0 AS (SELECT $ids,
+         |    ${keys.zipWithIndex.map { case (k, i) =>
+               s"CAST(($k % $m) AS BIGINT) AS x$i" }.mkString(",\n    ")}
+         |  FROM $table)""".stripMargin)
+    var idx = 0
+    for (sh <- (bits - 1) to 1 by -1; i <- 0 until n) {
+      val (q, p) = (1L << sh, (1L << sh) - 1L)
+      val prev = s"h$idx"; idx += 1
+      val cols = xs.map { c =>
+        val xi = xs(i)
+        if (i == 0) {
+          if (c == "x0")
+            s"CASE WHEN ((x0 & $q)) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0"
+          else s"$c"
+        } else if (c == "x0")
+          s"CASE WHEN (($xi & $q)) <> 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, ((xor(x0, $xi)) & $p)) END AS x0"
+        else if (c == xi)
+          s"CASE WHEN (($xi & $q)) <> 0 THEN $xi " +
+            s"ELSE xor($xi, ((xor(x0, $xi)) & $p)) END AS $xi"
+        else s"$c"
+      }
+      ctes :+= s"""h$idx AS (SELECT $ids,
+         |    ${cols.mkString(",\n    ")} FROM $prev)""".stripMargin
+    }
+    // gray encode: X[i] ^= X[i-1] sequentially = cumulative-xor prefix
+    val prevG = s"h$idx"; idx += 1
+    val gray = xs.zipWithIndex.map { case (c, i) =>
+      if (i == 0) "x0"
+      else s"${(0 to i).map(xs).foldLeft("") { (acc, x) =>
+        if (acc.isEmpty) x else s"xor($x, $acc)" }} AS $c"
+    }
+    ctes :+= s"""h$idx AS (SELECT $ids, ${gray.mkString(",\n    ")}
+       |  FROM $prevG)""".stripMargin
+    val tExpr = ((bits - 1) to 1 by -1).map { sh =>
+      s"(CASE WHEN ((${xs.last} & ${1L << sh})) <> 0 THEN ${(1L << sh) - 1L} ELSE 0 END)"
+    }.reduce((a, b) => s"xor($a, $b)")
+    val prevT = s"h$idx"; idx += 1
+    ctes :+= s"""h$idx AS (SELECT $ids,
+       |    ${xs.map(c => s"xor($c, t) AS $c").mkString(", ")}
+       |  FROM (SELECT *, $tExpr AS t FROM $prevT))""".stripMargin
+    val d = (for (sh <- (bits - 1) to 0 by -1; i <- 0 until n) yield {
+      val pos = n * bits - 1 - ((bits - 1 - sh) * n + i)
+      s"((((${xs(i)} >> $sh)) & 1) << $pos)"
+    }).mkString(" | ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT $ids, CAST($d AS BIGINT) AS h_key
+       |FROM h$idx
+       |ORDER BY $ids""".stripMargin
+  }
+
+  /** 4-KEY Hilbert clustering key ([[Layout.hilbertValueN]], the
+    * dimension-generic Skilling loop at `zValueN`'s arity — round-16
+    * verdict item 5) over lineitem's (orderkey, partkey, suppkey,
+    * linenumber) at 15 bits/key (60 interleaved bits). Hash-exact vs
+    * the [[duckHilbertNSql]] replay; the 4-d pruning-vs-Morton
+    * receipts are AUDIT_r17's rows. */
+  val t100_hilbert_key_4d: Q = Q(
+    run = (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValueN(Seq(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_suppkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_linenumber").cast("long"), lit(1L << 15))),
+            bits = 15).as("h_key"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    bench = true,
+    benchRun = Some((spark, dir) =>
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.hilbertValueN(Seq(
+            pmod(col("l_orderkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_partkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_suppkey").cast("long"), lit(1L << 15)),
+            pmod(col("l_linenumber").cast("long"), lit(1L << 15))),
+            bits = 15).as("h_key"))),
+    oracle = Some(duckHilbertNSql(
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      bits = 15, idCols = Seq("l_orderkey", "l_linenumber"),
+      table = "lineitem")))
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -8557,6 +8656,7 @@ object Queries {
     "t96_zorder_key_3d" -> t96_zorder_key_3d,
     "t98_hilbert_key" -> t98_hilbert_key,
     "t99_hilbert_key_3d" -> t99_hilbert_key_3d,
+    "t100_hilbert_key_4d" -> t100_hilbert_key_4d,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,

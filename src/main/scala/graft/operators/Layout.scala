@@ -190,19 +190,14 @@ object Layout {
 
   /** [[zOrderWriteN]]'s 3-key Hilbert sibling — range-partition +
     * sort on [[hilbertValue3]], same pmod bounding, same optional
-    * audit. */
+    * audit, key staged once ([[stagedClusteredWrite]]). */
   def hilbertOrderWrite3(df: DataFrame, cols: Seq[String], bits: Int,
       path: String, numFiles: Int, audit: Boolean = false): Unit = {
     require(cols.length == 3, "hilbertOrderWrite3 takes exactly 3 keys")
     if (audit) requireBounded(df, cols, bits)
     val Seq(a, b, c) = cols.map(k =>
       pmod(col(k).cast("long"), lit(1L << bits)))
-    df.withColumn("__h", hilbertValue3(a, b, c, bits))
-      .repartitionByRange(numFiles, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__h")
-      .write.option("compression", Ddl.ParquetCompression)
-      .mode("overwrite").parquet(path)
+    stagedClusteredWrite(df, hilbertValue3(a, b, c, bits), path, numFiles)
   }
 
   /** [[hilbertValue]] built from STOCK operators only — the
@@ -242,22 +237,74 @@ object Layout {
     cur.select(orig :+ col("__hd").as(out): _*)
   }
 
+  /** N-KEY Hilbert index — [[zValueN]]'s locality upgrade at generic
+    * arity via the dimension-generic Skilling transpose
+    * ([[graft.functions.HilbertIndexN]]'s native codegen'd loop).
+    * Same caller contract as [[zValueN]]: inputs in `[0, 2^bits)`,
+    * `n·bits ≤ 62`. Same curve family and orientation as
+    * [[hilbertValue3]] (bit-identical at n = 3, spec-asserted); the
+    * 2-D [[hilbertValue]] keeps its classical xy2d orientation. */
+  def hilbertValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, "interleave needs at least two keys")
+    require(bits >= 1 && n * bits <= 62, s"need 1 <= bits and $n*bits <= 62")
+    graft.functions.HilbertIndexN(cols.map(_.cast("long")), bits)
+  }
+
+  /** Shared clustered-write tail for EXPENSIVE keys: stage the
+    * computed key ONCE (eager `localCheckpoint`) so the range
+    * partitioner's reservoir-sampling job and the shuffle write read
+    * materialized rows instead of each re-running the key expression
+    * over the full input — for the Hilbert loop that recompute (plus
+    * the doubled input scan under it) was most of the 2.8× write-cost
+    * gap vs Morton (AUDIT_r16_hilbert); blocks are released
+    * deterministically after the write. The Morton/linear writers
+    * keep the direct pipeline on purpose: their keys are flat
+    * shift/or trees whose recompute is cheaper than a round trip
+    * through executor block storage. At cluster scale the staging is
+    * disk-backed (localCheckpoint stores MEMORY_AND_DISK) and sized
+    * by the write itself — a layout rewrite already holds the full
+    * dataset once; this trades the second full scan for one local
+    * materialization. */
+  private[graft] def stagedClusteredWrite(df: DataFrame, key: Column,
+      path: String, numFiles: Int): Unit = {
+    val keyed = df.withColumn("__h", key).localCheckpoint(true)
+    try {
+      keyed.repartitionByRange(numFiles, col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.option("compression", Ddl.ParquetCompression)
+        .mode("overwrite").parquet(path)
+    } finally {
+      keyed.unpersist(blocking = false)
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(keyed)
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** [[zOrderWrite]] with the HILBERT key — range-partition + sort on
     * [[hilbertValue]]; same pmod bounding, same optional
     * [[requireBounded]] audit. AUDIT_r16_hilbert compares its file
-    * pruning against the Morton and linear layouts on equal boxes. */
+    * pruning against the Morton and linear layouts on equal boxes;
+    * the key is staged once ([[stagedClusteredWrite]]). */
   def hilbertOrderWrite(df: DataFrame, colA: String, colB: String,
       bits: Int, path: String, numFiles: Int,
       audit: Boolean = false): Unit = {
     if (audit) requireBounded(df, Seq(colA, colB), bits)
     val h = hilbertValue(pmod(col(colA).cast("long"), lit(1L << bits)),
       pmod(col(colB).cast("long"), lit(1L << bits)), bits)
-    df.withColumn("__h", h)
-      .repartitionByRange(numFiles, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__h")
-      .write.option("compression", Ddl.ParquetCompression)
-      .mode("overwrite").parquet(path)
+    stagedClusteredWrite(df, h, path, numFiles)
+  }
+
+  /** [[zOrderWriteN]]'s N-key Hilbert sibling — range-partition +
+    * sort on [[hilbertValueN]], same pmod bounding, same optional
+    * audit, key staged once. */
+  def hilbertOrderWriteN(df: DataFrame, cols: Seq[String], bits: Int,
+      path: String, numFiles: Int, audit: Boolean = false): Unit = {
+    if (audit) requireBounded(df, cols, bits)
+    val h = hilbertValueN(cols.map(k =>
+      pmod(col(k).cast("long"), lit(1L << bits))), bits)
+    stagedClusteredWrite(df, h, path, numFiles)
   }
 
   /** The comparison baseline: the same data linearly clustered on ONE

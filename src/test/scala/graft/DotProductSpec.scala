@@ -99,6 +99,18 @@ class DotProductSpec extends SparkSpec {
       spark.range(1).select(graft.operators.Layout.hilbertValue(
         org.apache.spark.sql.functions.lit((1L << 21) - 1L),
         org.apache.spark.sql.functions.lit(0L), 21)).head.getLong(0))
+    // graft_hilbertn: variadic macro, bits = 62 div n, matches the
+    // Column path at n = 4 (15 bits/key) and wraps negatives
+    val h4 = spark.sql(
+      "SELECT graft_hilbertn(3L, 5L, 7L, -1L) AS h").head.getLong(0)
+    val h4Col = spark.range(1)
+      .select(graft.operators.Layout.hilbertValueN(Seq(
+        org.apache.spark.sql.functions.lit(3L),
+        org.apache.spark.sql.functions.lit(5L),
+        org.apache.spark.sql.functions.lit(7L),
+        org.apache.spark.sql.functions.lit((1L << 15) - 1L)), 15))
+      .head.getLong(0)
+    assert(h4 === h4Col)
   }
 
   test("SQL text macros expand to the Column-API expression trees") {

@@ -278,6 +278,112 @@ class LayoutSpec extends SparkSpec {
     assert(boxRows(s"$dir/h3").nonEmpty)
   }
 
+  test("hilbertValueN: generic Skilling loop equals hilbertValue3 at n=3; 4-d grid is a bijection with unit steps; 4-d pruning beats Morton") {
+    import graft.functions.HilbertIndex3
+    val rnd = new scala.util.Random(1700L)
+    // n = 3 parity: the generic expression and the dedicated ternary
+    // one generate the same codegen'd recurrence — bit-identical
+    val rows3 = (0 until 300).map(_ => (rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df3 = rows3.toDF("a", "b", "c")
+    assert(
+      df3.select(Layout.hilbertValueN(Seq(col("a"), col("b"), col("c")),
+          16).as("h")).collect().map(_.getLong(0)).toSeq ===
+        df3.select(Layout.hilbertValue3(col("a"), col("b"), col("c"),
+          16).as("h")).collect().map(_.getLong(0)).toSeq)
+    // n = 4 codegen vs the shared JVM walk (the replay both the spec
+    // and the t100 oracle derive from)
+    val rows4 = (0 until 300).map(_ => (rnd.nextInt(1 << 15).toLong,
+      rnd.nextInt(1 << 15).toLong, rnd.nextInt(1 << 15).toLong,
+      rnd.nextInt(1 << 15).toLong))
+    val got4 = rows4.toDF("a", "b", "c", "d")
+      .select(Layout.hilbertValueN(
+        Seq(col("a"), col("b"), col("c"), col("d")), 15).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got4.toSeq === rows4.map { case (a, b, c, d) =>
+      HilbertIndex3.index(Array(a, b, c, d), 15) })
+    // NULL in any key → NULL out
+    assert(Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+      .select(Layout.hilbertValueN(Seq(col("a"), col("b")), 3))
+      .collect().head.isNullAt(0))
+    // structure on the full 8^4 grid: bijection + every step moves
+    // exactly ONE cell in ONE dimension
+    val cells = (0L until 4096L).map(HilbertIndex3.axes(_, 3, 4).toSeq)
+    assert(cells.toSet.size === 4096)
+    cells.sliding(2).foreach { case Seq(p1, p2) =>
+      assert(p1.zip(p2).map { case (u, v) => math.abs(u - v) }.sum === 1L,
+        s"$p1 -> $p2 not adjacent")
+    }
+    (0L until 4096L).foreach { d =>
+      assert(HilbertIndex3.index(HilbertIndex3.axes(d, 3, 4), 3) === d)
+    }
+    // 4-dim box pruning: no more files than 4-key Morton, fewer than
+    // linear; contents identical
+    val li = (0 until 40000).map(_ => (rnd.nextInt(64).toLong,
+        rnd.nextInt(64).toLong, rnd.nextInt(64).toLong,
+        rnd.nextInt(64).toLong))
+      .toDF("k1", "k2", "k3", "k4")
+    val dir = java.nio.file.Files.createTempDirectory("hilbert4").toString
+    Layout.hilbertOrderWriteN(li, Seq("k1", "k2", "k3", "k4"), bits = 6,
+      s"$dir/h4", numFiles = 16, audit = true)
+    Layout.zOrderWriteN(li, Seq("k1", "k2", "k3", "k4"), bits = 6,
+      s"$dir/z4", numFiles = 16)
+    Layout.linearWrite(li, "k1", s"$dir/lin", numFiles = 16)
+    // adjacency is a per-box ADVANTAGE, not a per-box theorem — assert
+    // the aggregate over varied box shapes (per-box wins at sf0.1 are
+    // AUDIT_r17's job, as r16's were for 2-d/3-d)
+    val boxes = Seq(
+      Seq(("k1", 0L, 63L), ("k2", 5L, 15L), ("k3", 50L, 60L),
+        ("k4", 20L, 30L)),
+      Seq(("k1", 10L, 20L), ("k2", 10L, 20L), ("k3", 10L, 20L),
+        ("k4", 10L, 20L)),
+      Seq(("k1", 0L, 7L), ("k2", 0L, 63L), ("k3", 0L, 63L),
+        ("k4", 32L, 40L)),
+      Seq(("k1", 40L, 50L), ("k2", 0L, 10L), ("k3", 20L, 63L),
+        ("k4", 0L, 63L)))
+    val reads = boxes.map { box =>
+      val (hT, hR) = Layout.boxScanFilesN(spark, s"$dir/h4", box)
+      val (_, zR) = Layout.boxScanFilesN(spark, s"$dir/z4", box)
+      val (_, lR) = Layout.boxScanFilesN(spark, s"$dir/lin", box)
+      assert(hT === 16L)
+      (hR, zR, lR)
+    }
+    val (hSum, zSum, lSum) = (reads.map(_._1).sum, reads.map(_._2).sum,
+      reads.map(_._3).sum)
+    assert(hSum <= zSum,
+      s"hilbert4 read $hSum files total vs morton4 $zSum over ${reads.size} boxes")
+    assert(hSum < lSum, s"hilbert4 must beat linear ($hSum vs $lSum)")
+    def boxRows(p: String) = spark.read.parquet(p)
+      .filter(boxes.head.map { case (c, lo, hi) => col(c).between(lo, hi) }
+        .reduce(_ && _))
+      .collect().map(_.toString).sorted.toSeq
+    assert(boxRows(s"$dir/h4") === boxRows(s"$dir/z4"))
+    assert(boxRows(s"$dir/h4").nonEmpty)
+  }
+
+  test("staged clustered write evaluates the key expression ONCE per row — the sampling job reads materialized blocks") {
+    val counter = spark.sparkContext.longAccumulator("hilbertKeyEvals")
+    val tap = udf((x: Long) => { counter.add(1L); x })
+    val n = 5000
+    val df = (0 until n).map(i => (i.toLong % 128L, (i * 7).toLong % 128L))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("stagedw").toString
+    val key = tap(Layout.hilbertValue(col("a"), col("b"), 7))
+    Layout.stagedClusteredWrite(df, key, s"$dir/out", numFiles = 8)
+    assert(counter.value === n.toLong,
+      s"key evaluated ${counter.value} times for $n rows — the range " +
+        "partitioner's sampling pass must read the staged blocks, not " +
+        "re-run the expression")
+    // the write itself is intact: same rows, 8 files, sorted layout
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === n.toLong)
+    assert(back.select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() === 8L)
+    // staging blocks released (deterministic cleanup, not GC-driven)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "staged checkpoint blocks must be released after the write")
+  }
+
   test("hilbert layout prunes the 2-dim box at least as well as z-order; contents identical across all three layouts") {
     val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
