@@ -152,7 +152,7 @@ object BpeTrain {
     * which DISAGREES above the BMP (a supplementary-plane character
     * sorts below U+E000.. in UTF-16 but above it in UTF-8), so the
     * local argmax tie-break must compare the encoded bytes. */
-  private def utf8Less(x: String, y: String): Boolean = {
+  private[operators] def utf8Less(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
