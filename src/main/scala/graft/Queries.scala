@@ -2118,6 +2118,173 @@ object Queries {
       bits = 15, idCols = Seq("l_orderkey", "l_linenumber"),
       table = "lineitem")))
 
+  /** One unrolled E-step of the unigram-LM oracle
+    * ([[graft.operators.UnigramLm]]): the per-word Viterbi DP as a
+    * position-indexed CTE chain — `ub{k}_i` holds each word's best
+    * score and chosen last-piece length at position i (argmax
+    * `ORDER BY s DESC, l DESC`, the trainer's longer-last-piece tie
+    * rule), `uwk{k}_j` walks the choices back from `length(w)`
+    * emitting the path pieces, `uus{k}` aggregates word-frequency-
+    * weighted piece usage. Fan-in per position is `maxPieceLen`; the
+    * chain depth is `maxWordLen` (the trainer's word-length bound —
+    * what makes the unrolled oracle finite). */
+  private def duckUnigramEStep(k: Int, scoreTable: String,
+      maxWordLen: Int, maxPieceLen: Int): Seq[String] = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""ue$k AS MATERIALIZED (SELECT words.w, ci.i, cl.l, s.score
+       |  FROM words
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxWordLen)) AS i) ci
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxPieceLen)) AS l) cl
+       |  JOIN $scoreTable s
+       |    ON s.piece = substring(words.w, CAST((ci.i - cl.l + 1) AS INT), CAST(cl.l AS INT))
+       |  WHERE cl.l <= ci.i AND ci.i <= length(words.w))""".stripMargin
+    ctes += s"ub${k}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS s FROM words)"
+    for (i <- 1 to maxWordLen) {
+      val cands = (1 to math.min(i, maxPieceLen)).map { l =>
+        s"""SELECT e.w, p.s + e.score AS s, e.l AS l
+           |      FROM ue$k e JOIN ub${k}_${i - l} p USING (w)
+           |      WHERE e.i = $i AND e.l = $l""".stripMargin
+      }.mkString("\n      UNION ALL ")
+      ctes += s"""ub${k}_$i AS MATERIALIZED (SELECT w, s, l FROM (
+         |    SELECT w, s, l,
+         |      row_number() OVER (PARTITION BY w ORDER BY s DESC, l DESC) AS rn
+         |    FROM ($cands)) WHERE rn = 1)""".stripMargin
+    }
+    ctes += s"""uch$k AS MATERIALIZED (${(1 to maxWordLen).map(i =>
+      s"SELECT w, $i AS pos, l FROM ub${k}_$i").mkString(" UNION ALL ")})"""
+    ctes += s"""uwk${k}_0 AS MATERIALIZED (SELECT w, length(w) AS pos,
+       |  CAST(NULL AS VARCHAR) AS piece FROM words)""".stripMargin
+    for (j <- 1 to maxWordLen) {
+      ctes += s"""uwk${k}_$j AS MATERIALIZED (SELECT t.w, t.pos - c.l AS pos,
+         |    substring(t.w, CAST((t.pos - c.l + 1) AS INT), CAST(c.l AS INT)) AS piece
+         |  FROM uwk${k}_${j - 1} t JOIN uch$k c ON c.w = t.w AND c.pos = t.pos
+         |  WHERE t.pos > 0)""".stripMargin
+    }
+    ctes += s"""upath$k AS MATERIALIZED (${(1 to maxWordLen).map(j =>
+      s"SELECT w, piece FROM uwk${k}_$j").mkString(" UNION ALL ")})"""
+    ctes += s"""uus$k AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM upath$k JOIN words USING (w) GROUP BY piece)""".stripMargin
+    ctes.result()
+  }
+
+  /** The micro-log10 M-step score CTE: `round(log10(cnt/total)·1e6)`
+    * as BIGINT — the one libm call both engines compute identically
+    * (the t32/t92 discipline), over integer counts cast to DOUBLE in
+    * one fixed order. */
+  private def duckUnigramScoreCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece,
+       |  CAST(round(log10(CAST(cnt AS DOUBLE) /
+       |    CAST((SELECT sum(cnt) FROM $src) AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS score FROM $src)""".stripMargin
+
+  /** The full unigram-LM training replay as a WITH-body: word table →
+    * substring seed (all chars + top `seedSize` multi by count then
+    * binary piece order) → `emIters` unrolled EM rounds → usage-ranked
+    * prune to `vocabMulti` multi pieces → one final EM round →
+    * `uvocab(piece, usage, score_micro)`. Mirrors
+    * [[graft.operators.UnigramLm.train]] decision for decision. */
+  private def duckUnigramChain(maxWordLen: Int, maxPieceLen: Int,
+      seedSize: Int, emIters: Int, vocabMulti: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""uw AS MATERIALIZED (SELECT unnest(list_filter(
+       |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents)""".stripMargin
+    ctes += s"""words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM uw WHERE length(w) <= $maxWordLen GROUP BY w)""".stripMargin
+    ctes += s"""sub AS MATERIALIZED (SELECT substring(w, CAST(ci.i AS INT), CAST(cl.l AS INT)) AS piece,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM words
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxWordLen)) AS i) ci
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $maxPieceLen)) AS l) cl
+       |  WHERE ci.i + cl.l - 1 <= length(w) GROUP BY 1)""".stripMargin
+    ctes += "chars0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1)"
+    ctes += s"""multi0 AS MATERIALIZED (SELECT piece, cnt FROM (
+       |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |  FROM sub WHERE length(piece) > 1) WHERE rn <= $seedSize)""".stripMargin
+    ctes += "v0 AS MATERIALIZED (SELECT * FROM chars0 UNION ALL SELECT * FROM multi0)"
+    ctes += duckUnigramScoreCte("us1", "v0")
+    for (k <- 1 to emIters) {
+      ctes ++= duckUnigramEStep(k, s"us$k", maxWordLen, maxPieceLen)
+      ctes += s"""um$k AS MATERIALIZED (SELECT c.piece,
+         |    CASE WHEN u.cnt IS NULL THEN CAST(1 AS BIGINT) ELSE u.cnt END AS cnt
+         |  FROM chars0 c LEFT JOIN uus$k u USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM uus$k WHERE length(piece) > 1 AND cnt > 0)""".stripMargin
+      ctes += duckUnigramScoreCte(s"us${k + 1}", s"um$k")
+    }
+    val kf = emIters + 1
+    ctes += s"""ukeep AS MATERIALIZED (SELECT piece FROM (
+       |  SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |  FROM um$emIters WHERE length(piece) > 1) WHERE rn <= $vocabMulti)""".stripMargin
+    ctes += s"""usp AS MATERIALIZED (SELECT piece, score FROM us$kf
+       |  WHERE length(piece) = 1 OR piece IN (SELECT piece FROM ukeep))""".stripMargin
+    ctes ++= duckUnigramEStep(kf, "usp", maxWordLen, maxPieceLen)
+    ctes += s"""um$kf AS MATERIALIZED (SELECT c.piece,
+       |    CASE WHEN u.cnt IS NULL THEN CAST(1 AS BIGINT) ELSE u.cnt END AS cnt
+       |  FROM chars0 c LEFT JOIN uus$kf u USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM uus$kf WHERE length(piece) > 1 AND cnt > 0)""".stripMargin
+    ctes += duckUnigramScoreCte(s"us${kf + 1}", s"um$kf")
+    ctes += s"""uvocab AS MATERIALIZED (SELECT m.piece, m.cnt AS usage, s.score AS score_micro
+       |  FROM um$kf m JOIN us${kf + 1} s USING (piece))""".stripMargin
+    ctes.result().mkString(",\n")
+  }
+
+  /** SENTENCEPIECE-STYLE unigram-LM tokenizer training
+    * ([[graft.operators.UnigramLm.train]]) — the BPE sibling (t66)
+    * and the last big tokenizer-training family: substring seeding,
+    * `emIters` deterministic Viterbi-EM rounds over the word table,
+    * usage-ranked pruning, one re-estimating round. Gated hash-exact
+    * against the fully unrolled DuckDB EM replay
+    * ([[duckUnigramChain]]) — integer micro-log10 scores and integer
+    * usage counts only. */
+  val t101_unigram_vocab: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      graft.operators.UnigramLm.train(t(spark, dir, "documents"), "text")
+        .map(v => (v.piece, v.usage, v.scoreMicro))
+        .toDF("piece", "usage", "score_micro")
+        .orderBy("piece")
+    },
+    oracle = Some {
+      s"""WITH ${duckUnigramChain(16, 4, 120, 2, 60)}
+         |SELECT piece, usage, score_micro FROM uvocab
+         |ORDER BY piece""".stripMargin
+    })
+
+  /** Per-document token statistics under the t101-trained unigram
+    * vocabulary ([[graft.operators.UnigramLm.encodeStats]]): word,
+    * piece and character counts, with over-`maxWordLen` words
+    * falling back to character segmentation. The oracle replays the
+    * full training chain, runs ONE more Viterbi walk under the final
+    * vocabulary scores, and joins path lengths back to the corpus. */
+  val t102_unigram_encode: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text")
+      graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text", vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    bench = true,
+    oracle = Some {
+      val enc = 4 // emIters + 2: the encode walk under the FINAL scores
+      s"""WITH ${duckUnigramChain(16, 4, 120, 2, 60)},
+         |usf AS MATERIALIZED (SELECT piece, score_micro AS score FROM uvocab),
+         |${duckUnigramEStep(enc, "usf", 16, 4).mkString(",\n")},
+         |np AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM upath$enc GROUP BY w),
+         |dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN length(w) > 16 THEN length(w)
+         |    ELSE np.n_pieces END) AS BIGINT) AS n_pieces,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars
+         |FROM dw LEFT JOIN np USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -8657,6 +8824,8 @@ object Queries {
     "t98_hilbert_key" -> t98_hilbert_key,
     "t99_hilbert_key_3d" -> t99_hilbert_key_3d,
     "t100_hilbert_key_4d" -> t100_hilbert_key_4d,
+    "t101_unigram_vocab" -> t101_unigram_vocab,
+    "t102_unigram_encode" -> t102_unigram_encode,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
