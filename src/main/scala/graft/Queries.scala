@@ -2285,6 +2285,50 @@ object Queries {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Per-document LM score under the t101-trained unigram vocabulary
+    * ([[graft.operators.UnigramLm.docScores]]) — the CCNet-style
+    * quality/perplexity signal: sum of each word's Viterbi-best total
+    * micro-log10 score. The oracle reads each ≤maxWordLen word's
+    * score straight off the encode walk's DP table (`best[len(w)]` —
+    * Viterbi maximizes the score sum, so the path sum IS the DP
+    * optimum) and scores longer words per character with the UNK
+    * floor (one decade below the vocabulary minimum). */
+  val t103_unigram_doc_score: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text")
+      graft.operators.UnigramLm.docScores(docs, "doc_id", "text", vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some {
+      val enc = 4 // the encode walk under the FINAL scores (as t102)
+      s"""WITH ${duckUnigramChain(16, 4, 120, 2, 60)},
+         |usf AS MATERIALIZED (SELECT piece, score_micro AS score FROM uvocab),
+         |${duckUnigramEStep(enc, "usf", 16, 4).mkString(",\n")},
+         |ubp AS MATERIALIZED (${(1 to 16).map(i =>
+           s"SELECT w, $i AS pos, s FROM ub${enc}_$i").mkString(" UNION ALL ")}),
+         |wsc AS MATERIALIZED (SELECT u.w, u.s FROM ubp u
+         |  JOIN words wd ON wd.w = u.w AND u.pos = length(wd.w)),
+         |unkv AS MATERIALIZED (SELECT min(score) - 1000000 AS unk FROM usf),
+         |lw AS MATERIALIZED (SELECT DISTINCT w FROM uw WHERE length(w) > 16),
+         |lwi AS MATERIALIZED (SELECT w,
+         |  unnest(generate_series(1, length(w))) AS i FROM lw),
+         |lws AS MATERIALIZED (SELECT t.w,
+         |    CAST(sum(COALESCE(v.score, (SELECT unk FROM unkv))) AS BIGINT) AS s
+         |  FROM (SELECT w, substring(w, CAST(i AS INT), 1) AS piece FROM lwi) t
+         |  LEFT JOIN usf v USING (piece) GROUP BY t.w),
+         |ws AS MATERIALIZED (SELECT w, s FROM wsc
+         |  UNION ALL SELECT w, s FROM lws),
+         |dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ws.s) AS BIGINT) AS score_micro_total
+         |FROM dw JOIN ws USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   private val ProbeIters = 3
   private val ProbeLr = 0.1
 
@@ -6910,6 +6954,57 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** GROUP pattern × WITHIN ([[Funnel.funnelGroupTimesWithin]]) —
+    * Flink's `within(T)` on a group-quantified pattern: BOTH
+    * repetitions must land inside one window from the first matched
+    * event. The oracle is the w42 recipe over the expanded hop list:
+    * each hop carries the chain's start and bounds at `start + T`;
+    * in-copy hops keep the immediate-successor guard, the seam stays
+    * relaxed; max-start per deepest reached flat stage is the window
+    * observable (the w8 dominance). */
+  val w61_funnel_group_times_within: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesWithin(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)), times = 2,
+          windowMicros = 7200L * 1000000L)
+        .orderBy("user_id"),
+    oracle = Some {
+      val T = 7200L * 1000000L
+      def hop(tag: String, tp: String, prev: String,
+          strict: Boolean): String = {
+        val strictGuard = if (strict)
+          s"""
+             |    AND NOT EXISTS (SELECT 1 FROM e b WHERE b.user_id = p.user_id
+             |      AND ${sqlBefore("p", "b")} AND ${sqlBefore("b", "e")})""".stripMargin
+        else ""
+        s"""$tag AS (SELECT DISTINCT p.user_id, p.su, p.so, e.us, e.event_id
+           |  FROM $prev p JOIN e ON e.user_id = p.user_id
+           |    AND e.event_type = '$tp'
+           |    AND ${sqlBefore("p", "e")}
+           |    AND e.us - p.su <= $T$strictGuard)""".stripMargin
+      }
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us AS su, event_id AS so, us, event_id
+         |  FROM e WHERE event_type = 'view'),
+         |${hop("c2", "click", "c1", strict = true)},
+         |${hop("c3", "view", "c2", strict = false)},
+         |${hop("c4", "click", "c3", strict = true)},
+         |m1 AS (SELECT user_id, max(su) AS v FROM c1 GROUP BY user_id),
+         |m2 AS (SELECT user_id, max(su) AS v FROM c2 GROUP BY user_id),
+         |m3 AS (SELECT user_id, max(su) AS v FROM c3 GROUP BY user_id),
+         |m4 AS (SELECT user_id, max(su) AS v FROM c4 GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CAST(CASE WHEN m4.v IS NOT NULL THEN 2
+         |            WHEN m2.v IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS reps_completed,
+         |  COALESCE(m4.v, m3.v, m2.v, m1.v) AS win_start_us
+         |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+         |  LEFT JOIN m3 USING (user_id) LEFT JOIN m4 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -8826,6 +8921,7 @@ object Queries {
     "t100_hilbert_key_4d" -> t100_hilbert_key_4d,
     "t101_unigram_vocab" -> t101_unigram_vocab,
     "t102_unigram_encode" -> t102_unigram_encode,
+    "t103_unigram_doc_score" -> t103_unigram_doc_score,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
     "p15_drift_psi" -> p15_drift_psi,
@@ -8959,6 +9055,7 @@ object Queries {
     "w59_funnel_group_times" -> w59_funnel_group_times,
     "w59b_funnel_group_times_bucketed" -> w59b_funnel_group_times_bucketed,
     "w60_funnel_group_times_consecutive" -> w60_funnel_group_times_consecutive,
+    "w61_funnel_group_times_within" -> w61_funnel_group_times_within,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

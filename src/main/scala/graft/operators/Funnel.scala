@@ -1921,6 +1921,28 @@ object Funnel {
         groupExpand(group, times, consecutiveSeams), bucketSeconds))
   }
 
+  /** [[funnelGroupTimes]] under Flink's `within(T)` — the time bound
+    * applies to the WHOLE match (all `times` repetitions inside one
+    * window from the first matched event), exactly `Pattern.within`
+    * on a group-quantified pattern. Composition again: the max-start
+    * product NFA ([[funnelPatternWithin]]) over [[groupExpand]]'s
+    * copies — the dominance argument never reads what the stage list
+    * means. Output `(user_id, reps_completed, win_start_us)` with
+    * `win_start_us` the flat machine's observable (max start among
+    * chains reaching the deepest satisfied flat stage). */
+  def funnelGroupTimesWithin(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], times: Int, windowMicros: Long,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    groupRequire(group, times)
+    val k = group.length
+    funnelPatternWithin(events, userCol, typeCol, tsCol, orderCol,
+        groupExpand(group, times, consecutiveSeams), windowMicros)
+      .select(col("user_id"),
+        expr(s"stage_reached div $k").cast("int").as("reps_completed"),
+        col("win_start_us"))
+  }
+
   // -------------------------------------------------------------------
   // Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
   // -------------------------------------------------------------------

@@ -250,6 +250,47 @@ object UnigramLm {
    * occurrence pays one broadcast probe. Output per document:
    * `(id, n_words, n_pieces, n_chars)`.
    */
+  /**
+   * Per-document LM score under a trained vocabulary — the
+   * quality-filtering signal (a CCNet-style "perplexity bucket" uses
+   * exactly this): each word contributes its Viterbi-best
+   * segmentation's total micro-log10 score (= the DP's `best[L]`,
+   * since Viterbi maximizes the score sum), summed per document.
+   * Words over `maxWordLen` fall back to per-character scores;
+   * unknown single characters score one decade below the vocabulary
+   * floor. All integers — gated hash-exact (t103). Same scale shape
+   * as [[encodeStats]]: distinct words score once, occurrences pay a
+   * broadcast probe. Output: `(id, n_words, score_micro_total)`.
+   */
+  def docScores(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[Piece], p: Params = Params()): DataFrame = {
+    require(vocab.nonEmpty, "need a trained vocabulary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores = vocab.map(v => v.piece -> v.scoreMicro).toMap
+    val unk = scores.values.min - 1000000L
+    val b = spark.sparkContext.broadcast(scores)
+    val maxPiece = p.maxPieceLen
+    val maxWord = p.maxWordLen
+    val ws = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
+      .distinct().as[String]
+      .map { w =>
+        val s =
+          if (w.length > maxWord)
+            w.map(c => b.value.getOrElse(c.toString, unk)).sum
+          else viterbi(w, b.value, maxPiece, Some(unk))
+            .map(pc => b.value.getOrElse(pc, unk)).sum
+        (w, s)
+      }
+      .toDF("w", "s")
+    docs.select(col(idCol).as("id"),
+        explode(TextDedup.tokens(col(textCol))).as("w"))
+      .join(broadcast(ws), "w")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("s").as("score_micro_total"))
+  }
+
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], p: Params = Params()): DataFrame = {
     require(vocab.nonEmpty, "need a trained vocabulary")

@@ -1528,6 +1528,29 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("group pattern within: the window spans ALL repetitions; a late restart realizes a fresh window") {
+    val group = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", strict = true))
+    val ev = Seq(
+      // u1: first full double-match starts at t=0 but its second rep
+      // completes at t=25 — outside the 20 s window; the RESTART at
+      // t=10 fits (10..14 within 20), so reps=2 with win start 10
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"),
+      (1L, 3L, ts(10), "view"), (1L, 4L, ts(11), "click"),
+      (1L, 5L, ts(13), "view"), (1L, 6L, ts(14), "click"),
+      // u2: both reps exist but never inside one window (0-1, 30-31)
+      (2L, 7L, ts(0), "view"), (2L, 8L, ts(1), "click"),
+      (2L, 9L, ts(30), "view"), (2L, 10L, ts(31), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.funnelGroupTimesWithin(ev, "user_id", "event_type",
+        "ts", "event_id", group, times = 2,
+        windowMicros = 20L * 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === ((2, Some(tsUs(10)))))
+    assert(out(2L)._1 === 1)
+  }
+
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
     val rnd = new scala.util.Random(1714L)
     val typesPool = Array("view", "click", "purchase", "error")

@@ -88,4 +88,33 @@ class UnigramLmSpec extends SparkSpec {
       .collect().head
     assert(out.getLong(1) === 1L && out.getLong(3) === 4L)
   }
+
+  test("docScores: per-doc sum equals a driver replay of Viterbi best scores; unknown chars take the UNK floor") {
+    val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
+    val vocab = UnigramLm.train(docs, "text", p)
+    val scores = vocab.map(v => v.piece -> v.scoreMicro).toMap
+    val unk = scores.values.min - 1000000L
+    val got = UnigramLm.docScores(docs, "doc_id", "text", vocab, p)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def wordScore(w: String): Long =
+      if (w.length > p.maxWordLen)
+        w.map(c => scores.getOrElse(c.toString, unk)).sum
+      else UnigramLm.viterbi(w, scores, p.maxPieceLen, Some(unk))
+        .map(pc => scores.getOrElse(pc, unk)).sum
+    val expect = docs.collect().map { r =>
+      val ws = r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)
+      r.getLong(0) -> ((ws.length.toLong, ws.map(wordScore).sum))
+    }.toMap
+    assert(got === expect)
+    // a better-matching doc scores higher (less negative) per word
+    // than one full of unknowns
+    val probe = UnigramLm.docScores(
+      Seq((1L, "the the the"), (2L, "zq zq zq")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(2) / r.getLong(1))
+      .toMap
+    assert(probe(1L) > probe(2L))
+  }
 }
