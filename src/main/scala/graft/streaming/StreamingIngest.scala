@@ -1194,6 +1194,169 @@ object StreamingIngest {
           matchRetentionMs))
   }
 
+  final case class FunnelPatternWinState(l: Seq[Long], o: Seq[Long],
+      m: Seq[Long], pending: Seq[(Long, Long, String)], completionUs: Long)
+
+  /**
+   * Streaming CONTIGUITY × WITHIN product funnel —
+   * [[graft.operators.Funnel.funnelPatternWithin]]'s twin, closing
+   * the last batch-only gap in the CEP product family: per-user state
+   * is the max-start product NFA's three vectors (`l[j]` — latest
+   * start among chains whose prefix-j match ends at the immediately
+   * previous event; `o[j]` — latest start among chains matched
+   * strictly before it; `m[j]` — the STICKY latest start ever to
+   * actually match stage j, the observable) plus the event-time
+   * pending buffer. Mature events fold in watermark order (strict
+   * hops, notNext kills and window expiry are all order-sensitive);
+   * every advance reads the PRE state (an event never extends the
+   * partials it just created — the guarded-fold rule) and checks the
+   * `within` deadline against the max eligible predecessor (the w8
+   * dominance: the max is also the easiest to satisfy). Emission is
+   * delta-style on (stage_reached, win_start_us); completed funnels
+   * drop their buffer and tombstone with the optional after-match TTL
+   * (the family's documented finality trade, as [[updateFunnelWithin]]).
+   */
+  def updateFunnelPatternWithin(
+      stages: IndexedSeq[graft.operators.Funnel.PatternStage],
+      windowMicros: Long, matchRetentionMs: Long = Long.MaxValue)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelPatternWinState])
+      : Iterator[FunnelWinUpdate] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelPatternWinState(
+      Seq.fill(k)(NoStart), Seq.fill(k)(NoStart), Seq.fill(k)(NoStart),
+      Nil, 0L))
+    // trailing-optional run after each stage (for the win realizer)
+    val tOpt = (1 to k).map(j => stages.drop(j).takeWhile(_.optional).length)
+    def satUpTo(m: Seq[Long]): Int = {
+      def sat(j: Int): Boolean =
+        if (j == 0) true
+        else if (stages(j - 1).optional) m(j - 1) != NoStart || sat(j - 1)
+        else m(j - 1) != NoStart
+      (1 to k).count(sat)
+    }
+    def winOf(m: Seq[Long]): Option[Long] = {
+      val r = satUpTo(m)
+      val cands = (1 to k).filter(j => r <= j + tOpt(j - 1))
+        .map(j => m(j - 1)).filter(_ != NoStart)
+      if (cands.nonEmpty) Some(cands.max) else None
+    }
+    if (satUpTo(prev.m) == k && state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    val l = prev.l.toArray
+    val o = prev.o.toArray
+    val m = prev.m.toArray
+    var comp = prev.completionUs
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      val preL = l.clone(); val preO = o.clone()
+      def effLast(j: Int): Long =
+        if (j == 0) NoStart
+        else if (stages(j - 1).optional)
+          math.max(preL(j - 1), effLast(j - 1))
+        else preL(j - 1)
+      def effAny(j: Int): Long =
+        if (j == 0) NoStart
+        else if (stages(j - 1).optional)
+          math.max(math.max(preL(j - 1), preO(j - 1)), effAny(j - 1))
+        else math.max(preL(j - 1), preO(j - 1))
+      def adv(j: Int): Long =
+        if (tp != stages(j - 1).tp) NoStart
+        else if (j == 1) us
+        else {
+          val base = if (stages(j - 1).strict) effLast(j - 1)
+            else effAny(j - 1)
+          val pred = if (base != NoStart && us - base <= windowMicros)
+            base else NoStart
+          if (stages.take(j - 1).forall(_.optional)) math.max(pred, us)
+          else pred
+        }
+      var j = 1
+      while (j <= k) {
+        val a = adv(j)
+        l(j - 1) = a
+        o(j - 1) =
+          if (stages(j - 1).notNextAfter.contains(tp)) preO(j - 1)
+          else math.max(preO(j - 1), preL(j - 1))
+        m(j - 1) = math.max(m(j - 1), a)
+        j += 1
+      }
+      if (comp == 0L && satUpTo(m.toSeq) == k) comp = us
+    }
+    val reached = satUpTo(m.toSeq)
+    val rest = if (reached == k) Nil else immature
+    val removable = reached == 0 && m.forall(_ == NoStart) &&
+      l.forall(_ == NoStart) && o.forall(_ == NoStart) && rest.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelPatternWinState(l.toSeq, o.toSeq, m.toSeq,
+        rest, comp))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1L)
+      else if (reached == k && matchRetentionMs != Long.MaxValue &&
+          comp > 0)
+        state.setTimeoutTimestamp(math.max(
+          comp / 1000L + matchRetentionMs,
+          state.getCurrentWatermarkMs() + 1L))
+    }
+    val out = (reached, winOf(m.toSeq))
+    if ((first && !removable) ||
+        out != ((satUpTo(prev.m), winOf(prev.m))))
+      Iterator(FunnelWinUpdate(userId, reached, out._2))
+    else Iterator.empty
+  }
+
+  /** The streaming contiguity × within funnel over an events stream —
+    * the [[streamingFunnel]] plumbing with
+    * [[updateFunnelPatternWithin]]'s product-NFA state. */
+  def streamingFunnelPatternWithin(spark: SparkSession,
+      events: DataFrame,
+      stages: Seq[graft.operators.Funnel.PatternStage],
+      windowMicros: Long, watermark: String,
+      matchRetentionMs: Long = Long.MaxValue): Dataset[FunnelWinUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.patternRequire(stages)
+    require(windowMicros > 0, "need windowMicros > 0")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelPatternWithin(stages.toIndexedSeq, windowMicros,
+          matchRetentionMs))
+  }
+
+  /** Streaming GROUP pattern under `within(T)` —
+    * [[graft.operators.Funnel.funnelGroupTimesWithin]]'s twin: the
+    * stage-list expansion composes with
+    * [[streamingFunnelPatternWithin]] unchanged; the flat observables
+    * project to repetitions. */
+  def streamingFunnelGroupTimesWithin(spark: SparkSession,
+      events: DataFrame,
+      group: Seq[graft.operators.Funnel.PatternStage], times: Int,
+      windowMicros: Long, watermark: String,
+      consecutiveSeams: Boolean = false,
+      matchRetentionMs: Long = Long.MaxValue): DataFrame = {
+    graft.operators.Funnel.groupRequire(group, times)
+    val k = group.length
+    streamingFunnelPatternWithin(spark, events,
+        graft.operators.Funnel.groupExpand(group, times, consecutiveSeams),
+        windowMicros, watermark, matchRetentionMs)
+      .toDF()
+      .select(col("user_id"),
+        expr(s"stage_reached div $k").cast("int").as("reps_completed"),
+        col("win_start_us"))
+  }
+
   final case class FunnelWinGuardState(b: Seq[Long], m: Seq[Long],
       pending: Seq[(Long, Long, String)], completionUs: Long)
 

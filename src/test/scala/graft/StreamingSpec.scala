@@ -2764,6 +2764,129 @@ class StreamingSpec extends SparkSpec {
     assert(greedy(1L) !== last(1L))
   }
 
+  test("streaming contiguity-within product funnel equals batch funnelPatternWithin: strict hops, notNext kills, optional skips and window expiry across out-of-order waves") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val stages = Seq(
+      graft.operators.Funnel.PatternStage("view",
+        notNextAfter = Some("error")),
+      graft.operators.Funnel.PatternStage("click", optional = true),
+      graft.operators.Funnel.PatternStage("purchase", strict = true))
+    val win = 7200L * 1000000L // 2 hours
+    // u1: the first chain expires (purchase lands > 2h from its view);
+    // the RESTART's view arrives in a LATE wave and must still realize
+    // the match with the later window start. u2: an out-of-order error
+    // poisons the first view's immediate slot — sticky prefix stays at
+    // 2 (optional atop the matched view), purchase unreachable. u3:
+    // clean full chain, click skipped (optional) — strict purchase
+    // rides directly on the view.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 4L, t("2024-01-01 12:30:00"), "click"),
+        Row(1L, 5L, t("2024-01-01 12:31:00"), "purchase"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "purchase"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "purchase")),
+      Seq(Row(1L, 3L, t("2024-01-01 12:00:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 13:30:00"), "purchase"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "error")),
+      Seq(Row(9L, 90L, t("2024-01-01 17:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 23:00:00"), "error")))
+    val src = tmp("funnel-pwin-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Option[Long])]
+    val q = StreamingIngest.streamingFunnelPatternWithin(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, win, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelPatternWithin(all,
+        "user_id", "event_type", "ts", "event_id", stages, win)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the late restart really realized the fresh window
+    assert(last(1L) === ((3, Some(us("2024-01-01 12:00:00")))))
+    // the out-of-order error really poisoned u2 (sticky optional prefix)
+    assert(last(2L)._1 === 2)
+    assert(last(3L) === ((3, Some(us("2024-01-01 10:00:00")))))
+  }
+
+  test("streaming group-within twin equals batch funnelGroupTimesWithin; the window spans all repetitions") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = t(s).getTime * 1000L
+    val group = Seq(graft.operators.Funnel.PatternStage("view"),
+      graft.operators.Funnel.PatternStage("click", strict = true))
+    val win = 1200L * 1000000L // 20 minutes
+    // u1: several overlapping double-matches — the 10:10 restart
+    // (whose events arrive LAST, out of order) is the max-start
+    // realizer the window observable must report. u2: reps exist but
+    // never share one 20-minute window
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(1L, 5L, t("2024-01-01 10:13:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:14:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 11:30:00"), "view"),
+        Row(2L, 23L, t("2024-01-01 11:31:00"), "click")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:10:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:11:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 17:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 23:00:00"), "error")))
+    val src = tmp("funnel-gwin-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Option[Long])]
+    val q = StreamingIngest.streamingFunnelGroupTimesWithin(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        group, times = 2, windowMicros = win, watermark = "2 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((id, r.getLong(0), r.getInt(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.groupBy(_._2).view
+      .mapValues(es => { val e = es.maxBy(_._1); (e._3, e._4) }).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupTimesWithin(all,
+        "user_id", "event_type", "ts", "event_id", group, times = 2,
+        windowMicros = win)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the late-arriving restart realized both reps inside one window
+    assert(last(1L) === ((2, Some(us("2024-01-01 10:10:00")))))
+    // u2's reps never share a window
+    assert(last(2L)._1 === 1)
+  }
+
   test("streaming group pattern equals batch funnelGroupTimes across out-of-order waves; the seam stays relaxed") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
