@@ -193,6 +193,36 @@ object AuditR17 {
       corpus.unpersist()
     }
 
+    // ---------------- 6. plan shapes of the round's operators ----------------
+    if (enabled("plans")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val vocab = UnigramLm.train(docs, "text")
+      val enc = UnigramLm.encodeStats(docs, "doc_id", "text", vocab)
+      enc.collect()
+      val encPlan = enc.queryExecution.executedPlan.toString
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val g = Funnel.funnelGroupTimes(ev, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view"),
+          Funnel.PatternStage("click", strict = true)), 2)
+      g.collect()
+      val gPlan = g.queryExecution.executedPlan.toString
+      // AdaptiveSparkPlanExec.toString prints BOTH the final and the
+      // initial plan — count only the final section or every shuffle
+      // doubles
+      def shuffles(p: String) =
+        p.split("== Initial Plan ==").head.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+      println(s"""{"metric":"r17_plan_shapes",""" +
+        s""""t102_encode":{"hash_exchanges":${shuffles(encPlan)},""" +
+        s""""broadcast_probe":${encPlan.contains("BroadcastHashJoin")}},""" +
+        s""""w59_group":{"hash_exchanges":${shuffles(gPlan)},""" +
+        s""""single_user_shuffle":${shuffles(gPlan) == 1}}}""")
+      if (sys.env.contains("SPARK_GRAFT_AUDIT_DUMP_PLANS")) {
+        System.err.println("==== t102 ====\n" + encPlan)
+        System.err.println("==== w59 ====\n" + gPlan)
+      }
+    }
+
     spark.stop()
   }
 }
