@@ -1301,6 +1301,211 @@ object Queries {
          |FROM dw JOIN v${BpeRounds + 1} USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // t104–t106: WordPiece tokenizer training + greedy encode
+  // ---------------------------------------------------------------------
+
+  private val WpRounds = 48
+  /** Unroll bound of the greedy-encode walk — each step consumes ≥ 1
+    * character, so 16 covers every corpus word (max observed 8; same
+    * bound as the unigram family's `maxWordLen`). */
+  private val WpWalk = 16
+
+  /** `round(log10(x)·1e6)` as BIGINT — the DuckDB spelling of
+    * [[graft.operators.WordPiece.microLog10Count]]. */
+  private def duckR6(x: String): String =
+    s"CAST(round(log10(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+
+  /** One unrolled WordPiece training round: symbol totals + pair
+    * counts → the likelihood argmax (`r6(n) − r6(cl) − r6(cr)`, max
+    * score then binary-smallest pair) → [[duckBpeRound]]'s
+    * island-parity greedy merge with the fused spelling
+    * `l || stripContinuation(r)`. Every CTE `MATERIALIZED` (the
+    * duckBpeRound inlining measurement). */
+  private def duckWpRound(k: Int): String =
+    s"""yq$k AS MATERIALIZED (
+       |  SELECT u AS s, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT cnt, unnest(syms) AS u FROM wp$k) GROUP BY 1),
+       |pq$k AS MATERIALIZED (
+       |  SELECT u.l AS l, u.r AS r, CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM (SELECT cnt, unnest([{'l': syms[i+1], 'r': syms[i+2]} for i in range(len(syms)-1)]) AS u
+       |        FROM wp$k) GROUP BY 1, 2),
+       |sq$k AS MATERIALIZED (
+       |  SELECT p.l, p.r, p.n,
+       |    ${duckR6("p.n")} - ${duckR6("yl.c")} - ${duckR6("yr.c")} AS score
+       |  FROM pq$k p JOIN yq$k yl ON yl.s = p.l JOIN yq$k yr ON yr.s = p.r),
+       |mq$k AS MATERIALIZED (SELECT l, r, n, score FROM sq$k ORDER BY score DESC, l, r LIMIT 1),
+       |eq$k AS MATERIALIZED (
+       |  SELECT w, cnt, u.pos AS pos, u.sym AS sym
+       |  FROM (SELECT w, cnt, unnest([{'pos': i, 'sym': syms[i+1]} for i in range(len(syms))]) AS u
+       |        FROM wp$k)),
+       |cq$k AS MATERIALIZED (SELECT w, cnt, pos, sym,
+       |    CASE WHEN sym = (SELECT l FROM mq$k)
+       |      AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM mq$k)
+       |    THEN 1 ELSE 0 END AS cand
+       |  FROM eq$k),
+       |iq$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    THEN pos - row_number() OVER (PARTITION BY w, cand ORDER BY pos) END AS isl
+       |  FROM cq$k),
+       |aq$k AS MATERIALIZED (SELECT *, CASE WHEN cand = 1
+       |    AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0 THEN 1 ELSE 0 END AS app
+       |  FROM iq$k),
+       |fq$k AS MATERIALIZED (SELECT *, COALESCE(lag(app) OVER (PARTITION BY w ORDER BY pos), 0) AS prev_app,
+       |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM aq$k),
+       |wp${k + 1} AS MATERIALIZED (SELECT w, cnt,
+       |    list(CASE WHEN app = 1
+       |      THEN sym || (CASE WHEN nxt LIKE '##%' THEN substr(nxt, 3) ELSE nxt END)
+       |      ELSE sym END ORDER BY pos) AS syms
+       |  FROM fq$k WHERE prev_app = 0 GROUP BY w, cnt)""".stripMargin
+
+  /** The full unrolled WordPiece chain: initial `##`-segmented word
+    * table (optionally over a train-subset predicate) + all rounds.
+    * Ends with winners `mq1..mq$WpRounds` and word table
+    * `wp${WpRounds+1}`. */
+  private def duckWpChainFor(trainPredSql: Option[String]): String = {
+    val where = trainPredSql.map(p => s" WHERE $p").getOrElse("")
+    val base =
+      s"""wp1 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    [CASE WHEN i = 0 THEN substr(w, 1, 1) ELSE '##' || substr(w, i+1, 1) END
+         |     for i in range(length(w))] AS syms
+         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |        FROM documents$where)
+         |  GROUP BY w)""".stripMargin
+    val blocks = (1 to WpRounds).map(duckWpRound).mkString(",\n")
+    s"$base,\n$blocks"
+  }
+
+  private lazy val duckWpChain: String = duckWpChainFor(None)
+
+  /** Encode-side CTEs: the vocabulary (training alphabet + fused merge
+    * spellings) and the greedy longest-match-first walk, unrolled
+    * [[WpWalk]] steps over the FULL corpus's distinct words. Each step
+    * joins live word-states against the vocab on the positional probe
+    * (raw prefix at the word start, `##`-prefixed past it) and
+    * advances by the LONGEST consumed length; a live state with no
+    * match flips to UNK (the whole word becomes one unknown token —
+    * BERT semantics). Ends with `wenc(w, n_pieces, unki)`. */
+  private def duckWpEncode: String = {
+    val fusedUnion = (1 to WpRounds).map(k =>
+      s"SELECT l || (CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END) AS piece FROM mq$k")
+      .mkString(" UNION ALL ")
+    val steps = (0 until WpWalk).map { t =>
+      s"""hq$t AS MATERIALIZED (
+         |  SELECT s.w, max(length(v.piece) - (CASE WHEN s.pos > 1 THEN 2 ELSE 0 END)) AS bl
+         |  FROM gq$t s JOIN voc v
+         |    ON v.piece = (CASE WHEN s.pos > 1
+         |        THEN '##' || substr(s.w, s.pos, greatest(length(v.piece) - 2, 0))
+         |        ELSE substr(s.w, s.pos, length(v.piece)) END)
+         |  WHERE NOT s.unk AND s.pos <= length(s.w)
+         |  GROUP BY s.w),
+         |gq${t + 1} AS MATERIALIZED (
+         |  SELECT s.w,
+         |    CASE WHEN s.unk OR s.pos > length(s.w) OR h.bl IS NULL THEN s.pos
+         |         ELSE s.pos + h.bl END AS pos,
+         |    CASE WHEN s.unk OR s.pos > length(s.w) OR h.bl IS NULL THEN s.np
+         |         ELSE s.np + 1 END AS np,
+         |    (s.unk OR (s.pos <= length(s.w) AND h.bl IS NULL)) AS unk
+         |  FROM gq$t s LEFT JOIN hq$t h USING (w))""".stripMargin
+    }.mkString(",\n")
+    s"""alpha AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece FROM wp1),
+       |voc AS MATERIALIZED (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM alpha UNION ALL $fusedUnion)),
+       |wd AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |gq0 AS MATERIALIZED (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, false AS unk FROM wd),
+       |$steps,
+       |wenc AS MATERIALIZED (SELECT w,
+       |  CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE np END AS n_pieces,
+       |  CASE WHEN unk THEN 1 ELSE 0 END AS unki FROM gq$WpWalk)""".stripMargin
+  }
+
+  private val duckWpDocStats =
+    """dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+      |       FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+      |  CAST(sum(unki) AS BIGINT) AS n_unk_words,
+      |  CAST(sum(length(w)) AS BIGINT) AS n_chars
+      |FROM dw JOIN wenc USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** WordPiece merge-rule training ([[WordPiece.train]]) — the third
+    * tokenizer-training family (BPE t66, unigram t101): BPE's round
+    * mechanics under the LIKELIHOOD objective
+    * `count(ab)/(count(a)·count(b))`, scored as integer micro-log10
+    * (`r6(n) − r6(cl) − r6(cr)`, each term rounded separately — the
+    * t101 discipline) with `##` continuation segmentation and fused
+    * spellings. One corpus pass; all rounds on the driver under
+    * [[BpeTrain.LocalWordBound]], incremental two-state fallback over
+    * it (WordPieceSpec proves the paths merge-identical). The oracle
+    * unrolls every round: symbol totals + pair counts + the score
+    * argmax + the island-parity merge. */
+  val t104_wordpiece_merges: Q = Q(
+    run = (spark, dir) => {
+      import spark.implicits._
+      val (merges, _) = WordPiece.train(t(spark, dir, "documents"), "text",
+        rounds = WpRounds)
+      merges.map(m => (m.round, m.left, m.right, m.pairCount, m.scoreMicro))
+        .toDF("round", "left_sym", "right_sym", "pair_count", "score_micro")
+        .orderBy("round")
+    },
+    oracle = Some {
+      val union = (1 to WpRounds).map(k =>
+        s"SELECT $k AS round, l AS left_sym, r AS right_sym, n AS pair_count, score AS score_micro FROM mq$k")
+        .mkString(" UNION ALL ")
+      s"""WITH $duckWpChain,
+         |merges AS ($union)
+         |SELECT round, left_sym, right_sym, pair_count, score_micro
+         |FROM merges ORDER BY round""".stripMargin
+    })
+
+  /** Per-document statistics under the t104-trained vocabulary via
+    * BERT's GREEDY LONGEST-MATCH-FIRST segmentation
+    * ([[WordPiece.encodeStats]]) — the WordPiece inference path, which
+    * needs only the vocab (alphabet + fused spellings), not the
+    * trained word table: every distinct word segments once, every
+    * occurrence pays one broadcast probe. The oracle replays training,
+    * builds the same vocab, and walks the greedy matcher [[WpWalk]]
+    * unrolled steps. All-integer gate, hash-exact. */
+  val t105_wordpiece_encode: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
+      WordPiece.encodeStats(docs, "doc_id", "text",
+          WordPiece.vocab(words, merges))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH $duckWpChain,
+         |$duckWpEncode,
+         |$duckWpDocStats""".stripMargin),
+    bench = true)
+
+  /** [[t105_wordpiece_encode]] with the merges trained on TWO THIRDS
+    * of the corpus and the FULL corpus encoded — the held-out third
+    * exercises genuinely unseen words through the greedy matcher
+    * (t78's design for BPE). A character absent from the training
+    * alphabet would take the whole-word UNK branch (spec-pinned on a
+    * crafted corpus; this synthetic vocabulary covers all letters). */
+  val t106_wordpiece_encode_unseen: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, words) = WordPiece.train(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", rounds = WpRounds)
+      WordPiece.encodeStats(docs, "doc_id", "text",
+          WordPiece.vocab(words, merges))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH ${duckWpChainFor(Some("doc_id % 3 <> 0"))},
+         |$duckWpEncode,
+         |$duckWpDocStats""".stripMargin))
+
   /** Fuzzy string join ([[FuzzyJoin.fuzzyJoin]]) — PassJoin segment
     * blocking + levenshtein verify, the record-linkage primitive: a
     * third of part names, each with its 3rd character deleted
@@ -8921,6 +9126,9 @@ object Queries {
     "t100_hilbert_key_4d" -> t100_hilbert_key_4d,
     "t101_unigram_vocab" -> t101_unigram_vocab,
     "t102_unigram_encode" -> t102_unigram_encode,
+    "t104_wordpiece_merges" -> t104_wordpiece_merges,
+    "t105_wordpiece_encode" -> t105_wordpiece_encode,
+    "t106_wordpiece_encode_unseen" -> t106_wordpiece_encode_unseen,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
