@@ -7210,6 +7210,116 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** Greedy-earliest repetition chain for the RELAXED-seam group
+    * loop, unrolled: rep k's completion is the earliest click whose
+    * view falls strictly after rep k−1's completion (exchange
+    * argument: under relaxed seams an earlier completion leaves a
+    * suffix superset, so the greedy chain depth IS the max). Total
+    * order via per-user row_number (us, event_id). */
+  private def duckGroupLoopGreedy(rounds: Int): String = {
+    val ei =
+      """ei AS MATERIALIZED (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS idx FROM e)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val vSrc =
+        if (k == 1)
+          s"""r${k}v AS MATERIALIZED (SELECT user_id, min(idx) AS vi FROM ei
+             |  WHERE event_type = 'view' GROUP BY user_id)""".stripMargin
+        else
+          s"""r${k}v AS MATERIALIZED (SELECT e.user_id, min(e.idx) AS vi
+             |  FROM ei e JOIN r${k - 1}c p ON p.user_id = e.user_id
+             |    AND e.idx > p.ci
+             |  WHERE e.event_type = 'view' GROUP BY e.user_id)""".stripMargin
+      s"""$vSrc,
+         |r${k}c AS MATERIALIZED (SELECT e.user_id, min(e.idx) AS ci
+         |  FROM ei e JOIN r${k}v p ON p.user_id = e.user_id
+         |    AND e.idx > p.vi
+         |  WHERE e.event_type = 'click' GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val lv = (1 to rounds).map(k =>
+      s"SELECT user_id, $k AS lvl FROM r${k}c").mkString(" UNION ALL ")
+    s"$ei,\n$steps,\nlv AS ($lv)"
+  }
+
+  /** GROUP pattern under `oneOrMore` ([[Funnel.funnelGroupLoop]]) —
+    * the UNBOUNDED quantifier over a sequence, which stage-list
+    * expansion cannot reach: view→click traversals repeated
+    * sequentially, reps = the longest chain any branch achieves. The
+    * machine is a max-plus dominance fold (max completed reps per
+    * (stage, l/o) slot + two idle slots — FunnelSpec pins why greedy
+    * replay fails under consecutive seams); the oracle is the
+    * greedy-earliest chain unrolled 24 deep (valid exactly because
+    * these seams are RELAXED; the per-user ceiling at sf0.01 is 19). */
+  val w62_funnel_group_loop: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoop(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")))
+        .orderBy("user_id"),
+    bench = true,
+    oracle = Some(
+      s"""$sqlEventsPrefix
+         |${duckGroupLoopGreedy(24)}
+         |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
+
+  /** [[w62_funnel_group_loop]] through the TROPICAL segment split
+    * ([[Funnel.funnelGroupLoopBucketed]]): the dominance fold is
+    * max-plus linear, so a segment is a (gain matrix, fresh vector)
+    * pair and composition is the tropical matrix product. Gates on
+    * w62's oracle VERBATIM. */
+  val w62b_funnel_group_loop_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w62_funnel_group_loop.oracle)
+
+  /** [[w62_funnel_group_loop]] with STRICT in-group contiguity AND
+    * consecutive seams (`oneOrMore.consecutive()` on the group): each
+    * traversal is a view with its click as immediate successor, and
+    * each later traversal's view must immediately follow the previous
+    * traversal's click. Greedy-earliest is WRONG here (the spec's
+    * trap), so the oracle is honest reachability: the all-matches
+    * table (idx-adjacent view→click pairs) and an unrolled DP over
+    * the seam relation `next.start = prev.end + 1` — depth 10 against
+    * the corpus ceiling of 7. */
+  val w63_funnel_group_loop_consecutive: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoop(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)),
+          consecutiveSeams = true)
+        .orderBy("user_id"),
+    oracle = Some {
+      val rounds = 10
+      val dp = (2 to rounds).map(k =>
+        s"""d$k AS MATERIALIZED (SELECT DISTINCT m.user_id, m.t
+           |  FROM mt m JOIN d${k - 1} p ON p.user_id = m.user_id
+           |    AND m.s = p.t + 1)""".stripMargin).mkString(",\n")
+      val lv = (1 to rounds).map(k =>
+        s"SELECT user_id, $k AS lvl FROM d$k").mkString(" UNION ALL ")
+      s"""$sqlEventsPrefix
+         |ei AS MATERIALIZED (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |    AS idx FROM e),
+         |mt AS MATERIALIZED (SELECT a.user_id, a.idx AS s, b.idx AS t
+         |  FROM ei a JOIN ei b ON b.user_id = a.user_id
+         |    AND b.idx = a.idx + 1
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+         |d1 AS MATERIALIZED (SELECT DISTINCT user_id, t FROM mt),
+         |$dp,
+         |lv AS ($lv)
+         |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
+    })
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -9264,6 +9374,9 @@ object Queries {
     "w59b_funnel_group_times_bucketed" -> w59b_funnel_group_times_bucketed,
     "w60_funnel_group_times_consecutive" -> w60_funnel_group_times_consecutive,
     "w61_funnel_group_times_within" -> w61_funnel_group_times_within,
+    "w62_funnel_group_loop" -> w62_funnel_group_loop,
+    "w62b_funnel_group_loop_bucketed" -> w62b_funnel_group_loop_bucketed,
+    "w63_funnel_group_loop_consecutive" -> w63_funnel_group_loop_consecutive,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

@@ -1944,6 +1944,241 @@ object Funnel {
   }
 
   // -------------------------------------------------------------------
+  // GROUP oneOrMore — Flink CEP's UNBOUNDED quantifier over a SEQUENCE
+  // (`Pattern.begin(subPattern).oneOrMore()`)
+  // -------------------------------------------------------------------
+
+  /** The group-loop contract on top of [[patternRequire]]: the head
+    * anchors each repetition (an optional head would make the seam —
+    * where one repetition ends and the next begins — ambiguous) and
+    * the tail detects completion (an optional tail would complete a
+    * repetition implicitly, with no event to hang the seam on). */
+  private[graft] def groupLoopRequire(group: Seq[PatternStage]): Unit = {
+    patternRequire(group)
+    require(!group.head.optional,
+      "the group's first stage anchors each repetition — an optional " +
+        "head makes the repetition seam ambiguous")
+    require(!group.last.optional,
+      "the group's last stage detects repetition completion — an " +
+        "optional tail would complete implicitly")
+  }
+
+  /** One event's transition of the group-loop DOMINANCE machine —
+    * [[patternStep]]'s l/o booleans lifted to MAX-COMPLETED-REPS
+    * values. Stage-list expansion cannot express an unbounded
+    * quantifier, so this is a genuine third lift of the contiguity
+    * NFA (after booleans, w20, and max-starts, w42): among chains
+    * occupying the same (stage, l/o) slot mid-repetition, the one
+    * with more completed repetitions dominates — strict hops, notNext
+    * kills and completions are uniform across rep counts, and seams
+    * only ever read the max — so ONE nullable long per slot is
+    * lossless. Two extra slots hold the idle chains: `bl` (completed
+    * a repetition at the immediately previous event — what a
+    * `consecutive()` seam may extend) and `bo` (completed earlier, or
+    * never started; also the sticky reps observable). A completion
+    * (`adv(k) + 1`) moves the chain to `bl`; `bl` promotes to `bo`
+    * one event later (the l→o rule at the seam). Every operation is
+    * (max, +const) — max-plus linear in the state — EXCEPT the
+    * fresh-start injection under consecutive seams (`gmax(bl, 0)`:
+    * a zero-rep chain may start anywhere); `fresh = false` removes
+    * that constant, giving the PURE linear dynamics the bucketed
+    * twin's gain matrices require (relaxed seams read fresh starts
+    * from `bo`'s init-0, so their dynamics are linear as-is). */
+  private def groupLoopStep(st: Column, e: Column,
+      group: Seq[PatternStage], consecutiveSeams: Boolean,
+      fresh: Boolean): Column = {
+    val k = group.length
+    val tp = e.getField("tp")
+    val bo = st.getField("bo"); val bl = st.getField("bl")
+    val L = st.getField("l"); val O = st.getField("o")
+    def effLastV(j: Int): Column =
+      if (j == 0) lit(null).cast("long") // unreachable: head non-optional
+      else if (group(j - 1).optional)
+        gmax(Seq(element_at(L, j), effLastV(j - 1)))
+      else element_at(L, j)
+    def effAnyV(j: Int): Column =
+      if (j == 0) lit(null).cast("long")
+      else if (group(j - 1).optional)
+        gmax(Seq(element_at(L, j), element_at(O, j), effAnyV(j - 1)))
+      else gmax(Seq(element_at(L, j), element_at(O, j)))
+    def adv(j: Int): Column = {
+      val tOk = tp === lit(group(j - 1).tp)
+      if (j == 1) {
+        val seam =
+          if (!consecutiveSeams) gmax(Seq(bo, bl))
+          else if (fresh) gmax(Seq(bl, lit(0L)))
+          else bl
+        when(tOk, seam)
+      } else {
+        val base = if (group(j - 1).strict) effLastV(j - 1)
+          else effAnyV(j - 1)
+        when(tOk, base)
+      }
+    }
+    val newL = array((1 to k).map(adv): _*)
+    val newO = array((1 to k).map { j =>
+      val killed = group(j - 1).notNextAfter
+        .map(x => tp === lit(x)).getOrElse(lit(false))
+      when(killed, element_at(O, j))
+        .otherwise(gmax(Seq(element_at(O, j), element_at(L, j))))
+    }: _*)
+    struct(
+      gmax(Seq(bo, bl)).as("bo"),
+      (adv(k) + 1L).as("bl"),
+      newL.as("l"), newO.as("o"))
+  }
+
+  /** Entry state: slot 0 = the GLOBAL init (bo = 0 — the never-started
+    * chain), 1..k = unit l[slot], k+1..2k = unit o[slot−k],
+    * 2k+1 = unit bl, 2k+2 = unit bo — each unit carries value 0 so a
+    * fold from it yields the segment's max-plus GAIN for that entry. */
+  private def groupLoopInit(k: Int, slot: Column): Column = {
+    val lInit = transform(sequence(lit(1), lit(k)),
+      j => when(j === slot, lit(0L)))
+    val oInit = transform(sequence(lit(1), lit(k)),
+      j => when(j + lit(k) === slot, lit(0L)))
+    struct(
+      when(slot === 0 || slot === lit(2 * k + 2), lit(0L)).as("bo"),
+      when(slot === lit(2 * k + 1), lit(0L)).as("bl"),
+      lInit.as("l"), oInit.as("o"))
+  }
+
+  /** State struct → flat slot vector (1..k = l, k+1..2k = o,
+    * 2k+1 = bl, 2k+2 = bo), the bucketed twin's matrix row shape. */
+  private def groupLoopVec(st: Column): Column =
+    concat(st.getField("l"), st.getField("o"),
+      array(st.getField("bl"), st.getField("bo")))
+
+  /**
+   * Flink CEP's GROUP pattern under `oneOrMore` — the UNBOUNDED
+   * quantifier over a sequence of stages, the one group quantifier
+   * [[groupExpand]]'s stage-list expansion cannot reach (no finite
+   * expansion). Repetitions are SEQUENTIAL (repetition r+1's first
+   * event falls strictly after repetition r's completing event —
+   * Flink's per-branch consumption order), seams relaxed by default
+   * or strictly contiguous under `consecutiveSeams` (Flink's
+   * `consecutive()` on the group); the group's own combinators
+   * (strict hops, notNext guards, optional mid-stages) apply verbatim
+   * inside every repetition. Output: `(user_id, reps)` — the MAXIMUM
+   * number of complete traversals any single chain achieves (0 when
+   * the group never completes), i.e. what `oneOrMore.greedy()`'s
+   * longest branch reports.
+   *
+   * Greedy-earliest replay is existence-optimal under RELAXED seams
+   * (completing earlier leaves a suffix superset — the exchange
+   * argument) but WRONG under consecutive seams, where a later, worse-
+   * looking first repetition can sit adjacent to a second one the
+   * earliest completion forfeits (FunnelSpec pins the trap) — so the
+   * machine is the dominance fold ([[groupLoopStep]]), not a pick
+   * chain. Same scale shape as [[funnelPattern]]: ONE user-keyed
+   * shuffle, one expression fold, 2k+2 longs of state. Oracle: the
+   * all-matches table (one chained join per in-group hop) and an
+   * unrolled reachability DP over the seam relation (w62/w63).
+   */
+  def funnelGroupLoop(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage],
+      consecutiveSeams: Boolean = false): DataFrame = {
+    groupLoopRequire(group)
+    val k = group.length
+    val evs = sort_array(collect_list(struct(
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(orderCol).as("oid"), col(typeCol).as("tp"))))
+    val folded = aggregate(col("evs"), groupLoopInit(k, lit(0)),
+      (st, e) => groupLoopStep(st, e, group, consecutiveSeams,
+        fresh = true))
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        ExprUtil.bound(folded)(f => coalesce(
+          gmax(Seq(f.getField("bo"), f.getField("bl"))), lit(0L)))
+          .as("reps"))
+  }
+
+  /**
+   * [[funnelGroupLoop]] for SKEWED keys — a MAX-PLUS (tropical)
+   * segment monoid: the dominance fold is max-plus linear in its
+   * 2k+2-slot state (every transition is a max of slots plus a
+   * constant gain), so a segment's entire effect is the affine pair
+   * `(G, F)` — `G[s][s']` the max rep GAIN over in-segment paths from
+   * entry slot s to exit slot s' (one pure-linear fold per unit entry
+   * state, `fresh = false`), `F[s']` the best value of chains BORN
+   * inside the segment (one fold from the global init with the
+   * fresh-start injection live). Composition is the tropical
+   * matrix-vector product `v'[s'] = max(max_s(v[s] + G[s][s']),
+   * F[s'])` — associative, so bucket order is the only order that
+   * matters. 2k+3 folds of O(k) state per segment, two user-keyed
+   * shuffles, per-group memory bounded by the bucket width — the
+   * same wall-escape contract as every bucketed twin. Entry l/bl
+   * slots stay exact across bucket boundaries because the previous
+   * segment's last event IS the global previous event (the w21
+   * adjacency argument). Gates on w62's oracle VERBATIM.
+   */
+  def funnelGroupLoopBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], bucketSeconds: Long,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    groupLoopRequire(group)
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val k = group.length
+    val n = 2 * k + 2
+    val base = events.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(orderCol).as("oid"), col(typeCol).as("tp"))
+      .withColumn("bkt", expr(s"us div ${bucketSeconds * 1000000L}"))
+    val segs = base.groupBy("user_id", "bkt")
+      .agg(sort_array(collect_list(struct(col("us"), col("oid"),
+        col("tp")))).as("evs"))
+      .select(col("user_id"), col("bkt"),
+        transform(sequence(lit(1), lit(n)), s0 =>
+          groupLoopVec(aggregate(col("evs"), groupLoopInit(k, s0),
+            (st, e) => groupLoopStep(st, e, group, consecutiveSeams,
+              fresh = false)))).as("g"),
+        groupLoopVec(aggregate(col("evs"), groupLoopInit(k, lit(0)),
+          (st, e) => groupLoopStep(st, e, group, consecutiveSeams,
+            fresh = true))).as("f"))
+    // init vector: all -inf (null) except bo = 0 (the never-started chain)
+    val initVec = transform(sequence(lit(1), lit(n)),
+      s => when(s === lit(n), lit(0L)))
+    val merged = aggregate(col("segs"), initVec,
+      (v, seg) => ExprUtil.bound(struct(seg.getField("g").as("g"),
+          seg.getField("f").as("f"))) { sg =>
+        transform(sequence(lit(1), lit(n)), sp =>
+          gmax(Seq(
+            array_max(zip_with(v, sg.getField("g"),
+              (vs, grow) => vs + element_at(grow, sp))),
+            element_at(sg.getField("f"), sp))))
+      })
+    segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("g"),
+        col("f")))).as("segs"))
+      .select(col("user_id"),
+        ExprUtil.bound(merged)(v => coalesce(
+          gmax(Seq(element_at(v, n - 1), element_at(v, n))), lit(0L)))
+          .as("reps"))
+  }
+
+  /** [[funnelGroupLoop]]'s auto-router — feasibility routing like the
+    * rest of the family (the single dominance fold dies at the ~2 GB
+    * collected-array wall; the tropical segment split survives it).
+    * Same eager probe / `precomputedPeak` contract as
+    * [[funnelAnyCountAuto]]. */
+  def funnelGroupLoopAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], consecutiveSeams: Boolean = false,
+      bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = AutoBucketKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    groupLoopRequire(group) // before the eager probe
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
+      funnelGroupLoopBucketed(events, userCol, typeCol, tsCol, orderCol,
+        group, bucketSeconds, consecutiveSeams)
+    else funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol,
+      group, consecutiveSeams)
+  }
+
+  // -------------------------------------------------------------------
   // Match ENUMERATION — Flink CEP's AFTER MATCH SKIP PAST LAST EVENT
   // -------------------------------------------------------------------
 

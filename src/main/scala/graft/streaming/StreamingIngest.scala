@@ -2065,6 +2065,115 @@ object StreamingIngest {
           .as(s"ts_r${r}_s${i}_us")): _*)
   }
 
+  /** Group-loop dominance state: rep values use [[NoStart]] as the
+    * −∞ sentinel (state encoders carry plain longs; every live value
+    * is ≥ 0). */
+  final case class FunnelGroupLoopState(bo: Long, bl: Long, l: Seq[Long],
+      o: Seq[Long], pending: Seq[(Long, Long, String)])
+  final case class FunnelGroupLoopUpdate(user_id: Long, reps: Long)
+
+  /**
+   * Streaming GROUP oneOrMore — [[graft.operators.Funnel
+   * .funnelGroupLoop]]'s twin. The unbounded quantifier has no finite
+   * stage-list expansion, so unlike [[streamingFunnelGroupTimes]]
+   * this is its own state machine: the batch dominance fold
+   * (max-completed-reps per (stage, l/o) slot, idle chains in
+   * `bl`/`bo`) replayed over mature events in watermark order, which
+   * preserves the immediate-successor adjacency `bl` and the strict
+   * in-group hops rely on (the [[updateFunnelPattern]] argument).
+   * There is NO final state — a loop can always extend — so there is
+   * no completion tombstone either; the state the entry retains
+   * forever is 2k+2 longs plus the immature buffer (the same
+   * unbounded-operator contract as the batch machine's, where `reps`
+   * likewise never stops growing). Emission: delta-style on `reps`.
+   */
+  def updateFunnelGroupLoop(
+      group: IndexedSeq[graft.operators.Funnel.PatternStage],
+      consecutiveSeams: Boolean)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelGroupLoopState])
+      : Iterator[FunnelGroupLoopUpdate] = {
+    val k = group.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunnelGroupLoopState(0L, NoStart,
+      Seq.fill(k)(NoStart), Seq.fill(k)(NoStart), Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var bo = prev.bo
+    var bl = prev.bl
+    val l = prev.l.toArray
+    val o = prev.o.toArray
+    def vmax(a: Long, b: Long): Long = if (a >= b) a else b
+    mature.sortBy(e => (e._1, e._2)).foreach { case (_, _, tp) =>
+      val preL = l.clone(); val preO = o.clone()
+      val preBo = bo; val preBl = bl
+      def effLastV(j: Int): Long =
+        if (j == 0) NoStart
+        else if (group(j - 1).optional) vmax(preL(j - 1), effLastV(j - 1))
+        else preL(j - 1)
+      def effAnyV(j: Int): Long =
+        if (j == 0) NoStart
+        else if (group(j - 1).optional)
+          vmax(vmax(preL(j - 1), preO(j - 1)), effAnyV(j - 1))
+        else vmax(preL(j - 1), preO(j - 1))
+      def adv(j: Int): Long =
+        if (tp != group(j - 1).tp) NoStart
+        else if (j == 1) {
+          if (!consecutiveSeams) vmax(preBo, preBl)
+          else vmax(preBl, 0L)
+        } else if (group(j - 1).strict) effLastV(j - 1)
+        else effAnyV(j - 1)
+      var j = 1
+      while (j <= k) {
+        l(j - 1) = adv(j)
+        o(j - 1) =
+          if (group(j - 1).notNextAfter.contains(tp)) preO(j - 1)
+          else vmax(preO(j - 1), preL(j - 1))
+        j += 1
+      }
+      bo = vmax(preBo, preBl)
+      val compBase = adv(k)
+      bl = if (compBase == NoStart) NoStart else compBase + 1L
+    }
+    val reps = math.max(vmax(bo, bl), 0L)
+    val prevReps = math.max(vmax(prev.bo, prev.bl), 0L)
+    val untouched = bo == 0L && bl == NoStart &&
+      l.forall(_ == NoStart) && o.forall(_ == NoStart)
+    val removable = untouched && immature.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelGroupLoopState(bo, bl, l.toSeq, o.toSeq,
+        immature))
+      if (immature.nonEmpty)
+        state.setTimeoutTimestamp(immature.map(_._1).min / 1000L + 1L)
+    }
+    if ((first && !removable) || reps != prevReps)
+      Iterator(FunnelGroupLoopUpdate(userId, reps))
+    else Iterator.empty
+  }
+
+  /** The streaming group-loop funnel over an events stream — the
+    * [[streamingFunnel]] plumbing with [[updateFunnelGroupLoop]]'s
+    * dominance machine. */
+  def streamingFunnelGroupLoop(spark: SparkSession, events: DataFrame,
+      group: Seq[graft.operators.Funnel.PatternStage], watermark: String,
+      consecutiveSeams: Boolean = false)
+      : Dataset[FunnelGroupLoopUpdate] = {
+    import spark.implicits._
+    graft.operators.Funnel.groupLoopRequire(group)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelGroupLoop(group.toIndexedSeq, consecutiveSeams))
+  }
+
   /** [[FunnelEvent]] with the stage-condition VALUE (integer
     * fixed-point, the caller's conversion) — the iterative-condition
     * twin's event shape. */

@@ -1551,6 +1551,128 @@ class FunnelSpec extends SparkSpec {
     assert(out(2L)._1 === 1)
   }
 
+  test("group oneOrMore: sequential reps, the consecutive-seam greedy trap, strict/optional/notNext inside the group") {
+    def reps(ev: org.apache.spark.sql.DataFrame,
+        group: Seq[Funnel.PatternStage], consec: Boolean = false) =
+      Funnel.funnelGroupLoop(ev, "user_id", "event_type", "ts",
+          "event_id", group, consec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vc = Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click"))
+    val ev1 = Seq(
+      // u1: V C V C V — two sequential traversals, trailing V mid-rep
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "click"),
+      (1L, 3L, ts(12), "view"), (1L, 4L, ts(13), "click"),
+      (1L, 5L, ts(14), "view"),
+      // u2: C V V C C — one traversal only (reps are SEQUENTIAL:
+      // the second rep's view must fall after the first rep's click)
+      (2L, 6L, ts(10), "click"), (2L, 7L, ts(11), "view"),
+      (2L, 8L, ts(12), "view"), (2L, 9L, ts(13), "click"),
+      (2L, 10L, ts(14), "click"),
+      // u3: no click at all → 0
+      (3L, 11L, ts(10), "view"), (3L, 12L, ts(11), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(reps(ev1, vc) === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+
+    // THE CONSECUTIVE-SEAM TRAP: greedy-earliest replay completes
+    // rep 1 at (V1,C2), finds X at the seam and reports 1 — but the
+    // chain starting at V4 completes (V4,C5)(V6,C7) adjacently for 2.
+    // This is why the machine is a dominance fold, not a pick chain.
+    val trap = Seq(
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "click"),
+      (1L, 3L, ts(12), "error"),
+      (1L, 4L, ts(13), "view"), (1L, 5L, ts(14), "click"),
+      (1L, 6L, ts(15), "view"), (1L, 7L, ts(16), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(reps(trap, vc, consec = true) === Map(1L -> 2L))
+    assert(reps(trap, vc) === Map(1L -> 3L)) // relaxed: all three pair up
+
+    // strict INTERNAL hop: click must be the view's immediate successor
+    val strictG = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", strict = true))
+    val ev2 = Seq(
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "error"),
+      (1L, 3L, ts(12), "click"),
+      (1L, 4L, ts(13), "view"), (1L, 5L, ts(14), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(reps(ev2, strictG) === Map(1L -> 1L))
+
+    // optional MID-stage: V (C?) P — the skip and the full copy both count
+    val optG = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", optional = true),
+      Funnel.PatternStage("purchase"))
+    val ev3 = Seq(
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "purchase"),
+      (1L, 3L, ts(12), "view"), (1L, 4L, ts(13), "click"),
+      (1L, 5L, ts(14), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(reps(ev3, optG) === Map(1L -> 2L))
+
+    // notNext guard inside the group: a view whose immediate successor
+    // is an error dies with its chain
+    val guardG = Seq(Funnel.PatternStage("view",
+      notNextAfter = Some("error")), Funnel.PatternStage("click"))
+    val ev4 = Seq(
+      (1L, 1L, ts(10), "view"), (1L, 2L, ts(11), "error"),
+      (1L, 3L, ts(12), "click"),
+      (1L, 4L, ts(13), "view"), (1L, 5L, ts(14), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(reps(ev4, guardG) === Map(1L -> 1L))
+
+    // contract: head and tail must be mandatory; the flat pattern
+    // contract (non-strict head, no trailing gap guard) is lifted
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupLoop(ev1, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view", optional = true),
+          Funnel.PatternStage("click")))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupLoop(ev1, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view"),
+          Funnel.PatternStage("click", optional = true)))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupLoop(ev1, "user_id", "event_type", "ts",
+        "event_id", Seq(Funnel.PatternStage("view", strict = true)))
+    }
+  }
+
+  test("property: group-loop tropical segment monoid == single dominance fold on random corpora, both seam modes") {
+    val rnd = new scala.util.Random(20260816L)
+    val types = Array("view", "click", "error")
+    val ev = (1 to 30).flatMap { u =>
+      (1 to 40).map { i =>
+        (u.toLong, (u * 1000 + i).toLong, ts(rnd.nextInt(50)),
+          types(rnd.nextInt(types.length)))
+      }
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val groups = Seq(
+      Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+      Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", strict = true)),
+      Seq(Funnel.PatternStage("view",
+        notNextAfter = Some("error")),
+        Funnel.PatternStage("error", optional = true),
+        Funnel.PatternStage("click")))
+    def collectReps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- groups; consec <- Seq(false, true)) {
+      val single = collectReps(Funnel.funnelGroupLoop(ev, "user_id",
+        "event_type", "ts", "event_id", g, consec))
+      for (b <- Seq(1L, 7L, 3600L)) {
+        val bucketed = collectReps(Funnel.funnelGroupLoopBucketed(ev,
+          "user_id", "event_type", "ts", "event_id", g, b, consec))
+        assert(bucketed === single,
+          s"group=$g consec=$consec bucket=$b")
+      }
+      // the auto-router reproduces both routes bit-identically
+      assert(collectReps(Funnel.funnelGroupLoopAuto(ev, "user_id",
+        "event_type", "ts", "event_id", g, consec,
+        maxKeyEvents = 0L)) === single)
+      assert(collectReps(Funnel.funnelGroupLoopAuto(ev, "user_id",
+        "event_type", "ts", "event_id", g, consec)) === single)
+    }
+  }
+
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
     val rnd = new scala.util.Random(1714L)
     val typesPool = Array("view", "click", "purchase", "error")

@@ -2952,4 +2952,91 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L)._1 === 1)
     assert(last(3L)._1 === 2)
   }
+
+  test("streaming group-loop equals batch funnelGroupLoop across out-of-order waves and a checkpoint restart; the consecutive-seam trap survives reordering") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val group = Seq(graft.operators.Funnel.PatternStage("view"),
+      graft.operators.Funnel.PatternStage("click"))
+    // u1 is THE TRAP under consecutive seams: the earliest traversal
+    // (10:00 view, 10:01 click) is followed by an error, so a greedy
+    // chain stops at 1 — but the chain starting at 10:03 completes two
+    // adjacent traversals (the post-restart 10:05/10:06 pair sits
+    // immediately after the 10:04 click). The error ARRIVES LATE and
+    // must be reordered back between the traversals. u2 completes one
+    // pre-restart traversal; u3's single traversal SPANS the restart
+    // (view before, click after — internal contiguity is relaxed).
+    // the pre-run watermark pusher sits at 12:00 (wm → 10:00) so the
+    // post-restart 10:05/10:06 traversal is NOT late when it arrives
+    // in the second life
+    val preWaves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click"),
+        Row(3L, 30L, t("2024-01-01 10:07:00"), "view")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "error"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 12:00:00"), "error"))) // wm → 10:00
+    val postWaves = Seq(
+      Seq(Row(1L, 6L, t("2024-01-01 10:05:00"), "view"),
+        Row(1L, 7L, t("2024-01-01 10:06:00"), "click"),
+        Row(3L, 31L, t("2024-01-01 14:30:00"), "click")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error"))) // wm → 18:00
+    val src = tmp("funnel-group-loop-src")
+    val ckpt = tmp("funnel-group-loop-ckpt")
+    def writeOffsetWaves(waves: Seq[Seq[Row]], offset: Int): Unit =
+      waves.zipWithIndex.foreach { case (rows, i) =>
+        val staging = tmp(s"funnel-group-loop-wave${offset + i}")
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+            funnelWaveSchema)
+          .coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$src/wave${offset + i}.parquet")
+        Files.copy(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + (offset + i) * 60000L)
+      }
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runOnce(): Unit = {
+      val q = StreamingIngest.streamingFunnelGroupLoop(spark,
+          spark.readStream.schema(funnelWaveSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          group, "2 hours", consecutiveSeams = true)
+        .toDF().writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emitted.synchronized {
+            emitted += ((r.getLong(0), r.getLong(1)))
+          })
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeOffsetWaves(preWaves, 0)
+    runOnce()
+    writeOffsetWaves(postWaves, preWaves.length)
+    runOnce() // second life resumes the SAME state store
+    val last = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => es.maxBy(_._2)._1._2).toMap
+    val all = spark.createDataFrame(spark.sparkContext.parallelize(
+      (preWaves ++ postWaves).flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupLoop(all, "user_id",
+        "event_type", "ts", "event_id", group, consecutiveSeams = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the trap: 2 via the later chain, not greedy's 1
+    assert(last(1L) === 2L)
+    assert(last(2L) === 1L)
+    // u3's traversal spanned the restart
+    assert(last(3L) === 1L)
+    // relaxed seams on the same corpus: all of u1's three traversals
+    // chain sequentially
+    val relaxed = graft.operators.Funnel.funnelGroupLoop(all, "user_id",
+        "event_type", "ts", "event_id", group)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaxed(1L) === 3L)
+  }
 }
