@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Layout, UnigramLm}
+import graft.operators.{Funnel, Layout, UnigramLm, WordPiece}
 
 /**
  * Round-17 audit — one JSON line per claim the round's code makes:
@@ -221,6 +221,95 @@ object AuditR17 {
         System.err.println("==== t102 ====\n" + encPlan)
         System.err.println("==== w59 ====\n" + gPlan)
       }
+    }
+
+    // ---------------- 7. WordPiece 100× ----------------
+    // Same scale claim as BPE/unigram: one corpus pass builds the word
+    // table; all 48 rounds run on vocab-sized state (driver-local
+    // here); encode is one more corpus pass against a broadcast vocab.
+    // On the Zipf-preserving LM corpora the word table grows only via
+    // the salted tail, so cost must track the corpus passes.
+    if (enabled("wordpiece")) {
+      val rows = Seq("sf0.1" -> s"$sfDir/documents.parquet",
+        "lm10x" -> s"$scaleDir/lm10x/documents.parquet",
+        "lm100x" -> s"$scaleDir/lm100x/documents.parquet").map {
+        case (tag, path) =>
+          val docs = spark.read.parquet(path)
+          val nDocs = docs.count()
+          var vocabSize = 0
+          val sec = minOf(2) {
+            val (merges, words) = WordPiece.train(docs, "text", rounds = 48)
+            val vocab = WordPiece.vocab(words, merges)
+            vocabSize = vocab.size
+            val st = WordPiece.encodeStats(docs, "doc_id", "text", vocab)
+              .agg(sum("n_pieces")).head.getLong(0)
+            require(st > 0L)
+          }
+          s""""$tag":{"docs":$nDocs,"train_encode_sec":$sec,"vocab":$vocabSize}"""
+      }
+      println(s"""{"metric":"r17_wordpiece_scale",${rows.mkString(",")}}""")
+    }
+
+    // ---------------- 8. group-loop 100× + plan shape ----------------
+    if (enabled("grouploop")) {
+      val group = Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click"))
+      val rows = Seq("sf0.1" -> s"$sfDir/events.parquet",
+        "sf10x" -> s"$scaleDir/sf10x/events.parquet",
+        "sf100x" -> s"$scaleDir/sf100x/events.parquet").map {
+        case (tag, path) =>
+          val ev = spark.read.parquet(path)
+          val n = ev.count()
+          val sec = minOf(2) {
+            val r = Funnel.funnelGroupLoop(ev, "user_id", "event_type",
+                "ts", "event_id", group)
+              .agg(sum("reps")).head.getLong(0)
+            require(r >= 0L)
+          }
+          s""""$tag":{"events":$n,"sec":$sec}"""
+      }
+      val g = Funnel.funnelGroupLoop(
+        spark.read.parquet(s"$sfDir/events.parquet"), "user_id",
+        "event_type", "ts", "event_id", group)
+      g.collect()
+      def shuffles2(p: String) =
+        p.split("== Initial Plan ==").head.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+      val nsh = shuffles2(g.queryExecution.executedPlan.toString)
+      println(s"""{"metric":"r17_grouploop_scale",${rows.mkString(",")},""" +
+        s""""plan":{"hash_exchanges":$nsh,"single_user_shuffle":${nsh == 1}}}""")
+    }
+
+    // ---------------- 9. group-loop skew: tropical twin at a power key ----------------
+    // The single dominance fold collects the key's events into one
+    // array (the measured ~2 GB wall class, AUDIT_r15_cep_crossover);
+    // the tropical segment split bounds per-group memory by the bucket
+    // width. Bit-equality + cost at a 10M-event power key, both seam
+    // modes.
+    if (enabled("groupskew")) {
+      val types = Seq("view", "click", "error")
+      val n = sys.env.getOrElse("SPARK_GRAFT_AUDIT_SKEW_N", "10000000").toLong
+      val corpus = spark.range(n).select(
+        lit(7L).as("user_id"), // ONE power key
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        element_at(typedLit(types), (col("id") % 3L).cast("int") + 1)
+          .as("event_type")).localCheckpoint(true)
+      val group = Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", strict = true))
+      val out = Seq(false, true).map { consec =>
+        val (sv, st) = time(Funnel.funnelGroupLoop(corpus, "user_id",
+            "event_type", "ts", "event_id", group, consec)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+        val (bv, bt) = time(Funnel.funnelGroupLoopBucketed(corpus,
+            "user_id", "event_type", "ts", "event_id", group,
+            bucketSeconds = 3600L, consec)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+        s""""consec_$consec":{"single_sec":$st,"bucketed_sec":$bt,""" +
+          s""""values_equal":${sv == bv},"reps":${sv.head._2}}"""
+      }
+      println(s"""{"metric":"r17_grouploop_skew","events":$n,""" +
+        out.mkString(",") + "}")
     }
 
     spark.stop()

@@ -1506,6 +1506,98 @@ object Queries {
          |$duckWpEncode,
          |$duckWpDocStats""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // t107–t110: persisted tokenizer-model lifecycle (TokenizerStore)
+  // ---------------------------------------------------------------------
+
+  /** Tokenizer AS-OF ([[TokenizerStore]]) — the trained-artifact
+    * lifecycle the index families gate (t73/t74/t77/t87), closed for
+    * the tokenizer trainers: version 1 trains on two thirds of the
+    * corpus, version 2 retrains on all of it, and the encode job
+    * loads AS-OF version 1 — the retrain must be invisible. Gated on
+    * t106's oracle verbatim (the subset-trained encode); a load that
+    * leaked version 2 would reproduce t105 instead and hash-mismatch. */
+  val t107_wordpiece_store_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_wp_store_asof"
+      CommitLog.clear(spark, table)
+      val docs = t(spark, dir, "documents")
+      val (m1, w1) = WordPiece.train(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", rounds = WpRounds)
+      TokenizerStore.saveWordPiece(spark, table, 1L, m1,
+        WordPiece.vocab(w1, m1))
+      val (m2, w2) = WordPiece.train(docs, "text", rounds = WpRounds)
+      TokenizerStore.saveWordPiece(spark, table, 2L, m2,
+        WordPiece.vocab(w2, m2))
+      WordPiece.encodeStats(docs, "doc_id", "text",
+          TokenizerStore.loadWordPieceVocab(spark, table, asOf = Some(1L)))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t106_wordpiece_encode_unseen.oracle)
+
+  /** [[t107_wordpiece_store_asof]]'s LATEST leg: the same two-version
+    * store, loaded without a pin — the encode must see version 2 (the
+    * full-corpus model), t105's oracle verbatim. The (t107, t108)
+    * pair pins version resolution from both sides. */
+  val t108_wordpiece_store_latest: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_wp_store_latest"
+      CommitLog.clear(spark, table)
+      val docs = t(spark, dir, "documents")
+      val (m1, w1) = WordPiece.train(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", rounds = WpRounds)
+      TokenizerStore.saveWordPiece(spark, table, 1L, m1,
+        WordPiece.vocab(w1, m1))
+      val (m2, w2) = WordPiece.train(docs, "text", rounds = WpRounds)
+      TokenizerStore.saveWordPiece(spark, table, 2L, m2,
+        WordPiece.vocab(w2, m2))
+      WordPiece.encodeStats(docs, "doc_id", "text",
+          TokenizerStore.loadWordPieceVocab(spark, table))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t105_wordpiece_encode.oracle)
+
+  /** BPE model ROUND-TRIP through the store: t78's subset-trained
+    * merges persist as one committed version, the encode job loads
+    * them back and replays rank order over the full corpus — t78's
+    * oracle verbatim. Rank order is load-bearing (rule k's symbols
+    * only exist after rules < k), so the store must return merges in
+    * training order. */
+  val t109_bpe_store_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_bpe_store"
+      CommitLog.clear(spark, table)
+      val docs = t(spark, dir, "documents")
+      val (merges, _) = BpeTrain.train(docs.filter(col("doc_id") % 3 =!= 0),
+        "text", rounds = BpeRounds)
+      TokenizerStore.saveBpe(spark, table, 1L, merges)
+      BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+          TokenizerStore.loadBpe(spark, table))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t78_bpe_encode_unseen.oracle)
+
+  /** Unigram-LM model ROUND-TRIP through the store: the t101-trained
+    * piece table (usage + micro-log10 scores) persists, loads, and
+    * encodes — t102's oracle verbatim. Scores survive bit-exactly or
+    * the Viterbi walk diverges and the hash catches it. */
+  lazy val t110_unigram_store_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_unigram_store"
+      CommitLog.clear(spark, table)
+      val docs = t(spark, dir, "documents")
+      TokenizerStore.saveUnigram(spark, table, 1L,
+        graft.operators.UnigramLm.train(docs, "text"))
+      graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text",
+          TokenizerStore.loadUnigram(spark, table))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t102_unigram_encode.oracle)
+
   /** Fuzzy string join ([[FuzzyJoin.fuzzyJoin]]) — PassJoin segment
     * blocking + levenshtein verify, the record-linkage primitive: a
     * third of part names, each with its 3rd character deleted
@@ -9239,6 +9331,10 @@ object Queries {
     "t104_wordpiece_merges" -> t104_wordpiece_merges,
     "t105_wordpiece_encode" -> t105_wordpiece_encode,
     "t106_wordpiece_encode_unseen" -> t106_wordpiece_encode_unseen,
+    "t107_wordpiece_store_asof" -> t107_wordpiece_store_asof,
+    "t108_wordpiece_store_latest" -> t108_wordpiece_store_latest,
+    "t109_bpe_store_roundtrip" -> t109_bpe_store_roundtrip,
+    "t110_unigram_store_roundtrip" -> t110_unigram_store_roundtrip,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
