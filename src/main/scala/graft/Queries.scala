@@ -7412,6 +7412,64 @@ object Queries {
          |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
     })
 
+  /** GROUP pattern under the BOUNDED range `times(2, 3)`
+    * ([[Funnel.funnelGroupTimesRange]]) — the last group-quantifier
+    * shape: the existence machine over three expanded copies plus the
+    * threshold report `matched = reps_completed >= 2`. The oracle is
+    * w59's chained-join replay extended to the third copy (strict
+    * in-copy hops, relaxed seams) with the same threshold column. */
+  val w64_funnel_group_times_range: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesRange(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)),
+          minTimes = 2, maxTimes = 3)
+        .orderBy("user_id"),
+    oracle = Some {
+      s"""$sqlEventsPrefix
+         |c1 AS (SELECT user_id, us, event_id FROM e WHERE event_type = 'view'),
+         |${sqlHop("c2", "click", "c1", strict = true, None)},
+         |${sqlHop("c3", "view", "c2", strict = false, None)},
+         |${sqlHop("c4", "click", "c3", strict = true, None)},
+         |${sqlHop("c5", "view", "c4", strict = false, None)},
+         |${sqlHop("c6", "click", "c5", strict = true, None)},
+         |${(1 to 6).map(i =>
+            s"m$i AS (SELECT user_id, min(us) AS ts FROM c$i GROUP BY user_id)")
+            .mkString(",\n")}
+         |SELECT u.user_id,
+         |  CAST(CASE WHEN m6.ts IS NOT NULL THEN 3
+         |            WHEN m4.ts IS NOT NULL THEN 2
+         |            WHEN m2.ts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS reps_completed,
+         |  (m4.ts IS NOT NULL) AS matched,
+         |  m1.ts AS ts_r1_s1_us, m2.ts AS ts_r1_s2_us,
+         |  m3.ts AS ts_r2_s1_us, m4.ts AS ts_r2_s2_us,
+         |  m5.ts AS ts_r3_s1_us, m6.ts AS ts_r3_s2_us
+         |FROM u ${(1 to 6).map(i => s"LEFT JOIN m$i USING (user_id)")
+            .mkString(" ")}
+         |ORDER BY user_id""".stripMargin
+    })
+
+  /** GROUP pattern under `timesOrMore(3)`
+    * ([[Funnel.funnelGroupTimesOrMore]]): the unbounded dominance
+    * machine (w62) plus the threshold report. Oracle: w62's
+    * greedy-earliest chain with `matched = reps >= 3`. */
+  val w65_funnel_group_times_or_more: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesOrMore(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+          minTimes = 3)
+        .orderBy("user_id"),
+    oracle = Some(
+      s"""$sqlEventsPrefix
+         |${duckGroupLoopGreedy(24)}
+         |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps,
+         |  (COALESCE(max(lvl), 0) >= 3) AS matched
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -9473,6 +9531,8 @@ object Queries {
     "w62_funnel_group_loop" -> w62_funnel_group_loop,
     "w62b_funnel_group_loop_bucketed" -> w62b_funnel_group_loop_bucketed,
     "w63_funnel_group_loop_consecutive" -> w63_funnel_group_loop_consecutive,
+    "w64_funnel_group_times_range" -> w64_funnel_group_times_range,
+    "w65_funnel_group_times_or_more" -> w65_funnel_group_times_or_more,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

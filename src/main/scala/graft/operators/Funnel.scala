@@ -2158,6 +2158,46 @@ object Funnel {
           .as("reps"))
   }
 
+  /**
+   * Flink CEP's BOUNDED group quantifier `times(m, n)` — the last
+   * group-quantifier shape after times(n) (w59) and oneOrMore (w62).
+   * For the EXISTENCE machine the range adds only REPORTING: the
+   * max-depth fold over [[groupExpand]]'s n copies already yields
+   * `reps_completed` ≤ n, and the pattern is satisfied exactly when
+   * at least m whole copies completed — so this is [[funnelGroupTimes]]
+   * at the ceiling plus `matched = reps_completed >= m` (the same
+   * reduction that made the flat `times(m, n)` a capped loop, w18).
+   * Output: `(user_id, reps_completed, matched, ts_r<r>_s<i>_us…)`.
+   */
+  def funnelGroupTimesRange(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], minTimes: Int, maxTimes: Int,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    require(minTimes >= 1 && maxTimes >= minTimes,
+      "need 1 <= minTimes <= maxTimes")
+    funnelGroupTimes(events, userCol, typeCol, tsCol, orderCol, group,
+        maxTimes, consecutiveSeams)
+      .withColumn("matched", col("reps_completed") >= minTimes)
+      .select(Seq(col("user_id"), col("reps_completed"),
+        col("matched")) ++
+        (for (r <- 1 to maxTimes; i <- 1 to group.length)
+          yield col(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /** Flink CEP's `timesOrMore(n)` on a GROUP — n or more complete
+    * traversals: the unbounded dominance machine ([[funnelGroupLoop]])
+    * plus the threshold report `matched = reps >= n`. Output:
+    * `(user_id, reps, matched)`. */
+  def funnelGroupTimesOrMore(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], minTimes: Int,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    require(minTimes >= 1, "need minTimes >= 1")
+    funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol, group,
+        consecutiveSeams)
+      .withColumn("matched", col("reps") >= minTimes)
+  }
+
   /** [[funnelGroupLoop]]'s auto-router — feasibility routing like the
     * rest of the family (the single dominance fold dies at the ~2 GB
     * collected-array wall; the tropical segment split survives it).

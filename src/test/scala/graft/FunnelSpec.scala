@@ -1618,6 +1618,24 @@ class FunnelSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts", "event_type")
     assert(reps(ev4, guardG) === Map(1L -> 1L))
 
+    // the threshold wrappers: timesOrMore(2) flags u1 only; the
+    // bounded range times(2, 3) reports matched on the same relation
+    val tom = Funnel.funnelGroupTimesOrMore(ev1, "user_id",
+        "event_type", "ts", "event_id", vc, minTimes = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getBoolean(2)))).toMap
+    assert(tom === Map(1L -> ((2L, true)), 2L -> ((1L, false)),
+      3L -> ((0L, false))))
+    val rng = Funnel.funnelGroupTimesRange(ev1, "user_id",
+        "event_type", "ts", "event_id", vc, minTimes = 2, maxTimes = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1),
+        r.getBoolean(2)))).toMap
+    assert(rng(1L) === ((2, true)) && rng(2L) === ((1, false)))
+    intercept[IllegalArgumentException] {
+      Funnel.funnelGroupTimesRange(ev1, "user_id", "event_type", "ts",
+        "event_id", vc, minTimes = 3, maxTimes = 2)
+    }
+
     // contract: head and tail must be mandatory; the flat pattern
     // contract (non-strict head, no trailing gap guard) is lifted
     intercept[IllegalArgumentException] {
