@@ -6645,6 +6645,50 @@ object Queries {
          |ORDER BY user_id""".stripMargin
     })
 
+  /** Flink's `where(...).or(...)` — DISJUNCTIVE stage conditions,
+    * pinned explicitly: [[Funnel.funnelWhere]]'s stages are arbitrary
+    * `Column => Column` predicates, so the OR combinator is plain
+    * predicate composition (`p1(e) || p2(e)`), not a new machine.
+    * Stage 1 accepts a HIGH-VALUE view OR any error event; stage 2 a
+    * click OR a purchase. The oracle spells the same disjunctions in
+    * SQL over the same greedy-pick chain. */
+  val w66_funnel_where_or: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelWhere(eventsWithCents(spark, dir), "user_id", "ts",
+          "event_id", Seq("event_type", "v_cents"),
+          Seq(
+            e => (e.getField("event_type") === "view" &&
+              e.getField("v_cents") >= 500L) ||
+              e.getField("event_type") === "error",
+            e => e.getField("event_type") === "click" ||
+              e.getField("event_type") === "purchase"))
+        .orderBy("user_id"),
+    oracle = Some {
+      def pick(j: Int, cond: String, prev: Option[String]): String = {
+        val from = prev.map(p =>
+          s"""FROM e JOIN $p p ON p.user_id = e.user_id
+             |    AND ${sqlBefore("p", "e")}""".stripMargin)
+          .getOrElse("FROM e")
+        s"""s$j AS (SELECT user_id, us, event_id FROM (
+           |  SELECT e.user_id, e.us, e.event_id,
+           |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+           |  $from
+           |  WHERE $cond) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |u AS (SELECT DISTINCT user_id FROM e),
+         |${pick(1, "(e.event_type = 'view' AND e.v >= 500) OR e.event_type = 'error'", None)},
+         |${pick(2, "e.event_type = 'click' OR e.event_type = 'purchase'", Some("s1"))}
+         |SELECT u.user_id,
+         |  CASE WHEN s2.user_id IS NOT NULL THEN 2
+         |       WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+         |  s1.us AS ts1_us, s2.us AS ts2_us
+         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    })
+
   /** [[w53_funnel_where]] through the SKEW-SAFE split
     * ([[Funnel.funnelWhereBucketed]]): the funnel segment monoid never
     * read WHAT the advance test is — (exit stage, witnesses) per entry
@@ -9533,6 +9577,7 @@ object Queries {
     "w63_funnel_group_loop_consecutive" -> w63_funnel_group_loop_consecutive,
     "w64_funnel_group_times_range" -> w64_funnel_group_times_range,
     "w65_funnel_group_times_or_more" -> w65_funnel_group_times_or_more,
+    "w66_funnel_where_or" -> w66_funnel_where_or,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

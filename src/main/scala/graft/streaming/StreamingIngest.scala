@@ -2174,6 +2174,40 @@ object StreamingIngest {
         updateFunnelGroupLoop(group.toIndexedSeq, consecutiveSeams))
   }
 
+  /** Streaming `times(m, n)` on a GROUP — [[graft.operators.Funnel
+    * .funnelGroupTimesRange]]'s twin: the batch reduction is pure
+    * reporting over the expansion machine, so the stream is
+    * [[streamingFunnelGroupTimes]] at the ceiling plus the threshold
+    * column. */
+  def streamingFunnelGroupTimesRange(spark: SparkSession,
+      events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
+      minTimes: Int, maxTimes: Int, watermark: String,
+      consecutiveSeams: Boolean = false,
+      matchRetentionMs: Long = Long.MaxValue): DataFrame = {
+    require(minTimes >= 1 && maxTimes >= minTimes,
+      "need 1 <= minTimes <= maxTimes")
+    streamingFunnelGroupTimes(spark, events, group, maxTimes, watermark,
+        consecutiveSeams, matchRetentionMs)
+      .withColumn("matched", col("reps_completed") >= minTimes)
+      .select(Seq(col("user_id"), col("reps_completed"),
+        col("matched")) ++
+        (for (r <- 1 to maxTimes; i <- 1 to group.length)
+          yield col(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /** Streaming `timesOrMore(n)` on a GROUP — [[graft.operators.Funnel
+    * .funnelGroupTimesOrMore]]'s twin: the dominance machine plus the
+    * threshold column. */
+  def streamingFunnelGroupTimesOrMore(spark: SparkSession,
+      events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
+      minTimes: Int, watermark: String,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    require(minTimes >= 1, "need minTimes >= 1")
+    streamingFunnelGroupLoop(spark, events, group, watermark,
+        consecutiveSeams)
+      .withColumn("matched", col("reps") >= minTimes)
+  }
+
   /** [[FunnelEvent]] with the stage-condition VALUE (integer
     * fixed-point, the caller's conversion) — the iterative-condition
     * twin's event shape. */

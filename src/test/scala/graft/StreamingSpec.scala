@@ -3038,5 +3038,31 @@ class StreamingSpec extends SparkSpec {
         "event_type", "ts", "event_id", group)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(relaxed(1L) === 3L)
+    // the threshold twin is a reporting projection over the same
+    // machine: timesOrMore(2) flags exactly the users the batch
+    // wrapper flags
+    val emitted2 = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean)]
+    val q2 = StreamingIngest.streamingFunnelGroupTimesOrMore(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        group, minTimes = 2, "2 hours", consecutiveSeams = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted2.synchronized {
+          emitted2 += ((r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        })
+        ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    val last2 = emitted2.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => { val e = es.maxBy(_._2)._1; (e._2, e._3) }).toMap
+    val batch2 = graft.operators.Funnel.funnelGroupTimesOrMore(all,
+        "user_id", "event_type", "ts", "event_id", group, minTimes = 2,
+        consecutiveSeams = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getBoolean(2)))).toMap
+    assert(last2 === batch2)
+    assert(last2(1L) === ((2L, true)) && last2(2L) === ((1L, false)))
   }
 }
