@@ -2074,6 +2074,19 @@ object Funnel {
    * shuffle, one expression fold, 2k+2 longs of state. Oracle: the
    * all-matches table (one chained join per in-group hop) and an
    * unrolled reachability DP over the seam relation (w62/w63).
+   *
+   * DELIBERATELY ABSENT: `within(T)` on the unbounded loop. The w8/w42
+   * dominance that makes `within` a one-long-per-slot product needs
+   * identical continuations per slot, which fixed-depth machines have;
+   * here chains at one slot differ in BOTH reps and start, and the two
+   * orders oppose (more reps ⇒ started earlier ⇒ earlier deadline), so
+   * the lossless state is a Pareto frontier whose size is bounded only
+   * by the current max reps — no O(k) fold exists. The expressible
+   * form is the BOUNDED product [[funnelGroupTimesWithin]] at cap n,
+   * which is also what a `within`-truncated unbounded match can
+   * realize: T bounds the repetitions any match can contain, so a
+   * caller picks n ≥ the corpus' per-window ceiling and reads
+   * `reps_completed` — same answer, finite machine.
    */
   def funnelGroupLoop(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
@@ -2196,6 +2209,28 @@ object Funnel {
     funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol, group,
         consecutiveSeams)
       .withColumn("matched", col("reps") >= minTimes)
+  }
+
+  /** Match ENUMERATION on a GROUP pattern — Flink's
+    * `begin(group).times(n)` under AFTER MATCH SKIP PAST LAST EVENT
+    * with every match EMITTED: pure composition, [[funnelMulti]]'s
+    * cyclic witness machine over the `times`-fold type expansion, the
+    * flat witnesses relabeled to `ts_r<rep>_s<stage>_us`. Type-only
+    * groups (the multi machine's contract — contiguity modes don't
+    * compose with skip-past-last enumeration in Flink either: a
+    * skipped region breaks adjacency bookkeeping). */
+  def funnelGroupMatches(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      groupTypes: Seq[String], times: Int, maxMatches: Int): DataFrame = {
+    require(groupTypes.nonEmpty && times >= 1 && maxMatches >= 1,
+      "need groupTypes, times >= 1 and maxMatches >= 1")
+    val k = groupTypes.length
+    val expanded = Seq.fill(times)(groupTypes).flatten
+    funnelMulti(events, userCol, typeCol, tsCol, orderCol, expanded,
+        maxMatches)
+      .select(col("user_id") +: col("match_idx") +: col("n_matches") +:
+        (for (r <- 1 to times; i <- 1 to k) yield
+          col(s"ts${(r - 1) * k + i}_us").as(s"ts_r${r}_s${i}_us")): _*)
   }
 
   /** [[funnelGroupLoop]]'s auto-router — feasibility routing like the
