@@ -2598,6 +2598,27 @@ object StreamingIngest {
         updateFunnelMulti(stages.toIndexedSeq, maxMatches))
   }
 
+  /** Streaming GROUP match enumeration — [[graft.operators.Funnel
+    * .funnelGroupMatches]]'s twin: the batch reduction is pure
+    * composition (the cyclic witness machine over the `times`-fold
+    * type expansion), so the stream is [[streamingFunnelMulti]] over
+    * the same expansion with the flat witnesses relabeled to
+    * `ts_r<rep>_s<stage>_us`. */
+  def streamingFunnelGroupMatches(spark: SparkSession, events: DataFrame,
+      groupTypes: Seq[String], times: Int, maxMatches: Int,
+      watermark: String): DataFrame = {
+    require(groupTypes.nonEmpty && times >= 1 && maxMatches >= 1,
+      "need groupTypes, times >= 1 and maxMatches >= 1")
+    val k = groupTypes.length
+    streamingFunnelMulti(spark, events,
+        Seq.fill(times)(groupTypes).flatten, maxMatches, watermark)
+      .toDF()
+      .select(col("user_id") +: col("match_idx") +:
+        (for (r <- 1 to times; i <- 1 to k) yield
+          element_at(col("ts_us"), (r - 1) * k + i)
+            .as(s"ts_r${r}_s${i}_us")): _*)
+  }
+
   /** Chains are flat `Seq[Long]` of interleaved (us, oid) pairs;
     * `buckets(j-1)` holds the prefixes that matched stages 1..j.
     * (mu, mo) is the running after-match-skip threshold. */

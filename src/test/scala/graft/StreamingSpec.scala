@@ -2231,6 +2231,33 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.toSet === batch)
     // the cap really bit (u1 has 3 matches, only 2 emitted)
     assert(emitted.count(_._1 == 1L) === 2)
+    // the GROUP enumeration twin is the same machine over the
+    // expansion with rep/stage labels: view→click group, times 2,
+    // over the SAME source files
+    val emittedG = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[Long])]
+    val qg = StreamingIngest.streamingFunnelGroupMatches(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        Seq("view", "click"), times = 2, maxMatches = 2, "2 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emittedG.synchronized {
+          emittedG += ((r.getLong(0), r.getLong(1),
+            (2 to 5).map(i => r.getLong(i)).toSeq))
+        })
+        ()
+      }.start()
+    qg.processAllAvailable(); qg.stop()
+    val batchG = graft.operators.Funnel.funnelGroupMatches(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id", Seq("view", "click"),
+        times = 2, maxMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (3 to 6).map(i => r.getLong(i)).toSeq)).toSet
+    assert(emittedG.toSet === batchG)
+    assert(batchG.nonEmpty)
   }
 
   test("streaming after-match skip equals batch funnelSkip across out-of-order waves, online pruning included") {
