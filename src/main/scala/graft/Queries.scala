@@ -1598,6 +1598,33 @@ object Queries {
     },
     oracle = t102_unigram_encode.oracle)
 
+  /** Blocklist/taxonomy tagging via Aho–Corasick
+    * ([[DictionaryMatch.tag]]) — the C4 bad-words-filter primitive at
+    * blocklist scale: ONE broadcast automaton pass per document,
+    * O(|text| + matches) regardless of dictionary size (the naive
+    * scan is O(|text|·K); a regex alternation backtracks). Keywords
+    * deliberately include a NESTED pair ("scan" emits "can" through
+    * the output-link closure), a phrase, and an absent word; the
+    * oracle replays all-occurrence semantics with a per-position
+    * substring probe per keyword. */
+  val t111_blocklist_tag: Q = Q(
+    run = (spark, dir) =>
+      DictionaryMatch.tag(t(spark, dir, "documents"), "doc_id", "text",
+          Seq("scan", "can", "join", "batch batch", "merge", "zebra",
+            "slow", "row"))
+        .orderBy("doc_id"),
+    bench = true,
+    oracle = Some(
+      """WITH kw AS (SELECT unnest(['scan','can','join','batch batch','merge','zebra','slow','row']) AS k),
+        |h AS (SELECT d.doc_id, k.k,
+        |  len([i for i in range(length(lower(d.text)))
+        |       if substr(lower(d.text), CAST(i + 1 AS INT), CAST(length(k.k) AS INT)) = k.k]) AS c
+        |  FROM documents d CROSS JOIN kw k)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keywords,
+        |  (sum(c) > 0) AS flagged
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Fuzzy string join ([[FuzzyJoin.fuzzyJoin]]) — PassJoin segment
     * blocking + levenshtein verify, the record-linkage primitive: a
     * third of part names, each with its 3rd character deleted
@@ -9488,6 +9515,7 @@ object Queries {
     "t108_wordpiece_store_latest" -> t108_wordpiece_store_latest,
     "t109_bpe_store_roundtrip" -> t109_bpe_store_roundtrip,
     "t110_unigram_store_roundtrip" -> t110_unigram_store_roundtrip,
+    "t111_blocklist_tag" -> t111_blocklist_tag,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,
