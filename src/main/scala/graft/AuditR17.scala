@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Layout, UnigramLm, WordPiece}
+import graft.operators.{DictionaryMatch, Funnel, Layout, UnigramLm, WordPiece}
 
 /**
  * Round-17 audit — one JSON line per claim the round's code makes:
@@ -310,6 +310,33 @@ object AuditR17 {
       }
       println(s"""{"metric":"r17_grouploop_skew","events":$n,""" +
         out.mkString(",") + "}")
+    }
+
+    // ---------------- 10. dictionary tagging: K-independence ----------------
+    // The Aho–Corasick claim is that tag cost is O(|text|), independent
+    // of dictionary size: sweep K at fixed corpus (8 real keywords vs
+    // the same plus 792 synthetic absent ones) and scale the corpus at
+    // fixed K.
+    if (enabled("dict")) {
+      val real = Seq("scan", "can", "join", "batch batch", "merge",
+        "zebra", "slow", "row")
+      val big = real ++ (1 to 792).map(i => s"kw$i absent $i")
+      def cost(path: String, kws: Seq[String]): Double = minOf(2) {
+        val r = DictionaryMatch.tag(spark.read.parquet(path), "doc_id",
+            "text", kws)
+          .agg(sum("n_hits")).head.getLong(0)
+        require(r > 0L)
+      }
+      val base = s"$sfDir/documents.parquet"
+      val k8 = cost(base, real)
+      val k800 = cost(base, big)
+      val rows = Seq("lm10x" -> s"$scaleDir/lm10x/documents.parquet",
+        "lm100x" -> s"$scaleDir/lm100x/documents.parquet").map {
+        case (tag, path) => s""""$tag":${cost(path, real)}"""
+      }
+      println(s"""{"metric":"r17_dict_tag","sf0.1_k8":$k8,""" +
+        s""""sf0.1_k800":$k800,"k_ratio":${k800 / k8},""" +
+        rows.mkString(",") + "}")
     }
 
     spark.stop()
