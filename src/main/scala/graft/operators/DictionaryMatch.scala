@@ -116,7 +116,11 @@ object DictionaryMatch {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(build(keywords))
-    docs.select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+    // NULL text tags as zero hits (the doc still appears — dropping it
+    // would silently shrink the corpus), matching the oracle's
+    // behavior on an empty string
+    docs.select(col(idCol).as("id"),
+        lower(coalesce(col(textCol), lit(""))).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val (hits, distinct) = b.value.scan(t)

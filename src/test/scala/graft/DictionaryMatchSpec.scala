@@ -39,7 +39,8 @@ class DictionaryMatchSpec extends SparkSpec {
 
   test("tag: map-only corpus pass with broadcast automaton; flags and counts per doc") {
     val docs = Seq((1L, "Scan the table SCAN"), (2L, "nothing here"),
-      (3L, "zebra")).toDF("doc_id", "text")
+      (3L, "zebra"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val r = DictionaryMatch.tag(docs, "doc_id", "text",
         Seq("scan", "can", "zebra"))
       .orderBy("doc_id")
@@ -48,6 +49,8 @@ class DictionaryMatchSpec extends SparkSpec {
     assert(r(0) === ((1L, 4L, 2L, true)))
     assert(r(1) === ((2L, 0L, 0L, false)))
     assert(r(2) === ((3L, 1L, 1L, true)))
+    // NULL text: the doc still appears, zero hits (not dropped)
+    assert(r(3) === ((4L, 0L, 0L, false)))
     intercept[IllegalArgumentException] {
       DictionaryMatch.build(Seq.empty)
     }
