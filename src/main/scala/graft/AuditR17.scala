@@ -37,6 +37,23 @@ import graft.operators.{DictionaryMatch, Funnel, Layout, UnigramLm, WordPiece}
  *    ([[AuditUtil.groupsByAttr]]) + value equality vs the explicit
  *    mode call on a 1M-event corpus.
  *
+ * 6. PLAN SHAPES — hash-exchange counts + broadcast probes of the
+ *    round's headline operators.
+ *
+ * 7. WORDPIECE 100× — [[WordPiece.train]] + encode on the LM corpora
+ *    (the BPE/unigram claim: corpus-pass dominated, vocab-sized
+ *    rounds).
+ *
+ * 8. GROUP-LOOP 100× — [[Funnel.funnelGroupLoop]] over the events
+ *    corpora + the one-user-shuffle plan check.
+ *
+ * 9. GROUP-LOOP SKEW — single dominance fold vs the tropical segment
+ *    split at a 10M-event power key, bit-equality + cost, both seam
+ *    modes.
+ *
+ * 10. DICTIONARY TAGGING — [[DictionaryMatch.tag]] K-independence
+ *     (8 vs 800 keywords at fixed corpus) + the corpus scale curve.
+ *
  * Usage: runMain graft.AuditR17 [sfDir] [scaleAuditDir]
  */
 object AuditR17 {
