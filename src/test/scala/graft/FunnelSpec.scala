@@ -1654,6 +1654,91 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("property: group-loop dominance fold equals an independent exponential enumerator on random corpora") {
+    // Brute force: enumerate EVERY chain of sequential traversals,
+    // exact NFA semantics — strict hops are immediate-successor,
+    // optional mid-stages skip without moving the strictness anchor,
+    // a notNext kill blocks extension only past the blocker (an
+    // advance AT the blocker event reads the pre-state, the l/o
+    // rule), seams relaxed or adjacent. Exponential, tiny inputs.
+    def bruteReps(tps: Vector[String], group: Seq[Funnel.PatternStage],
+        consec: Boolean): Long = {
+      val k = group.length
+      val n = tps.length
+      // completions(e1bound, adjacent): all end indices of one full
+      // traversal whose first event is > e1bound (or == e1bound + 1).
+      // `lastStage` tracks the last MATCHED stage (optional skips do
+      // not move it) — strictness anchors and gap guards are ITS.
+      def ends(j: Int, lastIdx: Int, lastStage: Int, bound: Int,
+          adjacent: Boolean): Set[Int] =
+        if (j > k) Set(lastIdx)
+        else {
+          val st = group(j - 1)
+          val viaSkip =
+            if (st.optional && j > 1)
+              ends(j + 1, lastIdx, lastStage, bound, adjacent)
+            else Set.empty[Int]
+          val cands = (0 until n).filter { e =>
+            tps(e) == st.tp && {
+              if (j == 1) { if (adjacent) e == bound + 1 else e > bound }
+              else if (st.strict) e == lastIdx + 1
+              else e > lastIdx
+            } && {
+              // the last MATCHED stage's gap guard: extension past the
+              // blocker is dead, landing ON the blocker is not
+              if (j == 1) true
+              else group(lastStage - 1).notNextAfter match {
+                case Some(x) if lastIdx + 1 < n &&
+                    tps(lastIdx + 1) == x => e == lastIdx + 1
+                case _ => true
+              }
+            }
+          }
+          viaSkip ++ cands.flatMap(e =>
+            ends(j + 1, e, j, bound, adjacent))
+        }
+      def best(bound: Int, adjacent: Boolean): Long = {
+        val es = ends(1, -1, 0, bound, adjacent)
+        if (es.isEmpty) 0L
+        else es.map(t => 1L + best(t, consec)).max
+      }
+      best(-1, adjacent = false)
+    }
+    val rnd = new scala.util.Random(20260817L)
+    val groups = Seq(
+      Seq(Funnel.PatternStage("A"), Funnel.PatternStage("B")),
+      Seq(Funnel.PatternStage("A"),
+        Funnel.PatternStage("B", strict = true)),
+      Seq(Funnel.PatternStage("A", notNextAfter = Some("X")),
+        Funnel.PatternStage("B")),
+      Seq(Funnel.PatternStage("A"),
+        Funnel.PatternStage("X", optional = true),
+        Funnel.PatternStage("B")),
+      // kill × optional-skip: a chain that skips X still carries A's
+      // gap guard (the last MATCHED stage's, not the list-previous)
+      Seq(Funnel.PatternStage("A", notNextAfter = Some("X")),
+        Funnel.PatternStage("X", optional = true),
+        Funnel.PatternStage("B")))
+    val types = Array("A", "B", "X")
+    for ((g, gi) <- groups.zipWithIndex; consec <- Seq(false, true)) {
+      val corpora = (1 to 25).map { u =>
+        u.toLong -> Vector.fill(6 + rnd.nextInt(9))(
+          types(rnd.nextInt(3)))
+      }
+      val ev = corpora.flatMap { case (u, tps) =>
+        tps.zipWithIndex.map { case (tp, i) =>
+          (u, u * 1000 + i, ts(i), tp) }
+      }.toDF("user_id", "event_id", "ts", "event_type")
+      val got = Funnel.funnelGroupLoop(ev, "user_id", "event_type",
+          "ts", "event_id", g, consec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      corpora.foreach { case (u, tps) =>
+        assert(got(u) === bruteReps(tps, g, consec),
+          s"group#$gi consec=$consec user=$u tps=${tps.mkString}")
+      }
+    }
+  }
+
   test("property: group-loop tropical segment monoid == single dominance fold on random corpora, both seam modes") {
     val rnd = new scala.util.Random(20260816L)
     val types = Array("view", "click", "error")
