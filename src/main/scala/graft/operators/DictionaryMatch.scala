@@ -3,7 +3,13 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Multi-keyword DICTIONARY MATCHING via Aho–Corasick (Aho & Corasick,
@@ -60,6 +66,13 @@ object DictionaryMatch {
       while (k < seen.length) { if (seen(k)) d += 1; k += 1 }
       (total, d)
     }
+
+    /** [[scan]] in the expression kernel's shape: one struct row
+      * `(n_hits, n_keywords)`. */
+    def scanRow(text: UTF8String): GenericInternalRow = {
+      val (hits, distinct) = scan(text.toString)
+      new GenericInternalRow(Array[Any](hits, distinct.toLong))
+    }
   }
 
   /** Build the automaton: trie insert, BFS failure links, output-list
@@ -104,28 +117,63 @@ object DictionaryMatch {
   }
 
   /**
-   * Tag every document against the dictionary: one broadcast automaton,
-   * one map-only corpus pass. Matching is over `lower(text)` with
-   * keywords expected lowercase (the corpus-normalization convention
-   * of the dedup family). Output per document:
+   * Tag every document against the dictionary: ONE map-only corpus
+   * pass through the native expression kernel ([[DictTag]] — the
+   * functions-not-UDFs tier: no typed-encoder round trip, the scan
+   * inlines into whole-stage codegen via a plan reference object, and
+   * the automaton ships once per stage inside the broadcast task
+   * binary, not once per row group). Matching is over `lower(text)`
+   * with keywords expected lowercase (the corpus-normalization
+   * convention of the dedup family); NULL text tags as zero hits (the
+   * doc still appears — dropping it would silently shrink the
+   * corpus). Output per document:
    * `(doc_id, n_hits, n_keywords, flagged)` — total occurrences,
    * distinct keywords seen, any-hit flag.
    */
   def tag(docs: DataFrame, idCol: String, textCol: String,
       keywords: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(build(keywords))
-    // NULL text tags as zero hits (the doc still appears — dropping it
-    // would silently shrink the corpus), matching the oracle's
-    // behavior on an empty string
-    docs.select(col(idCol).as("id"),
-        lower(coalesce(col(textCol), lit(""))).as("t"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        val (hits, distinct) = b.value.scan(t)
-        (id, hits, distinct.toLong, hits > 0)
-      }
-      .toDF("doc_id", "n_hits", "n_keywords", "flagged")
+    val auto = build(keywords)
+    // struct unwrap in a SEPARATE projection: CollapseProject refuses
+    // to duplicate non-cheap expressions, so the kernel evaluates once
+    // per row (the ShingleLshBands layout rule)
+    docs.select(col(idCol).as("doc_id"),
+        bridge.column(DictTag(bridge.expression(
+          lower(coalesce(col(textCol), lit("")))), auto)).as("s"))
+      .select(col("doc_id"), col("s.n_hits").as("n_hits"),
+        col("s.n_keywords").as("n_keywords"),
+        (col("s.n_hits") > 0).as("flagged"))
   }
+}
+
+/** The dictionary scan as one fused expression node: input the
+  * (already lowercased) text, output `struct(n_hits, n_keywords)`.
+  * The automaton is expression STATE, reaching generated code through
+  * a plan reference object (`addReferenceObj` — the Catalyst pattern
+  * for model-carrying kernels). */
+case class DictTag(child: Expression,
+    automaton: DictionaryMatch.Automaton) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_keywords", LongType, nullable = false)))
+  override def prettyName: String = "graft_dict_tag"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    automaton.scanRow(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val auto = ctx.addReferenceObj("dictAutomaton", automaton,
+      classOf[DictionaryMatch.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $auto.scanRow($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DictTag =
+    copy(child = newChild)
 }

@@ -51,6 +51,11 @@ class DictionaryMatchSpec extends SparkSpec {
     assert(r(2) === ((3L, 1L, 1L, true)))
     // NULL text: the doc still appears, zero hits (not dropped)
     assert(r(3) === ((4L, 0L, 0L, false)))
+    // expression-tier proof: the plan has no typed-encoder round trip
+    val plan = DictionaryMatch.tag(docs, "doc_id", "text",
+      Seq("scan")).queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapElements"), plan)
     intercept[IllegalArgumentException] {
       DictionaryMatch.build(Seq.empty)
     }
