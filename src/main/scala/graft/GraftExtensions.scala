@@ -59,6 +59,14 @@ object GraftExtensions {
     // hazard does not apply to the kernel path)
     "graft_fingerprint" -> unary("graft_fingerprint")(
       operators.TextAnalysis.fingerprint(_)),
+    // Aho–Corasick dictionary scan (round 17) — keyword set fixed to
+    // the gated t111 blocklist for the SQL surface (the Column API /
+    // DictionaryMatch.tag expose the dictionary); input is expected
+    // pre-lowercased, as in the operator
+    "graft_dict_tag" -> unary("graft_dict_tag")(c =>
+      bridge.column(operators.DictTag(bridge.expression(c),
+        operators.DictionaryMatch.build(Seq("scan", "can", "join",
+          "batch batch", "merge", "zebra", "slow", "row"))))),
     // fused-kernel families (round 7): minhash signature, winnowing
     // fingerprints — k / (gram, w) fixed to the gated defaults for the
     // SQL surface; the Column API exposes the parameters

@@ -136,6 +136,17 @@ class DotProductSpec extends SparkSpec {
     assert(err.getMessage.contains("graft_redact"))
   }
 
+  test("SQL kernel macro: graft_dict_tag scans with the gated blocklist") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dict_tag('the scan can merge') AS d").head
+      .getStruct(0)
+    // scan(+nested can), can, merge → 4 hits over 3 distinct keywords
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(spark.sql("SELECT graft_dict_tag('nothing') AS d")
+      .head.getStruct(0).getLong(0) === 0L)
+  }
+
   test("SQL kernel macros: graft_minhash and graft_winnow match the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._
