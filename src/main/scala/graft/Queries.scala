@@ -156,6 +156,26 @@ object Queries {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** CSV corpus interchange round-trip ([[graft.sources.JsonlCorpus
+    * .writeCsv]]/[[graft.sources.JsonlCorpus.readCsv]]) — the other
+    * wire format corpora arrive in, with RFC 4180 quoting pinned
+    * (doubled double-quote escaping, header, explicit schema,
+    * FAILFAST). Hash-equality against the source table proves field
+    * values survive the quote/escape cycle; the null-vs-empty-string
+    * CSV seam is spec-pinned on a crafted frame (this corpus has
+    * neither). */
+  val s7_csv_roundtrip: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val path = "spark-warehouse/graft_csv_docs"
+      graft.sources.JsonlCorpus.writeCsv(docs, cols, path)
+      graft.sources.JsonlCorpus
+        .readCsv(spark, path, docs.select(cols.map(col): _*).schema)
+        .orderBy("doc_id")
+    },
+    oracle = s6_jsonl_roundtrip.oracle)
+
   // ---------------------------------------------------------------------
   // F1 + F5–F13: full lineage enrichment with dual canonical hashes
   // ---------------------------------------------------------------------
@@ -1616,6 +1636,36 @@ object Queries {
     bench = true,
     oracle = Some(
       """WITH kw AS (SELECT unnest(['scan','can','join','batch batch','merge','zebra','slow','row']) AS k),
+        |h AS (SELECT d.doc_id, k.k,
+        |  len([i for i in range(length(lower(d.text)))
+        |       if substr(lower(d.text), CAST(i + 1 AS INT), CAST(length(k.k) AS INT)) = k.k]) AS c
+        |  FROM documents d CROSS JOIN kw k)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keywords,
+        |  (sum(c) > 0) AS flagged
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** VERSIONED blocklist with AS-OF tagging
+    * ([[TokenizerStore.saveDictionary]] + [[DictionaryMatch.tag]]) —
+    * policy lists are governed artifacts: version 1 holds four
+    * keywords, version 2 the gated eight, and the tagging run pins
+    * version 1 — the oracle replays the FOUR-keyword scan, so a load
+    * that leaked version 2 hash-mismatches. */
+  val t112_blocklist_store_asof: Q = Q(
+    run = (spark, dir) => {
+      val table = "graft_dict_store"
+      CommitLog.clear(spark, table)
+      TokenizerStore.saveDictionary(spark, table, 1L,
+        Seq("scan", "can", "join", "merge"))
+      TokenizerStore.saveDictionary(spark, table, 2L,
+        Seq("scan", "can", "join", "batch batch", "merge", "zebra",
+          "slow", "row"))
+      DictionaryMatch.tag(t(spark, dir, "documents"), "doc_id", "text",
+          TokenizerStore.loadDictionary(spark, table, asOf = Some(1L)))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      """WITH kw AS (SELECT unnest(['scan','can','join','merge']) AS k),
         |h AS (SELECT d.doc_id, k.k,
         |  len([i for i in range(length(lower(d.text)))
         |       if substr(lower(d.text), CAST(i + 1 AS INT), CAST(length(k.k) AS INT)) = k.k]) AS c
@@ -9438,6 +9488,7 @@ object Queries {
     "s4_schema_inference" -> s4_schema_inference,
     "s5_order_key_detection" -> s5_order_key_detection,
     "s6_jsonl_roundtrip" -> s6_jsonl_roundtrip,
+    "s7_csv_roundtrip" -> s7_csv_roundtrip,
     "f1_enrich_lineitem" -> f1_enrich_lineitem,
     "f_canonical_tokens" -> f_canonical_tokens,
     "a1_count_bounded" -> a1_count_bounded,
@@ -9516,6 +9567,7 @@ object Queries {
     "t109_bpe_store_roundtrip" -> t109_bpe_store_roundtrip,
     "t110_unigram_store_roundtrip" -> t110_unigram_store_roundtrip,
     "t111_blocklist_tag" -> t111_blocklist_tag,
+    "t112_blocklist_store_asof" -> t112_blocklist_store_asof,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,
     "t95_forget_everywhere" -> t95_forget_everywhere,
     "p14_vocab_growth" -> p14_vocab_growth,

@@ -121,4 +121,19 @@ object TokenizerStore {
       .collect().toSeq.sortBy(_.getInt(0))
       .map(r => WordPiece.Merge(r.getInt(0), r.getString(1),
         r.getString(2), r.getLong(3), r.getLong(4)))
+
+  /** A versioned KEYWORD DICTIONARY (the [[DictionaryMatch]] blocklist
+    * as a governed artifact — policy lists change over time and a
+    * tagging run must be pinnable to the list as of a given release):
+    * keywords store as (0, keyword) rows, versions replace. */
+  def saveDictionary(spark: SparkSession, table: String, version: Long,
+      keywords: Seq[String]): Boolean =
+    saveRows(spark, table, version,
+      keywords.map(k => Row(0, k, null, null, null)))
+
+  def loadDictionary(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] =
+    loadRows(spark, table, asOf)
+      .collect().map(_.getString(1)).toSeq
+      .sortWith(BpeTrain.utf8Less)
 }

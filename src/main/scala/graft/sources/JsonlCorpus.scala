@@ -37,4 +37,30 @@ object JsonlCorpus {
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** CSV interchange (RFC 4180 conventions pinned): header on, quote
+    * escaping by doubled double-quote (`escape = "` — Spark's default
+    * backslash escaping is NOT what spreadsheet/warehouse tooling
+    * emits), explicit schema + FAILFAST like [[readJsonl]].
+    *
+    * Two seams, documented because CSV has them and JSONL does not:
+    *   - the EMPTY STRING is indistinguishable from NULL on the wire
+    *     (both round-trip to null — JsonlCorpusSpec pins it); ship
+    *     JSONL when that distinction matters;
+    *   - embedded newlines need `multiLine = true` on read, which
+    *     makes a file NON-SPLITTABLE — at 100 TB keep shards bounded
+    *     (the writer's per-partition files already are) or strip
+    *     newlines upstream. */
+  def writeCsv(df: DataFrame, cols: Seq[String], path: String): Unit =
+    df.select(cols.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").option("mode", "FAILFAST")
+      .csv(path)
 }

@@ -56,4 +56,30 @@ class JsonlCorpusSpec extends SparkSpec {
     assert(back.map(_.getString(1)).toSeq ===
       tricky.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
+
+  test("CSV round-trip: RFC 4180 quoting survives commas/quotes/newlines/unicode; the null-vs-empty seam is pinned") {
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "comma, separated, values", "en", "s", 24L),
+      (2L, "she said \"hi, there\" twice", "en", "s", 26L),
+      (3L, "first line\nsecond line", "en", "s", 22L),
+      (4L, "unicode: café 中文 😀", "und", "s", 20L),
+      (5L, null.asInstanceOf[String], "en", "s", 0L),
+      (6L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val path = Files.createTempDirectory("csv-rt").toString + "/docs"
+    JsonlCorpus.writeCsv(tricky, cols, path)
+    val back = JsonlCorpus.readCsv(spark, path, tricky.schema)
+      .orderBy("doc_id").collect()
+    // values with commas, quotes, newlines and unicode survive exactly
+    (0 to 3).foreach { i =>
+      assert(back(i).getString(1) ===
+        tricky.orderBy("doc_id").collect()(i).getString(1), s"row $i")
+    }
+    // THE CSV SEAM: null and "" are the same on the wire — both read
+    // back as null (ship JSONL when the distinction matters)
+    assert(back(4).isNullAt(1) && back(5).isNullAt(1))
+    // every other column of those rows is intact
+    assert(back(4).getLong(0) === 5L && back(5).getLong(4) === 0L)
+  }
 }
