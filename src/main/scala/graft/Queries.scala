@@ -4628,6 +4628,84 @@ object Queries {
          |  CAST(48 + (doc_id % 6) * 16 AS INT) AS height
          |FROM documents ORDER BY asset_id""".stripMargin))
 
+  /** REAL MP4 frame-index parsing ([[Multimodal.mp4FrameIndex]]) —
+    * the verdict's last non-blocked seam (the m2 fixed-stride stub)
+    * retired the m3 way: per document a VALID minimal ISO-BMFF file
+    * is synthesized byte-for-byte (`ftyp`, an id-varying `free` box
+    * so every moov sits at a different offset, `moov/mvhd/trak/mdia/
+    * mdhd/minf/stbl` with real `stts` run pairs, an id-varying `stsz`
+    * size table and `stco`, then `mdat` with deterministic frame
+    * bytes), and the parser must recover frame count, timescale,
+    * duration, and every 2nd frame's timestamp/offset/size through
+    * the genuine box walk — the frame md5 is computed by SLICING the
+    * payload at the PARSED offsets, so the oracle's closed-form
+    * content hash proves the offset arithmetic end to end. */
+  val m4_mp4_frame_index: Q = Q(
+    run = (spark, dir) => {
+      import org.apache.spark.sql.Column
+      val id = col("doc_id")
+      val n = lit(4L) + id % 5L
+      val freeN = id % 7L
+      val tscale = lit(1000L) + (id % 3L) * 500L
+      val delta2 = lit(512L) + (id % 2L) * 256L
+      val dur = lit(512L) + (n - 2L) * delta2
+      def h32(c: Column) = lpad(hex(c), 8, "0")
+      def sizeOf(i: Column) = lit(16L) + ((id + i) % 4L) * 8L
+      val sizesHex = array_join(transform(sequence(lit(0L), n - 1L),
+        i => lpad(hex(sizeOf(i)), 8, "0")), "")
+      val framesHex = array_join(transform(sequence(lit(0L), n - 1L),
+        i => repeat(lpad(lower(hex((id * 7L + i * 13L) % 256L)), 2, "0"),
+          40).substr(lit(1), (sizeOf(i) * 2L).cast("int"))), "")
+      val mdatBytes = aggregate(sequence(lit(0L), n - 1L), lit(0L),
+        (acc, i) => acc + sizeOf(i))
+      val stcoBase = lit(284L) + freeN + lit(4L) * n
+      val hexFile = concat(
+        lit("00000010" + "66747970" + "69736f6d" + "00000000"),
+        h32(lit(8L) + freeN), lit("66726565"),
+        substring(lit("00" * 6), lit(1), (freeN * 2L).cast("int")),
+        h32(lit(252L) + lit(4L) * n), lit("6d6f6f76"),
+        lit("0000006c" + "6d766864" + "00000000" + "00000000" +
+          "00000000"), h32(tscale), h32(dur), lit("00" * 80),
+        h32(lit(136L) + lit(4L) * n), lit("7472616b"),
+        h32(lit(128L) + lit(4L) * n), lit("6d646961"),
+        lit("00000020" + "6d646864" + "00000000" + "00000000" +
+          "00000000"), h32(tscale), h32(dur), lit("55c40000"),
+        h32(lit(88L) + lit(4L) * n), lit("6d696e66"),
+        h32(lit(80L) + lit(4L) * n), lit("7374626c"),
+        lit("00000020" + "73747473" + "00000000" + "00000002"),
+        h32(lit(2L)), h32(lit(256L)), h32(n - 2L), h32(delta2),
+        h32(lit(20L) + lit(4L) * n), lit("7374737a" + "00000000" +
+          "00000000"), h32(n), sizesHex,
+        lit("00000014" + "7374636f" + "00000000" + "00000001"),
+        h32(stcoBase),
+        h32(lit(8L) + mdatBytes), lit("6d646174"), framesHex)
+      Multimodal.mp4FrameIndex(
+          t(spark, dir, "documents")
+            .select(col("doc_id").as("asset_id"),
+              unhex(hexFile).as("payload")),
+          stride = 2)
+        .orderBy("asset_id", "frame_idx")
+    },
+    oracle = Some(
+      """WITH p AS (SELECT doc_id AS id, 4 + doc_id % 5 AS n,
+        |    doc_id % 7 AS freeN, 1000 + (doc_id % 3) * 500 AS tscale,
+        |    512 + (doc_id % 2) * 256 AS delta2 FROM documents),
+        |f AS (SELECT id, n, tscale, delta2,
+        |    512 + (n - 2) * delta2 AS dur,
+        |    284 + freeN + 4 * n AS base,
+        |    unnest(range(0, CAST(n AS BIGINT), 2)) AS i FROM p)
+        |SELECT id AS asset_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(tscale AS BIGINT) AS timescale, CAST(dur AS BIGINT) AS duration,
+        |  CAST(i // 2 AS INT) AS sample_idx, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN i < 2 THEN i * 256
+        |       ELSE 512 + (i - 2) * delta2 END AS BIGINT) AS ts_units,
+        |  CAST(base + COALESCE(list_sum(
+        |    [16 + ((id + j) % 4) * 8 for j in range(i)]), 0) AS BIGINT) AS offset,
+        |  CAST(16 + ((id + i) % 4) * 8 AS BIGINT) AS size,
+        |  md5(repeat(lpad(lower(hex((id * 7 + i * 13) % 256)), 2, '0'),
+        |    CAST(16 + ((id + i) % 4) * 8 AS INT))) AS frame_md5
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Event-stream analytics (batch equivalents of the streaming surface;
   // streaming execution itself is exercised in StreamingSpec)
@@ -9641,6 +9719,7 @@ object Queries {
     "m1_multimodal_features" -> m1_multimodal_features,
     "m2_frame_sample" -> m2_frame_sample,
     "m3_container_headers" -> m3_container_headers,
+    "m4_mp4_frame_index" -> m4_mp4_frame_index,
     "w1_windowed_agg" -> w1_windowed_agg,
     "w2_sessionization" -> w2_sessionization,
     "w3_distinct_users" -> w3_distinct_users,

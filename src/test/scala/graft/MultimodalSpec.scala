@@ -114,4 +114,77 @@ class MultimodalSpec extends SparkSpec {
       (3L, true, Some(33), Some(17)),
       (4L, false, None, None)))
   }
+
+  test("mp4FrameIndex: hand-built container parses exactly; unknown siblings stepped over; uniform stsz; malformed fails closed") {
+    import spark.implicits._
+    def h32(v: Long) = f"$v%08x"
+    def box(tp: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.length / 2
+      h32(size) + tp.getBytes("US-ASCII").map("%02x".format(_)).mkString +
+        payloadHex
+    }
+    // 3 frames: sizes 4,6,8; stts runs (2×100)(1×300); timescale 600;
+    // an UNKNOWN 'udta' sibling sits between mvhd and trak, and a
+    // 'free' box precedes moov — both must be walked over, not choked on
+    val frames = "aa" * 4 + "bb" * 6 + "cc" * 8
+    val stts = box("stts", "00000000" + "00000002" +
+      h32(2) + h32(100) + h32(1) + h32(300))
+    val stsz = box("stsz", "00000000" + h32(0) + h32(3) +
+      h32(4) + h32(6) + h32(8))
+    def stcoFor(base: Long) = box("stco", "00000000" + "00000001" + h32(base))
+    val mdhd = box("mdhd", "00000000" + "00000000" + "00000000" +
+      h32(600) + h32(500) + "55c40000")
+    def file(stcoBase: Long, uniformSz: Option[Long] = None): Array[Byte] = {
+      val sz = uniformSz.map(u => box("stsz",
+        "00000000" + h32(u) + h32(3))).getOrElse(stsz)
+      val stbl = box("stbl", stts + sz + stcoFor(stcoBase))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd + minf)
+      val trak = box("trak", mdia)
+      val mvhd = box("mvhd", "00" * 100)
+      val udta = box("udta", "00" * 5)
+      val moov = box("moov", mvhd + udta + trak)
+      val ftyp = box("ftyp", "69736f6d00000000")
+      val free = box("free", "00" * 3)
+      val hexStr = ftyp + free + moov + box("mdat", frames)
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    // header length before mdat payload: computable from the parts
+    val headerLen = file(0L).length - frames.length / 2
+    val good = file(headerLen.toLong)
+    val rows = Multimodal.mp4FrameIndex(
+        Seq((1L, good)).toDF("asset_id", "payload"), stride = 1)
+      .orderBy("frame_idx")
+      .collect().map(r => (r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    // (frame_idx, ts_units, offset, size)
+    assert(rows === Array(
+      (0L, 0L, headerLen.toLong, 4L),
+      (1L, 100L, headerLen + 4L, 6L),
+      (2L, 200L, headerLen + 10L, 8L)))
+    val head = Multimodal.mp4FrameIndex(
+        Seq((1L, good)).toDF("asset_id", "payload"), stride = 1)
+      .select("n_frames", "timescale", "duration").head
+    assert((head.getLong(0), head.getLong(1), head.getLong(2)) ===
+      ((3L, 600L, 500L)))
+    // frame md5 = md5 of the sliced content's lowercase hex
+    val md = Multimodal.mp4FrameIndex(
+        Seq((1L, good)).toDF("asset_id", "payload"), stride = 2)
+      .orderBy("frame_idx").collect().map(_.getString(9))
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(md === Array(m("aa" * 4), m("cc" * 8)))
+    // uniform sample_size branch (stsz fast field, no per-sample table)
+    val uni = Multimodal.mp4FrameIndex(
+        Seq((1L, file(100L, uniformSz = Some(6L))))
+          .toDF("asset_id", "payload"), stride = 1)
+      .orderBy("frame_idx").collect().map(r => (r.getLong(7), r.getLong(8)))
+    assert(uni === Array((100L, 6L), (106L, 6L), (112L, 6L)))
+    // malformed inputs emit NO rows: not ISO-BMFF, truncated, no stbl
+    val junk: Array[Byte] = "not an mp4 at all".getBytes("US-ASCII")
+    val truncated = good.take(40)
+    assert(Multimodal.mp4FrameIndex(
+      Seq((1L, junk), (2L, truncated)).toDF("asset_id", "payload"),
+      stride = 1).count() === 0L)
+  }
 }
