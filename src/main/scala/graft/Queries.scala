@@ -7540,8 +7540,9 @@ object Queries {
     * machine is a max-plus dominance fold (max completed reps per
     * (stage, l/o) slot + two idle slots — FunnelSpec pins why greedy
     * replay fails under consecutive seams); the oracle is the
-    * greedy-earliest chain unrolled 24 deep (valid exactly because
-    * these seams are RELAXED; the per-user ceiling at sf0.01 is 19). */
+    * greedy-earliest chain unrolled 28 deep (valid exactly because
+    * these seams are RELAXED; per-user ceilings: 19 at sf0.01, 21 at
+    * sf0.1). */
   val w62_funnel_group_loop: Q = Q(
     run = (spark, dir) =>
       Funnel.funnelGroupLoop(t(spark, dir, "events"), "user_id",
@@ -7551,7 +7552,7 @@ object Queries {
     bench = true,
     oracle = Some(
       s"""$sqlEventsPrefix
-         |${duckGroupLoopGreedy(24)}
+         |${duckGroupLoopGreedy(28)}
          |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps
          |FROM u LEFT JOIN lv USING (user_id)
          |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
@@ -7577,8 +7578,8 @@ object Queries {
     * traversal's click. Greedy-earliest is WRONG here (the spec's
     * trap), so the oracle is honest reachability: the all-matches
     * table (idx-adjacent view→click pairs) and an unrolled DP over
-    * the seam relation `next.start = prev.end + 1` — depth 10 against
-    * the corpus ceiling of 7. */
+    * the seam relation `next.start = prev.end + 1` — depth 16 against
+    * corpus ceilings of 7 (sf0.01) and 10 (sf0.1). */
   val w63_funnel_group_loop_consecutive: Q = Q(
     run = (spark, dir) =>
       Funnel.funnelGroupLoop(t(spark, dir, "events"), "user_id",
@@ -7588,7 +7589,7 @@ object Queries {
           consecutiveSeams = true)
         .orderBy("user_id"),
     oracle = Some {
-      val rounds = 10
+      val rounds = 16
       val dp = (2 to rounds).map(k =>
         s"""d$k AS MATERIALIZED (SELECT DISTINCT m.user_id, m.t
            |  FROM mt m JOIN d${k - 1} p ON p.user_id = m.user_id
@@ -7663,7 +7664,7 @@ object Queries {
         .orderBy("user_id"),
     oracle = Some(
       s"""$sqlEventsPrefix
-         |${duckGroupLoopGreedy(24)}
+         |${duckGroupLoopGreedy(28)}
          |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps,
          |  (COALESCE(max(lvl), 0) >= 3) AS matched
          |FROM u LEFT JOIN lv USING (user_id)
