@@ -137,8 +137,16 @@ object Multimodal {
     * [start, end): a bounded walk over `size(4 BE) type(4)` headers,
     * advancing by each box's self-declared size. NULL when absent,
     * truncated, or malformed (size < 8 / overrunning the range stalls
-    * the walk — the jpeg-walk fall-through discipline). NULL inputs
-    * propagate to a NULL result through the fold's null comparisons. */
+    * the walk — the jpeg-walk fall-through discipline). A 64-bit
+    * `largesize` header (size == 1) or a to-end-of-file box
+    * (size == 0) also stalls the walk, INCLUDING on the target type:
+    * the fixed-offset field reads downstream assume the compact
+    * header, so these parse fail-closed rather than silently wrong.
+    * NULL inputs propagate to a NULL result through the fold's null
+    * comparisons. `maxBoxes` bounds the SIBLING count at each level
+    * (a real `stbl` commonly holds 8–10 children — stsd, stts, ctts,
+    * stss, stsc, stsz, stco, sgpd, sbgp… — so the default is sized
+    * past that, not at it). */
   private def findBox(bin: org.apache.spark.sql.Column,
       start: org.apache.spark.sql.Column,
       end: org.apache.spark.sql.Column, tp: String,
@@ -152,7 +160,8 @@ object Multimodal {
         ExprUtil.bound(be4(bin, pos)) { sz =>
           when(done, st)
             .otherwise(when(
-              lower(hex(bin.substr(pos + 4L, lit(4)))) ===
+              sz >= 8L &&
+                lower(hex(bin.substr(pos + 4L, lit(4)))) ===
                 lit(boxTypeHex(tp)),
               struct(pos.as("pos"), pos.as("hit")))
               .otherwise(when(sz >= 8L && pos + sz <= end,
@@ -184,10 +193,18 @@ object Multimodal {
    * size table (frame counts are per-asset small; a long-video
    * variant would explode the size table once and window-sum it).
    * Assets whose walk fails any hop (not ISO-BMFF, truncated,
-   * missing tables) emit NO rows — the loud-skip contract.
+   * missing tables) emit NO rows — the loud-skip contract — and so do
+   * assets whose layout the fixed-offset reads below would misparse:
+   * version-1 (64-bit) mdhd or sample tables, multi-chunk `stco`
+   * (entry_count != 1 — the offset prefix-sum is single-chunk
+   * arithmetic), a first trak whose `hdlr` handler is not `vide`
+   * (audio-first files would otherwise "parse" the wrong track), a
+   * missing `hdlr`, and 64-bit `largesize` / to-EOF box headers
+   * (which stall the sibling walk). Round 18 closes these as
+   * validation guards rather than documented assumptions.
    */
   def mp4FrameIndex(assets: DataFrame, stride: Int,
-      maxBoxes: Int = 8): DataFrame = {
+      maxBoxes: Int = 32): DataFrame = {
     require(stride > 0, "need stride > 0")
     val bin = col("payload")
     val fileEnd = length(bin).cast("long") + 1L
@@ -200,14 +217,34 @@ object Multimodal {
           ExprUtil.bound(inBox(mdia, "minf")) { minf =>
             ExprUtil.bound(inBox(minf, "stbl")) { stbl =>
               struct(inBox(mdia, "mdhd").as("mdhd"),
+                inBox(mdia, "hdlr").as("hdlr"),
                 inBox(stbl, "stts").as("stts"),
                 inBox(stbl, "stsz").as("stsz"),
                 inBox(stbl, "stco").as("stco"))
             }}}}}
     val withHdr = assets.select(col("asset_id"), bin.as("payload"))
       .select(col("asset_id"), col("payload"), hdr.as("hdr"))
-      .filter(col("hdr.mdhd").isNotNull && col("hdr.stts").isNotNull &&
+      .filter(col("hdr.mdhd").isNotNull && col("hdr.hdlr").isNotNull &&
+        col("hdr.stts").isNotNull &&
         col("hdr.stsz").isNotNull && col("hdr.stco").isNotNull)
+      // Undetected-assumption guards (fail-closed, not silently wrong):
+      //   - version/flags must be 0 for every table read at fixed
+      //     offsets — a version-1 mdhd (64-bit times) or version-1
+      //     sample table would shift every field this parser reads;
+      //   - stco entry_count must be 1 — the offset prefix-sum below
+      //     is single-chunk arithmetic, and a multi-chunk file would
+      //     "parse" with offsets summed from chunk 0 only;
+      //   - the walked trak's hdlr handler_type must be 'vide' — the
+      //     walk takes the FIRST trak, which in a real file may be the
+      //     audio track.
+      .filter(
+        be4(bin, col("hdr.mdhd") + 8L) === 0L &&
+        be4(bin, col("hdr.stts") + 8L) === 0L &&
+        be4(bin, col("hdr.stsz") + 8L) === 0L &&
+        be4(bin, col("hdr.stco") + 8L) === 0L &&
+        be4(bin, col("hdr.stco") + 12L) === 1L &&
+        lower(hex(bin.substr(col("hdr.hdlr") + 16L, lit(4)))) ===
+          lit(boxTypeHex("vide")))
     // scalar header fields staged in their own projection
     val scalars = withHdr.select(col("asset_id"), col("payload"),
       col("hdr.stts").as("stts"), col("hdr.stsz").as("stsz"),

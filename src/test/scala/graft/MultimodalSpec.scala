@@ -134,12 +134,16 @@ class MultimodalSpec extends SparkSpec {
     def stcoFor(base: Long) = box("stco", "00000000" + "00000001" + h32(base))
     val mdhd = box("mdhd", "00000000" + "00000000" + "00000000" +
       h32(600) + h32(500) + "55c40000")
+    def hdlrFor(handler: String) = box("hdlr", "00000000" + "00000000" +
+      handler.getBytes("US-ASCII").map("%02x".format(_)).mkString +
+      "00" * 12 + "00")
+    val hdlr = hdlrFor("vide")
     def file(stcoBase: Long, uniformSz: Option[Long] = None): Array[Byte] = {
       val sz = uniformSz.map(u => box("stsz",
         "00000000" + h32(u) + h32(3))).getOrElse(stsz)
       val stbl = box("stbl", stts + sz + stcoFor(stcoBase))
       val minf = box("minf", stbl)
-      val mdia = box("mdia", mdhd + minf)
+      val mdia = box("mdia", mdhd + hdlr + minf)
       val trak = box("trak", mdia)
       val mvhd = box("mvhd", "00" * 100)
       val udta = box("udta", "00" * 5)
@@ -186,5 +190,82 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4FrameIndex(
       Seq((1L, junk), (2L, truncated)).toDF("asset_id", "payload"),
       stride = 1).count() === 0L)
+  }
+
+  test("mp4FrameIndex fail-closed guards: versioned tables, multi-chunk stco, non-video hdlr, largesize, deep sibling lists") {
+    import spark.implicits._
+    def h32(v: Long) = f"$v%08x"
+    def box(tp: String, payloadHex: String): String = {
+      val size = 8 + payloadHex.length / 2
+      h32(size) + tp.getBytes("US-ASCII").map("%02x".format(_)).mkString +
+        payloadHex
+    }
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val frames = "aa" * 4 + "bb" * 6 + "cc" * 8
+    val stts = box("stts", "00000000" + "00000002" +
+      h32(2) + h32(100) + h32(1) + h32(300))
+    val stsz = box("stsz", "00000000" + h32(0) + h32(3) +
+      h32(4) + h32(6) + h32(8))
+    val mdhd = box("mdhd", "00000000" + "00000000" + "00000000" +
+      h32(600) + h32(500) + "55c40000")
+    def hdlrFor(handler: String) = box("hdlr", "00000000" + "00000000" +
+      handler.getBytes("US-ASCII").map("%02x".format(_)).mkString +
+      "00" * 12 + "00")
+    def fileHex(mdhdBox: String = mdhd, hdlrBox: String = hdlrFor("vide"),
+        sttsBox: String = stts,
+        stco: Long => String = b => box("stco",
+          "00000000" + "00000001" + h32(b)),
+        stblPrefix: String = "", moovSizeOverride: Option[String] = None,
+        base: Long = 0L): String = {
+      val stbl = box("stbl", stblPrefix + sttsBox + stsz + stco(base))
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhdBox + hdlrBox + minf)
+      val trak = box("trak", mdia)
+      val moov0 = box("moov", box("mvhd", "00" * 100) + trak)
+      val moov = moovSizeOverride.map(_ + moov0.substring(8))
+        .getOrElse(moov0)
+      box("ftyp", "69736f6d00000000") + moov + box("mdat", frames)
+    }
+    def fileAt(mk: Long => String): Array[Byte] = {
+      val headerLen = mk(0L).length / 2 - frames.length / 2
+      bytes(mk(headerLen.toLong))
+    }
+    // baseline sanity: the helper's default layout parses (3 frames)
+    val okFile = fileAt(b => fileHex(base = b))
+    assert(Multimodal.mp4FrameIndex(
+      Seq((1L, okFile)).toDF("asset_id", "payload"), stride = 1)
+      .count() === 3L)
+    // each guard drops the asset: version-1 mdhd (shifted offsets),
+    // version-1 stts, multi-chunk stco (entry_count = 2), audio hdlr,
+    // missing hdlr would have been dropped by the box filter itself,
+    // and a largesize (size == 1) moov stalls the top-level walk
+    val v1mdhd = fileAt(b => fileHex(mdhdBox = box("mdhd",
+      "01000000" + "00" * 8 + "00000000" + h32(600) + h32(500) +
+        "55c40000"), base = b))
+    val v1stts = fileAt(b => fileHex(sttsBox = box("stts",
+      "01000000" + "00000002" + h32(2) + h32(100) + h32(1) + h32(300)),
+      base = b))
+    val twoChunk = fileAt(b => fileHex(stco = bb => box("stco",
+      "00000000" + "00000002" + h32(bb) + h32(bb + 4)), base = b))
+    val audio = fileAt(b => fileHex(hdlrBox = hdlrFor("soun"), base = b))
+    val largesize = fileAt(b => fileHex(
+      moovSizeOverride = Some("00000001"), base = b))
+    assert(Multimodal.mp4FrameIndex(
+      Seq((1L, v1mdhd), (2L, v1stts), (3L, twoChunk), (4L, audio),
+        (5L, largesize)).toDF("asset_id", "payload"), stride = 1)
+      .count() === 0L)
+    // a realistic stbl sibling list (stsd, ctts, stss, stsc, sgpd,
+    // sbgp, and padding) BEFORE the three tables — past the old
+    // maxBoxes = 8 bound, inside the new default of 32
+    val deepPrefix = Seq("stsd", "ctts", "stss", "stsc", "sgpd", "sbgp",
+      "free", "free", "free", "free").map(t => box(t, "00" * 8)).mkString
+    val deep = fileAt(b => fileHex(stblPrefix = deepPrefix, base = b))
+    val deepRows = Multimodal.mp4FrameIndex(
+        Seq((1L, deep)).toDF("asset_id", "payload"), stride = 1)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(5), r.getLong(6), r.getLong(8)))
+    assert(deepRows === Array((0L, 0L, 4L), (1L, 100L, 6L),
+      (2L, 200L, 8L)))
   }
 }
