@@ -7620,6 +7620,98 @@ object Queries {
          |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
     })
 
+  /** GROUP `oneOrMore` under RELUCTANT consumption
+    * ([[Funnel.funnelGroupLoopMode]], round 18 — closing the r17
+    * verdict's consume-mode asymmetry): the match stops at the floor
+    * (here `timesOrMore(2)`'s floor of 2), so `reps` is the greedy
+    * machine's chain depth CAPPED at 2 — exact by the truncation
+    * lemma (any r-rep chain truncates to every r' ≤ r at repetition
+    * boundaries). The machine threads the cap through the dominance
+    * fold's completion step; the oracle is w62's greedy-earliest
+    * chain with `LEAST(·, 2)` — valid precisely because truncation
+    * makes every intermediate depth realizable. */
+  val w68_funnel_group_loop_reluctant: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+          Funnel.Reluctant, minTimes = 2)
+        .orderBy("user_id"),
+    oracle = Some(
+      s"""$sqlEventsPrefix
+         |${duckGroupLoopGreedy(28)}
+         |SELECT u.user_id,
+         |  LEAST(CAST(COALESCE(max(lvl), 0) AS BIGINT), 2) AS reps
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
+
+  /** [[w68_funnel_group_loop_reluctant]] through the TROPICAL segment
+    * split: the cap is min-with-a-constant — NOT max-plus linear — so
+    * the bucketed twin runs the greedy gain matrices UNCHANGED and
+    * caps the OUTPUT; the truncation lemma makes the two placements
+    * the same function. Gates on w68's oracle VERBATIM. */
+  val w68b_funnel_group_loop_reluctant_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+          Funnel.Reluctant, bucketSeconds = Some(3600L), minTimes = 2)
+        .orderBy("user_id"),
+    oracle = w68_funnel_group_loop_reluctant.oracle)
+
+  /** [[w68_funnel_group_loop_reluctant]] through the AUTO router
+    * ([[Funnel.funnelGroupLoopAuto]] with `mode = Reluctant`): the
+    * consume mode rides the feasibility routing — below the threshold
+    * this is the capped single fold. Gates on w68's oracle VERBATIM
+    * (the j5a/t34a auto-gate pattern). */
+  val w68c_funnel_group_loop_reluctant_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopAuto(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+          mode = Funnel.Reluctant, minTimes = 2)
+        .orderBy("user_id"),
+    oracle = w68_funnel_group_loop_reluctant.oracle)
+
+  /** RELUCTANT group loop under CONSECUTIVE seams and strict in-group
+    * contiguity — the mode composed with the seam axis where greedy
+    * replay is WRONG (w63's trap): the oracle is w63's honest
+    * reachability DP with `LEAST(·, 2)`, exact because truncating a
+    * repetition chain never disturbs the adjacency of the prefix it
+    * keeps. */
+  val w69_funnel_group_loop_reluctant_consecutive: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopMode(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", strict = true)),
+          Funnel.Reluctant, consecutiveSeams = true, minTimes = 2)
+        .orderBy("user_id"),
+    oracle = Some {
+      val rounds = 16
+      val dp = (2 to rounds).map(k =>
+        s"""d$k AS MATERIALIZED (SELECT DISTINCT m.user_id, m.t
+           |  FROM mt m JOIN d${k - 1} p ON p.user_id = m.user_id
+           |    AND m.s = p.t + 1)""".stripMargin).mkString(",\n")
+      val lv = (1 to rounds).map(k =>
+        s"SELECT user_id, $k AS lvl FROM d$k").mkString(" UNION ALL ")
+      s"""$sqlEventsPrefix
+         |ei AS MATERIALIZED (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |    AS idx FROM e),
+         |mt AS MATERIALIZED (SELECT a.user_id, a.idx AS s, b.idx AS t
+         |  FROM ei a JOIN ei b ON b.user_id = a.user_id
+         |    AND b.idx = a.idx + 1
+         |  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+         |d1 AS MATERIALIZED (SELECT DISTINCT user_id, t FROM mt),
+         |$dp,
+         |lv AS ($lv)
+         |SELECT u.user_id,
+         |  LEAST(CAST(COALESCE(max(lvl), 0) AS BIGINT), 2) AS reps
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin
+    })
+
   /** GROUP pattern under the BOUNDED range `times(2, 3)`
     * ([[Funnel.funnelGroupTimesRange]]) — the last group-quantifier
     * shape: the existence machine over three expanded copies plus the
@@ -9794,6 +9886,13 @@ object Queries {
     "w62_funnel_group_loop" -> w62_funnel_group_loop,
     "w62b_funnel_group_loop_bucketed" -> w62b_funnel_group_loop_bucketed,
     "w63_funnel_group_loop_consecutive" -> w63_funnel_group_loop_consecutive,
+    "w68_funnel_group_loop_reluctant" -> w68_funnel_group_loop_reluctant,
+    "w68b_funnel_group_loop_reluctant_bucketed" ->
+      w68b_funnel_group_loop_reluctant_bucketed,
+    "w68c_funnel_group_loop_reluctant_auto" ->
+      w68c_funnel_group_loop_reluctant_auto,
+    "w69_funnel_group_loop_reluctant_consecutive" ->
+      w69_funnel_group_loop_reluctant_consecutive,
     "w64_funnel_group_times_range" -> w64_funnel_group_times_range,
     "w65_funnel_group_times_or_more" -> w65_funnel_group_times_or_more,
     "w66_funnel_where_or" -> w66_funnel_where_or,

@@ -1952,8 +1952,21 @@ object Funnel {
     * anchors each repetition (an optional head would make the seam —
     * where one repetition ends and the next begins — ambiguous) and
     * the tail detects completion (an optional tail would complete a
-    * repetition implicitly, with no event to hang the seam on). */
+    * repetition implicitly, with no event to hang the seam on).
+    * A `notNextAfter` on the LAST stage gets a loop-specific
+    * rejection: unlike the flat pattern (where a trailing gap guard
+    * can never affect the output), in a loop it would guard the
+    * repetition SEAM — semantics this machine does not implement
+    * (the dominance fold's `bl` slot would need a kill transition at
+    * the blocker). Flink can express the seam guard; here it is
+    * rejected loudly rather than silently mis-ignored. */
   private[graft] def groupLoopRequire(group: Seq[PatternStage]): Unit = {
+    require(group.isEmpty || group.last.notNextAfter.isEmpty,
+      "notNextAfter on the group's LAST stage would guard the " +
+        "repetition seam — unsupported by the group-loop machines " +
+        "(unlike the flat pattern, where a trailing gap guard is " +
+        "merely output-inert); move the guard inside the group or " +
+        "use the flat machines")
     patternRequire(group)
     require(!group.head.optional,
       "the group's first stage anchors each repetition — an optional " +
@@ -1986,7 +1999,7 @@ object Funnel {
     * from `bo`'s init-0, so their dynamics are linear as-is). */
   private def groupLoopStep(st: Column, e: Column,
       group: Seq[PatternStage], consecutiveSeams: Boolean,
-      fresh: Boolean): Column = {
+      fresh: Boolean, cap: Option[Long] = None): Column = {
     val k = group.length
     val tp = e.getField("tp")
     val bo = st.getField("bo"); val bl = st.getField("bl")
@@ -2022,9 +2035,18 @@ object Funnel {
       when(killed, element_at(O, j))
         .otherwise(gmax(Seq(element_at(O, j), element_at(L, j))))
     }: _*)
+    // RELUCTANT consume mode caps the completion step — the one
+    // policy point of the machine: a chain that has already completed
+    // `cap` repetitions has emitted its minimal match, so further
+    // completions saturate instead of counting (null propagates
+    // through the comparison to the otherwise branch)
+    val complete = adv(k) + 1L
+    val blNew = cap.map(m =>
+      when(complete >= lit(m), lit(m)).otherwise(complete))
+      .getOrElse(complete)
     struct(
       gmax(Seq(bo, bl)).as("bo"),
-      (adv(k) + 1L).as("bl"),
+      blNew.as("bl"),
       newL.as("l"), newO.as("o"))
   }
 
@@ -2093,19 +2115,88 @@ object Funnel {
       group: Seq[PatternStage],
       consecutiveSeams: Boolean = false): DataFrame = {
     groupLoopRequire(group)
+    groupLoopFold(events, userCol, typeCol, tsCol, orderCol, group,
+      consecutiveSeams, cap = None)
+  }
+
+  /** The single-shuffle group-loop fold with an optional completion
+    * CAP — greedy at `cap = None`, reluctant at `cap = Some(m)`
+    * ([[funnelGroupLoopMode]]'s policy point). */
+  private def groupLoopFold(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], consecutiveSeams: Boolean,
+      cap: Option[Long]): DataFrame = {
     val k = group.length
     val evs = sort_array(collect_list(struct(
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       col(orderCol).as("oid"), col(typeCol).as("tp"))))
     val folded = aggregate(col("evs"), groupLoopInit(k, lit(0)),
       (st, e) => groupLoopStep(st, e, group, consecutiveSeams,
-        fresh = true))
+        fresh = true, cap = cap))
     events.groupBy(col(userCol).as("user_id"))
       .agg(evs.as("evs"))
       .select(col("user_id"),
         ExprUtil.bound(folded)(f => coalesce(
           gmax(Seq(f.getField("bo"), f.getField("bl"))), lit(0L)))
           .as("reps"))
+  }
+
+  /**
+   * [[funnelGroupLoop]] with a SELECTABLE consume mode — closing the
+   * one asymmetry round 17 left: the flat loops ([[funnelLoopMode]]),
+   * their streaming twins, and now the group loops all take
+   * [[ConsumeMode]]. `minTimes` is the loop's floor (1 = Flink's
+   * `oneOrMore`, n = `timesOrMore(n)` — see
+   * [[funnelGroupTimesOrMore]]'s `mode` parameter for the thresholded
+   * report).
+   *
+   * Under RELUCTANT consumption the match stops at the floor: the
+   * emitted match contains exactly `minTimes` repetitions once the
+   * floor is reachable, so the `reps` observable is
+   * `min(greedy reps, minTimes)` — below the floor the partial
+   * progress shows uncapped (the flat family's "loop progress is
+   * observable before completion" convention). As with the flat
+   * loops, the mode can never change EXISTENCE (`reps >= m` iff the
+   * greedy machine reaches m): the TRUNCATION LEMMA — a chain's first
+   * r' complete repetitions form a valid chain for every r' ≤ r,
+   * under either seam mode, because dropping a suffix of repetitions
+   * never disturbs the seams it keeps — makes every intermediate
+   * count realizable, so capping is exact, not an approximation.
+   *
+   * Implementation per machine: the SINGLE fold threads the cap into
+   * the dominance machine's completion step (the policy point — a
+   * completing chain saturates at the floor); the BUCKETED twin runs
+   * the greedy tropical split UNCHANGED and caps the OUTPUT — the cap
+   * is min with a constant, which is not max-plus linear, so capping
+   * inside the segments would break the gain-matrix algebra; by the
+   * truncation lemma the two placements compute the same function
+   * (spec-pinned). Gates: w68/w68b/w68c (relaxed), w69 (consecutive
+   * seams), each against the enumeration oracle with `LEAST(·, m)`.
+   */
+  def funnelGroupLoopMode(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], mode: ConsumeMode,
+      consecutiveSeams: Boolean = false,
+      bucketSeconds: Option[Long] = None,
+      minTimes: Int = 1): DataFrame = {
+    groupLoopRequire(group)
+    require(minTimes >= 1, "need minTimes >= 1")
+    (mode, bucketSeconds) match {
+      case (Greedy, None) =>
+        funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol,
+          group, consecutiveSeams)
+      case (Greedy, Some(b)) =>
+        funnelGroupLoopBucketed(events, userCol, typeCol, tsCol,
+          orderCol, group, b, consecutiveSeams)
+      case (Reluctant, None) =>
+        groupLoopFold(events, userCol, typeCol, tsCol, orderCol, group,
+          consecutiveSeams, cap = Some(minTimes.toLong))
+      case (Reluctant, Some(b)) =>
+        funnelGroupLoopBucketed(events, userCol, typeCol, tsCol,
+            orderCol, group, b, consecutiveSeams)
+          .select(col("user_id"),
+            least(col("reps"), lit(minTimes.toLong)).as("reps"))
+    }
   }
 
   /**
@@ -2200,14 +2291,19 @@ object Funnel {
   /** Flink CEP's `timesOrMore(n)` on a GROUP — n or more complete
     * traversals: the unbounded dominance machine ([[funnelGroupLoop]])
     * plus the threshold report `matched = reps >= n`. Output:
-    * `(user_id, reps, matched)`. */
+    * `(user_id, reps, matched)`. Under `mode = Reluctant` the match
+    * stops at the floor ([[funnelGroupLoopMode]]'s contract): `reps`
+    * caps at `minTimes`, so `matched` iff `reps == minTimes` — the
+    * mode moves match CONTENT, never existence. */
   def funnelGroupTimesOrMore(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       group: Seq[PatternStage], minTimes: Int,
-      consecutiveSeams: Boolean = false): DataFrame = {
+      consecutiveSeams: Boolean = false,
+      mode: ConsumeMode = Greedy): DataFrame = {
     require(minTimes >= 1, "need minTimes >= 1")
-    funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol, group,
-        consecutiveSeams)
+    funnelGroupLoopMode(events, userCol, typeCol, tsCol, orderCol,
+        group, mode, consecutiveSeams, bucketSeconds = None,
+        minTimes = minTimes)
       .withColumn("matched", col("reps") >= minTimes)
   }
 
@@ -2243,14 +2339,15 @@ object Funnel {
       group: Seq[PatternStage], consecutiveSeams: Boolean = false,
       bucketSeconds: Long = 3600L,
       maxKeyEvents: Long = AutoBucketKeyEvents,
-      precomputedPeak: Option[Long] = None): DataFrame = {
+      precomputedPeak: Option[Long] = None,
+      mode: ConsumeMode = Greedy,
+      minTimes: Int = 1): DataFrame = {
     groupLoopRequire(group) // before the eager probe
     require(bucketSeconds > 0, "need bucketSeconds > 0")
-    if (routeBucketed(events, userCol, maxKeyEvents, precomputedPeak))
-      funnelGroupLoopBucketed(events, userCol, typeCol, tsCol, orderCol,
-        group, bucketSeconds, consecutiveSeams)
-    else funnelGroupLoop(events, userCol, typeCol, tsCol, orderCol,
-      group, consecutiveSeams)
+    val b = if (routeBucketed(events, userCol, maxKeyEvents,
+      precomputedPeak)) Some(bucketSeconds) else None
+    funnelGroupLoopMode(events, userCol, typeCol, tsCol, orderCol,
+      group, mode, consecutiveSeams, b, minTimes)
   }
 
   // -------------------------------------------------------------------

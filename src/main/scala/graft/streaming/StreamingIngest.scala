@@ -2089,7 +2089,7 @@ object StreamingIngest {
    */
   def updateFunnelGroupLoop(
       group: IndexedSeq[graft.operators.Funnel.PatternStage],
-      consecutiveSeams: Boolean)(
+      consecutiveSeams: Boolean, cap: Option[Long] = None)(
       userId: Long, rows: Iterator[FunnelEvent],
       state: GroupState[FunnelGroupLoopState])
       : Iterator[FunnelGroupLoopUpdate] = {
@@ -2134,7 +2134,10 @@ object StreamingIngest {
       }
       bo = vmax(preBo, preBl)
       val compBase = adv(k)
-      bl = if (compBase == NoStart) NoStart else compBase + 1L
+      // reluctant consume mode caps the completion step — the batch
+      // fold's policy point (groupLoopStep's `cap`), verbatim
+      bl = if (compBase == NoStart) NoStart
+        else cap.fold(compBase + 1L)(m => math.min(compBase + 1L, m))
     }
     val reps = math.max(vmax(bo, bl), 0L)
     val prevReps = math.max(vmax(prev.bo, prev.bl), 0L)
@@ -2160,9 +2163,30 @@ object StreamingIngest {
   def streamingFunnelGroupLoop(spark: SparkSession, events: DataFrame,
       group: Seq[graft.operators.Funnel.PatternStage], watermark: String,
       consecutiveSeams: Boolean = false)
+      : Dataset[FunnelGroupLoopUpdate] =
+    streamingFunnelGroupLoopMode(spark, events, group,
+      graft.operators.Funnel.Greedy, watermark, consecutiveSeams)
+
+  /** [[streamingFunnelGroupLoop]] with a SELECTABLE consume mode —
+    * [[graft.operators.Funnel.funnelGroupLoopMode]]'s streaming twin:
+    * reluctant caps [[updateFunnelGroupLoop]]'s completion step at
+    * `minTimes` (the SAME policy point as the batch fold), so the
+    * streamed `reps` saturates at the floor while partial progress
+    * below it stays observable — stream ≡ batch by construction,
+    * StreamingSpec-pinned across out-of-order waves. */
+  def streamingFunnelGroupLoopMode(spark: SparkSession,
+      events: DataFrame,
+      group: Seq[graft.operators.Funnel.PatternStage],
+      mode: graft.operators.Funnel.ConsumeMode, watermark: String,
+      consecutiveSeams: Boolean = false, minTimes: Int = 1)
       : Dataset[FunnelGroupLoopUpdate] = {
     import spark.implicits._
     graft.operators.Funnel.groupLoopRequire(group)
+    require(minTimes >= 1, "need minTimes >= 1")
+    val cap = mode match {
+      case graft.operators.Funnel.Greedy => None
+      case graft.operators.Funnel.Reluctant => Some(minTimes.toLong)
+    }
     events
       .withWatermark("ts", watermark)
       .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
@@ -2171,7 +2195,7 @@ object StreamingIngest {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.EventTimeTimeout)(
-        updateFunnelGroupLoop(group.toIndexedSeq, consecutiveSeams))
+        updateFunnelGroupLoop(group.toIndexedSeq, consecutiveSeams, cap))
   }
 
   /** Streaming `times(m, n)` on a GROUP — [[graft.operators.Funnel
@@ -2197,14 +2221,17 @@ object StreamingIngest {
 
   /** Streaming `timesOrMore(n)` on a GROUP — [[graft.operators.Funnel
     * .funnelGroupTimesOrMore]]'s twin: the dominance machine plus the
-    * threshold column. */
+    * threshold column; `mode = Reluctant` caps `reps` at the floor
+    * exactly as the batch side. */
   def streamingFunnelGroupTimesOrMore(spark: SparkSession,
       events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
       minTimes: Int, watermark: String,
-      consecutiveSeams: Boolean = false): DataFrame = {
+      consecutiveSeams: Boolean = false,
+      mode: graft.operators.Funnel.ConsumeMode =
+        graft.operators.Funnel.Greedy): DataFrame = {
     require(minTimes >= 1, "need minTimes >= 1")
-    streamingFunnelGroupLoop(spark, events, group, watermark,
-        consecutiveSeams)
+    streamingFunnelGroupLoopMode(spark, events, group, mode, watermark,
+        consecutiveSeams, minTimes)
       .withColumn("matched", col("reps") >= minTimes)
   }
 

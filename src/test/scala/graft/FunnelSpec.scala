@@ -1776,6 +1776,82 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("property: group-loop consume modes — reluctant == floor-capped greedy (truncation law) across single/bucketed/auto, both seam modes") {
+    val rnd = new scala.util.Random(20260818L)
+    val types = Array("view", "click", "error")
+    val ev = (1 to 30).flatMap { u =>
+      (1 to 40).map { i =>
+        (u.toLong, (u * 1000 + i).toLong, ts(rnd.nextInt(50)),
+          types(rnd.nextInt(types.length)))
+      }
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val groups = Seq(
+      Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+      Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", strict = true)),
+      Seq(Funnel.PatternStage("view",
+        notNextAfter = Some("error")),
+        Funnel.PatternStage("error", optional = true),
+        Funnel.PatternStage("click")))
+    def collectReps(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- groups; consec <- Seq(false, true); m <- Seq(1, 2, 3)) {
+      val greedy = collectReps(Funnel.funnelGroupLoop(ev, "user_id",
+        "event_type", "ts", "event_id", g, consec))
+      // the in-fold completion cap (a DIFFERENT machine from the
+      // greedy fold) must equal min(greedy, m) — the truncation law
+      val rel = collectReps(Funnel.funnelGroupLoopMode(ev, "user_id",
+        "event_type", "ts", "event_id", g, Funnel.Reluctant, consec,
+        bucketSeconds = None, minTimes = m))
+      assert(rel === greedy.map { case (u, r) => u -> math.min(r, m.toLong) },
+        s"group=$g consec=$consec m=$m")
+      // bucketed (greedy matrices + output cap) and auto agree
+      val relB = collectReps(Funnel.funnelGroupLoopMode(ev, "user_id",
+        "event_type", "ts", "event_id", g, Funnel.Reluctant, consec,
+        bucketSeconds = Some(7L), minTimes = m))
+      assert(relB === rel, s"bucketed group=$g consec=$consec m=$m")
+      val relAuto = collectReps(Funnel.funnelGroupLoopAuto(ev, "user_id",
+        "event_type", "ts", "event_id", g, consec, maxKeyEvents = 0L,
+        mode = Funnel.Reluctant, minTimes = m))
+      assert(relAuto === rel, s"auto group=$g consec=$consec m=$m")
+      // mode never moves EXISTENCE: timesOrMore matched agrees
+      val gm = Funnel.funnelGroupTimesOrMore(ev, "user_id",
+        "event_type", "ts", "event_id", g, m, consec)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val rm = Funnel.funnelGroupTimesOrMore(ev, "user_id",
+        "event_type", "ts", "event_id", g, m, consec,
+        mode = Funnel.Reluctant)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(gm === rm, s"matched group=$g consec=$consec m=$m")
+    }
+  }
+
+  test("group-loop greedy genuinely differs from reluctant: three traversals report 3 vs the floor") {
+    // one user, three clean view→click traversals
+    val ev = Seq("view", "click", "view", "click", "view", "click")
+      .zipWithIndex.map { case (tp, i) => (1L, i.toLong, ts(i), tp) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val g = Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click"))
+    def reps(mode: Funnel.ConsumeMode, m: Int) =
+      Funnel.funnelGroupLoopMode(ev, "user_id", "event_type", "ts",
+        "event_id", g, mode, minTimes = m).head().getLong(1)
+    assert(reps(Funnel.Greedy, 1) === 3L)   // maximal consumption
+    assert(reps(Funnel.Reluctant, 1) === 1L) // oneOrMore stops at 1
+    assert(reps(Funnel.Reluctant, 2) === 2L) // timesOrMore(2) floor
+  }
+
+  test("groupLoopRequire rejects a trailing notNextAfter with the loop-specific seam-guard message") {
+    val ev = Seq((1L, 1L, ts(0), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val bad = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", notNextAfter = Some("error")))
+    val e = intercept[IllegalArgumentException] {
+      Funnel.funnelGroupLoop(ev, "user_id", "event_type", "ts",
+        "event_id", bad)
+    }
+    assert(e.getMessage.contains("repetition seam"))
+  }
+
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
     val rnd = new scala.util.Random(1714L)
     val typesPool = Array("view", "click", "purchase", "error")

@@ -2791,6 +2791,62 @@ class StreamingSpec extends SparkSpec {
     assert(greedy(1L) !== last(1L))
   }
 
+  test("streaming reluctant GROUP loop equals batch funnelGroupLoopMode(Reluctant) across out-of-order waves; greedy genuinely differs") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val group = Seq(graft.operators.Funnel.PatternStage("view"),
+      graft.operators.Funnel.PatternStage("click"))
+    // u1 chains THREE sequential view→click traversals, delivered out
+    // of order — the floor-2 reluctant stream must saturate at 2 while
+    // greedy reports 3. u2 has one traversal (below the floor: partial
+    // progress shows uncapped). u9 only pushes the watermark.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:02:00"), "click")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:05:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-rel-group-loop-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingIngest.streamingFunnelGroupLoopMode(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        group, graft.operators.Funnel.Reluctant, "2 hours",
+        minTimes = 2)
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => es.maxBy(_._2)._1._2).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupLoopMode(all,
+        "user_id", "event_type", "ts", "event_id", group,
+        graft.operators.Funnel.Reluctant, minTimes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    // the floor bit: saturated at 2, not greedy's 3
+    assert(last(1L) === 2L)
+    assert(last(2L) === 1L) // below the floor: partial progress
+    val greedy = graft.operators.Funnel.funnelGroupLoop(all, "user_id",
+        "event_type", "ts", "event_id", group)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(greedy(1L) === 3L)
+    assert(greedy(1L) !== last(1L))
+  }
+
   test("streaming contiguity-within product funnel equals batch funnelPatternWithin: strict hops, notNext kills, optional skips and window expiry across out-of-order waves") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
