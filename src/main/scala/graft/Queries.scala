@@ -7776,6 +7776,43 @@ object Queries {
     * match carrying its two repetitions' per-stage times. The oracle
     * unrolls the greedy pick chain match by match over the 4 expanded
     * hops and projects the same rep/stage labels. */
+  /** The (ctes, rows) pair of the canonical group-match enumeration
+    * replay — the chained greedy pick CTEs over the `times`-fold
+    * expansion of (view, click) and the per-match projection rows.
+    * Shared by w67 (unfiltered) and w70 (span-filtered). */
+  private lazy val duckGroupMatchParts: (String, String) = {
+    val expanded = Seq("view", "click", "view", "click")
+    def first(tag: String, tp: String, prev: Option[String]): String =
+      prev match {
+        case None =>
+          s"""$tag AS (SELECT user_id, us, event_id FROM (
+             |  SELECT user_id, us, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+             |  FROM e WHERE event_type = '$tp') WHERE rn = 1)""".stripMargin
+        case Some(p) =>
+          s"""$tag AS (SELECT user_id, us, event_id FROM (
+             |  SELECT e.user_id, e.us, e.event_id,
+             |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+             |  FROM e JOIN $p p ON p.user_id = e.user_id
+             |    AND ${sqlBefore("p", "e")}
+             |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      }
+    val ctes = (1 to MultiMatchCap).flatMap { m =>
+      expanded.zipWithIndex.map { case (tp, j) =>
+        val prev = if (j > 0) Some(s"g${m}_$j")
+          else if (m > 1) Some(s"g${m - 1}_${expanded.length}") else None
+        first(s"g${m}_${j + 1}", tp, prev)
+      }
+    }.mkString(",\n")
+    val rows = (1 to MultiMatchCap).map { m =>
+      s"""SELECT a.user_id, $m AS match_idx, a.us AS ts_r1_s1_us,
+         |  b.us AS ts_r1_s2_us, c.us AS ts_r2_s1_us, d.us AS ts_r2_s2_us
+         |FROM g${m}_1 a JOIN g${m}_2 b USING (user_id)
+         |  JOIN g${m}_3 c USING (user_id) JOIN g${m}_4 d USING (user_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (ctes, rows)
+  }
+
   lazy val w67_funnel_group_matches: Q = Q(
     run = (spark, dir) =>
       Funnel.funnelGroupMatches(t(spark, dir, "events"), "user_id",
@@ -7783,41 +7820,41 @@ object Queries {
           Seq("view", "click"), times = 2, maxMatches = MultiMatchCap)
         .orderBy("user_id", "match_idx"),
     oracle = Some {
-      val expanded = Seq("view", "click", "view", "click")
-      def first(tag: String, tp: String, prev: Option[String]): String =
-        prev match {
-          case None =>
-            s"""$tag AS (SELECT user_id, us, event_id FROM (
-               |  SELECT user_id, us, event_id,
-               |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
-               |  FROM e WHERE event_type = '$tp') WHERE rn = 1)""".stripMargin
-          case Some(p) =>
-            s"""$tag AS (SELECT user_id, us, event_id FROM (
-               |  SELECT e.user_id, e.us, e.event_id,
-               |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
-               |  FROM e JOIN $p p ON p.user_id = e.user_id
-               |    AND ${sqlBefore("p", "e")}
-               |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
-        }
-      val ctes = (1 to MultiMatchCap).flatMap { m =>
-        expanded.zipWithIndex.map { case (tp, j) =>
-          val prev = if (j > 0) Some(s"g${m}_$j")
-            else if (m > 1) Some(s"g${m - 1}_${expanded.length}") else None
-          first(s"g${m}_${j + 1}", tp, prev)
-        }
-      }.mkString(",\n")
-      val rows = (1 to MultiMatchCap).map { m =>
-        s"""SELECT a.user_id, $m AS match_idx, a.us AS ts_r1_s1_us,
-           |  b.us AS ts_r1_s2_us, c.us AS ts_r2_s1_us, d.us AS ts_r2_s2_us
-           |FROM g${m}_1 a JOIN g${m}_2 b USING (user_id)
-           |  JOIN g${m}_3 c USING (user_id) JOIN g${m}_4 d USING (user_id)""".stripMargin
-      }.mkString("\nUNION ALL\n")
+      val (ctes, rows) = duckGroupMatchParts
       s"""$sqlEventsPrefix
          |$ctes
          |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
          |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
          |  ts_r1_s1_us, ts_r1_s2_us, ts_r2_s1_us, ts_r2_s2_us
          |FROM ($rows)
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
+  /** Group repetition under a match-SPAN time bound
+    * ([[Funnel.funnelGroupMatchesWithin]], round 18) — the
+    * answer-size-bounded `within(T)` the unbounded group loop cannot
+    * have as a fold (the documented Pareto obstruction): every
+    * canonical skip-past-last match of two view→click repetitions
+    * whose whole span fits in 5 days, `match_idx` keeping its
+    * enumeration index (gaps mark over-window matches) and
+    * `n_matches` recounted over the fitting ones. Oracle: w67's
+    * chained-pick replay with the same span predicate and recount. */
+  lazy val w70_funnel_group_matches_within: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesWithin(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), times = 2, maxMatches = MultiMatchCap,
+          windowMicros = 432000L * 1000000L)
+        .orderBy("user_id", "match_idx"),
+    oracle = Some {
+      val (ctes, rows) = duckGroupMatchParts
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  ts_r1_s1_us, ts_r1_s2_us, ts_r2_s1_us, ts_r2_s2_us
+         |FROM ($rows)
+         |WHERE ts_r2_s2_us - ts_r1_s1_us <= ${432000L * 1000000L}
          |ORDER BY user_id, match_idx""".stripMargin
     })
 
@@ -9897,6 +9934,7 @@ object Queries {
     "w65_funnel_group_times_or_more" -> w65_funnel_group_times_or_more,
     "w66_funnel_where_or" -> w66_funnel_where_or,
     "w67_funnel_group_matches" -> w67_funnel_group_matches,
+    "w70_funnel_group_matches_within" -> w70_funnel_group_matches_within,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

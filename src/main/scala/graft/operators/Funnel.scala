@@ -2108,7 +2108,10 @@ object Funnel {
    * which is also what a `within`-truncated unbounded match can
    * realize: T bounds the repetitions any match can contain, so a
    * caller picks n ≥ the corpus' per-window ceiling and reads
-   * `reps_completed` — same answer, finite machine.
+   * `reps_completed` — same answer, finite machine. For WITNESSES
+   * (which events, not just how many) under a span bound,
+   * [[funnelGroupMatchesWithin]] filters the canonical enumeration —
+   * answer-size-bounded, gated w70.
    */
   def funnelGroupLoop(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
@@ -2327,6 +2330,50 @@ object Funnel {
       .select(col("user_id") +: col("match_idx") +: col("n_matches") +:
         (for (r <- 1 to times; i <- 1 to k) yield
           col(s"ts${(r - 1) * k + i}_us").as(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /**
+   * [[funnelGroupMatches]] under a MATCH-SPAN time bound — the
+   * answer-size-bounded `within(T)` for group repetition that the
+   * UNBOUNDED group loop cannot have as a fold (the
+   * [[funnelGroupLoop]] Pareto obstruction: chains at one slot differ
+   * in both reps and start, the two orders oppose, so the lossless
+   * within-state is a frontier, not O(k) slots). The enumeration
+   * route sidesteps the obstruction by materializing WITNESSES:
+   * every canonical skip-past-last match whose whole span — first
+   * repetition's first pick to last repetition's completing pick —
+   * fits inside `windowMicros` is kept, with `n_matches` recounted
+   * over the fitting matches. `match_idx` keeps its ENUMERATION index
+   * (a gap in the sequence is the visible mark of an over-window
+   * match — renumbering would silently hide which canonical matches
+   * were cut).
+   *
+   * Contract, stated precisely: this filters the CANONICAL
+   * greedy-earliest enumeration by span — it does NOT search for an
+   * alternative (later-starting, tighter) witness of the same region,
+   * so it is match-level `within`, not existence-maximal `within`.
+   * Callers who need "could n repetitions complete inside T at all"
+   * want the BOUNDED product machine [[funnelGroupTimesWithin]] at
+   * cap n (the w61 gate), whose max-start dominance IS
+   * existence-maximal; callers who need "how many repetitions,
+   * unbounded, no window" want the threshold forms
+   * [[funnelGroupLoop]] / [[funnelGroupTimesOrMore]]. Scale shape is
+   * [[funnelMulti]]'s: one user-keyed shuffle, the span filter and
+   * recount run on the (maxMatches-bounded) match stream.
+   */
+  def funnelGroupMatchesWithin(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      groupTypes: Seq[String], times: Int, maxMatches: Int,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = groupTypes.length
+    val fits = funnelGroupMatches(events, userCol, typeCol, tsCol,
+        orderCol, groupTypes, times, maxMatches)
+      .filter(col(s"ts_r${times}_s${k}_us") - col("ts_r1_s1_us") <=
+        windowMicros)
+    fits.withColumn("n_matches",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")))
   }
 
   /** [[funnelGroupLoop]]'s auto-router — feasibility routing like the
