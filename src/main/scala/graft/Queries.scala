@@ -1618,6 +1618,75 @@ object Queries {
     },
     oracle = t102_unigram_encode.oracle)
 
+  /** BPE model round-trip through the PUBLIC interchange format
+    * (`merges.txt` + companion `vocab.json`,
+    * [[graft.operators.TokenizerInterchange]], round 18): train,
+    * export to the Sennrich/HF text shape, IMPORT the file back, and
+    * encode under the imported rules — t78's oracle verbatim, so the
+    * whole out-of-engine round trip is hash-gated (rank order is the
+    * only state the format carries, and rank-order replay is
+    * count-free by construction). */
+  val t113_bpe_interchange: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, _) = BpeTrain.train(docs.filter(col("doc_id") % 3 =!= 0),
+        "text", rounds = BpeRounds)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-interchange-bpe").toString
+      graft.operators.TokenizerInterchange.exportBpeMerges(
+        s"$out/merges.txt", merges)
+      graft.operators.TokenizerInterchange.exportVocabJson(
+        s"$out/vocab.json",
+        (merges.flatMap(m => Seq(m.left, m.right)) ++
+          merges.map(m => m.left + m.right)).distinct)
+      BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+          graft.operators.TokenizerInterchange.importBpeMerges(
+            s"$out/merges.txt"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t78_bpe_encode_unseen.oracle)
+
+  /** Unigram-LM round-trip through the SentencePiece-style
+    * piece/score TSV: integer micro-log10 scores carry verbatim
+    * (exact round-trip, no float parsing), encode under the imported
+    * table — t102's oracle verbatim. */
+  lazy val t114_unigram_interchange: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-interchange-uni").toString
+      graft.operators.TokenizerInterchange.exportUnigramTsv(
+        s"$out/unigram.tsv",
+        graft.operators.UnigramLm.train(docs, "text"))
+      graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text",
+          graft.operators.TokenizerInterchange.importUnigramTsv(
+            s"$out/unigram.tsv"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t102_unigram_encode.oracle)
+
+  /** WordPiece round-trip through BERT's `vocab.txt` (one piece per
+    * line, `##` continuations): the greedy matcher needs only the
+    * piece set, so the text file IS the whole model — t105's oracle
+    * verbatim. */
+  val t115_wordpiece_interchange: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-interchange-wp").toString
+      graft.operators.TokenizerInterchange.exportWordPieceVocab(
+        s"$out/vocab.txt", WordPiece.vocab(words, merges))
+      WordPiece.encodeStats(docs, "doc_id", "text",
+          graft.operators.TokenizerInterchange.importWordPieceVocab(
+            s"$out/vocab.txt"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = t105_wordpiece_encode.oracle)
+
   /** Blocklist/taxonomy tagging via Aho–Corasick
     * ([[DictionaryMatch.tag]]) — the C4 bad-words-filter primitive at
     * blocklist scale: ONE broadcast automaton pass per document,
@@ -9782,6 +9851,9 @@ object Queries {
     "t108_wordpiece_store_latest" -> t108_wordpiece_store_latest,
     "t109_bpe_store_roundtrip" -> t109_bpe_store_roundtrip,
     "t110_unigram_store_roundtrip" -> t110_unigram_store_roundtrip,
+    "t113_bpe_interchange" -> t113_bpe_interchange,
+    "t114_unigram_interchange" -> t114_unigram_interchange,
+    "t115_wordpiece_interchange" -> t115_wordpiece_interchange,
     "t111_blocklist_tag" -> t111_blocklist_tag,
     "t112_blocklist_store_asof" -> t112_blocklist_store_asof,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,

@@ -247,7 +247,9 @@ object UnigramLm {
    * fall back to character count; a single character missing from the
    * vocabulary scores one order of magnitude below the vocabulary
    * minimum — same-corpus encoding never hits it), and every
-   * occurrence pays one broadcast probe. Output per document:
+   * occurrence pays one probe — broadcast under
+   * [[BpeTrain.MaxBroadcastWords]], shuffle join over it. Output per
+   * document:
    * `(id, n_words, n_pieces, n_chars)`.
    */
   /**
@@ -260,10 +262,11 @@ object UnigramLm {
    * unknown single characters score one decade below the vocabulary
    * floor. All integers — gated hash-exact (t103). Same scale shape
    * as [[encodeStats]]: distinct words score once, occurrences pay a
-   * broadcast probe. Output: `(id, n_words, score_micro_total)`.
+   * bounded-broadcast probe. Output: `(id, n_words, score_micro_total)`.
    */
   def docScores(docs: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[Piece], p: Params = Params()): DataFrame = {
+      vocab: Seq[Piece], p: Params = Params(),
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
     require(vocab.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -283,16 +286,18 @@ object UnigramLm {
         (w, s)
       }
       .toDF("w", "s")
-    docs.select(col(idCol).as("id"),
-        explode(TextDedup.tokens(col(textCol))).as("w"))
-      .join(broadcast(ws), "w")
+    BpeTrain.boundedProbeJoin(
+        docs.select(col(idCol).as("id"),
+          explode(TextDedup.tokens(col(textCol))).as("w")),
+        ws, maxBroadcastWords, stage = true)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("s").as("score_micro_total"))
   }
 
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[Piece], p: Params = Params()): DataFrame = {
+      vocab: Seq[Piece], p: Params = Params(),
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
     require(vocab.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -307,9 +312,10 @@ object UnigramLm {
         if (w.length > maxWord) w.length.toLong
         else viterbi(w, b.value, maxPiece, Some(unk)).length.toLong))
       .toDF("w", "n_pieces")
-    docs.select(col(idCol).as("id"),
-        explode(TextDedup.tokens(col(textCol))).as("w"))
-      .join(broadcast(enc), "w")
+    BpeTrain.boundedProbeJoin(
+        docs.select(col(idCol).as("id"),
+          explode(TextDedup.tokens(col(textCol))).as("w")),
+        enc, maxBroadcastWords, stage = true)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_pieces"),

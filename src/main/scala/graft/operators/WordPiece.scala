@@ -319,12 +319,14 @@ object WordPiece {
    * [[BpeTrain.encodeStats]]'s WordPiece twin, covering UNSEEN words
    * (the greedy matcher needs only the vocab, not the trained word
    * table): every DISTINCT corpus word segments exactly once, every
-   * occurrence pays one broadcast probe. Unknown words count one
+   * occurrence pays one probe (broadcast under
+   * [[BpeTrain.MaxBroadcastWords]], shuffle join over it). Unknown words count one
    * piece and flag `n_unk_words`. Output per document:
    * `(id, n_words, n_pieces, n_unk_words, n_chars)`.
    */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
-      vocabSet: Set[String]): DataFrame = {
+      vocabSet: Set[String],
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
     require(vocabSet.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -336,9 +338,10 @@ object WordPiece {
         (w, n, if (unk) 1L else 0L)
       }
       .toDF("w", "n_pieces", "unk")
-    docs.select(col(idCol).as("id"),
-        explode(TextDedup.tokens(col(textCol))).as("w"))
-      .join(broadcast(enc), Seq("w"))
+    BpeTrain.boundedProbeJoin(
+        docs.select(col(idCol).as("id"),
+          explode(TextDedup.tokens(col(textCol))).as("w")),
+        enc, maxBroadcastWords, stage = true)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_pieces"),

@@ -114,4 +114,31 @@ class BpeTrainSpec extends SparkSpec {
     // doc 1: ab→[ab](1 sym), ab→1, cd→[c,d](2 syms); doc 2: ab→1
     assert(r === Array((1L, 3L, 4L, 6L), (2L, 1L, 1L, 2L)))
   }
+
+  test("bounded-broadcast probe: shuffle-join fallback (maxBroadcastWords = 0) is value-identical and drops the broadcast") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
+    val (merges, words) = BpeTrain.train(docs, "text", rounds = 1)
+    graft.operators.Staging.scoped {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      // the HINT at the logical layer, not AQE's runtime choice —
+      // on a tiny test table AQE re-broadcasts the shuffle join
+      // anyway (which is exactly the desired degrade-gracefully
+      // behavior at scale, where stats would forbid it)
+      def hasBcast(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString
+          .contains("strategy=broadcast")
+      val bc = BpeTrain.encodeStats(docs, "doc_id", "text", words)
+      val sh = BpeTrain.encodeStats(docs, "doc_id", "text", words,
+        maxBroadcastWords = 0L)
+      assert(rows(bc) === rows(sh))
+      assert(hasBcast(bc) && !hasBcast(sh))
+      val bcM = BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+        merges)
+      val shM = BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+        merges, maxBroadcastWords = 0L)
+      assert(rows(bcM) === rows(shM))
+      assert(hasBcast(bcM) && !hasBcast(shM))
+    }
+  }
 }

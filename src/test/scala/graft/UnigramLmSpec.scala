@@ -89,6 +89,32 @@ class UnigramLmSpec extends SparkSpec {
     assert(out.getLong(1) === 1L && out.getLong(3) === 4L)
   }
 
+  test("bounded-broadcast probe: forcing the shuffle-join fallback (maxBroadcastWords = 0) is value-identical, and the plans genuinely differ") {
+    val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
+    val vocab = UnigramLm.train(docs, "text", p)
+    graft.operators.Staging.scoped {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      // the HINT at the logical layer, not AQE's runtime choice —
+      // on a tiny test table AQE re-broadcasts the shuffle join
+      // anyway (which is exactly the desired degrade-gracefully
+      // behavior at scale, where stats would forbid it)
+      def hasBcast(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString
+          .contains("strategy=broadcast")
+      val bc = UnigramLm.encodeStats(docs, "doc_id", "text", vocab, p)
+      val sh = UnigramLm.encodeStats(docs, "doc_id", "text", vocab, p,
+        maxBroadcastWords = 0L)
+      assert(rows(bc) === rows(sh))
+      assert(hasBcast(bc) && !hasBcast(sh))
+      val bcS = UnigramLm.docScores(docs, "doc_id", "text", vocab, p)
+      val shS = UnigramLm.docScores(docs, "doc_id", "text", vocab, p,
+        maxBroadcastWords = 0L)
+      assert(rows(bcS) === rows(shS))
+      assert(hasBcast(bcS) && !hasBcast(shS))
+    }
+  }
+
   test("docScores: per-doc sum equals a driver replay of Viterbi best scores; unknown chars take the UNK floor") {
     val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
     val vocab = UnigramLm.train(docs, "text", p)

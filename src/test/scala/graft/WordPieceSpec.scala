@@ -116,4 +116,27 @@ class WordPieceSpec extends SparkSpec {
     assert(p1 === abPieces + WordPiece.greedyCount("cd", vocab)._1)
     assert(p2 === abPieces + 1L)
   }
+
+  test("bounded-broadcast probe: shuffle-join fallback (maxBroadcastWords = 0) is value-identical and drops the broadcast") {
+    val train = Seq("abab abab cd").toDF("text")
+    val (merges, words) = WordPiece.train(train, "text", rounds = 3)
+    val vocab = WordPiece.vocab(words, merges)
+    val docs = Seq((1L, "abab cd"), (2L, "abab zq")).toDF("doc_id", "text")
+    graft.operators.Staging.scoped {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      // the HINT at the logical layer, not AQE's runtime choice —
+      // on a tiny test table AQE re-broadcasts the shuffle join
+      // anyway (which is exactly the desired degrade-gracefully
+      // behavior at scale, where stats would forbid it)
+      def hasBcast(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString
+          .contains("strategy=broadcast")
+      val bc = WordPiece.encodeStats(docs, "doc_id", "text", vocab)
+      val sh = WordPiece.encodeStats(docs, "doc_id", "text", vocab,
+        maxBroadcastWords = 0L)
+      assert(rows(bc) === rows(sh))
+      assert(hasBcast(bc) && !hasBcast(sh))
+    }
+  }
 }
