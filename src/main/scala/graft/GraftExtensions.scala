@@ -59,14 +59,37 @@ object GraftExtensions {
     // hazard does not apply to the kernel path)
     "graft_fingerprint" -> unary("graft_fingerprint")(
       operators.TextAnalysis.fingerprint(_)),
-    // Aho–Corasick dictionary scan (round 17) — keyword set fixed to
-    // the gated t111 blocklist for the SQL surface (the Column API /
-    // DictionaryMatch.tag expose the dictionary); input is expected
-    // pre-lowercased, as in the operator
-    "graft_dict_tag" -> unary("graft_dict_tag")(c =>
-      bridge.column(operators.DictTag(bridge.expression(c),
-        operators.DictionaryMatch.build(Seq("scan", "can", "join",
-          "batch batch", "merge", "zebra", "slow", "row"))))),
+    // Aho–Corasick dictionary scan (round 17; 2-arg form round 18).
+    // graft_dict_tag(text, 'kw1,kw2,...') builds the automaton from
+    // the CALLER's comma-separated keyword list, which must be a
+    // foldable string literal (the automaton is built once at plan
+    // time and broadcast — a per-row dictionary would defeat the
+    // design). The legacy 1-arg form keeps the FIXTURE list the t111
+    // gate and bench use — a demo default, NOT a production
+    // blocklist; production SQL should pass its list explicitly or
+    // load the versioned TokenizerStore dictionary
+    // (TokenizerStore.loadDictionary → DictionaryMatch.tag, the t112
+    // pattern). Input is expected
+    // pre-lowercased, as in the operator.
+    "graft_dict_tag" -> { children =>
+      require(children.length == 1 || children.length == 2,
+        "graft_dict_tag expects (text) or (text, 'kw1,kw2,...')")
+      val keywords = children.lift(1) match {
+        case None => Seq("scan", "can", "join", "batch batch", "merge",
+          "zebra", "slow", "row") // the gated t111 fixture list
+        case Some(kw) =>
+          require(kw.foldable &&
+            kw.dataType == org.apache.spark.sql.types.StringType,
+            "graft_dict_tag's keyword list must be a foldable string " +
+              "literal ('kw1,kw2,...') — the automaton is built once " +
+              "at plan time")
+          val s = kw.eval(null)
+          require(s != null, "graft_dict_tag's keyword list is NULL")
+          s.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      operators.DictTag(children.head,
+        operators.DictionaryMatch.build(keywords))
+    },
     // fused-kernel families (round 7): minhash signature, winnowing
     // fingerprints — k / (gram, w) fixed to the gated defaults for the
     // SQL surface; the Column API exposes the parameters

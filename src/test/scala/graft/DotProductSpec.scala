@@ -147,6 +147,22 @@ class DotProductSpec extends SparkSpec {
       .head.getStruct(0).getLong(0) === 0L)
   }
 
+  test("SQL macro graft_dict_tag 2-arg form: caller-supplied literal dictionary; non-literal list rejected loudly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dict_tag('red fox, blue fox', 'fox,blue') AS d")
+      .head.getStruct(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    // the 1-arg fixture list does NOT apply to the 2-arg form
+    val r2 = spark.sql(
+      "SELECT graft_dict_tag('the scan can merge', 'zebra') AS d")
+      .head.getStruct(0)
+    assert(r2.getLong(0) === 0L)
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_dict_tag(c, c) FROM (SELECT 'x' AS c)").collect())
+    assert(err.getMessage.contains("foldable"))
+  }
+
   test("SQL kernel macros: graft_minhash and graft_winnow match the Column API") {
     GraftExtensions.register(spark)
     import spark.implicits._
