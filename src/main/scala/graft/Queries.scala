@@ -7706,6 +7706,7 @@ object Queries {
           Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
           Funnel.Reluctant, minTimes = 2)
         .orderBy("user_id"),
+    bench = true,
     oracle = Some(
       s"""$sqlEventsPrefix
          |${duckGroupLoopGreedy(28)}

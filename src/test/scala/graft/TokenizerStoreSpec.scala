@@ -51,4 +51,61 @@ class TokenizerStoreSpec extends SparkSpec {
       TokenizerStore.loadBpe(spark, emptyT)
     }
   }
+
+  test("interchange: foreign hand-authored model files load and encode (merges.txt, piece TSV, vocab.txt); malformed lines fail loudly") {
+    import graft.operators.{BpeTrain, TokenizerInterchange, UnigramLm, WordPiece}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-foreign-models").toString
+    def write(name: String, lines: Seq[String]): String = {
+      val pth = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(pth,
+        scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava,
+        java.nio.charset.StandardCharsets.UTF_8)
+      pth.toString
+    }
+    val docs = Seq((1L, "abab cd")).toDF("doc_id", "text")
+    // a foreign merges.txt, HF layout: header, then ranked pairs
+    val mergesPath = write("merges.txt",
+      Seq("#version: 0.2", "a b", "ab ab"))
+    val merges = TokenizerInterchange.importBpeMerges(mergesPath)
+    assert(merges.map(m => (m.round, m.left, m.right)) ===
+      Seq((1, "a", "b"), (2, "ab", "ab")))
+    val enc = BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+      merges).head()
+    // "abab" -> chars, a+b merges twice, ab+ab merges once -> 1 sym;
+    // "cd" stays 2 chars
+    assert((enc.getLong(1), enc.getLong(2), enc.getLong(3)) ===
+      ((2L, 3L, 6L)))
+    // a foreign SentencePiece-style TSV (micro-log10 integer scores)
+    val tsvPath = write("unigram.tsv",
+      Seq("a\t-100000", "ab\t-50000", "b\t-200000", "c\t-300000",
+        "d\t-300000"))
+    val pieces = TokenizerInterchange.importUnigramTsv(tsvPath)
+    assert(pieces.find(_.piece == "ab").get.scoreMicro === -50000L)
+    val uEnc = UnigramLm.encodeStats(docs, "doc_id", "text", pieces)
+      .head()
+    // "abab" -> ab|ab (2 pieces beats a|b|a|b), "cd" -> c|d
+    assert((uEnc.getLong(1), uEnc.getLong(2)) === ((2L, 4L)))
+    // a foreign BERT vocab.txt
+    val vocabPath = write("vocab.txt",
+      Seq("ab", "##ab", "c", "##d"))
+    val vocab = TokenizerInterchange.importWordPieceVocab(vocabPath)
+    val wEnc = WordPiece.encodeStats(docs, "doc_id", "text", vocab)
+      .head()
+    assert((wEnc.getLong(1), wEnc.getLong(2), wEnc.getLong(3)) ===
+      ((2L, 4L, 0L)))
+    // malformed lines are loud, not silently skipped
+    val badMerges = write("bad_merges.txt", Seq("#version: 0.2", "a b c"))
+    intercept[IllegalArgumentException](
+      TokenizerInterchange.importBpeMerges(badMerges))
+    val badTsv = write("bad_unigram.tsv", Seq("a\t1\t2"))
+    intercept[IllegalArgumentException](
+      TokenizerInterchange.importUnigramTsv(badTsv))
+    // whitespace-bearing pieces cannot export
+    intercept[IllegalArgumentException](
+      TokenizerInterchange.exportWordPieceVocab(
+        s"$dir/nope.txt", Set("a b")))
+  }
 }
