@@ -7610,6 +7610,83 @@ object Queries {
     s"$ei,\n$steps,\nlv AS ($lv)"
   }
 
+  /** [[duckGroupLoopGreedy]] with the TRAILING seam guard: the click
+    * pick additionally requires the completion's immediate successor
+    * not be the blocker (end-of-log passes — `next_tp IS NULL`).
+    * Greedy-earliest stays existence-optimal under relaxed seams with
+    * the guard folded into the pick: validity is a property of the
+    * completion index alone, so taking the earliest VALID completion
+    * still leaves a suffix superset (the same exchange argument). */
+  private def duckGroupLoopGreedyGuarded(rounds: Int,
+      blocker: String): String = {
+    val ei =
+      s"""ei AS MATERIALIZED (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |    AS idx,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |    AS next_tp FROM e)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val vSrc =
+        if (k == 1)
+          s"""r${k}v AS MATERIALIZED (SELECT user_id, min(idx) AS vi FROM ei
+             |  WHERE event_type = 'view' GROUP BY user_id)""".stripMargin
+        else
+          s"""r${k}v AS MATERIALIZED (SELECT e.user_id, min(e.idx) AS vi
+             |  FROM ei e JOIN r${k - 1}c p ON p.user_id = e.user_id
+             |    AND e.idx > p.ci
+             |  WHERE e.event_type = 'view' GROUP BY e.user_id)""".stripMargin
+      s"""$vSrc,
+         |r${k}c AS MATERIALIZED (SELECT e.user_id, min(e.idx) AS ci
+         |  FROM ei e JOIN r${k}v p ON p.user_id = e.user_id
+         |    AND e.idx > p.vi
+         |  WHERE e.event_type = 'click'
+         |    AND (e.next_tp IS NULL OR e.next_tp <> '$blocker')
+         |  GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val lv = (1 to rounds).map(k =>
+      s"SELECT user_id, $k AS lvl FROM r${k}c").mkString(" UNION ALL ")
+    s"$ei,\n$steps,\nlv AS ($lv)"
+  }
+
+  /** GROUP `oneOrMore` with a TRAILING seam guard
+    * ([[Funnel.PatternStage]]`("click", notNextAfter = "error")` as
+    * the group's LAST stage, round 18) — Flink's gap guard where it
+    * is genuinely meaningful for a loop: a repetition whose
+    * completing click is immediately followed by an error is INVALID
+    * (the chain dies at the blocker — no seam extension, no count);
+    * completions at end-of-log pass. The machine is the dominance
+    * fold's `bl` kill transition — still max-plus linear, so the
+    * bucketed twin (w71b) carries it through the gain matrices
+    * unchanged. Oracle: the guarded greedy-earliest chain —
+    * exchange-optimal because completion validity is an index
+    * property (see [[duckGroupLoopGreedyGuarded]]). */
+  val w71_funnel_group_loop_seam_guard: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoop(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", notNextAfter = Some("error"))))
+        .orderBy("user_id"),
+    oracle = Some(
+      s"""$sqlEventsPrefix
+         |${duckGroupLoopGreedyGuarded(28, "error")}
+         |SELECT u.user_id, CAST(COALESCE(max(lvl), 0) AS BIGINT) AS reps
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
+
+  /** [[w71_funnel_group_loop_seam_guard]] through the TROPICAL
+    * segment split: the kill is the -inf coefficient, linear, so the
+    * twin gates on w71's oracle VERBATIM. */
+  val w71b_funnel_group_loop_seam_guard_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupLoopBucketed(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", notNextAfter = Some("error"))),
+          bucketSeconds = 3600L)
+        .orderBy("user_id"),
+    oracle = w71_funnel_group_loop_seam_guard.oracle)
+
   /** GROUP pattern under `oneOrMore` ([[Funnel.funnelGroupLoop]]) —
     * the UNBOUNDED quantifier over a sequence, which stage-list
     * expansion cannot reach: view→click traversals repeated
@@ -10008,6 +10085,10 @@ object Queries {
     "w66_funnel_where_or" -> w66_funnel_where_or,
     "w67_funnel_group_matches" -> w67_funnel_group_matches,
     "w70_funnel_group_matches_within" -> w70_funnel_group_matches_within,
+    "w71_funnel_group_loop_seam_guard" ->
+      w71_funnel_group_loop_seam_guard,
+    "w71b_funnel_group_loop_seam_guard_bucketed" ->
+      w71b_funnel_group_loop_seam_guard_bucketed,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

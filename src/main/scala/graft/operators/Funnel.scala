@@ -1953,21 +1953,18 @@ object Funnel {
     * where one repetition ends and the next begins — ambiguous) and
     * the tail detects completion (an optional tail would complete a
     * repetition implicitly, with no event to hang the seam on).
-    * A `notNextAfter` on the LAST stage gets a loop-specific
-    * rejection: unlike the flat pattern (where a trailing gap guard
-    * can never affect the output), in a loop it would guard the
-    * repetition SEAM — semantics this machine does not implement
-    * (the dominance fold's `bl` slot would need a kill transition at
-    * the blocker). Flink can express the seam guard; here it is
-    * rejected loudly rather than silently mis-ignored. */
+    * Unlike the FLAT pattern, a `notNextAfter` on the LAST stage is
+    * MEANINGFUL here and supported (round 18): it guards the
+    * repetition SEAM — a repetition whose completing event is
+    * immediately followed by the blocker is invalid (its chain dies
+    * at the blocker: no promotion to the sticky observable, no seam
+    * extension; end-of-log completions pass, there being no next
+    * event). [[patternRequire]] rejects the trailing guard as
+    * output-inert for flat patterns, so the group validates with it
+    * stripped. */
   private[graft] def groupLoopRequire(group: Seq[PatternStage]): Unit = {
-    require(group.isEmpty || group.last.notNextAfter.isEmpty,
-      "notNextAfter on the group's LAST stage would guard the " +
-        "repetition seam — unsupported by the group-loop machines " +
-        "(unlike the flat pattern, where a trailing gap guard is " +
-        "merely output-inert); move the guard inside the group or " +
-        "use the flat machines")
-    patternRequire(group)
+    require(group.nonEmpty, "need at least one stage")
+    patternRequire(group.init :+ group.last.copy(notNextAfter = None))
     require(!group.head.optional,
       "the group's first stage anchors each repetition — an optional " +
         "head makes the repetition seam ambiguous")
@@ -2014,13 +2011,24 @@ object Funnel {
       else if (group(j - 1).optional)
         gmax(Seq(element_at(L, j), element_at(O, j), effAnyV(j - 1)))
       else gmax(Seq(element_at(L, j), element_at(O, j)))
+    // the TRAILING seam guard (notNextAfter on the last stage, round
+    // 18): at the blocker event, every freshly-completed chain (bl)
+    // dies — its completion's immediate successor is the blocker —
+    // so bl neither promotes to bo nor seeds a seam extension. All
+    // transitions stay max-plus linear (a kill is the -inf
+    // coefficient), so the bucketed twin's gain matrices carry the
+    // guard unchanged. Chains already in bo survived their own guard
+    // one event after completing.
+    val seamKill = group.last.notNextAfter
+      .map(x => tp === lit(x)).getOrElse(lit(false))
+    val blAlive = when(!seamKill, bl)
     def adv(j: Int): Column = {
       val tOk = tp === lit(group(j - 1).tp)
       if (j == 1) {
         val seam =
-          if (!consecutiveSeams) gmax(Seq(bo, bl))
-          else if (fresh) gmax(Seq(bl, lit(0L)))
-          else bl
+          if (!consecutiveSeams) gmax(Seq(bo, blAlive))
+          else if (fresh) gmax(Seq(blAlive, lit(0L)))
+          else blAlive
         when(tOk, seam)
       } else {
         val base = if (group(j - 1).strict) effLastV(j - 1)
@@ -2045,7 +2053,7 @@ object Funnel {
       when(complete >= lit(m), lit(m)).otherwise(complete))
       .getOrElse(complete)
     struct(
-      gmax(Seq(bo, bl)).as("bo"),
+      gmax(Seq(bo, blAlive)).as("bo"),
       blNew.as("bl"),
       newL.as("l"), newO.as("o"))
   }

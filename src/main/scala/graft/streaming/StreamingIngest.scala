@@ -2108,6 +2108,10 @@ object StreamingIngest {
     mature.sortBy(e => (e._1, e._2)).foreach { case (_, _, tp) =>
       val preL = l.clone(); val preO = o.clone()
       val preBo = bo; val preBl = bl
+      // the trailing SEAM guard — the batch fold's `seamKill`,
+      // verbatim: at the blocker event a freshly-completed chain dies
+      val preBlAlive =
+        if (group.last.notNextAfter.contains(tp)) NoStart else preBl
       def effLastV(j: Int): Long =
         if (j == 0) NoStart
         else if (group(j - 1).optional) vmax(preL(j - 1), effLastV(j - 1))
@@ -2120,8 +2124,8 @@ object StreamingIngest {
       def adv(j: Int): Long =
         if (tp != group(j - 1).tp) NoStart
         else if (j == 1) {
-          if (!consecutiveSeams) vmax(preBo, preBl)
-          else vmax(preBl, 0L)
+          if (!consecutiveSeams) vmax(preBo, preBlAlive)
+          else vmax(preBlAlive, 0L)
         } else if (group(j - 1).strict) effLastV(j - 1)
         else effAnyV(j - 1)
       var j = 1
@@ -2132,7 +2136,7 @@ object StreamingIngest {
           else vmax(preO(j - 1), preL(j - 1))
         j += 1
       }
-      bo = vmax(preBo, preBl)
+      bo = vmax(preBo, preBlAlive)
       val compBase = adv(k)
       // reluctant consume mode caps the completion step — the batch
       // fold's policy point (groupLoopStep's `cap`), verbatim

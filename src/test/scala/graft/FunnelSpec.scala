@@ -1698,7 +1698,11 @@ class FunnelSpec extends SparkSpec {
             ends(j + 1, e, j, bound, adjacent))
         }
       def best(bound: Int, adjacent: Boolean): Long = {
-        val es = ends(1, -1, 0, bound, adjacent)
+        // the TRAILING seam guard: a completion immediately followed
+        // by the last stage's blocker is invalid (end-of-log passes)
+        val es = ends(1, -1, 0, bound, adjacent).filter(t =>
+          group.last.notNextAfter.forall(x =>
+            t + 1 >= n || tps(t + 1) != x))
         if (es.isEmpty) 0L
         else es.map(t => 1L + best(t, consec)).max
       }
@@ -1718,7 +1722,15 @@ class FunnelSpec extends SparkSpec {
       // gap guard (the last MATCHED stage's, not the list-previous)
       Seq(Funnel.PatternStage("A", notNextAfter = Some("X")),
         Funnel.PatternStage("X", optional = true),
-        Funnel.PatternStage("B")))
+        Funnel.PatternStage("B")),
+      // TRAILING seam guard (round 18): a completion immediately
+      // followed by X is invalid — the bl kill transition
+      Seq(Funnel.PatternStage("A"),
+        Funnel.PatternStage("B", notNextAfter = Some("X"))),
+      // trailing guard composed with a strict hop
+      Seq(Funnel.PatternStage("A"),
+        Funnel.PatternStage("B", strict = true,
+          notNextAfter = Some("X"))))
     val types = Array("A", "B", "X")
     for ((g, gi) <- groups.zipWithIndex; consec <- Seq(false, true)) {
       val corpora = (1 to 25).map { u =>
@@ -1755,7 +1767,11 @@ class FunnelSpec extends SparkSpec {
       Seq(Funnel.PatternStage("view",
         notNextAfter = Some("error")),
         Funnel.PatternStage("error", optional = true),
-        Funnel.PatternStage("click")))
+        Funnel.PatternStage("click")),
+      // trailing seam guard: the bl kill is max-plus linear, so the
+      // gain matrices must carry it bit-exactly (round 18)
+      Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", notNextAfter = Some("error"))))
     def collectReps(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (g <- groups; consec <- Seq(false, true)) {
@@ -1840,16 +1856,30 @@ class FunnelSpec extends SparkSpec {
     assert(reps(Funnel.Reluctant, 2) === 2L) // timesOrMore(2) floor
   }
 
-  test("groupLoopRequire rejects a trailing notNextAfter with the loop-specific seam-guard message") {
-    val ev = Seq((1L, 1L, ts(0), "view"))
+  test("trailing seam guard: a completion immediately followed by the blocker dies; end-of-log completions pass") {
+    // view click ERROR view click: the first traversal's completion is
+    // immediately followed by the blocker (dead), the second completes
+    // at end-of-log (passes) - guarded reps 1, unguarded 2. The dead
+    // completion also cannot seed a chain, so no depth-2 chain exists.
+    val ev = Seq("view", "click", "error", "view", "click")
+      .zipWithIndex.map { case (tp, i) => (1L, i.toLong, ts(i), tp) }
       .toDF("user_id", "event_id", "ts", "event_type")
-    val bad = Seq(Funnel.PatternStage("view"),
+    val guarded = Seq(Funnel.PatternStage("view"),
       Funnel.PatternStage("click", notNextAfter = Some("error")))
-    val e = intercept[IllegalArgumentException] {
+    val plain = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click"))
+    def reps(g: Seq[Funnel.PatternStage]) =
       Funnel.funnelGroupLoop(ev, "user_id", "event_type", "ts",
-        "event_id", bad)
-    }
-    assert(e.getMessage.contains("repetition seam"))
+        "event_id", g).head().getLong(1)
+    assert(reps(plain) === 2L)
+    assert(reps(guarded) === 1L)
+    // streaming twin agrees (same kill, same event order)
+    // (batch == stream is pinned in StreamingSpec for the machine;
+    // here we pin the guard's bucketed twin instead)
+    val bucketed = Funnel.funnelGroupLoopBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, bucketSeconds = 1L)
+      .head().getLong(1)
+    assert(bucketed === 1L)
   }
 
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {

@@ -2847,6 +2847,55 @@ class StreamingSpec extends SparkSpec {
     assert(greedy(1L) !== last(1L))
   }
 
+  test("streaming group loop with a TRAILING seam guard equals batch: a completion followed by the blocker dies across waves") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val group = Seq(graft.operators.Funnel.PatternStage("view"),
+      graft.operators.Funnel.PatternStage("click",
+        notNextAfter = Some("error")))
+    // u1: view click ERROR view click — the first completion's
+    // immediate successor is the blocker (dead), the second completes
+    // clean → reps 1 (unguarded would be 2); the error arrives LATE so
+    // the buffered fold must reorder before killing. u2: one clean
+    // traversal.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "view"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 3L, t("2024-01-01 10:02:00"), "error"),
+        Row(1L, 5L, t("2024-01-01 10:04:00"), "click"),
+        Row(2L, 21L, t("2024-01-01 10:02:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-seam-guard-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingIngest.streamingFunnelGroupLoop(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        group, "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val last = emitted.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(es => es.maxBy(_._2)._1._2).toMap
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupLoop(all, "user_id",
+        "event_type", "ts", "event_id", group)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last.keySet === batch.keySet)
+    last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    assert(last(1L) === 1L) // the guard bit: 2 traversals, 1 survives
+    assert(last(2L) === 1L)
+  }
+
   test("streaming contiguity-within product funnel equals batch funnelPatternWithin: strict hops, notNext kills, optional skips and window expiry across out-of-order waves") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
