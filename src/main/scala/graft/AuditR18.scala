@@ -87,6 +87,58 @@ object AuditR18 {
         BpeTrain.MaxBroadcastWords},${results.mkString(",")}}""")
     }
 
+    // ---- claim 3: plan shapes of the round's new operators ----
+    // The scale contracts, read off the executed plans at sf0.1:
+    //   - the reluctant group loop and the seam-guarded loop keep the
+    //     single user-keyed exchange (the mode/guard live inside the
+    //     fold, adding no shuffle);
+    //   - the span-bounded match enumeration reuses the enumeration's
+    //     user hash partitioning for its recount window (no extra
+    //     exchange beyond funnelMulti's);
+    //   - the interchange round-trip encodes with the same
+    //     two-aggregation + bounded-broadcast-probe shape as the
+    //     direct encode.
+    if (enabled("plans")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      def shuffles(p: String) =
+        p.split("== Initial Plan ==").head.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      val rel = planOf(Funnel.funnelGroupLoopMode(ev, "user_id",
+        "event_type", "ts", "event_id",
+        Seq(Funnel.PatternStage("view"), Funnel.PatternStage("click")),
+        Funnel.Reluctant, minTimes = 2))
+      val guard = planOf(Funnel.funnelGroupLoop(ev, "user_id",
+        "event_type", "ts", "event_id",
+        Seq(Funnel.PatternStage("view"),
+          Funnel.PatternStage("click", notNextAfter = Some("error")))))
+      val within = planOf(Funnel.funnelGroupMatchesWithin(ev, "user_id",
+        "event_type", "ts", "event_id", Seq("view", "click"),
+        times = 2, maxMatches = 12, windowMicros = 432000L * 1000000L))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val vocab = graft.operators.UnigramLm.train(docs, "text")
+      val dir18 = java.nio.file.Files
+        .createTempDirectory("graft-audit-interchange").toString
+      graft.operators.TokenizerInterchange.exportUnigramTsv(
+        s"$dir18/unigram.tsv", vocab)
+      val enc = graft.operators.Staging.scoped(planOf(
+        graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text",
+          graft.operators.TokenizerInterchange.importUnigramTsv(
+            s"$dir18/unigram.tsv"))))
+      println(s"""{"metric":"r18_plan_shapes",""" +
+        s""""w68_reluctant":{"hash_exchanges":${shuffles(rel)},""" +
+        s""""single_user_shuffle":${shuffles(rel) == 1}},""" +
+        s""""w71_seam_guard":{"hash_exchanges":${shuffles(guard)},""" +
+        s""""single_user_shuffle":${shuffles(guard) == 1}},""" +
+        s""""w70_matches_within":{"hash_exchanges":${shuffles(within)}},""" +
+        s""""t114_interchange_encode":{"hash_exchanges":${shuffles(enc)},""" +
+        s""""broadcast_probe":${enc.contains("BroadcastHashJoin")}}}""")
+    }
+
     // ---- claim 2: the group-loop 2 GB wall ----
     if (enabled("wall")) {
       val types = Seq("view", "click", "purchase", "error")
