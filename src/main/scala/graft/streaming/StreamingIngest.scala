@@ -2650,6 +2650,27 @@ object StreamingIngest {
             .as(s"ts_r${r}_s${i}_us")): _*)
   }
 
+  /** Streaming span-bounded group-match enumeration —
+    * [[graft.operators.Funnel.funnelGroupMatchesWithin]]'s twin: the
+    * canonical skip-past-last matches stream out as they mature, and
+    * the whole-match span bound filters them row-by-row (the span is
+    * known the moment a match completes — no extra state).
+    * `match_idx` keeps its enumeration index, so a cut match leaves a
+    * visible gap, exactly the batch contract; the batch side's
+    * `n_matches` recount has no streaming analogue (the count is not
+    * final until the stream ends) and is deliberately absent. */
+  def streamingFunnelGroupMatchesWithin(spark: SparkSession,
+      events: DataFrame, groupTypes: Seq[String], times: Int,
+      maxMatches: Int, windowMicros: Long,
+      watermark: String): DataFrame = {
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = groupTypes.length
+    streamingFunnelGroupMatches(spark, events, groupTypes, times,
+        maxMatches, watermark)
+      .filter(col(s"ts_r${times}_s${k}_us") - col("ts_r1_s1_us") <=
+        windowMicros)
+  }
+
   /** Chains are flat `Seq[Long]` of interleaved (us, oid) pairs;
     * `buckets(j-1)` holds the prefixes that matched stages 1..j.
     * (mu, mo) is the running after-match-skip threshold. */

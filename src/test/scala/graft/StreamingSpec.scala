@@ -2258,6 +2258,44 @@ class StreamingSpec extends SparkSpec {
         (3 to 6).map(i => r.getLong(i)).toSeq)).toSet
     assert(emittedG.toSet === batchG)
     assert(batchG.nonEmpty)
+    // the SPAN-BOUNDED twin filters the same stream: the corpus' one
+    // group match spans exactly 4 minutes (10:00→10:04), so a wide
+    // bound keeps it and a narrow bound cuts it — stream ≡ batch at
+    // both windows
+    def runWithin(winUs: Long): Set[(Long, Long, Seq[Long])] = {
+      val emittedW = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Seq[Long])]
+      val qw = StreamingIngest.streamingFunnelGroupMatchesWithin(spark,
+          spark.readStream.schema(funnelWaveSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          Seq("view", "click"), times = 2, maxMatches = 2,
+          windowMicros = winUs, "2 hours")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emittedW.synchronized {
+            emittedW += ((r.getLong(0), r.getLong(1),
+              (2 to 5).map(i => r.getLong(i)).toSeq))
+          })
+          ()
+        }.start()
+      qw.processAllAvailable(); qw.stop()
+      emittedW.toSet
+    }
+    def batchWithin(winUs: Long): Set[(Long, Long, Seq[Long])] =
+      graft.operators.Funnel.funnelGroupMatchesWithin(
+          spark.createDataFrame(spark.sparkContext
+            .parallelize(waves.flatten), funnelWaveSchema),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), times = 2, maxMatches = 2,
+          windowMicros = winUs)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          (3 to 6).map(i => r.getLong(i)).toSeq)).toSet
+    val wide = 600L * 1000000L
+    val narrow = 180L * 1000000L
+    assert(runWithin(wide) === batchWithin(wide))
+    assert(batchWithin(wide).nonEmpty)
+    assert(runWithin(narrow) === batchWithin(narrow))
+    assert(batchWithin(narrow).isEmpty) // the bound bit
   }
 
   test("streaming after-match skip equals batch funnelSkip across out-of-order waves, online pruning included") {
