@@ -87,6 +87,48 @@ object AuditR18 {
         BpeTrain.MaxBroadcastWords},${results.mkString(",")}}""")
     }
 
+    // ---- claim 4: new-machine scale — reluctant + seam-guarded
+    // group loops at 10× and 100× events (the AUDIT_r17_group recipe:
+    // sub-linear-in-cost growth per 100× is the 100 TB signature;
+    // both machines are the w62 dominance fold plus a constant-work
+    // completion-step tweak, so their curves must track the greedy
+    // machine's 7.9× at 100×) ----
+    if (enabled("newops")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+        "target/scale_audit")
+      def minOf(reps: Int)(f: => Unit): Double =
+        (1 to reps).map { _ => time(f)._2 }.min
+      val relGroup = Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click"))
+      val guardGroup = Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", notNextAfter = Some("error")))
+      val rows = Seq("sf0.1" -> s"$sfDir/events.parquet",
+        "sf10x" -> s"$scaleDir/sf10x/events.parquet",
+        "sf100x" -> s"$scaleDir/sf100x/events.parquet").map {
+        case (tag, path) =>
+          val ev = spark.read.parquet(path)
+          val n = ev.count()
+          val relSec = minOf(2) {
+            val r = Funnel.funnelGroupLoopMode(ev, "user_id",
+                "event_type", "ts", "event_id", relGroup,
+                Funnel.Reluctant, minTimes = 2)
+              .agg(sum("reps")).head.getLong(0)
+            require(r >= 0L)
+          }
+          val guardSec = minOf(2) {
+            val r = Funnel.funnelGroupLoop(ev, "user_id", "event_type",
+                "ts", "event_id", guardGroup)
+              .agg(sum("reps")).head.getLong(0)
+            require(r >= 0L)
+          }
+          s""""$tag":{"events":$n,"reluctant_sec":$relSec,""" +
+            s""""seam_guard_sec":$guardSec}"""
+      }
+      println(s"""{"metric":"r18_newops_scale",${rows.mkString(",")}}""")
+    }
+
     // ---- claim 3: plan shapes of the round's new operators ----
     // The scale contracts, read off the executed plans at sf0.1:
     //   - the reluctant group loop and the seam-guarded loop keep the
