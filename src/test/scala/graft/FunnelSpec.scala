@@ -1880,6 +1880,18 @@ class FunnelSpec extends SparkSpec {
       "event_type", "ts", "event_id", guarded, bucketSeconds = 1L)
       .head().getLong(1)
     assert(bucketed === 1L)
+    // the SEGMENT-BOUNDARY kill: with 1-second buckets every event is
+    // its own segment, so the completion (click, t=1) and its killing
+    // blocker (error, t=2) fall in DIFFERENT segments - the entry bl
+    // slot must carry the chain into the blocker's segment and die
+    // there, which the 1-second run above already exercises; this
+    // variant puts the boundary EXACTLY between click and error with
+    // wider segments on each side (bucket = 2s: [0,1] and [2,3] and
+    // [4]), same answer required
+    val boundary = Funnel.funnelGroupLoopBucketed(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, bucketSeconds = 2L)
+      .head().getLong(1)
+    assert(boundary === 1L)
   }
 
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
