@@ -1200,6 +1200,34 @@ object Queries {
 
   private lazy val duckBpeChain: String = duckBpeChainFor(None)
 
+  /** The BYTE-LEVEL BPE training chain over the t116 planted-unicode
+    * corpus: `d2` plants a per-id non-ASCII token (multi-byte UTF-8 —
+    * the case the byte alphabet exists for), `w1` spells each word's
+    * UTF-8 BYTES via the GPT-2 `bytes_to_unicode` table embedded as a
+    * 256-element list literal (generated from the SAME
+    * [[BpeTrain.ByteChars]] the Spark side uses — one table, two
+    * engines), and the round blocks are [[duckBpeRound]] verbatim
+    * (the merge machinery never reads what the alphabet means). */
+  private def duckBpeByteChain(rounds: Int): String = {
+    val bmap = BpeTrain.ByteChars
+      .map(c => "'" + c.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val base =
+      s"""d2 AS (SELECT doc_id,
+         |    text || ' ' || repeat(['é','ü','日','α'][CAST(doc_id % 4 AS INT) + 1],
+         |      CAST(doc_id % 3 + 1 AS INT)) AS text
+         |  FROM documents),
+         |w1 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+         |    [$bmap[CAST('0x' || substr(hex(encode(w)), 2*i+1, 2) AS INT) + 1]
+         |     for i in range(octet_length(encode(w)))] AS syms
+         |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |        FROM d2)
+         |  GROUP BY w)""".stripMargin
+    val blocks = (1 to rounds).map(duckBpeRound).mkString(",\n")
+    s"$base,\n$blocks"
+  }
+
   /** One APPLY-ONLY round over the inference chain `v$k`: the same
     * island-parity merge machinery as [[duckBpeRound]], but the rule
     * comes from the TRAINING chain's winner `m$k` instead of a fresh
@@ -1686,6 +1714,42 @@ object Queries {
         .orderBy("doc_id")
     },
     oracle = t105_wordpiece_encode.oracle)
+
+  /** BYTE-LEVEL BPE ([[BpeTrain.trainByteLevel]], round 18 — the
+    * GPT-2/tiktoken alphabet): words segment into their UTF-8 BYTES,
+    * each spelled via the public `bytes_to_unicode` table, so the
+    * tokenizer is lossless on arbitrary Unicode (a multi-byte code
+    * point starts as several symbols and the merges learn to
+    * reassemble it). The corpus plants a per-id non-ASCII token
+    * (é/ü/日/α repeated — 2–3 UTF-8 bytes each) so the byte alphabet
+    * genuinely bites; the oracle rebuilds the SAME 256-entry table
+    * from [[BpeTrain.ByteChars]], replays all training rounds
+    * unrolled, and joins the encode against the trained table (the
+    * in-vocab replay-equality law, as t67). Output per doc:
+    * `(n_words, n_syms, n_bytes)`. */
+  val t116_bytelevel_bpe: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          repeat(element_at(typedLit(Seq("é", "ü", "日", "α")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("text"))
+      val (merges, _) = BpeTrain.trainByteLevel(docs, "text",
+        rounds = BpeRounds)
+      BpeTrain.encodeStatsByteLevelWithMerges(docs, "doc_id", "text",
+          merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH ${duckBpeByteChain(BpeRounds)},
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM d2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_syms,
+         |  CAST(sum(octet_length(encode(w))) AS BIGINT) AS n_bytes
+         |FROM dw JOIN w${BpeRounds + 1} USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Blocklist/taxonomy tagging via Aho–Corasick
     * ([[DictionaryMatch.tag]]) — the C4 bad-words-filter primitive at
@@ -9932,6 +9996,7 @@ object Queries {
     "t113_bpe_interchange" -> t113_bpe_interchange,
     "t114_unigram_interchange" -> t114_unigram_interchange,
     "t115_wordpiece_interchange" -> t115_wordpiece_interchange,
+    "t116_bytelevel_bpe" -> t116_bytelevel_bpe,
     "t111_blocklist_tag" -> t111_blocklist_tag,
     "t112_blocklist_store_asof" -> t112_blocklist_store_asof,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,

@@ -49,6 +49,37 @@ object BpeTrain {
       .otherwise(transform(sequence(lit(0), length(w) - 1),
         i => substr(w, i + 1, lit(1))))
 
+  /** The GPT-2 `bytes_to_unicode` table (Radford et al. 2019; public
+    * in the GPT-2 repo and every byte-level BPE reimplementation):
+    * index = byte value, value = the byte's 1-character spelling. The
+    * 188 printable non-space bytes (`!`–`~`, `¡`–`¬`, `®`–`ÿ`) spell
+    * themselves; the remaining 68 (controls, space, 0x7f, 0xad) shift
+    * to code points 256+n in byte order — every byte gets a DISTINCT
+    * printable spelling, which is what makes byte-level BPE lossless
+    * on arbitrary binary-ish text. */
+  val ByteChars: Seq[String] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (256 + n).toChar; n += 1; c.toString }
+    }
+  }
+
+  /** BYTE-level initial segmentation (the GPT-2 alphabet): `w`'s
+    * UTF-8 bytes, each spelled via [[ByteChars]] — a multi-byte code
+    * point becomes several symbols, so the merge machinery (which is
+    * alphabet-agnostic) can learn to reassemble or cross it. Same
+    * empty-string guard as [[charsOf]]. */
+  private[operators] def byteSymsOf(w: Column): Column = {
+    val bin = encode(w, "UTF-8")
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(bin)),
+        i => element_at(typedLit(ByteChars),
+          conv(hex(bin.substr(i, lit(1))), 16, 10).cast("int") + 1)))
+  }
+
   /** Greedy left-to-right application of merge rule (a, b) to a symbol
     * array, as a pure expression fold. Non-overlapping by construction:
     * the merged symbol `a+b` differs from `a`, so it never re-merges
@@ -151,6 +182,35 @@ object BpeTrain {
     words.select(col(wordCol).as("w"),
       merges.foldLeft(charsOf(col(wordCol)))((c, m) =>
         applyMerge(c, m.left, m.right)).as("syms"))
+
+  /** [[encodeWords]] over the BYTE-level alphabet — rank-order replay
+    * of [[trainByteLevel]] merges from the [[byteSymsOf]] base. */
+  def encodeWordsByteLevel(words: DataFrame, wordCol: String,
+      merges: Seq[Merge]): DataFrame =
+    words.select(col(wordCol).as("w"),
+      merges.foldLeft(byteSymsOf(col(wordCol)))((c, m) =>
+        applyMerge(c, m.left, m.right)).as("syms"))
+
+  /** [[encodeStatsWithMerges]] over the BYTE-level alphabet: distinct
+    * words replay the byte-level rank order once, every occurrence
+    * pays one bounded-broadcast probe; `n_bytes` replaces `n_chars`
+    * (the byte alphabet's natural length). */
+  def encodeStatsByteLevelWithMerges(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[Merge],
+      maxBroadcastWords: Long = MaxBroadcastWords): DataFrame = {
+    val words = Staging.barrier(encodeWordsByteLevel(
+      df.select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct(),
+      "w", merges))
+    boundedProbeJoin(
+      df.select(col(idCol).as("id"),
+        explode(TextDedup.tokens(col(textCol))).as("w")),
+      words.select(col("w"), size(col("syms")).as("ns"),
+        length(encode(col("w"), "UTF-8")).as("nb")),
+      maxBroadcastWords, stage = false)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
+        sum("nb").as("n_bytes"))
+  }
 
   /** [[encodeStats]] for a corpus that may contain words UNSEEN in
     * training: distinct words encode once via [[encodeWords]] (rank-
@@ -267,11 +327,26 @@ object BpeTrain {
    * identical (spec-gated on a shared prefix, tie-breaks included).
    */
   def train(df: DataFrame, textCol: String, rounds: Int,
-      maxLocalWords: Long = LocalWordBound): (Seq[Merge], DataFrame) = {
+      maxLocalWords: Long = LocalWordBound): (Seq[Merge], DataFrame) =
+    trainWith(df, textCol, rounds, maxLocalWords, charsOf)
+
+  /** [[train]] over the GPT-2 BYTE-level alphabet ([[byteSymsOf]]) —
+    * the Unicode-safe tokenizer family (tiktoken/GPT-2 lineage): the
+    * merge machinery is alphabet-agnostic, so byte-level training IS
+    * [[train]] with the initial segmentation swapped. Merges learned
+    * here spell pieces in [[ByteChars]] symbols; apply them with
+    * [[encodeWordsByteLevel]]. */
+  def trainByteLevel(df: DataFrame, textCol: String, rounds: Int,
+      maxLocalWords: Long = LocalWordBound): (Seq[Merge], DataFrame) =
+    trainWith(df, textCol, rounds, maxLocalWords, byteSymsOf)
+
+  private def trainWith(df: DataFrame, textCol: String, rounds: Int,
+      maxLocalWords: Long, initSyms: Column => Column)
+      : (Seq[Merge], DataFrame) = {
     val base = Staging.barrier(
       df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(col("w"), col("cnt"), charsOf(col("w")).as("syms")))
+        .select(col("w"), col("cnt"), initSyms(col("w")).as("syms")))
     if (base.count() <= maxLocalWords) {
       val collected = base.collect().map(r =>
         (r.getString(0), r.getLong(1),

@@ -115,6 +115,45 @@ class BpeTrainSpec extends SparkSpec {
     assert(r === Array((1L, 3L, 4L, 6L), (2L, 1L, 1L, 2L)))
   }
 
+  test("byte-level alphabet: GPT-2 bytes_to_unicode invariants, multi-byte segmentation, and merge reassembly") {
+    // the published table's invariants: 256 DISTINCT 1-char spellings;
+    // printable non-space bytes spell themselves; the 68 shifted bytes
+    // land at 256+n in byte order
+    val bc = BpeTrain.ByteChars
+    assert(bc.length === 256 && bc.distinct.length === 256)
+    assert(bc.forall(_.length == 1))
+    assert(bc('a'.toInt) === "a" && bc('!'.toInt) === "!")
+    assert(bc(0) === 256.toChar.toString) // NUL is the first shifted byte
+    assert(bc(' '.toInt) !== " ")         // space is shifted (GPT-2's Ġ class)
+    // multi-byte segmentation: 'é' is C3 A9 → exactly the two
+    // high-byte self-spellings; trained merges reassemble it
+    val docs = Seq((1L, "éé éé xé")).toDF("doc_id", "text")
+    val (merges, words) = BpeTrain.trainByteLevel(docs, "text", rounds = 2)
+    val syms0 = BpeTrain.encodeWordsByteLevel(
+        Seq("é").toDF("w"), "w", Nil)
+      .head().getSeq[String](1)
+    assert(syms0 === Seq(bc(0xC3), bc(0xA9)))
+    // round 1 must merge the dominant adjacent pair (Ã, ©) — 5
+    // occurrences (2+2 in "éé" twice, 1 in "xé")
+    assert((merges.head.left, merges.head.right) ===
+      ((bc(0xC3), bc(0xA9))))
+    assert(merges.head.count === 5L)
+    // losslessness: mapping each trained symbol back through the
+    // table recovers the original UTF-8 bytes
+    val back = bc.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+    words.collect().foreach { r =>
+      val w = r.getString(0)
+      val bytes = r.getSeq[String](2).flatMap(sym =>
+        sym.map(ch => back(ch.toString))).toArray
+      assert(new String(bytes, "UTF-8") === w, s"word $w")
+    }
+    // encode stats count BYTES, and the encode equals the trained table
+    val st = BpeTrain.encodeStatsByteLevelWithMerges(docs, "doc_id",
+      "text", merges).head()
+    assert(st.getLong(1) === 3L) // words
+    assert(st.getLong(3) === 4L + 4L + 3L) // bytes: éé=4, éé=4, xé=3
+  }
+
   test("bounded-broadcast probe: shuffle-join fallback (maxBroadcastWords = 0) is value-identical and drops the broadcast") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab")).toDF("doc_id", "text")
     val (merges, words) = BpeTrain.train(docs, "text", rounds = 1)
