@@ -152,6 +152,16 @@ class BpeTrainSpec extends SparkSpec {
       "text", merges).head()
     assert(st.getLong(1) === 3L) // words
     assert(st.getLong(3) === 4L + 4L + 3L) // bytes: éé=4, éé=4, xé=3
+    // byte-level merges ride the public interchange format untouched:
+    // every ByteChars spelling is non-whitespace by construction
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-bytelevel-merges").toString
+    graft.operators.TokenizerInterchange.exportBpeMerges(
+      s"$out/merges.txt", merges)
+    val back2 = graft.operators.TokenizerInterchange.importBpeMerges(
+      s"$out/merges.txt")
+    assert(back2.map(m => (m.round, m.left, m.right)) ===
+      merges.map(m => (m.round, m.left, m.right)))
   }
 
   test("bounded-broadcast probe: shuffle-join fallback (maxBroadcastWords = 0) is value-identical and drops the broadcast") {
