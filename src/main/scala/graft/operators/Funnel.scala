@@ -1863,6 +1863,21 @@ object Funnel {
   private[graft] def groupRequire(group: Seq[PatternStage],
       times: Int): Unit = {
     require(times >= 1, "need times >= 1")
+    // a trailing gap guard gets a GROUP-specific rejection before
+    // patternRequire's flat-pattern message could mislead: under the
+    // expansion's sticky first-reach semantics a blocked completion
+    // still counts (the guard would only stop further chaining),
+    // which silently DIVERGES from the loop machines' kill semantics
+    // (w71: a blocked completion does not count) — rather than ship
+    // two readings of one guard, the bounded quantifier rejects it
+    // and points at the kill-semantics machines
+    require(group.isEmpty || group.last.notNextAfter.isEmpty,
+      "notNextAfter on the group's LAST stage is unsupported under " +
+        "the bounded group quantifiers (the expansion's sticky " +
+        "first-reach reps would count a blocked completion, silently " +
+        "diverging from the loop machines' kill semantics); use " +
+        "funnelGroupLoopMode / funnelGroupTimesOrMore, whose " +
+        "dominance machine implements the guard as a completion kill")
     patternRequire(group)
   }
 

@@ -1880,6 +1880,14 @@ class FunnelSpec extends SparkSpec {
       "event_type", "ts", "event_id", guarded, bucketSeconds = 1L)
       .head().getLong(1)
     assert(bucketed === 1L)
+    // the BOUNDED group quantifiers reject the trailing guard with a
+    // group-specific message (expansion sticky-reps would diverge
+    // from the loop machines' kill semantics)
+    val e = intercept[IllegalArgumentException] {
+      Funnel.funnelGroupTimes(ev, "user_id", "event_type", "ts",
+        "event_id", guarded, times = 2)
+    }
+    assert(e.getMessage.contains("kill semantics"))
     // the SEGMENT-BOUNDARY kill: with 1-second buckets every event is
     // its own segment, so the completion (click, t=1) and its killing
     // blocker (error, t=2) fall in DIFFERENT segments - the entry bl
