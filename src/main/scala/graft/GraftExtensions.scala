@@ -85,7 +85,12 @@ object GraftExtensions {
               "at plan time")
           val s = kw.eval(null)
           require(s != null, "graft_dict_tag's keyword list is NULL")
-          s.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val parsed =
+            s.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(parsed.nonEmpty,
+            "graft_dict_tag's keyword list parsed to zero keywords — " +
+              s"expected 'kw1,kw2,...', got '$s'")
+          parsed
       }
       operators.DictTag(children.head,
         operators.DictionaryMatch.build(keywords))

@@ -4714,10 +4714,11 @@ object Queries {
     * through the genuine layout (big-endian fields, self-counting
     * segment lengths, fill-byte skipping). The oracle computes the
     * planted values arithmetically:
-    * round-tripping the real byte layout IS the parse check. This
-    * retires the image half of the "container parse is a stub" seam;
-    * video containers (frame indexes) remain the documented
-    * environment-blocked stub (m2). */
+    * round-tripping the real byte layout IS the parse check. Together
+    * with m2/m4's ISO-BMFF sample-table walk (re-gated through the
+    * real parser in round 18) this retires the "container parse is a
+    * stub" seam for every format; only PIXEL decode remains
+    * environment-blocked (no codec libraries in the sandbox). */
   val m3_container_headers: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")

@@ -2174,7 +2174,12 @@ object Funnel {
    * [[ConsumeMode]]. `minTimes` is the loop's floor (1 = Flink's
    * `oneOrMore`, n = `timesOrMore(n)` — see
    * [[funnelGroupTimesOrMore]]'s `mode` parameter for the thresholded
-   * report).
+   * report). The floor is read ONLY under `Reluctant` (where it is
+   * the cap the match stops at): under `Greedy` the fold is uncapped
+   * by definition and `minTimes` does not change the output — a
+   * greedy caller who wants the `reps >= minTimes` threshold REPORT
+   * is [[funnelGroupTimesOrMore]], which applies it to this
+   * machine's result.
    *
    * Under RELUCTANT consumption the match stops at the floor: the
    * emitted match contains exactly `minTimes` repetitions once the

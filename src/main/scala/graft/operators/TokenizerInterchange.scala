@@ -71,17 +71,19 @@ object TokenizerInterchange {
       merges.sortBy(_.round).map(m => s"${m.left} ${m.right}"))
   }
 
-  /** Parse `merges.txt`: rank = position (1-based), counts 0 (not in
-    * the public format — rank-order replay never reads them). Header
-    * lines (`#...`) and blank lines are skipped, as HF's reader does. */
+  /** Parse `merges.txt`: rank = position among DATA lines (1-based),
+    * counts 0 (not in the public format — rank-order replay never
+    * reads them). Header lines (`#...`) and blank lines are skipped,
+    * as HF's reader does — error messages cite the ACTUAL file line
+    * (header and blanks included), not the post-filter index. */
   def importBpeMerges(path: String): Seq[BpeTrain.Merge] =
-    readLines(path)
-      .filterNot(l => l.isEmpty || l.startsWith("#"))
-      .zipWithIndex.map { case (line, i) =>
+    readLines(path).zipWithIndex
+      .filterNot { case (l, _) => l.isEmpty || l.startsWith("#") }
+      .zipWithIndex.map { case ((line, fileIdx), rank) =>
         line.split(' ') match {
-          case Array(l, r) => BpeTrain.Merge(i + 1, l, r, 0L)
+          case Array(l, r) => BpeTrain.Merge(rank + 1, l, r, 0L)
           case _ => throw new IllegalArgumentException(
-            s"merges.txt line ${i + 1} is not 'left right': '$line'")
+            s"merges.txt line ${fileIdx + 1} is not 'left right': '$line'")
         }
       }
 
@@ -117,16 +119,22 @@ object TokenizerInterchange {
 
   /** Parse the piece/score TSV. Imported pieces carry usage 0 — the
     * interchange format, like SentencePiece's, persists only what
-    * encoding needs (piece and score). */
+    * encoding needs (piece and score). Blank lines are skipped; error
+    * messages cite the ACTUAL file line, and a non-integer score
+    * fails with the same located loudness as a wrong column count. */
   def importUnigramTsv(path: String): Seq[UnigramLm.Piece] =
-    readLines(path).filter(_.nonEmpty).zipWithIndex.map {
-      case (line, i) =>
+    readLines(path).zipWithIndex
+      .filter { case (l, _) => l.nonEmpty }
+      .map { case (line, i) =>
         line.split('\t') match {
-          case Array(p, s) => UnigramLm.Piece(p, 0L, s.toLong)
+          case Array(p, s) => UnigramLm.Piece(p, 0L,
+            s.toLongOption.getOrElse(throw new IllegalArgumentException(
+              s"piece TSV line ${i + 1} has a non-integer score '$s' " +
+                "(expected a micro-log10 integer)")))
           case _ => throw new IllegalArgumentException(
             s"piece TSV line ${i + 1} is not 'piece<TAB>score': '$line'")
         }
-    }
+      }
 
   // ------------------------------------------------------------------
   // WordPiece — vocab.txt

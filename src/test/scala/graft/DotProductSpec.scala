@@ -161,6 +161,12 @@ class DotProductSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql(
       "SELECT graft_dict_tag(c, c) FROM (SELECT 'x' AS c)").collect())
     assert(err.getMessage.contains("foldable"))
+    // a keyword list that trims to empty names the function and the
+    // expected format, not DictionaryMatch's generic internals
+    val errEmpty = intercept[Exception](spark.sql(
+      "SELECT graft_dict_tag('x', ' , ')").collect())
+    assert(errEmpty.getMessage.contains("graft_dict_tag") &&
+      errEmpty.getMessage.contains("kw1,kw2"))
   }
 
   test("SQL kernel macros: graft_minhash and graft_winnow match the Column API") {

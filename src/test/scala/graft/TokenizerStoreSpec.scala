@@ -96,13 +96,23 @@ class TokenizerStoreSpec extends SparkSpec {
       .head()
     assert((wEnc.getLong(1), wEnc.getLong(2), wEnc.getLong(3)) ===
       ((2L, 4L, 0L)))
-    // malformed lines are loud, not silently skipped
+    // malformed lines are loud, not silently skipped — and the error
+    // cites the ACTUAL file line (header/blank lines included), not
+    // the post-filter index
     val badMerges = write("bad_merges.txt", Seq("#version: 0.2", "a b c"))
-    intercept[IllegalArgumentException](
+    assert(intercept[IllegalArgumentException](
       TokenizerInterchange.importBpeMerges(badMerges))
+      .getMessage.contains("line 2"))
     val badTsv = write("bad_unigram.tsv", Seq("a\t1\t2"))
-    intercept[IllegalArgumentException](
+    assert(intercept[IllegalArgumentException](
       TokenizerInterchange.importUnigramTsv(badTsv))
+      .getMessage.contains("line 1"))
+    // a non-integer score fails with the same located loudness
+    val badScore = write("bad_score.tsv", Seq("", "a\tnot_a_number"))
+    val badScoreMsg = intercept[IllegalArgumentException](
+      TokenizerInterchange.importUnigramTsv(badScore)).getMessage
+    assert(badScoreMsg.contains("line 2") &&
+      badScoreMsg.contains("not_a_number"))
     // whitespace-bearing pieces cannot export
     intercept[IllegalArgumentException](
       TokenizerInterchange.exportWordPieceVocab(
