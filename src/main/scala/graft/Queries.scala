@@ -1522,8 +1522,11 @@ object Queries {
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
       val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
+      // encoding the TRAINING corpus: the trained word table's
+      // row-count tag IS the probe side's count — no routing job (r19)
       WordPiece.encodeStats(docs, "doc_id", "text",
-          WordPiece.vocab(words, merges))
+          WordPiece.vocab(words, merges),
+          knownWords = BpeTrain.taggedRowCount(words))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -2768,8 +2771,12 @@ object Queries {
   val t102_unigram_encode: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text")
-      graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text", vocab)
+      // trainAndCount: the distinct-word count training already
+      // measures routes the encode probe with no extra job (r19)
+      val (vocab, nWords) =
+        graft.operators.UnigramLm.trainAndCount(docs, "text")
+      graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text",
+          vocab, knownWords = Some(nWords))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -2803,8 +2810,10 @@ object Queries {
   val t103_unigram_doc_score: Q = Q(
     run = (spark, dir) => {
       val docs = t(spark, dir, "documents")
-      val vocab = graft.operators.UnigramLm.train(docs, "text")
-      graft.operators.UnigramLm.docScores(docs, "doc_id", "text", vocab)
+      val (vocab, nWords) =
+        graft.operators.UnigramLm.trainAndCount(docs, "text")
+      graft.operators.UnigramLm.docScores(docs, "doc_id", "text",
+          vocab, knownWords = Some(nWords))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },

@@ -121,6 +121,11 @@ object BpeTrain {
    * web-scale corpus' distinct words) the probe degrades to a plain
    * shuffle join instead of OOMing the driver
    * ([[boundedProbeJoin]]'s discipline, value-identical by spec).
+   * A [[train]]-returned word table carries its row count as schema
+   * metadata ([[taggedRowCount]]), so the routing decision costs no
+   * job; a caller-built table without the tag (and not plan-time
+   * local) pays one EAGER count() at construction time, staged so the
+   * join reuses the counted work.
    */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       words: DataFrame,
@@ -144,18 +149,73 @@ object BpeTrain {
     * bounded-fast-path discipline as [[LocalWordBound]]. */
   val MaxBroadcastWords = 4000000L
 
+  /** Schema-metadata key carrying a word table's KNOWN exact row
+    * count on its `w` column. Training attaches it ([[train]] already
+    * counts the distinct words for the local-fast-path decision), and
+    * [[boundedProbeJoin]] reads it back at PLAN time — so the encode
+    * hot path's broadcast-vs-shuffle routing costs ZERO extra jobs
+    * (round 19, retiring the r18 bound's one local cost: a count()
+    * job per encode call). The tag describes the table AS RETURNED by
+    * training; metadata rides the `w` attribute through projections,
+    * and a downstream FILTER only shrinks the table, so a stale tag
+    * over-estimates — which routes to the shuffle join, the safe
+    * side. */
+  private[operators] val RowCountKey = "graft.rowCount"
+
+  /** Attach a known exact row count to a word table (metadata on its
+    * `w` column) — see [[RowCountKey]]. */
+  private[operators] def tagRowCount(df: DataFrame, n: Long): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema("w").metadata)
+      .putLong(RowCountKey, n).build()
+    df.withColumn("w", col("w").as("w", m))
+  }
+
+  /** Read back a [[tagRowCount]] tag, if present. */
+  def taggedRowCount(df: DataFrame): Option[Long] =
+    df.schema.fields.find(_.name == "w")
+      .filter(_.metadata.contains(RowCountKey))
+      .map(_.metadata.getLong(RowCountKey))
+
+  /** Plan-time row count of a probe side whose optimized plan is a
+    * LOCAL relation (the ≤[[LocalWordBound]] trained word table, an
+    * interchange-imported vocabulary): known exactly with no job —
+    * Catalyst collapses projections over `LocalRelation`, so the
+    * match survives [[encodeStats]]'s column pruning. */
+  private def localPlanRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(l.data.length.toLong)
+      case _ => None
+    }
+
   /** The encode family's word-probe join under the BOUNDED-broadcast
-    * discipline: count the probe side, broadcast under `maxWords`,
-    * fall back to a plain shuffle join over it — value-identical
-    * (spec-pinned), only the PLAN changes. With `stage = true` the
-    * probe side is staged first ([[Staging.barrier]]) so the routing
-    * count does not recompute the per-word encode work the join then
-    * reuses; `stage = false` is for probe sides the caller already
-    * materialized (the trained word table). */
+    * discipline: broadcast under `maxWords` distinct words, a plain
+    * shuffle join over it — value-identical (spec-pinned), only the
+    * PLAN changes. The route decision resolves, in order: the
+    * caller's `knownWords`; the [[tagRowCount]] tag a trained word
+    * table carries; the plan-time size of a local probe side — all
+    * job-free. Only a probe side whose size NOTHING knows pays an
+    * eager routing count() (one Spark job at construction time,
+    * noted on the public encode entry points); it is staged first
+    * ([[Staging.barrier]]) so the count's work is reused by the join
+    * rather than computed twice. */
   private[operators] def boundedProbeJoin(exploded: DataFrame,
-      probe: DataFrame, maxWords: Long, stage: Boolean): DataFrame = {
-    val side = if (stage) Staging.barrier(probe) else probe
-    val n = side.count()
+      probe: DataFrame, maxWords: Long, stage: Boolean,
+      knownWords: Option[Long] = None): DataFrame = {
+    val side0 = if (stage) Staging.barrier(probe) else probe
+    val (side, n) = knownWords.orElse(taggedRowCount(side0))
+      .orElse(localPlanRowCount(side0)) match {
+      case Some(k) => (side0, k)
+      case None =>
+        // barrier unless some caller already persisted it (a barrier
+        // of its own) — the routing count's work is then reused by
+        // the join either way, never computed twice
+        val s = if (side0.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE)
+          Staging.barrier(side0) else side0
+        (s, s.count())
+    }
     exploded.join(if (n <= maxWords) broadcast(side) else side, Seq("w"))
   }
 
@@ -347,7 +407,11 @@ object BpeTrain {
       df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .select(col("w"), col("cnt"), initSyms(col("w")).as("syms")))
-    if (base.count() <= maxLocalWords) {
+    // the fast-path decision count doubles as the word table's
+    // row-count tag (merges rewrite syms, never add/drop words), so
+    // downstream probe-join routing needs no job of its own
+    val nWords = base.count()
+    if (nWords <= maxLocalWords) {
       val collected = base.collect().map(r =>
         (r.getString(0), r.getLong(1),
           r.getSeq[String](2).toArray))
@@ -356,8 +420,11 @@ object BpeTrain {
       import spark.implicits._
       val out = words.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
         .toDF("w", "cnt", "syms")
-      (merges, out)
-    } else trainDistributed(base, rounds)
+      (merges, tagRowCount(out, nWords))
+    } else {
+      val (merges, words) = trainDistributed(base, rounds)
+      (merges, tagRowCount(words, nWords))
+    }
   }
 
   /**

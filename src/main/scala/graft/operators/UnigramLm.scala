@@ -189,14 +189,32 @@ object UnigramLm {
    * re-read the corpus). Both paths share [[viterbi]]/[[mStep]].
    */
   def train(df: DataFrame, textCol: String,
-      p: Params = Params()): Seq[Piece] = {
+      p: Params = Params()): Seq[Piece] =
+    trainAndCount(df, textCol, p)._1
+
+  /** [[train]] plus the corpus' UNFILTERED distinct-word count (all
+    * words, before the `maxWordLen` cut) — exactly the row count of
+    * the probe side [[encodeStats]]/[[docScores]] build over the same
+    * corpus, measured inside the aggregation pass training already
+    * pays. Same-corpus callers pass it as `knownWords` and the encode
+    * probe routes its broadcast-vs-shuffle decision with zero extra
+    * jobs. The word table now groups ALL words and training filters
+    * the distinct table afterwards (filter-per-distinct-word, same
+    * training results; the map-side combine keeps the extra shuffle
+    * volume at the long-word tail's distinct size). */
+  def trainAndCount(df: DataFrame, textCol: String,
+      p: Params = Params()): (Seq[Piece], Long) = {
     val spark = df.sparkSession
     Staging.scoped {
-      val words = Staging.barrier(
+      val allWords = Staging.barrier(
         df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
-          .filter(length(col("w")) <= p.maxWordLen)
           .groupBy("w").agg(count(lit(1)).as("cnt")))
-      val nWords = words.count()
+      val cnts = allWords.agg(
+        count(lit(1)).as("n_all"),
+        count(when(length(col("w")) <= p.maxWordLen, 1)).as("n_train"))
+        .head()
+      val (nAll, nWords) = (cnts.getLong(0), cnts.getLong(1))
+      val words = allWords.filter(length(col("w")) <= p.maxWordLen)
       // substring seed: every (position, length ≤ maxPieceLen) window
       val sub = words.select(explode(transform(
           sequence(lit(0), length(col("w")) - 1), i =>
@@ -212,7 +230,7 @@ object UnigramLm {
       val seedMulti = sub.filter(length(col("piece")) > 1)
         .orderBy(desc("cnt"), asc("piece")).limit(p.seedSize)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      if (nWords <= p.maxLocalWords) {
+      val vocab = if (nWords <= p.maxLocalWords) {
         val local = words.collect().map(r =>
           (r.getString(0), r.getLong(1)))
         emLoop(seedChars, seedMulti, p, { scores =>
@@ -237,6 +255,7 @@ object UnigramLm {
           } finally b.destroy()
         })
       }
+      (vocab, nAll)
     }
   }
 
@@ -263,10 +282,16 @@ object UnigramLm {
    * floor. All integers — gated hash-exact (t103). Same scale shape
    * as [[encodeStats]]: distinct words score once, occurrences pay a
    * bounded-broadcast probe. Output: `(id, n_words, score_micro_total)`.
-   */
+   *
+   * Pass `knownWords` (the corpus' distinct-word count —
+   * [[trainAndCount]]'s second member when scoring the training
+   * corpus) and the probe routes with no extra job; without it,
+   * routing runs one EAGER count() job at DataFrame-construction time
+   * (the staged probe's work is then reused by the join). */
   def docScores(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], p: Params = Params(),
-      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame = {
     require(vocab.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -289,15 +314,21 @@ object UnigramLm {
     BpeTrain.boundedProbeJoin(
         docs.select(col(idCol).as("id"),
           explode(TextDedup.tokens(col(textCol))).as("w")),
-        ws, maxBroadcastWords, stage = true)
+        ws, maxBroadcastWords, stage = true, knownWords)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("s").as("score_micro_total"))
   }
 
+  /** See the twin scaladoc above [[docScores]]; same `knownWords`
+    * contract (the count is the ENCODE corpus' distinct words —
+    * [[trainAndCount]]'s second member when encoding the training
+    * corpus; absent it, one eager routing count() job runs at
+    * construction time). */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], p: Params = Params(),
-      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame = {
     require(vocab.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -315,7 +346,7 @@ object UnigramLm {
     BpeTrain.boundedProbeJoin(
         docs.select(col(idCol).as("id"),
           explode(TextDedup.tokens(col(textCol))).as("w")),
-        enc, maxBroadcastWords, stage = true)
+        enc, maxBroadcastWords, stage = true, knownWords)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_pieces"),

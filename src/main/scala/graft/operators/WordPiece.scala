@@ -174,7 +174,11 @@ object WordPiece {
       df.select(explode(TextDedup.tokens(col(textCol))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .select(col("w"), col("cnt"), initSymsOf(col("w")).as("syms")))
-    if (base.count() <= maxLocalWords) {
+    // the fast-path decision count doubles as the word table's
+    // row-count tag ([[BpeTrain.tagRowCount]]) — downstream probe
+    // routing then needs no job
+    val nWords = base.count()
+    if (nWords <= maxLocalWords) {
       val collected = base.collect().map(r =>
         (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
       val (merges, words) = trainLocal(collected, rounds)
@@ -182,8 +186,11 @@ object WordPiece {
       import spark.implicits._
       val out = words.toSeq.map { case (w, c, s) => (w, c, s.toSeq) }
         .toDF("w", "cnt", "syms")
-      (merges, out)
-    } else trainDistributed(base, rounds)
+      (merges, BpeTrain.tagRowCount(out, nWords))
+    } else {
+      val (merges, words) = trainDistributed(base, rounds)
+      (merges, BpeTrain.tagRowCount(words, nWords))
+    }
   }
 
   /**
@@ -323,10 +330,19 @@ object WordPiece {
    * [[BpeTrain.MaxBroadcastWords]], shuffle join over it). Unknown words count one
    * piece and flag `n_unk_words`. Output per document:
    * `(id, n_words, n_pieces, n_unk_words, n_chars)`.
+   *
+   * Pass `knownWords` when the corpus' distinct-word count is already
+   * known — e.g. [[BpeTrain.taggedRowCount]] of the trained word
+   * table when encoding the TRAINING corpus (same corpus, same
+   * tokenization, so the counts are identical) — and the probe routes
+   * with no extra job. Without it, routing runs one EAGER count() job
+   * at DataFrame-construction time (the distinct-word table is
+   * staged, so the count's work is reused by the join).
    */
   def encodeStats(docs: DataFrame, idCol: String, textCol: String,
       vocabSet: Set[String],
-      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords): DataFrame = {
+      maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame = {
     require(vocabSet.nonEmpty, "need a trained vocabulary")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -341,7 +357,7 @@ object WordPiece {
     BpeTrain.boundedProbeJoin(
         docs.select(col(idCol).as("id"),
           explode(TextDedup.tokens(col(textCol))).as("w")),
-        enc, maxBroadcastWords, stage = true)
+        enc, maxBroadcastWords, stage = true, knownWords)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").as("n_pieces"),

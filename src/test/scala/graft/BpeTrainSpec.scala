@@ -190,4 +190,45 @@ class BpeTrainSpec extends SparkSpec {
       assert(hasBcast(bcM) && !hasBcast(shM))
     }
   }
+
+  test("probe routing is job-free on known counts: trained tables carry an exact row-count tag, knownWords steers the route, and encode construction launches no Spark job") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")
+    val (_, words) = BpeTrain.train(docs, "text", rounds = 1)
+    // the tag equals the actual distinct-word count (ab, cd, xy)
+    assert(BpeTrain.taggedRowCount(words) === Some(3L))
+    assert(words.count() === 3L)
+    def hasBcast(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    graft.operators.Staging.scoped {
+      // knownWords steers the route without a job: a claimed count
+      // over the bound forces the shuffle join even on a tiny table,
+      // under it keeps the broadcast — values identical either way
+      val viaTag = BpeTrain.encodeStats(docs, "doc_id", "text", words)
+      val forcedShuffle = BpeTrain.encodeStats(docs, "doc_id", "text",
+        words.withColumn("w", col("w")), // still tagged (metadata rides w)
+        maxBroadcastWords = 2L)
+      assert(hasBcast(viaTag) && !hasBcast(forcedShuffle))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      assert(rows(viaTag) === rows(forcedShuffle))
+      // constructing the tagged-route encode launches ZERO jobs (the
+      // r18 bound ran an eager count() here; r19 reads the tag)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val constructedOnly =
+          BpeTrain.encodeStats(docs, "doc_id", "text", words)
+        assert(constructedOnly.queryExecution.optimizedPlan != null)
+        Thread.sleep(1000) // listener bus drain window
+        assert(jobs.get() === 0,
+          "probe routing on a tagged word table must not launch a job")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }

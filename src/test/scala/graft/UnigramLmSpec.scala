@@ -89,6 +89,20 @@ class UnigramLmSpec extends SparkSpec {
     assert(out.getLong(1) === 1L && out.getLong(3) === 4L)
   }
 
+  test("trainAndCount: the count is the UNFILTERED distinct-word total (maxWordLen-excluded words included) and the vocabulary equals train's") {
+    val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
+    val (vocab, nAll) = UnigramLm.trainAndCount(docs, "text", p)
+    assert(vocab === UnigramLm.train(docs, "text", p))
+    val words = docs.select(
+      explode(graft.operators.TextDedup.tokens(col("text"))).as("w"))
+    assert(nAll === words.distinct().count())
+    // the count covers the long words the training table drops — it
+    // describes the ENCODE probe side (all distinct words), so routing
+    // by it can never under-estimate the broadcast
+    assert(nAll >
+      words.filter(length(col("w")) <= p.maxWordLen).distinct().count())
+  }
+
   test("bounded-broadcast probe: forcing the shuffle-join fallback (maxBroadcastWords = 0) is value-identical, and the plans genuinely differ") {
     val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
     val vocab = UnigramLm.train(docs, "text", p)

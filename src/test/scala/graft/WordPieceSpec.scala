@@ -137,6 +137,15 @@ class WordPieceSpec extends SparkSpec {
         maxBroadcastWords = 0L)
       assert(rows(bc) === rows(sh))
       assert(hasBcast(bc) && !hasBcast(sh))
+      // the trained word table carries its exact row-count tag
+      // (abab, cd), and knownWords steers the route job-free: a
+      // claimed over-bound count forces the shuffle join, values
+      // identical (the r19 same-corpus encode contract)
+      assert(graft.operators.BpeTrain.taggedRowCount(words) === Some(2L))
+      val shK = WordPiece.encodeStats(docs, "doc_id", "text", vocab,
+        maxBroadcastWords = 2L, knownWords = Some(3L))
+      assert(rows(bc) === rows(shK))
+      assert(!hasBcast(shK))
     }
   }
 }
