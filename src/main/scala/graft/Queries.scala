@@ -7761,6 +7761,66 @@ object Queries {
         .orderBy("user_id"),
     oracle = w71_funnel_group_loop_seam_guard.oracle)
 
+  /** BOUNDED group quantifier WITH a trailing seam guard —
+    * `begin(view→click·notNextAfter(error)).times(2,3)`, the one
+    * combination the stage-list expansion rejects, now ROUTED through
+    * the capped dominance machine (round 19, closing the r18
+    * verdict's last missing surface): cap = maxTimes saturates the
+    * guarded fold's completion step (truncation lemma — a kept
+    * prefix's guard outcomes are index properties of the event
+    * stream, unchanged by dropping the suffix), `matched = reps >=
+    * minTimes`. The gate calls the PUBLIC [[Funnel
+    * .funnelGroupTimesRange]] so the routing itself is gated; output
+    * is the guarded report shape `(user_id, reps_completed,
+    * matched)`. Oracle: the guarded greedy-earliest chain (w71's)
+    * with `LEAST(·, 3)` and the `>= 2` threshold. */
+  val w72_funnel_group_times_range_guarded: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesRange(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", notNextAfter = Some("error"))),
+          minTimes = 2, maxTimes = 3)
+        .orderBy("user_id"),
+    oracle = Some(
+      s"""$sqlEventsPrefix
+         |${duckGroupLoopGreedyGuarded(28, "error")}
+         |SELECT u.user_id,
+         |  CAST(LEAST(COALESCE(max(lvl), 0), 3) AS INT) AS reps_completed,
+         |  (COALESCE(max(lvl), 0) >= 2) AS matched
+         |FROM u LEFT JOIN lv USING (user_id)
+         |GROUP BY u.user_id ORDER BY u.user_id""".stripMargin))
+
+  /** [[w72_funnel_group_times_range_guarded]] through the TROPICAL
+    * segment split: the guarded gain matrices run UNCHANGED (the kill
+    * is the −inf coefficient, w71b) and the cap applies to the OUTPUT
+    * (min-with-constant is not max-plus linear; the w68b placement
+    * argument). Gates on w72's oracle VERBATIM. */
+  val w72b_funnel_group_times_range_guarded_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesRangeGuarded(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", notNextAfter = Some("error"))),
+          minTimes = 2, maxTimes = 3, bucketSeconds = Some(3600L))
+        .orderBy("user_id"),
+    oracle = w72_funnel_group_times_range_guarded.oracle)
+
+  /** [[w72_funnel_group_times_range_guarded]] through the AUTO router
+    * ([[Funnel.funnelGroupTimesRangeGuardedAuto]]): the guarded range
+    * rides the measured feasibility routing — below the 24M threshold
+    * this is the capped single fold. Gates on w72's oracle VERBATIM
+    * (the w68c auto-gate pattern). */
+  val w72c_funnel_group_times_range_guarded_auto: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupTimesRangeGuardedAuto(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq(Funnel.PatternStage("view"),
+            Funnel.PatternStage("click", notNextAfter = Some("error"))),
+          minTimes = 2, maxTimes = 3)
+        .orderBy("user_id"),
+    oracle = w72_funnel_group_times_range_guarded.oracle)
+
   /** GROUP pattern under `oneOrMore` ([[Funnel.funnelGroupLoop]]) —
     * the UNBOUNDED quantifier over a sequence, which stage-list
     * expansion cannot reach: view→click traversals repeated
@@ -10164,6 +10224,12 @@ object Queries {
       w71_funnel_group_loop_seam_guard,
     "w71b_funnel_group_loop_seam_guard_bucketed" ->
       w71b_funnel_group_loop_seam_guard_bucketed,
+    "w72_funnel_group_times_range_guarded" ->
+      w72_funnel_group_times_range_guarded,
+    "w72b_funnel_group_times_range_guarded_bucketed" ->
+      w72b_funnel_group_times_range_guarded_bucketed,
+    "w72c_funnel_group_times_range_guarded_auto" ->
+      w72c_funnel_group_times_range_guarded_auto,
     "w57_funnel_loop_until_reluctant" -> w57_funnel_loop_until_reluctant,
     "w57b_funnel_loop_until_reluctant_bucketed" -> w57b_funnel_loop_until_reluctant_bucketed,
     "w30_funnel_any" -> w30_funnel_any,

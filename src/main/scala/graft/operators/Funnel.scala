@@ -1873,11 +1873,13 @@ object Funnel {
     // and points at the kill-semantics machines
     require(group.isEmpty || group.last.notNextAfter.isEmpty,
       "notNextAfter on the group's LAST stage is unsupported under " +
-        "the bounded group quantifiers (the expansion's sticky " +
-        "first-reach reps would count a blocked completion, silently " +
-        "diverging from the loop machines' kill semantics); use " +
-        "funnelGroupLoopMode / funnelGroupTimesOrMore, whose " +
-        "dominance machine implements the guard as a completion kill")
+        "the stage-list expansion (its sticky first-reach reps would " +
+        "count a blocked completion, silently diverging from the loop " +
+        "machines' kill semantics); use funnelGroupTimesRange (which " +
+        "routes the guarded form through the capped dominance machine " +
+        "and reports counts without per-copy timestamps — times(n) is " +
+        "the m = n = times range) or funnelGroupLoopMode / " +
+        "funnelGroupTimesOrMore")
     patternRequire(group)
   }
 
@@ -2303,6 +2305,17 @@ object Funnel {
    * at the ceiling plus `matched = reps_completed >= m` (the same
    * reduction that made the flat `times(m, n)` a capped loop, w18).
    * Output: `(user_id, reps_completed, matched, ts_r<r>_s<i>_us…)`.
+   *
+   * A TRAILING seam guard (`notNextAfter` on the group's LAST stage —
+   * the one shape [[groupRequire]] rejects for the expansion) ROUTES
+   * through [[funnelGroupTimesRangeGuarded]] instead (round 19): same
+   * `reps_completed`/`matched` semantics under the loop machines'
+   * kill reading of the guard, but WITHOUT the per-copy timestamp
+   * columns (the dominance machine observes counts, not witnesses) —
+   * the output is exactly `(user_id, reps_completed, matched)`. The
+   * schema difference is deliberate and loud in both scaladocs; no
+   * previously-working call changes shape (the guarded form threw
+   * before this round).
    */
   def funnelGroupTimesRange(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
@@ -2310,13 +2323,89 @@ object Funnel {
       consecutiveSeams: Boolean = false): DataFrame = {
     require(minTimes >= 1 && maxTimes >= minTimes,
       "need 1 <= minTimes <= maxTimes")
-    funnelGroupTimes(events, userCol, typeCol, tsCol, orderCol, group,
+    if (group.nonEmpty && group.last.notNextAfter.nonEmpty)
+      funnelGroupTimesRangeGuarded(events, userCol, typeCol, tsCol,
+        orderCol, group, minTimes, maxTimes, consecutiveSeams)
+    else funnelGroupTimes(events, userCol, typeCol, tsCol, orderCol, group,
         maxTimes, consecutiveSeams)
       .withColumn("matched", col("reps_completed") >= minTimes)
       .select(Seq(col("user_id"), col("reps_completed"),
         col("matched")) ++
         (for (r <- 1 to maxTimes; i <- 1 to group.length)
           yield col(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /**
+   * `times(m, n)` on a GROUP whose LAST stage carries a `notNextAfter`
+   * seam guard — the bounded quantifier + trailing guard combination
+   * the stage-list expansion cannot express (its sticky first-reach
+   * reps would count a blocked completion; [[groupRequire]]'s
+   * rejection documents the divergence). The CAPPED DOMINANCE MACHINE
+   * already implements the kill semantics (w71), so the bounded
+   * quantifier is that machine at cap = `maxTimes` plus the threshold
+   * report `matched = reps_completed >= minTimes`: the cap saturates
+   * the completion step, exact by the TRUNCATION LEMMA, whose
+   * argument survives the guard — a repetition's guard outcome is a
+   * property of the EVENT STREAM at its completing index (is the next
+   * event the blocker?), not of the chain's suffix, so dropping a
+   * suffix of repetitions never changes the kept prefix's validity.
+   *
+   * REPORT SHAPE: `(user_id, reps_completed, matched)` — counts, not
+   * witnesses (the dominance machine has no per-copy first-match
+   * times; callers needing witnesses under a guard want the
+   * enumeration family). `reps_completed` = min(max guarded chain
+   * depth, maxTimes), INT like the expansion form's.
+   *
+   * The BUCKETED twin (`bucketSeconds = Some(b)`) runs the guarded
+   * greedy tropical split UNCHANGED — the kill is a −inf gain
+   * coefficient the segment matrices carry (w71b) — and caps the
+   * OUTPUT (min-with-constant is not max-plus linear; the w68b
+   * placement argument makes the two cappings the same function).
+   * Gates: w72 (single) / w72b (bucketed) / w72c (auto router), all
+   * against the guarded greedy-earliest enumeration oracle with
+   * `LEAST(·, maxTimes)`.
+   */
+  def funnelGroupTimesRangeGuarded(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], minTimes: Int, maxTimes: Int,
+      consecutiveSeams: Boolean = false,
+      bucketSeconds: Option[Long] = None): DataFrame = {
+    require(minTimes >= 1 && maxTimes >= minTimes,
+      "need 1 <= minTimes <= maxTimes")
+    groupLoopRequire(group)
+    val reps = bucketSeconds match {
+      case None =>
+        groupLoopFold(events, userCol, typeCol, tsCol, orderCol, group,
+          consecutiveSeams, cap = Some(maxTimes.toLong))
+      case Some(b) =>
+        funnelGroupLoopBucketed(events, userCol, typeCol, tsCol,
+            orderCol, group, b, consecutiveSeams)
+          .select(col("user_id"),
+            least(col("reps"), lit(maxTimes.toLong)).as("reps"))
+    }
+    reps.select(col("user_id"),
+      col("reps").cast("int").as("reps_completed"),
+      (col("reps") >= lit(minTimes.toLong)).as("matched"))
+  }
+
+  /** [[funnelGroupTimesRangeGuarded]] behind the family's feasibility
+    * router ([[funnelGroupLoopAuto]]'s contract: eager per-key peak
+    * probe or `precomputedPeak`, threshold from the MEASURED
+    * [[GroupLoopAutoKeyEvents]] wall) — below the threshold the
+    * capped single fold, above it the output-capped tropical split. */
+  def funnelGroupTimesRangeGuardedAuto(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      group: Seq[PatternStage], minTimes: Int, maxTimes: Int,
+      consecutiveSeams: Boolean = false,
+      bucketSeconds: Long = 3600L,
+      maxKeyEvents: Long = GroupLoopAutoKeyEvents,
+      precomputedPeak: Option[Long] = None): DataFrame = {
+    groupLoopRequire(group) // before the eager probe
+    require(bucketSeconds > 0, "need bucketSeconds > 0")
+    val b = if (routeBucketed(events, userCol, maxKeyEvents,
+      precomputedPeak)) Some(bucketSeconds) else None
+    funnelGroupTimesRangeGuarded(events, userCol, typeCol, tsCol,
+      orderCol, group, minTimes, maxTimes, consecutiveSeams, b)
   }
 
   /** Flink CEP's `timesOrMore(n)` on a GROUP — n or more complete

@@ -2206,7 +2206,10 @@ object StreamingIngest {
     * .funnelGroupTimesRange]]'s twin: the batch reduction is pure
     * reporting over the expansion machine, so the stream is
     * [[streamingFunnelGroupTimes]] at the ceiling plus the threshold
-    * column. */
+    * column. A TRAILING seam guard routes through
+    * [[streamingFunnelGroupTimesRangeGuarded]] — the batch routing
+    * mirrored, same guarded report shape (counts, no per-copy
+    * timestamps). */
   def streamingFunnelGroupTimesRange(spark: SparkSession,
       events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
       minTimes: Int, maxTimes: Int, watermark: String,
@@ -2214,13 +2217,37 @@ object StreamingIngest {
       matchRetentionMs: Long = Long.MaxValue): DataFrame = {
     require(minTimes >= 1 && maxTimes >= minTimes,
       "need 1 <= minTimes <= maxTimes")
-    streamingFunnelGroupTimes(spark, events, group, maxTimes, watermark,
-        consecutiveSeams, matchRetentionMs)
+    if (group.nonEmpty && group.last.notNextAfter.nonEmpty)
+      streamingFunnelGroupTimesRangeGuarded(spark, events, group,
+        minTimes, maxTimes, watermark, consecutiveSeams)
+    else streamingFunnelGroupTimes(spark, events, group, maxTimes,
+        watermark, consecutiveSeams, matchRetentionMs)
       .withColumn("matched", col("reps_completed") >= minTimes)
       .select(Seq(col("user_id"), col("reps_completed"),
         col("matched")) ++
         (for (r <- 1 to maxTimes; i <- 1 to group.length)
           yield col(s"ts_r${r}_s${i}_us")): _*)
+  }
+
+  /** Streaming twin of the GUARDED bounded range ([[graft.operators
+    * .Funnel.funnelGroupTimesRangeGuarded]]) — the batch composition
+    * verbatim: the CAPPED streaming dominance machine at cap =
+    * `maxTimes` (the loop state machine carries the trailing seam
+    * kill and the completion-step saturation) plus the threshold
+    * report. Output `(user_id, reps_completed, matched)` — stream ≡
+    * batch across out-of-order waves, StreamingSpec-pinned. */
+  def streamingFunnelGroupTimesRangeGuarded(spark: SparkSession,
+      events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
+      minTimes: Int, maxTimes: Int, watermark: String,
+      consecutiveSeams: Boolean = false): DataFrame = {
+    require(minTimes >= 1 && maxTimes >= minTimes,
+      "need 1 <= minTimes <= maxTimes")
+    streamingFunnelGroupLoopMode(spark, events, group,
+        graft.operators.Funnel.Reluctant, watermark, consecutiveSeams,
+        minTimes = maxTimes)
+      .select(col("user_id"),
+        col("reps").cast("int").as("reps_completed"),
+        (col("reps") >= lit(minTimes.toLong)).as("matched"))
   }
 
   /** Streaming `timesOrMore(n)` on a GROUP — [[graft.operators.Funnel

@@ -1902,6 +1902,79 @@ class FunnelSpec extends SparkSpec {
     assert(boundary === 1L)
   }
 
+  test("times(m,n) + trailing guard routes through the capped dominance machine: guarded report shape, every bound bites, single == bucketed == auto, cap placement law under the guard") {
+    val guarded = Seq(Funnel.PatternStage("view"),
+      Funnel.PatternStage("click", notNextAfter = Some("error")))
+    // u1: first completion killed by the blocker, two clean traversals
+    //     follow → guarded 2 (unguarded would see 3); matched at m=2
+    // u2: the only completion is killed → 0, unmatched
+    // u3: four clean traversals → the cap bites at n=3; matched
+    // u4: one clean traversal → under the m=2 floor; unmatched
+    val ev = (Seq("view", "click", "error", "view", "click", "view",
+        "click").zipWithIndex.map { case (tp, i) => (1L, i.toLong, ts(i), tp) } ++
+      Seq("view", "click", "error").zipWithIndex.map { case (tp, i) =>
+        (2L, i.toLong, ts(i), tp) } ++
+      Seq.fill(4)(Seq("view", "click")).flatten.zipWithIndex.map {
+        case (tp, i) => (3L, i.toLong, ts(i), tp) } ++
+      Seq("view", "click").zipWithIndex.map { case (tp, i) =>
+        (4L, i.toLong, ts(i), tp) })
+      .toDF("user_id", "event_id", "ts", "event_type")
+    // the PUBLIC bounded-range surface routes (no rejection), and the
+    // guarded report shape is exactly (user_id, reps_completed, matched)
+    val routed = Funnel.funnelGroupTimesRange(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, minTimes = 2, maxTimes = 3)
+    assert(routed.columns.toSeq ===
+      Seq("user_id", "reps_completed", "matched"))
+    val got = routed.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 2, true), (2L, 0, false), (3L, 3, true),
+      (4L, 1, false)))
+    // bucketed and auto agree row-for-row (auto above AND below the
+    // routing threshold; structural pin via groupsByAttr)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("user_id").collect().map(_.toString).toSeq
+    val single = rows(routed)
+    assert(rows(Funnel.funnelGroupTimesRangeGuarded(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, 2, 3,
+      bucketSeconds = Some(1L))) === single)
+    val above = Funnel.funnelGroupTimesRangeGuardedAuto(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, 2, 3,
+      bucketSeconds = 1L, maxKeyEvents = 2L)
+    assert(AuditUtil.groupsByAttr(above))
+    assert(rows(above) === single)
+    val below = Funnel.funnelGroupTimesRangeGuardedAuto(ev, "user_id",
+      "event_type", "ts", "event_id", guarded, 2, 3,
+      maxKeyEvents = 1000000L)
+    assert(!AuditUtil.groupsByAttr(below))
+    assert(rows(below) === single)
+    // cap placement law UNDER the guard, random corpora: the capped
+    // fold (in-fold saturation) == output-capped guarded greedy loop,
+    // single and bucketed — the truncation lemma's guard extension (a
+    // repetition's kill is an index property of the event stream, so
+    // truncating a chain never changes the kept prefix's validity)
+    val rnd = new scala.util.Random(4242L)
+    val typesPool = Array("view", "click", "error")
+    val corpus = (0 until 400).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong, ts(rnd.nextInt(40)),
+        typesPool(rnd.nextInt(typesPool.length)))
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    import org.apache.spark.sql.functions.{col, least, lit}
+    for ((m, n) <- Seq((1, 2), (2, 3), (3, 3))) {
+      val ref = rows(Funnel.funnelGroupLoop(corpus, "user_id",
+          "event_type", "ts", "event_id", guarded)
+        .select(col("user_id"),
+          least(col("reps"), lit(n.toLong)).cast("int")
+            .as("reps_completed"),
+          (col("reps") >= lit(m.toLong)).as("matched")))
+      assert(rows(Funnel.funnelGroupTimesRangeGuarded(corpus, "user_id",
+        "event_type", "ts", "event_id", guarded, m, n)) === ref,
+        s"single, times($m,$n)")
+      assert(rows(Funnel.funnelGroupTimesRangeGuarded(corpus, "user_id",
+        "event_type", "ts", "event_id", guarded, m, n,
+        bucketSeconds = Some(2L))) === ref, s"bucketed, times($m,$n)")
+    }
+  }
+
   test("consume mode rides the auto-route: a Reluctant call above threshold lands on the reluctant bucketed twin") {
     val rnd = new scala.util.Random(1714L)
     val typesPool = Array("view", "click", "purchase", "error")

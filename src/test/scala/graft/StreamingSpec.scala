@@ -2296,6 +2296,23 @@ class StreamingSpec extends SparkSpec {
     assert(batchWithin(wide).nonEmpty)
     assert(runWithin(narrow) === batchWithin(narrow))
     assert(batchWithin(narrow).isEmpty) // the bound bit
+    // window-close RECOUNT law (r19): the streaming twin honestly
+    // omits `n_matches` (not final mid-stream) — but once the stream
+    // drains, recounting its matured matches per user must equal the
+    // batch recount column (the windowed-sketch finalize contract's
+    // analogue for match enumeration)
+    val streamCounts = runWithin(wide).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val batchNm = graft.operators.Funnel.funnelGroupMatchesWithin(
+        spark.createDataFrame(spark.sparkContext
+          .parallelize(waves.flatten), funnelWaveSchema),
+        "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click"), times = 2, maxMatches = 2,
+        windowMicros = wide)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamCounts.keySet === batchNm.keySet)
+    streamCounts.foreach { case (u, c) =>
+      assert(c === batchNm(u), s"recount law, user $u") }
   }
 
   test("streaming after-match skip equals batch funnelSkip across out-of-order waves, online pruning included") {
@@ -2932,6 +2949,36 @@ class StreamingSpec extends SparkSpec {
     last.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
     assert(last(1L) === 1L) // the guard bit: 2 traversals, 1 survives
     assert(last(2L) === 1L)
+    // the GUARDED bounded range rides the same machine (r19 routing):
+    // the PUBLIC streaming times(m,n) surface routes the trailing
+    // guard through the capped dominance twin and its matured report
+    // equals the batch route row-for-row
+    for ((m, n) <- Seq((1, 2), (2, 3))) {
+      val emittedR = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Boolean)]
+      val qr = StreamingIngest.streamingFunnelGroupTimesRange(spark,
+          spark.readStream.schema(funnelWaveSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          group, minTimes = m, maxTimes = n, "2 hours")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emittedR.synchronized {
+            emittedR += ((r.getLong(0), r.getInt(1), r.getBoolean(2)))
+          })
+          ()
+        }.start()
+      qr.processAllAvailable(); qr.stop()
+      val lastR = emittedR.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(es => es.maxBy(_._2)._1).toMap
+      val batchR = graft.operators.Funnel.funnelGroupTimesRange(all,
+          "user_id", "event_type", "ts", "event_id", group, m, n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(0), r.getInt(1),
+          r.getBoolean(2)))).toMap
+      assert(lastR.keySet === batchR.keySet, s"times($m,$n)")
+      lastR.foreach { case (u, got) =>
+        assert(got === batchR(u), s"times($m,$n) user $u") }
+    }
   }
 
   test("streaming contiguity-within product funnel equals batch funnelPatternWithin: strict hops, notNext kills, optional skips and window expiry across out-of-order waves") {
