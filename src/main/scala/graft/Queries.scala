@@ -1208,15 +1208,33 @@ object Queries {
     * [[BpeTrain.ByteChars]] the Spark side uses — one table, two
     * engines), and the round blocks are [[duckBpeRound]] verbatim
     * (the merge machinery never reads what the alphabet means). */
+  /** The PLANTED-UNICODE corpus `d2`: every document gets a per-id
+    * non-ASCII token appended (é/ü/日/α repeated 1–3×) — multi-byte
+    * UTF-8 for the byte-level family (t116/t120), and characters
+    * PROVABLY absent from the all-ASCII training corpus for the
+    * OOV-coverage gates (t118/t119, where the UNK branch must bite).
+    * [[plantedDocs]] is the Spark spelling of the same corpus. */
+  private val duckPlantedD2 =
+    """d2 AS (SELECT doc_id,
+      |    text || ' ' || repeat(['é','ü','日','α'][CAST(doc_id % 4 AS INT) + 1],
+      |      CAST(doc_id % 3 + 1 AS INT)) AS text
+      |  FROM documents)""".stripMargin
+
+  /** [[duckPlantedD2]]'s Spark twin (the t116 planting expression). */
+  private def plantedDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        repeat(element_at(typedLit(Seq("é", "ü", "日", "α")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("text"))
+
   private def duckBpeByteChain(rounds: Int): String = {
     val bmap = BpeTrain.ByteChars
       .map(c => "'" + c.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
     val base =
-      s"""d2 AS (SELECT doc_id,
-         |    text || ' ' || repeat(['é','ü','日','α'][CAST(doc_id % 4 AS INT) + 1],
-         |      CAST(doc_id % 3 + 1 AS INT)) AS text
-         |  FROM documents),
+      s"""$duckPlantedD2,
          |w1 AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
          |    [$bmap[CAST('0x' || substr(hex(encode(w)), 2*i+1, 2) AS INT) + 1]
@@ -1434,8 +1452,14 @@ object Queries {
     * (raw prefix at the word start, `##`-prefixed past it) and
     * advances by the LONGEST consumed length; a live state with no
     * match flips to UNK (the whole word becomes one unknown token —
-    * BERT semantics). Ends with `wenc(w, n_pieces, unki)`. */
-  private def duckWpEncode: String = {
+    * BERT semantics). Ends with `wenc(w, n_pieces, unki)`.
+    * `docsRel` is the ENCODE corpus relation (default the training
+    * corpus; t118/t119 encode the planted-unicode `d2`, whose é/ü/…
+    * characters are absent from the all-ASCII training alphabet — the
+    * UNK branch genuinely bites). */
+  private def duckWpEncode: String = duckWpEncodeFor("documents")
+
+  private def duckWpEncodeFor(docsRel: String): String = {
     val fusedUnion = (1 to WpRounds).map(k =>
       s"SELECT l || (CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END) AS piece FROM mq$k")
       .mkString(" UNION ALL ")
@@ -1462,7 +1486,7 @@ object Queries {
        |  SELECT piece FROM alpha UNION ALL $fusedUnion)),
        |wd AS MATERIALIZED (
        |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
-       |  FROM documents),
+       |  FROM $docsRel),
        |gq0 AS MATERIALIZED (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS np, false AS unk FROM wd),
        |$steps,
        |wenc AS MATERIALIZED (SELECT w,
@@ -1732,11 +1756,7 @@ object Queries {
     * `(n_words, n_syms, n_bytes)`. */
   val t116_bytelevel_bpe: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit(" "),
-          repeat(element_at(typedLit(Seq("é", "ü", "日", "α")),
-            (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("text"))
+      val docs = plantedDocs(t(spark, dir, "documents"))
       val (merges, _) = BpeTrain.trainByteLevel(docs, "text",
         rounds = BpeRounds)
       BpeTrain.encodeStatsByteLevelWithMerges(docs, "doc_id", "text",
@@ -1753,6 +1773,150 @@ object Queries {
          |  CAST(sum(octet_length(encode(w))) AS BIGINT) AS n_bytes
          |FROM dw JOIN w${BpeRounds + 1} USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // t117–t120: tokenizer QUALITY metrics (TokenizerEval) — the
+  // compression-rate / coverage / fertility tables over the trained
+  // families (round 19)
+  // ---------------------------------------------------------------------
+
+  /** The COMPRESSION-RATE table by language for the t66-trained BPE
+    * ([[graft.operators.TokenizerEval.compressionByGroup]]): per lang,
+    * document/word/token/char totals plus chars-per-token and
+    * tokens-per-word as integer micro ratios — the table every
+    * tokenizer paper reports, exact-integer end to end. One doc-keyed
+    * join (encode stats back to the corpus' lang) into a
+    * lang-cardinality hash-agg. */
+  val t117_bpe_compression_by_lang: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (_, words) = BpeTrain.train(docs, "text", rounds = BpeRounds)
+      graft.operators.TokenizerEval.compressionByGroup(
+          BpeTrain.encodeStats(docs, "doc_id", "text", words),
+          docs, "doc_id", "lang", "n_syms", "n_chars")
+        .orderBy("lang")
+    },
+    bench = true,
+    oracle = Some(
+      s"""WITH $duckBpeChain,
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM documents),
+         |enc AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(len(syms)) AS n_syms, sum(length(w)) AS n_chars
+         |  FROM dw JOIN w${BpeRounds + 1} USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(enc.n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(sum(enc.n_chars) AS BIGINT) AS n_size,
+         |  CAST(sum(enc.n_chars) * 1000000 // sum(enc.n_syms) AS BIGINT) AS size_per_token_micro,
+         |  CAST(sum(enc.n_syms) * 1000000 // sum(enc.n_words) AS BIGINT) AS tokens_per_word_micro
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
+  /** VOCABULARY COVERAGE by source for the t104-trained WordPiece
+    * ([[graft.operators.TokenizerEval.coverageByGroup]]): the model
+    * trains on the ORIGINAL all-ASCII corpus and encodes the
+    * PLANTED-unicode twin ([[plantedDocs]]) — the planted é/ü/日/α
+    * words have no covering piece, so BERT's whole-word UNK branch
+    * genuinely bites and `oov_per_million` is non-trivial per source
+    * (exactly one UNK word per document, diluted by per-source word
+    * counts). Same scale shape as t117. */
+  val t118_wordpiece_coverage_by_source: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
+      graft.operators.TokenizerEval.coverageByGroup(
+          WordPiece.encodeStats(plantedDocs(docs), "doc_id", "text",
+            WordPiece.vocab(words, merges)),
+          docs, "doc_id", "source")
+        .orderBy("source")
+    },
+    oracle = Some(
+      s"""WITH $duckPlantedD2,
+         |$duckWpChain,
+         |${duckWpEncodeFor("d2")},
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM d2),
+         |enc AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(n_pieces) AS n_pieces, sum(unki) AS n_unk
+         |  FROM dw JOIN wenc USING (w) GROUP BY doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_unk) AS BIGINT) AS n_unk_words,
+         |  CAST(sum(n_unk) * 1000000 // sum(n_words) AS BIGINT) AS oov_per_million,
+         |  CAST(sum(n_pieces) * 1000000 // sum(n_words) AS BIGINT) AS tokens_per_word_micro
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
+  /** The FERTILITY DISTRIBUTION for the t104-trained WordPiece
+    * ([[graft.operators.TokenizerEval.fertilityHistogram]]): per
+    * pieces-per-word value, the distinct-word count (UNKs flagged)
+    * and the occurrence-weighted count — the fertility histogram of
+    * the multilingual-tokenizer literature. Encodes the planted
+    * corpus so the UNK bucket is non-empty (t118's construction). Two
+    * vocab-sized aggregations + one bounded occurrence probe. */
+  val t119_wordpiece_fertility: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
+      val planted = plantedDocs(docs)
+      graft.operators.TokenizerEval.fertilityHistogram(planted, "text",
+          WordPiece.wordPieces(planted, "text",
+            WordPiece.vocab(words, merges)))
+        .orderBy("n_pieces")
+    },
+    oracle = Some(
+      s"""WITH $duckPlantedD2,
+         |$duckWpChain,
+         |${duckWpEncodeFor("d2")},
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM d2),
+         |dist AS (SELECT n_pieces,
+         |    CAST(count(*) AS BIGINT) AS n_distinct_words,
+         |    CAST(sum(unki) AS BIGINT) AS n_unk_words
+         |  FROM wenc GROUP BY n_pieces),
+         |occ AS (SELECT n_pieces, CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM dw JOIN wenc USING (w) GROUP BY n_pieces)
+         |SELECT n_pieces, n_distinct_words, n_unk_words, n_occurrences
+         |FROM dist JOIN occ USING (n_pieces)
+         |ORDER BY n_pieces""".stripMargin))
+
+  /** BYTES-per-token by language for the BYTE-LEVEL family — the
+    * metric byte-level BPE exists for (UTF-8 bytes, not chars):
+    * [[graft.operators.TokenizerEval.compressionByGroup]] over the
+    * t116 byte-level encode (`n_bytes` as the size column) on the
+    * planted-unicode corpus, grouped by the original documents' lang.
+    * Together with t117 the compression table covers TWO model
+    * families, per the round-19 metrics contract. */
+  val t120_bytelevel_bytes_per_token: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val planted = plantedDocs(docs)
+      val (merges, _) = BpeTrain.trainByteLevel(planted, "text",
+        rounds = BpeRounds)
+      graft.operators.TokenizerEval.compressionByGroup(
+          BpeTrain.encodeStatsByteLevelWithMerges(planted, "doc_id",
+            "text", merges),
+          docs, "doc_id", "lang", "n_syms", "n_bytes")
+        .orderBy("lang")
+    },
+    oracle = Some(
+      s"""WITH ${duckBpeByteChain(BpeRounds)},
+         |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |       FROM d2),
+         |enc AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(len(syms)) AS n_syms,
+         |    sum(octet_length(encode(w))) AS n_bytes
+         |  FROM dw JOIN w${BpeRounds + 1} USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_bytes) AS BIGINT) AS n_size,
+         |  CAST(sum(n_bytes) * 1000000 // sum(n_syms) AS BIGINT) AS size_per_token_micro,
+         |  CAST(sum(n_syms) * 1000000 // sum(n_words) AS BIGINT) AS tokens_per_word_micro
+         |FROM enc JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
 
   /** Blocklist/taxonomy tagging via Aho–Corasick
     * ([[DictionaryMatch.tag]]) — the C4 bad-words-filter primitive at
@@ -10067,6 +10231,11 @@ object Queries {
     "t114_unigram_interchange" -> t114_unigram_interchange,
     "t115_wordpiece_interchange" -> t115_wordpiece_interchange,
     "t116_bytelevel_bpe" -> t116_bytelevel_bpe,
+    "t117_bpe_compression_by_lang" -> t117_bpe_compression_by_lang,
+    "t118_wordpiece_coverage_by_source" ->
+      t118_wordpiece_coverage_by_source,
+    "t119_wordpiece_fertility" -> t119_wordpiece_fertility,
+    "t120_bytelevel_bytes_per_token" -> t120_bytelevel_bytes_per_token,
     "t111_blocklist_tag" -> t111_blocklist_tag,
     "t112_blocklist_store_asof" -> t112_blocklist_store_asof,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,

@@ -343,17 +343,7 @@ object WordPiece {
       vocabSet: Set[String],
       maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
       knownWords: Option[Long] = None): DataFrame = {
-    require(vocabSet.nonEmpty, "need a trained vocabulary")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val b = spark.sparkContext.broadcast(vocabSet)
-    val enc = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
-      .distinct().as[String]
-      .map { w =>
-        val (n, unk) = greedyCount(w, b.value)
-        (w, n, if (unk) 1L else 0L)
-      }
-      .toDF("w", "n_pieces", "unk")
+    val enc = wordPieces(docs, textCol, vocabSet)
     BpeTrain.boundedProbeJoin(
         docs.select(col(idCol).as("id"),
           explode(TextDedup.tokens(col(textCol))).as("w")),
@@ -363,5 +353,26 @@ object WordPiece {
         sum("n_pieces").as("n_pieces"),
         sum("unk").as("n_unk_words"),
         sum(length(col("w"))).as("n_chars"))
+  }
+
+  /** Per-DISTINCT-word greedy segmentation table `(w, n_pieces, unk)`
+    * — the encode family's probe side, exposed for evaluation
+    * ([[TokenizerEval.fertilityHistogram]]): every distinct corpus
+    * word segments exactly once, UNK words count one piece and flag
+    * `unk = 1`. One map-only pass over the distinct-word table with
+    * the vocab broadcast. */
+  def wordPieces(docs: DataFrame, textCol: String,
+      vocabSet: Set[String]): DataFrame = {
+    require(vocabSet.nonEmpty, "need a trained vocabulary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(vocabSet)
+    docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
+      .distinct().as[String]
+      .map { w =>
+        val (n, unk) = greedyCount(w, b.value)
+        (w, n, if (unk) 1L else 0L)
+      }
+      .toDF("w", "n_pieces", "unk")
   }
 }
