@@ -3699,6 +3699,100 @@ object Queries {
          |ORDER BY d.doc_id""".stripMargin),
     bench = true)
 
+  /** SOFT dedup — duplicate-aware reweighting
+    * ([[TextDedup.softDedupSample]], round 19): instead of hard
+    * removal (t19's survivors), every near-dup cluster member keeps
+    * sampling weight 1/n — the cluster contributes ONE expected
+    * document with no privileged copy. Composes t16's connected
+    * components with t64's integer-exact seedless Bernoulli
+    * discipline (md5-prefix uint vs 2^64·1/n in HUGEINT /
+    * DECIMAL(38,0) — hash-exact, retry-stable). Output: the KEPT
+    * docs' annotations `(doc_id, cluster_id, cluster_size,
+    * keep_prob_micro)`; the oracle replays closure + sizes + the same
+    * HUGEINT predicate. */
+  val t121_soft_dedup_sample: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      TextDedup.softDedupSample(docs, "doc_id",
+          TextDedup.connectedComponents(pairs))
+        .orderBy("doc_id")
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM comp GROUP BY cluster_id),
+         |ann AS (SELECT d.doc_id,
+         |    COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+         |    COALESCE(sz.n, 1) AS cluster_size
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |  LEFT JOIN sz ON sz.cluster_id = comp.cluster_id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // cluster_size AS BIGINT) AS keep_prob_micro
+         |FROM ann
+         |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS HUGEINT)
+         |    * cluster_size < CAST('18446744073709551616' AS HUGEINT)
+         |ORDER BY doc_id""".stripMargin))
+
+  /** The survivors-vs-reweighted corpus-size REPORT
+    * ([[TextDedup.softDedupReport]]): one row comparing the full
+    * corpus, hard dedup (exactly one doc per cluster) and the soft
+    * sample (1/n expected) in documents and whitespace tokens — the
+    * number a curation run reads before choosing a dedup policy. The
+    * oracle replays closure + both predicates in one conditional
+    * aggregation. */
+  val t122_soft_dedup_report: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
+          threshold = JaccardThreshold)
+        .select("id_a", "id_b")
+      TextDedup.softDedupReport(docs, "doc_id", "text",
+        TextDedup.connectedComponents(pairs))
+    },
+    oracle = Some(
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${t3_minhash_lsh_pairs.oracle.get})),
+         |nodes AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n FROM comp GROUP BY cluster_id),
+         |ann AS (SELECT d.doc_id,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS BIGINT) AS ws,
+         |    COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+         |    COALESCE(sz.n, 1) AS cluster_size
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+         |  LEFT JOIN sz ON sz.cluster_id = comp.cluster_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(sum(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hard_survivors,
+         |  CAST(sum(CASE WHEN cluster_id = doc_id THEN ws ELSE 0 END) AS BIGINT) AS hard_ws_tokens,
+         |  CAST(sum(CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS HUGEINT)
+         |      * cluster_size < CAST('18446744073709551616' AS HUGEINT)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_soft_kept,
+         |  CAST(sum(CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS UBIGINT) AS HUGEINT)
+         |      * cluster_size < CAST('18446744073709551616' AS HUGEINT)
+         |    THEN ws ELSE 0 END) AS BIGINT) AS soft_ws_tokens
+         |FROM ann""".stripMargin))
+
   /** Containment threshold for the decontamination gate — tuned to the
     * synthetic fixture (one fully-contained doc at 1.0 plus single-
     * shingle brushes at ~0.07–0.13); production pipelines run ~0.8 on
@@ -10255,6 +10349,8 @@ object Queries {
     "t51_span_removal" -> t51_span_removal,
     "t5_cosine_neardup" -> t5_cosine_neardup,
     "t16_dedup_clusters" -> t16_dedup_clusters,
+    "t121_soft_dedup_sample" -> t121_soft_dedup_sample,
+    "t122_soft_dedup_report" -> t122_soft_dedup_report,
     "t17_decontaminate" -> t17_decontaminate,
     "t19_dedup_apply" -> t19_dedup_apply,
     "p1_corpus_prep" -> p1_corpus_prep,

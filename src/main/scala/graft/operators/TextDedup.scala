@@ -891,6 +891,103 @@ object TextDedup {
         .select(col("doc_id").as("drop_id")),
       corpus(idCol) === col("drop_id"), "left_anti")
 
+  /**
+   * SOFT dedup — duplicate-aware REWEIGHTING instead of hard removal,
+   * the documented alternative in recent corpus work (e.g. the
+   * duplicate-count reweighting discussed alongside SemDeDup/D4-style
+   * pruning): rather than privileging one survivor per near-dup
+   * cluster, every copy gets keep-probability `(rateNum/rateDen)·1/n`
+   * for cluster size n, so a cluster contributes rate·1 EXPECTED
+   * document and the sampled corpus preserves cluster-internal
+   * diversity. Per-document annotation: `(idCol, cluster_id,
+   * cluster_size, keep_prob_micro)` with `keep_prob_micro =
+   * (1e6·rateNum div rateDen) div n` (singletons — docs outside every
+   * cluster — are their own size-1 cluster). One LEFT join of the
+   * corpus against the (pair-derived, small) cluster table; map-only
+   * past it.
+   */
+  def softDedupWeights(corpus: DataFrame, idCol: String,
+      clusters: DataFrame, rateNum: Long = 1L, rateDen: Long = 1L)
+      : DataFrame = {
+    require(rateNum > 0 && rateDen > 0 && rateNum <= rateDen,
+      "need 0 < rateNum/rateDen <= 1")
+    val rateMicro = 1000000L * rateNum / rateDen
+    corpus.select(col(idCol))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id"),
+        col("cluster_size")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("keep_prob_micro",
+        expr(s"${rateMicro}L div cluster_size"))
+  }
+
+  /**
+   * The integer-exact Bernoulli SAMPLE at [[softDedupWeights]]'s
+   * keep-probability — [[CorpusStats.weightedSample]]'s seedless
+   * md5-uniform discipline with the per-cluster weight: keep doc iff
+   *
+   *   uint64(md5(id)[0:16]) · rateDen · cluster_size
+   *     < 2^64 · rateNum
+   *
+   * all in DECIMAL(38,0)/HUGEINT (exact cross-engine, retry-stable;
+   * P = rate/n per doc exactly). Hard dedup keeps exactly one doc per
+   * cluster; this keeps rate·1 in expectation with no privileged
+   * survivor. Returns the kept docs' annotation rows ([[
+   * softDedupWeights]]'s shape). The guard mirrors weightedSample's:
+   * both comparison sides must stay inside 38 digits — cluster sizes
+   * are bounded by the corpus, so the practical bound is
+   * rateDen · maxClusterSize < 10^18.
+   */
+  def softDedupSample(corpus: DataFrame, idCol: String,
+      clusters: DataFrame, rateNum: Long = 1L, rateDen: Long = 1L)
+      : DataFrame = {
+    val weights = softDedupWeights(corpus, idCol, clusters, rateNum,
+      rateDen)
+    val lhs = CorpusStats.hexUint(CorpusStats.hex16(
+        col(idCol).cast(StringType))) *
+      lit(new java.math.BigDecimal(rateDen)) *
+      col("cluster_size").cast(DecimalType(38, 0))
+    val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger)) *
+      lit(new java.math.BigDecimal(rateNum))
+    weights.filter(lhs < rhs)
+  }
+
+  /**
+   * The survivors-vs-reweighted CORPUS-SIZE report — one row comparing
+   * hard dedup ([[keepSurvivors]]: exactly one doc per cluster) with
+   * the soft sample ([[softDedupSample]] at rate 1): document and
+   * whitespace-token totals for the full corpus, the hard survivors,
+   * and the soft-kept set. One corpus pass (LEFT join to the cluster
+   * table, conditional sums); the flags spell keepSurvivors'
+   * semantics (survivor = singleton or the cluster's min-id member)
+   * and the sample predicate inline, so the report is consistent with
+   * both operators by construction.
+   */
+  def softDedupReport(corpus: DataFrame, idCol: String, textCol: String,
+      clusters: DataFrame): DataFrame = {
+    val lhs = CorpusStats.hexUint(CorpusStats.hex16(
+        col(idCol).cast(StringType))) *
+      coalesce(col("cluster_size"), lit(1L)).cast(DecimalType(38, 0))
+    val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger))
+    corpus.select(col(idCol), TextAnalysis.tokenCount(col(textCol))
+        .as("ws"))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id"),
+        col("cluster_size")), Seq(idCol), "left")
+      .select(col("ws"),
+        (col("cluster_id").isNull || col("cluster_id") === col(idCol))
+          .as("surv"),
+        (lhs < rhs).as("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("n_hard_survivors"),
+        sum(when(col("surv"), col("ws")).otherwise(0L))
+          .as("hard_ws_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_soft_kept"),
+        sum(when(col("kept"), col("ws")).otherwise(0L))
+          .as("soft_ws_tokens"))
+  }
+
   /** Paragraph-level dedup with DOCUMENT REASSEMBLY (the Dolma / CCNet
     * pipeline shape): every duplicated paragraph loses all but its FIRST
     * occurrence — global order (doc_id, chunk_idx) — and each document

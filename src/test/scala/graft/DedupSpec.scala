@@ -267,6 +267,51 @@ class DedupSpec extends SparkSpec {
     assert(kept === (1L to 30L).toSet -- Set(2L, 3L, 11L))
   }
 
+  test("soft dedup: 1/n weights, md5-exact sample membership, and the report agrees with both operators") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    graft.operators.Staging.scoped {
+      val clusters = graft.operators.Staging.barrier(
+        TextDedup.connectedComponents(pairs))
+      val w = TextDedup.softDedupWeights(corpus, "doc_id", clusters)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      // cluster {1,2,3}: size 3, weight 1e6 div 3; {10,11}: size 2;
+      // singletons: own id, size 1, weight 1e6
+      assert(w(2L) === ((1L, 3L, 333333L)))
+      assert(w(10L) === ((10L, 2L, 500000L)))
+      assert(w(7L) === ((7L, 1L, 1000000L)))
+      // the sample is exactly the md5-prefix predicate over the weights
+      // (driver replay of the same arithmetic — seedless, retry-stable)
+      def md5Uint(id: Long): BigInt = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        BigInt(1, d.take(8))
+      }
+      val expected = w.collect { case (id, (_, n, _))
+        if md5Uint(id) * BigInt(n) < (BigInt(1) << 64) => id }.toSet
+      val kept = TextDedup.softDedupSample(corpus, "doc_id", clusters)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === expected)
+      assert(kept.size < 30) // the weight genuinely bit on this fixture
+      // singletons always keep (P = 1)
+      assert(((4L to 9L).toSet ++ (12L to 30L)).subsetOf(kept))
+      // the report's totals agree with both operators (each doc has
+      // 2 whitespace tokens)
+      val rep = TextDedup.softDedupReport(corpus, "doc_id", "text",
+        clusters).head()
+      val nHard = TextDedup.keepSurvivors(corpus, "doc_id", clusters)
+        .count()
+      assert(rep.getLong(0) === 30L && rep.getLong(1) === 60L)
+      assert(rep.getLong(2) === nHard)
+      assert(rep.getLong(3) === nHard * 2L)
+      assert(rep.getLong(4) === kept.size.toLong)
+      assert(rep.getLong(5) === kept.size * 2L)
+    }
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
