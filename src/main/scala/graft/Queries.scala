@@ -8776,6 +8776,82 @@ object Queries {
         .orderBy("user_id", "match_idx"),
     oracle = w26_funnel_matches.oracle)
 
+  private val AbsenceWindowUs = 432000L * 1000000L // 5 days
+
+  /** TRAILING `notFollowedBy(error).within(5 days)` — Flink's absence
+    * alarm, the one place Flink ADMITS a pattern ending in a negation
+    * ([[Funnel.funnelMatchesAbsence]], round 19): every canonical
+    * skip-past-last view→click→purchase match that fits the window
+    * AND has no error event in its absence tail (completion,
+    * start + 5 d]. `match_idx` keeps its enumeration index (gaps mark
+    * window-cut or blocker-killed matches); `n_matches` recounts
+    * survivors. Oracle: w26's chained greedy-pick replay with the
+    * same two predicates, the tail as NOT EXISTS. */
+  val w73_funnel_matches_absence: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelMatchesAbsence(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), maxMatches = MultiMatchCap,
+          windowMicros = AbsenceWindowUs, absentType = "error")
+        .orderBy("user_id", "match_idx"),
+    oracle = Some {
+      val stages = Seq("view", "click", "purchase")
+      def first(tag: String, tp: String, prev: Option[String]): String =
+        prev match {
+          case None =>
+            s"""$tag AS (SELECT user_id, us, event_id FROM (
+               |  SELECT user_id, us, event_id,
+               |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+               |  FROM e WHERE event_type = '$tp') WHERE rn = 1)""".stripMargin
+          case Some(p) =>
+            s"""$tag AS (SELECT user_id, us, event_id FROM (
+               |  SELECT e.user_id, e.us, e.event_id,
+               |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+               |  FROM e JOIN $p p ON p.user_id = e.user_id
+               |    AND ${sqlBefore("p", "e")}
+               |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+        }
+      val ctes = (1 to MultiMatchCap).flatMap { m =>
+        stages.zipWithIndex.map { case (tp, j) =>
+          val prev = if (j > 0) Some(s"a${m}_$j")
+            else if (m > 1) Some(s"a${m - 1}_${stages.length}") else None
+          first(s"a${m}_${j + 1}", tp, prev)
+        }
+      }.mkString(",\n")
+      val rows = (1 to MultiMatchCap).map { m =>
+        s"""SELECT a.user_id, $m AS match_idx, a.us AS ts1_us,
+           |  b.us AS ts2_us, c.us AS ts3_us
+           |FROM a${m}_1 a JOIN a${m}_2 b USING (user_id)
+           |  JOIN a${m}_3 c USING (user_id)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  ts1_us, ts2_us, ts3_us
+         |FROM ($rows) m
+         |WHERE ts3_us - ts1_us <= $AbsenceWindowUs
+         |  AND NOT EXISTS (SELECT 1 FROM e b
+         |    WHERE b.user_id = m.user_id AND b.event_type = 'error'
+         |      AND b.us > m.ts3_us AND b.us <= m.ts1_us + $AbsenceWindowUs)
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
+  /** [[w73_funnel_matches_absence]] through the SKEW-SAFE segment
+    * monoid (the enumeration rides [[Funnel.funnelMultiBucketed]],
+    * w27's machine; span and tail filters are per-match index
+    * properties, unchanged by how the witness stream was folded).
+    * Gates on w73's oracle VERBATIM. */
+  val w73b_funnel_matches_absence_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelMatchesAbsence(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click", "purchase"), maxMatches = MultiMatchCap,
+          windowMicros = AbsenceWindowUs, absentType = "error",
+          bucketSeconds = Some(3600L))
+        .orderBy("user_id", "match_idx"),
+    oracle = w73_funnel_matches_absence.oracle)
+
   /** Oracle for the after-match-skip family ([[Funnel.funnelSkip]]):
     * per-start greedy chains as k-1 chained first-after picks (one
     * row_number-1 hop per expanded stage, each strictly after the
@@ -10434,6 +10510,9 @@ object Queries {
     "w24_funnel_pattern_product" -> w24_funnel_pattern_product,
     "w25_funnel_pattern_product_bucketed" -> w25_funnel_pattern_product_bucketed,
     "w26_funnel_matches" -> w26_funnel_matches,
+    "w73_funnel_matches_absence" -> w73_funnel_matches_absence,
+    "w73b_funnel_matches_absence_bucketed" ->
+      w73b_funnel_matches_absence_bucketed,
     "w27_funnel_matches_bucketed" -> w27_funnel_matches_bucketed,
     "w33_funnel_skip_to_last" -> w33_funnel_skip_to_last,
     "w34_funnel_skip_to_first" -> w34_funnel_skip_to_first,

@@ -2660,6 +2660,69 @@ object Funnel {
         (1 to k).map(j => col(s"m.ts${j}_us")): _*)
   }
 
+  /**
+   * Flink CEP's TRAILING `notFollowedBy(B)` — legal in Flink ONLY
+   * under `within(T)` ("a pattern sequence cannot end in
+   * notFollowedBy() without a time interval": an unbounded trailing
+   * absence never resolves). The ABSENCE ALARM: a match of the stage
+   * prefix is valid iff the whole match fits the window AND no
+   * `absentType` event falls in the match's absence TAIL — the
+   * half-open TIME interval (completion, start + T]. The canonical
+   * instance is k = 1: "order placed and NOT shipped within 24 h".
+   *
+   * Batch semantics, stated precisely (the w70 contract pattern): this
+   * filters the CANONICAL skip-past-last enumeration ([[funnelMulti]])
+   * match by match — span fit and tail absence are both per-match
+   * index properties of the event stream, so the filter composes with
+   * the witness machine; it does NOT search for an alternative
+   * (shifted) witness of the same region. Blocker comparison is on
+   * event TIME (strictly after the completing pick's timestamp, at or
+   * before start + T); a blocker sharing the completion's exact
+   * timestamp does not kill — the witness machine's observables are
+   * timestamps, and Flink's order-based tie handling can differ only
+   * on such exact ties (documented deliberately; `orderCol` still
+   * breaks ties INSIDE the enumeration).
+   *
+   * `n_matches` recounts the SURVIVING matches; `match_idx` keeps its
+   * enumeration index — a gap marks a canonical match cut by the
+   * window or killed by its tail blocker (w70's convention).
+   *
+   * Scale shape: [[funnelMulti]]'s one user-keyed shuffle (the
+   * tropical segment twin under `bucketSeconds`, w27's), then ONE
+   * LEFT ANTI equi-join of the (maxMatches-bounded) match stream
+   * against the blocker events on the user key — the time range rides
+   * the equi-join as its post-condition, never a theta-join — and the
+   * answer-sized recount window. Gated w73/w73b against the chained
+   * greedy-pick replay with the same two predicates as NOT EXISTS.
+   */
+  def funnelMatchesAbsence(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], maxMatches: Int, windowMicros: Long,
+      absentType: String,
+      bucketSeconds: Option[Long] = None): DataFrame = {
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = stages.length
+    val matches = bucketSeconds match {
+      case None => funnelMulti(events, userCol, typeCol, tsCol,
+        orderCol, stages, maxMatches)
+      case Some(b) => funnelMultiBucketed(events, userCol, typeCol,
+        tsCol, orderCol, stages, maxMatches, b)
+    }
+    val fits = matches
+      .filter(col(s"ts${k}_us") - col("ts1_us") <= windowMicros)
+    val blockers = events.filter(col(typeCol) === lit(absentType))
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("b_us"))
+    val survivors = fits.join(blockers,
+      fits("user_id") === blockers("user_id") &&
+        col("b_us") > fits(s"ts${k}_us") &&
+        col("b_us") <= fits("ts1_us") + lit(windowMicros),
+      "left_anti")
+    survivors.withColumn("n_matches",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")))
+  }
+
   // -------------------------------------------------------------------
   // AFTER MATCH SKIP strategies — Flink CEP's AfterMatchSkipStrategy
   // -------------------------------------------------------------------

@@ -2656,6 +2656,107 @@ object StreamingIngest {
         updateFunnelMulti(stages.toIndexedSeq, maxMatches))
   }
 
+  /** [[updateFunnelMulti]]'s state plus the ABSENCE-alarm holding pen:
+    * `held` carries completed, span-fit matches `(match_idx,
+    * witnesses)` whose tail window (completion, start + T] is not yet
+    * fully below the watermark — a blocker maturing inside the tail
+    * kills them; the window closing blocker-free emits them. */
+  final case class FunnelAbsenceState(n: Long, partial: Seq[Long],
+    held: Seq[(Long, Seq[Long])], pending: Seq[(Long, Long, String)])
+
+  /**
+   * Streaming ABSENCE alarm — [[graft.operators.Funnel
+   * .funnelMatchesAbsence]]'s twin (Flink's trailing
+   * `notFollowedBy(B).within(T)`, the one pattern shape whose match
+   * can only emit on TIME — the moment the window closes without the
+   * blocker — which is exactly Flink's timed-out-partial-match
+   * emission). The [[updateFunnelMulti]] pointer machine enumerates
+   * skip-past-last matches over the mature (watermark-ordered) event
+   * stream; a completed match whose span fits the window enters the
+   * holding pen instead of emitting; a mature `absentType` event at
+   * time t kills every held match with completion < t ≤ start + T
+   * (time comparisons, the batch contract — a blocker sharing the
+   * completion's exact timestamp does not kill); once the watermark
+   * passes start + T the tail is fully observed and the match emits.
+   * The state requests an event-time timeout at the earliest held
+   * deadline, so matches mature even when the user's stream goes
+   * quiet — the ALARM fires without a further event, the absence
+   * semantics' whole point. Held state is bounded by `maxMatches`;
+   * `match_idx` gaps mark window-cut or blocker-killed matches
+   * (batch contract; the batch `n_matches` recount is deliberately
+   * absent mid-stream — StreamingSpec pins the drain-time recount
+   * law instead).
+   */
+  def updateFunnelMatchesAbsence(stages: IndexedSeq[String],
+      maxMatches: Int, windowMicros: Long, absentType: String)(
+      userId: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelAbsenceState]): Iterator[FunnelMatchEmit] = {
+    val k = stages.length
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(
+      FunnelAbsenceState(0L, Nil, Nil, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = prev.pending ++ rows.map(e => (e.usMicros, e.eventId, e.tp))
+    val (mature, immature) = all.partition(_._1 <= wmUs)
+    var n = prev.n
+    var partial = prev.partial
+    var held = prev.held
+    mature.sortBy(e => (e._1, e._2)).foreach { case (us, _, tp) =>
+      if (tp == stages((n % k).toInt)) {
+        n += 1
+        partial = partial :+ us
+        if (partial.length == k) {
+          val matchIdx = n / k
+          if (matchIdx <= maxMatches &&
+              partial.last - partial.head <= windowMicros)
+            held = held :+ ((matchIdx, partial))
+          partial = Nil
+        }
+      }
+      if (tp == absentType)
+        held = held.filterNot { case (_, w) =>
+          w.last < us && us <= w.head + windowMicros }
+    }
+    val (matured, stillHeld) = held.partition { case (_, w) =>
+      w.head + windowMicros <= wmUs }
+    held = stillHeld
+    val removable = n == 0L && immature.isEmpty && held.isEmpty
+    if (removable) {
+      if (!first) state.remove()
+    } else {
+      state.update(FunnelAbsenceState(n, partial, held, immature))
+      val wakeups = immature.map(_._1) ++
+        held.map { case (_, w) => w.head + windowMicros }
+      if (wakeups.nonEmpty)
+        state.setTimeoutTimestamp(wakeups.min / 1000L + 1L)
+    }
+    matured.sortBy(_._1)
+      .map { case (idx, w) => FunnelMatchEmit(userId, idx, w) }
+      .iterator
+  }
+
+  /** The streaming absence alarm over an events stream — the
+    * [[streamingFunnel]] plumbing with
+    * [[updateFunnelMatchesAbsence]]'s holding-pen state. */
+  def streamingFunnelMatchesAbsence(spark: SparkSession,
+      events: DataFrame, stages: Seq[String], maxMatches: Int,
+      windowMicros: Long, absentType: String,
+      watermark: String): Dataset[FunnelMatchEmit] = {
+    import spark.implicits._
+    require(stages.nonEmpty && maxMatches >= 1 && windowMicros > 0,
+      "need stages, maxMatches >= 1 and windowMicros > 0")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), unix_micros(col("ts")).as("usMicros"),
+        col("event_id").as("eventId"), col("event_type").as("tp"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        updateFunnelMatchesAbsence(stages.toIndexedSeq, maxMatches,
+          windowMicros, absentType))
+  }
+
   /** Streaming GROUP match enumeration — [[graft.operators.Funnel
     * .funnelGroupMatches]]'s twin: the batch reduction is pure
     * composition (the cyclic witness machine over the `times`-fold

@@ -1902,6 +1902,37 @@ class FunnelSpec extends SparkSpec {
     assert(boundary === 1L)
   }
 
+  test("absence alarm (trailing notFollowedBy + within): tail blocker kills, span cuts, same-timestamp blocker spares, match_idx gaps survive the recount, bucketed == single") {
+    val stages = Seq("view", "click", "purchase")
+    val winUs = 10L * 1000000L // 10 s from the match's first event
+    def user(u: Long, evs: (Int, String)*): Seq[(Long, Long, java.sql.Timestamp, String)] =
+      evs.zipWithIndex.map { case ((s, tp), i) => (u, i.toLong, ts(s), tp) }
+    val ev = (
+      // u1: blocker at EXACTLY the completion's timestamp → spared
+      //     (time-based tie contract, documented)
+      user(1L, 0 -> "view", 1 -> "click", 2 -> "purchase", 2 -> "error") ++
+      // u2: blocker inside the tail (2, 10] → killed
+      user(2L, 0 -> "view", 1 -> "click", 2 -> "purchase", 5 -> "error") ++
+      // u3: span 12 s exceeds the 10 s window → cut
+      user(3L, 0 -> "view", 6 -> "click", 12 -> "purchase") ++
+      // u4: two matches; the error at 4 s sits in match 1's tail
+      //     (2, 10] but BEFORE match 2's completion (5 s) → only
+      //     match 2 survives, keeping its enumeration idx 2 and a
+      //     visible gap, n_matches recounting survivors (1)
+      user(4L, 0 -> "view", 1 -> "click", 2 -> "purchase", 4 -> "error",
+        3 -> "view", 4 -> "click", 5 -> "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    def rows(bucket: Option[Long]) =
+      Funnel.funnelMatchesAbsence(ev, "user_id", "event_type", "ts",
+          "event_id", stages, maxMatches = 4, windowMicros = winUs,
+          absentType = "error", bucketSeconds = bucket)
+        .orderBy("user_id", "match_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val single = rows(None).toSeq
+    assert(single === Seq((1L, 1L, 1L), (4L, 2L, 1L)))
+    assert(rows(Some(1L)).toSeq === single)
+  }
+
   test("times(m,n) + trailing guard routes through the capped dominance machine: guarded report shape, every bound bites, single == bucketed == auto, cap placement law under the guard") {
     val guarded = Seq(Funnel.PatternStage("view"),
       Funnel.PatternStage("click", notNextAfter = Some("error")))

@@ -2182,6 +2182,73 @@ class StreamingSpec extends SparkSpec {
     assert(last(3L)._1 === 2) // strict hop cannot bridge the gap event
   }
 
+  test("streaming absence alarm (trailing notFollowedBy + within): matches emit only when the tail window closes blocker-free, late blockers kill held matches, equals batch after drain") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view", "click", "purchase")
+    val winUs = 3600L * 1000000L // 1 hour from the match's first event
+    // u1: completes 10:00→10:02; the error at 10:30 sits in the tail
+    //     (10:02, 11:00] and arrives in a LATER wave than the
+    //     completion — the held match must wait and die on the late
+    //     blocker. u2: completes 10:00→10:10; its error at 11:30 is
+    //     OUTSIDE the tail → emits when the watermark passes 11:00.
+    // u3: span 10:00→11:30 exceeds the window → cut at completion.
+    // u4: completes, no error at all → emits purely on TIMEOUT (the
+    //     alarm fires with no further u4 event — two far-future waves
+    //     drive the watermark past the deadline and fire the timer).
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "purchase"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view"),
+        Row(4L, 40L, t("2024-01-01 10:00:00"), "view")),
+      Seq(Row(1L, 4L, t("2024-01-01 10:30:00"), "error"),
+        Row(2L, 21L, t("2024-01-01 10:05:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:10:00"), "purchase"),
+        Row(3L, 31L, t("2024-01-01 10:30:00"), "click"),
+        Row(4L, 41L, t("2024-01-01 10:10:00"), "click"),
+        Row(4L, 42L, t("2024-01-01 10:20:00"), "purchase")),
+      Seq(Row(2L, 23L, t("2024-01-01 11:30:00"), "error"),
+        Row(3L, 32L, t("2024-01-01 11:30:00"), "purchase")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-absence-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Seq[Long])]
+    val q = StreamingIngest.streamingFunnelMatchesAbsence(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        stages, maxMatches = 4, winUs, "error", "2 hours")
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // exactly-once per surviving match
+    assert(emitted.size === emitted.toSet.size)
+    // u2 and u4 survive; u1 (tail blocker) and u3 (span) do not
+    assert(emitted.map(_._1).toSet === Set(2L, 4L))
+    // batch equality after drain (witnesses included)
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelMatchesAbsence(all,
+        "user_id", "event_type", "ts", "event_id", stages,
+        maxMatches = 4, windowMicros = winUs, absentType = "error")
+      .collect()
+    assert(emitted.toSet === batch.map(r => (r.getLong(0), r.getLong(1),
+      (3 to 5).map(i => r.getLong(i)).toSeq)).toSet)
+    // drain-time recount law: per-user emitted counts equal the batch
+    // n_matches column
+    val batchNm = batch.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    emitted.groupBy(_._1).foreach { case (u, es) =>
+      assert(es.size.toLong === batchNm(u), s"user $u") }
+  }
+
   test("streaming match enumeration: every non-overlapping match emits exactly once, capped like batch") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
