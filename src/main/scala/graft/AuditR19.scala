@@ -70,6 +70,10 @@ object AuditR19 {
             words),
           docs, "doc_id", "lang", "n_syms", "n_chars"))
       }
+      val w73 = planOf(Funnel.funnelMatchesAbsence(ev, "user_id",
+        "event_type", "ts", "event_id",
+        Seq("view", "click", "purchase"), maxMatches = 12,
+        windowMicros = 432000L * 1000000L, absentType = "error"))
       val t121 = graft.operators.Staging.scoped {
         val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
             n = 3, k = 16, bandSize = 4, numBands = 4, threshold = 0.5)
@@ -85,6 +89,9 @@ object AuditR19 {
         s""""w72b_bucketed":{"hash_exchanges":${shuffles(w72b)}},""" +
         s""""t117_compression":{"hash_exchanges":${shuffles(t117)},""" +
         s""""group_agg_rows":"lang-cardinality"},""" +
+        s""""w73_absence":{"hash_exchanges":${shuffles(w73)},""" +
+        s""""no_theta_join":${!w73.contains("CartesianProduct") &&
+          !w73.contains("BroadcastNestedLoop")}},""" +
         s""""t121_soft_sample":{"hash_exchanges":${shuffles(t121)},""" +
         s""""cluster_side_broadcast":${
           t121.contains("BroadcastHashJoin")}}}""")

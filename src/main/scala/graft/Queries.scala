@@ -1882,6 +1882,50 @@ object Queries {
          |FROM dist JOIN occ USING (n_pieces)
          |ORDER BY n_pieces""".stripMargin))
 
+  /** The compression table for the THIRD model family — the
+    * t101-trained unigram LM ([[graft.operators.TokenizerEval
+    * .compressionByGroup]] over [[graft.operators.UnigramLm
+    * .encodeStats]], tokens = Viterbi pieces with the char fallback
+    * for over-long words): the same per-lang micro ratios as t117, so
+    * the three trainers' compression rates are directly comparable on
+    * one corpus. Routing rides t102's `trainAndCount` contract (no
+    * probe job). */
+  val t123_unigram_compression_by_lang: Q = Q(
+    run = (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      val (vocab, nWords) =
+        graft.operators.UnigramLm.trainAndCount(docs, "text")
+      graft.operators.TokenizerEval.compressionByGroup(
+          graft.operators.UnigramLm.encodeStats(docs, "doc_id", "text",
+            vocab, knownWords = Some(nWords)),
+          docs, "doc_id", "lang", "n_pieces", "n_chars")
+        .orderBy("lang")
+    },
+    oracle = Some {
+      val enc = 4 // emIters + 2: the encode walk under the FINAL scores
+      s"""WITH ${duckUnigramChain(16, 4, 120, 2, 60)},
+         |usf AS MATERIALIZED (SELECT piece, score_micro AS score FROM uvocab),
+         |${duckUnigramEStep(enc, "usf", 16, 4).mkString(",\n")},
+         |np AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM upath$enc GROUP BY w),
+         |dw AS MATERIALIZED (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |encd AS (SELECT doc_id, count(*) AS n_words,
+         |    sum(CASE WHEN length(w) > 16 THEN length(w)
+         |      ELSE np.n_pieces END) AS n_pieces,
+         |    sum(length(w)) AS n_chars
+         |  FROM dw LEFT JOIN np USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(encd.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(encd.n_pieces) AS BIGINT) AS n_tokens,
+         |  CAST(sum(encd.n_chars) AS BIGINT) AS n_size,
+         |  CAST(sum(encd.n_chars) * 1000000 // sum(encd.n_pieces) AS BIGINT) AS size_per_token_micro,
+         |  CAST(sum(encd.n_pieces) * 1000000 // sum(encd.n_words) AS BIGINT) AS tokens_per_word_micro
+         |FROM encd JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    })
+
   /** BYTES-per-token by language for the BYTE-LEVEL family — the
     * metric byte-level BPE exists for (UTF-8 bytes, not chars):
     * [[graft.operators.TokenizerEval.compressionByGroup]] over the
@@ -10406,6 +10450,8 @@ object Queries {
       t118_wordpiece_coverage_by_source,
     "t119_wordpiece_fertility" -> t119_wordpiece_fertility,
     "t120_bytelevel_bytes_per_token" -> t120_bytelevel_bytes_per_token,
+    "t123_unigram_compression_by_lang" ->
+      t123_unigram_compression_by_lang,
     "t111_blocklist_tag" -> t111_blocklist_tag,
     "t112_blocklist_store_asof" -> t112_blocklist_store_asof,
     "t103_unigram_doc_score" -> t103_unigram_doc_score,
