@@ -96,5 +96,48 @@ object AuditR19 {
         s""""cluster_side_broadcast":${
           t121.contains("BroadcastHashJoin")}}}""")
     }
+
+    // ---- claim 2: the round's new machines at 10×/100× events (the
+    // AUDIT_r17/r18 recipe: sub-linear-per-100× growth is the 100 TB
+    // signature; w72 is the w71 guarded fold + the w68 cap, w73 is the
+    // w26 witness fold + one answer-sized anti-join) ----
+    if (enabled("newops")) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.1")
+      val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+        "target/scale_audit")
+      def time[A](f: => A): Double = {
+        val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9
+      }
+      def minOf(reps: Int)(f: => Unit): Double =
+        (1 to reps).map(_ => time(f)).min
+      val guardedGroup = Seq(Funnel.PatternStage("view"),
+        Funnel.PatternStage("click", notNextAfter = Some("error")))
+      val rows = Seq("sf0.1" -> s"$sfDir/events.parquet",
+        "sf10x" -> s"$scaleDir/sf10x/events.parquet",
+        "sf100x" -> s"$scaleDir/sf100x/events.parquet").map {
+        case (tag, path) =>
+          val ev = spark.read.parquet(path)
+          val n = ev.count()
+          val w72Sec = minOf(2) {
+            val r = Funnel.funnelGroupTimesRange(ev, "user_id",
+                "event_type", "ts", "event_id", guardedGroup,
+                minTimes = 2, maxTimes = 3)
+              .agg(sum(col("reps_completed").cast("long"))).head.getLong(0)
+            require(r >= 0L)
+          }
+          val w73Sec = minOf(2) {
+            val r = Funnel.funnelMatchesAbsence(ev, "user_id",
+                "event_type", "ts", "event_id",
+                Seq("view", "click", "purchase"), maxMatches = 12,
+                windowMicros = 432000L * 1000000L, absentType = "error")
+              .count()
+            require(r >= 0L)
+          }
+          s""""$tag":{"events":$n,"guarded_range_sec":$w72Sec,""" +
+            s""""absence_sec":$w73Sec}"""
+      }
+      println(s"""{"metric":"r19_newops_scale",${rows.mkString(",")}}""")
+    }
   }
 }
