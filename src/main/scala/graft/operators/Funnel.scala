@@ -2670,6 +2670,16 @@ object Funnel {
    * half-open TIME interval (completion, start + T]. The canonical
    * instance is k = 1: "order placed and NOT shipped within 24 h".
    *
+   * Positioned against the repo's OTHER negation forms: `notBetween`
+   * ([[funnelGuarded]]) negates INSIDE the pattern's gaps; the j6
+   * `notFollowedBy` family ([[graft.streaming.StreamingIngest
+   * .streamingNotFollowedBy]]) is the SINGLE-HEAD per-event verdict
+   * (every left event gets a followed/not-followed boolean, both
+   * outcomes reported). This operator is the PATTERN-position form:
+   * the negation rides a k-stage prefix's canonical match enumeration
+   * with the whole-match window — survivors only, skip-past-last
+   * indices, the Flink pattern-API shape.
+   *
    * Batch semantics, stated precisely (the w70 contract pattern): this
    * filters the CANONICAL skip-past-last enumeration ([[funnelMulti]])
    * match by match — span fit and tail absence are both per-match
