@@ -1933,6 +1933,59 @@ class FunnelSpec extends SparkSpec {
     assert(rows(Some(1L)).toSeq === single)
   }
 
+  test("property: absence alarm equals a driver replay of the greedy skip-past-last machine with span + tail filters on random corpora; bucketed == single") {
+    val stages = IndexedSeq("view", "click", "purchase")
+    val winUs = 8L * 1000000L
+    val rnd = new scala.util.Random(9191L)
+    val typesPool = Array("view", "click", "purchase", "error", "other")
+    for (round <- 1 to 4) {
+      val events = (0 until 300).map { i =>
+        (rnd.nextInt(8).toLong, i.toLong, ts(rnd.nextInt(50)),
+          typesPool(rnd.nextInt(typesPool.length)))
+      }
+      val df = events.toDF("user_id", "event_id", "ts", "event_type")
+      // driver replay: per user, events in (us, oid) order through the
+      // pointer machine; keep matches fitting the window with no
+      // error in (completion, start + T] (time-strict after, at-or-
+      // before the deadline)
+      val us0 = ts(0).getTime * 1000L
+      def usOf(t: java.sql.Timestamp) = t.getTime * 1000L
+      val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(e => (usOf(e._3), e._2))
+        var n = 0L
+        var partial = List.empty[Long]
+        val matches = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Long])]
+        ordered.foreach { case (_, _, t, tp) =>
+          if (tp == stages((n % 3).toInt)) {
+            n += 1
+            partial = partial :+ usOf(t)
+            if (partial.length == 3) {
+              if (n / 3 <= 4) matches += ((n / 3, partial))
+              partial = Nil
+            }
+          }
+        }
+        val errors = ordered.collect { case (_, _, t, "error") => usOf(t) }
+        val surv = matches.filter { case (_, w) =>
+          w.last - w.head <= winUs &&
+            !errors.exists(e => e > w.last && e <= w.head + winUs)
+        }
+        surv.map { case (idx, w) =>
+          (u, idx, surv.length.toLong, w(0), w(1), w(2)) }
+      }.toSet
+      def got(bucket: Option[Long]) =
+        Funnel.funnelMatchesAbsence(df, "user_id", "event_type", "ts",
+            "event_id", stages, maxMatches = 4, windowMicros = winUs,
+            absentType = "error", bucketSeconds = bucket)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got(None) === expected, s"round $round single")
+      assert(got(Some(2L)) === expected, s"round $round bucketed")
+      require(us0 >= 0L)
+    }
+  }
+
   test("times(m,n) + trailing guard routes through the capped dominance machine: guarded report shape, every bound bites, single == bucketed == auto, cap placement law under the guard") {
     val guarded = Seq(Funnel.PatternStage("view"),
       Funnel.PatternStage("click", notNextAfter = Some("error")))
