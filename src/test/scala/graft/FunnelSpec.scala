@@ -1931,6 +1931,18 @@ class FunnelSpec extends SparkSpec {
     val single = rows(None).toSeq
     assert(single === Seq((1L, 1L, 1L), (4L, 2L, 1L)))
     assert(rows(Some(1L)).toSeq === single)
+    // k = 1 — the canonical "A not followed by B within T" alarm
+    // (Flink's begin(A).notFollowedBy(B).within(T)): every A event is
+    // its own skip-past-last match; the error at 5 s kills only the
+    // first view's tail (0, 10], the later two survive
+    val ev1 = user(5L, 0 -> "view", 5 -> "error", 20 -> "view",
+      25 -> "view").toDF("user_id", "event_id", "ts", "event_type")
+    val got1 = Funnel.funnelMatchesAbsence(ev1, "user_id", "event_type",
+        "ts", "event_id", Seq("view"), maxMatches = 4,
+        windowMicros = winUs, absentType = "error")
+      .orderBy("match_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got1.toSeq === Seq((2L, 2L), (3L, 2L)))
   }
 
   test("property: absence alarm equals a driver replay of the greedy skip-past-last machine with span + tail filters on random corpora; bucketed == single") {
