@@ -24,10 +24,14 @@ import graft.operators.{Funnel, TextDedup}
  *        cluster table + map-only predicate — the cluster side should
  *        broadcast.
  *
- * 2. (The new funnel machines need no fresh scale curve: the w72
- *    guarded-capped fold IS w71's guarded fold + w68's cap, whose
- *    100×-events curves are in `AUDIT_r18_newops.json` — 11.2× and
- *    5.3× respectively, tracking the greedy dominance baseline.)
+ * 2. `newops` — the round's new machines at 10×/100× events (the
+ *    AUDIT_r17/r18 recipe: sub-linear-per-100× growth is the 100 TB
+ *    signature). Measured 6.3× (guarded range) and 4.7× (absence) at
+ *    100×, tracking the dominance-fold family's curves (greedy 7.9×
+ *    r17; reluctant 5.3× and seam-guarded 11.2× r18,
+ *    `AUDIT_r18_newops.json`) — consistent with w72 being w71's
+ *    guarded fold + w68's cap and w73 the w26 witness fold + one
+ *    answer-sized anti-join.
  */
 object AuditR19 {
   def main(args: Array[String]): Unit = {
