@@ -254,7 +254,9 @@ object BpeTrain {
   /** [[encodeStatsWithMerges]] over the BYTE-level alphabet: distinct
     * words replay the byte-level rank order once, every occurrence
     * pays one bounded-broadcast probe; `n_bytes` replaces `n_chars`
-    * (the byte alphabet's natural length). */
+    * (the byte alphabet's natural length). Same eager routing count()
+    * as [[encodeStatsWithMerges]] — the encode corpus' distinct-word
+    * total is not known in advance. */
   def encodeStatsByteLevelWithMerges(df: DataFrame, idCol: String,
       textCol: String, merges: Seq[Merge],
       maxBroadcastWords: Long = MaxBroadcastWords): DataFrame = {
@@ -276,7 +278,10 @@ object BpeTrain {
     * training: distinct words encode once via [[encodeWords]] (rank-
     * order replay), every occurrence pays one broadcast probe — the
     * same two-pass shape, with the merge-list replay replacing the
-    * trained-table lookup. */
+    * trained-table lookup. The ENCODE corpus' distinct-word count is
+    * not known in advance here, so probe routing runs one EAGER
+    * count() job at DataFrame-construction time (the staged replay
+    * table's work is reused by the join — never computed twice). */
   def encodeStatsWithMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge],
       maxBroadcastWords: Long = MaxBroadcastWords): DataFrame = {
