@@ -8441,6 +8441,36 @@ object Queries {
          |ORDER BY user_id, match_idx""".stripMargin
     })
 
+  /** Group repetition with the TRAILING absence tail
+    * ([[Funnel.funnelGroupMatchesAbsence]], round 19) — Flink's
+    * `begin(view→click).times(2).notFollowedBy(error).within(5 days)`:
+    * w70's span-fit matches additionally survive only if no error
+    * event falls in (completion, start + 5 d]. Oracle: w67's
+    * chained-pick replay with both predicates, the tail as NOT
+    * EXISTS. */
+  lazy val w74_funnel_group_matches_absence: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesAbsence(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), times = 2, maxMatches = MultiMatchCap,
+          windowMicros = 432000L * 1000000L, absentType = "error")
+        .orderBy("user_id", "match_idx"),
+    oracle = Some {
+      val (ctes, rows) = duckGroupMatchParts
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  ts_r1_s1_us, ts_r1_s2_us, ts_r2_s1_us, ts_r2_s2_us
+         |FROM ($rows) m
+         |WHERE ts_r2_s2_us - ts_r1_s1_us <= ${432000L * 1000000L}
+         |  AND NOT EXISTS (SELECT 1 FROM e b
+         |    WHERE b.user_id = m.user_id AND b.event_type = 'error'
+         |      AND b.us > m.ts_r2_s2_us
+         |      AND b.us <= m.ts_r1_s1_us + ${432000L * 1000000L})
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -10610,6 +10640,8 @@ object Queries {
     "w66_funnel_where_or" -> w66_funnel_where_or,
     "w67_funnel_group_matches" -> w67_funnel_group_matches,
     "w70_funnel_group_matches_within" -> w70_funnel_group_matches_within,
+    "w74_funnel_group_matches_absence" ->
+      w74_funnel_group_matches_absence,
     "w71_funnel_group_loop_seam_guard" ->
       w71_funnel_group_loop_seam_guard,
     "w71b_funnel_group_loop_seam_guard_bucketed" ->

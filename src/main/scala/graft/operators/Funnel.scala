@@ -2493,6 +2493,39 @@ object Funnel {
         .partitionBy("user_id")))
   }
 
+  /** [[funnelGroupMatchesWithin]] with the TRAILING absence tail —
+    * Flink's `begin(group).times(n).notFollowedBy(B).within(T)`
+    * (group repetition then a trailing negation, legal only under the
+    * window): a canonical match survives iff its span fits T AND no
+    * `absentType` event falls in (completion, start + T] — the
+    * [[funnelMatchesAbsence]] predicate composed onto the group
+    * enumeration (both are per-match index properties; the same
+    * answer-sized LEFT ANTI equi-join and recount; the same
+    * time-based tie contract). Gated w74 on the w67 chained-pick
+    * replay with both predicates. */
+  def funnelGroupMatchesAbsence(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      groupTypes: Seq[String], times: Int, maxMatches: Int,
+      windowMicros: Long, absentType: String): DataFrame = {
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = groupTypes.length
+    val fits = funnelGroupMatches(events, userCol, typeCol, tsCol,
+        orderCol, groupTypes, times, maxMatches)
+      .filter(col(s"ts_r${times}_s${k}_us") - col("ts_r1_s1_us") <=
+        windowMicros)
+    val blockers = events.filter(col(typeCol) === lit(absentType))
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("b_us"))
+    fits.join(blockers,
+        fits("user_id") === blockers("user_id") &&
+          col("b_us") > fits(s"ts_r${times}_s${k}_us") &&
+          col("b_us") <= fits("ts_r1_s1_us") + lit(windowMicros),
+        "left_anti")
+      .withColumn("n_matches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+  }
+
   /** [[funnelGroupLoopAuto]]'s default threshold — MEASURED, not
     * inherited (round 18, closing the r17 verdict's What's wrong #3):
     * the r16 wall recipe (grow one power key until the single fold
