@@ -159,8 +159,28 @@ object BpeTrain {
     * training; metadata rides the `w` attribute through projections,
     * and a downstream FILTER only shrinks the table, so a stale tag
     * over-estimates — which routes to the shuffle join, the safe
-    * side. */
+    * side. The staleness argument covers ONLY shrinking
+    * transformations: a composition that can GROW the table (union —
+    * Spark keeps the LEFT child's `w` metadata — or a row-multiplying
+    * join) leaves an UNDER-estimating tag that could broadcast an
+    * over-bound side. Row-adding compositions must drop the tag
+    * ([[dropRowCountTag]]) or pass an honest `knownWords`. */
   private[operators] val RowCountKey = "graft.rowCount"
+
+  /** Strip a [[tagRowCount]] tag — REQUIRED before handing a trained
+    * word table through any row-ADDING composition (union with extra
+    * words, row-multiplying join): Spark's union keeps the left
+    * child's column metadata, so the grown table would otherwise
+    * carry an under-estimating count and [[boundedProbeJoin]] could
+    * broadcast a side over the bound. No-op when no tag is present. */
+  def dropRowCountTag(df: DataFrame): DataFrame =
+    if (taggedRowCount(df).isEmpty) df
+    else {
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(df.schema("w").metadata)
+        .remove(RowCountKey).build()
+      df.withColumn("w", col("w").as("w", m))
+    }
 
   /** Attach a known exact row count to a word table (metadata on its
     * `w` column) — see [[RowCountKey]]. */

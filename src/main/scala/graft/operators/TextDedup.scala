@@ -936,8 +936,10 @@ object TextDedup {
    * survivor. Returns the kept docs' annotation rows ([[
    * softDedupWeights]]'s shape). The guard mirrors weightedSample's:
    * both comparison sides must stay inside 38 digits — cluster sizes
-   * are bounded by the corpus, so the practical bound is
-   * rateDen · maxClusterSize < 10^18.
+   * are data, not a plan-time constant, so the bound is ENFORCED at
+   * runtime ([[clusterSizeChecked]]): a `cluster_size` over
+   * 10^38 / (2^64 · rateDen) raises a loud error instead of letting
+   * the decimal product go null and silently drop the doc.
    */
   def softDedupSample(corpus: DataFrame, idCol: String,
       clusters: DataFrame, rateNum: Long = 1L, rateDen: Long = 1L)
@@ -947,10 +949,35 @@ object TextDedup {
     val lhs = CorpusStats.hexUint(CorpusStats.hex16(
         col(idCol).cast(StringType))) *
       lit(new java.math.BigDecimal(rateDen)) *
-      col("cluster_size").cast(DecimalType(38, 0))
+      clusterSizeChecked("softDedupSample", rateDen)
     val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger)) *
       lit(new java.math.BigDecimal(rateNum))
     weights.filter(lhs < rhs)
+  }
+
+  /** The runtime DECIMAL(38,0) domain guard the soft-dedup predicates
+    * share — [[CorpusStats.weightedSample]]'s plan-time `require`
+    * translated to the data-dependent factor: the keep predicate's
+    * LHS is `uint64(md5) · rateDen · cluster_size`, exact only while
+    * `2^64 · rateDen · cluster_size < 10^38`; past that Spark's
+    * decimal multiply returns null and a null comparison would
+    * SILENTLY drop the document. So the bound is enforced per row:
+    * a `cluster_size` above `10^38 div (2^64 · rateDen)` raises a
+    * loud `raise_error` naming the function, the size and the
+    * ceiling. Plan-time `require` rejects a `rateDen` so large no
+    * cluster fits at all. */
+  private def clusterSizeChecked(fn: String, rateDen: Long): Column = {
+    val maxN = (BigInt(10).pow(38) /
+      ((BigInt(1) << 64) * BigInt(rateDen)) - 1).min(BigInt(Long.MaxValue))
+    require(maxN >= 1,
+      s"$fn: rateDen=$rateDen leaves no exact DECIMAL(38,0) headroom " +
+        "(need 2^64 * rateDen * cluster_size < 10^38)")
+    val n = coalesce(col("cluster_size"), lit(1L))
+    when(n > lit(maxN.toLong), raise_error(concat(
+        lit(s"$fn: cluster_size "), n.cast(StringType),
+        lit(s" overflows the exact DECIMAL(38,0) domain " +
+          s"(rateDen=$rateDen allows cluster_size <= ${maxN.toLong})"))))
+      .otherwise(n).cast(DecimalType(38, 0))
   }
 
   /**
@@ -968,7 +995,7 @@ object TextDedup {
       clusters: DataFrame): DataFrame = {
     val lhs = CorpusStats.hexUint(CorpusStats.hex16(
         col(idCol).cast(StringType))) *
-      coalesce(col("cluster_size"), lit(1L)).cast(DecimalType(38, 0))
+      clusterSizeChecked("softDedupReport", rateDen = 1L)
     val rhs = lit(new java.math.BigDecimal((BigInt(1) << 64).bigInteger))
     corpus.select(col(idCol), TextAnalysis.tokenCount(col(textCol))
         .as("ws"))

@@ -89,8 +89,14 @@ object TokenizerEval {
     * `(w, n_pieces, unk)` ([[WordPiece.wordPieces]]); occurrences pay
     * one bounded probe ([[BpeTrain.boundedProbeJoin]] — `knownWords`
     * skips the routing count when the distinct-word total is already
-    * known, the r19 contract). Output: `(n_pieces, n_distinct_words,
-    * n_unk_words, n_occurrences)`. */
+    * known, the r19 contract). The probe side is the BARRIERED table
+    * ITSELF, not a projection of it: a projection reads storageLevel
+    * NONE, so with `knownWords` unset the join path would persist a
+    * SECOND copy and pay the routing count the r19 contract retired —
+    * passing `wp` keeps the barrier visible (no re-persist; a needed
+    * routing count reuses the cached rows) and the stray `unk` column
+    * falls out at the occurrence aggregation. Output: `(n_pieces,
+    * n_distinct_words, n_unk_words, n_occurrences)`. */
   def fertilityHistogram(docs: DataFrame, textCol: String,
       wordPieces: DataFrame,
       maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
@@ -102,8 +108,7 @@ object TokenizerEval {
         sum("unk").as("n_unk_words"))
     val occurrences = BpeTrain.boundedProbeJoin(
         docs.select(explode(TextDedup.tokens(col(textCol))).as("w")),
-        wp.select("w", "n_pieces"), maxBroadcastWords, stage = false,
-        knownWords)
+        wp, maxBroadcastWords, stage = false, knownWords)
       .groupBy("n_pieces")
       .agg(count(lit(1)).as("n_occurrences"))
     distinctSide.join(occurrences, Seq("n_pieces"))

@@ -2209,7 +2209,12 @@ object StreamingIngest {
     * column. A TRAILING seam guard routes through
     * [[streamingFunnelGroupTimesRangeGuarded]] — the batch routing
     * mirrored, same guarded report shape (counts, no per-copy
-    * timestamps). */
+    * timestamps). `matchRetentionMs` applies ONLY to the expansion
+    * route: the guarded dominance machine holds a rep COUNT, never
+    * materialized matches, so there is nothing to retain and the
+    * setting is inapplicable (ignored, not an error — the guard is a
+    * property of the pattern, and failing on an orthogonal tuning
+    * knob would make routing observable as a crash). */
   def streamingFunnelGroupTimesRange(spark: SparkSession,
       events: DataFrame, group: Seq[graft.operators.Funnel.PatternStage],
       minTimes: Int, maxTimes: Int, watermark: String,

@@ -213,11 +213,21 @@ class BpeTrainSpec extends SparkSpec {
       assert(rows(viaTag) === rows(forcedShuffle))
       // constructing the tagged-route encode launches ZERO jobs (the
       // r18 bound ran an eager count() here; r19 reads the tag)
+      // Deterministic drain, no sleep: the listener bus is FIFO, so
+      // once the MARKER job's start event (tagged via job description)
+      // arrives, every job started before it has been delivered — and
+      // only jobs between listener registration and the marker count,
+      // so a stray action elsewhere in the session can't trip it.
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val marker = "graft-bpe-spec-listener-drain-marker"
+      val markerSeen = new java.util.concurrent.CountDownLatch(1)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
+          if (Option(j.properties).exists(
+              _.getProperty("spark.job.description") == marker))
+            markerSeen.countDown()
+          else { jobs.incrementAndGet(); () }
         }
       }
       spark.sparkContext.addSparkListener(listener)
@@ -225,10 +235,32 @@ class BpeTrainSpec extends SparkSpec {
         val constructedOnly =
           BpeTrain.encodeStats(docs, "doc_id", "text", words)
         assert(constructedOnly.queryExecution.optimizedPlan != null)
-        Thread.sleep(1000) // listener bus drain window
+        spark.sparkContext.setJobDescription(marker)
+        try spark.range(1).count()
+        finally spark.sparkContext.setJobDescription(null)
+        assert(markerSeen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "marker job event not delivered within 60s")
         assert(jobs.get() === 0,
           "probe routing on a tagged word table must not launch a job")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("dropRowCountTag strips the stale-prone tag: a union keeps the left child's metadata (the under-estimate trap), dropping it restores honest shuffle routing") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")
+    val (_, words) = BpeTrain.train(docs, "text", rounds = 1)
+    assert(BpeTrain.taggedRowCount(words) === Some(3L))
+    // Spark's union keeps the LEFT child's column metadata: the grown
+    // table still claims 3 rows — the documented under-estimate trap
+    val extra = Seq(("zz", 1L, Seq("z", "z"))).toDF("w", "cnt", "syms")
+    val grown = words.union(extra)
+    assert(grown.count() === 4L)
+    assert(BpeTrain.taggedRowCount(grown) === Some(3L))
+    val honest = BpeTrain.dropRowCountTag(grown)
+    assert(BpeTrain.taggedRowCount(honest) === None)
+    assert(honest.count() === 4L)
+    // idempotent no-op on an untagged table
+    assert(BpeTrain.taggedRowCount(
+      BpeTrain.dropRowCountTag(honest)) === None)
   }
 }

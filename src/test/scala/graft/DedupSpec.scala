@@ -312,6 +312,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("soft dedup overflow is loud: a cluster_size past the DECIMAL(38,0) domain raises instead of silently dropping, and a hopeless rateDen is rejected at plan time") {
+    import spark.implicits._
+    val corpus = Seq((1L, "doc one")).toDF("doc_id", "text")
+    // rateDen = 1e18 leaves room for cluster_size <= 4
+    // (10^38 div (2^64 * 1e18) - 1); size 5 must raise, size 4 must not
+    val den = 1000000000000000000L
+    val ok = Seq((1L, 1L, 4L)).toDF("doc_id", "cluster_id", "cluster_size")
+    TextDedup.softDedupSample(corpus, "doc_id", ok, 1L, den).collect()
+    val over = Seq((1L, 1L, 5L)).toDF("doc_id", "cluster_id", "cluster_size")
+    val e = intercept[Exception] {
+      TextDedup.softDedupSample(corpus, "doc_id", over, 1L, den).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflows the exact DECIMAL(38,0)")))
+    // a rateDen so large no cluster_size fits fails loudly at plan time
+    val e2 = intercept[IllegalArgumentException] {
+      TextDedup.softDedupSample(corpus, "doc_id", ok, 1L, 8000000000000000000L)
+    }
+    assert(e2.getMessage.contains("headroom"))
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() === docs.select("text").distinct().count())
