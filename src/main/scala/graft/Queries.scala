@@ -8471,6 +8471,126 @@ object Queries {
          |ORDER BY user_id, match_idx""".stripMargin
     })
 
+  /** The (ctes, rows) pair of the RANGE-quantified group-match replay
+    * — `begin(view→click).times(2, 3)`: the chained greedy picks over
+    * the CEILING (3-fold, 6-hop) expansion, each match emitted via
+    * LEFT joins so the trailing SHORT match (the chain that dies
+    * mid-extension) surfaces with its own rep count — `reps` = the
+    * deepest completed repetition, witnesses of incomplete
+    * repetitions NULLed (a dangling partial pick is not part of any
+    * match). The `reps >= minTimes` floor and the absence predicates
+    * are applied by the consuming gates (w75/w75b). A short match is
+    * always LAST by construction: its missing pick empties every
+    * later CTE in the chain. */
+  private lazy val duckGroupMatchRangeParts: (String, String) = {
+    val expanded = Seq("view", "click", "view", "click", "view", "click")
+    def first(tag: String, tp: String, prev: Option[String]): String =
+      prev match {
+        case None =>
+          s"""$tag AS (SELECT user_id, us, event_id FROM (
+             |  SELECT user_id, us, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+             |  FROM e WHERE event_type = '$tp') WHERE rn = 1)""".stripMargin
+        case Some(p) =>
+          s"""$tag AS (SELECT user_id, us, event_id FROM (
+             |  SELECT e.user_id, e.us, e.event_id,
+             |    row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) AS rn
+             |  FROM e JOIN $p p ON p.user_id = e.user_id
+             |    AND ${sqlBefore("p", "e")}
+             |  WHERE e.event_type = '$tp') WHERE rn = 1)""".stripMargin
+      }
+    val ctes = (1 to MultiMatchCap).flatMap { m =>
+      expanded.zipWithIndex.map { case (tp, j) =>
+        val prev = if (j > 0) Some(s"h${m}_$j")
+          else if (m > 1) Some(s"h${m - 1}_${expanded.length}") else None
+        first(s"h${m}_${j + 1}", tp, prev)
+      }
+    }.mkString(",\n")
+    val rows = (1 to MultiMatchCap).map { m =>
+      s"""SELECT a1.user_id, $m AS match_idx,
+         |  CASE WHEN a6.us IS NOT NULL THEN 3
+         |       WHEN a4.us IS NOT NULL THEN 2
+         |       WHEN a2.us IS NOT NULL THEN 1 ELSE 0 END AS reps,
+         |  a1.us AS ts_r1_s1_us, a2.us AS ts_r1_s2_us,
+         |  CASE WHEN a4.us IS NOT NULL THEN a3.us END AS ts_r2_s1_us,
+         |  a4.us AS ts_r2_s2_us,
+         |  CASE WHEN a6.us IS NOT NULL THEN a5.us END AS ts_r3_s1_us,
+         |  a6.us AS ts_r3_s2_us
+         |FROM h${m}_1 a1
+         |  ${(2 to 6).map(j => s"LEFT JOIN h${m}_$j a$j USING (user_id)")
+              .mkString(" ")}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (ctes, rows)
+  }
+
+  /** RANGE-quantified group enumeration
+    * ([[Funnel.funnelGroupMatchesRange]], round 20 — the last
+    * enumeration shape): `begin(view→click).times(2, 3)` under greedy
+    * skip-past-last, read off [[Funnel.funnelMulti]]'s witness stream
+    * over the ceiling expansion — full matches from the exact advance
+    * counter, the one possible trailing SHORT match (every non-final
+    * match is full: a failed extension kills every later match too)
+    * from the stream's remainder, each match carrying its own `reps`
+    * with witnesses beyond it NULL. Oracle: the chained greedy-pick
+    * replay over the 6-hop expansion with LEFT-join emission and the
+    * `reps >= 2` floor. */
+  lazy val w75_funnel_group_matches_range: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesRange(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click"), minTimes = 2, maxTimes = 3,
+          maxMatches = MultiMatchCap)
+        .orderBy("user_id", "match_idx"),
+    oracle = Some {
+      val (ctes, rows) = duckGroupMatchRangeParts
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  reps, ts_r1_s1_us, ts_r1_s2_us, ts_r2_s1_us, ts_r2_s2_us,
+         |  ts_r3_s1_us, ts_r3_s2_us
+         |FROM ($rows)
+         |WHERE reps >= 2
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
+  /** The LAST combinator cell — range-quantified group repetition
+    * with the trailing absence tail
+    * ([[Funnel.funnelGroupMatchesRangeAbsence]]): Flink's
+    * `begin(view→click).times(2, 3).notFollowedBy(error)
+    * .within(5 days)`. All three predicates ride the w75 enumeration:
+    * `reps ∈ [2, 3]` (the floor, from the replay), span fit and tail
+    * absence anchored at each match's OWN completion —
+    * `COALESCE(ts_r3_s2_us, ts_r2_s2_us)`, exactly the operator's
+    * rep-descending coalesce — with the tail as NOT EXISTS and
+    * `n_matches` recounted over survivors. */
+  lazy val w75b_funnel_group_matches_range_absence: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesRangeAbsence(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), minTimes = 2, maxTimes = 3,
+          maxMatches = MultiMatchCap,
+          windowMicros = 432000L * 1000000L, absentType = "error")
+        .orderBy("user_id", "match_idx"),
+    oracle = Some {
+      val (ctes, rows) = duckGroupMatchRangeParts
+      s"""$sqlEventsPrefix
+         |$ctes
+         |SELECT user_id, CAST(match_idx AS BIGINT) AS match_idx,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_matches,
+         |  reps, ts_r1_s1_us, ts_r1_s2_us, ts_r2_s1_us, ts_r2_s2_us,
+         |  ts_r3_s1_us, ts_r3_s2_us
+         |FROM ($rows) m
+         |WHERE reps >= 2
+         |  AND COALESCE(ts_r3_s2_us, ts_r2_s2_us) - ts_r1_s1_us <=
+         |    ${432000L * 1000000L}
+         |  AND NOT EXISTS (SELECT 1 FROM e b
+         |    WHERE b.user_id = m.user_id AND b.event_type = 'error'
+         |      AND b.us > COALESCE(m.ts_r3_s2_us, m.ts_r2_s2_us)
+         |      AND b.us <= m.ts_r1_s1_us + ${432000L * 1000000L})
+         |ORDER BY user_id, match_idx""".stripMargin
+    })
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -10642,6 +10762,10 @@ object Queries {
     "w70_funnel_group_matches_within" -> w70_funnel_group_matches_within,
     "w74_funnel_group_matches_absence" ->
       w74_funnel_group_matches_absence,
+    "w75_funnel_group_matches_range" ->
+      w75_funnel_group_matches_range,
+    "w75b_funnel_group_matches_range_absence" ->
+      w75b_funnel_group_matches_range_absence,
     "w71_funnel_group_loop_seam_guard" ->
       w71_funnel_group_loop_seam_guard,
     "w71b_funnel_group_loop_seam_guard_bucketed" ->

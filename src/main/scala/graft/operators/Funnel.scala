@@ -2526,6 +2526,155 @@ object Funnel {
           .partitionBy("user_id")))
   }
 
+  /**
+   * Match ENUMERATION for a RANGE-quantified group —
+   * `begin(group).times(m, n)` under AFTER MATCH SKIP PAST LAST EVENT
+   * with the GREEDY quantifier (Flink's `times(from, to).greedy()`
+   * reading: each match takes as many complete repetitions as the
+   * stream allows, up to `maxTimes`), the last enumeration shape the
+   * group family lacked — [[funnelGroupMatches]] covers fixed
+   * `times(n)`, [[funnelGroupTimesRangeGuarded]] covers the range as
+   * a counts report; THIS is the range as WITNESSES, which the
+   * trailing-absence tail needs (the tail predicate reads each
+   * match's own completion time, so a per-match rep count must be
+   * observable).
+   *
+   * THE REDUCTION — one theorem makes it a single fold: under greedy
+   * skip-past-last, EVERY NON-FINAL MATCH IS FULL. A match stops
+   * short of `maxTimes` repetitions only when repetition r+1 cannot
+   * complete; the next match attempt replays exactly those failed
+   * greedy picks (skip-past-last resumes after the short match's
+   * last consumed event, which is where the failed extension started
+   * probing), so it dies at the same missing stage — a short match is
+   * always the LAST match. Hence the range enumeration is
+   * [[funnelMulti]]'s witness stream over the `maxTimes`-fold
+   * expansion, read twice: full matches are `adv div (maxTimes·k)`
+   * (the fixed-n reading), and the ONE possible trailing short match
+   * is the stream's REMAINDER — `(adv mod (maxTimes·k)) div k`
+   * complete repetitions, a match iff ≥ `minTimes`. The advance
+   * counter is exact even past the witness cap (the w18 rule), so
+   * both counts are exact; the short match's witnesses sit inside the
+   * cap whenever it is emitted (it can only follow fewer than
+   * `maxMatches` full matches).
+   *
+   * Output: `(user_id, match_idx, n_matches, reps,
+   * ts_r<r>_s<i>_us…)` for r ≤ `maxTimes` — witness columns beyond a
+   * match's own `reps` are NULL (the match contains only its COMPLETE
+   * repetitions; a dangling partial repetition's picks are not part
+   * of any match, Flink's group-quantifier reading). `n_matches` is
+   * the TRUE total (full + qualifying tail), `reps = maxTimes` on
+   * every full match. `minTimes = maxTimes` degenerates to
+   * [[funnelGroupMatches]] plus the `reps` column (spec law). Scale
+   * shape unchanged: ONE user-keyed shuffle, one fold, the same
+   * capped state. Type-only groups, [[funnelMulti]]'s contract.
+   */
+  def funnelGroupMatchesRange(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      groupTypes: Seq[String], minTimes: Int, maxTimes: Int,
+      maxMatches: Int): DataFrame = {
+    require(groupTypes.nonEmpty && minTimes >= 1 && maxTimes >= minTimes &&
+      maxMatches >= 1,
+      "need groupTypes, 1 <= minTimes <= maxTimes and maxMatches >= 1")
+    val k = groupTypes.length
+    val expanded = Seq.fill(maxTimes)(groupTypes).flatten
+    val (evs, folded) = witnessFold(typeCol, tsCol, orderCol, expanded,
+      maxMatches * expanded.length)
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        explode(ExprUtil.bound(folded)(
+          multiRangeOut(_, k, minTimes, maxTimes, maxMatches))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        col("m.reps") +:
+        (for (r <- 1 to maxTimes; i <- 1 to k)
+          yield col(s"m.ts_r${r}_s${i}_us")): _*)
+  }
+
+  /** [[multiOut]]'s RANGE-quantified sibling: read the witness stream
+    * `(n, w)` as `fullM` complete `maxTimes`-repetition matches plus
+    * the possible trailing short match ([[funnelGroupMatchesRange]]'s
+    * reduction), emitting per-match `reps` and NULLing witness slots
+    * beyond each match's own repetitions. */
+  private def multiRangeOut(f: Column, k: Int, minTimes: Int,
+      maxTimes: Int, maxMatches: Int): Column = {
+    val bigK = maxTimes * k
+    val n = f.getField("n")
+    val w = f.getField("w")
+    val fullM = ((n - pmod(n, lit(bigK.toLong))) / lit(bigK.toLong))
+      .cast("long")
+    val tailAdv = pmod(n, lit(bigK.toLong))
+    val tailReps = ((tailAdv - pmod(tailAdv, lit(k.toLong))) /
+      lit(k.toLong)).cast("long")
+    val tailOk = tailReps >= lit(minTimes.toLong)
+    val nMatches = fullM + when(tailOk, lit(1L)).otherwise(lit(0L))
+    val emitted = least(nMatches, lit(maxMatches.toLong)).cast("int")
+    val fields = (m: Column) => {
+      val isTail = tailOk && (m.cast("long") === fullM + lit(1L))
+      val reps = when(isTail, tailReps).otherwise(lit(maxTimes.toLong))
+      m.cast("long").as("match_idx") +: nMatches.as("n_matches") +:
+        reps.cast("int").as("reps") +:
+        (for (r <- 1 to maxTimes; i <- 1 to k) yield
+          when(lit(r.toLong) <= reps,
+            element_at(w, (m - 1) * bigK + ((r - 1) * k + i)))
+            .as(s"ts_r${r}_s${i}_us"))
+    }
+    val tsFields = (for (r <- 1 to maxTimes; i <- 1 to k)
+      yield s"ts_r${r}_s${i}_us:bigint").mkString(",")
+    when(emitted > 0,
+      transform(sequence(lit(1), emitted), m => struct(fields(m): _*)))
+      .otherwise(array().cast(
+        s"array<struct<match_idx:bigint,n_matches:bigint,reps:int," +
+          s"$tsFields>>"))
+  }
+
+  /** [[funnelGroupMatchesRange]] with the span bound and TRAILING
+    * absence tail — Flink's
+    * `begin(group).times(m, n).notFollowedBy(B).within(T)`, the last
+    * open combinator cell (the absence axis over the range-quantified
+    * group): a range match survives iff its span — first pick to its
+    * OWN last complete repetition's completing pick — fits `T` AND no
+    * `absentType` event falls in (completion, start + T]. Both
+    * predicates are per-match index properties, so they compose onto
+    * the range enumeration exactly as [[funnelGroupMatchesAbsence]]'s
+    * did onto the fixed one — with the completion read per row via
+    * COALESCE over the rep-descending completion slots (witnesses
+    * beyond `reps` are NULL by construction, so the coalesce IS the
+    * match's own completion). Same scale shape: the enumeration's one
+    * user-keyed exchange, ONE answer-sized LEFT ANTI equi-join on the
+    * user key with the time range as post-condition (never a
+    * theta-join), the answer-sized recount window. Same time-based
+    * blocker-tie contract as the whole absence family. `match_idx`
+    * keeps its enumeration index (gaps mark cut matches);
+    * `n_matches` recounts survivors. Gated w75b against the chained
+    * greedy-pick replay with all three predicates (reps ∈ [m, n],
+    * span fit, tail absence); the plain enumeration is gated w75. */
+  def funnelGroupMatchesRangeAbsence(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      groupTypes: Seq[String], minTimes: Int, maxTimes: Int,
+      maxMatches: Int, windowMicros: Long, absentType: String)
+      : DataFrame = {
+    require(windowMicros > 0, "need windowMicros > 0")
+    val k = groupTypes.length
+    val endUs = coalesce((maxTimes to 1 by -1).map(r =>
+      col(s"ts_r${r}_s${k}_us")): _*)
+    val fits = funnelGroupMatchesRange(events, userCol, typeCol, tsCol,
+        orderCol, groupTypes, minTimes, maxTimes, maxMatches)
+      .withColumn("end_us", endUs)
+      .filter(col("end_us") - col("ts_r1_s1_us") <= windowMicros)
+    val blockers = events.filter(col(typeCol) === lit(absentType))
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("b_us"))
+    fits.join(blockers,
+        fits("user_id") === blockers("user_id") &&
+          col("b_us") > fits("end_us") &&
+          col("b_us") <= fits("ts_r1_s1_us") + lit(windowMicros),
+        "left_anti")
+      .drop("end_us")
+      .withColumn("n_matches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+  }
+
   /** [[funnelGroupLoopAuto]]'s default threshold — MEASURED, not
     * inherited (round 18, closing the r17 verdict's What's wrong #3):
     * the r16 wall recipe (grow one power key until the single fold
@@ -2613,7 +2762,27 @@ object Funnel {
       maxMatches: Int): DataFrame = {
     val k = stages.length
     require(k >= 1 && maxMatches >= 1, "need stages and maxMatches >= 1")
-    val capW = maxMatches * k
+    val (evs, folded) = witnessFold(typeCol, tsCol, orderCol, stages,
+      maxMatches * k)
+    events.groupBy(col(userCol).as("user_id"))
+      .agg(evs.as("evs"))
+      .select(col("user_id"),
+        explode(ExprUtil.bound(folded)(multiOut(_, k, maxMatches))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
+  /** The witness-stream fold both enumeration entry points share
+    * ([[funnelMulti]]'s machine): the per-user event collection in
+    * (us, oid) order and the single-pass fold into `(n, w)` — `n` the
+    * EXACT total advance count (never capped: it drives the advance
+    * condition and every downstream match count), `w` the witness
+    * list capped at `capW` (it never feeds the advance condition, so
+    * capping cannot change the trajectory — the w18 rule). */
+  private def witnessFold(typeCol: String, tsCol: String,
+      orderCol: String, stages: Seq[String], capW: Int)
+      : (Column, Column) = {
+    val k = stages.length
     val evs = sort_array(collect_list(struct(
       unix_micros(col(tsCol).cast("timestamp")).as("us"),
       col(orderCol).as("oid"), col(typeCol).as("tp"))))
@@ -2628,12 +2797,7 @@ object Funnel {
           .otherwise(w).as("w")))
         .otherwise(st)
     })
-    events.groupBy(col(userCol).as("user_id"))
-      .agg(evs.as("evs"))
-      .select(col("user_id"),
-        explode(ExprUtil.bound(folded)(multiOut(_, k, maxMatches))).as("m"))
-      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
-        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+    (evs, folded)
   }
 
   /**

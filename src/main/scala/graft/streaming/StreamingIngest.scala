@@ -2804,6 +2804,49 @@ object StreamingIngest {
         windowMicros)
   }
 
+  /**
+   * Streaming RANGE-quantified group absence —
+   * [[graft.operators.Funnel.funnelGroupMatchesRangeAbsence]]'s twin
+   * (`begin(group).times(m, n).notFollowedBy(B).within(T)`). FULL
+   * (`maxTimes`-repetition) matches stream exactly like the fixed
+   * form's: [[updateFunnelMatchesAbsence]]'s holding pen over the
+   * `maxTimes`-fold expansion — span-fit at completion, killed by a
+   * mature tail blocker, emitted on the event-time timer when the
+   * watermark closes the tail — with the flat witnesses relabeled
+   * `ts_r<rep>_s<stage>_us` and `reps = maxTimes`.
+   *
+   * THE TRAILING SHORT MATCH IS DELIBERATELY NOT STREAMED: under the
+   * batch contract a short match (m ≤ reps < n repetitions) exists
+   * iff the greedy chain NEVER extends to its next repetition — a
+   * property of the whole remaining stream that no finite watermark
+   * can certify (the extension's events may carry any future
+   * timestamp; the match window bounds the span FILTER, not
+   * consumption). It is a STREAM-END object, like the batch
+   * `n_matches` recount the family already keeps off the stream
+   * (w70's convention) — a bounded stream recovers it by running the
+   * batch operator over the drained corpus, and StreamingSpec pins
+   * exactly that composition law: streamed rows ≡ the batch output's
+   * `reps = maxTimes` rows, and the batch remainder is only short
+   * matches.
+   */
+  def streamingFunnelGroupMatchesRangeAbsence(spark: SparkSession,
+      events: DataFrame, groupTypes: Seq[String], minTimes: Int,
+      maxTimes: Int, maxMatches: Int, windowMicros: Long,
+      absentType: String, watermark: String): DataFrame = {
+    require(groupTypes.nonEmpty && minTimes >= 1 && maxTimes >= minTimes,
+      "need groupTypes and 1 <= minTimes <= maxTimes")
+    val k = groupTypes.length
+    streamingFunnelMatchesAbsence(spark, events,
+        Seq.fill(maxTimes)(groupTypes).flatten, maxMatches,
+        windowMicros, absentType, watermark)
+      .toDF()
+      .select(col("user_id") +: col("match_idx") +:
+        lit(maxTimes).as("reps") +:
+        (for (r <- 1 to maxTimes; i <- 1 to k) yield
+          element_at(col("ts_us"), (r - 1) * k + i)
+            .as(s"ts_r${r}_s${i}_us")): _*)
+  }
+
   /** Chains are flat `Seq[Long]` of interleaved (us, oid) pairs;
     * `buckets(j-1)` holds the prefixes that matched stages 1..j.
     * (mu, mo) is the running after-match-skip threshold. */

@@ -1998,6 +1998,155 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("range-quantified group enumeration: every non-final match is full, the trailing short match carries its own reps with NULL witnesses beyond, minTimes gates the tail, m=n degenerates to the fixed form") {
+    val grp = Seq("view", "click")
+    def user(u: Long, tps: Seq[String]) =
+      tps.zipWithIndex.map { case (tp, i) => (u, i.toLong, ts(i), tp) }
+    val vc = Seq("view", "click")
+    val ev = (
+      // u1: 3 full reps + a dangling view → ONE full match, the
+      //     remainder (0 complete reps) is no match
+      user(1L, Seq.fill(3)(vc).flatten :+ "view") ++
+      // u2: exactly 2 reps → the trailing SHORT match (reps = 2)
+      user(2L, Seq.fill(2)(vc).flatten) ++
+      // u3: 1 rep → under the minTimes = 2 floor, nothing
+      user(3L, vc) ++
+      // u4: 4 reps → match 1 full (3 reps), match 2 short (1 rep,
+      //     under the floor) → only the full match
+      user(4L, Seq.fill(4)(vc).flatten) ++
+      // u5: 5 reps + a dangling view (partial rep 3 of match 2) →
+      //     match 1 full, match 2 short (2 reps); the partial pick
+      //     is not part of any match
+      user(5L, Seq.fill(5)(vc).flatten :+ "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelGroupMatchesRange(ev, "user_id", "event_type",
+        "ts", "event_id", grp, minTimes = 2, maxTimes = 3,
+        maxMatches = 12)
+      .orderBy("user_id", "match_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        (4 until 10).map(j => Option(r.get(j)).map(_.asInstanceOf[Long]))))
+    def w(ss: Int*) = ss.map(s => Some(tsUs(s)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 3, w(0, 1, 2, 3, 4, 5)),
+      (2L, 1L, 1L, 2, w(0, 1, 2, 3) ++ Seq(None, None)),
+      (4L, 1L, 1L, 3, w(0, 1, 2, 3, 4, 5)),
+      (5L, 1L, 2L, 3, w(0, 1, 2, 3, 4, 5)),
+      (5L, 2L, 2L, 2, w(6, 7, 8, 9) ++ Seq(None, None))))
+    // m = n degenerates to the fixed enumeration plus the reps column
+    val fixed = Funnel.funnelGroupMatches(ev, "user_id", "event_type",
+        "ts", "event_id", grp, times = 3, maxMatches = 12)
+      .orderBy("user_id", "match_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (3 until 9).map(j => r.getLong(j))))
+    val degen = Funnel.funnelGroupMatchesRange(ev, "user_id",
+        "event_type", "ts", "event_id", grp, minTimes = 3, maxTimes = 3,
+        maxMatches = 12)
+      .orderBy("user_id", "match_idx").collect()
+    assert(degen.forall(_.getInt(3) === 3))
+    assert(degen.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      (4 until 10).map(j => r.getLong(j)))).toSeq === fixed.toSeq)
+  }
+
+  test("range-quantified group absence (times(m,n).notFollowedBy.within): the short match's OWN completion anchors span and tail, blocker ties spare, gaps survive the recount") {
+    val grp = Seq("view", "click")
+    val winUs = 10L * 1000000L
+    def user(u: Long, evs: (Int, String)*) =
+      evs.zipWithIndex.map { case ((s, tp), i) => (u, i.toLong, ts(s), tp) }
+    val ev = (
+      // u1: short match (2 reps) completing at 3 s; error at 5 s sits
+      //     in ITS tail (3, 10] → killed (a fixed-times(3) reading
+      //     would see no match at all — the rep count is the match's)
+      user(1L, 0 -> "view", 1 -> "click", 2 -> "view", 3 -> "click",
+        5 -> "error") ++
+      // u2: short match completing at 3 s; error at EXACTLY 3 s →
+      //     spared (time-tie contract)
+      user(2L, 0 -> "view", 1 -> "click", 2 -> "view", 3 -> "click",
+        3 -> "error") ++
+      // u3: full match, span 0..12 s exceeds the window → cut
+      user(3L, 0 -> "view", 1 -> "click", 2 -> "view", 3 -> "click",
+        12 -> "view", 13 -> "click") ++
+      // u4: full match 1 (0..5 s) killed by the error at 6 s in its
+      //     tail; short match 2 (reps 2, 6..9 s) has the error at or
+      //     before its completion → survives with idx 2, recount 1
+      user(4L, 0 -> "view", 1 -> "click", 2 -> "view", 3 -> "click",
+        4 -> "view", 5 -> "click", 6 -> "error", 7 -> "view",
+        8 -> "click", 9 -> "view", 9 -> "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Funnel.funnelGroupMatchesRangeAbsence(ev, "user_id",
+        "event_type", "ts", "event_id", grp, minTimes = 2, maxTimes = 3,
+        maxMatches = 12, windowMicros = winUs, absentType = "error")
+      .orderBy("user_id", "match_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === Seq((2L, 1L, 1L, 2), (4L, 2L, 1L, 2)))
+  }
+
+  test("property: range-quantified group enumeration (and its absence form) equals a driver replay of the witness stream read as full matches + trailing remainder on random corpora") {
+    val grp = IndexedSeq("view", "click")
+    val (m, n) = (2, 3)
+    val bigK = n * grp.length
+    val winUs = 8L * 1000000L
+    val rnd = new scala.util.Random(75757L)
+    val typesPool = Array("view", "click", "error", "other")
+    for (round <- 1 to 4) {
+      val events = (0 until 300).map { i =>
+        (rnd.nextInt(8).toLong, i.toLong, ts(rnd.nextInt(50)),
+          typesPool(rnd.nextInt(typesPool.length)))
+      }
+      val df = events.toDF("user_id", "event_id", "ts", "event_type")
+      def usOf(t: java.sql.Timestamp) = t.getTime * 1000L
+      // replay: the K-expansion pointer machine, then full matches =
+      // adv div K, the remainder's complete reps a match iff >= m
+      val replayed = events.groupBy(_._1).view.mapValues { evs =>
+        val ordered = evs.sortBy(e => (usOf(e._3), e._2))
+        var adv = 0L
+        val w = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ordered.foreach { case (_, _, t, tp) =>
+          if (tp == grp((adv % grp.length).toInt)) { adv += 1; w += usOf(t) }
+        }
+        val fullM = (adv / bigK).toInt
+        val tailReps = ((adv % bigK) / grp.length).toInt
+        val full = (0 until fullM).map(j =>
+          (j + 1, n, w.slice(j * bigK, j * bigK + bigK).toSeq))
+        val short = if (tailReps >= m)
+          Seq((fullM + 1, tailReps,
+            w.slice(fullM * bigK, fullM * bigK + tailReps * grp.length)
+              .toSeq))
+        else Nil
+        (full ++ short, ordered.collect { case (_, _, t, "error") =>
+          usOf(t) })
+      }.toMap
+      val expectedRange = replayed.flatMap { case (u, (ms, _)) =>
+        ms.map { case (idx, reps, wit) =>
+          (u, idx.toLong, ms.length.toLong, reps,
+            wit.map(Option(_)).padTo(bigK, None: Option[Long])) }
+      }.toSet
+      val gotRange = Funnel.funnelGroupMatchesRange(df, "user_id",
+          "event_type", "ts", "event_id", grp, m, n, maxMatches = 12)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), (4 until 4 + bigK).map(j =>
+            Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      assert(gotRange === expectedRange, s"round $round range")
+      val expectedAbs = replayed.flatMap { case (u, (ms, errs)) =>
+        val surv = ms.filter { case (_, _, wit) =>
+          wit.last - wit.head <= winUs &&
+            !errs.exists(e => e > wit.last && e <= wit.head + winUs) }
+        surv.map { case (idx, reps, wit) =>
+          (u, idx.toLong, surv.length.toLong, reps,
+            wit.map(Option(_)).padTo(bigK, None: Option[Long])) }
+      }.toSet
+      val gotAbs = Funnel.funnelGroupMatchesRangeAbsence(df, "user_id",
+          "event_type", "ts", "event_id", grp, m, n, maxMatches = 12,
+          windowMicros = winUs, absentType = "error")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), (4 until 4 + bigK).map(j =>
+            Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      assert(gotAbs === expectedAbs, s"round $round absence")
+      // the generator must exercise both short and full matches
+      assert(replayed.values.flatMap(_._1).map(_._2).toSet.size >= 2,
+        s"degenerate round $round")
+    }
+  }
+
   test("times(m,n) + trailing guard routes through the capped dominance machine: guarded report shape, every bound bites, single == bucketed == auto, cap placement law under the guard") {
     val guarded = Seq(Funnel.PatternStage("view"),
       Funnel.PatternStage("click", notNextAfter = Some("error")))

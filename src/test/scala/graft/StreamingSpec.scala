@@ -2249,6 +2249,96 @@ class StreamingSpec extends SparkSpec {
       assert(es.size.toLong === batchNm(u), s"user $u") }
   }
 
+  test("streaming range-quantified group absence: full matches stream through the holding pen (tail blocker kills, span cuts, timer fires), the trailing short match is a stream-end object recovered by the batch composition") {
+    import org.apache.spark.sql.Row
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val grp = Seq("view", "click")
+    val winUs = 3600L * 1000000L // 1 hour from the match's first event
+    // u1: 3 full reps 10:00..10:05 → FULL match, clean tail → emits on
+    //     the timer when the watermark passes 11:00.
+    // u2: 2 reps only → the trailing SHORT match (reps = 2): silent on
+    //     the stream (no watermark can certify the chain never
+    //     extends), recovered by the batch composition.
+    // u3: full match with an error at 10:30 in its tail → killed.
+    // u4: full match 10:00..10:05 PLUS two more reps 10:10..10:13 →
+    //     the stream emits only the full match; batch adds the short
+    //     match 2.
+    // u5: full match spanning 10:00..11:30 → over the window, cut.
+    val waves = Seq(
+      Seq(Row(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+        Row(1L, 2L, t("2024-01-01 10:01:00"), "click"),
+        Row(1L, 3L, t("2024-01-01 10:02:00"), "view"),
+        Row(1L, 4L, t("2024-01-01 10:03:00"), "click"),
+        Row(2L, 20L, t("2024-01-01 10:00:00"), "view"),
+        Row(2L, 21L, t("2024-01-01 10:01:00"), "click"),
+        Row(3L, 30L, t("2024-01-01 10:00:00"), "view"),
+        Row(3L, 31L, t("2024-01-01 10:01:00"), "click"),
+        Row(4L, 40L, t("2024-01-01 10:00:00"), "view"),
+        Row(4L, 41L, t("2024-01-01 10:01:00"), "click"),
+        Row(5L, 50L, t("2024-01-01 10:00:00"), "view"),
+        Row(5L, 51L, t("2024-01-01 10:01:00"), "click")),
+      Seq(Row(1L, 5L, t("2024-01-01 10:04:00"), "view"),
+        Row(1L, 6L, t("2024-01-01 10:05:00"), "click"),
+        Row(2L, 22L, t("2024-01-01 10:02:00"), "view"),
+        Row(2L, 23L, t("2024-01-01 10:03:00"), "click"),
+        Row(3L, 32L, t("2024-01-01 10:02:00"), "view"),
+        Row(3L, 33L, t("2024-01-01 10:03:00"), "click"),
+        Row(3L, 34L, t("2024-01-01 10:04:00"), "view"),
+        Row(3L, 35L, t("2024-01-01 10:05:00"), "click"),
+        Row(4L, 42L, t("2024-01-01 10:02:00"), "view"),
+        Row(4L, 43L, t("2024-01-01 10:03:00"), "click"),
+        Row(4L, 44L, t("2024-01-01 10:04:00"), "view"),
+        Row(4L, 45L, t("2024-01-01 10:05:00"), "click"),
+        Row(5L, 52L, t("2024-01-01 10:02:00"), "view"),
+        Row(5L, 53L, t("2024-01-01 10:03:00"), "click"),
+        Row(5L, 54L, t("2024-01-01 11:29:00"), "view"),
+        Row(5L, 55L, t("2024-01-01 11:30:00"), "click")),
+      Seq(Row(3L, 36L, t("2024-01-01 10:30:00"), "error"),
+        Row(4L, 46L, t("2024-01-01 10:10:00"), "view"),
+        Row(4L, 47L, t("2024-01-01 10:11:00"), "click"),
+        Row(4L, 48L, t("2024-01-01 10:12:00"), "view"),
+        Row(4L, 49L, t("2024-01-01 10:13:00"), "click")),
+      Seq(Row(9L, 90L, t("2024-01-01 14:00:00"), "error")),
+      Seq(Row(9L, 91L, t("2024-01-01 20:00:00"), "error")))
+    val src = tmp("funnel-range-absence-src")
+    writeWaves(src, waves)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Seq[Option[Long]])]
+    val q = StreamingIngest.streamingFunnelGroupMatchesRangeAbsence(spark,
+        spark.readStream.schema(funnelWaveSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        grp, minTimes = 2, maxTimes = 3, maxMatches = 12, winUs,
+        "error", "2 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => emitted.synchronized {
+          emitted += ((r.getLong(0), r.getLong(1), r.getInt(2),
+            (3 until 9).map(j => Option(r.get(j)).map(_.asInstanceOf[Long]))))
+        })
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(emitted.size === emitted.toSet.size) // exactly-once
+    // the stream carries exactly the FULL (maxTimes-rep) survivors
+    assert(emitted.forall(_._3 === 3))
+    assert(emitted.map(_._1).toSet === Set(1L, 4L))
+    // batch composition law: streamed rows == the batch output's
+    // reps = maxTimes rows (witnesses included), and the batch
+    // remainder is ONLY short matches — the drain-time objects
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(waves.flatten), funnelWaveSchema)
+    val batch = graft.operators.Funnel.funnelGroupMatchesRangeAbsence(
+        all, "user_id", "event_type", "ts", "event_id", grp,
+        minTimes = 2, maxTimes = 3, maxMatches = 12,
+        windowMicros = winUs, absentType = "error")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3),
+        (4 until 10).map(j => Option(r.get(j)).map(_.asInstanceOf[Long]))))
+    assert(emitted.toSet === batch.filter(_._3 === 3).toSet)
+    val shortOnly = batch.filterNot(b => emitted.toSet.contains(b))
+    assert(shortOnly.nonEmpty && shortOnly.forall(_._3 < 3))
+    assert(shortOnly.map(_._1).toSet === Set(2L, 4L))
+  }
+
   test("streaming match enumeration: every non-overlapping match emits exactly once, capped like batch") {
     import org.apache.spark.sql.Row
     def t(s: String) = java.sql.Timestamp.valueOf(s)
