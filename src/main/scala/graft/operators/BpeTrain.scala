@@ -125,17 +125,21 @@ object BpeTrain {
    * metadata ([[taggedRowCount]]), so the routing decision costs no
    * job; a caller-built table without the tag (and not plan-time
    * local) pays one EAGER count() at construction time, staged so the
-   * join reuses the counted work.
+   * join reuses the counted work — or passes `knownWords`, an exact
+   * count or a safe UPPER BOUND on the word table's rows (routing
+   * only, never correctness: an over-estimate routes to the shuffle
+   * join, the safe side).
    */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
       words: DataFrame,
-      maxBroadcastWords: Long = MaxBroadcastWords): DataFrame =
+      maxBroadcastWords: Long = MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame =
     boundedProbeJoin(
       df.select(col(idCol).as("id"),
         explode(TextDedup.tokens(col(textCol))).as("w")),
       words.select(col("w"), size(col("syms")).as("ns"),
         length(col("w")).as("nc")),
-      maxBroadcastWords, stage = false)
+      maxBroadcastWords, stage = false, knownWords)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
         sum("nc").as("n_chars"))
@@ -276,10 +280,12 @@ object BpeTrain {
     * pays one bounded-broadcast probe; `n_bytes` replaces `n_chars`
     * (the byte alphabet's natural length). Same eager routing count()
     * as [[encodeStatsWithMerges]] — the encode corpus' distinct-word
-    * total is not known in advance. */
+    * total is not known in advance — unless the caller passes
+    * `knownWords` (exact or a safe upper bound; routing only). */
   def encodeStatsByteLevelWithMerges(df: DataFrame, idCol: String,
       textCol: String, merges: Seq[Merge],
-      maxBroadcastWords: Long = MaxBroadcastWords): DataFrame = {
+      maxBroadcastWords: Long = MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame = {
     val words = Staging.barrier(encodeWordsByteLevel(
       df.select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct(),
       "w", merges))
@@ -288,7 +294,7 @@ object BpeTrain {
         explode(TextDedup.tokens(col(textCol))).as("w")),
       words.select(col("w"), size(col("syms")).as("ns"),
         length(encode(col("w"), "UTF-8")).as("nb")),
-      maxBroadcastWords, stage = false)
+      maxBroadcastWords, stage = false, knownWords)
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum("ns").as("n_syms"),
         sum("nb").as("n_bytes"))
@@ -301,14 +307,20 @@ object BpeTrain {
     * trained-table lookup. The ENCODE corpus' distinct-word count is
     * not known in advance here, so probe routing runs one EAGER
     * count() job at DataFrame-construction time (the staged replay
-    * table's work is reused by the join — never computed twice). */
+    * table's work is reused by the join — never computed twice) —
+    * UNLESS the caller passes `knownWords`: an exact count or a safe
+    * UPPER BOUND on the corpus' distinct whitespace tokens (routing
+    * only, never correctness — an over-estimate merely routes to the
+    * shuffle join, the safe side), retiring the last eager job on the
+    * encode surface when the caller has corpus statistics. */
   def encodeStatsWithMerges(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge],
-      maxBroadcastWords: Long = MaxBroadcastWords): DataFrame = {
+      maxBroadcastWords: Long = MaxBroadcastWords,
+      knownWords: Option[Long] = None): DataFrame = {
     val words = Staging.barrier(encodeWords(
       df.select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct(),
       "w", merges))
-    encodeStats(df, idCol, textCol, words, maxBroadcastWords)
+    encodeStats(df, idCol, textCol, words, maxBroadcastWords, knownWords)
   }
 
   /** Word-table size under which the merge rounds run on the DRIVER.

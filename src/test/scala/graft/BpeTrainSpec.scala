@@ -246,6 +246,51 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("knownWords on the WithMerges entry points steers probe routing without the eager count: an exact count keeps the broadcast, an over-bound claim routes to shuffle, values identical") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")
+    val (merges, _) = BpeTrain.train(docs, "text", rounds = 1)
+    def hasBcast(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    graft.operators.Staging.scoped {
+      // a marker-scoped listener pins that knownWords short-circuits
+      // the routing count: construction launches no job
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val marker = "graft-bpe-spec-knownwords-drain-marker"
+      val markerSeen = new java.util.concurrent.CountDownLatch(1)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          if (Option(j.properties).exists(
+              _.getProperty("spark.job.description") == marker))
+            markerSeen.countDown()
+          else { jobs.incrementAndGet(); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (bc, sh) = try {
+        val bc0 = BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+          merges, knownWords = Some(3L))
+        // an over-bound CLAIM (safe upper bound) forces the shuffle
+        val sh0 = BpeTrain.encodeStatsWithMerges(docs, "doc_id", "text",
+          merges, maxBroadcastWords = 2L, knownWords = Some(3L))
+        assert(bc0.queryExecution.optimizedPlan != null)
+        assert(sh0.queryExecution.optimizedPlan != null)
+        spark.sparkContext.setJobDescription(marker)
+        try spark.range(1).count()
+        finally spark.sparkContext.setJobDescription(null)
+        assert(markerSeen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+          "marker job event not delivered within 60s")
+        assert(jobs.get() === 0,
+          "knownWords must retire the eager routing count")
+        (bc0, sh0)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(hasBcast(bc) && !hasBcast(sh))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id").collect().map(_.toString).toSeq
+      assert(rows(bc) === rows(sh))
+    }
+  }
+
   test("dropRowCountTag strips the stale-prone tag: a union keeps the left child's metadata (the under-estimate trap), dropping it restores honest shuffle routing") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab xy")).toDF("doc_id", "text")
     val (_, words) = BpeTrain.train(docs, "text", rounds = 1)
