@@ -8591,6 +8591,20 @@ object Queries {
          |ORDER BY user_id, match_idx""".stripMargin
     })
 
+  /** [[w75_funnel_group_matches_range]] through the SKEW-SAFE segment
+    * split ([[Funnel.funnelMultiBucketed]]'s monoid over the ceiling
+    * expansion): the bucketed machine reproduces the witness stream
+    * `(n, w)` bit-identically, so the range reading composes onto it
+    * unchanged. Gates on w75's oracle VERBATIM. */
+  lazy val w75c_funnel_group_matches_range_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesRange(t(spark, dir, "events"), "user_id",
+          "event_type", "ts", "event_id",
+          Seq("view", "click"), minTimes = 2, maxTimes = 3,
+          maxMatches = MultiMatchCap, bucketSeconds = Some(3600L))
+        .orderBy("user_id", "match_idx"),
+    oracle = w75_funnel_group_matches_range.oracle)
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -10766,6 +10780,8 @@ object Queries {
       w75_funnel_group_matches_range,
     "w75b_funnel_group_matches_range_absence" ->
       w75b_funnel_group_matches_range_absence,
+    "w75c_funnel_group_matches_range_bucketed" ->
+      w75c_funnel_group_matches_range_bucketed,
     "w71_funnel_group_loop_seam_guard" ->
       w71_funnel_group_loop_seam_guard,
     "w71b_funnel_group_loop_seam_guard_bucketed" ->

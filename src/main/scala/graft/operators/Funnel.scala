@@ -2571,18 +2571,32 @@ object Funnel {
   def funnelGroupMatchesRange(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       groupTypes: Seq[String], minTimes: Int, maxTimes: Int,
-      maxMatches: Int): DataFrame = {
+      maxMatches: Int,
+      bucketSeconds: Option[Long] = None): DataFrame = {
     require(groupTypes.nonEmpty && minTimes >= 1 && maxTimes >= minTimes &&
       maxMatches >= 1,
       "need groupTypes, 1 <= minTimes <= maxTimes and maxMatches >= 1")
     val k = groupTypes.length
     val expanded = Seq.fill(maxTimes)(groupTypes).flatten
-    val (evs, folded) = witnessFold(typeCol, tsCol, orderCol, expanded,
-      maxMatches * expanded.length)
-    events.groupBy(col(userCol).as("user_id"))
-      .agg(evs.as("evs"))
-      .select(col("user_id"),
-        explode(ExprUtil.bound(folded)(
+    val capW = maxMatches * expanded.length
+    // the SKEW-SAFE twin: the bucketed segment monoid reproduces the
+    // witness stream (n, w) BIT-IDENTICALLY (the w18 capped-monoid
+    // rule), so the range reading — a pure output projection over the
+    // stream — composes unchanged onto either fold (gated w75c on
+    // w75's oracle VERBATIM)
+    val (g, stream) = bucketSeconds match {
+      case None =>
+        val (evs, folded) = witnessFold(typeCol, tsCol, orderCol,
+          expanded, capW)
+        (events.groupBy(col(userCol).as("user_id")).agg(evs.as("evs")),
+          folded)
+      case Some(b) =>
+        require(b > 0, "need bucketSeconds > 0")
+        witnessFoldBucketed(events, userCol, typeCol, tsCol, orderCol,
+          expanded, capW, b)
+    }
+    g.select(col("user_id"),
+        explode(ExprUtil.bound(stream)(
           multiRangeOut(_, k, minTimes, maxTimes, maxMatches))).as("m"))
       .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
         col("m.reps") +:
@@ -2651,14 +2665,16 @@ object Funnel {
   def funnelGroupMatchesRangeAbsence(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, orderCol: String,
       groupTypes: Seq[String], minTimes: Int, maxTimes: Int,
-      maxMatches: Int, windowMicros: Long, absentType: String)
+      maxMatches: Int, windowMicros: Long, absentType: String,
+      bucketSeconds: Option[Long] = None)
       : DataFrame = {
     require(windowMicros > 0, "need windowMicros > 0")
     val k = groupTypes.length
     val endUs = coalesce((maxTimes to 1 by -1).map(r =>
       col(s"ts_r${r}_s${k}_us")): _*)
     val fits = funnelGroupMatchesRange(events, userCol, typeCol, tsCol,
-        orderCol, groupTypes, minTimes, maxTimes, maxMatches)
+        orderCol, groupTypes, minTimes, maxTimes, maxMatches,
+        bucketSeconds)
       .withColumn("end_us", endUs)
       .filter(col("end_us") - col("ts_r1_s1_us") <= windowMicros)
     val blockers = events.filter(col(typeCol) === lit(absentType))
@@ -2817,7 +2833,25 @@ object Funnel {
     val k = stages.length
     require(k >= 1 && maxMatches >= 1 && bucketSeconds > 0,
       "need stages, maxMatches >= 1 and bucketSeconds > 0")
-    val capW = maxMatches * k
+    val (g, merged) = witnessFoldBucketed(events, userCol, typeCol,
+      tsCol, orderCol, stages, maxMatches * k, bucketSeconds)
+    g.select(col("user_id"),
+        explode(ExprUtil.bound(merged)(multiOut(_, k, maxMatches))).as("m"))
+      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
+        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+  }
+
+  /** The BUCKETED witness-stream fold ([[funnelMultiBucketed]]'s
+    * segment monoid, shared with the range enumeration's bucketed
+    * twin): per-(user, bucket) folds from every entry offset, composed
+    * by counter addition + concat-truncate — bit-identical `(n, w)` to
+    * the single fold (the w18 capped-monoid rule), so ANY output
+    * projection over the witness stream composes unchanged. */
+  private def witnessFoldBucketed(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, orderCol: String,
+      stages: Seq[String], capW: Int,
+      bucketSeconds: Long): (DataFrame, Column) = {
+    val k = stages.length
     val base = events.select(col(userCol).as("user_id"),
         unix_micros(col(tsCol).cast("timestamp")).as("us"),
         col(orderCol).as("oid"), col(typeCol).as("tp"))
@@ -2849,12 +2883,9 @@ object Funnel {
               greatest(lit(capW) - size(st.getField("w")), lit(0))))
             .as("w"))
       })
-    segs.groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs"))
-      .select(col("user_id"),
-        explode(ExprUtil.bound(merged)(multiOut(_, k, maxMatches))).as("m"))
-      .select(col("user_id") +: col("m.match_idx") +: col("m.n_matches") +:
-        (1 to k).map(j => col(s"m.ts${j}_us")): _*)
+    (segs.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("bkt"), col("f")))).as("segs")),
+      merged)
   }
 
   /**

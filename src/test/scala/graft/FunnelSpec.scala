@@ -2120,12 +2120,17 @@ class FunnelSpec extends SparkSpec {
           (u, idx.toLong, ms.length.toLong, reps,
             wit.map(Option(_)).padTo(bigK, None: Option[Long])) }
       }.toSet
-      val gotRange = Funnel.funnelGroupMatchesRange(df, "user_id",
-          "event_type", "ts", "event_id", grp, m, n, maxMatches = 12)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getInt(3), (4 until 4 + bigK).map(j =>
-            Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      def readRange(bucket: Option[Long]) =
+        Funnel.funnelGroupMatchesRange(df, "user_id",
+            "event_type", "ts", "event_id", grp, m, n, maxMatches = 12,
+            bucketSeconds = bucket)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), (4 until 4 + bigK).map(j =>
+              Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      val gotRange = readRange(None)
       assert(gotRange === expectedRange, s"round $round range")
+      assert(readRange(Some(2L)) === expectedRange,
+        s"round $round range bucketed")
       val expectedAbs = replayed.flatMap { case (u, (ms, errs)) =>
         val surv = ms.filter { case (_, _, wit) =>
           wit.last - wit.head <= winUs &&
@@ -2134,13 +2139,18 @@ class FunnelSpec extends SparkSpec {
           (u, idx.toLong, surv.length.toLong, reps,
             wit.map(Option(_)).padTo(bigK, None: Option[Long])) }
       }.toSet
-      val gotAbs = Funnel.funnelGroupMatchesRangeAbsence(df, "user_id",
-          "event_type", "ts", "event_id", grp, m, n, maxMatches = 12,
-          windowMicros = winUs, absentType = "error")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getInt(3), (4 until 4 + bigK).map(j =>
-            Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      def readAbs(bucket: Option[Long]) =
+        Funnel.funnelGroupMatchesRangeAbsence(df, "user_id",
+            "event_type", "ts", "event_id", grp, m, n, maxMatches = 12,
+            windowMicros = winUs, absentType = "error",
+            bucketSeconds = bucket)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), (4 until 4 + bigK).map(j =>
+              Option(r.get(j)).map(_.asInstanceOf[Long])))).toSet
+      val gotAbs = readAbs(None)
       assert(gotAbs === expectedAbs, s"round $round absence")
+      assert(readAbs(Some(2L)) === expectedAbs,
+        s"round $round absence bucketed")
       // the generator must exercise both short and full matches
       assert(replayed.values.flatMap(_._1).map(_._2).toSet.size >= 2,
         s"degenerate round $round")
