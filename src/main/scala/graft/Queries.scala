@@ -8605,6 +8605,22 @@ object Queries {
         .orderBy("user_id", "match_idx"),
     oracle = w75_funnel_group_matches_range.oracle)
 
+  /** [[w75b_funnel_group_matches_range_absence]] with the enumeration
+    * routed through the bucketed split — the absence predicates are
+    * per-match index properties of the (bit-identical) witness
+    * stream, so the whole composition is route-independent (the w73b
+    * pattern). Gates on w75b's oracle VERBATIM. */
+  lazy val w75d_funnel_group_matches_range_absence_bucketed: Q = Q(
+    run = (spark, dir) =>
+      Funnel.funnelGroupMatchesRangeAbsence(t(spark, dir, "events"),
+          "user_id", "event_type", "ts", "event_id",
+          Seq("view", "click"), minTimes = 2, maxTimes = 3,
+          maxMatches = MultiMatchCap,
+          windowMicros = 432000L * 1000000L, absentType = "error",
+          bucketSeconds = Some(3600L))
+        .orderBy("user_id", "match_idx"),
+    oracle = w75b_funnel_group_matches_range_absence.oracle)
+
   /** [[w38_funnel_loop_consecutive]] through the SKEW-SAFE segment
     * split ([[Funnel.funnelLoopConsecutiveBucketed]]): one machine fold
     * per entry state (stage × partial-run-count-or-open), composed by
@@ -10782,6 +10798,8 @@ object Queries {
       w75b_funnel_group_matches_range_absence,
     "w75c_funnel_group_matches_range_bucketed" ->
       w75c_funnel_group_matches_range_bucketed,
+    "w75d_funnel_group_matches_range_absence_bucketed" ->
+      w75d_funnel_group_matches_range_absence_bucketed,
     "w71_funnel_group_loop_seam_guard" ->
       w71_funnel_group_loop_seam_guard,
     "w71b_funnel_group_loop_seam_guard_bucketed" ->
