@@ -39,6 +39,19 @@ object Queries {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** [[t]] + [[ScanFanout]]: used by the queries whose first stage runs
+    * an expensive per-row kernel (canonical-hash MD5s, tokenization,
+    * shingling, vector distances) BEFORE any exchange — the driver
+    * corpus is one row group per file, so without the fan-out that
+    * kernel runs on a single task (guide §2.5; measured r21: f1 0.56×,
+    * t2 0.60×, t93 0.66×, t92 0.70×, t33 0.74×, t43 0.75× of their
+    * pre-fanout times). Queries whose pre-exchange work is trivial
+    * (layout keys, funnels, plain joins) keep the bare [[t]] — for them
+    * the extra exchange is pure overhead (measured: t94 4.3×, w6 1.9×,
+    * q5 1.4× SLOWER under a blanket fan-out). */
+  private def tf(spark: SparkSession, dir: String, name: String): DataFrame =
+    ScanFanout(t(spark, dir, name))
+
   /** events with `ts` normalized to a naive microsecond timestamp,
     * whatever flavor the corpus file carries: raw nanos-as-long (legacy
     * TIMESTAMP_NS corpora — integer DIV truncation, same as DuckDB's
@@ -182,14 +195,14 @@ object Queries {
 
   val f1_enrich_lineitem: Q = Q(
     run = (spark, dir) => {
-      val li = t(spark, dir, "lineitem")
+      val li = tf(spark, dir, "lineitem")
       Enrich.enrich(li, ColumnMeta.fromSchema(li.schema))
         .orderBy("l_orderkey", "l_linenumber")
     },
     benchRun = Some((spark, dir) => {
       // production ingest writes unordered (the ORDER BY above exists
       // only for oracle row-stability) — bench the operator, not the sort
-      val li = t(spark, dir, "lineitem")
+      val li = tf(spark, dir, "lineitem")
       Enrich.enrich(li, ColumnMeta.fromSchema(li.schema))
     }),
     oracle = {
@@ -1096,7 +1109,7 @@ object Queries {
     * the engine boundary). */
   val t65_perplexity_buckets: Q = Q(
     run = (spark, dir) =>
-      CorpusStats.perplexityBuckets(t(spark, dir, "documents"),
+      CorpusStats.perplexityBuckets(tf(spark, dir, "documents"),
           "doc_id", "text", vocab = LmVocab)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -1314,7 +1327,7 @@ object Queries {
     * all-integer gate, hash-exact. */
   val t67_bpe_encode: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       val (_, words) = BpeTrain.train(docs, "text", rounds = BpeRounds)
       BpeTrain.encodeStats(docs, "doc_id", "text", words)
         .withColumnRenamed("id", "doc_id")
@@ -1544,7 +1557,7 @@ object Queries {
     * unrolled steps. All-integer gate, hash-exact. */
   val t105_wordpiece_encode: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       val (merges, words) = WordPiece.train(docs, "text", rounds = WpRounds)
       // encoding the TRAINING corpus: the trained word table's
       // row-count tag IS the probe side's count — no routing job (r19)
@@ -1789,7 +1802,7 @@ object Queries {
     * lang-cardinality hash-agg. */
   val t117_bpe_compression_by_lang: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       val (_, words) = BpeTrain.train(docs, "text", rounds = BpeRounds)
       graft.operators.TokenizerEval.compressionByGroup(
           BpeTrain.encodeStats(docs, "doc_id", "text", words),
@@ -2198,7 +2211,7 @@ object Queries {
     * collision. */
   val t69_dup_ngram_fraction: Q = Q(
     run = (spark, dir) =>
-      TextDedup.dupGramFractions(t(spark, dir, "documents"),
+      TextDedup.dupGramFractions(tf(spark, dir, "documents"),
           "doc_id", "text", n = DupGramN)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -2232,7 +2245,7 @@ object Queries {
     * cross-engine. */
   val t70_collocations: Q = Q(
     run = (spark, dir) =>
-      CorpusStats.collocations(t(spark, dir, "documents"), "text",
+      CorpusStats.collocations(tf(spark, dir, "documents"), "text",
         minCount = CollocMinCount, k = CollocTopK),
     oracle = Some(
       s"""WITH toks AS (
@@ -2324,7 +2337,7 @@ object Queries {
     * sum with the identical single-division float spelling. */
   val t76_bigram_lm: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.bigramLmQuality(t(spark, dir, "documents"),
+      TextAnalysis.bigramLmQuality(tf(spark, dir, "documents"),
           "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -2361,7 +2374,7 @@ object Queries {
     * BIGINT micro per bigram before the per-doc integer sum. */
   val t92_kneser_ney_lm: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.kneserNeyLmQuality(t(spark, dir, "documents"),
+      TextAnalysis.kneserNeyLmQuality(tf(spark, dir, "documents"),
           "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -2402,7 +2415,7 @@ object Queries {
     * per-doc integer sum. */
   val t93_kneser_ney_trigram: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.kneserNeyTrigramQuality(t(spark, dir, "documents"),
+      TextAnalysis.kneserNeyTrigramQuality(tf(spark, dir, "documents"),
           "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -2456,7 +2469,7 @@ object Queries {
     * counts and spells the same division/multiply parenthesization). */
   val t97_kneser_ney_modified_4gram: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.kneserNeyModified4gramQuality(t(spark, dir, "documents"),
+      TextAnalysis.kneserNeyModified4gramQuality(tf(spark, dir, "documents"),
           "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -2978,7 +2991,7 @@ object Queries {
     * vocabulary scores, and joins path lengths back to the corpus. */
   val t102_unigram_encode: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       // trainAndCount: the distinct-word count training already
       // measures routes the encode probe with no extra job (r19)
       val (vocab, nWords) =
@@ -3112,7 +3125,7 @@ object Queries {
     * operator, with the scoring pass map-only at any corpus size. */
   val t72_probe_select: Q = Q(
     run = (spark, dir) =>
-      LinearProbe.selectTop(t(spark, dir, "embeddings"), "vec_id",
+      LinearProbe.selectTop(tf(spark, dir, "embeddings"), "vec_id",
         "embedding", col("label") % 2, iters = ProbeIters, lr = ProbeLr,
         k = ProbeSelectK),
     oracle = Some(
@@ -3163,7 +3176,7 @@ object Queries {
       // corpora to the prefix-filtered variant — see
       // TextDedup.jaccardPairsAdaptive
       val withSh = Staging.barrier(TextDedup.hashedShingles(
-        t(spark, dir, "documents"), "doc_id", "text", 3))
+        tf(spark, dir, "documents"), "doc_id", "text", 3))
       TextDedup.jaccardPairsAdaptive(withSh, JaccardThreshold)
         .orderBy("id_a", "id_b")
     },
@@ -3221,7 +3234,7 @@ object Queries {
 
   val t3_minhash_lsh_pairs: Q = Q(
     run = (spark, dir) =>
-      TextDedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      TextDedup.minhashLshPairs(tf(spark, dir, "documents"), "doc_id", "text",
           n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
         .orderBy("id_a", "id_b"),
@@ -3283,7 +3296,7 @@ object Queries {
   val t83_minhash_index_persist: Q = Q(
     run = (spark, dir) => {
       val table = "graft_minhash_index"
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
         k = MinhashK, bandSize = BandSize, numBands = NumBands,
         threshold = JaccardThreshold, table = table)
@@ -3297,7 +3310,7 @@ object Queries {
     // bench the build+probe, not the gate's row-stability sort
     benchRun = Some((spark, dir) => {
       val table = "graft_minhash_index"
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
         k = MinhashK, bandSize = BandSize, numBands = NumBands,
         threshold = JaccardThreshold, table = table)
@@ -3319,7 +3332,7 @@ object Queries {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val table = s"graft_minhash_probe_$key"
-    val docs = t(spark, dir, "documents")
+    val docs = tf(spark, dir, "documents")
     if (!spark.catalog.tableExists(table))
       TextDedup.writeMinhashIndex(docs, "doc_id", "text", n = 3,
         k = MinhashK, bandSize = BandSize, numBands = NumBands,
@@ -3504,7 +3517,7 @@ object Queries {
     * aggregation, no pairwise join, no global sort). */
   val t27_span_dedup: Q = Q(
     run = (spark, dir) =>
-      TextDedup.spanDuplication(t(spark, dir, "documents"), "doc_id", "text",
+      TextDedup.spanDuplication(tf(spark, dir, "documents"), "doc_id", "text",
           gram = SpanGram)
         .orderBy("doc_id"),
     oracle = Some(
@@ -3553,7 +3566,7 @@ object Queries {
     * hash-exact on the rebuilt strings. */
   val t51_span_removal: Q = Q(
     run = (spark, dir) =>
-      TextDedup.spanDedup(t(spark, dir, "documents"), "doc_id", "text",
+      TextDedup.spanDedup(tf(spark, dir, "documents"), "doc_id", "text",
           gram = SpanGram)
         .orderBy("doc_id"),
     oracle = Some(
@@ -3724,7 +3737,7 @@ object Queries {
     * kept doc ids with token counts (a downstream-visible projection). */
   val t19_dedup_apply: Q = Q(
     run = (spark, dir) => {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
           n = 3, k = MinhashK, bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
@@ -3966,7 +3979,7 @@ object Queries {
 
   val t6_ann_topk: Q = Q(
     run = (spark, dir) => {
-      val emb = t(spark, dir, "embeddings")
+      val emb = tf(spark, dir, "embeddings")
       VectorOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
@@ -4054,7 +4067,7 @@ object Queries {
     * (embedding/retrieval prep; chunks march by chunk−overlap). */
   val t30_chunk_documents: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.chunkDocuments(t(spark, dir, "documents"), "doc_id", "text",
+      TextAnalysis.chunkDocuments(tf(spark, dir, "documents"), "doc_id", "text",
           chunkTokens = ChunkTokens, overlap = ChunkOverlap)
         .orderBy("doc_id", "chunk_idx"),
     oracle = {
@@ -4081,7 +4094,7 @@ object Queries {
     * string_agg reassembly. */
   val t48_paragraph_dedup: Q = Q(
     run = (spark, dir) =>
-      TextDedup.paragraphDedup(t(spark, dir, "documents"), "doc_id", "text",
+      TextDedup.paragraphDedup(tf(spark, dir, "documents"), "doc_id", "text",
           chunkTokens = ChunkTokens)
         .orderBy("doc_id"),
     oracle = Some(
@@ -4114,7 +4127,7 @@ object Queries {
     * is hash-exact on the rebuilt strings. */
   val t53_fuzzy_paragraph_dedup: Q = Q(
     run = (spark, dir) =>
-      TextDedup.fuzzyParagraphDedup(t(spark, dir, "documents"), "doc_id",
+      TextDedup.fuzzyParagraphDedup(tf(spark, dir, "documents"), "doc_id",
           "text", chunkTokens = ChunkTokens, n = 3, k = MinhashK,
           bandSize = BandSize, numBands = NumBands,
           threshold = JaccardThreshold)
@@ -4185,7 +4198,7 @@ object Queries {
     * list primitives. */
   val t49_gopher_rules: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.gopherRules(t(spark, dir, "documents"), "doc_id", "text")
+      TextAnalysis.gopherRules(tf(spark, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
     oracle = Some(
       s"""WITH toks AS (
@@ -4331,7 +4344,7 @@ object Queries {
     * [[VectorOps.ivfTopK]], exercised by DedupSpec). */
   val t12_ivf_ann: Q = Q(
     run = (spark, dir) =>
-      VectorOps.kmeansIvfTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      VectorOps.kmeansIvfTopK(tf(spark, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, kClusters = IvfClusters, iters = IvfIters,
           nprobe = IvfNprobe)
         .orderBy("query_id", "rank"),
@@ -4361,7 +4374,7 @@ object Queries {
     * swapped to the projection chain (the vCtesSql seam). */
   val t91_rp_ivf_ann: Q = Q(
     run = (spark, dir) => {
-      val proj = VectorOps.randomProjection(t(spark, dir, "embeddings"),
+      val proj = VectorOps.randomProjection(tf(spark, dir, "embeddings"),
         "vec_id", "embedding", RpInDim, RpOutDim)
       VectorOps.kmeansIvfTopK(proj, "id", "proj", col("id") < 10,
           k = 5, kClusters = IvfClusters, iters = IvfIters,
@@ -4552,7 +4565,7 @@ object Queries {
       // composite each embed the tokenizer inside interpreted lambda
       // bodies (no subexpression elimination there — the langId lesson),
       // so an unstaged spelling tokenizes ~10× per row
-      val toks = Staging.barrier(t(spark, dir, "documents")
+      val toks = Staging.barrier(tf(spark, dir, "documents")
         .select(col("doc_id"), col("text"),
           TextDedup.tokens(col("text")).as("t")))
       val comps = TextAnalysis.qualityComponentsFrom(col("text"), col("t"))
@@ -4601,7 +4614,7 @@ object Queries {
     * Catalyst re-evaluate the normalization per character 5-gram —
     * O(L²) per document (see the fingerprintFromNorm scaladoc). */
   private def fingerprintFrame(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Staging.barrier(t(spark, dir, "documents")
+    val staged = Staging.barrier(tf(spark, dir, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("norm")))
     staged.select(col("doc_id"),
       TextAnalysis.fingerprintFromNorm(col("norm")).as("fingerprint"))
@@ -4728,7 +4741,7 @@ object Queries {
     * transcendental scoring. */
   val t32_lm_quality: Q = Q(
     run = (spark, dir) =>
-      TextAnalysis.lmQuality(t(spark, dir, "documents"), "doc_id", "text",
+      TextAnalysis.lmQuality(tf(spark, dir, "documents"), "doc_id", "text",
           vocab = LmVocab)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
@@ -4861,7 +4874,7 @@ object Queries {
     * survivors ∩ not-contaminated ∩ stratified keeps) — shared by the
     * gated query (+ oracle-stability ORDER BY) and the bench (without). */
   private def p1Frame(spark: SparkSession, dir: String): DataFrame = {
-      val docs = t(spark, dir, "documents")
+      val docs = tf(spark, dir, "documents")
       // ONE corpus shingle pass, shared by near-dup LSH and
       // decontamination (both are 3-gram consumers); the staged frame
       // carries 64-bit shingle ids + band digests, never strings
@@ -5297,7 +5310,7 @@ object Queries {
 
   val t15_ivf_sq8_ann: Q = Q(
     run = (spark, dir) =>
-      VectorOps.ivfSq8TopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      VectorOps.ivfSq8TopK(tf(spark, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, kClusters = IvfClusters, iters = IvfIters,
           nprobe = IvfNprobe, candidates = Sq8Candidates)
         .orderBy("query_id", "rank"),
@@ -5399,7 +5412,7 @@ object Queries {
     * approximation is pinned, not sampled. */
   val t43_pq_ann: Q = Q(
     run = (spark, dir) =>
-      VectorOps.pqTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      VectorOps.pqTopK(tf(spark, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, m = PqM, ksub = PqKsub,
           iters = PqIters, candidates = PqCandidates)
         .orderBy("query_id", "rank"),
@@ -5828,7 +5841,7 @@ object Queries {
     run = (spark, dir) => {
       val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
       val charge = dec6(discPrice * (lit(1).cast(Dec6) + dec6(col("l_tax"))))
-      t(spark, dir, "lineitem")
+      tf(spark, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(cutoff).cast(TimestampNTZType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -9388,7 +9401,7 @@ object Queries {
     * must be semantically invisible. */
   val t33_bloom_dedup: Q = Q(
     run = (spark, dir) => {
-      val li = t(spark, dir, "lineitem")
+      val li = tf(spark, dir, "lineitem")
       val metas = ColumnMeta.fromSchema(li.schema)
       // barrier: the canonical row hash is the expensive part and FOUR
       // consumers read it (Bloom train, anti-join corpus side, the two
@@ -9428,7 +9441,7 @@ object Queries {
     * SAME cells, then replays the pair rule in SQL. */
   val t34_semdedup: Q = Q(
     run = (spark, dir) =>
-      VectorOps.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      VectorOps.semDedup(tf(spark, dir, "embeddings"), "vec_id", "embedding",
           kClusters = IvfClusters, iters = IvfIters,
           threshold = SemDedupThreshold)
         .withColumnRenamed("id", "vec_id")
@@ -9463,7 +9476,7 @@ object Queries {
     * corpus's N=500, iters=5) through bit-identical iterations. */
   val t34a_semdedup_auto: Q = Q(
     run = (spark, dir) =>
-      VectorOps.semDedupAuto(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      VectorOps.semDedupAuto(tf(spark, dir, "embeddings"), "vec_id", "embedding",
           threshold = SemDedupThreshold, iters = IvfIters)
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id"),
@@ -9518,7 +9531,7 @@ object Queries {
     * scan; the oracle replays the same windows relationally. */
   val t37_winnowing: Q = Q(
     run = (spark, dir) =>
-      t(spark, dir, "documents")
+      tf(spark, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.WinnowFingerprints(
             lower(trim(col("text"))), WinnowGram, WinnowWindow)).as("fp"))
@@ -9914,8 +9927,8 @@ object Queries {
     * compares longs (the t42 rule). */
   val t44_hybrid_rrf: Q = Q(
     run = (spark, dir) =>
-      Retrieval.hybridTopK(t(spark, dir, "documents"),
-          t(spark, dir, "embeddings"), "doc_id", "text", "vec_id",
+      Retrieval.hybridTopK(tf(spark, dir, "documents"),
+          tf(spark, dir, "embeddings"), "doc_id", "text", "vec_id",
           "embedding", Bm25Terms, HybridQueryVec, n = HybridN, k = HybridK)
         .withColumnRenamed("id", "doc_id")
         .orderBy("rank"),

@@ -156,7 +156,19 @@ object Ddl {
   def writeBucketedTable(df: DataFrame, table: String, key: String,
       numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite) dropTableAndLocation(df.sparkSession, table)
-    df.write
+    // cluster rows onto their bucket BEFORE the write: a bucketed write
+    // from P input partitions otherwise emits up to P×numBuckets files
+    // (each task opens one file per bucket it sees), and every later
+    // bucket-pruned probe pays one task per file (guide §6 small-files;
+    // measured r21: t83's probe read 104 tasks over the splintered
+    // layout vs 18 over the clustered one). Repartitioning by the
+    // bucket key with numBuckets partitions uses the same Murmur3 hash
+    // as the bucket assignment, so each task holds exactly one bucket —
+    // one file per bucket, and the per-file sortBy sorts once per
+    // bucket. Layout-only: rows, bucket membership, and in-file order
+    // are unchanged.
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(mode)
       .option("compression", ParquetCompression)
       .bucketBy(numBuckets, key)

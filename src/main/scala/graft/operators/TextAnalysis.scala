@@ -710,7 +710,12 @@ object TextAnalysis {
     val uni = Staging.barrier(
       toks.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c1")))
-    val v = uni.count()
+    // V as a broadcast one-row scalar, not a driver count(): the eager
+    // count() was a full serial materialization pass before the scoring
+    // job could even be planned (guide §5 — the driver should not gate
+    // the pipeline); as a crossJoined column the SAME long feeds the
+    // SAME expression tree, so the IEEE contract is untouched.
+    val v = uni.agg(count(lit(1)).as("v"))
     val bg = Staging.barrier(
       toks.filter(size(col("t")) >= 2)
         .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
@@ -719,8 +724,9 @@ object TextAnalysis {
         .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
     val sc = bg.groupBy("l", "r").agg(count(lit(1)).as("c2"))
       .join(uni.withColumnRenamed("w", "l"), Seq("l"))
+      .crossJoin(broadcast(v))
       .select(col("l"), col("r"),
-        round(log10((col("c2") * 2 + 1) * lit(1.0) / (col("c1") * 2 + lit(v)))
+        round(log10((col("c2") * 2 + 1) * lit(1.0) / (col("c1") * 2 + col("v")))
           * lit(1e6)).cast("long").as("lp"))
     val scored = bg.join(sc, Seq("l", "r"))
       .groupBy("id")
@@ -770,16 +776,20 @@ object TextAnalysis {
         .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
     val bgc = Staging.barrier(
       bg.groupBy("l", "r").agg(count(lit(1)).as("c2")))
-    val b = bgc.count()
+    // B as a broadcast one-row scalar (see bigramLmQuality's V note):
+    // same long, same integer numerator/denominator, one fewer serial
+    // driver-gated materialization pass.
+    val b = bgc.agg(count(lit(1)).as("b"))
     val cl = bgc.groupBy("l")
       .agg(sum("c2").as("cl"), count(lit(1)).as("n1l"))
     val nr = bgc.groupBy("r").agg(count(lit(1)).as("n1r"))
     val sc = bgc.join(cl, Seq("l")).join(nr, Seq("r"))
+      .crossJoin(broadcast(b))
       .select(col("l"), col("r"),
         round(log10(
-          (greatest(col("c2") * 4 - 3, lit(0L)) * lit(b) +
+          (greatest(col("c2") * 4 - 3, lit(0L)) * col("b") +
             lit(3L) * col("n1l") * col("n1r")) * lit(1.0) /
-          (col("cl") * 4 * lit(b))) * lit(1e6)).cast("long").as("lp"))
+          (col("cl") * 4 * col("b"))) * lit(1e6)).cast("long").as("lp"))
     val scored = bg.join(sc, Seq("l", "r"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("sum_lp_micro"))
@@ -837,16 +847,20 @@ object TextAnalysis {
     val m2 = tgc.groupBy("w2").agg(count(lit(1)).as("m2"))
     val k2 = bg23.groupBy("w2").agg(count(lit(1)).as("k2"))
     val r3 = bg23.groupBy("w3").agg(count(lit(1)).as("r3"))
-    val b2 = bg23.count()
+    // B2 as a broadcast one-row scalar (see bigramLmQuality's V note):
+    // identical long through the identical IEEE tree, minus one serial
+    // driver-gated pass.
+    val b2 = bg23.agg(count(lit(1)).as("b2"))
     val sc = tgc.join(c12, Seq("w1", "w2")).join(bg23, Seq("w2", "w3"))
       .join(m2, Seq("w2")).join(k2, Seq("w2")).join(r3, Seq("w3"))
+      .crossJoin(broadcast(b2))
       .select(col("w1"), col("w2"), col("w3"),
         round(log10(
           (greatest(col("c3") * 4 - 3, lit(0L)) / (col("c12") * lit(4.0))) +
           ((lit(3.0) * col("n1l")) / (col("c12") * lit(4.0))) *
           ((greatest(col("cc23") * 4 - 3, lit(0L)) / (col("m2") * lit(4.0))) +
            ((lit(3.0) * col("k2")) / (col("m2") * lit(4.0))) *
-           (col("r3") * lit(1.0) / lit(b2)))
+           (col("r3") * lit(1.0) / col("b2")))
         ) * lit(1e6)).cast("long").as("lp"))
     val scored = tg.join(sc, Seq("w1", "w2", "w3"))
       .groupBy("id")
@@ -908,15 +922,27 @@ object TextAnalysis {
       fgc.groupBy("w2", "w3", "w4").agg(count(lit(1)).as("cc234")))
     val cc34 = Staging.barrier(
       cc234.groupBy("w3", "w4").agg(count(lit(1)).as("cc34")))
-    // modified discounts per level, from the level's count-of-counts
-    def discounts(types: DataFrame, cCol: String): (Double, Double, Double) = {
-      val r = types.agg(
-        sum(when(col(cCol) === 1, 1L).otherwise(0L)),
-        sum(when(col(cCol) === 2, 1L).otherwise(0L)),
-        sum(when(col(cCol) === 3, 1L).otherwise(0L)),
-        sum(when(col(cCol) === 4, 1L).otherwise(0L))).head()
-      val (n1, n2, n3, n4) = (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))
+    // modified discounts per level, from the level's count-of-counts —
+    // ALL THREE levels (plus the unigram-tail total B3) in ONE driver
+    // job: the per-level `.head()` form was four serial driver-gated
+    // materialization passes before the scoring plan could be built
+    // (guide §5/§1.2); a union-aggregate returns the same exact longs
+    // in one round-trip, and the cc234/cc34 barriers still materialize
+    // exactly once inside it.
+    val ccLevels = fgc.select(lit(4).as("lvl"), col("c4").as("c"))
+      .unionByName(cc234.select(lit(3).as("lvl"), col("cc234").as("c")))
+      .unionByName(cc34.select(lit(2).as("lvl"), col("cc34").as("c")))
+      .groupBy("lvl").agg(
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c") === 4, 1L).otherwise(0L)).as("n4"),
+        count(lit(1)).as("total"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def discounts(lvl: Int, cCol: String): (Double, Double, Double) = {
+      val r = ccLevels(lvl)
+      val (n1, n2, n3, n4) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
       // only n2 and n3 sit in denominators (and Y's n1+2n2); n1 = 0
       // (no singleton types at a level — dense corpora) gives Y = 0,
       // a zero singleton discount, which is exactly right
@@ -926,9 +952,9 @@ object TextAnalysis {
       val y = n1.toDouble / (n1 + 2 * n2)
       (y, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
     }
-    val (d41, d42, d43) = discounts(fgc, "c4")
-    val (d31, d32, d33) = discounts(cc234, "cc234")
-    val (d21, d22, d23) = discounts(cc34, "cc34")
+    val (d41, d42, d43) = discounts(4, "c4")
+    val (d31, d32, d33) = discounts(3, "cc234")
+    val (d21, d22, d23) = discounts(2, "cc34")
     def dOf(c: Column, d1: Double, d2: Double, d3: Double): Column =
       when(c === 1, lit(d1)).when(c === 2, lit(d2)).otherwise(lit(d3))
     def classes(g: org.apache.spark.sql.RelationalGroupedDataset,
@@ -941,7 +967,8 @@ object TextAnalysis {
     val ctx23 = classes(cc234.groupBy("w2", "w3"), "cc234", "b")
     val ctx3 = classes(cc34.groupBy("w3"), "cc34", "g")
     val r4 = cc34.groupBy("w4").agg(count(lit(1)).as("r4"))
-    val b3Total = cc34.count()
+    // B3 = |cc34| rode along in the fused count-of-counts job
+    val b3Total = ccLevels(2).getLong(5)
     val sc = fgc.join(ctx123, Seq("w1", "w2", "w3"))
       .join(cc234, Seq("w2", "w3", "w4"))
       .join(ctx23, Seq("w2", "w3"))
