@@ -74,6 +74,18 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.files.openCostInBytes", "512k")
+      // AQE coalescing floor (r21): with the 1 MB default, EVERY
+      // post-shuffle stage of a CPU-dense small-shuffle query collapses
+      // to one task — the funnel folds' whole per-user NFA ran on one
+      // core of 32 (ProfileQuery: w33's two fold stages 0.7 s each, 1
+      // task, 1.8 MB shuffle). 64 KB keeps parallelismFirst's
+      // cores-wide coalescing for sub-MB-but-expensive shuffles while
+      // still collapsing KB-sized type tables; at production shuffle
+      // sizes partitions dwarf either floor, so this is local-scale
+      // CPU-parallelism recovery, not a cluster tuning. Env-tunable
+      // for A/B (set 1m to reproduce the Spark default).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

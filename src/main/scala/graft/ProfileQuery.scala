@@ -30,6 +30,8 @@ object ProfileQuery {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.files.openCostInBytes", "512k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .config("spark.graft.scan.fanout.maxBytes",
         sys.env.getOrElse("SPARK_GRAFT_FANOUT_MAX_BYTES",

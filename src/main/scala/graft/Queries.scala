@@ -50,7 +50,18 @@ object Queries {
     * the extra exchange is pure overhead (measured: t94 4.3×, w6 1.9×,
     * q5 1.4× SLOWER under a blanket fan-out). */
   private def tf(spark: SparkSession, dir: String, name: String): DataFrame =
-    ScanFanout(t(spark, dir, name))
+    // hash-partition by the table's natural id (unique → uniform spread,
+    // no round-robin pre-sort, retry-deterministic by value); tables
+    // without one fall back to round-robin
+    ScanFanout(t(spark, dir, name), name match {
+      case "lineitem" => Some("l_orderkey")
+      case "orders" => Some("o_orderkey")
+      case "documents" => Some("doc_id")
+      case "embeddings" => Some("vec_id")
+      case "events" => Some("event_id")
+      case "part" => Some("p_partkey")
+      case _ => None
+    })
 
   /** events with `ts` normalized to a naive microsecond timestamp,
     * whatever flavor the corpus file carries: raw nanos-as-long (legacy
@@ -9408,8 +9419,17 @@ object Queries {
       // batch branches) — unstaged, each replays the MD5 over its slice
       // (measured 12.9 s → 4.4 s at sf0.1). The max-key probe reads the
       // staged table too, so the corpus scan happens exactly once.
-      val hashed = Staging.barrier(li.select(col("l_orderkey"),
-        col("l_linenumber"), CanonicalHash.rowHashExpr(metas).as("row_md5")))
+      // localCheckpoint, not persist (r21): the canonical-hash tree is
+      // ENORMOUS (11 per-column token pipelines feeding two MD5s), a
+      // persist barrier inlines it into all four consumer plans, and
+      // the analyzer/optimizer + AQE replans were walking it 4× per
+      // run — 1.3 s/rep of pure driver time (ProfileQuery: wall 4.1 s,
+      // jobSum 2.8 s). The checkpoint truncates the lineage to a leaf
+      // (guide §3.3/§5); Staging.adopt releases the blocks with the
+      // frame exactly as a persist barrier would.
+      val hashed = Staging.adopt(li.select(col("l_orderkey"),
+        col("l_linenumber"), CanonicalHash.rowHashExpr(metas).as("row_md5"))
+        .localCheckpoint())
       val maxKey = hashed.agg(max("l_orderkey")).head.getLong(0)
       val corpus = hashed.filter(col("l_orderkey") <= maxKey * 6 / 10)
         .select("row_md5")

@@ -66,11 +66,19 @@ object ScanFanout {
 
   /** `df` repartitioned (size/targetBytes partitions, capped at the
     * session's default parallelism) when the size gate says the shuffle
-    * is cheap and useful; `df` unchanged otherwise. */
-  def apply(df: DataFrame): DataFrame = {
+    * is cheap and useful; `df` unchanged otherwise.
+    *
+    * `key`: hash-partition by this (unique-ish) column instead of
+    * round-robin. Preferred when the relation has a natural id — it
+    * skips round-robin's defensive per-task input sort (SPARK-23207
+    * `sortBeforeRepartition`, charged to the single task that owns the
+    * row group — the exact task this operator exists to relieve) and
+    * is deterministic under retries BY VALUE, not by input order. A
+    * unique key hashes uniformly, so the spread matches round-robin's. */
+  def apply(df: DataFrame, key: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    def confBytes(key: String, dflt: Long): Long =
-      spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    def confBytes(k: String, dflt: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
     val maxBytes = confBytes(MaxBytesConf, DefaultMaxBytes)
     if (maxBytes <= 0) return df
     val minBytes = confBytes(MinBytesConf, DefaultMinBytes)
@@ -80,7 +88,11 @@ object ScanFanout {
     else {
       val parts = ((bytes + targetBytes - 1) / targetBytes).toLong
         .min(spark.sparkContext.defaultParallelism.toLong).max(2L).toInt
-      df.repartition(parts)
+      key match {
+        case Some(k) => df.repartition(parts,
+          org.apache.spark.sql.functions.col(k))
+        case None => df.repartition(parts)
+      }
     }
   }
 }

@@ -1064,42 +1064,83 @@ object VectorOps {
         (i, v.slice(si * sub, si * sub + sub))
       }
     }
+    // r21 (the kmeansCentroidsLocal treatment, measured there first):
+    //   - the HALF_UP scale-12 decimal image of every coordinate built
+    //     ONCE, not per (row, pos, iteration) — BigDecimal.valueOf
+    //     routes through Double.toString, the loop's hottest call;
+    //   - dense [code][pos] accumulator arrays instead of boxed
+    //     (si, code, pos) tuple-key HashMap lookups;
+    //   - PARALLEL over subquantizers: each si owns disjoint
+    //     accumulators and reads its own column slice, and the per-
+    //     (code, pos) sums are exact decimals — associative and
+    //     commutative — so any execution order is BIT-IDENTICAL to the
+    //     sequential loop (the same property the distributed path's
+    //     decimal aggregation relies on). ProfileQuery measured t43's
+    //     bench wall as 1.3–1.5 s of driver gap = exactly this loop.
+    val bdRows: Array[Array[java.math.BigDecimal]] =
+      Array.tabulate(rows.length) { i =>
+        val v = rows(i)._2
+        val a = new Array[java.math.BigDecimal](v.length)
+        var pos = 0
+        while (pos < v.length) {
+          a(pos) = java.math.BigDecimal.valueOf(v(pos))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+          pos += 1
+        }
+        a
+      }
+    def inParallel[A](work: Seq[() => A]): Seq[A] =
+      if (work.lengthCompare(1) <= 0) work.map(_.apply())
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+      }
     for (_ <- 0 until iters) {
       val pre = books.map(_.map { case (code, c) => (code, c, dotSelf(c)) })
-      val sums = scala.collection.mutable.HashMap
-        .empty[(Int, Int, Int), java.math.BigDecimal]
-      val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
-      rows.foreach { case (_, v) =>
-        var si = 0
-        while (si < m) {
-          val s = v.slice(si * sub, si * sub + sub)
+      val perSub = inParallel((0 until m).map { si => () =>
+        val cands = pre(si).toArray
+        val counts = new Array[Long](ksub)
+        val sums = Array.ofDim[java.math.BigDecimal](ksub, sub)
+        val s = new Array[Double](sub)
+        var i = 0
+        while (i < rows.length) {
+          val v = rows(i)._2
+          System.arraycopy(v, si * sub, s, 0, sub)
           var bestD2 = Double.PositiveInfinity
           var bestCode = Int.MaxValue
-          pre(si).foreach { case (code, c, cc) =>
+          var ci = 0
+          while (ci < cands.length) {
+            val (code, c, cc) = cands(ci)
             val d2 = cc - 2.0 * dotSeq(s, c)
             val cmp = java.lang.Double.compare(d2, bestD2)
             if (cmp < 0 || (cmp == 0 && code < bestCode)) {
               bestD2 = d2; bestCode = code
             }
+            ci += 1
           }
-          counts((si, bestCode)) = counts.getOrElse((si, bestCode), 0L) + 1L
+          counts(bestCode) += 1L
+          val bd = bdRows(i)
+          val row = sums(bestCode)
           var pos = 0
-          while (pos < s.length) {
-            val d = java.math.BigDecimal.valueOf(s(pos))
-              .setScale(12, java.math.RoundingMode.HALF_UP)
-            sums((si, bestCode, pos)) =
-              sums.get((si, bestCode, pos)).map(_.add(d)).getOrElse(d)
+          while (pos < sub) {
+            val d = bd(si * sub + pos)
+            row(pos) = if (row(pos) == null) d else row(pos).add(d)
             pos += 1
           }
-          si += 1
+          i += 1
         }
-      }
+        (counts, sums)
+      })
       books = (0 until m).map { si =>
-        counts.keys.filter(_._1 == si).map(_._2).toSeq.sorted.map { code =>
-          val n = counts((si, code))
+        val (counts, sums) = perSub(si)
+        (0 until ksub).filter(counts(_) > 0L).map { code =>
+          val n = counts(code)
+          val s = sums(code)
           val d = Iterator.from(0)
-            .takeWhile(p => sums.contains((si, code, p))).size
-          (code, Array.tabulate(d)(p => sums((si, code, p)).doubleValue / n))
+            .takeWhile(p => p < s.length && s(p) != null).size
+          (code, Array.tabulate(d)(p => s(p).doubleValue / n))
         }
       }
     }
