@@ -2604,6 +2604,19 @@ object Funnel {
           yield col(s"m.ts_r${r}_s${i}_us")): _*)
   }
 
+  /** Exact long division of an exactly-divisible numerator (r21 ADVICE
+    * fix): Column `/` is DOUBLE division + cast, exact only while the
+    * advance counter stays below 2^53 per user; Catalyst's
+    * IntegralDivide stays in long arithmetic unconditionally. Values
+    * are identical in the exact range (the numerator is a non-negative
+    * multiple of the divisor by construction), so every gate is
+    * untouched — this removes the conditional, not the contract. */
+  private def divLong(num: Column, den: Long): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.bridge.expressionEager(num),
+        org.apache.spark.sql.graft.bridge.expressionEager(lit(den))))
+
   /** [[multiOut]]'s RANGE-quantified sibling: read the witness stream
     * `(n, w)` as `fullM` complete `maxTimes`-repetition matches plus
     * the possible trailing short match ([[funnelGroupMatchesRange]]'s
@@ -2614,11 +2627,9 @@ object Funnel {
     val bigK = maxTimes * k
     val n = f.getField("n")
     val w = f.getField("w")
-    val fullM = ((n - pmod(n, lit(bigK.toLong))) / lit(bigK.toLong))
-      .cast("long")
+    val fullM = divLong(n - pmod(n, lit(bigK.toLong)), bigK.toLong)
     val tailAdv = pmod(n, lit(bigK.toLong))
-    val tailReps = ((tailAdv - pmod(tailAdv, lit(k.toLong))) /
-      lit(k.toLong)).cast("long")
+    val tailReps = divLong(tailAdv - pmod(tailAdv, lit(k.toLong)), k.toLong)
     val tailOk = tailReps >= lit(minTimes.toLong)
     val nMatches = fullM + when(tailOk, lit(1L)).otherwise(lit(0L))
     val emitted = least(nMatches, lit(maxMatches.toLong)).cast("int")
@@ -2741,7 +2752,7 @@ object Funnel {
   private def multiOut(f: Column, k: Int, maxMatches: Int): Column = {
     val n = f.getField("n")
     val w = f.getField("w")
-    val nMatches = ((n - pmod(n, lit(k.toLong))) / lit(k.toLong)).cast("long")
+    val nMatches = divLong(n - pmod(n, lit(k.toLong)), k.toLong)
     val emitted = least(nMatches, lit(maxMatches.toLong)).cast("int")
     when(emitted > 0,
       transform(sequence(lit(1), emitted), m =>

@@ -766,13 +766,20 @@ object TextAnalysis {
    */
   def kneserNeyLmQuality(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = Staging.barrier(
-      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    // tokens inline via ExprUtil.bound, not a persist barrier (r21):
+    // the token table had exactly ONE consumer (this bigram explode),
+    // so the persist bought no reuse and cost a serial materialization
+    // pass; the bound lambda variable still evaluates the tokenizer
+    // once per row (the lambda-closure rule).
     val bg = Staging.barrier(
-      toks.filter(size(col("t")) >= 2)
-        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("l"),
-            element_at(col("t"), i + 2).as("r")))).as("p"))
+      df.select(col(idCol).as("id"),
+          ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
+            when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2),
+              i => struct(element_at(t, i + 1).as("l"),
+                element_at(t, i + 2).as("r"))))
+          }.as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("id"), explode(col("g")).as("p"))
         .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
     val bgc = Staging.barrier(
       bg.groupBy("l", "r").agg(count(lit(1)).as("c2")))
@@ -826,14 +833,17 @@ object TextAnalysis {
    */
   def kneserNeyTrigramQuality(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = Staging.barrier(
-      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    // tokens inline (single consumer — see kneserNeyLmQuality's note)
     val tg = Staging.barrier(
-      toks.filter(size(col("t")) >= 3)
-        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 3),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2"),
-            element_at(col("t"), i + 3).as("w3")))).as("p"))
+      df.select(col(idCol).as("id"),
+          ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
+            when(size(t) >= 3, transform(sequence(lit(0), size(t) - 3),
+              i => struct(element_at(t, i + 1).as("w1"),
+                element_at(t, i + 2).as("w2"),
+                element_at(t, i + 3).as("w3"))))
+          }.as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("id"), explode(col("g")).as("p"))
         .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
           col("p.w3").as("w3")))
     val tgc = Staging.barrier(
@@ -851,16 +861,26 @@ object TextAnalysis {
     // identical long through the identical IEEE tree, minus one serial
     // driver-gated pass.
     val b2 = bg23.agg(count(lit(1)).as("b2"))
-    val sc = tgc.join(c12, Seq("w1", "w2")).join(bg23, Seq("w2", "w3"))
-      .join(m2, Seq("w2")).join(k2, Seq("w2")).join(r3, Seq("w3"))
+    // bottom-up composition (r21): the flat form joined all five stat
+    // tables onto the TRIGRAM-TYPE stream — five sequential broadcast
+    // joins each widening the big intermediate. The continuation factor
+    // Pc(w3|w2) depends only on (w2, w3), so it is assembled first on
+    // the bg23-sized table and the big stream pays TWO joins instead of
+    // five. `pc` is exactly the original expression's parenthesized
+    // inner factor — a named double column evaluates the identical IEEE
+    // tree (JVM doubles carry no extended precision across the split).
+    val pc23 = bg23.join(m2, Seq("w2")).join(k2, Seq("w2"))
+      .join(r3, Seq("w3"))
       .crossJoin(broadcast(b2))
+      .select(col("w2"), col("w3"),
+        ((greatest(col("cc23") * 4 - 3, lit(0L)) / (col("m2") * lit(4.0))) +
+          ((lit(3.0) * col("k2")) / (col("m2") * lit(4.0))) *
+          (col("r3") * lit(1.0) / col("b2"))).as("pc"))
+    val sc = tgc.join(c12, Seq("w1", "w2")).join(pc23, Seq("w2", "w3"))
       .select(col("w1"), col("w2"), col("w3"),
         round(log10(
           (greatest(col("c3") * 4 - 3, lit(0L)) / (col("c12") * lit(4.0))) +
-          ((lit(3.0) * col("n1l")) / (col("c12") * lit(4.0))) *
-          ((greatest(col("cc23") * 4 - 3, lit(0L)) / (col("m2") * lit(4.0))) +
-           ((lit(3.0) * col("k2")) / (col("m2") * lit(4.0))) *
-           (col("r3") * lit(1.0) / col("b2")))
+          ((lit(3.0) * col("n1l")) / (col("c12") * lit(4.0))) * col("pc")
         ) * lit(1e6)).cast("long").as("lp"))
     val scored = tg.join(sc, Seq("w1", "w2", "w3"))
       .groupBy("id")
@@ -905,15 +925,18 @@ object TextAnalysis {
    */
   def kneserNeyModified4gramQuality(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = Staging.barrier(
-      df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
+    // tokens inline (single consumer — see kneserNeyLmQuality's note)
     val fg = Staging.barrier(
-      toks.filter(size(col("t")) >= 4)
-        .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 4),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2"),
-            element_at(col("t"), i + 3).as("w3"),
-            element_at(col("t"), i + 4).as("w4")))).as("p"))
+      df.select(col(idCol).as("id"),
+          ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
+            when(size(t) >= 4, transform(sequence(lit(0), size(t) - 4),
+              i => struct(element_at(t, i + 1).as("w1"),
+                element_at(t, i + 2).as("w2"),
+                element_at(t, i + 3).as("w3"),
+                element_at(t, i + 4).as("w4"))))
+          }.as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("id"), explode(col("g")).as("p"))
         .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
           col("p.w3").as("w3"), col("p.w4").as("w4")))
     val fgc = Staging.barrier(
@@ -969,24 +992,32 @@ object TextAnalysis {
     val r4 = cc34.groupBy("w4").agg(count(lit(1)).as("r4"))
     // B3 = |cc34| rode along in the fused count-of-counts job
     val b3Total = ccLevels(2).getLong(5)
+    // bottom-up composition (r21, the kneserNeyTrigramQuality shape):
+    // the flat form joined all six stat tables onto the 4-GRAM-TYPE
+    // stream. Each continuation level depends only on its own suffix
+    // keys, so level 2 assembles on the cc34-sized table, level 3 on
+    // the cc234-sized table, and the big stream pays TWO joins instead
+    // of six. p2/p3 are exactly the original parenthesized inner
+    // factors — named double columns evaluate the identical IEEE tree.
+    val p2t = cc34.join(ctx3, Seq("w3")).join(r4, Seq("w4"))
+      .select(col("w3"), col("w4"),
+        (((col("cc34") - dOf(col("cc34"), d21, d22, d23)) / col("gm")) +
+          ((lit(d21) * col("g1") + lit(d22) * col("g2") +
+            lit(d23) * col("g3")) / col("gm")) *
+          (col("r4") * lit(1.0) / lit(b3Total))).as("p2"))
+    val p3t = cc234.join(ctx23, Seq("w2", "w3"))
+      .join(p2t, Seq("w3", "w4"))
+      .select(col("w2"), col("w3"), col("w4"),
+        (((col("cc234") - dOf(col("cc234"), d31, d32, d33)) / col("bm")) +
+          ((lit(d31) * col("b1") + lit(d32) * col("b2") +
+            lit(d33) * col("b3")) / col("bm")) * col("p2")).as("p3"))
     val sc = fgc.join(ctx123, Seq("w1", "w2", "w3"))
-      .join(cc234, Seq("w2", "w3", "w4"))
-      .join(ctx23, Seq("w2", "w3"))
-      .join(cc34, Seq("w3", "w4"))
-      .join(ctx3, Seq("w3"))
-      .join(r4, Seq("w4"))
+      .join(p3t, Seq("w2", "w3", "w4"))
       .select(col("w1"), col("w2"), col("w3"), col("w4"),
         round(log10(
           ((col("c4") - dOf(col("c4"), d41, d42, d43)) / col("am")) +
           ((lit(d41) * col("a1") + lit(d42) * col("a2") +
-            lit(d43) * col("a3")) / col("am")) * (
-            ((col("cc234") - dOf(col("cc234"), d31, d32, d33)) / col("bm")) +
-            ((lit(d31) * col("b1") + lit(d32) * col("b2") +
-              lit(d33) * col("b3")) / col("bm")) * (
-              ((col("cc34") - dOf(col("cc34"), d21, d22, d23)) / col("gm")) +
-              ((lit(d21) * col("g1") + lit(d22) * col("g2") +
-                lit(d23) * col("g3")) / col("gm")) *
-              (col("r4") * lit(1.0) / lit(b3Total))))
+            lit(d43) * col("a3")) / col("am")) * col("p3")
         ) * lit(1e6)).cast("long").as("lp"))
     val scored = fg.join(sc, Seq("w1", "w2", "w3", "w4"))
       .groupBy("id")

@@ -967,6 +967,12 @@ object TextDedup {
     * ceiling. Plan-time `require` rejects a `rateDen` so large no
     * cluster fits at all. */
   private def clusterSizeChecked(fn: String, rateDen: Long): Column = {
+    // the `- 1` is a DELIBERATE one-count safety margin below the exact
+    // DECIMAL(38,0) ceiling (r20 ADVICE noted floor(10^38/(2^64·rateDen))
+    // itself is still exactly representable because hexUint < 2^64
+    // strictly): the guard fires one cluster early rather than trusting
+    // the open-bound argument on every engine's decimal overflow edge.
+    // DedupSpec's boundary constants encode the same margin.
     val maxN = (BigInt(10).pow(38) /
       ((BigInt(1) << 64) * BigInt(rateDen)) - 1).min(BigInt(Long.MaxValue))
     require(maxN >= 1,
