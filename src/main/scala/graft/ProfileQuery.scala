@@ -43,11 +43,18 @@ object ProfileQuery {
       var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0,
       var shufR: Long = 0L, var shufW: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    // stage → owning job, recorded at job start (r21 ADVICE: Spark runs
+    // jobs concurrently — AQE broadcast jobs, parallel actions — so
+    // attributing a completed stage to the most recently STARTED job
+    // could credit it to the wrong job); re-attempted stages counted once
+    val stageJob = mutable.HashMap.empty[Int, Int]
+    val seenStages = mutable.HashSet.empty[Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
         jobs(e.jobId) = JobRec(e.jobId, d, start = e.time)
+        e.stageIds.foreach(sid => stageJob(sid) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
@@ -55,7 +62,8 @@ object ProfileQuery {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
           val si = e.stageInfo
-          jobs.values.lastOption.foreach { j =>
+          if (!seenStages.add(si.stageId)) () // retried stage: first attempt counted
+          else stageJob.get(si.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1
             j.tasks += si.numTasks
             j.shufR += si.taskMetrics.shuffleReadMetrics.totalBytesRead
@@ -71,7 +79,7 @@ object ProfileQuery {
     names.foreach { name =>
       val q = Queries.all(name)
       (1 to reps).foreach { rep =>
-        jobs.synchronized(jobs.clear())
+        jobs.synchronized { jobs.clear(); stageJob.clear(); seenStages.clear() }
         val t0 = System.nanoTime()
         graft.operators.Staging.scoped {
           q.runForBench(spark, dir).write.format("noop").mode("overwrite").save()

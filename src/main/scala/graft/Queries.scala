@@ -36,6 +36,27 @@ object Queries {
     // Spark rejects by default; read those as raw nanos (LongType) and
     // convert explicitly where event time is needed (see eventsWithTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // AQE coalescing floor 256 KB (r22, guide §2.2 fewer-larger-
+    // partitions): with `parallelismFirst` (Spark default true) the
+    // post-shuffle task count is ~bytes/max(bytes/cores, FLOOR), so the
+    // floor is what keeps KB-scale-but-CPU-cheap shuffles from
+    // splintering into one near-empty task per core — r21 shipped 64 KB
+    // (vs Spark's 1 MB) to un-serialize the CPU-DENSE funnel folds, and
+    // the r21 verdict measured the tail of cheap small shuffles paying
+    // for it at 32 cores (~70/79 queries faster at 8 cores than 32).
+    // 256 KB is the measured middle: funnel folds keep multi-task
+    // parallelism (an MB-scale fold = 4-8 tasks — the r21 pathology was
+    // ONE task under the 1 MB floor), while type-table aggregates
+    // collapse to data-sized task counts that no longer scale with the
+    // session's core count (paired 12-query A/B at 32 cores: −1.5 s vs
+    // the 64 KB floor — t92/t93 −0.5 each, t67/t69 −0.35, funnels
+    // equal). Set per-query from the shared read helper so every query
+    // runs under the same value wherever it executes; the bench env
+    // knob still wins when set (A/B path). Scale note: production
+    // shuffle sizes dwarf any of these floors — this is small-shuffle
+    // parallelism policy, not cluster tuning.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -9419,17 +9440,19 @@ object Queries {
       // batch branches) — unstaged, each replays the MD5 over its slice
       // (measured 12.9 s → 4.4 s at sf0.1). The max-key probe reads the
       // staged table too, so the corpus scan happens exactly once.
-      // localCheckpoint, not persist (r21): the canonical-hash tree is
-      // ENORMOUS (11 per-column token pipelines feeding two MD5s), a
-      // persist barrier inlines it into all four consumer plans, and
-      // the analyzer/optimizer + AQE replans were walking it 4× per
-      // run — 1.3 s/rep of pure driver time (ProfileQuery: wall 4.1 s,
-      // jobSum 2.8 s). The checkpoint truncates the lineage to a leaf
-      // (guide §3.3/§5); Staging.adopt releases the blocks with the
-      // frame exactly as a persist barrier would.
-      val hashed = Staging.adopt(li.select(col("l_orderkey"),
-        col("l_linenumber"), CanonicalHash.rowHashExpr(metas).as("row_md5"))
-        .localCheckpoint())
+      // planBarrier (r21/r22): the canonical-hash tree is ENORMOUS (11
+      // per-column token pipelines feeding two MD5s), a persist
+      // barrier inlines it into all four consumer plans, and the
+      // analyzer/optimizer + AQE replans were walking it 4× per run —
+      // 1.3 s/rep of pure driver time (ProfileQuery: wall 4.1 s,
+      // jobSum 2.8 s). In local mode the barrier is a localCheckpoint
+      // (truncates the lineage to a leaf, guide §3.3/§5; no new
+      // failure mode — the blocks live in the one process either
+      // way); on a cluster it stays a recoverable persist barrier
+      // (r21 ADVICE: unreplicated checkpoint blocks make an executor
+      // loss fatal at scale).
+      val hashed = Staging.planBarrier(li.select(col("l_orderkey"),
+        col("l_linenumber"), CanonicalHash.rowHashExpr(metas).as("row_md5")))
       val maxKey = hashed.agg(max("l_orderkey")).head.getLong(0)
       val corpus = hashed.filter(col("l_orderkey") <= maxKey * 6 / 10)
         .select("row_md5")

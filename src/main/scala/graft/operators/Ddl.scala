@@ -153,6 +153,17 @@ object Ddl {
    * requires the session catalog, hence `saveAsTable` rather than a bare
    * path write.
    */
+  /** [[writeBucketedTable]] clusters rows onto their bucket before the
+    * write ONLY while the estimated per-bucket bytes stay at or below
+    * this conf (default 512 MB, the guide-§6 target file size): the
+    * clustered write emits exactly ONE file per bucket and caps write
+    * parallelism at numBuckets, which is the small-files win at
+    * index/metadata scale but a straggler-and-spill machine when a
+    * bucket is hundreds of GB (one task would sort and write all of
+    * it — r21 verdict item 4). Byte-suffixed values ("512m") accepted. */
+  val ClusterMaxBucketBytesConf = "spark.graft.write.bucket.clusterMaxBytes"
+  val DefaultClusterMaxBucketBytes: Long = 512L << 20
+
   def writeBucketedTable(df: DataFrame, table: String, key: String,
       numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite) dropTableAndLocation(df.sparkSession, table)
@@ -167,7 +178,23 @@ object Ddl {
     // one file per bucket, and the per-file sortBy sorts once per
     // bucket. Layout-only: rows, bucket membership, and in-file order
     // are unchanged.
-    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+    //
+    // THRESHOLD-GATED (r22): clustering caps write parallelism at
+    // numBuckets and makes each bucket ONE file, so it only applies
+    // while the optimizer's size estimate says a bucket fits the
+    // target file size; above that the splintered-but-parallel default
+    // write is the right trade (many tasks, several files per bucket,
+    // no single-task sort of a corpus-scale bucket).
+    val spark = df.sparkSession
+    val maxBucketBytes = spark.conf.getOption(ClusterMaxBucketBytesConf)
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(DefaultClusterMaxBucketBytes)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val clustered =
+      if (estBytes / numBuckets <= BigInt(maxBucketBytes))
+        df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      else df
+    clustered
       .write
       .mode(mode)
       .option("compression", ParquetCompression)

@@ -137,28 +137,40 @@ object FuzzyJoin {
     val k = maxDist + 1
     val l = left.select(col(left.columns.head).as("q")).distinct()
       .withColumn("lq", length(col("q")))
-    val lEntries: Seq[Column] =
-      (for {
-        c <- -maxDist to maxDist // candidate index length = |q| + c
-        i <- 0 until k           // segment slot
-        dlt <- -maxDist to maxDist // position shift
-      } yield {
-        val tl = col("lq") + c
-        val b = divI(tl, k)
-        val extra = tl % lit(k)
-        val li = b + when(lit(i) < extra, 1).otherwise(0)
-        val pi = lit(i) * b + least(lit(i), extra) + dlt
-        when(tl > maxDist && li >= 1 && pi >= 0 && pi + li <= col("lq"),
-          struct(lit(i).as("slot"), tl.as("tl2"),
-            substr(col("q"), pi + 1, li).as("seg")))
-      }) ++ (-maxDist to maxDist).map { c =>
-        val tl = col("lq") + c
-        when(tl >= 0 && tl <= maxDist,
-          struct(lit(-1).as("slot"), tl.as("tl2"), lit("").as("seg")))
-      }
+    // ONE parametric lambda over a LITERAL (c, slot, shift) combo array
+    // instead of (2d+1)²(d+1) inlined struct expressions (r22): the
+    // unrolled form was 80 when/struct/substr trees at d = 2, and the
+    // analyzer/optimizer/codegen walk of that plan was the dominant
+    // cost of the d = 2 query (ProfileQuery: 1.0–1.4 s of driver gap
+    // per rep vs ~0.6 s of job time). The lambda computes the
+    // IDENTICAL balanced-split arithmetic from the combo fields, so
+    // the emitted (slot, tl, seg) entry set — and with it every
+    // candidate and verified pair — is unchanged (t79–t82 gates).
+    val combos: List[(Int, Int, Int)] = (for {
+      c <- -maxDist to maxDist // candidate index length = |q| + c
+      i <- 0 until k           // segment slot
+      dlt <- -maxDist to maxDist // position shift
+    } yield (c, i, dlt)).toList
+    val mainEntries = transform(typedLit(combos), t => {
+      val c = t.getField("_1"); val i = t.getField("_2")
+      val dlt = t.getField("_3")
+      val tl = col("lq") + c
+      val b = divI(tl, k)
+      val extra = tl % lit(k)
+      val li = b + when(i < extra, 1).otherwise(0)
+      val pi = i * b + least(i, extra) + dlt
+      when(tl > maxDist && li >= 1 && pi >= 0 && pi + li <= col("lq"),
+        struct(i.as("slot"), tl.as("tl2"),
+          substr(col("q"), pi + 1, li).as("seg")))
+    })
+    val shortEntries = transform(typedLit((-maxDist to maxDist).toList), c => {
+      val tl = col("lq") + c
+      when(tl >= 0 && tl <= maxDist,
+        struct(lit(-1).as("slot"), tl.as("tl2"), lit("").as("seg")))
+    })
     l.select(col("q"),
         explode(array_distinct(
-          filter(array(lEntries: _*), e => e.isNotNull))).as("e"))
+          filter(concat(mainEntries, shortEntries), e => e.isNotNull))).as("e"))
       .select(col("q"), col("e.slot").as("slot"),
         col("e.tl2").as("tl"), col("e.seg").as("seg"))
   }

@@ -77,8 +77,14 @@ object ScanFanout {
     * unique key hashes uniformly, so the spread matches round-robin's. */
   def apply(df: DataFrame, key: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    // byteStringAsBytes accepts both plain numbers and the
+    // "256m"-style suffixed values the adjacent spark.sql.files.*
+    // confs use (a bare .toLong threw NumberFormatException at
+    // plan-build time on suffixed input — r21 ADVICE)
     def confBytes(k: String, dflt: Long): Long =
-      spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+      spark.conf.getOption(k)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(dflt)
     val maxBytes = confBytes(MaxBytesConf, DefaultMaxBytes)
     if (maxBytes <= 0) return df
     val minBytes = confBytes(MinBytesConf, DefaultMinBytes)

@@ -42,10 +42,36 @@ object Staging {
   /** Persist `df` as a staging barrier and register it for release in the
     * current thread's innermost frame. */
   def barrier(df: DataFrame): DataFrame = {
+    // NOTE (r22): `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    // stays at its default FALSE deliberately. True lets AQE coalesce
+    // tiny cached tables (measured −0.1..−0.3 s on the KN/tokenizer
+    // families at 32 cores) BUT makes every cached plan's output
+    // partitioning statically unknown, so consumers re-insert the
+    // exchanges that barriered-hash-partitioned frames exist to share
+    // (the n-gram lattice one-exchange shape in TextAnalysis, the
+    // bucketed-index joins) — measured as a NET loss (t97 +0.5 s) and
+    // plan-verified (consumer-side Exchanges reappear above
+    // InMemoryTableScan when true).
     val p = df.persist()
     frames.get().head += (() => p.unpersist(blocking = false))
     p
   }
+
+  /** PLAN-TRUNCATING barrier for frames whose lineage tree is itself a
+    * driver cost (analyzer/optimizer/AQE walk it per consumer — the
+    * t33 canonical-hash tree measured 1.3 s/rep of pure driver time
+    * under a plain persist barrier). In LOCAL mode this is a
+    * `localCheckpoint`: blocks live in the one and only process, so
+    * the checkpoint's unreplicated-blocks caveat adds NO failure mode
+    * a local persist didn't already have, and the lineage truncates to
+    * an RDD leaf. On a CLUSTER a localCheckpoint's unreplicated blocks
+    * make ANY executor loss fatal to the query (r21 ADVICE), so there
+    * the frame keeps the plain persist barrier — recomputable from
+    * lineage, at the documented cost of re-walking the big plan. Both
+    * paths release with the current frame. */
+  def planBarrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.isLocal) adopt(df.localCheckpoint())
+    else barrier(df)
 
   /** Register an ALREADY-materialized frame (a `localCheckpoint`, an
     * externally persisted table) for release with the current frame,

@@ -704,6 +704,26 @@ object TextAnalysis {
    * driver scalar. Docs shorter than 2 tokens score (0, 0) via the
    * final left join.
    */
+  /** Partition count for an n-gram STREAM barrier: data-derived from
+    * the input corpus' optimizer size estimate (file bytes for a fresh
+    * parquet read — the n-gram explode's own stats are a multiplied
+    * guess), ScanFanout's 64 KB-of-compressed-input-per-partition
+    * sizing, capped at the session's width (max of core count and
+    * configured shuffle partitions — production sets
+    * spark.sql.shuffle.partitions per guide §2.2 and the cap follows
+    * it). The EXPLICIT count matters: a by-column repartition with a
+    * user-specified N is immune to AQE coalescing, so the cached
+    * stream's HashPartitioning survives for every downstream consumer
+    * to reuse (the whole point — see the call sites). */
+  private def streamPartitions(input: DataFrame): Int = {
+    val spark = input.sparkSession
+    val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = 64L << 10
+    val cap = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    ((bytes + target - 1) / target).min(BigInt(cap)).max(BigInt(2)).toInt
+  }
+
   def bigramLmQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Staging.barrier(
       df.select(col(idCol).as("id"), TextDedup.tokens(col(textCol)).as("t")))
@@ -716,12 +736,15 @@ object TextAnalysis {
     // the pipeline); as a crossJoined column the SAME long feeds the
     // SAME expression tree, so the IEEE contract is untouched.
     val v = uni.agg(count(lit(1)).as("v"))
+    // one stream exchange shared by the count groupBy and the score
+    // probe join (r22, guide §2.4 — see kneserNeyLmQuality's note)
     val bg = Staging.barrier(
       toks.filter(size(col("t")) >= 2)
         .select(col("id"), explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => struct(element_at(col("t"), i + 1).as("l"),
             element_at(col("t"), i + 2).as("r")))).as("p"))
-        .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
+        .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
+        .repartition(streamPartitions(df), col("l"), col("r")))
     val sc = bg.groupBy("l", "r").agg(count(lit(1)).as("c2"))
       .join(uni.withColumnRenamed("w", "l"), Seq("l"))
       .crossJoin(broadcast(v))
@@ -771,6 +794,18 @@ object TextAnalysis {
     // so the persist bought no reuse and cost a serial materialization
     // pass; the bound lambda variable still evaluates the tokenizer
     // once per row (the lambda-closure rule).
+    // ONE stream exchange for the whole lattice (r22, guide §2.4
+    // "operations keyed the same way share one exchange"): the bigram
+    // stream is hash-partitioned by (l, r) ONCE at the barrier, and
+    // every stream-scale operation downstream — the bigram-type count
+    // bgc (grouping ⊇ partition keys), the score join sc⋈bgc, and the
+    // final bg⋈sc probe — reuses that partitioning exchange-free. The
+    // vocab-sized stats (cl, nr) still shuffle/broadcast, but they are
+    // type-table-sized, not stream-sized. (l, r) is the full bigram —
+    // flat under word-frequency skew, unlike a single-word key.
+    // Physical placement only: every aggregate is an exact integer
+    // count/sum, so results are partitioning-insensitive (oracle-
+    // gated).
     val bg = Staging.barrier(
       df.select(col(idCol).as("id"),
           ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
@@ -780,7 +815,8 @@ object TextAnalysis {
           }.as("g"))
         .filter(col("g").isNotNull)
         .select(col("id"), explode(col("g")).as("p"))
-        .select(col("id"), col("p.l").as("l"), col("p.r").as("r")))
+        .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
+        .repartition(streamPartitions(df), col("l"), col("r")))
     val bgc = Staging.barrier(
       bg.groupBy("l", "r").agg(count(lit(1)).as("c2")))
     // B as a broadcast one-row scalar (see bigramLmQuality's V note):
@@ -834,6 +870,16 @@ object TextAnalysis {
   def kneserNeyTrigramQuality(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // tokens inline (single consumer — see kneserNeyLmQuality's note)
+    // ONE stream exchange for the stream-scale half of the lattice
+    // (r22, guide §2.4 — see bigramLmQuality's note): hash-partition
+    // the trigram stream by (w1, w2) once; the trigram-type count tgc
+    // (grouping ⊇ partition keys), the context stats c12, the score
+    // join sc = tgc⋈c12, and the final tg⋈sc probe all reuse it
+    // exchange-free. The continuation tables (bg23, m2, k2, r3) key on
+    // suffixes and still shuffle — but they are TYPE-table-sized, not
+    // stream-sized. (w1, w2) is a full bigram key: flat under
+    // word-frequency skew. Physical placement only (exact integer
+    // aggregates; oracle-gated).
     val tg = Staging.barrier(
       df.select(col(idCol).as("id"),
           ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
@@ -845,7 +891,8 @@ object TextAnalysis {
         .filter(col("g").isNotNull)
         .select(col("id"), explode(col("g")).as("p"))
         .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
-          col("p.w3").as("w3")))
+          col("p.w3").as("w3"))
+        .repartition(streamPartitions(df), col("w1"), col("w2")))
     val tgc = Staging.barrier(
       tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
     val c12 = tgc.groupBy("w1", "w2")
@@ -926,6 +973,21 @@ object TextAnalysis {
   def kneserNeyModified4gramQuality(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // tokens inline (single consumer — see kneserNeyLmQuality's note)
+    // ONE stream exchange for the whole lattice (r22, guide §2.4 —
+    // see bigramLmQuality's note): hash-partition the 4-gram stream by
+    // (w2, w3) once. (w2, w3) is a subset of EVERY stream-scale
+    // grouping and join key here — fgc (w1..w4), cc234 (w2,w3,w4),
+    // ctx123 (w1,w2,w3), ctx23 (w2,w3), the p3t assembly
+    // cc234⋈ctx23⋈p2t, the score joins sc = fgc⋈ctx123⋈p3t, and the
+    // final fg⋈sc probe — so all of them co-partition off this one
+    // exchange (HashPartitioning by a subset of the grouping/join keys
+    // satisfies the required clustering). Only the LEVEL-2 tables
+    // (cc34, ctx3, r4, p2t) re-shuffle, and they are bigram-type-
+    // sized. The r21 profile charged ~40 MB of shuffle to this
+    // lattice's repeated stream-keyed exchanges; this removes all but
+    // the first. (w2, w3) is a full bigram key: flat under word-
+    // frequency skew. Physical placement only (exact integer
+    // aggregates; oracle-gated).
     val fg = Staging.barrier(
       df.select(col(idCol).as("id"),
           ExprUtil.bound(TextDedup.tokens(col(textCol))) { t =>
@@ -938,7 +1000,8 @@ object TextAnalysis {
         .filter(col("g").isNotNull)
         .select(col("id"), explode(col("g")).as("p"))
         .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
-          col("p.w3").as("w3"), col("p.w4").as("w4")))
+          col("p.w3").as("w3"), col("p.w4").as("w4"))
+        .repartition(streamPartitions(df), col("w2"), col("w3")))
     val fgc = Staging.barrier(
       fg.groupBy("w1", "w2", "w3", "w4").agg(count(lit(1)).as("c4")))
     val cc234 = Staging.barrier(
@@ -963,6 +1026,12 @@ object TextAnalysis {
         count(lit(1)).as("total"))
       .collect().map(r => r.getInt(0) -> r).toMap
     def discounts(lvl: Int, cCol: String): (Double, Double, Double) = {
+      // a level with ZERO rows (no document reaches 4 tokens) must fail
+      // with the intended n2/n3 diagnostic, not a bare
+      // NoSuchElementException from the fused-union lookup (r21 ADVICE)
+      require(ccLevels.contains(lvl),
+        s"modified KN needs n2 > 0 and n3 > 0 at every level; level " +
+          s"$lvl ($cCol) has zero n-gram types in this corpus")
       val r = ccLevels(lvl)
       val (n1, n2, n3, n4) = (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4))

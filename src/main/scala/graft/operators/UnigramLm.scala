@@ -129,6 +129,52 @@ object UnigramLm {
     path
   }
 
+  /** One local E-step: Viterbi-segment every word under `scores` and
+    * accumulate frequency-weighted piece usage — PARALLEL over word
+    * chunks (r22, the kmeansCentroidsLocal/pqCodebooksLocal
+    * treatment: the driver EM loop was single-threaded and dominated
+    * t101/t102's bench wall). Bit-identical to the serial fold by
+    * construction: each word's Viterbi result depends only on
+    * (word, scores); per-chunk accumulators are disjoint maps merged
+    * by EXACT Long addition, which is associative and commutative, so
+    * the merged (piece → Σ cnt) table is the same whatever the chunk
+    * boundaries or merge order (spec-asserted in UnigramLmSpec). */
+  private[graft] def localUsage(local: Array[(String, Long)],
+      maxPieceLen: Int,
+      scores: scala.collection.Map[String, Long])
+      : scala.collection.Map[String, Long] = {
+    val nThreads = math.max(1,
+      math.min(Runtime.getRuntime.availableProcessors(), 32))
+    val n = local.length
+    val bounds = (0 until nThreads).map { t =>
+      ((n.toLong * t / nThreads).toInt, (n.toLong * (t + 1) / nThreads).toInt)
+    }.filter { case (lo, hi) => hi > lo }
+    def chunkUsage(lo: Int, hi: Int): scala.collection.mutable.HashMap[String, Long] = {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = lo
+      while (i < hi) {
+        val (w, cnt) = local(i)
+        viterbi(w, scores, maxPieceLen, None).foreach { pc =>
+          usage.update(pc, usage.getOrElse(pc, 0L) + cnt) }
+        i += 1
+      }
+      usage
+    }
+    val partials =
+      if (bounds.lengthCompare(1) <= 0) bounds.map { case (lo, hi) => chunkUsage(lo, hi) }
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(bounds.map { case (lo, hi) =>
+          Future(chunkUsage(lo, hi)) }), Duration.Inf)
+      }
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach(_.foreach { case (pc, u) =>
+      merged.update(pc, merged.getOrElse(pc, 0L) + u) })
+    merged
+  }
+
   /** The M-step re-estimation: keep every character (usage floored at
     * 1 — coverage survives) plus multi-char pieces with positive
     * usage; scores re-normalize over the kept total. Returns
@@ -225,22 +271,22 @@ object UnigramLm {
           col("cnt"))
         .select(explode(col("ps")).as("piece"), col("cnt"))
         .groupBy("piece").agg(sum("cnt").as("cnt"))
-      val seedChars = sub.filter(length(col("piece")) === 1)
+      // chars + top-multi seeds in ONE driver job (r22, guide §5: the
+      // two separate collects were two serial driver-gated passes over
+      // the same piece table). The multi side keeps its deterministic
+      // (cnt desc, piece asc) selection via the inner sort+limit; row
+      // ORDER after the union is irrelevant — emLoop consumes the seed
+      // as a map and an order-independent sum.
+      val seedRows = sub.filter(length(col("piece")) === 1)
+        .unionByName(sub.filter(length(col("piece")) > 1)
+          .orderBy(desc("cnt"), asc("piece")).limit(p.seedSize))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val seedMulti = sub.filter(length(col("piece")) > 1)
-        .orderBy(desc("cnt"), asc("piece")).limit(p.seedSize)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (seedChars, seedMulti) = seedRows.partition(_._1.length == 1)
       val vocab = if (nWords <= p.maxLocalWords) {
         val local = words.collect().map(r =>
           (r.getString(0), r.getLong(1)))
-        emLoop(seedChars, seedMulti, p, { scores =>
-          val usage = scala.collection.mutable.HashMap.empty[String, Long]
-          local.foreach { case (w, cnt) =>
-            viterbi(w, scores, p.maxPieceLen, None).foreach { pc =>
-              usage.update(pc, usage.getOrElse(pc, 0L) + cnt) }
-          }
-          usage
-        })
+        emLoop(seedChars, seedMulti, p,
+          localUsage(local, p.maxPieceLen, _))
       } else {
         import spark.implicits._
         val ds = words.as[(String, Long)]

@@ -129,6 +129,42 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("bucket-clustered write is threshold-gated: small input = one file per bucket, over-threshold input = parallel splintered write, identical table content") {
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+      .repartition(6) // several input partitions so splintering is visible
+    def bucketFiles(table: String): Int = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location
+      new java.io.File(loc).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    }
+    val confKey = Ddl.ClusterMaxBucketBytesConf
+    try {
+      // default threshold (512 MB/bucket): clustered, exactly one file
+      // per bucket
+      Ddl.writeBucketedTable(orders, "graft_gate_small", "o_orderkey", 4)
+      assert(bucketFiles("graft_gate_small") === 4,
+        "clustered write should emit one file per bucket")
+      // force the gate shut (estimated bucket bytes exceed 1 byte):
+      // the parallel splintered write runs instead
+      spark.conf.set(confKey, "1")
+      Ddl.writeBucketedTable(orders, "graft_gate_big", "o_orderkey", 4)
+      assert(bucketFiles("graft_gate_big") > 4,
+        "over-threshold write should keep input parallelism (several files per bucket)")
+      // both layouts hold the same rows and bucket metadata
+      val a = spark.table("graft_gate_small").orderBy("o_orderkey")
+        .collect().map(_.toString).toSeq
+      val b = spark.table("graft_gate_big").orderBy("o_orderkey")
+        .collect().map(_.toString).toSeq
+      assert(a === b)
+    } finally {
+      spark.conf.unset(confKey)
+      spark.sql("DROP TABLE IF EXISTS graft_gate_small")
+      spark.sql("DROP TABLE IF EXISTS graft_gate_big")
+    }
+  }
+
   test("uppercase tech-column mode (MIS naming, MIS:89–90)") {
     val li = spark.read.parquet(sf() + "/region.parquet")
     val metas = ColumnMeta.fromSchema(li.schema)

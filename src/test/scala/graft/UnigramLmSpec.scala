@@ -37,6 +37,34 @@ class UnigramLmSpec extends SparkSpec {
     assert(local.forall(v => v.scoreMicro < 0 && v.usage >= 1))
   }
 
+  test("parallel local E-step equals a serial fold whatever the chunking (exact Long merge is order-independent)") {
+    // the r22 parallelization argument: per-chunk usage maps merged by
+    // exact Long addition give the same (piece -> Σ cnt) table as one
+    // serial pass, because each word's Viterbi result depends only on
+    // (word, scores) and Long addition is associative/commutative
+    val p = UnigramLm.Params(seedSize = 40, vocabMulti = 20)
+    val vocab = UnigramLm.train(docs, "text", p)
+    val scores = vocab.map(v => v.piece -> v.scoreMicro).toMap
+    val words = docs.select(explode(
+        graft.operators.TextDedup.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) <= p.maxWordLen)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val serial = {
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, cnt) =>
+        UnigramLm.viterbi(w, scores, p.maxPieceLen, None).foreach { pc =>
+          usage.update(pc, usage.getOrElse(pc, 0L) + cnt) }
+      }
+      usage.toMap
+    }
+    val parallel = UnigramLm.localUsage(words, p.maxPieceLen, scores)
+    assert(parallel.toMap === serial)
+    // permutation invariance: a different word order merges identically
+    val shuffled = UnigramLm.localUsage(words.reverse, p.maxPieceLen, scores)
+    assert(shuffled.toMap === serial)
+  }
+
   test("Viterbi tie-break prefers the longer last piece; missing coverage fails loudly in training; scores drive the split") {
     // equal scores: "abc" as [ab, c] vs [a, bc] vs [a, b, c] — the
     // two-piece splits win on total, and between them the longer LAST
