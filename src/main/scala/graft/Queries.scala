@@ -84,6 +84,24 @@ object Queries {
       case _ => None
     })
 
+  /** Per-QUERY retreat of the small-shuffle AQE floor [[t]] sets: a
+    * few pipelines are CPU-DENSE at sub-256KB shuffle sizes (span/gram
+    * kernels, composite prep chains), where byte-sized coalescing
+    * under-parallelizes stages whose per-row cost AQE cannot see —
+    * the same reason the 64 KB floor existed in r21. Applied AFTER the
+    * frame is built (every [[t]] call during construction re-sets the
+    * 256 KB default; AQE reads the conf at action time, so the value
+    * in force when the query EXECUTES is this one, and the next
+    * query's first read restores the default). The env knob still
+    * wins everywhere (A/B path). Sweep-grade evidence: p1 0.99 s at
+    * 64 KB vs 1.44 s at 256 KB; t51 1.94 vs 2.29 (full idle-start
+    * sweeps, identical code). */
+  private def smallShuffleFloor[T](spark: SparkSession, v: String)(df: T): T = {
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", v))
+    df
+  }
+
   /** events with `ts` normalized to a naive microsecond timestamp,
     * whatever flavor the corpus file carries: raw nanos-as-long (legacy
     * TIMESTAMP_NS corpora — integer DIV truncation, same as DuckDB's
@@ -3597,10 +3615,10 @@ object Queries {
     * keep-first window and the positional removal, and the gate is
     * hash-exact on the rebuilt strings. */
   val t51_span_removal: Q = Q(
-    run = (spark, dir) =>
+    run = (spark, dir) => smallShuffleFloor(spark, "64k")(
       TextDedup.spanDedup(tf(spark, dir, "documents"), "doc_id", "text",
           gram = SpanGram)
-        .orderBy("doc_id"),
+        .orderBy("doc_id")),
     oracle = Some(
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
@@ -4951,8 +4969,10 @@ object Queries {
   }
 
   val p1_corpus_prep: Q = Q(
-    run = (spark, dir) => p1Frame(spark, dir).orderBy("doc_id"),
-    benchRun = Some((spark, dir) => p1Frame(spark, dir)),
+    run = (spark, dir) =>
+      smallShuffleFloor(spark, "64k")(p1Frame(spark, dir).orderBy("doc_id")),
+    benchRun = Some((spark, dir) =>
+      smallShuffleFloor(spark, "64k")(p1Frame(spark, dir))),
     bench = true,
     oracle = {
       val langs = TextAnalysis.LangMarkers
@@ -9453,13 +9473,19 @@ object Queries {
       // loss fatal at scale).
       val hashed = Staging.planBarrier(li.select(col("l_orderkey"),
         col("l_linenumber"), CanonicalHash.rowHashExpr(metas).as("row_md5")))
-      val maxKey = hashed.agg(max("l_orderkey")).head.getLong(0)
+      // max + count fused into ONE driver job (guide §5); the count
+      // sizes the Bloom from the DATA — the old 2^20 constant would
+      // undersize the filter as the corpus grows (fpp explodes and the
+      // anti-join floods; result-identical either way, the Bloom is
+      // semantically invisible, but the sizing must scale)
+      val stats = hashed.agg(max("l_orderkey"), count(lit(1))).head
+      val (maxKey, totalRows) = (stats.getLong(0), stats.getLong(1))
       val corpus = hashed.filter(col("l_orderkey") <= maxKey * 6 / 10)
         .select("row_md5")
       val batch = hashed.filter(col("l_orderkey") > maxKey / 2)
         .select("l_orderkey", "l_linenumber", "row_md5")
       IncrementalDedup.newRows(batch, corpus, "row_md5",
-          expectedItems = 1L << 20, fpp = 0.01)
+          expectedItems = totalRows.max(1L), fpp = 0.01)
         .orderBy("l_orderkey", "l_linenumber")
     },
     oracle = {

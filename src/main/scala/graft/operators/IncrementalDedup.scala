@@ -56,14 +56,36 @@ object IncrementalDedup {
       bridge.expressionEager(xxhash64(key))))
 
   /** Batch rows whose `keyCol` is NOT present in `corpus` — exact
-    * anti-join semantics, Bloom-prefiltered shuffle. */
+    * anti-join semantics, Bloom-prefiltered on BOTH sides:
+    *
+    *   - the batch side keeps only the Bloom "maybe" rows (original
+    *     shape — a Bloom "no" is definitely new);
+    *   - the CORPUS side of the anti-join is prefiltered by a SECOND
+    *     Bloom built over the maybe rows' keys (r22, guide §3.2: the
+    *     corpus keys were the anti-join's big shuffled side — at t33's
+    *     bench shape 2×9.4 MB of md5 strings through a sort-merge
+    *     anti-join for a maybe set a tenth that size). No false
+    *     negatives ⇒ every corpus key equal to some maybe key
+    *     survives, so the anti-join's matches — and the result — are
+    *     exactly the plain anti-join's (spec-asserted); the surviving
+    *     corpus slice is maybe-sized, which both shrinks the shuffle
+    *     and lets AQE broadcast it at realistic overlap ratios.
+    */
   def newRows(batch: DataFrame, corpus: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = trainBloom(corpus.select(col(keyCol)), keyCol, expectedItems, fpp)
     val maybe = mightContain(bloom, col(keyCol))
     val definitelyNew = batch.filter(!maybe)
-    val cleared = batch.filter(maybe)
-      .join(corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val maybeRows = batch.filter(maybe)
+    val maybeBloom = trainBloom(maybeRows.select(col(keyCol)), keyCol,
+      expectedItems, fpp)
+    // an empty maybe set yields a null aggregate — the anti-join input
+    // is empty then, so the unfiltered corpus is equally correct
+    val corpusKeys = corpus.select(col(keyCol))
+    val corpusPre =
+      if (maybeBloom == null) corpusKeys
+      else corpusKeys.filter(mightContain(maybeBloom, col(keyCol)))
+    val cleared = maybeRows.join(corpusPre, Seq(keyCol), "left_anti")
     definitelyNew.unionByName(cleared)
   }
 }

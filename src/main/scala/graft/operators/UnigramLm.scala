@@ -334,6 +334,19 @@ object UnigramLm {
    * corpus) and the probe routes with no extra job; without it,
    * routing runs one EAGER count() job at DataFrame-construction time
    * (the staged probe's work is then reused by the join). */
+  /** Partition count for the DISTINCT-WORD Viterbi stage: the per-row
+    * kernel is expensive (a DP over the word), so AQE's byte-sized
+    * coalescing undersizes it — a vocab-sized table is KBs and
+    * collapses to one task, serializing the whole encode (measured
+    * r22: t102 +0.19 s under the 256 KB floor). Row-derived instead:
+    * ~1k words per task, capped at the session's core count — scales
+    * from a few tasks at gate vocabularies to cores-wide at a 100 TB
+    * corpus's distinct words. */
+  private def viterbiPartitions(spark: org.apache.spark.sql.SparkSession,
+      nWords: Long): Int =
+    ((nWords + 1023) / 1024)
+      .min(spark.sparkContext.defaultParallelism.toLong).max(1L).toInt
+
   def docScores(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], p: Params = Params(),
       maxBroadcastWords: Long = BpeTrain.MaxBroadcastWords,
@@ -346,8 +359,11 @@ object UnigramLm {
     val b = spark.sparkContext.broadcast(scores)
     val maxPiece = p.maxPieceLen
     val maxWord = p.maxWordLen
-    val ws = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
-      .distinct().as[String]
+    val distinctWords = docs
+      .select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct()
+    val ws = knownWords.map(n =>
+        distinctWords.repartition(viterbiPartitions(spark, n)))
+      .getOrElse(distinctWords).as[String]
       .map { w =>
         val s =
           if (w.length > maxWord)
@@ -383,8 +399,13 @@ object UnigramLm {
     val b = spark.sparkContext.broadcast(scores)
     val maxPiece = p.maxPieceLen
     val maxWord = p.maxWordLen
-    val enc = docs.select(explode(TextDedup.tokens(col(textCol))).as("w"))
-      .distinct().as[String]
+    val distinctWords = docs
+      .select(explode(TextDedup.tokens(col(textCol))).as("w")).distinct()
+    // row-derived parallelism for the expensive per-word DP — see
+    // viterbiPartitions
+    val enc = knownWords.map(n =>
+        distinctWords.repartition(viterbiPartitions(spark, n)))
+      .getOrElse(distinctWords).as[String]
       .map(w => (w,
         if (w.length > maxWord) w.length.toLong
         else viterbi(w, b.value, maxPiece, Some(unk)).length.toLong))
